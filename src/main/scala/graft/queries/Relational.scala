@@ -1,0 +1,334 @@
+package graft.queries
+
+import graft.{Conv, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator surface (SURVEY §2B, queries §5.4 Q01–Q25).
+  *
+  * Each query exists twice: a Spark DataFrame program (`queries`) and a
+  * DuckDB oracle SQL text (`oracle`) over the same parquet tables. Column
+  * names are aliased identically on both sides (the driver's comparator
+  * sorts columns by name before hashing). Every query ends in a total
+  * ORDER BY (SURVEY §5.3 D2); ASC sort keys that can be NULL carry
+  * `NULLS FIRST` in the oracle to match Spark's asc-nulls-first default.
+  *
+  * Scale notes (100 TB readiness):
+  *  - dimension joins (region/nation/customer vs fact) are broadcastable;
+  *    AQE + autoBroadcastJoinThreshold picks that up because the dims are
+  *    read through plain parquet scans with accurate size stats.
+  *  - all aggregations are partial-aggregatable (sum/count over decimal),
+  *    so map-side combine halves shuffle volume for free.
+  *  - every filter/projection is a Column expression (no UDFs) → full
+  *    predicate pushdown + column pruning into the parquet scan.
+  */
+object Relational {
+  import Conv._
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    // Q01 scan / project / limit. (l_orderkey, l_linenumber) is NOT unique
+    // in this data, so every lineitem sort includes enough trailing output
+    // columns that ties are bit-identical rows (SURVEY §5.3 D2).
+    "q01_scan" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+        .limit(100)),
+
+    // Q02 conjunctive filter: string eq + numeric range + timestamp range
+    "q02_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R"
+          && col("l_quantity") > 25
+          && col("l_shipdate") >= lit("1995-01-01").cast(TimestampType))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Q03 projection expressions
+    "q03_expr" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DoubleType).as("net"))
+        .orderBy("l_orderkey", "l_linenumber", "net")
+        .limit(500)),
+
+    // Q04 inner equi join
+    "q04_join" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    }),
+
+    // Q05 5-way star join + decimal agg (flagship)
+    "q05_star" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"),
+          r4(sumDec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev"))
+        .orderBy("r_name")
+    }),
+
+    // Q06 left outer join + count of non-null
+    "q06_leftjoin" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q07 left semi (EXISTS)
+    "q07_semi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 100000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    // Q08 left anti (NOT EXISTS)
+    "q08_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 100000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    // Q09 theta conjunct: equi + range
+    "q09_theta" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+      li.join(p, li("l_partkey") === p("p_partkey")
+          && li("l_quantity") > p("p_size"))
+        .groupBy("p_partkey").agg(count(lit(1)).as("n"))
+        .orderBy("p_partkey")
+    }),
+
+    // Q10 as-of (latest prior order per event).
+    // Correctness form: equi-join on user + range conjunct, then max().
+    // The equi key keeps the shuffle keyed on user_id, so the range part
+    // only fans out within a user's orders — no cross product.
+    "q10_asof" -> ((s, d) => {
+      val e = t(s, d, "events").select("event_id", "user_id", "ts")
+      val o = t(s, d, "orders").select("o_custkey", "o_orderdate")
+      e.join(o, e("user_id") === o("o_custkey")
+          && o("o_orderdate") <= e("ts"), "left")
+        .groupBy("event_id").agg(max(col("o_orderdate")).as("last_order"))
+        .orderBy("event_id")
+    }),
+
+    // Q11 TPC-H Q1 style multi-aggregate
+    "q11_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+          r4(sumDec6(col("l_extendedprice"))).as("sum_base"),
+          r4(sumDec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q12 distinct aggregate
+    "q12_distinct" -> ((s, d) =>
+      t(s, d, "orders").agg(countDistinct(col("o_custkey")).as("n"))),
+
+    // Q13 rollup (SQL form — Spark's Dataset-rollup + coalesce trips the
+    // ambiguous-self-join lint on re-used join attributes; the SQL text is
+    // dialect-shared with DuckDB anyway)
+    "q13_rollup" -> ((s, d) => Tables.sql(s, d,
+      """SELECT COALESCE(r_name,'ALL') AS r, COALESCE(n_name,'ALL') AS n,
+        |       COUNT(*) AS c
+        |FROM nation JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r, n""".stripMargin, "nation", "region")),
+
+    // Q14 grouping sets (SQL form — same text runs in DuckDB)
+    "q14_gsets" -> ((s, d) => Tables.sql(s, d,
+      """SELECT COALESCE(l_returnflag,'ALL') AS rf,
+        |       COALESCE(l_linestatus,'ALL') AS ls, COUNT(*) AS c
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),())
+        |ORDER BY rf, ls""".stripMargin, "lineitem")),
+
+    // Q15 HAVING
+    "q15_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 5)
+        .orderBy("o_custkey")),
+
+    // Q16 ranking windows
+    "q16_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).cast(LongType).as("rn"),
+          rank().over(w).cast(LongType).as("rk"),
+          dense_rank().over(w).cast(LongType).as("drk"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Q17 running frame + lag. Window order must be total within the
+    // partition or the running sum is nondeterministic: (l_linenumber,
+    // l_extendedprice) is unique within an order in this data.
+    "q17_frames" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice")
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(sum(dec6(col("l_extendedprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("run"),
+          lag(col("l_linenumber"), 1).over(w).as("prev"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("run"),
+          col("prev").asc_nulls_first)
+        .limit(1000)
+    }),
+
+    // Q18 top-k per group
+    "q18_topk" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).cast(LongType).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Q19 global top-k (TakeOrderedAndProject — no full sort at scale)
+    "q19_globaltopk" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // Q20 set operations
+    "q20_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")),
+    "q20_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .orderBy("k")),
+    "q20_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")),
+
+    // Q21 string functions
+    "q21_strings" -> ((s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_name").like("%1%"))
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          length(col("c_name")).cast(LongType).as("len"),
+          regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("repl"))
+        .orderBy("c_custkey")),
+
+    // Q22 date bucketing
+    "q22_dates" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("m"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy("m")),
+
+    // Q23 case / math
+    "q23_casemath" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 40, "mid")
+            .otherwise("high").as("band"),
+          (col("l_quantity").cast(IntegerType) % 7).as("m7"),
+          abs(dec6(col("l_discount") - 0.05)).cast(DoubleType).as("dd"))
+        .orderBy("l_orderkey", "l_linenumber", "band", "m7", "dd")
+        .limit(500)),
+
+    // Q24 JSON extraction
+    "q24_json" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("k").asc_nulls_first)),
+
+    // Q25 array functions
+    "q25_arrays" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast(LongType).as("dim"),
+          round(element_at(col("embedding"), 1).cast(DecimalType(18, 8)), 6)
+            .cast(DoubleType).as("e1"))
+        .orderBy("vec_id")
+        .limit(100))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_scan" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100",
+    "q02_filter" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag='R' AND l_quantity>25 AND l_shipdate >= TIMESTAMP '1995-01-01' ORDER BY l_orderkey, l_linenumber",
+    "q03_expr" ->
+      "SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS net FROM lineitem ORDER BY l_orderkey, l_linenumber, net LIMIT 500",
+    "q04_join" ->
+      "SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey=c_custkey ORDER BY o_orderkey",
+    "q05_star" ->
+      "SELECT r_name, COUNT(*) AS cnt, CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))),4) AS DOUBLE) AS rev FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey GROUP BY r_name ORDER BY r_name",
+    "q06_leftjoin" ->
+      "SELECT c_custkey, COUNT(o_orderkey) AS n FROM customer LEFT JOIN orders ON o_custkey=c_custkey GROUP BY c_custkey ORDER BY c_custkey",
+    "q07_semi" ->
+      "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice>100000) ORDER BY c_custkey",
+    "q08_anti" ->
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice>100000) ORDER BY c_custkey",
+    "q09_theta" ->
+      "SELECT p_partkey, COUNT(*) AS n FROM part JOIN lineitem ON l_partkey=p_partkey AND l_quantity > p_size GROUP BY p_partkey ORDER BY p_partkey",
+    "q10_asof" ->
+      "SELECT event_id, (SELECT MAX(o_orderdate) FROM orders WHERE o_custkey=user_id AND o_orderdate <= ts) AS last_order FROM events ORDER BY event_id",
+    "q11_agg" ->
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_base, CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_disc FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q12_distinct" ->
+      "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
+    "q13_rollup" ->
+      "SELECT COALESCE(r_name,'ALL') AS r, COALESCE(n_name,'ALL') AS n, COUNT(*) AS c FROM nation JOIN region ON n_regionkey=r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY r, n",
+    "q14_gsets" ->
+      "SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls, COUNT(*) AS c FROM lineitem GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),()) ORDER BY rf, ls",
+    "q15_having" ->
+      "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5 ORDER BY o_custkey",
+    "q16_rank" ->
+      "SELECT o_orderkey, o_custkey, ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_custkey, rn",
+    "q17_frames" ->
+      "SELECT l_orderkey, l_linenumber, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) OVER w,4) AS DOUBLE) AS run, LAG(l_linenumber,1) OVER w AS prev FROM lineitem WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY l_orderkey, l_linenumber, run, prev NULLS FIRST LIMIT 1000",
+    "q18_topk" ->
+      "SELECT o_orderkey, o_custkey, rn FROM (SELECT o_orderkey, o_custkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn",
+    "q19_globaltopk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q20_intersect" ->
+      "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k",
+    "q20_union" ->
+      "SELECT k, COUNT(*) AS c FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier) GROUP BY k ORDER BY k",
+    "q20_except" ->
+      "SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier ORDER BY k",
+    "q21_strings" ->
+      "SELECT c_custkey, UPPER(c_name) AS up, SUBSTR(c_name,1,8) AS sub, LENGTH(c_name) AS len, REGEXP_REPLACE(c_mktsegment,'[AEIOU]','_','g') AS repl FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey",
+    "q22_dates" ->
+      "SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m, COUNT(*) AS c FROM orders GROUP BY m ORDER BY m",
+    "q23_casemath" ->
+      "SELECT l_orderkey, l_linenumber, CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 40 THEN 'mid' ELSE 'high' END AS band, CAST(l_quantity AS INT) % 7 AS m7, CAST(ABS(CAST(l_discount-0.05 AS DECIMAL(18,6))) AS DOUBLE) AS dd FROM lineitem ORDER BY l_orderkey, l_linenumber, band, m7, dd LIMIT 500",
+    "q24_json" ->
+      "SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k, COUNT(*) AS c FROM events GROUP BY k ORDER BY k NULLS FIRST",
+    "q25_arrays" ->
+      "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, CAST(ROUND(CAST(embedding[1] AS DECIMAL(18,8)),6) AS DOUBLE) AS e1 FROM embeddings ORDER BY vec_id LIMIT 100"
+  )
+}
