@@ -16,8 +16,8 @@ object SparkEntry {
     queries("q05_star")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++ graft.queries.Llm.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle
+    graft.queries.Relational.oracle ++ graft.queries.Llm.oracle
 }

@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.{Conv, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM training-data pipeline operators over `documents` / `embeddings`
+  * (SURVEY §5.5 Q26–Q30 + T1).
+  *
+  * Determinism: Jaccard is pure integer arithmetic (Q28); cosine widens
+  * float→double (exact) before multiplying, sums exactly in DECIMAL(28,14),
+  * and only then divides in double (every step correctly rounded on both
+  * engines, so results are bit-identical).
+  *
+  * Scale notes:
+  *  - Q28's token self-join is the textbook skew trap: a stop-token shared
+  *    by every doc makes one join key quadratic. Exact semantics are the
+  *    contract here; the scale path is the MinHash-LSH variant (see
+  *    Dedup.scala) whose banding bounds per-key fan-out.
+  *  - Q29 broadcasts the (tiny) query vector and reduces per-index
+  *    partial products map-side; for full ANN see Similarity.scala.
+  */
+object Llm {
+  import Conv._
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+  private val D2814 = DecimalType(28, 14)
+
+  /** Distinct (doc_id, token) pairs — the unit of Jaccard arithmetic. */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+
+  val queries: Map[String, Q] = Map(
+    // Q26 token frequency (top 20)
+    "q26_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token"))
+        .limit(20)),
+
+    // Q27 exact duplicate groups
+    "q27_dedup" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("text").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .orderBy(col("c").desc, col("text"))),
+
+    // Q28 exact near-dedup: token-set Jaccard >= 0.8, integer arithmetic
+    // (10*|A∩B| >= 8*|A∪B|) — no floats anywhere.
+    "q28_neardup" -> ((s, d) => {
+      val toks = tokens(s, d)
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val pairs = toks.select(col("doc_id").as("a"), col("tok"))
+        .join(toks.select(col("doc_id").as("b"), col("tok")), Seq("tok"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select(col("doc_id").as("a"), col("nt").as("na")), Seq("a"))
+        .join(sizes.select(col("doc_id").as("b"), col("nt").as("nb")), Seq("b"))
+        .filter(lit(10) * col("inter") >= lit(8) * (col("na") + col("nb") - col("inter")))
+        .select("a", "b", "inter", "na", "nb")
+        .orderBy("a", "b")
+    }),
+
+    // Q29 cosine top-5 vs vec_id=0
+    "q29_cosine" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(posexplode(col("embedding")).as(Seq("i", "av")))
+        .select(col("i"), col("av").cast(DoubleType).as("av"))
+      val bv = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "bv")))
+        .select(col("vec_id"), col("i"), col("bv").cast(DoubleType).as("bv"))
+      val parts = bv.join(broadcast(qv), Seq("i"))
+        .groupBy("vec_id")
+        .agg(sum((col("av") * col("bv")).cast(D2814)).as("dot"),
+          sum((col("bv") * col("bv")).cast(D2814)).as("nb2"))
+      val na2 = qv.agg(sum((col("av") * col("av")).cast(D2814)).as("na2"))
+      parts.crossJoin(broadcast(na2))
+        .select(col("vec_id"),
+          round(col("dot").cast(DoubleType)
+            / (sqrt(col("na2").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // Q30 per-language stats (avg as exact-sum / count, divided in double)
+    "q30_textstats" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          round(sumDec6(col("n_chars")).cast(DoubleType) / count(lit(1)), 4)
+            .cast(DoubleType).as("avg_chars"))
+        .orderBy("lang")),
+
+    // T1 approx distinct (HLL) — tolerance-checked vs Q12, not hash-checked
+    "t1_approx" -> ((s, d) =>
+      t(s, d, "orders")
+        .agg(approx_count_distinct(col("o_custkey")).as("n_approx")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q26_tokens" ->
+      "SELECT token, COUNT(*) AS c FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents) GROUP BY token ORDER BY c DESC, token LIMIT 20",
+    "q27_dedup" ->
+      "SELECT text, COUNT(*) AS c FROM documents GROUP BY text HAVING COUNT(*)>1 ORDER BY c DESC, text",
+    "q28_neardup" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id),
+        |pairs AS (SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS inter
+        |          FROM toks t1 JOIN toks t2 ON t1.tok=t2.tok AND t1.doc_id<t2.doc_id
+        |          GROUP BY 1,2)
+        |SELECT a, b, inter, sa.nt AS na, sb.nt AS nb
+        |FROM pairs JOIN sizes sa ON sa.doc_id=a JOIN sizes sb ON sb.doc_id=b
+        |WHERE 10*inter >= 8*(sa.nt+sb.nt-inter)
+        |ORDER BY a, b""".stripMargin,
+    "q29_cosine" ->
+      """WITH idx AS (SELECT i FROM generate_series(1,64) t(i)),
+        |a AS (SELECT i, CAST(embedding[i] AS DOUBLE) AS av
+        |      FROM embeddings, idx WHERE vec_id=0 AND i <= len(embedding)),
+        |b AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS bv
+        |      FROM embeddings, idx WHERE vec_id<>0 AND i <= len(embedding)),
+        |d AS (SELECT b.vec_id, SUM(CAST(a.av*b.bv AS DECIMAL(28,14))) AS dot,
+        |             SUM(CAST(b.bv*b.bv AS DECIMAL(28,14))) AS nb2
+        |      FROM b JOIN a USING(i) GROUP BY b.vec_id),
+        |n AS (SELECT SUM(CAST(av*av AS DECIMAL(28,14))) AS na2 FROM a)
+        |SELECT vec_id, CAST(ROUND(CAST(dot AS DOUBLE)/(SQRT(CAST(na2 AS DOUBLE))*SQRT(CAST(nb2 AS DOUBLE))),6) AS DOUBLE) AS score
+        |FROM d, n ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "q30_textstats" ->
+      "SELECT lang, COUNT(*) AS docs, CAST(ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*),4) AS DOUBLE) AS avg_chars FROM documents GROUP BY lang ORDER BY lang"
+  )
+}
