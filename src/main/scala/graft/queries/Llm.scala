@@ -99,10 +99,12 @@ object Llm {
             .cast(DoubleType).as("avg_chars"))
         .orderBy("lang")),
 
-    // T1 approx distinct (HLL) — tolerance-checked vs Q12, not hash-checked
+    // T1 approx distinct (HLL) — tolerance-checked vs Q12 (±5%), not
+    // hash-checked. Default rsd=0.05 measured 6.7% off at sf0.01; rsd=0.01
+    // keeps the estimate well inside the budget for a few KB more sketch.
     "t1_approx" -> ((s, d) =>
       t(s, d, "orders")
-        .agg(approx_count_distinct(col("o_custkey")).as("n_approx")))
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_approx")))
   )
 
   val oracle: Map[String, String] = Map(
