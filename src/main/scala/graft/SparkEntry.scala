@@ -16,8 +16,10 @@ object SparkEntry {
     queries("q05_star")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.Llm.queries
+    graft.queries.Relational.queries ++ graft.queries.Llm.queries ++
+      graft.queries.StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle ++ graft.queries.Llm.oracle
+    graft.queries.Relational.oracle ++ graft.queries.Llm.oracle ++
+      graft.queries.StreamingQueries.oracle
 }

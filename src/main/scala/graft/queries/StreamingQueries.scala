@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.{Conv, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming surface (SURVEY §5.7 S01–S04).
+  *
+  * The oracle-checked `queries` are the BATCH forms (the driver's DuckDB
+  * oracle is batch SQL); `Streams` runs the same computations as real
+  * Structured Streaming jobs (file source → availableNow trigger → memory
+  * sink) and the test suite asserts streaming == batch row-for-row.
+  *
+  * Bucketing is integer epoch math on both engines (no engine-native
+  * window helpers in the oracle path) so the results are hash-stable:
+  * bucket = floor(epoch_seconds / 300) * 300.
+  *
+  * Scale notes: tumbling/sliding aggs are partial-aggregatable and keyed
+  * by (bucket, type) — shuffle volume is O(buckets × types), not O(rows).
+  * Sessionization uses one window pass per user partition; at 100 TB the
+  * per-user event stream is the right partition key and Spark's
+  * session_window does the same state-store bucketing in streaming mode.
+  */
+object StreamingQueries {
+  import Conv._
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** 5-minute tumbling bucket of ts, as a timestamp. */
+  private def bucket(c: org.apache.spark.sql.Column) =
+    timestamp_seconds((c.cast(LongType) / 300).cast(LongType) * 300)
+
+  val queries: Map[String, Q] = Map(
+    // S01 tumbling 5-minute window agg
+    "s01_tumbling" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(bucket(col("ts")).as("ts_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sumDec6(col("value"))).as("v"))
+        .orderBy("ts_bucket", "event_type")),
+
+    // S02 sliding 10-minute window, 5-minute slide: each event lands in
+    // exactly the two windows starting at bucket(ts) and bucket(ts)-300.
+    "s02_sliding" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("b", (col("ts").cast(LongType) / 300).cast(LongType) * 300)
+        .select(col("event_type"), col("value"),
+          explode(array(col("b"), col("b") - 300)).as("ws"))
+        .groupBy(timestamp_seconds(col("ws")).as("w_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sumDec6(col("value"))).as("v"))
+        .orderBy("w_start", "event_type")),
+
+    // S03 session windows (30-minute gap) per user via LAG + running sum.
+    // Epoch compared in double: timestamp→double is micros/1e6 on both
+    // engines (exact below 2^53), so the 1800 s cut is bit-identical.
+    "s03_sessions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("sec", col("ts").cast(DoubleType))
+        .withColumn("brk",
+          when(lag(col("sec"), 1).over(w).isNull
+            || col("sec") - lag(col("sec"), 1).over(w) > 1800d, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    }),
+
+    // S04 dedup by event id
+    "s04_dedup" -> ((s, d) =>
+      t(s, d, "events")
+        .agg(countDistinct(col("event_id")).as("n")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s01_tumbling" ->
+      "SELECT make_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000) AS ts_bucket, event_type, COUNT(*) AS n, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))),4) AS DOUBLE) AS v FROM events GROUP BY ts_bucket, event_type ORDER BY ts_bucket, event_type",
+    "s02_sliding" ->
+      """SELECT make_timestamp((b - off)*1000000) AS w_start, event_type, COUNT(*) AS n,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))),4) AS DOUBLE) AS v
+        |FROM (SELECT CAST(floor(epoch(ts)/300) AS BIGINT)*300 AS b, event_type, value FROM events),
+        |     (VALUES (CAST(0 AS BIGINT)),(CAST(300 AS BIGINT))) t(off)
+        |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    "s03_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN LAG(epoch(ts)) OVER w IS NULL
+        |                OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, ts,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM x
+        |)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+    "s04_dedup" ->
+      "SELECT COUNT(DISTINCT event_id) AS n FROM events"
+  )
+}
+
+/** Real Structured Streaming executions of the S-suite: file source over
+  * the same events parquet, `Trigger.AvailableNow`, memory sink. Used by
+  * the test suite to assert streaming == batch. Kept out of the oracle
+  * `queries` map so the driver's Verify stays single-pass batch.
+  */
+object Streams {
+
+  /** Streaming read of events.parquet (nanos ts → timestamp, as Tables). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(raw)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory table. */
+  def runToTable(spark: SparkSession, df: DataFrame, name: String,
+                 mode: String = "append"): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** S01 as streaming: watermark + tumbling window, append mode. */
+  def s01(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Conv.r4(Conv.sumDec6(col("value"))).as("v"))
+      .select(col("window.start").as("ts_bucket"), col("event_type"), col("n"), col("v"))
+    runToTable(spark, agg, "s01_stream", "complete")
+  }
+
+  /** S02 as streaming: sliding window(10 min, 5 min). */
+  def s02(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Conv.r4(Conv.sumDec6(col("value"))).as("v"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("v"))
+    runToTable(spark, agg, "s02_stream", "complete")
+  }
+
+  /** S03 as streaming: gap-based session_window per user. */
+  def s03(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("session_end"),
+        min(col("ts")).as("session_start"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    runToTable(spark, agg, "s03_stream", "complete")
+  }
+
+  /** S04 as streaming: dropDuplicates on event_id with watermark. */
+  def s04(spark: SparkSession, dir: String): DataFrame = {
+    val dedup = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    runToTable(spark, dedup, "s04_stream", "append")
+  }
+}
