@@ -17,9 +17,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Llm.queries ++
-      graft.queries.StreamingQueries.queries
+      graft.queries.StreamingQueries.queries ++ graft.geo.GeoQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.Llm.oracle ++
-      graft.queries.StreamingQueries.oracle
+      graft.queries.StreamingQueries.oracle ++ graft.geo.GeoQueries.oracle
 }

@@ -1,0 +1,52 @@
+package graft.geo
+
+import java.time.LocalDate
+
+/** Fuzzy date strings → widest [min,max] epoch-ms interpretation.
+  *
+  * Reproduces the reference's use of the `fuzzy-dates` npm module
+  * (`/root/reference/addresses.js:67-71`): a partial date denotes a period;
+  * `convert(s)[0]` is the period's first day, `convert(s)[1]` its last day,
+  * both taken at 00:00 UTC. Declared spec (SURVEY §1.1, §2A N4):
+  *
+  *   "1854"       → [1854-01-01, 1854-12-31]
+  *   "1887-03"    → [1887-03-01, 1887-03-31]
+  *   "1854-06-17" → [1854-06-17, 1854-06-17]
+  *   null / unparseable → None (temporal predicate fails, mirroring the
+  *   reference's NaN comparisons — N4).
+  */
+object FuzzyDates {
+  private val Y   = "^(\\d{4})$".r
+  private val YM  = "^(\\d{4})-(\\d{2})$".r
+  private val YMD = "^(\\d{4})-(\\d{2})-(\\d{2})$".r
+
+  private val MsPerDay = 86400000L
+
+  private def ms(d: LocalDate): Long = d.toEpochDay * MsPerDay
+
+  /** Earliest possible instant (epoch ms) of the fuzzy date, or None. */
+  def minMs(s: String): Option[Long] = period(s).map { case (a, _) => ms(a) }
+
+  /** Latest covered day at 00:00 UTC (epoch ms) of the fuzzy date, or None. */
+  def maxMs(s: String): Option[Long] = period(s).map { case (_, b) => ms(b) }
+
+  /** The [first day, last day] period a fuzzy date string denotes. */
+  def period(s: String): Option[(LocalDate, LocalDate)] = s match {
+    case null => None
+    case Y(y) =>
+      val a = LocalDate.of(y.toInt, 1, 1)
+      Some((a, a.plusYears(1).minusDays(1)))
+    case YM(y, m) if m.toInt >= 1 && m.toInt <= 12 =>
+      val a = LocalDate.of(y.toInt, m.toInt, 1)
+      Some((a, a.plusMonths(1).minusDays(1)))
+    case YMD(y, m, d) =>
+      try { val a = LocalDate.of(y.toInt, m.toInt, d.toInt); Some((a, a)) }
+      catch { case _: java.time.DateTimeException => None }
+    case _ => None
+  }
+
+  /** 15-year temporal slack in ms — ms-based, NOT calendar years
+    * (`addresses.js:47`: 15*365*24*3600*1000; SURVEY §2A N3).
+    */
+  val ThresholdMs: Long = 15L * 365 * 24 * 3600 * 1000
+}

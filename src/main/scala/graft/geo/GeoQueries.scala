@@ -1,0 +1,307 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-parity geo pipeline (SURVEY §2A R1–R18, §4.2, §5.6).
+  *
+  * Spark side reads the Space/Time NDJSON fixtures with declared schemas
+  * (R1), applies the R2/R3 filters, segmentizes LineStrings with pure
+  * built-ins (R6: zip_with + slice + posexplode — whole-stage codegen, no
+  * UDF), and runs the spatio-temporal nearest join as a grid-partitioned
+  * candidate equi-join (§4.2): each segment's 25 m-expanded bbox is
+  * exploded onto ~0.0005° grid cells, each point lands in exactly one
+  * cell, and the equi-join on (cx,cy) reproduces "all segments within
+  * 25 m are candidates" with guaranteed recall (margin factor 1.1).
+  *
+  * Scale: the segments-by-cell side is the small dimension → broadcast
+  * hint; at 100 TB it degrades gracefully to a shuffle equi-join on the
+  * cell key (still O(candidates), never O(N·M)), with AQE handling skew.
+  * The temporal conjunct runs before the trig distance (N8), and the
+  * top-1 is a per-point window over a tiny candidate set.
+  *
+  * Determinism vs the DuckDB oracle: distances are rounded to integer
+  * meters with floor(x+0.5) (D4) in both engines and all filtering and
+  * ranking happens on the rounded integer; fixtures guarantee no raw
+  * distance sits near a .5 boundary (GenGeoFixtures), so libm last-ulp
+  * differences cannot flip any result.
+  */
+object GeoQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixture dir — same constant embedded in the oracle SQL strings. */
+  val FixtureDir = "/root/repo/src/test/resources/geo"
+
+  private val MPerDegLat = 111194.927
+  private val Cs = 0.0005 // grid cell size, degrees (~55 m lat, ~42 m lon)
+  private val ThMs = FuzzyDates.ThresholdMs // 473 040 000 000
+
+  private val fuzzyMin = udf((s: String) => FuzzyDates.minMs(s))
+  private val fuzzyMax = udf((s: String) => FuzzyDates.maxMs(s))
+  private val crossM = udf((px: Double, py: Double, x1: Double, y1: Double,
+                            x2: Double, y2: Double) =>
+    Geo.crosstrackM(px, py, x1, y1, x2, y2))
+
+  private val streetSchema = StructType(Seq(
+    StructField("id", StringType), StructField("type", StringType),
+    StructField("name", StringType), StructField("validSince", StringType),
+    StructField("validUntil", StringType),
+    StructField("geometry", StructType(Seq(
+      StructField("type", StringType),
+      StructField("coordinates", ArrayType(ArrayType(DoubleType))))))))
+
+  private val houseSchema = StructType(Seq(
+    StructField("id", StringType), StructField("type", StringType),
+    StructField("validSince", StringType), StructField("validUntil", StringType),
+    StructField("data", StructType(Seq(
+      StructField("sheetId", IntegerType), StructField("layerId", IntegerType),
+      StructField("mapId", IntegerType), StructField("number", StringType),
+      StructField("borough", StringType)))),
+    StructField("geometry", StructType(Seq(
+      StructField("type", StringType),
+      StructField("coordinates", ArrayType(DoubleType)))))))
+
+  /** R1+R3+R5+R6: streets NDJSON → one row per consecutive-vertex segment,
+    * street properties inherited, fuzzy dates precomputed (nullable).
+    */
+  def segments(spark: SparkSession): DataFrame =
+    spark.read.schema(streetSchema).json(s"$FixtureDir/streets.ndjson")
+      .filter(col("geometry").isNotNull && size(col("geometry.coordinates")) >= 2)
+      .select(col("id").as("street_id"), col("name").as("street_name"),
+        fuzzyMin(col("validSince")).as("seg_since"),
+        fuzzyMax(col("validUntil")).as("seg_until"),
+        posexplode(expr(
+          """zip_with(slice(geometry.coordinates, 1, size(geometry.coordinates)-1),
+            |         slice(geometry.coordinates, 2, size(geometry.coordinates)-1),
+            |         (a, b) -> named_struct('x1', a[0], 'y1', a[1], 'x2', b[0], 'y2', b[1]))
+            |""".stripMargin)).as(Seq("seg_ord", "seg")))
+      .select(col("street_id"), col("street_name"), col("seg_since"),
+        col("seg_until"), col("seg_ord"),
+        col("seg.x1"), col("seg.y1"), col("seg.x2"), col("seg.y2"))
+
+  /** R1+R2+R3+R14: house numbers NDJSON → typed points with fuzzy dates. */
+  def housePoints(spark: SparkSession): DataFrame =
+    spark.read.schema(houseSchema).json(s"$FixtureDir/house_numbers.ndjson")
+      .filter(col("type") === "st:Address" && col("geometry").isNotNull)
+      .select(col("id").as("hn_id"), col("data.number").as("number"),
+        col("data.borough").as("borough"), col("data.sheetId").as("sheet_id"),
+        col("data.layerId").as("layer_id"), col("data.mapId").as("map_id"),
+        element_at(col("geometry.coordinates"), 1).as("px"),
+        element_at(col("geometry.coordinates"), 2).as("py"),
+        col("validSince").as("valid_since"), col("validUntil").as("valid_until"),
+        fuzzyMin(col("validSince")).as("pt_since"),
+        fuzzyMax(col("validUntil")).as("pt_until"))
+
+  /** §4.2 steps 2–4: grid candidate join + temporal filter (R9, before the
+    * trig per N8) + distance (R10) + threshold (R11) + per-point top-1
+    * (R12, tie-break distance_m, seg_ord, street_id).
+    */
+  def best(spark: SparkSession): DataFrame = {
+    val segCells = segments(spark)
+      .withColumn("mlat", lit(27.5 / MPerDegLat))
+      .withColumn("mlon",
+        lit(27.5) / (lit(MPerDegLat) * cos(radians((col("y1") + col("y2")) / 2))))
+      .withColumn("cell", explode(expr(
+        s"""flatten(transform(
+           |  sequence(cast(floor((least(x1,x2)-mlon)/$Cs) as bigint),
+           |           cast(floor((greatest(x1,x2)+mlon)/$Cs) as bigint)),
+           |  cx -> transform(
+           |    sequence(cast(floor((least(y1,y2)-mlat)/$Cs) as bigint),
+           |             cast(floor((greatest(y1,y2)+mlat)/$Cs) as bigint)),
+           |    cy -> named_struct('cx', cx, 'cy', cy))))""".stripMargin)))
+      .select(col("street_id"), col("street_name"), col("seg_since"),
+        col("seg_until"), col("seg_ord"), col("x1"), col("y1"), col("x2"),
+        col("y2"), col("cell.cx"), col("cell.cy"))
+
+    val pts = housePoints(spark)
+      .withColumn("cx", floor(col("px") / Cs).cast(LongType))
+      .withColumn("cy", floor(col("py") / Cs).cast(LongType))
+
+    val cand = pts.join(broadcast(segCells), Seq("cx", "cy"))
+      .where(col("seg_since") - ThMs <= col("pt_since")
+        && col("seg_until") + ThMs >= col("pt_until"))
+      .withColumn("distance_m",
+        floor(crossM(col("px"), col("py"), col("x1"), col("y1"),
+          col("x2"), col("y2")) + 0.5).cast(LongType))
+      .where(col("distance_m") < 25)
+
+    val w = Window.partitionBy("hn_id")
+      .orderBy(col("distance_m"), col("seg_ord"), col("street_id"))
+    cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("hn_id"), col("street_id").as("sid"),
+        col("street_name").as("sname"), col("distance_m"))
+  }
+
+  private def errMsg = lit("Can't find street within 25 meters and 15 years")
+
+  /** Matched house numbers with all fan-out inputs (the `inferred` shape). */
+  private def inferred(spark: SparkSession): DataFrame =
+    housePoints(spark).join(best(spark), Seq("hn_id"), "left")
+
+  val queries: Map[String, Q] = Map(
+    // G01 segmentizer: segments per street (includes bad-date streets)
+    "g01_segmentize" -> ((s, _) =>
+      segments(s).groupBy("street_id").agg(count(lit(1)).as("nseg"))
+        .orderBy("street_id")),
+
+    // G02 spatio-temporal nearest-street join; unmatched → NULL street_id
+    "g02_nearest" -> ((s, _) =>
+      inferred(s).select(
+        concat(lit("building-inspector/"), col("hn_id")).as("house_number_id"),
+        concat(lit("nyc-streets/"), col("sid")).as("street_id"),
+        col("distance_m"))
+        .orderBy("house_number_id")),
+
+    // G03 transform fan-out (R17/R18 incl. the N5 mutation-aliasing:
+    // the matched log's data_str is the MERGED struct)
+    "g03_transform" -> ((s, _) => {
+      val inf = inferred(s)
+      val plain = concat(lit("sheetId="), col("sheet_id"),
+        lit("|layerId="), col("layer_id"), lit("|mapId="), col("map_id"),
+        lit("|number="), col("number"), lit("|borough="), col("borough"))
+      val merged = concat(plain, lit("|houseNumberId=building-inspector/"),
+        col("hn_id"), lit("|streetId=nyc-streets/"), col("sid"))
+      val nS = lit(null).cast(StringType)
+      val nL = lit(null).cast(LongType)
+      val nD = lit(null).cast(DoubleType)
+      def rec(kind: Column, relType: Column, id: Column, name: Column,
+              relFrom: Column, relTo: Column, hnId: Column, stId: Column,
+              stName: Column, lineLen: Column, error: Column, vs: Column,
+              vu: Column, px: Column, py: Column, dataStr: Column): Column =
+        struct(kind.as("kind"), relType.as("rel_type"), id.as("id"),
+          name.as("name"), relFrom.as("rel_from"), relTo.as("rel_to"),
+          hnId.as("house_number_id"), stId.as("street_id"),
+          stName.as("street_name"), lineLen.as("line_length"),
+          error.as("error"), vs.as("valid_since"), vu.as("valid_until"),
+          px.as("px"), py.as("py"), dataStr.as("data_str"))
+      val fullHn = concat(lit("building-inspector/"), col("hn_id"))
+      val fullSt = concat(lit("nyc-streets/"), col("sid"))
+      val matched = inf.where(col("sid").isNotNull).select(explode(array(
+        rec(lit("object"), nS, col("hn_id"),
+          concat(col("number"), lit(" "), col("sname")), nS, nS, nS, nS, nS,
+          nL, nS, col("valid_since"), col("valid_until"), col("px"), col("py"),
+          merged),
+        rec(lit("relation"), lit("st:in"), nS, nS, fullHn, fullSt, nS, nS, nS,
+          nL, nS, nS, nS, nD, nD, nS),
+        rec(lit("relation"), lit("st:sameAs"), nS, nS, col("hn_id"), fullHn,
+          nS, nS, nS, nL, nS, nS, nS, nD, nD, nS),
+        rec(lit("log"), nS, nS, nS, nS, nS, fullHn, fullSt, col("sname"),
+          col("distance_m"), nS, nS, nS, col("px"), col("py"), merged)
+      )).as("r")).select(col("r.*"))
+      val errors = inf.where(col("sid").isNull).select(
+        rec(lit("log"), nS, nS, nS, nS, nS, fullHn, nS, nS, nL, errMsg,
+          nS, nS, col("px"), col("py"), plain).as("r")).select(col("r.*"))
+      matched.union(errors).orderBy(col("kind"),
+        coalesce(col("rel_type"), lit("")), coalesce(col("house_number_id"), lit("")),
+        coalesce(col("rel_from"), lit("")), coalesce(col("id"), lit("")))
+    })
+  )
+
+  /** Shared DuckDB CTE: candidates → crosstrack (same branch structure as
+    * Geo.crosstrackM) → rounded distance → per-point best row. */
+  private val bestCte =
+    s"""WITH seg AS (SELECT * FROM read_parquet('$FixtureDir/street_segments.parquet')),
+       |hp AS (SELECT * FROM read_parquet('$FixtureDir/house_points.parquet')),
+       |cand AS (
+       |  SELECT hp.hn_id, seg.street_id AS sid, seg.street_name AS sname, seg.seg_ord,
+       |         radians(hp.py) AS pP, radians(hp.px) AS lP,
+       |         radians(seg.y1) AS pA, radians(seg.x1) AS lA,
+       |         radians(seg.y2) AS pB, radians(seg.x2) AS lB
+       |  FROM hp JOIN seg
+       |    ON seg.since_min_ms - 473040000000 <= hp.since_min_ms
+       |   AND seg.until_max_ms + 473040000000 >= hp.until_max_ms
+       |),
+       |ang AS (
+       |  SELECT *,
+       |    2*asin(sqrt(least(1.0, pow(sin((pP-pA)/2),2) + cos(pA)*cos(pP)*pow(sin((lP-lA)/2),2)))) AS d13,
+       |    2*asin(sqrt(least(1.0, pow(sin((pB-pA)/2),2) + cos(pA)*cos(pB)*pow(sin((lB-lA)/2),2)))) AS d12,
+       |    2*asin(sqrt(least(1.0, pow(sin((pP-pB)/2),2) + cos(pB)*cos(pP)*pow(sin((lP-lB)/2),2)))) AS d23,
+       |    atan2(sin(lP-lA)*cos(pP), cos(pA)*sin(pP)-sin(pA)*cos(pP)*cos(lP-lA)) AS t13,
+       |    atan2(sin(lB-lA)*cos(pB), cos(pA)*sin(pB)-sin(pA)*cos(pB)*cos(lB-lA)) AS t12
+       |  FROM cand
+       |),
+       |dm AS (
+       |  SELECT hn_id, sid, sname, seg_ord,
+       |    CASE WHEN d12 = 0 THEN 6371008.8*d13
+       |         WHEN cos(t13-t12) < 0
+       |           OR acos(greatest(-1.0, least(1.0, cos(d13)/cos(asin(greatest(-1.0, least(1.0, sin(d13)*sin(t13-t12)))))))) > d12
+       |           THEN 6371008.8*least(d13, d23)
+       |         ELSE 6371008.8*abs(asin(greatest(-1.0, least(1.0, sin(d13)*sin(t13-t12)))))
+       |    END AS draw
+       |  FROM ang
+       |),
+       |near AS (
+       |  SELECT hn_id, sid, sname, seg_ord, CAST(floor(draw+0.5) AS BIGINT) AS distance_m
+       |  FROM dm WHERE floor(draw+0.5) < 25
+       |),
+       |best AS (
+       |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY hn_id
+       |                 ORDER BY distance_m, seg_ord, sid) AS rn FROM near)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "g01_segmentize" ->
+      s"""SELECT street_id, COUNT(*) AS nseg
+         |FROM read_parquet('$FixtureDir/street_segments.parquet')
+         |GROUP BY street_id ORDER BY street_id""".stripMargin,
+
+    "g02_nearest" ->
+      s"""$bestCte
+         |SELECT 'building-inspector/' || hp.hn_id AS house_number_id,
+         |       'nyc-streets/' || b.sid AS street_id, b.distance_m
+         |FROM hp LEFT JOIN best b USING (hn_id)
+         |ORDER BY house_number_id""".stripMargin,
+
+    "g03_transform" ->
+      s"""$bestCte,
+         |matched AS (
+         |  SELECT hp.*, b.sid, b.sname, b.distance_m,
+         |    'sheetId=' || sheet_id || '|layerId=' || layer_id || '|mapId=' || map_id ||
+         |      '|number=' || number || '|borough=' || borough AS plain
+         |  FROM hp JOIN best b USING (hn_id)
+         |),
+         |m2 AS (SELECT *, plain || '|houseNumberId=building-inspector/' || hn_id ||
+         |         '|streetId=nyc-streets/' || sid AS merged FROM matched),
+         |err AS (
+         |  SELECT hp.*,
+         |    'sheetId=' || sheet_id || '|layerId=' || layer_id || '|mapId=' || map_id ||
+         |      '|number=' || number || '|borough=' || borough AS plain
+         |  FROM hp LEFT JOIN best b USING (hn_id) WHERE b.hn_id IS NULL
+         |)
+         |SELECT * FROM (
+         |  SELECT 'object' AS kind, CAST(NULL AS VARCHAR) AS rel_type, hn_id AS id,
+         |    number || ' ' || sname AS name, CAST(NULL AS VARCHAR) AS rel_from,
+         |    CAST(NULL AS VARCHAR) AS rel_to, CAST(NULL AS VARCHAR) AS house_number_id,
+         |    CAST(NULL AS VARCHAR) AS street_id, CAST(NULL AS VARCHAR) AS street_name,
+         |    CAST(NULL AS BIGINT) AS line_length, CAST(NULL AS VARCHAR) AS error,
+         |    valid_since, valid_until, px, py, merged AS data_str
+         |  FROM m2
+         |  UNION ALL
+         |  SELECT 'relation', 'st:in', NULL, NULL,
+         |    'building-inspector/' || hn_id, 'nyc-streets/' || sid,
+         |    NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+         |  FROM m2
+         |  UNION ALL
+         |  SELECT 'relation', 'st:sameAs', NULL, NULL,
+         |    hn_id, 'building-inspector/' || hn_id,
+         |    NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+         |  FROM m2
+         |  UNION ALL
+         |  SELECT 'log', NULL, NULL, NULL, NULL, NULL,
+         |    'building-inspector/' || hn_id, 'nyc-streets/' || sid, sname,
+         |    distance_m, NULL, NULL, NULL, px, py, merged
+         |  FROM m2
+         |  UNION ALL
+         |  SELECT 'log', NULL, NULL, NULL, NULL, NULL,
+         |    'building-inspector/' || hn_id, NULL, NULL, NULL,
+         |    'Can''t find street within 25 meters and 15 years',
+         |    NULL, NULL, px, py, plain
+         |  FROM err
+         |)
+         |ORDER BY kind, COALESCE(rel_type,''), COALESCE(house_number_id,''),
+         |         COALESCE(rel_from,''), COALESCE(id,'')""".stripMargin
+  )
+}
