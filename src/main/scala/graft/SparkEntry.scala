@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Llm.queries ++
-      graft.queries.StreamingQueries.queries ++ graft.geo.GeoQueries.queries
+      graft.queries.StreamingQueries.queries ++ graft.geo.GeoQueries.queries ++
+      graft.queries.DedupExt.queries ++ graft.queries.TextExt.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.Llm.oracle ++
-      graft.queries.StreamingQueries.oracle ++ graft.geo.GeoQueries.oracle
+      graft.queries.StreamingQueries.oracle ++ graft.geo.GeoQueries.oracle ++
+      graft.queries.DedupExt.oracle ++ graft.queries.TextExt.oracle
 }

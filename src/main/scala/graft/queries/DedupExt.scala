@@ -1,0 +1,328 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scale-path deduplication operators for LLM training pipelines, each an
+  * exactly-specified deterministic algorithm implemented twice (Spark
+  * DataFrame + DuckDB oracle SQL) so the driver can hash-compare.
+  *
+  * All hashing is integer arithmetic on a shared rolling hash
+  * H(s) = fold(acc*31 + codepoint) mod 1e9+7 — verified to produce
+  * identical values in Spark (`aggregate`+`ascii`) and DuckDB
+  * (`list_reduce`+`unicode`), so no engine-native hash() leaks in.
+  *
+  * Scale notes (the point of these vs the exact Q28):
+  *  - qd1 MinHash-LSH: signature build is a narrow groupBy(doc,i);
+  *    banding bounds the self-join fan-out to same-bucket docs —
+  *    O(candidates), not O(n²·skew). Recall is probabilistic (16 hashes,
+  *    4×4 bands); the declared contract is the algorithm itself, and the
+  *    test suite separately reports recall vs the exact Q28 result.
+  *  - qd2 SimHash: hd ≤ 3 with 4 byte-bands of a 32-bit sketch is
+  *    pigeonhole-EXACT (3 flipped bits cannot touch all 4 bands) — LSH
+  *    with guaranteed recall, and the verify step is a cheap xor+popcount
+  *    on candidate pairs only.
+  *  - qd3 word-4-gram Jaccard: shingles are far more selective join keys
+  *    than single tokens, collapsing the stop-token skew of Q28.
+  *  - qd4 embedding near-dup: 16 deterministic pseudo-random hyperplanes
+  *    → 16-bit sign sketch → 2×8-bit bands → exact decimal-sum cosine on
+  *    candidates only. At 100 TB each stage is a shuffle on a small key.
+  */
+object DedupExt {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+  private val D2814 = DecimalType(28, 14)
+  private val P = 1000000007L
+
+  /** Spark-side rolling hash of a string column (matches `duckH`). */
+  private def sparkH(c: String): Column =
+    expr(s"aggregate(split($c, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % $P)")
+
+  /** DuckDB-side rolling hash SQL snippet over column `c`. */
+  private def duckH(c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($c, ''), " +
+      s"ch -> CAST(unicode(ch) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
+
+  /** Distinct (doc_id, tok) pairs. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+
+  val queries: Map[String, Q] = Map(
+    // qd1 MinHash(16) + LSH(4 bands × 4 rows) + exact-Jaccard(≥0.8) verify
+    "qd1_minhash" -> ((s, d) => {
+      val tk = toks(s, d)
+      val th = tk.withColumn("h", sparkH("tok"))
+      val params = s.range(16).select(col("id").cast(IntegerType).as("i"),
+        (lit(1000003L) * col("id") + 12345L).as("a"),
+        (lit(777767L) * col("id") + 13L).as("b"))
+      val sig = th.crossJoin(broadcast(params))
+        .groupBy("doc_id", "i")
+        .agg(min((col("a") * col("h") + col("b")) % P).as("mh"))
+      val bands = sig.withColumn("band", expr("i div 4"))
+        .groupBy("doc_id", "band")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), " +
+          "x -> cast(x.mh as string)), ',')").as("key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val sizes = tk.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val inter = cand
+        .join(tk.select(col("doc_id").as("a"), col("tok")), Seq("a"))
+        .join(tk.select(col("doc_id").as("b"), col("tok")), Seq("b", "tok"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("nt").as("na")), Seq("a"))
+        .join(sizes.select(col("doc_id").as("b"), col("nt").as("nb")), Seq("b"))
+        .filter(lit(10) * col("inter") >= lit(8) * (col("na") + col("nb") - col("inter")))
+        .select("a", "b", "inter", "na", "nb")
+        .orderBy("a", "b")
+    }),
+
+    // qd2 SimHash(32-bit) near-dup, hd ≤ 3; 4 byte-bands = exact recall
+    "qd2_simhash" -> ((s, d) => {
+      val th = toks(s, d).withColumn("h", sparkH("tok"))
+      val sk = th.crossJoin(broadcast(
+          s.range(32).select(col("id").cast(IntegerType).as("j"))))
+        .groupBy("doc_id", "j")
+        .agg(sum(expr("2 * (shiftright(h, j) & 1) - 1")).as("w"))
+        .groupBy("doc_id")
+        .agg(sum(expr("IF(w > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
+          .as("sk"))
+      val bands = sk.crossJoin(broadcast(
+          s.range(4).select(col("id").cast(IntegerType).as("k"))))
+        .select(col("doc_id"), col("k"),
+          expr("shiftright(sk, 8 * k) & 255").as("byte"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      cand
+        .join(sk.select(col("doc_id").as("a"), col("sk").as("sa")), Seq("a"))
+        .join(sk.select(col("doc_id").as("b"), col("sk").as("sb")), Seq("b"))
+        .select(col("a"), col("b"), bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType).as("hd"))
+        .filter(col("hd") <= 3)
+        .orderBy("a", "b")
+    }),
+
+    // qd3 word-4-gram shingle Jaccard ≥ 0.5 (3*inter >= na+nb), integers only
+    "qd3_ngram" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        // NB: Spark sequence(1, 0) is DESCENDING (not empty like DuckDB's
+        // generate_series) — short docs must be guarded explicitly.
+        .select(col("doc_id"), explode(expr(
+          "IF(size(tk) >= 4, transform(sequence(1, size(tk) - 3), k -> array_join(slice(tk, k, 4), ' ')), array())"))
+          .as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val pairs = sh.select(col("doc_id").as("a"), col("sh"))
+        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select(col("doc_id").as("a"), col("nt").as("na")), Seq("a"))
+        .join(sizes.select(col("doc_id").as("b"), col("nt").as("nb")), Seq("b"))
+        .filter(lit(3) * col("inter") >= col("na") + col("nb"))
+        .select("a", "b", "inter", "na", "nb")
+        .orderBy("a", "b")
+    }),
+
+    // qd4 embedding near-dup: 16-hyperplane sign sketch → 2×8-bit bands →
+    // exact decimal cosine ≥ 0.4 on candidates
+    "qd4_embdup" -> ((s, d) => {
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+        .select(col("vec_id"), col("i0"), col("xf").cast(DoubleType).as("x"))
+      val planes = s.range(16).select(col("id").cast(IntegerType).as("j"))
+      val sk = ex.crossJoin(broadcast(planes))
+        .withColumn("r", expr(
+          "((1103515245 * CAST(64 * j + i0 AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5"))
+        .groupBy("vec_id", "j")
+        .agg(sum((col("r") * col("x")).cast(D2814)).as("proj"))
+        .groupBy("vec_id")
+        .agg(sum(expr("IF(proj > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
+          .as("sk"))
+      val bands = sk.crossJoin(broadcast(
+          s.range(2).select(col("id").cast(IntegerType).as("k"))))
+        .select(col("vec_id"), col("k"),
+          expr("shiftright(sk, 8 * k) & 255").as("byte"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
+            && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
+      val norms = ex.groupBy("vec_id").agg(sum((col("x") * col("x")).cast(D2814)).as("n2"))
+      cand
+        .join(ex.select(col("vec_id").as("a"), col("i0"), col("x").as("xa")), Seq("a"))
+        .join(ex.select(col("vec_id").as("b"), col("i0"), col("x").as("xb")), Seq("b", "i0"))
+        .groupBy("a", "b").agg(sum((col("xa") * col("xb")).cast(D2814)).as("dot"))
+        .join(norms.select(col("vec_id").as("a"), col("n2").as("na2")), Seq("a"))
+        .join(norms.select(col("vec_id").as("b"), col("n2").as("nb2")), Seq("b"))
+        .select(col("a"), col("b"),
+          (col("dot").cast(DoubleType)
+            / (sqrt(col("na2").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType))))
+            .as("cosd"))
+        .filter(col("cosd") >= 0.4)
+        .select(col("a"), col("b"), round(col("cosd"), 6).cast(DoubleType).as("score"))
+        .orderBy("a", "b")
+    }),
+
+    // qs1 ANN similarity search: neighbors of vec 0 from its LSH buckets
+    // (same 16-plane sketch, 2×8-bit bands), exact decimal cosine re-rank,
+    // top-5. The scale path for Q29's brute force: probe cost is
+    // O(bucket size), not O(n).
+    "qs1_ann" -> ((s, d) => {
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+        .select(col("vec_id"), col("i0"), col("xf").cast(DoubleType).as("x"))
+      val planes = s.range(16).select(col("id").cast(IntegerType).as("j"))
+      val bands = ex.crossJoin(broadcast(planes))
+        .withColumn("r", expr(
+          "((1103515245 * CAST(64 * j + i0 AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5"))
+        .groupBy("vec_id", "j")
+        .agg(sum((col("r") * col("x")).cast(D2814)).as("proj"))
+        .groupBy("vec_id")
+        .agg(sum(expr("IF(proj > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
+          .as("sk"))
+        .crossJoin(broadcast(s.range(2).select(col("id").cast(IntegerType).as("k"))))
+        .select(col("vec_id"), col("k"),
+          expr("shiftright(sk, 8 * k) & 255").as("byte"))
+      val qBands = bands.filter(col("vec_id") === 0)
+        .select(col("k"), col("byte"))
+      val cand = bands.filter(col("vec_id") =!= 0)
+        .join(broadcast(qBands), Seq("k", "byte"))
+        .select(col("vec_id")).distinct()
+      val norms = ex.groupBy("vec_id").agg(sum((col("x") * col("x")).cast(D2814)).as("n2"))
+      val qv = ex.filter(col("vec_id") === 0).select(col("i0"), col("x").as("qx"))
+      cand.join(ex, Seq("vec_id"))
+        .join(broadcast(qv), Seq("i0"))
+        .groupBy("vec_id").agg(sum((col("x") * col("qx")).cast(D2814)).as("dot"))
+        .join(norms, Seq("vec_id"))
+        .crossJoin(broadcast(norms.filter(col("vec_id") === 0)
+          .select(col("n2").as("qn2"))))
+        .select(col("vec_id"),
+          round(col("dot").cast(DoubleType)
+            / (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("n2").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    })
+  )
+
+  private val toksCte =
+    "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"
+
+  val oracle: Map[String, String] = Map(
+    "qd1_minhash" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${duckH("tok")} AS h FROM toks),
+         |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
+         |           FROM generate_series(0, 15) t(i)),
+         |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
+         |          FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
+         |ints AS (SELECT c.a, c.b, COUNT(*) AS inter
+         |         FROM cand c JOIN toks ta ON ta.doc_id = c.a
+         |                     JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+         |         GROUP BY 1, 2)
+         |SELECT a, b, inter, sa.nt AS na, sb.nt AS nb
+         |FROM ints JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE 10*inter >= 8*(sa.nt + sb.nt - inter)
+         |ORDER BY a, b""".stripMargin,
+
+    "qd2_simhash" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${duckH("tok")} AS h FROM toks),
+         |bits AS (SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS w
+         |         FROM th, generate_series(0, 31) t(j) GROUP BY 1, 2),
+         |sk AS (SELECT doc_id, SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS sk
+         |       FROM bits GROUP BY 1),
+         |bands AS (SELECT doc_id, k, (sk >> (8*k)) & 255 AS byte
+         |          FROM sk, generate_series(0, 3) t(k)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.k = y.k AND x.byte = y.byte AND x.doc_id < y.doc_id)
+         |SELECT c.a, c.b, CAST(bit_count(xor(sa.sk, sb.sk)) AS BIGINT) AS hd
+         |FROM cand c JOIN sk sa ON sa.doc_id = c.a JOIN sk sb ON sb.doc_id = c.b
+         |WHERE bit_count(xor(sa.sk, sb.sk)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
+    "qd3_ngram" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(string_split(text,' ')) - 3, 0)),
+        |      k -> array_to_string(string_split(text,' ')[k:k+3], ' '))) AS sh
+        |    FROM documents)
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM sh GROUP BY 1),
+        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+        |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b, inter, sa.nt AS na, sb.nt AS nb
+        |FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE 3*inter >= sa.nt + sb.nt
+        |ORDER BY a, b""".stripMargin,
+
+    "qd4_embdup" ->
+      """WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |proj AS (SELECT vec_id, j,
+        |           SUM(CAST((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
+        |             / 2147483648.0 - 0.5) * x AS DECIMAL(28,14))) AS proj
+        |         FROM ex, generate_series(0, 15) t(j) GROUP BY 1, 2),
+        |sk AS (SELECT vec_id, SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS sk
+        |       FROM proj GROUP BY 1),
+        |bands AS (SELECT vec_id, k, (sk >> (8*k)) & 255 AS byte
+        |          FROM sk, generate_series(0, 1) t(k)),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |         FROM bands x JOIN bands y
+        |           ON x.k = y.k AND x.byte = y.byte AND x.vec_id < y.vec_id),
+        |norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT c.a, c.b, SUM(CAST(u.x * v.x AS DECIMAL(28,14))) AS dot
+        |         FROM cand c JOIN ex u ON u.vec_id = c.a
+        |                     JOIN ex v ON v.vec_id = c.b AND v.i = u.i
+        |         GROUP BY 1, 2),
+        |cosd AS (SELECT a, b, CAST(dot AS DOUBLE)
+        |           / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosd
+        |         FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b)
+        |SELECT a, b, CAST(ROUND(cosd, 6) AS DOUBLE) AS score
+        |FROM cosd WHERE cosd >= 0.4
+        |ORDER BY a, b""".stripMargin,
+
+    "qs1_ann" ->
+      """WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |proj AS (SELECT vec_id, j,
+        |           SUM(CAST((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
+        |             / 2147483648.0 - 0.5) * x AS DECIMAL(28,14))) AS proj
+        |         FROM ex, generate_series(0, 15) t(j) GROUP BY 1, 2),
+        |sk AS (SELECT vec_id, SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS sk
+        |       FROM proj GROUP BY 1),
+        |bands AS (SELECT vec_id, k, (sk >> (8*k)) & 255 AS byte
+        |          FROM sk, generate_series(0, 1) t(k)),
+        |cand AS (SELECT DISTINCT b.vec_id
+        |         FROM bands b JOIN bands q ON q.vec_id = 0 AND b.k = q.k AND b.byte = q.byte
+        |         WHERE b.vec_id <> 0),
+        |norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT c.vec_id, SUM(CAST(v.x * q.x AS DECIMAL(28,14))) AS dot
+        |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
+        |                     JOIN ex q ON q.vec_id = 0 AND q.i = v.i
+        |         GROUP BY 1)
+        |SELECT d.vec_id, CAST(ROUND(CAST(dot AS DOUBLE)
+        |         / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+        |FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
+        |            JOIN norms qn ON qn.vec_id = 0
+        |ORDER BY score DESC, d.vec_id LIMIT 5""".stripMargin
+  )
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis + multimodal-plumbing operators for LLM data pipelines
+  * (SURVEY §2B "LLM" rows; builder-prompt first-class extensions).
+  *
+  * Same determinism regime as DedupExt: pure integer / exactly-specified
+  * double arithmetic, every query mirrored in DuckDB SQL.
+  *
+  * Scale notes: all of these are embarrassingly parallel scans with one
+  * narrow aggregation — per-doc maps (langid scores, counts, fingerprints)
+  * partial-aggregate map-side; nothing here shuffles more than
+  * O(docs × langs) rows. The binary qm1 path keeps payloads opaque
+  * (`BINARY` column) and only ships fixed-width features.
+  */
+object TextExt {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+  private val P = 1000000007L
+
+  /** Language keyword profiles for the n-gram/stopword langid heuristic. */
+  private val profiles: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und",
+    "fr" -> "le", "fr" -> "la", "fr" -> "les", "fr" -> "et",
+    "es" -> "el", "es" -> "los", "es" -> "las", "es" -> "y")
+
+  private val stopwords = Seq("the", "a", "of", "and")
+
+  val queries: Map[String, Q] = Map(
+    // qt1 language-ID heuristic: per-doc keyword-profile scores, argmax
+    // (score DESC, lang ASC), no hit → 'unknown'; output = confusion matrix
+    "qt1_langid" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val prof = profiles.toDF("plang", "ptok")
+      val scores = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .join(broadcast(prof), col("tok") === col("ptok"))
+        .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("plang"))
+      val pred = scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("doc_id"), col("plang"))
+      docs.join(pred, Seq("doc_id"), "left")
+        .select(col("lang"), coalesce(col("plang"), lit("unknown")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("docs"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // qt2 quality scoring: token counts, type-token ratio, stopword ratio,
+    // integer-arithmetic quality flag (no float threshold compares)
+    "qt2_quality" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("tk")).cast(LongType).as("n_tok"),
+          size(array_distinct(col("tk"))).cast(LongType).as("n_uniq"),
+          expr(s"CAST(size(filter(tk, x -> array_contains(array(${stopwords.map("'" + _ + "'").mkString(",")}), x))) AS BIGINT)")
+            .as("n_stop"))
+      base.select(col("doc_id"), col("n_tok"), col("n_uniq"), col("n_stop"),
+        round((col("n_chars") - col("n_tok") + 1).cast(DoubleType) / col("n_tok"), 4)
+          .cast(DoubleType).as("avg_tok_len"),
+        round(col("n_stop").cast(DoubleType) / col("n_tok"), 4)
+          .cast(DoubleType).as("stop_ratio"),
+        when(col("n_tok") >= 20
+          && lit(10) * col("n_uniq") >= lit(3) * col("n_tok")
+          && lit(10) * col("n_stop") <= lit(3) * col("n_tok"), 1L).otherwise(0L)
+          .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // qt3 token counting: whitespace split vs BPE-ish regex lexer
+    "qt3_tokcount" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast(LongType).as("n_re"))
+        .orderBy("doc_id")),
+
+    // qt4 document fingerprinting: rolling hash over the full text;
+    // output = duplicate-fingerprint groups (fingerprint-based exact dedup)
+    "qt4_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(expr(s"aggregate(split(text, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % $P)")
+          .as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .orderBy(col("c").desc, col("fp"))),
+
+    // qm1 multimodal plumbing: opaque binary payload column + fixed-width
+    // features (byte length, head bytes as hex, rolling byte hash of the
+    // 16-byte head). The decode step for real image/audio bytes is the
+    // Media.decodeStub path (graft.multimodal) — this query proves the
+    // binary column plumbing end-to-end against the oracle.
+    "qm1_multimodal" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+        .select(col("doc_id"),
+          length(col("media")).cast(LongType).as("n_bytes"),
+          upper(substring(hex(col("media")), 1, 16)).as("head_hex"),
+          expr(s"aggregate(split(substring(cast(media AS STRING), 1, 16), ''), 0L, " +
+            s"(acc, ch) -> (acc * 31 + ascii(ch)) % $P)").as("head_hash"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "qt1_langid" -> {
+      val profValues = profiles.map { case (l, t) => s"('$l','$t')" }.mkString(", ")
+      s"""WITH prof(plang, ptok) AS (VALUES $profValues),
+         |scores AS (
+         |  SELECT doc_id, plang, COUNT(*) AS score
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+         |  JOIN prof ON tok = ptok GROUP BY 1, 2
+         |),
+         |pred AS (
+         |  SELECT doc_id, plang FROM (
+         |    SELECT doc_id, plang,
+         |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+         |    FROM scores) WHERE rn = 1
+         |)
+         |SELECT lang, COALESCE(plang, 'unknown') AS predicted, COUNT(*) AS docs
+         |FROM documents LEFT JOIN pred USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+    },
+
+    "qt2_quality" -> {
+      val stopList = stopwords.map("'" + _ + "'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |         x -> list_contains([$stopList], x))) AS BIGINT) AS n_stop
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_tok, n_uniq, n_stop,
+         |  CAST(ROUND(CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok, 4) AS DOUBLE) AS avg_tok_len,
+         |  CAST(ROUND(CAST(n_stop AS DOUBLE) / n_tok, 4) AS DOUBLE) AS stop_ratio,
+         |  CASE WHEN n_tok >= 20 AND 10*n_uniq >= 3*n_tok AND 10*n_stop <= 3*n_tok
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS quality
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
+
+    "qt3_tokcount" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "qt4_fingerprint" ->
+      s"""WITH fps AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % $P) AS fp
+         |  FROM documents
+         |)
+         |SELECT fp, COUNT(*) AS c FROM fps GROUP BY fp HAVING COUNT(*) > 1
+         |ORDER BY c DESC, fp""".stripMargin,
+
+    "qm1_multimodal" ->
+      s"""SELECT doc_id,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |  upper(substr(hex(text), 1, 16)) AS head_hex,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(substr(text, 1, 16), ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % $P) AS head_hash
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
