@@ -121,8 +121,16 @@ object Streams {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
+    // the file streaming source requires a directory; the sf dirs hold one
+    // parquet FILE per table, so stage a symlink to it in a scratch dir
+    // (at scale the source would already be a directory of files)
+    val staged = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    staged.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
     spark.readStream.schema(raw)
-      .parquet(s"$dir/events.parquet")
+      .parquet(staged.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 

@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.{DedupExt, Llm}
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val P = 1000000007L
+
+  private def h(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % P)
+
+  test("qd1 MinHash-LSH pairs are a subset of exact Q28, recall reported") {
+    val exact = Llm.queries("q28_neardup")(spark, TestSpark.Sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupExt.queries("qd1_minhash")(spark, TestSpark.Sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-near-dup pairs: ${(lsh -- exact).take(5)}")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    info(f"MinHash-LSH recall vs exact Jaccard: $recall%.4f (${lsh.size}/${exact.size})")
+    assert(recall >= 0.9, f"recall $recall%.4f below 0.9")
+  }
+
+  test("qd2 SimHash byte-banding is pigeonhole-exact for hd <= 3") {
+    import spark.implicits._
+    // independent in-memory reimplementation: sketch per doc, all pairs
+    val docs = Tables(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val sketches = docs.map { case (id, text) =>
+      val hs = text.split(" ").distinct.map(h)
+      val sk = (0 until 32).foldLeft(0L) { (acc, j) =>
+        val w = hs.map(x => 2 * ((x >> j) & 1) - 1).sum
+        if (w > 0) acc | (1L << j) else acc
+      }
+      id -> sk
+    }
+    val expected = (for {
+      (a, sa) <- sketches; (b, sb) <- sketches if a < b
+      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 3
+    } yield (a, b, hd.toLong)).toSet
+    val got = DedupExt.queries("qd2_simhash")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("qs1 ANN candidates re-rank to a subset consistent with brute force") {
+    // every ANN hit's score must equal the brute-force score for that vec
+    val brute = Llm.queries("q29_cosine")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = DedupExt.queries("qs1_ann")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    for ((v, s) <- ann if brute.contains(v))
+      assert(math.abs(brute(v) - s) < 1e-9, s"score mismatch for vec $v")
+    info(s"ANN top-5 overlap with brute-force top-5: ${ann.count(x => brute.contains(x._1))}/5")
+  }
+}

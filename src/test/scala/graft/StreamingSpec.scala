@@ -1,0 +1,43 @@
+package graft
+
+import graft.queries.{StreamingQueries, Streams}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.2(5): Structured Streaming (AvailableNow) must equal the
+  * batch forms the DuckDB oracle checks. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rows(df: DataFrame, cols: String*): Set[String] =
+    df.selectExpr(cols: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("s01 tumbling: streaming == batch") {
+    val batch = StreamingQueries.queries("s01_tumbling")(spark, TestSpark.Sf)
+    val stream = Streams.s01(spark, TestSpark.Sf)
+    assert(rows(stream, "ts_bucket", "event_type", "n", "v")
+      === rows(batch, "ts_bucket", "event_type", "n", "v"))
+  }
+
+  test("s02 sliding: streaming == batch") {
+    val batch = StreamingQueries.queries("s02_sliding")(spark, TestSpark.Sf)
+    val stream = Streams.s02(spark, TestSpark.Sf)
+    assert(rows(stream, "w_start", "event_type", "n", "v")
+      === rows(batch, "w_start", "event_type", "n", "v"))
+  }
+
+  test("s03 sessions: streaming session_window == batch LAG sessionization") {
+    val batch = StreamingQueries.queries("s03_sessions")(spark, TestSpark.Sf)
+    val stream = Streams.s03(spark, TestSpark.Sf)
+    assert(rows(stream, "user_id", "session_start", "session_end", "n_events")
+      === rows(batch, "user_id", "session_start", "session_end", "n_events"))
+  }
+
+  test("s04 dedup: streaming dropDuplicates count == batch distinct count") {
+    val batch = StreamingQueries.queries("s04_dedup")(spark, TestSpark.Sf)
+      .collect()(0).getLong(0)
+    val stream = Streams.s04(spark, TestSpark.Sf).count()
+    assert(stream === batch)
+  }
+}
