@@ -51,10 +51,25 @@ object DedupExt {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
 
+  /** Per-vector sketch + squared norm from exploded embeddings
+    * (vec_id, i0, x) in ONE groupBy: the 16 deterministic pseudo-random
+    * hyperplane projections and the norm are 17 decimal-sum columns —
+    * a single narrow shuffle, no plane-explode, no second norm pass. */
+  private def perVec(ex: DataFrame): DataFrame = {
+    val pSums = (0 until 16).map(j => sum(expr(
+      s"CAST((((1103515245 * CAST(${64 * j} + i0 AS BIGINT) + 12345) % 2147483648)" +
+        s" / 2147483648.0 - 0.5) * x AS DECIMAL(28,14))")).as(s"p$j")) :+
+      sum((col("x") * col("x")).cast(D2814)).as("n2")
+    ex.groupBy("vec_id").agg(pSums.head, pSums.tail: _*)
+      .select(col("vec_id"), col("n2"),
+        (0 until 16).map(j => expr(s"IF(p$j > 0, ${1L << j}L, 0L)"))
+          .reduce(_ + _).as("sk"))
+  }
+
   val queries: Map[String, Q] = Map(
     // qd1 MinHash(16) + LSH(4 bands × 4 rows) + exact-Jaccard(≥0.8) verify
     "qd1_minhash" -> ((s, d) => {
-      val tk = toks(s, d)
+      val tk = toks(s, d).cache()
       val th = tk.withColumn("h", sparkH("tok"))
       val params = s.range(16).select(col("id").cast(IntegerType).as("i"),
         (lit(1000003L) * col("id") + 12345L).as("a"),
@@ -66,6 +81,7 @@ object DedupExt {
         .groupBy("doc_id", "band")
         .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), " +
           "x -> cast(x.mh as string)), ',')").as("key"))
+        .cache()
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key")
             && col("x.doc_id") < col("y.doc_id"))
@@ -83,16 +99,18 @@ object DedupExt {
         .orderBy("a", "b")
     }),
 
-    // qd2 SimHash(32-bit) near-dup, hd ≤ 3; 4 byte-bands = exact recall
+    // qd2 SimHash(32-bit) near-dup, hd ≤ 3; 4 byte-bands = exact recall.
+    // The 32 per-bit weights are 32 sum columns in ONE groupBy (no j-explode:
+    // 32× less shuffle volume than the naive (doc,bit) aggregation).
     "qd2_simhash" -> ((s, d) => {
       val th = toks(s, d).withColumn("h", sparkH("tok"))
-      val sk = th.crossJoin(broadcast(
-          s.range(32).select(col("id").cast(IntegerType).as("j"))))
-        .groupBy("doc_id", "j")
-        .agg(sum(expr("2 * (shiftright(h, j) & 1) - 1")).as("w"))
-        .groupBy("doc_id")
-        .agg(sum(expr("IF(w > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
-          .as("sk"))
+      val wSums = (0 until 32).map(j =>
+        sum(expr(s"2 * (shiftright(h, $j) & 1) - 1")).as(s"w$j"))
+      val sk = th.groupBy("doc_id").agg(wSums.head, wSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 32).map(j => expr(s"IF(w$j > 0, ${1L << j}L, 0L)"))
+            .reduce(_ + _).as("sk"))
+        .cache()
       val bands = sk.crossJoin(broadcast(
           s.range(4).select(col("id").cast(IntegerType).as("k"))))
         .select(col("doc_id"), col("k"),
@@ -109,7 +127,12 @@ object DedupExt {
         .orderBy("a", "b")
     }),
 
-    // qd3 word-4-gram shingle Jaccard ≥ 0.5 (3*inter >= na+nb), integers only
+    // qd3 word-4-gram shingle Jaccard ≥ 0.5 (3*inter >= na+nb), integers
+    // only. The distinct() is a deliberate materialization point: fusing
+    // the shingle expression into the self-join lets Catalyst's
+    // InferFiltersFromGenerate duplicate the (expensive) transform lambda
+    // into pushed-down filters — measured 2-3× slower. At corpus scale the
+    // candidate path is banding over shingles (qd1-style), not this join.
     "qd3_ngram" -> ((s, d) => {
       val sh = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
@@ -138,16 +161,9 @@ object DedupExt {
       val ex = t(s, d, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
         .select(col("vec_id"), col("i0"), col("xf").cast(DoubleType).as("x"))
-      val planes = s.range(16).select(col("id").cast(IntegerType).as("j"))
-      val sk = ex.crossJoin(broadcast(planes))
-        .withColumn("r", expr(
-          "((1103515245 * CAST(64 * j + i0 AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5"))
-        .groupBy("vec_id", "j")
-        .agg(sum((col("r") * col("x")).cast(D2814)).as("proj"))
-        .groupBy("vec_id")
-        .agg(sum(expr("IF(proj > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
-          .as("sk"))
-      val bands = sk.crossJoin(broadcast(
+        .cache()
+      val pv = perVec(ex).cache()
+      val bands = pv.crossJoin(broadcast(
           s.range(2).select(col("id").cast(IntegerType).as("k"))))
         .select(col("vec_id"), col("k"),
           expr("shiftright(sk, 8 * k) & 255").as("byte"))
@@ -155,13 +171,18 @@ object DedupExt {
           col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
             && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
-      val norms = ex.groupBy("vec_id").agg(sum((col("x") * col("x")).cast(D2814)).as("n2"))
+      // exact dot as a per-row array kernel: zip_with + decimal-exact fold
+      // (identical values to a SUM over an exploded join, without the 64×
+      // row blowup or the pair groupBy)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       cand
-        .join(ex.select(col("vec_id").as("a"), col("i0"), col("x").as("xa")), Seq("a"))
-        .join(ex.select(col("vec_id").as("b"), col("i0"), col("x").as("xb")), Seq("b", "i0"))
-        .groupBy("a", "b").agg(sum((col("xa") * col("xb")).cast(D2814)).as("dot"))
-        .join(norms.select(col("vec_id").as("a"), col("n2").as("na2")), Seq("a"))
-        .join(norms.select(col("vec_id").as("b"), col("n2").as("nb2")), Seq("b"))
+        .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+        .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(ea, eb, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))), " +
+            "CAST(0 AS DECIMAL(38,14)), (acc, v) -> CAST(acc + v AS DECIMAL(38,14)))"))
+        .join(pv.select(col("vec_id").as("a"), col("n2").as("na2")), Seq("a"))
+        .join(pv.select(col("vec_id").as("b"), col("n2").as("nb2")), Seq("b"))
         .select(col("a"), col("b"),
           (col("dot").cast(DoubleType)
             / (sqrt(col("na2").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType))))
@@ -179,31 +200,22 @@ object DedupExt {
       val ex = t(s, d, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
         .select(col("vec_id"), col("i0"), col("xf").cast(DoubleType).as("x"))
-      val planes = s.range(16).select(col("id").cast(IntegerType).as("j"))
-      val bands = ex.crossJoin(broadcast(planes))
-        .withColumn("r", expr(
-          "((1103515245 * CAST(64 * j + i0 AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5"))
-        .groupBy("vec_id", "j")
-        .agg(sum((col("r") * col("x")).cast(D2814)).as("proj"))
-        .groupBy("vec_id")
-        .agg(sum(expr("IF(proj > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
-          .as("sk"))
-        .crossJoin(broadcast(s.range(2).select(col("id").cast(IntegerType).as("k"))))
-        .select(col("vec_id"), col("k"),
-          expr("shiftright(sk, 8 * k) & 255").as("byte"))
-      val qBands = bands.filter(col("vec_id") === 0)
-        .select(col("k"), col("byte"))
-      val cand = bands.filter(col("vec_id") =!= 0)
-        .join(broadcast(qBands), Seq("k", "byte"))
-        .select(col("vec_id")).distinct()
-      val norms = ex.groupBy("vec_id").agg(sum((col("x") * col("x")).cast(D2814)).as("n2"))
+        .cache()
+      val pv = perVec(ex).cache()
+      // the probe's sketch + norm ride along every row via a broadcast
+      // cross join — band membership is two byte compares, no band explode
+      val q = pv.filter(col("vec_id") === 0)
+        .select(col("sk").as("qsk"), col("n2").as("qn2"))
+      val cand = pv.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .filter((col("sk").bitwiseAND(255) === col("qsk").bitwiseAND(255))
+          || (expr("shiftright(sk, 8) & 255") === expr("shiftright(qsk, 8) & 255")))
+        .select(col("vec_id"), col("n2"), col("qn2"))
       val qv = ex.filter(col("vec_id") === 0).select(col("i0"), col("x").as("qx"))
       cand.join(ex, Seq("vec_id"))
         .join(broadcast(qv), Seq("i0"))
-        .groupBy("vec_id").agg(sum((col("x") * col("qx")).cast(D2814)).as("dot"))
-        .join(norms, Seq("vec_id"))
-        .crossJoin(broadcast(norms.filter(col("vec_id") === 0)
-          .select(col("n2").as("qn2"))))
+        .groupBy("vec_id", "n2", "qn2")
+        .agg(sum((col("x") * col("qx")).cast(D2814)).as("dot"))
         .select(col("vec_id"),
           round(col("dot").cast(DoubleType)
             / (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("n2").cast(DoubleType))), 6)

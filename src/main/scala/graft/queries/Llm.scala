@@ -52,16 +52,43 @@ object Llm {
 
     // Q28 exact near-dedup: token-set Jaccard >= 0.8, integer arithmetic
     // (10*|A∩B| >= 8*|A∪B|) — no floats anywhere.
+    //
+    // Implementation: dictionary-encoded bitmask intersection. The token
+    // vocabulary is discovered (tiny here: ~31 tokens; the dictionary is
+    // broadcast), each doc's distinct-token set becomes an array of 64-bit
+    // words, and candidate pairs are an all-pairs broadcast nested-loop
+    // with an integer length filter (5·min ≥ 4·max, implied by J ≥ 0.8)
+    // BEFORE the popcount intersection — so the hot loop is codegen'd
+    // bit arithmetic, never a token-key shuffle join (which is quadratic
+    // in token frequency: a stop token shared by every doc makes that
+    // join O(n²) rows PER TOKEN). Exact pairwise Jaccard is inherently
+    // Ω(qualifying pairs); the sub-quadratic scale path is qd1 (MinHash
+    // LSH), which prunes candidates probabilistically.
     "q28_neardup" -> ((s, d) => {
       val toks = tokens(s, d)
-      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      val pairs = toks.select(col("doc_id").as("a"), col("tok"))
-        .join(toks.select(col("doc_id").as("b"), col("tok")), Seq("tok"))
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("a"), col("nt").as("na")), Seq("a"))
-        .join(sizes.select(col("doc_id").as("b"), col("nt").as("nb")), Seq("b"))
+      // global dictionary: single-partition window is fine — the vocab is
+      // orders of magnitude smaller than the corpus by construction
+      val vocab = toks.select("tok").distinct()
+        .withColumn("ti",
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
+      val nWords = (vocab.count() + 63) / 64
+      val masks = toks.join(broadcast(vocab), Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nt"), collect_list(col("ti")).as("tis"))
+        .select(col("doc_id"), col("nt"), expr(
+          s"""transform(sequence(0, ${nWords - 1}),
+             |  w -> aggregate(filter(tis, t -> t div 64 = w), 0L,
+             |                 (acc, t) -> acc | shiftleft(1L, cast(t % 64 as int))))
+             |""".stripMargin).as("m"))
+        .cache()
+      masks.select(col("doc_id").as("a"), col("nt").as("na"), col("m").as("ma"))
+        .crossJoin(broadcast(masks.select(
+          col("doc_id").as("b"), col("nt").as("nb"), col("m").as("mb"))))
+        .filter(col("a") < col("b")
+          && lit(4) * col("na") <= lit(5) * col("nb")
+          && lit(4) * col("nb") <= lit(5) * col("na"))
+        .withColumn("inter", expr(
+          "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0L, (acc, c) -> acc + CAST(c AS BIGINT))"))
         .filter(lit(10) * col("inter") >= lit(8) * (col("na") + col("nb") - col("inter")))
         .select("a", "b", "inter", "na", "nb")
         .orderBy("a", "b")

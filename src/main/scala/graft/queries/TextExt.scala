@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -34,21 +33,24 @@ object TextExt {
 
   val queries: Map[String, Q] = Map(
     // qt1 language-ID heuristic: per-doc keyword-profile scores, argmax
-    // (score DESC, lang ASC), no hit → 'unknown'; output = confusion matrix
+    // (score DESC, lang ASC), no hit → 'unknown'; output = confusion
+    // matrix. Scores are per-row array_filter counts (whole-stage codegen,
+    // one scan, zero shuffles before the tiny confusion groupBy) — the
+    // argmax tie-break is the CASE chain checking langs in ASC order.
     "qt1_langid" -> ((s, d) => {
-      import s.implicits._
-      val docs = t(s, d, "documents")
-      val prof = profiles.toDF("plang", "ptok")
-      val scores = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .join(broadcast(prof), col("tok") === col("ptok"))
-        .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("plang"))
-      val pred = scores.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("doc_id"), col("plang"))
-      docs.join(pred, Seq("doc_id"), "left")
-        .select(col("lang"), coalesce(col("plang"), lit("unknown")).as("predicted"))
+      val langs = profiles.map(_._1).distinct.sorted
+      def score(lang: String): Column = {
+        val kws = profiles.filter(_._1 == lang).map("'" + _._2 + "'").mkString(",")
+        expr(s"size(filter(tk, x -> x IN ($kws)))")
+      }
+      val scored = t(s, d, "documents")
+        .select(col("lang"), split(col("text"), " ").as("tk"))
+        .select(col("lang") +: langs.map(l => score(l).as(s"s_$l")): _*)
+      val mx = greatest(langs.map(l => col(s"s_$l")): _*)
+      val pred = langs.foldRight(lit("unknown")) { (l, els) =>
+        when(mx > 0 && col(s"s_$l") === mx, lit(l)).otherwise(els)
+      }
+      scored.select(col("lang"), pred.as("predicted"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("docs"))
         .orderBy("lang", "predicted")
     }),
