@@ -34,111 +34,22 @@ object GeoQueries {
   /** Fixture dir — same constant embedded in the oracle SQL strings. */
   val FixtureDir = "/root/repo/src/test/resources/geo"
 
-  private val MPerDegLat = 111194.927
-  private val Cs = 0.0005 // grid cell size, degrees (~55 m lat, ~42 m lon)
-  private val ThMs = FuzzyDates.ThresholdMs // 473 040 000 000
-
-  private val fuzzyMin = udf((s: String) => FuzzyDates.minMs(s))
-  private val fuzzyMax = udf((s: String) => FuzzyDates.maxMs(s))
-  private val crossM = udf((px: Double, py: Double, x1: Double, y1: Double,
-                            x2: Double, y2: Double) =>
-    Geo.crosstrackM(px, py, x1, y1, x2, y2))
-
-  private val streetSchema = StructType(Seq(
-    StructField("id", StringType), StructField("type", StringType),
-    StructField("name", StringType), StructField("validSince", StringType),
-    StructField("validUntil", StringType),
-    StructField("geometry", StructType(Seq(
-      StructField("type", StringType),
-      StructField("coordinates", ArrayType(ArrayType(DoubleType))))))))
-
-  private val houseSchema = StructType(Seq(
-    StructField("id", StringType), StructField("type", StringType),
-    StructField("validSince", StringType), StructField("validUntil", StringType),
-    StructField("data", StructType(Seq(
-      StructField("sheetId", IntegerType), StructField("layerId", IntegerType),
-      StructField("mapId", IntegerType), StructField("number", StringType),
-      StructField("borough", StringType)))),
-    StructField("geometry", StructType(Seq(
-      StructField("type", StringType),
-      StructField("coordinates", ArrayType(DoubleType)))))))
-
-  /** R1+R3+R5+R6: streets NDJSON → one row per consecutive-vertex segment,
-    * street properties inherited, fuzzy dates precomputed (nullable).
-    */
+  /** Fixture-bound views over the reusable pipeline (SpacetimeEtl). */
   def segments(spark: SparkSession): DataFrame =
-    spark.read.schema(streetSchema).json(s"$FixtureDir/streets.ndjson")
-      .filter(col("geometry").isNotNull && size(col("geometry.coordinates")) >= 2)
-      .select(col("id").as("street_id"), col("name").as("street_name"),
-        fuzzyMin(col("validSince")).as("seg_since"),
-        fuzzyMax(col("validUntil")).as("seg_until"),
-        posexplode(expr(
-          """zip_with(slice(geometry.coordinates, 1, size(geometry.coordinates)-1),
-            |         slice(geometry.coordinates, 2, size(geometry.coordinates)-1),
-            |         (a, b) -> named_struct('x1', a[0], 'y1', a[1], 'x2', b[0], 'y2', b[1]))
-            |""".stripMargin)).as(Seq("seg_ord", "seg")))
-      .select(col("street_id"), col("street_name"), col("seg_since"),
-        col("seg_until"), col("seg_ord"),
-        col("seg.x1"), col("seg.y1"), col("seg.x2"), col("seg.y2"))
+    SpacetimeEtl.segments(
+      SpacetimeEtl.readStreets(spark, s"$FixtureDir/streets.ndjson"))
 
-  /** R1+R2+R3+R14: house numbers NDJSON → typed points with fuzzy dates. */
   def housePoints(spark: SparkSession): DataFrame =
-    spark.read.schema(houseSchema).json(s"$FixtureDir/house_numbers.ndjson")
-      .filter(col("type") === "st:Address" && col("geometry").isNotNull)
-      .select(col("id").as("hn_id"), col("data.number").as("number"),
-        col("data.borough").as("borough"), col("data.sheetId").as("sheet_id"),
-        col("data.layerId").as("layer_id"), col("data.mapId").as("map_id"),
-        element_at(col("geometry.coordinates"), 1).as("px"),
-        element_at(col("geometry.coordinates"), 2).as("py"),
-        col("validSince").as("valid_since"), col("validUntil").as("valid_until"),
-        fuzzyMin(col("validSince")).as("pt_since"),
-        fuzzyMax(col("validUntil")).as("pt_until"))
-
-  /** §4.2 steps 2–4: grid candidate join + temporal filter (R9, before the
-    * trig per N8) + distance (R10) + threshold (R11) + per-point top-1
-    * (R12, tie-break distance_m, seg_ord, street_id).
-    */
-  def best(spark: SparkSession): DataFrame = {
-    val segCells = segments(spark)
-      .withColumn("mlat", lit(27.5 / MPerDegLat))
-      .withColumn("mlon",
-        lit(27.5) / (lit(MPerDegLat) * cos(radians((col("y1") + col("y2")) / 2))))
-      .withColumn("cell", explode(expr(
-        s"""flatten(transform(
-           |  sequence(cast(floor((least(x1,x2)-mlon)/$Cs) as bigint),
-           |           cast(floor((greatest(x1,x2)+mlon)/$Cs) as bigint)),
-           |  cx -> transform(
-           |    sequence(cast(floor((least(y1,y2)-mlat)/$Cs) as bigint),
-           |             cast(floor((greatest(y1,y2)+mlat)/$Cs) as bigint)),
-           |    cy -> named_struct('cx', cx, 'cy', cy))))""".stripMargin)))
-      .select(col("street_id"), col("street_name"), col("seg_since"),
-        col("seg_until"), col("seg_ord"), col("x1"), col("y1"), col("x2"),
-        col("y2"), col("cell.cx"), col("cell.cy"))
-
-    val pts = housePoints(spark)
-      .withColumn("cx", floor(col("px") / Cs).cast(LongType))
-      .withColumn("cy", floor(col("py") / Cs).cast(LongType))
-
-    val cand = pts.join(broadcast(segCells), Seq("cx", "cy"))
-      .where(col("seg_since") - ThMs <= col("pt_since")
-        && col("seg_until") + ThMs >= col("pt_until"))
-      .withColumn("distance_m",
-        floor(crossM(col("px"), col("py"), col("x1"), col("y1"),
-          col("x2"), col("y2")) + 0.5).cast(LongType))
-      .where(col("distance_m") < 25)
-
-    val w = Window.partitionBy("hn_id")
-      .orderBy(col("distance_m"), col("seg_ord"), col("street_id"))
-    cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("hn_id"), col("street_id").as("sid"),
-        col("street_name").as("sname"), col("distance_m"))
-  }
+    SpacetimeEtl.housePoints(
+      SpacetimeEtl.readHouseNumbers(spark, s"$FixtureDir/house_numbers.ndjson"))
 
   private def errMsg = lit("Can't find street within 25 meters and 15 years")
 
   /** Matched house numbers with all fan-out inputs (the `inferred` shape). */
   private def inferred(spark: SparkSession): DataFrame =
-    housePoints(spark).join(best(spark), Seq("hn_id"), "left")
+    housePoints(spark)
+      .join(SpacetimeEtl.bestMatch(spark, segments(spark), housePoints(spark)),
+        Seq("hn_id"), "left")
 
   val queries: Map[String, Q] = Map(
     // G01 segmentizer: segments per street (includes bad-date streets)

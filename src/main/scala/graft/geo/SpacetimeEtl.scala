@@ -1,0 +1,209 @@
+package graft.geo
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The user-facing Space/Time ETL surface: everything the reference module
+  * (`/root/reference/addresses.js`) does, as a reusable Spark library over
+  * arbitrary input paths — a reference user points `runPipeline` at their
+  * `nyc-streets` / `building-inspector` NDJSON dumps and gets the same
+  * three output streams (objects / relations / logs).
+  *
+  * Pipeline (reference steps in parens):
+  *   readStreets → segments (infer: R1,R3,R5,R6)
+  *   readHouseNumbers → housePoints (R1,R2,R3)
+  *   bestMatch: grid-partitioned spatio-temporal nearest join (R7–R12)
+  *   infer: matched/error rows, `inferred.ndjson` shape (R13–R16)
+  *   transform: fan-out to objects/relations/logs (R17–R19, incl. N5)
+  *
+  * Scale: the segments-by-cell side broadcasts when small and degrades to
+  * a shuffle equi-join on the cell key otherwise; everything downstream is
+  * narrow per-row fan-out. No O(N·M) pass exists anywhere.
+  */
+object SpacetimeEtl {
+  val MaxDistanceM = 25L                      // addresses.js:13
+  val SlackMs: Long = FuzzyDates.ThresholdMs  // addresses.js:12,47 (N3)
+
+  private val MPerDegLat = 111194.927
+  private val Cs = 0.0005 // grid cell size, degrees (~55 m lat, ~42 m lon)
+
+  val streetSchema: StructType = StructType(Seq(
+    StructField("id", StringType), StructField("type", StringType),
+    StructField("name", StringType), StructField("validSince", StringType),
+    StructField("validUntil", StringType),
+    StructField("geometry", StructType(Seq(
+      StructField("type", StringType),
+      StructField("coordinates", ArrayType(ArrayType(DoubleType))))))))
+
+  val houseSchema: StructType = StructType(Seq(
+    StructField("id", StringType), StructField("type", StringType),
+    StructField("validSince", StringType), StructField("validUntil", StringType),
+    StructField("data", StructType(Seq(
+      StructField("sheetId", IntegerType), StructField("layerId", IntegerType),
+      StructField("mapId", IntegerType), StructField("number", StringType),
+      StructField("borough", StringType)))),
+    StructField("geometry", StructType(Seq(
+      StructField("type", StringType),
+      StructField("coordinates", ArrayType(DoubleType)))))))
+
+  private val fuzzyMin = udf((s: String) => FuzzyDates.minMs(s))
+  private val fuzzyMax = udf((s: String) => FuzzyDates.maxMs(s))
+
+  def readStreets(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(streetSchema).json(path)
+
+  def readHouseNumbers(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(houseSchema).json(path)
+
+  /** R1+R3+R5+R6: streets → one row per consecutive-vertex segment with
+    * inherited street properties and precomputed fuzzy-date bounds. The
+    * segmentizer is pure built-ins (zip_with + slice + posexplode) so it
+    * stays in whole-stage codegen. */
+  def segments(streets: DataFrame): DataFrame =
+    streets
+      .filter(col("geometry").isNotNull && size(col("geometry.coordinates")) >= 2)
+      .select(col("id").as("street_id"), col("name").as("street_name"),
+        fuzzyMin(col("validSince")).as("seg_since"),
+        fuzzyMax(col("validUntil")).as("seg_until"),
+        posexplode(expr(
+          """zip_with(slice(geometry.coordinates, 1, size(geometry.coordinates)-1),
+            |         slice(geometry.coordinates, 2, size(geometry.coordinates)-1),
+            |         (a, b) -> named_struct('x1', a[0], 'y1', a[1], 'x2', b[0], 'y2', b[1]))
+            |""".stripMargin)).as(Seq("seg_ord", "seg")))
+      .select(col("street_id"), col("street_name"), col("seg_since"),
+        col("seg_until"), col("seg_ord"),
+        col("seg.x1"), col("seg.y1"), col("seg.x2"), col("seg.y2"))
+
+  /** R1+R2+R3: house numbers → typed points with fuzzy-date bounds. */
+  def housePoints(houses: DataFrame): DataFrame =
+    houses
+      .filter(col("type") === "st:Address" && col("geometry").isNotNull)
+      .select(col("id").as("hn_id"), col("data.number").as("number"),
+        col("data.borough").as("borough"), col("data.sheetId").as("sheet_id"),
+        col("data.layerId").as("layer_id"), col("data.mapId").as("map_id"),
+        element_at(col("geometry.coordinates"), 1).as("px"),
+        element_at(col("geometry.coordinates"), 2).as("py"),
+        col("validSince").as("valid_since"), col("validUntil").as("valid_until"),
+        fuzzyMin(col("validSince")).as("pt_since"),
+        fuzzyMax(col("validUntil")).as("pt_until"))
+
+  /** R7–R12 (§4.2): grid-partitioned candidate equi-join with guaranteed
+    * 25 m recall, temporal conjunct before the trig distance (N8), native
+    * codegen crosstrack expression, rounded-integer threshold + top-1 with
+    * deterministic tie-break (distance_m, seg_ord, street_id). Returns one
+    * row per matched point: (hn_id, sid, sname, distance_m). */
+  def bestMatch(spark: SparkSession, segs: DataFrame, pts0: DataFrame,
+                maxDistanceM: Long = MaxDistanceM,
+                slackMs: Long = SlackMs): DataFrame = {
+    val margin = maxDistanceM * 1.1
+    val segCells = segs
+      .withColumn("mlat", lit(margin / MPerDegLat))
+      .withColumn("mlon",
+        lit(margin) / (lit(MPerDegLat) * cos(radians((col("y1") + col("y2")) / 2))))
+      .withColumn("cell", explode(expr(
+        s"""flatten(transform(
+           |  sequence(cast(floor((least(x1,x2)-mlon)/$Cs) as bigint),
+           |           cast(floor((greatest(x1,x2)+mlon)/$Cs) as bigint)),
+           |  cx -> transform(
+           |    sequence(cast(floor((least(y1,y2)-mlat)/$Cs) as bigint),
+           |             cast(floor((greatest(y1,y2)+mlat)/$Cs) as bigint)),
+           |    cy -> named_struct('cx', cx, 'cy', cy))))""".stripMargin)))
+      .select(col("street_id"), col("street_name"), col("seg_since"),
+        col("seg_until"), col("seg_ord"), col("x1"), col("y1"), col("x2"),
+        col("y2"), col("cell.cx"), col("cell.cy"))
+
+    val pts = pts0
+      .withColumn("cx", floor(col("px") / Cs).cast(LongType))
+      .withColumn("cy", floor(col("py") / Cs).cast(LongType))
+
+    graft.plans.CrosstrackM.register(spark)
+    val cand = pts.join(broadcast(segCells), Seq("cx", "cy"))
+      .where(col("seg_since") - slackMs <= col("pt_since")
+        && col("seg_until") + slackMs >= col("pt_until"))
+      .withColumn("distance_m",
+        floor(expr("crosstrack_m(px, py, x1, y1, x2, y2)") + 0.5).cast(LongType))
+      .where(col("distance_m") < maxDistanceM)
+
+    val w = Window.partitionBy("hn_id")
+      .orderBy(col("distance_m"), col("seg_ord"), col("street_id"))
+    cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("hn_id"), col("street_id").as("sid"),
+        col("street_name").as("sname"), col("distance_m"))
+  }
+
+  private def errMsg =
+    lit(s"Can't find street within $MaxDistanceM meters and 15 years")
+
+  /** R13–R15: the `inferred.ndjson` record shape (FIXTURES.md §2c) —
+    * matched rows carry the new address fields, unmatched rows an error. */
+  def infer(spark: SparkSession, streets: DataFrame, houses: DataFrame,
+            streetsDataset: String = "nyc-streets",
+            housesDataset: String = "building-inspector"): DataFrame = {
+    val hp = housePoints(houses)
+    val joined = hp.join(bestMatch(spark, segments(streets), hp), Seq("hn_id"), "left")
+    val fullHn = concat_ws("/", lit(housesDataset), col("hn_id"))
+    val fullSt = concat_ws("/", lit(streetsDataset), col("sid"))
+    val addressData = struct(col("sheet_id").as("sheetId"),
+      col("layer_id").as("layerId"), col("map_id").as("mapId"),
+      col("number"), col("borough"))
+    val geom = struct(lit("Point").as("type"), array(col("px"), col("py")).as("coordinates"))
+    joined.select(
+      when(col("sid").isNotNull, col("hn_id")).as("id"),
+      when(col("sid").isNotNull, concat_ws(" ", col("number"), col("sname"))).as("name"),
+      fullHn.as("houseNumberId"),
+      when(col("sid").isNotNull, fullSt).as("streetId"),
+      col("valid_since").as("validSince"), col("valid_until").as("validUntil"),
+      col("sname").as("streetName"),
+      addressData.as("addressData"),
+      col("distance_m").as("lineLength"),
+      geom.as("addressGeometry"),
+      when(col("sid").isNull, errMsg).as("error"))
+  }
+
+  /** R17–R18: fan out each inferred row into tagged records
+    * (`{type: object|relation|log, obj: ...}`, FIXTURES.md §2d). N5: the
+    * matched log's addressData is the MERGED struct (the reference mutates
+    * the shared object before logging). */
+  def transform(inferred: DataFrame): DataFrame = {
+    val merged = struct(col("addressData.sheetId"), col("addressData.layerId"),
+      col("addressData.mapId"), col("addressData.number"),
+      col("addressData.borough"), col("houseNumberId"), col("streetId"))
+    val matched = inferred.where(col("streetId").isNotNull).select(explode(array(
+      struct(lit("object").as("type"), to_json(struct(
+        col("id"), col("name"), lit("st:Address").as("type"),
+        col("validSince"), col("validUntil"), merged.as("data"),
+        col("addressGeometry").as("geometry"))).as("obj")),
+      struct(lit("relation").as("type"), to_json(struct(
+        col("houseNumberId").as("from"), col("streetId").as("to"),
+        lit("st:in").as("type"))).as("obj")),
+      struct(lit("relation").as("type"), to_json(struct(
+        col("id").as("from"), col("houseNumberId").as("to"),
+        lit("st:sameAs").as("type"))).as("obj")),
+      struct(lit("log").as("type"), to_json(struct(
+        col("houseNumberId"), col("streetId"), col("streetName"),
+        merged.as("addressData"), col("lineLength"),
+        col("addressGeometry").as("geometry"))).as("obj"))
+    )).as("r")).select(col("r.*"))
+    val errors = inferred.where(col("streetId").isNull).select(
+      lit("log").as("type"), to_json(struct(
+        col("error"), col("houseNumberId"),
+        col("addressData"), col("addressGeometry").as("geometry"))).as("obj"))
+    matched.union(errors)
+  }
+
+  /** R21: the two reference steps end-to-end, exchanging data through the
+    * filesystem exactly like `spacetime-etl addresses` (R16/R19 sinks as
+    * partitioned JSON — ordering was incidental in the reference). */
+  def runPipeline(spark: SparkSession, streetsPath: String, housesPath: String,
+                  outDir: String): Unit = {
+    val inferred = infer(spark, readStreets(spark, streetsPath),
+      readHouseNumbers(spark, housesPath))
+    inferred.write.mode(SaveMode.Overwrite).json(s"$outDir/inferred")
+    // transform from the DataFrame (same lineage the file records) — a
+    // schema-inferred re-read could drop the all-null `error` column
+    transform(inferred).write.mode(SaveMode.Overwrite).partitionBy("type")
+      .json(s"$outDir/records")
+  }
+}
