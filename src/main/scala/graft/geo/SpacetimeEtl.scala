@@ -141,7 +141,11 @@ object SpacetimeEtl {
   def infer(spark: SparkSession, streets: DataFrame, houses: DataFrame,
             streetsDataset: String = "nyc-streets",
             housesDataset: String = "building-inspector"): DataFrame = {
+    // R4: the reference's per-10k progress log becomes a named observation
+    // (QueryExecutionListener-visible metric) — zero-cost in the plan,
+    // no side-effecting map
     val hp = housePoints(houses)
+      .observe("house_numbers_progress", count(lit(1)).as("processed"))
     val joined = hp.join(bestMatch(spark, segments(streets), hp), Seq("hn_id"), "left")
     val fullHn = concat_ws("/", lit(housesDataset), col("hn_id"))
     val fullSt = concat_ws("/", lit(streetsDataset), col("sid"))

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out utilities: the shuffle-shaping patterns a 1000-executor
+  * deployment leans on (SURVEY §4; builder-prompt "Partitioning & shuffle").
+  */
+object Scale {
+
+  /** Two-phase salted aggregation for skewed keys: COUNT/SUM-style
+    * partial aggregates are computed per (key, salt) — spreading one hot
+    * key over `salts` reducers — then combined per key. Identical results
+    * to a plain groupBy for any decomposable aggregate; use when one key
+    * holds a disproportionate share of rows and AQE's skew handling can't
+    * kick in (e.g. pre-AQE stages, or aggregations rather than joins).
+    */
+  def saltedCount(df: DataFrame, key: String, salts: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as("cnt"))
+
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+                salts: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+
+  /** Write a DataFrame bucketed + sorted by a join key. Two tables
+    * bucketed the same way join WITHOUT a shuffle (each bucket pair is
+    * co-located) — at 100 TB this turns the nightly fact-to-fact join
+    * from the dominant shuffle into a local merge. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed catalog tables on their bucket key. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   key: String): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key))
+}
