@@ -67,33 +67,54 @@ object DedupExt {
   }
 
   val queries: Map[String, Q] = Map(
-    // qd1 MinHash(16) + LSH(4 bands × 4 rows) + exact-Jaccard(≥0.8) verify
+    // qd1 MinHash(16) + LSH(4 bands × 4 rows) + exact-Jaccard(≥0.8)
+    // verify. The 16 minhashes are 16 min-columns in ONE groupBy(doc_id)
+    // (no params crossJoin, no (doc,i) shuffle — 16× less volume); band
+    // keys are string concats of the minhash columns in i order, matching
+    // the oracle's string_agg(... ORDER BY i) exactly.
     "qd1_minhash" -> ((s, d) => {
       val tk = toks(s, d).cache()
       val th = tk.withColumn("h", sparkH("tok"))
-      val params = s.range(16).select(col("id").cast(IntegerType).as("i"),
-        (lit(1000003L) * col("id") + 12345L).as("a"),
-        (lit(777767L) * col("id") + 13L).as("b"))
-      val sig = th.crossJoin(broadcast(params))
-        .groupBy("doc_id", "i")
-        .agg(min((col("a") * col("h") + col("b")) % P).as("mh"))
-      val bands = sig.withColumn("band", expr("i div 4"))
-        .groupBy("doc_id", "band")
-        .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), " +
-          "x -> cast(x.mh as string)), ',')").as("key"))
+      val minCols = (0 until 16).map { j =>
+        val a = 1000003L * j + 12345L
+        val b = 777767L * j + 13L
+        min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
+      }
+      val sig = th.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val bandStructs = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*).as("key"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
         .cache()
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val sizes = tk.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      val inter = cand
-        .join(tk.select(col("doc_id").as("a"), col("tok")), Seq("a"))
-        .join(tk.select(col("doc_id").as("b"), col("tok")), Seq("b", "tok"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("a"), col("nt").as("na")), Seq("a"))
-        .join(sizes.select(col("doc_id").as("b"), col("nt").as("nb")), Seq("b"))
+      // exact-Jaccard verify via the q28 bitmask kernel: two broadcast
+      // joins + popcount per candidate pair, instead of re-joining the
+      // token table per pair (which shuffles O(candidates × tokens) rows)
+      val vocab = tk.select("tok").distinct()
+        .withColumn("ti",
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
+      val nWords = (vocab.count() + 63) / 64
+      val masks = tk.join(broadcast(vocab), Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nt"), collect_list(col("ti")).as("tis"))
+        .select(col("doc_id"), col("nt"), expr(
+          s"""transform(sequence(0, ${nWords - 1}),
+             |  w -> aggregate(filter(tis, t -> t div 64 = w), 0L,
+             |                 (acc, t) -> acc | shiftleft(1L, cast(t % 64 as int))))
+             |""".stripMargin).as("m"))
+      cand
+        .join(broadcast(masks.select(col("doc_id").as("a"),
+          col("nt").as("na"), col("m").as("ma"))), Seq("a"))
+        .join(broadcast(masks.select(col("doc_id").as("b"),
+          col("nt").as("nb"), col("m").as("mb"))), Seq("b"))
+        .withColumn("inter", expr(
+          "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0L, (acc, c) -> acc + CAST(c AS BIGINT))"))
         .filter(lit(10) * col("inter") >= lit(8) * (col("na") + col("nb") - col("inter")))
         .select("a", "b", "inter", "na", "nb")
         .orderBy("a", "b")
@@ -222,6 +243,48 @@ object DedupExt {
             .cast(DoubleType).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(5)
+    }),
+
+    // qs2 IVF similarity search: deterministic centroid sample
+    // (vec_id % 50 == 1), exact decimal-cosine assignment to the nearest
+    // centroid, probe the query's top-2 cells, exact re-rank top-5.
+    // Assignment dots are per-row array kernels against the broadcast
+    // centroid list — at scale this is the classic IVF shape: one narrow
+    // pass to assign, probe cost O(cells probed × cell size).
+    "qs2_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val dotK =
+        "aggregate(zip_with(%s, %s, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))), " +
+          "CAST(0 AS DECIMAL(38,14)), (acc, v) -> CAST(acc + v AS DECIMAL(38,14)))"
+      // centroid norms are computed ONCE on the (tiny) broadcast side,
+      // not per (vector, centroid) pair
+      val cents = emb.filter(col("vec_id") % 50 === 1)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .withColumn("n2c", expr(dotK.format("ce", "ce")))
+      val scored = emb.crossJoin(broadcast(cents))
+        .withColumn("dot", expr(dotK.format("embedding", "ce")))
+        .select(col("vec_id"), col("cid"),
+          (col("dot").cast(DoubleType) / sqrt(col("n2c").cast(DoubleType))).as("sc"))
+        .cache()
+      val wA = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+        .orderBy(col("sc").desc, col("cid"))
+      val assign = scored.withColumn("rn", row_number().over(wA))
+        .where(col("rn") === 1).select("vec_id", "cid")
+      val probe = scored.where(col("vec_id") === 0)
+        .orderBy(col("sc").desc, col("cid")).limit(2).select("cid")
+      val cand = assign.join(broadcast(probe), Seq("cid"))
+        .where(col("vec_id") =!= 0).select("vec_id")
+      val qe = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+        .withColumn("n2q", expr(dotK.format("qe", "qe")))
+      cand.join(emb, Seq("vec_id")).crossJoin(broadcast(qe))
+        .withColumn("dot", expr(dotK.format("embedding", "qe")))
+        .withColumn("n2v", expr(dotK.format("embedding", "embedding")))
+        .select(col("vec_id"),
+          round(col("dot").cast(DoubleType)
+            / (sqrt(col("n2q").cast(DoubleType)) * sqrt(col("n2v").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
     })
   )
 
@@ -326,6 +389,33 @@ object DedupExt {
         |cand AS (SELECT DISTINCT b.vec_id
         |         FROM bands b JOIN bands q ON q.vec_id = 0 AND b.k = q.k AND b.byte = q.byte
         |         WHERE b.vec_id <> 0),
+        |norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT c.vec_id, SUM(CAST(v.x * q.x AS DECIMAL(28,14))) AS dot
+        |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
+        |                     JOIN ex q ON q.vec_id = 0 AND q.i = v.i
+        |         GROUP BY 1)
+        |SELECT d.vec_id, CAST(ROUND(CAST(dot AS DOUBLE)
+        |         / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+        |FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
+        |            JOIN norms qn ON qn.vec_id = 0
+        |ORDER BY score DESC, d.vec_id LIMIT 5""".stripMargin,
+
+    "qs2_ivf" ->
+      """WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |cex AS (SELECT vec_id AS cid, i, x AS cx FROM ex WHERE vec_id % 50 = 1),
+        |cnorm AS (SELECT cid, SUM(CAST(cx*cx AS DECIMAL(28,14))) AS n2c FROM cex GROUP BY 1),
+        |adot AS (SELECT e.vec_id, c.cid, SUM(CAST(e.x * c.cx AS DECIMAL(28,14))) AS dot
+        |         FROM ex e JOIN cex c USING (i) GROUP BY 1, 2),
+        |ascore AS (SELECT vec_id, cid, CAST(dot AS DOUBLE) / SQRT(CAST(n2c AS DOUBLE)) AS sc
+        |           FROM adot JOIN cnorm USING (cid)),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn
+        |  FROM ascore) WHERE rn = 1),
+        |probe AS (SELECT cid FROM ascore WHERE vec_id = 0 ORDER BY sc DESC, cid LIMIT 2),
+        |cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+        |         WHERE a.vec_id <> 0),
         |norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS n2 FROM ex GROUP BY 1),
         |dots AS (SELECT c.vec_id, SUM(CAST(v.x * q.x AS DECIMAL(28,14))) AS dot
         |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
