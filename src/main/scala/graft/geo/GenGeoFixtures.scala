@@ -213,6 +213,9 @@ object GenGeoFixtures {
     writeLines(outDir.resolve("house_numbers.ndjson"), houses.toSeq.map(houseJson))
 
     // ---- oracle parquet ------------------------------------------------
+    // reuse a live session if one exists (e.g. under the test runner) and
+    // only stop a session this main itself created
+    val hadSession = SparkSession.getDefaultSession.nonEmpty
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -232,7 +235,7 @@ object GenGeoFixtures {
       hp.toSeq.toDF("hn_id", "number", "borough", "sheet_id", "layer_id", "map_id",
         "px", "py", "valid_since", "valid_until", "since_min_ms", "until_max_ms"),
       outDir.resolve("house_points.parquet"))
-    spark.stop()
+    if (!hadSession) spark.stop()
     println(s"wrote ${streets.size} streets (${allSegs.size} segments), " +
       s"${houses.size} house rows (${hp.size} valid points) to $outDir")
   }

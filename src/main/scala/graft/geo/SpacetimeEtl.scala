@@ -126,11 +126,18 @@ object SpacetimeEtl {
         floor(expr("crosstrack_m(px, py, x1, y1, x2, y2)") + 0.5).cast(LongType))
       .where(col("distance_m") < maxDistanceM)
 
-    val w = Window.partitionBy("hn_id")
-      .orderBy(col("distance_m"), col("seg_ord"), col("street_id"))
-    cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("hn_id"), col("street_id").as("sid"),
-        col("street_name").as("sname"), col("distance_m"))
+    // top-1 per point as a min_by hash aggregate over the lexicographic
+    // tie-break key — partial-aggregatable (map-side combine ships ONE row
+    // per point per partition), unlike a row_number window which sorts
+    // every candidate. Struct comparison is field-order lexicographic, so
+    // ordering by (distance_m, seg_ord, street_id) is preserved exactly.
+    cand
+      .groupBy("hn_id")
+      .agg(min_by(
+        struct(col("street_id"), col("street_name"), col("distance_m")),
+        struct(col("distance_m"), col("seg_ord"), col("street_id"))).as("best"))
+      .select(col("hn_id"), col("best.street_id").as("sid"),
+        col("best.street_name").as("sname"), col("best.distance_m"))
   }
 
   private def errMsg =

@@ -29,6 +29,10 @@ case class CrosstrackM(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "crosstrack_m"
+  // deterministic + foldable → Catalyst's ConstantFolding evaluates
+  // all-literal calls at planning time (Expression.foldable defaults to
+  // false, which would block the built-in rule)
+  override def foldable: Boolean = children.forall(_.foldable)
 
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))

@@ -40,4 +40,16 @@ class CrosstrackExprSpec extends AnyFunSuite {
     // the "*(n)" prefix marks operators fused into a WholeStageCodegen span
     assert(plan.contains("*(1) Project [crosstrack_m("), s"no codegen span in:\n$plan")
   }
+
+  test("all-literal calls constant-fold at planning time") {
+    CrosstrackM.register(spark)
+    val plan = spark.range(1)
+      .selectExpr("crosstrack_m(CAST(-74.0001 AS DOUBLE), CAST(40.5 AS DOUBLE), " +
+        "CAST(-74.0 AS DOUBLE), CAST(40.0 AS DOUBLE), CAST(-74.0 AS DOUBLE), CAST(41.0 AS DOUBLE))")
+      .queryExecution.optimizedPlan.toString
+    // folded: the projection is a double literal (the alias text still
+    // carries the original call for display)
+    val expected = Geo.crosstrackM(-74.0001, 40.5, -74.0, 40.0, -74.0, 41.0)
+    assert(plan.contains(s"$expected AS "), s"literal call not folded:\n$plan")
+  }
 }
