@@ -272,7 +272,59 @@ object Relational {
           round(element_at(col("embedding"), 1).cast(DecimalType(18, 8)), 6)
             .cast(DoubleType).as("e1"))
         .orderBy("vec_id")
-        .limit(100))
+        .limit(100)),
+
+    // Q31 pivot (conditional aggregation): docs per source × lang.
+    // Spark's pivot with an explicit value list + coalesce-to-0 matches
+    // the oracle's COUNT(*) FILTER columns exactly.
+    "q31_pivot" -> ((s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      t(s, d, "documents")
+        .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+        .select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .orderBy("source")
+    }),
+
+    // Q32 index-based quantiles (no float interpolation): the p-quantile
+    // is the element at row floor((n-1)*p) of the totally-ordered group —
+    // pure integer row arithmetic, deterministic in both engines.
+    "q32_quantile" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber", "l_extendedprice")
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+        .groupBy("l_returnflag")
+        .agg(
+          // NB: Spark's `/` on integers is DOUBLE division — `div` keeps
+          // the row-index arithmetic integral
+          max(when(col("rn") === expr("(n-1)*5 div 10 + 1"), col("l_quantity")))
+            .as("p50"),
+          max(when(col("rn") === expr("(n-1)*9 div 10 + 1"), col("l_quantity")))
+            .as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q33 moment statistics without floating aggregation: mean and sample
+    // stddev from exact decimal sums — stddev = sqrt((n·Σx² − (Σx)²) /
+    // (n·(n−1))), division/sqrt in double only at the end.
+    "q33_stats" -> ((s, d) => {
+      val D2810 = DecimalType(28, 10)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D2810)).as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(D2810)).as("sx2"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("sx").cast(DoubleType) / col("n"), 6)
+            .cast(DoubleType).as("mean_qty"),
+          round(sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast(DoubleType)
+            / (col("n") * (col("n") - 1))), 6)
+            .cast(DoubleType).as("stddev_qty"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -329,6 +381,31 @@ object Relational {
     "q24_json" ->
       "SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k, COUNT(*) AS c FROM events GROUP BY k ORDER BY k NULLS FIRST",
     "q25_arrays" ->
-      "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, CAST(ROUND(CAST(embedding[1] AS DECIMAL(18,8)),6) AS DOUBLE) AS e1 FROM embeddings ORDER BY vec_id LIMIT 100"
+      "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, CAST(ROUND(CAST(embedding[1] AS DECIMAL(18,8)),6) AS DOUBLE) AS e1 FROM embeddings ORDER BY vec_id LIMIT 100",
+    "q31_pivot" ->
+      """SELECT source,
+        |  COUNT(*) FILTER (lang='de') AS de, COUNT(*) FILTER (lang='en') AS en,
+        |  COUNT(*) FILTER (lang='es') AS es, COUNT(*) FILTER (lang='fr') AS fr,
+        |  COUNT(*) FILTER (lang='zh') AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q32_quantile" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber, l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = (n-1)*5//10 + 1 THEN l_quantity END) AS p50,
+        |  MAX(CASE WHEN rn = (n-1)*9//10 + 1 THEN l_quantity END) AS p90
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q33_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mean_qty,
+        |  CAST(ROUND(SQRT(CAST(COUNT(*)*SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,10)))
+        |    - SUM(CAST(l_quantity AS DECIMAL(28,10)))*SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+        |    / (COUNT(*)*(COUNT(*)-1))), 6) AS DOUBLE) AS stddev_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
