@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end LLM training-data cleaning: the composition a corpus
+  * pipeline actually runs, built from the same primitives the oracle
+  * queries verify (qt2 quality, qt4 fingerprints, Q27/Q28 dedup).
+  *
+  * Stages (all single-pass or one-shuffle):
+  *  1. quality gate — integer-arithmetic thresholds (qt2 semantics)
+  *  2. exact dedup — keep the lowest doc_id per text fingerprint
+  *  3. near-dedup — of the surviving docs, drop the higher doc_id of any
+  *     pair with token-set Jaccard ≥ `jaccard` (bitmask kernel, q28)
+  *
+  * Returns (cleaned corpus, per-stage drop counts). At 100 TB each stage
+  * is a narrow shuffle on a small key (fingerprint / doc pair), and the
+  * near-dedup candidate generation would swap to the qd1 MinHash-LSH
+  * banding without changing this API.
+  */
+object TrainingData {
+  case class CleanStats(input: Long, lowQuality: Long, exactDups: Long,
+                        nearDups: Long, output: Long)
+
+  def clean(docs: DataFrame, minTokens: Int = 20,
+            jaccard: (Int, Int) = (8, 10)): (DataFrame, CleanStats) = {
+    val spark = docs.sparkSession
+    val input = docs.count()
+
+    // 1. quality gate (qt2 integer-arithmetic flags)
+    val scored = docs
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tk")).cast(LongType))
+      .withColumn("n_uniq", size(array_distinct(col("tk"))).cast(LongType))
+      .filter(col("n_tok") >= minTokens
+        && lit(10) * col("n_uniq") >= lit(3) * col("n_tok"))
+    val afterQuality = scored.count()
+
+    // 2. exact dedup on the full text (Q27 semantics, keep lowest doc_id)
+    val wT = Window.partitionBy("text").orderBy("doc_id")
+    val exact = scored.withColumn("_rn", row_number().over(wT))
+      .filter(col("_rn") === 1).drop("_rn")
+    val afterExact = exact.count()
+
+    // 3. near-dedup: dictionary bitmask + popcount pairs (q28 kernel),
+    // drop the higher doc_id of each qualifying pair
+    val toks = exact.select(col("doc_id"), explode(col("tk")).as("tok")).distinct()
+    val vocab = toks.select("tok").distinct()
+      .withColumn("ti", row_number().over(Window.orderBy("tok")) - 1)
+    val nWords = (vocab.count() + 63) / 64
+    val masks = toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nt"), collect_list(col("ti")).as("tis"))
+      .select(col("doc_id"), col("nt"), expr(
+        s"""transform(sequence(0, ${nWords - 1}),
+           |  w -> aggregate(filter(tis, t -> t div 64 = w), 0L,
+           |                 (acc, t) -> acc | shiftleft(1L, cast(t % 64 as int))))
+           |""".stripMargin).as("m"))
+      .cache()
+    val (jn, jd) = jaccard
+    val dropB = masks.select(col("doc_id").as("a"), col("nt").as("na"), col("m").as("ma"))
+      .crossJoin(broadcast(masks.select(
+        col("doc_id").as("b"), col("nt").as("nb"), col("m").as("mb"))))
+      .filter(col("a") < col("b")
+        && lit(jn) * col("na") <= lit(jd) * col("nb")
+        && lit(jn) * col("nb") <= lit(jd) * col("na"))
+      .withColumn("inter", expr(
+        "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0L, (acc, c) -> acc + CAST(c AS BIGINT))"))
+      .filter(lit(jd) * col("inter") >= lit(jn) * (col("na") + col("nb") - col("inter")))
+      .select(col("b").as("doc_id")).distinct()
+    val cleaned = exact.join(dropB, Seq("doc_id"), "left_anti")
+      .drop("tk", "n_tok", "n_uniq")
+    val output = cleaned.count()
+
+    (cleaned, CleanStats(input, input - afterQuality,
+      afterQuality - afterExact, afterExact - output, output))
+  }
+}
+
+/** Graph-relation helpers over the Space/Time edge shape
+  * `{from, to, type}` the reference's transform step emits. */
+object Relations {
+  /** In/out degree per node across all edge types. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("from").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("to").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** One-hop neighbors of `node` following edges of `edgeType`. */
+  def neighbors(edges: DataFrame, node: String, edgeType: String): DataFrame =
+    edges.filter(col("type") === edgeType
+        && (col("from") === node || col("to") === node))
+      .select(when(col("from") === node, col("to")).otherwise(col("from"))
+        .as("neighbor"))
+      .distinct()
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.geo.{GeoQueries, SpacetimeEtl}
+import graft.operators.{Relations, TrainingData}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainingDataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("clean: stages drop in order, output is dup-free at the thresholds") {
+    val docs = Tables(spark, TestSpark.Sf, "documents")
+    val (cleaned, stats) = TrainingData.clean(docs)
+    assert(stats.input === docs.count())
+    assert(stats.output === cleaned.count())
+    assert(stats.input ===
+      stats.lowQuality + stats.exactDups + stats.nearDups + stats.output)
+    // no exact duplicates survive
+    assert(cleaned.groupBy("text").count().filter(col("count") > 1).count() === 0)
+    // cleaned docs all meet the quality gate
+    assert(cleaned.filter(size(split(col("text"), " ")) < 20).count() === 0)
+    info(s"clean stats: $stats")
+  }
+
+  test("relations degrees/neighbors over the pipeline's edge output") {
+    val inferred = SpacetimeEtl.infer(spark,
+      SpacetimeEtl.readStreets(spark, s"${GeoQueries.FixtureDir}/streets.ndjson"),
+      SpacetimeEtl.readHouseNumbers(spark, s"${GeoQueries.FixtureDir}/house_numbers.ndjson"))
+    val matched = inferred.where(col("streetId").isNotNull)
+    val edges = matched.select(col("houseNumberId").as("from"),
+        col("streetId").as("to"), lit("st:in").as("type"))
+      .union(matched.select(col("id").as("from"),
+        col("houseNumberId").as("to"), lit("st:sameAs").as("type")))
+    val deg = Relations.degrees(edges)
+    // every house number has out-degree 1 (st:in) and in-degree 1 (sameAs)
+    val hn = deg.filter(col("node").startsWith("building-inspector/"))
+    assert(hn.filter(col("out_deg") =!= 1 || col("in_deg") =!= 1).count() === 0)
+    // a street's neighbors via st:in are house numbers
+    val street = matched.select("streetId").first().getString(0)
+    val nb = Relations.neighbors(edges, street, "st:in")
+    assert(nb.count() > 0)
+    assert(nb.collect().forall(_.getString(0).startsWith("building-inspector/")))
+  }
+}
