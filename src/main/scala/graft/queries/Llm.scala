@@ -14,12 +14,13 @@ import org.apache.spark.sql.types._
   * engines, so results are bit-identical).
   *
   * Scale notes:
-  *  - Q28's token self-join is the textbook skew trap: a stop-token shared
-  *    by every doc makes one join key quadratic. Exact semantics are the
-  *    contract here; the scale path is the MinHash-LSH variant (see
-  *    Dedup.scala) whose banding bounds per-key fan-out.
+  *  - Q28 deliberately avoids the textbook skew trap (a token self-join
+  *    is quadratic in token frequency — one stop token shared by every
+  *    doc blows up that key); it uses a dictionary bitmask + popcount
+  *    kernel instead. The sub-quadratic scale path is DedupExt's qd1
+  *    MinHash-LSH, whose banding bounds per-key fan-out.
   *  - Q29 broadcasts the (tiny) query vector and reduces per-index
-  *    partial products map-side; for full ANN see Similarity.scala.
+  *    partial products map-side; for ANN/IVF see DedupExt qs1/qs2.
   */
 object Llm {
   import Conv._
