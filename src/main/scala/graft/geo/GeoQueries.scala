@@ -45,11 +45,13 @@ object GeoQueries {
 
   private def errMsg = lit("Can't find street within 25 meters and 15 years")
 
-  /** Matched house numbers with all fan-out inputs (the `inferred` shape). */
-  private def inferred(spark: SparkSession): DataFrame =
-    housePoints(spark)
-      .join(SpacetimeEtl.bestMatch(spark, segments(spark), housePoints(spark)),
-        Seq("hn_id"), "left")
+  /** Matched house numbers with all fan-out inputs (the `inferred` shape).
+    * One shared housePoints lineage for the probe side and the join so the
+    * NDJSON parse + fuzzy-date UDFs appear once per branch, not per call. */
+  private def inferred(spark: SparkSession): DataFrame = {
+    val hp = housePoints(spark)
+    hp.join(SpacetimeEtl.bestMatch(spark, segments(spark), hp), Seq("hn_id"), "left")
+  }
 
   val queries: Map[String, Q] = Map(
     // G01 segmentizer: segments per street (includes bad-date streets)

@@ -29,13 +29,18 @@ object TrainingData {
     val spark = docs.sparkSession
     val input = docs.count()
 
-    // 1. quality gate (qt2 integer-arithmetic flags)
+    // 1. quality gate (all three qt2 integer-arithmetic conditions:
+    // length, type-token ratio, stopword ratio)
+    val stopList = Seq("the", "a", "of", "and").map("'" + _ + "'").mkString(",")
     val scored = docs
       .withColumn("tk", split(col("text"), " "))
       .withColumn("n_tok", size(col("tk")).cast(LongType))
       .withColumn("n_uniq", size(array_distinct(col("tk"))).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(tk, x -> x IN ($stopList))) AS BIGINT)"))
       .filter(col("n_tok") >= minTokens
-        && lit(10) * col("n_uniq") >= lit(3) * col("n_tok"))
+        && lit(10) * col("n_uniq") >= lit(3) * col("n_tok")
+        && lit(10) * col("n_stop") <= lit(3) * col("n_tok"))
     val afterQuality = scored.count()
 
     // 2. exact dedup on the full text (Q27 semantics, keep lowest doc_id)
@@ -44,34 +49,15 @@ object TrainingData {
       .filter(col("_rn") === 1).drop("_rn")
     val afterExact = exact.count()
 
-    // 3. near-dedup: dictionary bitmask + popcount pairs (q28 kernel),
-    // drop the higher doc_id of each qualifying pair
+    // 3. near-dedup: shared bitmask kernel, drop the higher doc_id of
+    // each qualifying pair
     val toks = exact.select(col("doc_id"), explode(col("tk")).as("tok")).distinct()
-    val vocab = toks.select("tok").distinct()
-      .withColumn("ti", row_number().over(Window.orderBy("tok")) - 1)
-    val nWords = (vocab.count() + 63) / 64
-    val masks = toks.join(broadcast(vocab), Seq("tok"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("nt"), collect_list(col("ti")).as("tis"))
-      .select(col("doc_id"), col("nt"), expr(
-        s"""transform(sequence(0, ${nWords - 1}),
-           |  w -> aggregate(filter(tis, t -> t div 64 = w), 0L,
-           |                 (acc, t) -> acc | shiftleft(1L, cast(t % 64 as int))))
-           |""".stripMargin).as("m"))
-      .cache()
+    val masks = BitmaskJaccard.masks(toks).cache()
     val (jn, jd) = jaccard
-    val dropB = masks.select(col("doc_id").as("a"), col("nt").as("na"), col("m").as("ma"))
-      .crossJoin(broadcast(masks.select(
-        col("doc_id").as("b"), col("nt").as("nb"), col("m").as("mb"))))
-      .filter(col("a") < col("b")
-        && lit(jn) * col("na") <= lit(jd) * col("nb")
-        && lit(jn) * col("nb") <= lit(jd) * col("na"))
-      .withColumn("inter", expr(
-        "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0L, (acc, c) -> acc + CAST(c AS BIGINT))"))
-      .filter(lit(jd) * col("inter") >= lit(jn) * (col("na") + col("nb") - col("inter")))
+    val dropB = BitmaskJaccard.pairs(masks, masks, jn, jd)
       .select(col("b").as("doc_id")).distinct()
     val cleaned = exact.join(dropB, Seq("doc_id"), "left_anti")
-      .drop("tk", "n_tok", "n_uniq")
+      .drop("tk", "n_tok", "n_uniq", "n_stop")
     val output = cleaned.count()
 
     (cleaned, CleanStats(input, input - afterQuality,

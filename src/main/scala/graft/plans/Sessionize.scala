@@ -139,6 +139,12 @@ object Sessionize {
       .getOrElse(throw new IllegalArgumentException(s"no column $key"))
     val tsAttr = analyzed.output.find(_.name == ts)
       .getOrElse(throw new IllegalArgumentException(s"no column $ts"))
+    // the exec reads both fields with getLong — silently garbage for any
+    // other physical type, so reject early
+    require(keyAttr.dataType == LongType,
+      s"$key must be BIGINT, got ${keyAttr.dataType.simpleString}")
+    require(tsAttr.dataType == TimestampType,
+      s"$ts must be TIMESTAMP, got ${tsAttr.dataType.simpleString}")
     val out = Seq(
       AttributeReference("user_id", LongType, nullable = false)(),
       AttributeReference("session_start", TimestampType, nullable = false)(),

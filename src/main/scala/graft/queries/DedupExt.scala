@@ -93,28 +93,16 @@ object DedupExt {
           col("x.band") === col("y.band") && col("x.key") === col("y.key")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      // exact-Jaccard verify via the q28 bitmask kernel: two broadcast
+      // exact-Jaccard verify via the shared bitmask kernel: two broadcast
       // joins + popcount per candidate pair, instead of re-joining the
       // token table per pair (which shuffles O(candidates × tokens) rows)
-      val vocab = tk.select("tok").distinct()
-        .withColumn("ti",
-          row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
-      val nWords = (vocab.count() + 63) / 64
-      val masks = tk.join(broadcast(vocab), Seq("tok"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("nt"), collect_list(col("ti")).as("tis"))
-        .select(col("doc_id"), col("nt"), expr(
-          s"""transform(sequence(0, ${nWords - 1}),
-             |  w -> aggregate(filter(tis, t -> t div 64 = w), 0L,
-             |                 (acc, t) -> acc | shiftleft(1L, cast(t % 64 as int))))
-             |""".stripMargin).as("m"))
+      val masks = graft.operators.BitmaskJaccard.masks(tk)
       cand
         .join(broadcast(masks.select(col("doc_id").as("a"),
           col("nt").as("na"), col("m").as("ma"))), Seq("a"))
         .join(broadcast(masks.select(col("doc_id").as("b"),
           col("nt").as("nb"), col("m").as("mb"))), Seq("b"))
-        .withColumn("inter", expr(
-          "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0L, (acc, c) -> acc + CAST(c AS BIGINT))"))
+        .withColumn("inter", expr(graft.operators.BitmaskJaccard.interExpr))
         .filter(lit(10) * col("inter") >= lit(8) * (col("na") + col("nb") - col("inter")))
         .select("a", "b", "inter", "na", "nb")
         .orderBy("a", "b")

@@ -66,32 +66,8 @@ object Llm {
     // Ω(qualifying pairs); the sub-quadratic scale path is qd1 (MinHash
     // LSH), which prunes candidates probabilistically.
     "q28_neardup" -> ((s, d) => {
-      val toks = tokens(s, d)
-      // global dictionary: single-partition window is fine — the vocab is
-      // orders of magnitude smaller than the corpus by construction
-      val vocab = toks.select("tok").distinct()
-        .withColumn("ti",
-          row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
-      val nWords = (vocab.count() + 63) / 64
-      val masks = toks.join(broadcast(vocab), Seq("tok"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("nt"), collect_list(col("ti")).as("tis"))
-        .select(col("doc_id"), col("nt"), expr(
-          s"""transform(sequence(0, ${nWords - 1}),
-             |  w -> aggregate(filter(tis, t -> t div 64 = w), 0L,
-             |                 (acc, t) -> acc | shiftleft(1L, cast(t % 64 as int))))
-             |""".stripMargin).as("m"))
-        .cache()
-      masks.select(col("doc_id").as("a"), col("nt").as("na"), col("m").as("ma"))
-        .crossJoin(broadcast(masks.select(
-          col("doc_id").as("b"), col("nt").as("nb"), col("m").as("mb"))))
-        .filter(col("a") < col("b")
-          && lit(4) * col("na") <= lit(5) * col("nb")
-          && lit(4) * col("nb") <= lit(5) * col("na"))
-        .withColumn("inter", expr(
-          "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0L, (acc, c) -> acc + CAST(c AS BIGINT))"))
-        .filter(lit(10) * col("inter") >= lit(8) * (col("na") + col("nb") - col("inter")))
-        .select("a", "b", "inter", "na", "nb")
+      val masks = graft.operators.BitmaskJaccard.masks(tokens(s, d)).cache()
+      graft.operators.BitmaskJaccard.pairs(masks, masks, 8, 10)
         .orderBy("a", "b")
     }),
 

@@ -252,7 +252,7 @@ object Relational {
           when(col("l_quantity") < 10, "low")
             .when(col("l_quantity") < 40, "mid")
             .otherwise("high").as("band"),
-          (col("l_quantity").cast(IntegerType) % 7).as("m7"),
+          (floor(col("l_quantity")).cast(IntegerType) % 7).as("m7"),
           abs(dec6(col("l_discount") - 0.05)).cast(DoubleType).as("dd"))
         .orderBy("l_orderkey", "l_linenumber", "band", "m7", "dd")
         .limit(500)),
@@ -376,8 +376,11 @@ object Relational {
       "SELECT c_custkey, UPPER(c_name) AS up, SUBSTR(c_name,1,8) AS sub, LENGTH(c_name) AS len, REGEXP_REPLACE(c_mktsegment,'[AEIOU]','_','g') AS repl FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey",
     "q22_dates" ->
       "SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m, COUNT(*) AS c FROM orders GROUP BY m ORDER BY m",
+    // m7 uses explicit floor() before the INT cast: Spark's double→int
+    // cast truncates toward zero while DuckDB's rounds to nearest — a
+    // divergence masked only while l_quantity values are integral
     "q23_casemath" ->
-      "SELECT l_orderkey, l_linenumber, CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 40 THEN 'mid' ELSE 'high' END AS band, CAST(l_quantity AS INT) % 7 AS m7, CAST(ABS(CAST(l_discount-0.05 AS DECIMAL(18,6))) AS DOUBLE) AS dd FROM lineitem ORDER BY l_orderkey, l_linenumber, band, m7, dd LIMIT 500",
+      "SELECT l_orderkey, l_linenumber, CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 40 THEN 'mid' ELSE 'high' END AS band, CAST(floor(l_quantity) AS INT) % 7 AS m7, CAST(ABS(CAST(l_discount-0.05 AS DECIMAL(18,6))) AS DOUBLE) AS dd FROM lineitem ORDER BY l_orderkey, l_linenumber, band, m7, dd LIMIT 500",
     "q24_json" ->
       "SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k, COUNT(*) AS c FROM events GROUP BY k ORDER BY k NULLS FIRST",
     "q25_arrays" ->

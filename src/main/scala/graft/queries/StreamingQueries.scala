@@ -30,9 +30,11 @@ object StreamingQueries {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  /** 5-minute tumbling bucket of ts, as a timestamp. */
+  /** 5-minute tumbling bucket of ts, as a timestamp. floor (not the
+    * cast's truncate-toward-zero) so pre-1970 timestamps would bucket the
+    * same way as the oracle's floor(epoch/300). */
   private def bucket(c: org.apache.spark.sql.Column) =
-    timestamp_seconds((c.cast(LongType) / 300).cast(LongType) * 300)
+    timestamp_seconds(floor(c.cast(LongType) / 300).cast(LongType) * 300)
 
   val queries: Map[String, Q] = Map(
     // S01 tumbling 5-minute window agg
@@ -46,7 +48,7 @@ object StreamingQueries {
     // exactly the two windows starting at bucket(ts) and bucket(ts)-300.
     "s02_sliding" -> ((s, d) =>
       t(s, d, "events")
-        .withColumn("b", (col("ts").cast(LongType) / 300).cast(LongType) * 300)
+        .withColumn("b", floor(col("ts").cast(LongType) / 300).cast(LongType) * 300)
         .select(col("event_type"), col("value"),
           explode(array(col("b"), col("b") - 300)).as("ws"))
         .groupBy(timestamp_seconds(col("ws")).as("w_start"), col("event_type"))
@@ -125,10 +127,13 @@ object Streams {
     // parquet FILE per table, so stage a symlink to it in a scratch dir
     // (at scale the source would already be a directory of files)
     val staged = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    // deleteOnExit runs in reverse registration order: dir first so the
+    // (later-registered) symlink inside is removed before it
     staged.toFile.deleteOnExit()
     java.nio.file.Files.createSymbolicLink(
       staged.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
+      .toFile.deleteOnExit()
     spark.readStream.schema(raw)
       .parquet(staged.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

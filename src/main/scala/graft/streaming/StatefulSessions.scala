@@ -86,7 +86,11 @@ object StatefulSessions {
                 closed :+= UserSession(uid, st.start, st.end, st.n)
                 st = SessionState(e.ts, e.ts, 1L)
               } else {
-                st = SessionState(st.start, e.ts, st.n + 1)
+                // a late watermark-admitted event may be OLDER than the
+                // stored end (events are only per-batch sorted) — the
+                // session end must never regress
+                val end = if (micros(e.ts) > micros(st.end)) e.ts else st.end
+                st = SessionState(st.start, end, st.n + 1)
               }
             }
             state.update(st)
