@@ -49,7 +49,9 @@ object GeoQueries {
     * One shared housePoints lineage for the probe side and the join so the
     * NDJSON parse + fuzzy-date UDFs appear once per branch, not per call. */
   private def inferred(spark: SparkSession): DataFrame = {
-    val hp = housePoints(spark)
+    // cached: the probe side and the candidate join both consume it, and
+    // the NDJSON parse + fuzzy-date UDFs are the expensive part
+    val hp = housePoints(spark).cache()
     hp.join(SpacetimeEtl.bestMatch(spark, segments(spark), hp), Seq("hn_id"), "left")
   }
 
