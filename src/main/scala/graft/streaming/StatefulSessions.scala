@@ -51,6 +51,32 @@ object StatefulSessions {
     out.result().iterator
   }
 
+  /** One micro-batch fold: events (any order) into optional prior state →
+    * (closed sessions, new open state). Exposed for unit-testing the
+    * late-event semantics the streaming closure relies on. */
+  def foldBatch(uid: Long, prior: Option[SessionState],
+                events: Seq[SessionEvent]): (Seq[UserSession], SessionState) = {
+    val sorted = events.sortBy(e => (micros(e.ts), e.event_id))
+    var closed = Vector.empty[UserSession]
+    var st = prior.getOrElse {
+      val h = sorted.head
+      SessionState(h.ts, h.ts, 0L)
+    }
+    sorted.foreach { e =>
+      if (gapExceeded(st.end, e.ts)) {
+        closed :+= UserSession(uid, st.start, st.end, st.n)
+        st = SessionState(e.ts, e.ts, 1L)
+      } else {
+        // a late watermark-admitted event may be OLDER than the stored
+        // end (events are only per-batch sorted) — the session end must
+        // never regress
+        val end = if (micros(e.ts) > micros(st.end)) e.ts else st.end
+        st = SessionState(st.start, end, st.n + 1)
+      }
+    }
+    (closed, st)
+  }
+
   /** Batch form: groupByKey + flatMapGroups. Equals the S03 oracle. */
   def sessionsBatch(events: Dataset[SessionEvent]): Dataset[UserSession] = {
     import events.sparkSession.implicits._
@@ -75,24 +101,7 @@ object StatefulSessions {
             state.remove()
             Iterator.single(UserSession(uid, st.start, st.end, st.n))
           } else {
-            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            var closed = Vector.empty[UserSession]
-            var st = state.getOption.getOrElse {
-              val h = sorted.head
-              SessionState(h.ts, h.ts, 0L)
-            }
-            sorted.foreach { e =>
-              if (gapExceeded(st.end, e.ts)) {
-                closed :+= UserSession(uid, st.start, st.end, st.n)
-                st = SessionState(e.ts, e.ts, 1L)
-              } else {
-                // a late watermark-admitted event may be OLDER than the
-                // stored end (events are only per-batch sorted) — the
-                // session end must never regress
-                val end = if (micros(e.ts) > micros(st.end)) e.ts else st.end
-                st = SessionState(st.start, end, st.n + 1)
-              }
-            }
+            val (closed, st) = foldBatch(uid, state.getOption, it.toSeq)
             state.update(st)
             state.setTimeoutTimestamp(st.end.getTime + GapSeconds * 1000)
             closed.iterator

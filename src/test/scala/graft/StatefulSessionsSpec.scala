@@ -17,6 +17,27 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assert(fm === batch)
   }
 
+  test("foldBatch: a late event older than the stored end never regresses it") {
+    import graft.streaming.{SessionEvent, SessionState}
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // prior session ends at t=1200; a late event at t=600 arrives next batch
+    val prior = SessionState(ts(0), ts(1200), 3L)
+    val (closed, st) = StatefulSessions.foldBatch(7L, Some(prior),
+      Seq(SessionEvent(7L, ts(600), 99L)))
+    assert(closed.isEmpty)
+    assert(st.end === ts(1200), "late event regressed session end")
+    assert(st.n === 4L)
+    // and an in-order event still extends it
+    val (_, st2) = StatefulSessions.foldBatch(7L, Some(st),
+      Seq(SessionEvent(7L, ts(1500), 100L)))
+    assert(st2.end === ts(1500) && st2.n === 5L)
+    // a gap beyond 1800s closes the session with the non-regressed end
+    val (closed3, st3) = StatefulSessions.foldBatch(7L, Some(st2),
+      Seq(SessionEvent(7L, ts(4000), 101L)))
+    assert(closed3 === Seq(graft.streaming.UserSession(7L, ts(0), ts(1500), 5L)))
+    assert(st3.start === ts(4000) && st3.n === 1L)
+  }
+
   test("flatMapGroupsWithState streaming emits a consistent subset") {
     // with a bounded source the last open session per user stays in state
     // (no post-end watermark advance), so streaming output must be a
