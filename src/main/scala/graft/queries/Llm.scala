@@ -108,7 +108,18 @@ object Llm {
     // keeps the estimate well inside the budget for a few KB more sketch.
     "t1_approx" -> ((s, d) =>
       t(s, d, "orders")
-        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_approx")))
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_approx"))),
+
+    // T2 approx quantile sketch — tolerance-checked against q32's exact
+    // index-based p50 (±5%, LlmApproxSpec), not hash-checked (D6): the
+    // sketch is mergeable, so the map-side partials are tiny regardless
+    // of row count. No oracleSql entry → the driver's weaker rows-only
+    // check applies, matching the declared approx-operator convention.
+    "t2_approxq" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_approx"))
+        .orderBy("l_returnflag"))
   )
 
   val oracle: Map[String, String] = Map(
