@@ -72,7 +72,9 @@ object GeoQueries {
     // G03 transform fan-out (R17/R18 incl. the N5 mutation-aliasing:
     // the matched log's data_str is the MERGED struct)
     "g03_transform" -> ((s, _) => {
-      val inf = inferred(s)
+      // cached: the matched fan-out and the error branch both consume the
+      // full join result — without this the grid join runs twice
+      val inf = inferred(s).cache()
       val plain = concat(lit("sheetId="), col("sheet_id"),
         lit("|layerId="), col("layer_id"), lit("|mapId="), col("map_id"),
         lit("|number="), col("number"), lit("|borough="), col("borough"))
