@@ -120,19 +120,19 @@ object DedupExt {
           (0 until 32).map(j => expr(s"IF(w$j > 0, ${1L << j}L, 0L)"))
             .reduce(_ + _).as("sk"))
         .cache()
+      // the sketch rides along the band rows, so the hamming check runs
+      // directly on the candidate join output — no post-candidate joins
       val bands = sk.crossJoin(broadcast(
           s.range(4).select(col("id").cast(IntegerType).as("k"))))
-        .select(col("doc_id"), col("k"),
+        .select(col("doc_id"), col("sk"), col("k"),
           expr("shiftright(sk, 8 * k) & 255").as("byte"))
-      val cand = bands.as("x").join(bands.as("y"),
+      bands.as("x").join(bands.as("y"),
           col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
             && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      cand
-        .join(sk.select(col("doc_id").as("a"), col("sk").as("sa")), Seq("a"))
-        .join(sk.select(col("doc_id").as("b"), col("sk").as("sb")), Seq("b"))
-        .select(col("a"), col("b"), bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType).as("hd"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          bit_count(col("x.sk").bitwiseXOR(col("y.sk"))).cast(LongType).as("hd"))
         .filter(col("hd") <= 3)
+        .distinct()
         .orderBy("a", "b")
     }),
 
@@ -172,14 +172,17 @@ object DedupExt {
         .select(col("vec_id"), col("i0"), col("xf").cast(DoubleType).as("x"))
         .cache()
       val pv = perVec(ex).cache()
+      // norms ride along the band rows → the cosine check needs only the
+      // two embedding-array joins after the candidate self-join
       val bands = pv.crossJoin(broadcast(
           s.range(2).select(col("id").cast(IntegerType).as("k"))))
-        .select(col("vec_id"), col("k"),
+        .select(col("vec_id"), col("n2"), col("k"),
           expr("shiftright(sk, 8 * k) & 255").as("byte"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
             && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          col("x.n2").as("na2"), col("y.n2").as("nb2")).distinct()
       // exact dot as a per-row array kernel: zip_with + decimal-exact fold
       // (identical values to a SUM over an exploded join, without the 64×
       // row blowup or the pair groupBy)
@@ -190,8 +193,6 @@ object DedupExt {
         .withColumn("dot", expr(
           "aggregate(zip_with(ea, eb, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))), " +
             "CAST(0 AS DECIMAL(38,14)), (acc, v) -> CAST(acc + v AS DECIMAL(38,14)))"))
-        .join(pv.select(col("vec_id").as("a"), col("n2").as("na2")), Seq("a"))
-        .join(pv.select(col("vec_id").as("b"), col("n2").as("nb2")), Seq("b"))
         .select(col("a"), col("b"),
           (col("dot").cast(DoubleType)
             / (sqrt(col("na2").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType))))
