@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Relational operator surface (SURVEY §2B, queries §5.4 Q01–Q25).
+/** Relational operator surface (SURVEY §2B, §5.4 Q01–Q25 + §2C Q31–Q33).
   *
   * Each query exists twice: a Spark DataFrame program (`queries`) and a
   * DuckDB oracle SQL text (`oracle`) over the same parquet tables. Column
