@@ -26,7 +26,13 @@ object Bench {
         .join(Tables(spark, sfDir, "customer"),
           col("o_custkey") === col("c_custkey")).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional args = subset of query names to time (iteration aid);
+    // the driver passes none and gets the full suite.
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => wanted(n) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize the query's OWN physical plan (toRdd keeps the final
       // ORDER BY that df.count() would let EliminateSorts strip, so
@@ -38,7 +44,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout for humans; target/bench.json for the driver (the stdout line
+    // gets wrapped in sbt [info] decoration, which broke JSON parsing in
+    // BENCH_r01 — the file is the canonical machine-readable artifact).
+    println(line)
+    try {
+      val p = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
