@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared dictionary-bitmask Jaccard kernel (used by Q28, qd1's exact
@@ -12,21 +11,32 @@ import org.apache.spark.sql.functions._
   * makes that join O(n²) rows per token).
   *
   * The dictionary is assumed broadcastable (vocabulary ≪ corpus by
-  * construction); the single-partition window that numbers it is over
-  * vocab-sized data only.
+  * construction). Dense token ids come from `sortBy.zipWithIndex` —
+  * hash-partitioned sort + per-partition offset job, NOT a
+  * single-partition window — and the mask width is the `max(ti)` scalar
+  * broadcast back into the plan, so building masks runs no driver-side
+  * action over the corpus and no stage sees more than a partition of
+  * vocabulary at once.
   */
 object BitmaskJaccard {
 
   /** (doc_id, tok) pairs → (doc_id, nt, m: Array[Long] bitmask). */
   def masks(toks: DataFrame): DataFrame = {
-    val vocab = toks.select("tok").distinct()
-      .withColumn("ti", row_number().over(Window.orderBy("tok")) - 1)
-    val nWords = (vocab.count() + 63) / 64
+    val spark = toks.sparkSession
+    import spark.implicits._
+    // deterministic dense numbering: range-sorted, contiguous ids; the
+    // only job zipWithIndex runs is the lightweight per-partition count
+    val vocab = toks.select("tok").distinct().as[String].rdd
+      .sortBy(identity).zipWithIndex().toDF("tok", "ti")
+    // mask width as data, not a driver constant: last word index rides in
+    // on a broadcast single-row relation (sequence() accepts columns)
+    val wmax = vocab.selectExpr("ti div 64 AS w").agg(max(col("w")).as("wmax"))
     toks.join(broadcast(vocab), Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nt"), collect_list(col("ti")).as("tis"))
+      .crossJoin(broadcast(wmax))
       .select(col("doc_id"), col("nt"), expr(
-        s"""transform(sequence(0, ${nWords - 1}),
+        s"""transform(sequence(0L, wmax),
            |  w -> aggregate(filter(tis, t -> t div 64 = w), 0L,
            |                 (acc, t) -> acc | shiftleft(1L, cast(t % 64 as int))))
            |""".stripMargin).as("m"))
@@ -38,7 +48,9 @@ object BitmaskJaccard {
 
   /** All pairs (a < b) from `left` × `right` mask relations with Jaccard
     * ≥ num/den, with the implied integer length filter applied BEFORE the
-    * popcount. Output: (a, b, inter, na, nb). */
+    * popcount. Output: (a, b, inter, na, nb). EXACT recall, quadratic in
+    * corpus size — correct for bounded inputs / test parity; the corpus
+    * scale default is `bandedPairs`. */
   def pairs(left: DataFrame, right: DataFrame, num: Int, den: Int): DataFrame =
     left.select(col("doc_id").as("a"), col("nt").as("na"), col("m").as("ma"))
       .crossJoin(broadcast(right.select(
@@ -49,4 +61,61 @@ object BitmaskJaccard {
       .withColumn("inter", expr(interExpr))
       .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
       .select("a", "b", "inter", "na", "nb")
+
+  /** Sub-quadratic near-dup pairs: MinHash(nHashes) + LSH(nBands)
+    * candidate generation — same-bucket docs only, so the self-join
+    * fan-out is bounded per band key — followed by the exact popcount
+    * verify on candidates only. Recall is probabilistic (a true pair is
+    * missed only if NO band agrees); precision is exact. This is the
+    * 100 TB default for corpus near-dedup; `pairs` keeps the all-pairs
+    * exact-recall form.
+    *
+    * `broadcastMasks = true` hints the masks side of the verify joins —
+    * only for callers that KNOW masks fit in memory (bench-scale
+    * corpora); the default shuffle equi-join is the scale-safe plan.
+    *
+    * Output: (a, b, inter, na, nb), same contract as `pairs`. */
+  def bandedPairs(toks: DataFrame, masks: DataFrame, num: Int, den: Int,
+                  nHashes: Int = 16, nBands: Int = 4,
+                  broadcastMasks: Boolean = false): DataFrame = {
+    val P = 1000000007L
+    val rows = nHashes / nBands
+    require(rows * nBands == nHashes, "nBands must divide nHashes")
+    // shared cross-engine rolling hash (see DedupExt scaladoc): fold of
+    // acc*31 + codepoint mod 1e9+7, bit-identical in Spark and DuckDB
+    val th = toks.withColumn("h",
+      expr(s"aggregate(split(tok, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % $P)"))
+    val minCols = (0 until nHashes).map { j =>
+      val a = 1000003L * j + 12345L
+      val b = 777767L * j + 13L
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
+    }
+    val sig = th.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r => col(s"mh${rows * b + r}")): _*).as("key"))
+    }
+    // cached: the candidate self-join otherwise computes the signature
+    // aggregation twice (a broadcast-hash self-join has no shared
+    // exchange to reuse). Bounded: nBands rows per doc, ~60 B each —
+    // MEMORY_AND_DISK spills at corpus scale.
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .cache()
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    def side(n: String, nt: String, m: String) = {
+      val s = masks.select(col("doc_id").as(n), col("nt").as(nt), col("m").as(m))
+      if (broadcastMasks) broadcast(s) else s
+    }
+    cand
+      .join(side("a", "na", "ma"), Seq("a"))
+      .join(side("b", "nb", "mb"), Seq("b"))
+      .withColumn("inter", expr(interExpr))
+      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "inter", "na", "nb")
+  }
 }

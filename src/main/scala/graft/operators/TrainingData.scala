@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,26 +13,38 @@ import org.apache.spark.sql.types._
   *  1. quality gate — integer-arithmetic thresholds (qt2 semantics)
   *  2. exact dedup — keep the lowest doc_id per text fingerprint
   *  3. near-dedup — of the surviving docs, drop the higher doc_id of any
-  *     pair with token-set Jaccard ≥ `jaccard` (bitmask kernel, q28)
+  *     pair with token-set Jaccard ≥ `jaccard`: MinHash-LSH banded
+  *     candidates + exact bitmask verify (`BitmaskJaccard.bandedPairs`,
+  *     the sub-quadratic 100 TB path; `exactRecall = true` swaps in the
+  *     all-pairs kernel for bounded inputs)
   *
-  * Returns (cleaned corpus, per-stage drop counts). At 100 TB each stage
-  * is a narrow shuffle on a small key (fingerprint / doc pair), and the
-  * near-dedup candidate generation would swap to the qd1 MinHash-LSH
-  * banding without changing this API.
+  * Returns the cleaned corpus plus a DEFERRED per-stage stats handle:
+  * stage counts are `observe()` metrics collected by whatever single
+  * action the caller runs on the result (write, count, …) — `clean`
+  * itself runs no job, and the stats cost nothing extra at 100 TB.
+  * Call `stats()` after the first action has completed.
   */
 object TrainingData {
   case class CleanStats(input: Long, lowQuality: Long, exactDups: Long,
                         nearDups: Long, output: Long)
 
   def clean(docs: DataFrame, minTokens: Int = 20,
-            jaccard: (Int, Int) = (8, 10)): (DataFrame, CleanStats) = {
-    val spark = docs.sparkSession
-    val input = docs.count()
+            jaccard: (Int, Int) = (8, 10),
+            exactRecall: Boolean = false): (DataFrame, () => CleanStats) = {
+    // auto-generated (unique) observation names: two clean() invocations
+    // may legally meet in one query (e.g. comparing banded vs exact
+    // recall), and duplicate metric names across different results are an
+    // analysis error
+    val obsIn = Observation()
+    val obsQ = Observation()
+    val obsE = Observation()
+    val obsOut = Observation()
+    val observed = docs.observe(obsIn, count(lit(1)).as("n"))
 
     // 1. quality gate (all three qt2 integer-arithmetic conditions:
     // length, type-token ratio, stopword ratio)
     val stopList = Seq("the", "a", "of", "and").map("'" + _ + "'").mkString(",")
-    val scored = docs
+    val scored = observed
       .withColumn("tk", split(col("text"), " "))
       .withColumn("n_tok", size(col("tk")).cast(LongType))
       .withColumn("n_uniq", size(array_distinct(col("tk"))).cast(LongType))
@@ -41,27 +53,40 @@ object TrainingData {
       .filter(col("n_tok") >= minTokens
         && lit(10) * col("n_uniq") >= lit(3) * col("n_tok")
         && lit(10) * col("n_stop") <= lit(3) * col("n_tok"))
-    val afterQuality = scored.count()
+      .observe(obsQ, count(lit(1)).as("n"))
 
     // 2. exact dedup on the full text (Q27 semantics, keep lowest doc_id)
     val wT = Window.partitionBy("text").orderBy("doc_id")
     val exact = scored.withColumn("_rn", row_number().over(wT))
       .filter(col("_rn") === 1).drop("_rn")
-    val afterExact = exact.count()
+      .observe(obsE, count(lit(1)).as("n"))
 
-    // 3. near-dedup: shared bitmask kernel, drop the higher doc_id of
-    // each qualifying pair
-    val toks = exact.select(col("doc_id"), explode(col("tk")).as("tok")).distinct()
+    // 3. near-dedup: drop the higher doc_id of each qualifying pair
+    // cached: both the dictionary's RDD jobs and the mask/banding joins
+    // re-read this relation, and its lineage (quality gate + dedup
+    // window) is the expensive part
+    val toks = exact.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .distinct().cache()
     val masks = BitmaskJaccard.masks(toks).cache()
     val (jn, jd) = jaccard
-    val dropB = BitmaskJaccard.pairs(masks, masks, jn, jd)
-      .select(col("b").as("doc_id")).distinct()
+    val pairs =
+      if (exactRecall) BitmaskJaccard.pairs(masks, masks, jn, jd)
+      else BitmaskJaccard.bandedPairs(toks, masks, jn, jd)
+    val dropB = pairs.select(col("b").as("doc_id")).distinct()
     val cleaned = exact.join(dropB, Seq("doc_id"), "left_anti")
       .drop("tk", "n_tok", "n_uniq", "n_stop")
-    val output = cleaned.count()
+      .observe(obsOut, count(lit(1)).as("n"))
 
-    (cleaned, CleanStats(input, input - afterQuality,
-      afterQuality - afterExact, afterExact - output, output))
+    def metric(o: Observation): Long = o.get("n") match {
+      case l: java.lang.Long => l.longValue()
+      case other => other.toString.toLong
+    }
+    val stats = () => {
+      val (in, q, e, out) =
+        (metric(obsIn), metric(obsQ), metric(obsE), metric(obsOut))
+      CleanStats(in, in - q, q - e, e - out, out)
+    }
+    (cleaned, stats)
   }
 }
 

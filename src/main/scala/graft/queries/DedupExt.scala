@@ -107,38 +107,13 @@ object DedupExt {
     // keys are string concats of the minhash columns in i order, matching
     // the oracle's string_agg(... ORDER BY i) exactly.
     "qd1_minhash" -> ((s, d) => {
+      // delegates to the shared operator (same algorithm the oracle SQL
+      // mirrors); masks broadcast-hinted because the bench corpus is
+      // known-small — the operator default is the scale-safe shuffle join
       val tk = toks(s, d).cache()
-      val th = tk.withColumn("h", sparkH("tok"))
-      val minCols = (0 until 16).map { j =>
-        val a = 1000003L * j + 12345L
-        val b = 777767L * j + 13L
-        min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
-      }
-      val sig = th.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      val bandStructs = (0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*).as("key"))
-      }
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.key"))
-        .cache()
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      // exact-Jaccard verify via the shared bitmask kernel: two broadcast
-      // joins + popcount per candidate pair, instead of re-joining the
-      // token table per pair (which shuffles O(candidates × tokens) rows)
       val masks = graft.operators.BitmaskJaccard.masks(tk)
-      cand
-        .join(broadcast(masks.select(col("doc_id").as("a"),
-          col("nt").as("na"), col("m").as("ma"))), Seq("a"))
-        .join(broadcast(masks.select(col("doc_id").as("b"),
-          col("nt").as("nb"), col("m").as("mb"))), Seq("b"))
-        .withColumn("inter", expr(graft.operators.BitmaskJaccard.interExpr))
-        .filter(lit(10) * col("inter") >= lit(8) * (col("na") + col("nb") - col("inter")))
-        .select("a", "b", "inter", "na", "nb")
+      graft.operators.BitmaskJaccard
+        .bandedPairs(tk, masks, 8, 10, broadcastMasks = true)
         .orderBy("a", "b")
     }),
 

@@ -66,7 +66,10 @@ object Llm {
     // Ω(qualifying pairs); the sub-quadratic scale path is qd1 (MinHash
     // LSH), which prunes candidates probabilistically.
     "q28_neardup" -> ((s, d) => {
-      val masks = graft.operators.BitmaskJaccard.masks(tokens(s, d)).cache()
+      // tokens cached: masks() runs the dictionary's zipWithIndex as
+      // separate RDD jobs, which can't share SQL exchange reuse with the
+      // mask-build join — without the cache they'd re-explode the corpus
+      val masks = graft.operators.BitmaskJaccard.masks(tokens(s, d).cache()).cache()
       graft.operators.BitmaskJaccard.pairs(masks, masks, 8, 10)
         .orderBy("a", "b")
     }),

@@ -10,15 +10,29 @@ class TrainingDataSpec extends AnyFunSuite {
 
   test("clean: stages drop in order, output is dup-free at the thresholds") {
     val docs = Tables(spark, TestSpark.Sf, "documents")
-    val (cleaned, stats) = TrainingData.clean(docs)
+    val (cleaned, statsF) = TrainingData.clean(docs)
+    // ONE action materializes the result AND all four stage counters
+    // (observe() metrics — clean itself runs no job)
+    val outputRows = cleaned.count()
+    val stats = statsF()
     assert(stats.input === docs.count())
-    assert(stats.output === cleaned.count())
+    assert(stats.output === outputRows)
     assert(stats.input ===
       stats.lowQuality + stats.exactDups + stats.nearDups + stats.output)
     // no exact duplicates survive
     assert(cleaned.groupBy("text").count().filter(col("count") > 1).count() === 0)
     // cleaned docs all meet the quality gate
     assert(cleaned.filter(size(split(col("text"), " ")) < 20).count() === 0)
+    // banded (sub-quadratic) near-dedup can only MISS pairs vs the
+    // all-pairs kernel — never invent them: exact-recall survivors are a
+    // subset of banded survivors, and the recall loss is small
+    val (cleanedExact, _) = TrainingData.clean(docs, exactRecall = true)
+    assert(cleanedExact.select("doc_id").exceptAll(cleaned.select("doc_id")).count() === 0)
+    val extraKept = cleaned.select("doc_id")
+      .exceptAll(cleanedExact.select("doc_id")).count()
+    val exactKept = cleanedExact.count()
+    assert(extraKept <= (outputRows - exactKept).max(0L))
+    assert(extraKept * 20 <= stats.input, s"banded recall loss too high: $extraKept docs")
     info(s"clean stats: $stats")
   }
 
