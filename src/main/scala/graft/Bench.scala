@@ -19,6 +19,9 @@ object Bench {
     Tables.names.foreach { n =>
       try Tables(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
+    // one-time bench-scale geo fixture generation happens here, not inside
+    // the first timed G query
+    try graft.geo.GeoQueries.geoDir(sfDir) catch { case _: Throwable => () }
     try {
       Tables(spark, sfDir, "lineitem").groupBy("l_returnflag")
         .agg(sum(col("l_quantity"))).collect()

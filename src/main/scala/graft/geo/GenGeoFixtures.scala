@@ -240,6 +240,71 @@ object GenGeoFixtures {
       s"${houses.size} house rows (${hp.size} valid points) to $outDir")
   }
 
+  /** Bench-scale fixture: sf-proportional streets/houses in the same
+    * NDJSON record shapes, WITHOUT the oracle float-margin machinery —
+    * the committed ~350-point fixture remains the correctness contract;
+    * this one only feeds Bench so the grid join runs at real size.
+    * Deterministic (seed = 7), generated lazily on first use, and
+    * density-preserving: the bbox area scales with the street count so
+    * per-cell candidate fan-out stays constant as sf grows. */
+  def ensureScaled(outDir: Path, nStreets: Int, nHouses: Int): Path = synchronized {
+    val marker = outDir.resolve("_SUCCESS")
+    if (Files.exists(marker)) return outDir
+    Files.createDirectories(outDir)
+    val rnd = new Random(7)
+    val scale = sqrt(nStreets / 44.0)
+    val lonSpan = 0.030 * scale
+    val latSpan = 0.050 * scale
+    val streets = new ArrayBuffer[Street](nStreets)
+    val segs = new ArrayBuffer[Seg](nStreets * 4)
+    for (i <- 1 to nStreets) {
+      val n = 2 + rnd.nextInt(7)
+      var x = -74.005 + rnd.nextDouble() * lonSpan
+      var y = 40.705 + rnd.nextDouble() * latSpan
+      var heading = rnd.nextDouble() * 2 * PI
+      val cs = ArrayBuffer(Array(x, y))
+      for (_ <- 1 until n) {
+        val step = 80 + rnd.nextDouble() * 220
+        heading += (rnd.nextDouble() - 0.5) * 1.4
+        x += step * cos(heading) / mPerDegLon(y)
+        y += step * sin(heading) / MPerDegLat
+        cs += Array(x, y)
+      }
+      val sy = 1850 + rnd.nextInt(40)
+      val uy = sy + 5 + rnd.nextInt(35)
+      val st = Street(f"s$i%06d", s"Street $i", dateStr(rnd, sy), dateStr(rnd, uy), cs.toArray)
+      streets += st
+      st.coords.sliding(2).zipWithIndex.foreach { case (Array(a, b), ord) =>
+        segs += Seg(st.id, st.name, ord, a(0), a(1), b(0), b(1),
+          FuzzyDates.minMs(st.since), FuzzyDates.maxMs(st.until))
+      }
+    }
+    val targets = segs.toIndexedSeq
+    val houses = new ArrayBuffer[House](nHouses)
+    for (i <- 1 to nHouses) {
+      val g = targets(rnd.nextInt(targets.length))
+      val cat = i % 10
+      // 80% near a segment with compatible dates, 10% spatially far
+      // (error path), 10% temporally incompatible (error path)
+      val (px, py) = if (cat == 8) {
+        val t = rnd.nextDouble()
+        val off = (60 + 400 * rnd.nextDouble()) / MPerDegLat
+        (g.x1 + t * (g.x2 - g.x1) + off, g.y1 + t * (g.y2 - g.y1) + off)
+      } else offsetFrom(rnd, g)
+      val segY = java.time.Instant.ofEpochMilli(g.sinceMin.get)
+        .atZone(java.time.ZoneOffset.UTC).getYear
+      val (since, until) =
+        if (cat == 7) { val y0 = 1700 + rnd.nextInt(100); (y0.toString, (y0 + 5).toString) }
+        else { val aY = segY + rnd.nextInt(6); (dateStr(rnd, aY), dateStr(rnd, aY + rnd.nextInt(12))) }
+      houses += House(f"h$i%07d", "st:Address", since, until, 1000 + i, i % 7,
+        1 + i % 13, (1 + rnd.nextInt(299)).toString, boroughs(i % 5), Array(px, py))
+    }
+    writeLines(outDir.resolve("streets.ndjson"), streets.toSeq.map(streetJson))
+    writeLines(outDir.resolve("house_numbers.ndjson"), houses.toSeq.map(houseJson))
+    Files.write(marker, Array.emptyByteArray)
+    outDir
+  }
+
   // ---- helpers ---------------------------------------------------------
 
   private def dateStr(rnd: Random, y: Int): String =

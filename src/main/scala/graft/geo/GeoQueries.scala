@@ -16,11 +16,19 @@ import org.apache.spark.sql.types._
   * cell, and the equi-join on (cx,cy) reproduces "all segments within
   * 25 m are candidates" with guaranteed recall (margin factor 1.1).
   *
-  * Scale: the segments-by-cell side is the small dimension → broadcast
-  * hint; at 100 TB it degrades gracefully to a shuffle equi-join on the
-  * cell key (still O(candidates), never O(N·M)), with AQE handling skew.
-  * The temporal conjunct runs before the trig distance (N8), and the
-  * top-1 is a per-point window over a tiny candidate set.
+  * Scale: the candidate join is a plain cell-key equi-join — the
+  * optimizer broadcasts the segment side when small and shuffles
+  * otherwise (still O(candidates), never O(N·M)), with AQE handling
+  * skew. The temporal conjunct runs before the trig distance (N8), and
+  * the top-1 is a per-point null-skipping min_by aggregate, so the
+  * whole match is one pass with no join-back and no caching.
+  *
+  * Fixture scaling: the committed fixture (~350 points) IS the oracle
+  * contract — the G oracle SQL reads its parquet twins by absolute
+  * path — so correctness runs (sf ≤ 0.01) always use it. For the
+  * sf0.1 bench dir the queries instead read a lazily generated
+  * sf-proportional fixture (10 k streets / 100 k points), so the grid
+  * join is measured at real size.
   *
   * Determinism vs the DuckDB oracle: distances are rounded to integer
   * meters with floor(x+0.5) (D4) in both engines and all filtering and
@@ -34,47 +42,52 @@ object GeoQueries {
   /** Fixture dir — same constant embedded in the oracle SQL strings. */
   val FixtureDir = "/root/repo/src/test/resources/geo"
 
-  /** Fixture-bound views over the reusable pipeline (SpacetimeEtl). */
-  def segments(spark: SparkSession): DataFrame =
-    SpacetimeEtl.segments(
-      SpacetimeEtl.readStreets(spark, s"$FixtureDir/streets.ndjson"))
+  /** Geo fixture dir for a given sf table dir: the committed oracle
+    * fixture for the correctness scales; a lazily generated bench-scale
+    * fixture for sf0.1. */
+  def geoDir(sfDir: String): String =
+    if (new java.io.File(sfDir).getName == "sf0.1")
+      GenGeoFixtures.ensureScaled(
+        java.nio.file.Paths.get("target/geo-bench-sf0.1"), 10000, 100000).toString
+    else FixtureDir
 
-  def housePoints(spark: SparkSession): DataFrame =
+  /** Fixture-bound views over the reusable pipeline (SpacetimeEtl). */
+  def segments(spark: SparkSession, dir: String = FixtureDir): DataFrame =
+    SpacetimeEtl.segments(
+      SpacetimeEtl.readStreets(spark, s"$dir/streets.ndjson"))
+
+  def housePoints(spark: SparkSession, dir: String = FixtureDir): DataFrame =
     SpacetimeEtl.housePoints(
-      SpacetimeEtl.readHouseNumbers(spark, s"$FixtureDir/house_numbers.ndjson"))
+      SpacetimeEtl.readHouseNumbers(spark, s"$dir/house_numbers.ndjson"))
 
   private def errMsg = lit("Can't find street within 25 meters and 15 years")
 
-  /** Matched house numbers with all fan-out inputs (the `inferred` shape).
-    * One shared housePoints lineage for the probe side and the join so the
-    * NDJSON parse + fuzzy-date UDFs appear once per branch, not per call. */
-  private def inferred(spark: SparkSession): DataFrame = {
-    // cached: the probe side and the candidate join both consume it, and
-    // the NDJSON parse + fuzzy-date UDFs are the expensive part
-    val hp = housePoints(spark).cache()
-    hp.join(SpacetimeEtl.bestMatch(spark, segments(spark), hp), Seq("hn_id"), "left")
-  }
+  /** Every house point with its best match (nulls when unmatched) — the
+    * `inferred` shape, one pass, no cache (matchPoints reads the point
+    * relation exactly once). */
+  private def inferred(spark: SparkSession, dir: String): DataFrame =
+    SpacetimeEtl.matchPoints(spark, segments(spark, dir), housePoints(spark, dir))
 
   val queries: Map[String, Q] = Map(
     // G01 segmentizer: segments per street (includes bad-date streets)
-    "g01_segmentize" -> ((s, _) =>
-      segments(s).groupBy("street_id").agg(count(lit(1)).as("nseg"))
+    "g01_segmentize" -> ((s, d) =>
+      segments(s, geoDir(d)).groupBy("street_id").agg(count(lit(1)).as("nseg"))
         .orderBy("street_id")),
 
     // G02 spatio-temporal nearest-street join; unmatched → NULL street_id
-    "g02_nearest" -> ((s, _) =>
-      inferred(s).select(
+    "g02_nearest" -> ((s, d) =>
+      inferred(s, geoDir(d)).select(
         concat(lit("building-inspector/"), col("hn_id")).as("house_number_id"),
         concat(lit("nyc-streets/"), col("sid")).as("street_id"),
         col("distance_m"))
         .orderBy("house_number_id")),
 
     // G03 transform fan-out (R17/R18 incl. the N5 mutation-aliasing:
-    // the matched log's data_str is the MERGED struct)
-    "g03_transform" -> ((s, _) => {
-      // cached: the matched fan-out and the error branch both consume the
-      // full join result — without this the grid join runs twice
-      val inf = inferred(s).cache()
+    // the matched log's data_str is the MERGED struct). Matched and error
+    // branches fan out in ONE conditional explode — the grid join runs
+    // once, uncached.
+    "g03_transform" -> ((s, d) => {
+      val inf = inferred(s, geoDir(d))
       val plain = concat(lit("sheetId="), col("sheet_id"),
         lit("|layerId="), col("layer_id"), lit("|mapId="), col("map_id"),
         lit("|number="), col("number"), lit("|borough="), col("borough"))
@@ -95,7 +108,7 @@ object GeoQueries {
           px.as("px"), py.as("py"), dataStr.as("data_str"))
       val fullHn = concat(lit("building-inspector/"), col("hn_id"))
       val fullSt = concat(lit("nyc-streets/"), col("sid"))
-      val matched = inf.where(col("sid").isNotNull).select(explode(array(
+      val fanned = inf.select(explode(when(col("sid").isNotNull, array(
         rec(lit("object"), nS, col("hn_id"),
           concat(col("number"), lit(" "), col("sname")), nS, nS, nS, nS, nS,
           nL, nS, col("valid_since"), col("valid_until"), col("px"), col("py"),
@@ -106,11 +119,11 @@ object GeoQueries {
           nS, nS, nS, nL, nS, nS, nS, nD, nD, nS),
         rec(lit("log"), nS, nS, nS, nS, nS, fullHn, fullSt, col("sname"),
           col("distance_m"), nS, nS, nS, col("px"), col("py"), merged)
-      )).as("r")).select(col("r.*"))
-      val errors = inf.where(col("sid").isNull).select(
+      )).otherwise(array(
         rec(lit("log"), nS, nS, nS, nS, nS, fullHn, nS, nS, nL, errMsg,
-          nS, nS, col("px"), col("py"), plain).as("r")).select(col("r.*"))
-      matched.union(errors).orderBy(col("kind"),
+          nS, nS, col("px"), col("py"), plain)
+      ))).as("r")).select(col("r.*"))
+      fanned.orderBy(col("kind"),
         coalesce(col("rel_type"), lit("")), coalesce(col("house_number_id"), lit("")),
         coalesce(col("rel_from"), lit("")), coalesce(col("id"), lit("")))
     })

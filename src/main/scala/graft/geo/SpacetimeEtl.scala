@@ -18,9 +18,13 @@ import org.apache.spark.sql.types._
   *   infer: matched/error rows, `inferred.ndjson` shape (R13–R16)
   *   transform: fan-out to objects/relations/logs (R17–R19, incl. N5)
   *
-  * Scale: the segments-by-cell side broadcasts when small and degrades to
-  * a shuffle equi-join on the cell key otherwise; everything downstream is
-  * narrow per-row fan-out. No O(N·M) pass exists anywhere.
+  * Scale: the candidate join is a plain equi-join on the grid cell key —
+  * the optimizer broadcasts the cell-exploded segment side when it is
+  * under the broadcast threshold and shuffles otherwise (no hard hint:
+  * a forced broadcast of a large segment side would OOM the driver).
+  * Matching is ONE aggregation pass over the candidates (left cell-join +
+  * null-skipping min_by), so the point relation is read once, with no
+  * join-back and no caching. No O(N·M) pass exists anywhere.
   */
 object SpacetimeEtl {
   val MaxDistanceM = 25L                      // addresses.js:13
@@ -89,14 +93,29 @@ object SpacetimeEtl {
         fuzzyMin(col("validSince")).as("pt_since"),
         fuzzyMax(col("validUntil")).as("pt_until"))
 
-  /** R7–R12 (§4.2): grid-partitioned candidate equi-join with guaranteed
-    * 25 m recall, temporal conjunct before the trig distance (N8), native
-    * codegen crosstrack expression, rounded-integer threshold + top-1 with
-    * deterministic tie-break (distance_m, seg_ord, street_id). Returns one
-    * row per matched point: (hn_id, sid, sname, distance_m). */
-  def bestMatch(spark: SparkSession, segs: DataFrame, pts0: DataFrame,
-                maxDistanceM: Long = MaxDistanceM,
-                slackMs: Long = SlackMs): DataFrame = {
+  /** R7–R12 (§4.2) as a LEFT-OUTER nearest operator: every input point
+    * comes back exactly once, matched points with (sid, sname,
+    * distance_m), unmatched with nulls — in ONE aggregation pass:
+    *
+    *  - grid candidate equi-join with guaranteed 25 m recall, LEFT so
+    *    points in empty cells survive;
+    *  - temporal conjunct + rounded threshold folded into the min_by
+    *    ordering key: invalid candidates get a NULL key, and min_by
+    *    skips null ordering values, so an all-invalid group yields a
+    *    null best — the left-outer semantics without a join-back;
+    *  - top-1 per point as a min_by hash aggregate over the
+    *    lexicographic tie-break struct (distance_m, seg_ord, street_id)
+    *    — partial-aggregatable (map-side combine ships ONE row per point
+    *    per partition), unlike a row_number window which sorts every
+    *    candidate.
+    *
+    * The segment side carries no broadcast hint — the optimizer
+    * broadcasts it when small and shuffles on the cell key otherwise
+    * (a hard hint would force-collect an arbitrarily large segment side
+    * onto the driver at 100 TB). */
+  def matchPoints(spark: SparkSession, segs: DataFrame, pts0: DataFrame,
+                  maxDistanceM: Long = MaxDistanceM,
+                  slackMs: Long = SlackMs): DataFrame = {
     val margin = maxDistanceM * 1.1
     val segCells = segs
       .withColumn("mlat", lit(margin / MPerDegLat))
@@ -119,26 +138,34 @@ object SpacetimeEtl {
       .withColumn("cy", floor(col("py") / Cs).cast(LongType))
 
     graft.plans.CrosstrackM.register(spark)
-    val cand = pts.join(broadcast(segCells), Seq("cx", "cy"))
-      .where(col("seg_since") - slackMs <= col("pt_since")
-        && col("seg_until") + slackMs >= col("pt_until"))
-      .withColumn("distance_m",
-        floor(expr("crosstrack_m(px, py, x1, y1, x2, y2)") + 0.5).cast(LongType))
-      .where(col("distance_m") < maxDistanceM)
-
-    // top-1 per point as a min_by hash aggregate over the lexicographic
-    // tie-break key — partial-aggregatable (map-side combine ships ONE row
-    // per point per partition), unlike a row_number window which sorts
-    // every candidate. Struct comparison is field-order lexicographic, so
-    // ordering by (distance_m, seg_ord, street_id) is preserved exactly.
+    // temporal conjunct evaluated BEFORE the trig distance (N8): the
+    // crosstrack expression only runs on temporally valid candidates
+    val valid = col("street_id").isNotNull &&
+      col("seg_since") - slackMs <= col("pt_since") &&
+      col("seg_until") + slackMs >= col("pt_until")
+    val cand = pts.join(segCells, Seq("cx", "cy"), "left")
+      .withColumn("distance_m", when(valid,
+        floor(expr("crosstrack_m(px, py, x1, y1, x2, y2)") + 0.5).cast(LongType)))
+    val ptCols = pts0.columns.toSeq
     cand
-      .groupBy("hn_id")
+      .groupBy(ptCols.map(col): _*)
       .agg(min_by(
         struct(col("street_id"), col("street_name"), col("distance_m")),
-        struct(col("distance_m"), col("seg_ord"), col("street_id"))).as("best"))
-      .select(col("hn_id"), col("best.street_id").as("sid"),
-        col("best.street_name").as("sname"), col("best.distance_m"))
+        when(col("distance_m") < maxDistanceM,
+          struct(col("distance_m"), col("seg_ord"), col("street_id")))).as("best"))
+      .select(ptCols.map(col) ++ Seq(col("best.street_id").as("sid"),
+        col("best.street_name").as("sname"),
+        col("best.distance_m").as("distance_m")): _*)
   }
+
+  /** Matched points only: (hn_id, sid, sname, distance_m) — the original
+    * R7–R12 contract, a projection of `matchPoints`. */
+  def bestMatch(spark: SparkSession, segs: DataFrame, pts0: DataFrame,
+                maxDistanceM: Long = MaxDistanceM,
+                slackMs: Long = SlackMs): DataFrame =
+    matchPoints(spark, segs, pts0, maxDistanceM, slackMs)
+      .where(col("sid").isNotNull)
+      .select(col("hn_id"), col("sid"), col("sname"), col("distance_m"))
 
   private def errMsg =
     lit(s"Can't find street within $MaxDistanceM meters and 15 years")
@@ -153,7 +180,8 @@ object SpacetimeEtl {
     // no side-effecting map
     val hp = housePoints(houses)
       .observe("house_numbers_progress", count(lit(1)).as("processed"))
-    val joined = hp.join(bestMatch(spark, segments(streets), hp), Seq("hn_id"), "left")
+    // single-pass left-outer nearest: hp is consumed once, no join-back
+    val joined = matchPoints(spark, segments(streets), hp)
     val fullHn = concat_ws("/", lit(housesDataset), col("hn_id"))
     val fullSt = concat_ws("/", lit(streetsDataset), col("sid"))
     val addressData = struct(col("sheet_id").as("sheetId"),
