@@ -75,10 +75,12 @@ object GeoQueries {
         .orderBy("street_id")),
 
     // G02 spatio-temporal nearest-street join; unmatched → NULL street_id
+    // (ids normalized via the conditional R14 helpers — bare fixture ids
+    // get the prefix, pre-prefixed ids pass through)
     "g02_nearest" -> ((s, d) =>
       inferred(s, geoDir(d)).select(
-        concat(lit("building-inspector/"), col("hn_id")).as("house_number_id"),
-        concat(lit("nyc-streets/"), col("sid")).as("street_id"),
+        SpacetimeEtl.fullId("building-inspector", col("hn_id")).as("house_number_id"),
+        SpacetimeEtl.fullId("nyc-streets", col("sid")).as("street_id"),
         col("distance_m"))
         .orderBy("house_number_id")),
 
@@ -91,8 +93,9 @@ object GeoQueries {
       val plain = concat(lit("sheetId="), col("sheet_id"),
         lit("|layerId="), col("layer_id"), lit("|mapId="), col("map_id"),
         lit("|number="), col("number"), lit("|borough="), col("borough"))
-      val merged = concat(plain, lit("|houseNumberId=building-inspector/"),
-        col("hn_id"), lit("|streetId=nyc-streets/"), col("sid"))
+      val merged = concat(plain, lit("|houseNumberId="),
+        SpacetimeEtl.fullId("building-inspector", col("hn_id")),
+        lit("|streetId="), SpacetimeEtl.fullId("nyc-streets", col("sid")))
       val nS = lit(null).cast(StringType)
       val nL = lit(null).cast(LongType)
       val nD = lit(null).cast(DoubleType)
@@ -106,16 +109,17 @@ object GeoQueries {
           stName.as("street_name"), lineLen.as("line_length"),
           error.as("error"), vs.as("valid_since"), vu.as("valid_until"),
           px.as("px"), py.as("py"), dataStr.as("data_str"))
-      val fullHn = concat(lit("building-inspector/"), col("hn_id"))
-      val fullSt = concat(lit("nyc-streets/"), col("sid"))
+      val fullHn = SpacetimeEtl.fullId("building-inspector", col("hn_id"))
+      val fullSt = SpacetimeEtl.fullId("nyc-streets", col("sid"))
       val fanned = inf.select(explode(when(col("sid").isNotNull, array(
-        rec(lit("object"), nS, col("hn_id"),
+        rec(lit("object"), nS, SpacetimeEtl.internalId(col("hn_id")),
           concat(col("number"), lit(" "), col("sname")), nS, nS, nS, nS, nS,
           nL, nS, col("valid_since"), col("valid_until"), col("px"), col("py"),
           merged),
         rec(lit("relation"), lit("st:in"), nS, nS, fullHn, fullSt, nS, nS, nS,
           nL, nS, nS, nS, nD, nD, nS),
-        rec(lit("relation"), lit("st:sameAs"), nS, nS, col("hn_id"), fullHn,
+        rec(lit("relation"), lit("st:sameAs"), nS, nS,
+          SpacetimeEtl.internalId(col("hn_id")), fullHn,
           nS, nS, nS, nL, nS, nS, nS, nD, nD, nS),
         rec(lit("log"), nS, nS, nS, nS, nS, fullHn, fullSt, col("sname"),
           col("distance_m"), nS, nS, nS, col("px"), col("py"), merged)

@@ -1,6 +1,6 @@
 package graft.geo
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -170,6 +170,17 @@ object SpacetimeEtl {
   private def errMsg =
     lit(s"Can't find street within $MaxDistanceM meters and 15 years")
 
+  /** getFullId (addresses.js:20-26): prefix with the dataset ONLY when
+    * the id carries no `dataset/` prefix already — feeding pre-prefixed
+    * ids (legal in the Space/Time model) must not double-prefix. */
+  def fullId(dataset: String, id: Column): Column =
+    when(id.contains("/"), id).otherwise(concat(lit(dataset + "/"), id))
+
+  /** getInternalId (addresses.js:28-34): strip the prefix ONLY when
+    * present (the reference takes `split('/')[1]`). */
+  def internalId(id: Column): Column =
+    when(id.contains("/"), split(id, "/").getItem(1)).otherwise(id)
+
   /** R13–R15: the `inferred.ndjson` record shape (FIXTURES.md §2c) —
     * matched rows carry the new address fields, unmatched rows an error. */
   def infer(spark: SparkSession, streets: DataFrame, houses: DataFrame,
@@ -182,14 +193,14 @@ object SpacetimeEtl {
       .observe("house_numbers_progress", count(lit(1)).as("processed"))
     // single-pass left-outer nearest: hp is consumed once, no join-back
     val joined = matchPoints(spark, segments(streets), hp)
-    val fullHn = concat_ws("/", lit(housesDataset), col("hn_id"))
-    val fullSt = concat_ws("/", lit(streetsDataset), col("sid"))
+    val fullHn = fullId(housesDataset, col("hn_id"))
+    val fullSt = fullId(streetsDataset, col("sid"))
     val addressData = struct(col("sheet_id").as("sheetId"),
       col("layer_id").as("layerId"), col("map_id").as("mapId"),
       col("number"), col("borough"))
     val geom = struct(lit("Point").as("type"), array(col("px"), col("py")).as("coordinates"))
     joined.select(
-      when(col("sid").isNotNull, col("hn_id")).as("id"),
+      when(col("sid").isNotNull, internalId(col("hn_id"))).as("id"),
       when(col("sid").isNotNull, concat_ws(" ", col("number"), col("sname"))).as("name"),
       fullHn.as("houseNumberId"),
       when(col("sid").isNotNull, fullSt).as("streetId"),

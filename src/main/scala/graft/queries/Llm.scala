@@ -106,23 +106,44 @@ object Llm {
             .cast(DoubleType).as("avg_chars"))
         .orderBy("lang")),
 
-    // T1 approx distinct (HLL) — tolerance-checked vs Q12 (±5%), not
-    // hash-checked. Default rsd=0.05 measured 6.7% off at sf0.01; rsd=0.01
-    // keeps the estimate well inside the budget for a few KB more sketch.
+    // T1 approx distinct (HLL, rsd=0.01): the TOLERANCE VERDICT is the
+    // query result — each engine checks its own sketch against the shared
+    // exact count (20·|approx−exact| ≤ exact ⟺ within ±5%), so the output
+    // (n_exact, within_5pct) is hash-comparable even though the sketches
+    // differ, and a sketch drifting out of tolerance turns the row red in
+    // the driver artifact (D6, made driver-visible).
     "t1_approx" -> ((s, d) =>
       t(s, d, "orders")
-        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_approx"))),
+        .agg(countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("na"))
+        .select(col("n_exact"),
+          (abs(col("na") - col("n_exact")) * 20 <= col("n_exact"))
+            .as("within_5pct"))),
 
-    // T2 approx quantile sketch — tolerance-checked against q32's exact
-    // index-based p50 (±5%, LlmApproxSpec), not hash-checked (D6): the
-    // sketch is mergeable, so the map-side partials are tiny regardless
-    // of row count. No oracleSql entry → the driver's weaker rows-only
-    // check applies, matching the declared approx-operator convention.
-    "t2_approxq" -> ((s, d) =>
-      t(s, d, "lineitem")
+    // T2 approx quantile sketch vs q32's exact index-based p50 — same
+    // verdict-as-data convention as T1; the sketch stays mergeable
+    // (map-side partials are tiny regardless of row count).
+    "t2_approxq" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber", "l_extendedprice")
+      val li = t(s, d, "lineitem")
+      val exact = li
+        .select(col("l_returnflag"), col("l_quantity"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("l_returnflag")).as("n"))
         .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_approx"))
-        .orderBy("l_returnflag"))
+        .agg(max(when(col("rn") === expr("(n-1)*5 div 10 + 1"), col("l_quantity")))
+          .as("p50_exact"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50a"))
+      exact.join(approx, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("p50a") - col("p50_exact")) * 20 <= col("p50_exact"))
+            .as("within_5pct"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -153,6 +174,28 @@ object Llm {
         |SELECT vec_id, CAST(ROUND(CAST(dot AS DOUBLE)/(SQRT(CAST(na2 AS DOUBLE))*SQRT(CAST(nb2 AS DOUBLE))),6) AS DOUBLE) AS score
         |FROM d, n ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
     "q30_textstats" ->
-      "SELECT lang, COUNT(*) AS docs, CAST(ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*),4) AS DOUBLE) AS avg_chars FROM documents GROUP BY lang ORDER BY lang"
+      "SELECT lang, COUNT(*) AS docs, CAST(ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*),4) AS DOUBLE) AS avg_chars FROM documents GROUP BY lang ORDER BY lang",
+    // T1/T2: each engine validates its OWN sketch against the shared
+    // exact value; only (exact, verdict) is compared across engines
+    "t1_approx" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_exact,
+        |  ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey)) * 20
+        |    <= COUNT(DISTINCT o_custkey) AS within_5pct
+        |FROM orders""".stripMargin,
+    "t2_approxq" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber, l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |e AS (SELECT l_returnflag,
+        |        MAX(CASE WHEN rn = (n-1)*5//10 + 1 THEN l_quantity END) AS p50_exact
+        |      FROM r GROUP BY 1),
+        |a AS (SELECT l_returnflag, approx_quantile(l_quantity, 0.5) AS p50a
+        |      FROM lineitem GROUP BY 1)
+        |SELECT e.l_returnflag, p50_exact,
+        |  ABS(p50a - p50_exact) * 20 <= p50_exact AS within_5pct
+        |FROM e JOIN a USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
   )
 }

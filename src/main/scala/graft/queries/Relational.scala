@@ -324,6 +324,30 @@ object Relational {
             / (col("n") * (col("n") - 1))), 6)
             .cast(DoubleType).as("stddev_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // Q34 CUBE + grouping() (SQL form, dialect-shared like Q13/Q14):
+    // all four grouping-set combinations with explicit grouping flags
+    "q34_cube" -> ((s, d) => Tables.sql(s, d,
+      """SELECT COALESCE(r_name,'ALL') AS r, COALESCE(n_name,'ALL') AS n,
+        |       CAST(GROUPING(r_name) AS BIGINT) AS gr,
+        |       CAST(GROUPING(n_name) AS BIGINT) AS gn, COUNT(*) AS c
+        |FROM nation JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY CUBE(r_name, n_name)
+        |ORDER BY r, n, gr, gn""".stripMargin, "nation", "region")),
+
+    // Q35 lead(): next order key and day gap per customer. The window
+    // order (o_orderdate, o_orderkey) is total, so the final LIMIT is
+    // deterministic.
+    "q35_lead" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate"))
+            .cast(LongType).as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(1000)
     })
   )
 
@@ -409,6 +433,19 @@ object Relational {
         |  CAST(ROUND(SQRT(CAST(COUNT(*)*SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,10)))
         |    - SUM(CAST(l_quantity AS DECIMAL(28,10)))*SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
         |    / (COUNT(*)*(COUNT(*)-1))), 6) AS DOUBLE) AS stddev_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q34_cube" ->
+      """SELECT COALESCE(r_name,'ALL') AS r, COALESCE(n_name,'ALL') AS n,
+        |       CAST(GROUPING(r_name) AS BIGINT) AS gr,
+        |       CAST(GROUPING(n_name) AS BIGINT) AS gn, COUNT(*) AS c
+        |FROM nation JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY CUBE(r_name, n_name)
+        |ORDER BY r, n, gr, gn""".stripMargin,
+    "q35_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LEAD(o_orderkey,1) OVER w AS next_order,
+        |  CAST(DATE_DIFF('day', o_orderdate, LEAD(o_orderdate,1) OVER w) AS BIGINT) AS gap_days
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey LIMIT 1000""".stripMargin
   )
 }

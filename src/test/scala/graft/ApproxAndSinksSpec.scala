@@ -8,16 +8,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class ApproxAndSinksSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("t2 approx p50 within 5% of the exact index-based quantile") {
+  test("t2 verdict rows: exact p50 matches q32, sketch within 5%") {
     val exact = Relational.queries("q32_quantile")(spark, TestSpark.Sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val approx = Llm.queries("t2_approxq")(spark, TestSpark.Sf)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (flag, p50) =>
-      assert(math.abs(approx(flag) - p50) <= 0.05 * math.max(p50, 1.0),
-        s"$flag: approx ${approx(flag)} vs exact $p50")
+    val rows = Llm.queries("t2_approxq")(spark, TestSpark.Sf).collect()
+    assert(rows.map(_.getString(0)).toSet === exact.keySet)
+    rows.foreach { r =>
+      assert(r.getDouble(1) === exact(r.getString(0)), s"p50_exact ${r.getString(0)}")
+      assert(r.getBoolean(2), s"${r.getString(0)}: sketch out of 5% tolerance")
     }
+    val t1 = Llm.queries("t1_approx")(spark, TestSpark.Sf).collect().head
+    assert(t1.getBoolean(1), "t1 HLL out of 5% tolerance")
   }
 
   test("streaming writeStream file sink round-trips the tumbling agg") {

@@ -42,6 +42,32 @@ class SpacetimeEtlSpec extends AnyFunSuite {
     assert(log.contains("\"houseNumberId\"") && log.contains("\"streetId\""))
   }
 
+  test("R14: pre-prefixed ids are not double-prefixed, internal ids stripped") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-r14")
+    // same shapes as the fixture, but ids already carry dataset prefixes
+    // (legal in the Space/Time model — addresses.js:20-34 normalizes
+    // conditionally)
+    java.nio.file.Files.write(tmp.resolve("streets.ndjson"),
+      ("""{"id":"nyc-streets/s001","type":"st:Street","name":"Prefixed St","validSince":"1850","validUntil":"1920","data":{},""" +
+        """"geometry":{"type":"LineString","coordinates":[[-74.0,40.71],[-73.999,40.71]]}}""" + "\n").getBytes)
+    java.nio.file.Files.write(tmp.resolve("houses.ndjson"),
+      ("""{"id":"building-inspector/h001","type":"st:Address","validSince":"1860","validUntil":"1880",""" +
+        """"data":{"sheetId":1,"layerId":1,"mapId":1,"number":"12","borough":"Manhattan"},""" +
+        """"geometry":{"type":"Point","coordinates":[-73.9995,40.710050]}}""" + "\n").getBytes)
+    val inf = SpacetimeEtl.infer(spark,
+      SpacetimeEtl.readStreets(spark, tmp.resolve("streets.ndjson").toString),
+      SpacetimeEtl.readHouseNumbers(spark, tmp.resolve("houses.ndjson").toString))
+    val row = inf.selectExpr("id", "houseNumberId", "streetId").first()
+    assert(row.getString(0) === "h001")                       // getInternalId strips
+    assert(row.getString(1) === "building-inspector/h001")    // getFullId passes through
+    assert(row.getString(2) === "nyc-streets/s001")
+    // bare ids still get the prefix (fixture behavior unchanged)
+    val bare = inferred.where("streetId IS NOT NULL")
+      .selectExpr("houseNumberId").first().getString(0)
+    assert(bare.startsWith("building-inspector/") && !bare.contains("//")
+      && bare.count(_ == '/') === 1)
+  }
+
   test("runPipeline writes inferred + per-type record partitions") {
     val out = java.nio.file.Files.createTempDirectory("graft-etl").toString
     SpacetimeEtl.runPipeline(spark, s"$dir/streets.ndjson",
