@@ -31,22 +31,33 @@ object AsOfJoin {
                        leftTs: String, rightTs: String,
                        out: String): DataFrame = {
     val probeExtra = left.columns.filterNot(c => c == key || c == leftTs).toSeq
+    // the left payload passes through untouched, so the internal marker
+    // columns must not collide with ANY caller column (or the output
+    // name): pick the first suffix depth no existing column uses
+    require(!left.columns.contains(out) || out == leftTs,
+      s"as-of output column '$out' collides with a left column")
+    val taken = (left.columns ++ right.columns ++ Seq(out)).toSet
+    val intern = Iterator.iterate("_")(_ + "_")
+      .find(p => !taken.exists(_.startsWith(p + "ts"))
+        && !taken.exists(_.startsWith(p + "isRight"))
+        && !taken.exists(_.startsWith(p + "val"))).get
+    val (tsC, flagC, valC) = (intern + "ts", intern + "isRight", intern + "val")
     val valT = right.schema(rightTs).dataType
     val rightSide = right.select(
-      (Seq(col(key), col(rightTs).as("_ts"), lit(1).as("_isRight"),
-        col(rightTs).as("_val")) ++
+      (Seq(col(key), col(rightTs).as(tsC), lit(1).as(flagC),
+        col(rightTs).as(valC)) ++
         probeExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val leftSide = left.select(
-      (Seq(col(key), col(leftTs).as("_ts"), lit(0).as("_isRight"),
-        lit(null).cast(valT).as("_val")) ++
+      (Seq(col(key), col(leftTs).as(tsC), lit(0).as(flagC),
+        lit(null).cast(valT).as(valC)) ++
         probeExtra.map(col)): _*)
     val w = Window.partitionBy(key)
-      .orderBy(col("_ts"), col("_isRight").desc)
+      .orderBy(col(tsC), col(flagC).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightSide.unionByName(leftSide)
-      .withColumn(out, last(col("_val"), ignoreNulls = true).over(w))
-      .where(col("_isRight") === 0)
-      .select((Seq(col(key), col("_ts").as(leftTs)) ++ probeExtra.map(col)
+      .withColumn(out, last(col(valC), ignoreNulls = true).over(w))
+      .where(col(flagC) === 0)
+      .select((Seq(col(key), col(tsC).as(leftTs)) ++ probeExtra.map(col)
         :+ col(out)): _*)
   }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Attribut
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, HashPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Whole-operator custom plan example (SURVEY §4.3's "example slot";
@@ -128,19 +129,25 @@ object SessionizeStrategy extends SparkStrategy {
 
 object Sessionize {
   /** Sessionize `df` by `key` over timestamp `ts` with a strict-greater
-    * gap rule (gap > gapSeconds closes the session — S03 semantics). */
+    * gap rule (gap > gapSeconds closes the session — S03 semantics).
+    * Rows with a NULL key or timestamp are dropped (an explicit filter —
+    * the exec reads primitives, so a null would otherwise silently read
+    * as 0 and corrupt session boundaries while the output schema claims
+    * nullable=false). */
   def apply(df: DataFrame, key: String, ts: String, gapSeconds: Long): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(SessionizeStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ SessionizeStrategy
-    val analyzed = df.queryExecution.analyzed
+    val analyzed = df.where(col(key).isNotNull && col(ts).isNotNull)
+      .queryExecution.analyzed
     val keyAttr = analyzed.output.find(_.name == key)
       .getOrElse(throw new IllegalArgumentException(s"no column $key"))
     val tsAttr = analyzed.output.find(_.name == ts)
       .getOrElse(throw new IllegalArgumentException(s"no column $ts"))
     // the exec reads both fields with getLong — silently garbage for any
-    // other physical type, so reject early
+    // other physical type, so reject early (nulls are handled by the
+    // IsNotNull filter inserted above)
     require(keyAttr.dataType == LongType,
       s"$key must be BIGINT, got ${keyAttr.dataType.simpleString}")
     require(tsAttr.dataType == TimestampType,

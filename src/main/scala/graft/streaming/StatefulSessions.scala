@@ -53,9 +53,16 @@ object StatefulSessions {
 
   /** One micro-batch fold: events (any order) into optional prior state →
     * (closed sessions, new open state). Exposed for unit-testing the
-    * late-event semantics the streaming closure relies on. */
+    * late-event semantics the streaming closure relies on.
+    *
+    * Requires at least one event when no prior state exists — the
+    * streaming runtime never invokes the fold on an empty, stateless
+    * group, but as a public API the precondition is checked explicitly
+    * rather than failing with an opaque NoSuchElementException. */
   def foldBatch(uid: Long, prior: Option[SessionState],
                 events: Seq[SessionEvent]): (Seq[UserSession], SessionState) = {
+    require(prior.nonEmpty || events.nonEmpty,
+      s"foldBatch(uid=$uid): no prior state and no events")
     val sorted = events.sortBy(e => (micros(e.ts), e.event_id))
     var closed = Vector.empty[UserSession]
     var st = prior.getOrElse {
