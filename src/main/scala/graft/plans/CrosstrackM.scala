@@ -72,9 +72,12 @@ object CrosstrackM {
 }
 
 /** `SparkSessionExtensions` entry point: set
-  * `spark.sql.extensions=graft.plans.GraftExtensions` and `crosstrack_m`
-  * is available in plain SQL on any session of the cluster. */
+  * `spark.sql.extensions=graft.plans.GraftExtensions` and the graft
+  * native functions (`crosstrack_m`, `dot_long`) are available in plain
+  * SQL on any session of the cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((CrosstrackM.ident, CrosstrackM.info, CrosstrackM(_)))
+    ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
+  }
 }

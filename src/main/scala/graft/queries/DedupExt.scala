@@ -78,9 +78,12 @@ object DedupExt {
     t(s, d, "embeddings").select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $FP) AS BIGINT))").as("ei"))
 
-  /** Pure-int64 dot-product kernel over two fixed-point arrays. */
-  private def dotL(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  /** Pure-int64 dot-product kernel over two fixed-point arrays: the
+    * native codegen expression (graft.plans.DotLong) — a primitive loop
+    * over ArrayData, vs the interpreted per-element lambda frames of the
+    * equivalent aggregate(zip_with(...)) HOF form. Callers register it
+    * via DotLong.register (idempotent). */
+  private def dotL(a: String, b: String): String = s"dot_long($a, $b)"
 
   /** Per-vector sketch + squared norm from quantized exploded embeddings
     * (vec_id, i0, xi) in ONE groupBy: the 16 deterministic pseudo-random
@@ -176,6 +179,7 @@ object DedupExt {
     // qd4 embedding near-dup: 16-hyperplane sign sketch → 2×8-bit bands →
     // exact fixed-point cosine ≥ 0.4 on candidates
     "qd4_embdup" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
       val pv = perVec(exQ(s, d)).cache()
       // norms ride along the band rows → the cosine check needs only the
       // two embedding-array joins after the candidate self-join
@@ -210,6 +214,7 @@ object DedupExt {
     // top-5. The scale path for Q29's brute force: probe cost is
     // O(bucket size), not O(n).
     "qs1_ann" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
       // single small cache (one row per vector); the exploded quantized
       // table is never cached — the re-rank runs on int64 array kernels
       val pv = perVec(exQ(s, d)).cache()
@@ -243,6 +248,7 @@ object DedupExt {
     // The assignment score dot/√n2c is the true cosine scaled by 1e7 —
     // ranking-equivalent, so argmax/top-2 cells are unchanged.
     "qs2_ivf" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
       val emb = embQ(s, d)
       // centroid norms are computed ONCE on the (tiny) broadcast side,
       // not per (vector, centroid) pair
