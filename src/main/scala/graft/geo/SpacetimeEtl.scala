@@ -146,13 +146,20 @@ object SpacetimeEtl {
     val cand = pts.join(segCells, Seq("cx", "cy"), "left")
       .withColumn("distance_m", when(valid,
         floor(expr("crosstrack_m(px, py, x1, y1, x2, y2)") + 0.5).cast(LongType)))
+    // group by the id ONLY — the rest of the point payload is constant
+    // per id and rides through any_value. min_by's struct buffer forces a
+    // SortAggregate either way, but with the single-column key the
+    // partial/final sorts are narrow (sorting on the full payload incl.
+    // normalized doubles was measurably wider on the sf0.1 fixture plan)
     val ptCols = pts0.columns.toSeq
-    cand
-      .groupBy(ptCols.map(col): _*)
-      .agg(min_by(
+    val aggs = ptCols.filterNot(_ == "hn_id").map(c => any_value(col(c)).as(c)) :+
+      min_by(
         struct(col("street_id"), col("street_name"), col("distance_m")),
         when(col("distance_m") < maxDistanceM,
-          struct(col("distance_m"), col("seg_ord"), col("street_id")))).as("best"))
+          struct(col("distance_m"), col("seg_ord"), col("street_id")))).as("best")
+    cand
+      .groupBy("hn_id")
+      .agg(aggs.head, aggs.tail: _*)
       .select(ptCols.map(col) ++ Seq(col("best.street_id").as("sid"),
         col("best.street_name").as("sname"),
         col("best.distance_m").as("distance_m")): _*)

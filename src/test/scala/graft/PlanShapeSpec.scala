@@ -1,0 +1,76 @@
+package graft
+
+import graft.queries.Relational
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the judged scale properties are plan
+  * properties, so assert them directly — a refactor that silently turns
+  * a pushed filter into a post-scan filter, a broadcast star join into a
+  * sort-merge cascade, or a top-k into a global sort should fail here,
+  * not in a bench regression three rounds later. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+
+  test("q02: filters are pushed into the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan") || p.contains("IsNotNull"), p)
+  }
+
+  test("q05: star joins broadcast the dimension sides") {
+    val p = plan("q05_star")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"star join degraded to SMJ:\n$p")
+  }
+
+  test("q19: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q19_globaltopk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("scan prunes to the referenced columns only") {
+    val p = plan("q01_scan")
+    // ReadSchema must not include unreferenced wide columns
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("o_comment"), s"unpruned scan:\n$p")
+  }
+
+  test("qd1: no cartesian product anywhere in the banded plan") {
+    val p = plan("qd1_minhash")
+    assert(!p.contains("CartesianProduct"), s"cartesian in banded plan:\n$p")
+  }
+
+  test("g02: grid join is an equi-join, never a nested-loop") {
+    val p = plan("g02_nearest")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"non-equi grid join:\n$p")
+  }
+
+  test("q28/qd4 verify loops stay inside whole-stage codegen") {
+    // the popcount intersection (q28) and the native dot kernel (qd4)
+    // must sit inside a fused span — '*(n)' marks WholeStageCodegen.
+    // AQE only materializes the final plan (with codegen markers) after
+    // execution, so run the query first.
+    def executedPlan(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, TestSpark.Sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(executedPlan("q28_neardup").contains("*("), "no codegen span in q28")
+    val p4 = executedPlan("qd4_embdup")
+    assert(p4.contains("dot_long") && p4.contains("*("), "qd4 kernel not fused")
+  }
+
+  test("asof: one shuffle on the key, no re-aggregation join") {
+    val events = Tables(spark, TestSpark.Sf, "events")
+      .selectExpr("event_id", "user_id AS o_custkey", "ts")
+    val orders = Tables(spark, TestSpark.Sf, "orders").select("o_custkey", "o_orderdate")
+    val p = graft.operators.AsOfJoin
+      .latestAtOrBefore(events, orders, "o_custkey", "ts", "o_orderdate", "last_order")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of fell back to a join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+}
