@@ -82,9 +82,10 @@ object BitmaskJaccard {
     val rows = nHashes / nBands
     require(rows * nBands == nHashes, "nBands must divide nHashes")
     // shared cross-engine rolling hash (see DedupExt scaladoc): fold of
-    // acc*31 + codepoint mod 1e9+7, bit-identical in Spark and DuckDB
-    val th = toks.withColumn("h",
-      expr(s"aggregate(split(tok, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % $P)"))
+    // acc*31 + codepoint mod 1e9+7, bit-identical in Spark and DuckDB —
+    // the native codegen expression, not the interpreted HOF fold
+    graft.plans.RollHash31.register(toks.sparkSession)
+    val th = toks.withColumn("h", expr("roll_hash31(tok)"))
     val minCols = (0 until nHashes).map { j =>
       val a = 1000003L * j + 12345L
       val b = 777767L * j + 13L

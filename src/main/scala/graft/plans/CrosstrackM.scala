@@ -79,5 +79,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((CrosstrackM.ident, CrosstrackM.info, CrosstrackM(_)))
     ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
+    ext.injectFunction((RollHash31.ident, RollHash31.info, RollHash31.builder))
   }
 }

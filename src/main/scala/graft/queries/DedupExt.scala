@@ -51,9 +51,9 @@ object DedupExt {
   private val FP = "10000000.0D"
   private val FPDuck = "10000000.0"
 
-  /** Spark-side rolling hash of a string column (matches `duckH`). */
-  private def sparkH(c: String): Column =
-    expr(s"aggregate(split($c, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % $P)")
+  /** Spark-side rolling hash of a string column (matches `duckH`) — the
+    * native codegen expression; callers register via RollHash31.register. */
+  private def sparkH(c: String): Column = expr(s"roll_hash31($c)")
 
   /** DuckDB-side rolling hash SQL snippet over column `c`. */
   private def duckH(c: String): String =
@@ -124,6 +124,7 @@ object DedupExt {
     // The 32 per-bit weights are 32 sum columns in ONE groupBy (no j-explode:
     // 32× less shuffle volume than the naive (doc,bit) aggregation).
     "qd2_simhash" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
       val th = toks(s, d).withColumn("h", sparkH("tok"))
       val wSums = (0 until 32).map(j =>
         sum(expr(s"2 * (shiftright(h, $j) & 1) - 1")).as(s"w$j"))

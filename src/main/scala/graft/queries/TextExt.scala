@@ -85,30 +85,34 @@ object TextExt {
           .cast(LongType).as("n_re"))
         .orderBy("doc_id")),
 
-    // qt4 document fingerprinting: rolling hash over the full text;
-    // output = duplicate-fingerprint groups (fingerprint-based exact dedup)
-    "qt4_fingerprint" -> ((s, d) =>
+    // qt4 document fingerprinting: rolling hash over the full text
+    // (native codegen expression); output = duplicate-fingerprint groups
+    // (fingerprint-based exact dedup)
+    "qt4_fingerprint" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
       t(s, d, "documents")
-        .select(expr(s"aggregate(split(text, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % $P)")
-          .as("fp"))
+        .select(expr("roll_hash31(text)").as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("c"))
         .filter(col("c") > 1)
-        .orderBy(col("c").desc, col("fp"))),
+        .orderBy(col("c").desc, col("fp"))
+    }),
 
     // qm1 multimodal plumbing: opaque binary payload column + fixed-width
     // features (byte length, head bytes as hex, rolling byte hash of the
     // 16-byte head). The decode step for real image/audio bytes is the
     // Media.decodeStub path (graft.multimodal) — this query proves the
     // binary column plumbing end-to-end against the oracle.
-    "qm1_multimodal" -> ((s, d) =>
+    "qm1_multimodal" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
       t(s, d, "documents")
         .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
         .select(col("doc_id"),
           length(col("media")).cast(LongType).as("n_bytes"),
           upper(substring(hex(col("media")), 1, 16)).as("head_hex"),
-          expr(s"aggregate(split(substring(cast(media AS STRING), 1, 16), ''), 0L, " +
-            s"(acc, ch) -> (acc * 31 + ascii(ch)) % $P)").as("head_hash"))
-        .orderBy("doc_id"))
+          expr("roll_hash31(substring(cast(media AS STRING), 1, 16))")
+            .as("head_hash"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(

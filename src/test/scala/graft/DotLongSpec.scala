@@ -39,4 +39,19 @@ class DotLongSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [dot_long("), s"no codegen span in:\n$plan")
   }
+
+  test("roll_hash31 == interpreted HOF fold on random strings") {
+    import spark.implicits._
+    graft.plans.RollHash31.register(spark)
+    val rnd = new scala.util.Random(13)
+    val strs = Seq.fill(500)(
+      Seq.fill(rnd.nextInt(60))(('a' + rnd.nextInt(26)).toChar).mkString) :+ ""
+    val df = strs.toDF("s").select(
+      expr("roll_hash31(s)").as("native"),
+      expr("aggregate(split(s, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007)")
+        .as("hof"))
+    assert(df.where(col("native") =!= col("hof")).count() === 0)
+    val r = spark.sql("SELECT roll_hash31(CAST(NULL AS STRING))").collect()(0)
+    assert(r.isNullAt(0))
+  }
 }
