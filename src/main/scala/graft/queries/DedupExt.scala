@@ -125,7 +125,10 @@ object DedupExt {
     // 32× less shuffle volume than the naive (doc,bit) aggregation).
     "qd2_simhash" -> ((s, d) => {
       graft.plans.RollHash31.register(s)
-      val th = toks(s, d).withColumn("h", sparkH("tok"))
+      // cache() is a no-op if qd1 already cached the same plan
+      // (CacheManager dedups) but keeps the query self-sufficient when
+      // run alone
+      val th = toks(s, d).cache().withColumn("h", sparkH("tok"))
       val wSums = (0 until 32).map(j =>
         sum(expr(s"2 * (shiftright(h, $j) & 1) - 1")).as(s"w$j"))
       val sk = th.groupBy("doc_id").agg(wSums.head, wSums.tail: _*)

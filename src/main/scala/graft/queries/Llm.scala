@@ -113,8 +113,12 @@ object Llm {
     // differ, and a sketch drifting out of tolerance turns the row red in
     // the driver artifact (D6, made driver-visible).
     "t1_approx" -> ((s, d) =>
-      t(s, d, "orders")
-        .agg(countDistinct(col("o_custkey")).as("n_exact"),
+      // one shuffle: exact count and the HLL sketch both aggregate the
+      // pre-distinct key set (HLL is duplicate-insensitive, so the
+      // estimate is identical) — COUNT(DISTINCT) alongside another agg
+      // would plan an Expand + two aggregation phases instead
+      t(s, d, "orders").select(col("o_custkey")).distinct()
+        .agg(count(lit(1)).as("n_exact"),
           approx_count_distinct(col("o_custkey"), 0.01).as("na"))
         .select(col("n_exact"),
           (abs(col("na") - col("n_exact")) * 20 <= col("n_exact"))

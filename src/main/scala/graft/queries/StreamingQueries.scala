@@ -77,7 +77,27 @@ object StreamingQueries {
     // S04 dedup by event id
     "s04_dedup" -> ((s, d) =>
       t(s, d, "events")
-        .agg(countDistinct(col("event_id")).as("n")))
+        .agg(countDistinct(col("event_id")).as("n"))),
+
+    // S05 interval join: each view joined to the same user's purchases
+    // within the next 10 minutes (inclusive). The gap is exact integer
+    // micros on both engines (a seconds cast would truncate in Spark and
+    // round in DuckDB). Streaming form: Streams.s05 — a real
+    // stream-stream inner join with watermarks + the time-bound
+    // condition (the shape Spark requires for state cleanup).
+    "s05_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      v.join(p, Seq("user_id"))
+        .where(col("p_ts") >= col("v_ts")
+          && col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("v_id"), col("p_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+        .orderBy("v_id", "p_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -105,7 +125,15 @@ object StreamingQueries {
         |FROM y GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
     "s04_dedup" ->
-      "SELECT COUNT(DISTINCT event_id) AS n FROM events"
+      "SELECT COUNT(DISTINCT event_id) AS n FROM events",
+    "s05_join" ->
+      """SELECT v.event_id AS v_id, p.event_id AS p_id,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+        |ORDER BY v_id, p_id""".stripMargin
   )
 }
 
@@ -186,5 +214,25 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
     runToTable(spark, dedup, "s04_stream", "append")
+  }
+
+  /** S05 as streaming: stream-stream inner join. Both sides carry
+    * watermarks and the join condition bounds event time on both ends —
+    * exactly what Structured Streaming requires to age out join state. */
+  def s05(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+    val p = readEvents(spark, dir).filter(col("event_type") === "purchase")
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val joined = v.join(p,
+        expr("p_user = v_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 10 MINUTES"))
+      .select(col("v_id"), col("p_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    runToTable(spark, joined, "s05_stream", "append")
   }
 }

@@ -40,4 +40,12 @@ class StreamingSpec extends AnyFunSuite {
     val stream = Streams.s04(spark, TestSpark.Sf).count()
     assert(stream === batch)
   }
+
+  test("s05 interval join: stream-stream join == batch join") {
+    val batch = StreamingQueries.queries("s05_join")(spark, TestSpark.Sf)
+    val stream = Streams.s05(spark, TestSpark.Sf)
+    assert(rows(stream, "v_id", "p_id", "gap_us")
+      === rows(batch, "v_id", "p_id", "gap_us"))
+    assert(batch.count() > 0, "interval join matched nothing — fixture too sparse")
+  }
 }
