@@ -60,4 +60,55 @@ class GridRecallSpec extends AnyFunSuite {
         s"extra=${(got.keySet -- want.keySet).take(3)})")
     }
   }
+
+  test("bench-scale fixture: sampled brute force == matchPoints (recall at real density)") {
+    import graft.geo.GeoQueries
+    val dir = GeoQueries.geoDir("/root/testdata/sf0.1") // generates if absent
+    val segs = GeoQueries.segments(spark, dir)
+    val hps = GeoQueries.housePoints(spark, dir)
+    val sample = hps.sample(withReplacement = false, 0.002, seed = 42)
+      .limit(200).cache()
+    val nSample = sample.count()
+    assert(nSample >= 100, s"sample too small: $nSample")
+    val got = SpacetimeEtl.matchPoints(spark, segs, sample)
+      .select("hn_id", "sid", "distance_m").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getString(1), r.getLong(2))))).toMap
+    assert(got.size.toLong === nSample, "matchPoints dropped or duplicated points")
+    // driver-side brute force over ALL segments (the O(N·M) pass the grid
+    // join must reproduce exactly, temporal rule included)
+    val segRows = segs.collect().map { r =>
+      (r.getString(r.fieldIndex("street_id")),
+        if (r.isNullAt(r.fieldIndex("seg_since"))) None else Some(r.getLong(r.fieldIndex("seg_since"))),
+        if (r.isNullAt(r.fieldIndex("seg_until"))) None else Some(r.getLong(r.fieldIndex("seg_until"))),
+        r.getInt(r.fieldIndex("seg_ord")),
+        r.getDouble(r.fieldIndex("x1")), r.getDouble(r.fieldIndex("y1")),
+        r.getDouble(r.fieldIndex("x2")), r.getDouble(r.fieldIndex("y2")))
+    }
+    val slack = SpacetimeEtl.SlackMs
+    val ptRows = sample.select("hn_id", "px", "py", "pt_since", "pt_until").collect()
+    var checked = 0
+    ptRows.foreach { p =>
+      val hid = p.getString(0)
+      val (px, py) = (p.getDouble(1), p.getDouble(2))
+      val want: Option[(String, Long)] =
+        if (p.isNullAt(3) || p.isNullAt(4)) None
+        else {
+          val (ps, pu) = (p.getLong(3), p.getLong(4))
+          val cands = segRows.iterator.flatMap { g =>
+            (g._2, g._3) match {
+              case (Some(ss), Some(su))
+                if ss - slack <= ps && su + slack >= pu =>
+                val d = Geo.roundM(Geo.crosstrackM(px, py, g._5, g._6, g._7, g._8))
+                if (d < 25) Some((d, g._4, g._1)) else None
+              case _ => None
+            }
+          }.toSeq
+          if (cands.isEmpty) None else { val b = cands.min; Some((b._3, b._1)) }
+        }
+      assert(got(hid) === want, s"point $hid: grid=${got(hid)} brute=$want")
+      checked += 1
+    }
+    info(s"verified $checked sampled points against ${segRows.length} segments")
+  }
 }
