@@ -46,6 +46,16 @@ object BitmaskJaccard {
   val interExpr: String =
     "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0L, (acc, c) -> acc + CAST(c AS BIGINT))"
 
+  /** Dictionary-free token-set relation: (doc_id, nt, tks sorted
+    * ARRAY<STRING>). O(doc length) per row with NO global dictionary and
+    * no broadcast assumption — the exact-verify representation that still
+    * works at a 10^9-token vocabulary, where vocab-width bitmasks
+    * (O(vocab/64) words PER DOC) and the broadcast dictionary stop
+    * scaling. Pairs verify via the native sorted-merge intersection. */
+  def tokenSets(toks: DataFrame): DataFrame =
+    toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("nt"), sort_array(collect_list(col("tok"))).as("tks"))
+
   /** All pairs (a < b) from `left` × `right` mask relations with Jaccard
     * ≥ num/den, with the implied integer length filter applied BEFORE the
     * popcount. Output: (a, b, inter, na, nb). EXACT recall, quadratic in
@@ -78,6 +88,44 @@ object BitmaskJaccard {
   def bandedPairs(toks: DataFrame, masks: DataFrame, num: Int, den: Int,
                   nHashes: Int = 16, nBands: Int = 4,
                   broadcastMasks: Boolean = false): DataFrame = {
+    val cand = bandedCandidates(toks, nHashes, nBands)
+    def side(n: String, nt: String, m: String) = {
+      val s = masks.select(col("doc_id").as(n), col("nt").as(nt), col("m").as(m))
+      if (broadcastMasks) broadcast(s) else s
+    }
+    cand
+      .join(side("a", "na", "ma"), Seq("a"))
+      .join(side("b", "nb", "mb"), Seq("b"))
+      .withColumn("inter", expr(interExpr))
+      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "inter", "na", "nb")
+  }
+
+  /** `bandedPairs` with the dictionary-free verify: candidates from the
+    * same MinHash-LSH banding, exact intersection via the native
+    * sorted-merge kernel over per-doc sorted token arrays (`tokenSets`).
+    * No dictionary, no broadcast, every relation O(doc length) per row —
+    * the fully scale-safe exact near-dedup composition. Same output
+    * contract and (provably) same rows as `bandedPairs`. */
+  def bandedPairsCompact(toks: DataFrame, num: Int, den: Int,
+                         nHashes: Int = 16, nBands: Int = 4): DataFrame = {
+    graft.plans.IntersectSortedCount.register(toks.sparkSession)
+    val cand = bandedCandidates(toks, nHashes, nBands)
+    val sets = tokenSets(toks)
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("nt").as("na"),
+        col("tks").as("ta")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("nt").as("nb"),
+        col("tks").as("tb")), Seq("b"))
+      .withColumn("inter", expr("intersect_sorted_count(ta, tb)"))
+      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "inter", "na", "nb")
+  }
+
+  /** MinHash-LSH banded candidate pairs (a < b), shared by both verify
+    * kernels. */
+  private def bandedCandidates(toks: DataFrame, nHashes: Int,
+                               nBands: Int): DataFrame = {
     val P = 1000000007L
     val rows = nHashes / nBands
     require(rows * nBands == nHashes, "nBands must divide nHashes")
@@ -104,19 +152,9 @@ object BitmaskJaccard {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
       .cache()
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    def side(n: String, nt: String, m: String) = {
-      val s = masks.select(col("doc_id").as(n), col("nt").as(nt), col("m").as(m))
-      if (broadcastMasks) broadcast(s) else s
-    }
-    cand
-      .join(side("a", "na", "ma"), Seq("a"))
-      .join(side("b", "nb", "mb"), Seq("b"))
-      .withColumn("inter", expr(interExpr))
-      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
-      .select("a", "b", "inter", "na", "nb")
   }
 }

@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   *  2. exact dedup — keep the lowest doc_id per text fingerprint
   *  3. near-dedup — of the surviving docs, drop the higher doc_id of any
   *     pair with token-set Jaccard ≥ `jaccard`: MinHash-LSH banded
-  *     candidates + exact bitmask verify (`BitmaskJaccard.bandedPairs`,
-  *     the sub-quadratic 100 TB path; `exactRecall = true` swaps in the
-  *     all-pairs kernel for bounded inputs)
+  *     candidates + exact dictionary-free sorted-set verify
+  *     (`BitmaskJaccard.bandedPairsCompact` — sub-quadratic, no
+  *     broadcast assumption, O(doc length) state per row; the 100 TB
+  *     path. `exactRecall = true` swaps in the all-pairs bitmask kernel
+  *     for bounded inputs)
   *
   * Returns the cleaned corpus plus a DEFERRED per-stage stats handle:
   * stage counts are `observe()` metrics collected by whatever single
@@ -62,16 +64,22 @@ object TrainingData {
       .observe(obsE, count(lit(1)).as("n"))
 
     // 3. near-dedup: drop the higher doc_id of each qualifying pair
-    // cached: both the dictionary's RDD jobs and the mask/banding joins
+    // cached: the banding signature and the verify-side token sets both
     // re-read this relation, and its lineage (quality gate + dedup
     // window) is the expensive part
     val toks = exact.select(col("doc_id"), explode(col("tk")).as("tok"))
       .distinct().cache()
-    val masks = BitmaskJaccard.masks(toks).cache()
     val (jn, jd) = jaccard
     val pairs =
-      if (exactRecall) BitmaskJaccard.pairs(masks, masks, jn, jd)
-      else BitmaskJaccard.bandedPairs(toks, masks, jn, jd)
+      if (exactRecall) {
+        // bounded-input all-pairs form (vocab-width bitmasks + broadcast
+        // dictionary — exact recall, quadratic)
+        val masks = BitmaskJaccard.masks(toks).cache()
+        BitmaskJaccard.pairs(masks, masks, jn, jd)
+      } else
+        // corpus default: banded candidates + dictionary-free sorted-set
+        // verify — no broadcast assumption anywhere
+        BitmaskJaccard.bandedPairsCompact(toks, jn, jd)
     val dropB = pairs.select(col("b").as("doc_id")).distinct()
     val cleaned = exact.join(dropB, Seq("doc_id"), "left_anti")
       .drop("tk", "n_tok", "n_uniq", "n_stop")

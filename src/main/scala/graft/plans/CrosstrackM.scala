@@ -80,5 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((CrosstrackM.ident, CrosstrackM.info, CrosstrackM(_)))
     ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
     ext.injectFunction((RollHash31.ident, RollHash31.info, RollHash31.builder))
+    ext.injectFunction((IntersectSortedCount.ident, IntersectSortedCount.info,
+      IntersectSortedCount.builder))
   }
 }

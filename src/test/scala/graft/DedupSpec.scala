@@ -21,6 +21,37 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"recall $recall%.4f below 0.9")
   }
 
+  test("dictionary-free sorted-set verify == bitmask verify (same pairs)") {
+    import graft.operators.BitmaskJaccard
+    import org.apache.spark.sql.functions._
+    val toks = Tables(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct().cache()
+    val masks = BitmaskJaccard.masks(toks)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "inter", "na", "nb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val viaBitmask = asSet(BitmaskJaccard.bandedPairs(toks, masks, 8, 10))
+    val viaSets = asSet(BitmaskJaccard.bandedPairsCompact(toks, 8, 10))
+    assert(viaSets === viaBitmask,
+      s"diff: ${(viaSets diff viaBitmask).take(3)} / ${(viaBitmask diff viaSets).take(3)}")
+    assert(viaSets.nonEmpty)
+  }
+
+  test("intersect_sorted_count: merge semantics on handwritten cases") {
+    graft.plans.IntersectSortedCount.register(spark)
+    val r = spark.sql(
+      "SELECT intersect_sorted_count(array('a','b','d'), array('b','c','d')) AS s, " +
+        "intersect_sorted_count(array(1L,5L,9L), array(5L,9L,11L)) AS l, " +
+        "intersect_sorted_count(array('x'), CAST(NULL AS ARRAY<STRING>)) AS n, " +
+        "intersect_sorted_count(array('a','a','b'), array('a','a','a')) AS dup")
+      .collect()(0)
+    assert(r.getLong(0) === 2L) // b, d
+    assert(r.getLong(1) === 2L) // 5, 9
+    assert(r.isNullAt(2))
+    assert(r.getLong(3) === 2L) // min-multiplicity of 'a'
+  }
+
   test("qd2 SimHash byte-banding is pigeonhole-exact for hd <= 3") {
     import spark.implicits._
     // independent in-memory reimplementation: sketch per doc, all pairs
