@@ -97,6 +97,63 @@ object TextExt {
         .orderBy(col("c").desc, col("fp"))
     }),
 
+    // qt5 deterministic stratified sampling (dataset mixing): keep 30%
+    // of docs per language, chosen by an LCG hash rank — reproducible
+    // across engines and runs, unlike rand()-based sampleBy. At scale
+    // this is one window per stratum (bounded partitions), no shuffle of
+    // the payload beyond the stratum key.
+    "qt5_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(col("hk"), col("doc_id"))
+      val n = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          ((lit(1103515245L) * col("doc_id") + 12345L) % 2147483648L).as("hk"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(n))
+        .where(col("rk") * 10 <= col("n") * 3)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    }),
+
+    // qt6 entity masking (PII-style token redaction): mask a token
+    // denylist, count replacements — token-level transform (identical
+    // semantics in both engines; regex word-boundary replacement has
+    // engine-specific overlap behavior, so the contract is per-token)
+    "qt6_scrub" -> ((s, d) => {
+      val denyList = Seq("customer", "order", "part").map("'" + _ + "'").mkString(",")
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          expr(s"array_join(transform(tk, t -> IF(t IN ($denyList), '<ENT>', t)), ' ')")
+            .as("scrubbed"),
+          expr(s"CAST(size(filter(tk, t -> t IN ($denyList))) AS BIGINT)")
+            .as("n_masked"))
+        .where(col("n_masked") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // qt7 sequence packing: greedy fixed-budget (2048-token) packing per
+    // source shard via a running token count — the pre-tokenization
+    // batching step of a training pipeline. Per-source windows bound the
+    // sort; output is per-pack occupancy.
+    "qt7_pack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        // `div`, not `/`: Spark's / on integers is DOUBLE division
+        .withColumn("pack_id", expr("(cum - n_tok) div 2048"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source", "pack_id")
+    }),
+
     // qm1 multimodal plumbing: opaque binary payload column + fixed-width
     // features (byte length, head bytes as hex, rolling byte hash of the
     // 16-byte head). The decode step for real image/audio bytes is the
@@ -168,6 +225,46 @@ object TextExt {
          |)
          |SELECT fp, COUNT(*) AS c FROM fps GROUP BY fp HAVING COUNT(*) > 1
          |ORDER BY c DESC, fp""".stripMargin,
+
+    "qt5_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, (1103515245 * doc_id + 12345) % 2147483648 AS hk
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM h
+        |)
+        |SELECT doc_id, lang, rk FROM r WHERE rk * 10 <= n * 3
+        |ORDER BY lang, rk""".stripMargin,
+
+    "qt6_scrub" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(string_split(text, ' '),
+        |    t -> CASE WHEN t IN ('customer','order','part') THEN '<ENT>' ELSE t END), ' ') AS scrubbed,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('customer','order','part'))) AS BIGINT) AS n_masked
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '),
+        |  t -> t IN ('customer','order','part'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "qt7_pack" ->
+      """WITH x AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM x
+        |)
+        |SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY source, pack_id
+        |ORDER BY source, pack_id""".stripMargin,
 
     "qm1_multimodal" ->
       s"""SELECT doc_id,
