@@ -243,6 +243,17 @@ object DedupExt {
         .limit(5)
     }),
 
+    // qc1 the COMPOSED training-data cleaning pipeline (quality gate →
+    // exact dedup → banded near-dedup, TrainingData.clean) hash-checked
+    // end-to-end: surviving doc ids. The oracle replays all three stages
+    // in SQL, including the MinHash-LSH candidate generation with the
+    // same constants — so the composition, not just the parts, is
+    // verified.
+    "qc1_clean" -> ((s, d) => {
+      val (cleaned, _) = graft.operators.TrainingData.clean(t(s, d, "documents"))
+      cleaned.select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // qs2 IVF similarity search: deterministic centroid sample
     // (vec_id % 50 == 1), exact fixed-point-cosine assignment to the
     // nearest centroid, probe the query's top-2 cells, exact re-rank
@@ -344,6 +355,43 @@ object DedupExt {
         |FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE 3*inter >= sa.nt + sb.nt
         |ORDER BY a, b""".stripMargin,
+
+    "qc1_clean" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |         x -> list_contains(['the','a','of','and'], x))) AS BIGINT) AS n_stop
+         |  FROM documents
+         |),
+         |q AS (SELECT doc_id, text FROM scored
+         |      WHERE n_tok >= 20 AND 10*n_uniq >= 3*n_tok AND 10*n_stop <= 3*n_tok),
+         |e AS (SELECT doc_id, text FROM (
+         |        SELECT doc_id, text,
+         |               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |        FROM q) WHERE rn = 1),
+         |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM e),
+         |th AS (SELECT doc_id, ${duckH("tok")} AS h FROM toks),
+         |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
+         |           FROM generate_series(0, 15) t(i)),
+         |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
+         |          FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
+         |ints AS (SELECT c.a, c.b, COUNT(*) AS inter
+         |         FROM cand c JOIN toks ta ON ta.doc_id = c.a
+         |                     JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+         |         GROUP BY 1, 2),
+         |drop AS (SELECT DISTINCT i.b
+         |         FROM ints i JOIN sizes sa ON sa.doc_id = i.a
+         |                     JOIN sizes sb ON sb.doc_id = i.b
+         |         WHERE 10*i.inter >= 8*(sa.nt + sb.nt - i.inter))
+         |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT b FROM drop)
+         |ORDER BY doc_id""".stripMargin,
 
     "qd4_embdup" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
