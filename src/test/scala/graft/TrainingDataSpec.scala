@@ -33,6 +33,11 @@ class TrainingDataSpec extends AnyFunSuite {
     val exactKept = cleanedExact.count()
     assert(extraKept <= (outputRows - exactKept).max(0L))
     assert(extraKept * 20 <= stats.input, s"banded recall loss too high: $extraKept docs")
+    // the two banded verify kernels (bitmask vs dictionary-free sorted
+    // sets) keep exactly the same documents
+    val (cleanedDF, _) = TrainingData.clean(docs, dictionaryFree = true)
+    assert(cleanedDF.select("doc_id").exceptAll(cleaned.select("doc_id")).count() === 0)
+    assert(cleaned.select("doc_id").exceptAll(cleanedDF.select("doc_id")).count() === 0)
     info(s"clean stats: $stats")
   }
 
