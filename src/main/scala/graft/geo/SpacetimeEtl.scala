@@ -52,14 +52,21 @@ object SpacetimeEtl {
       StructField("type", StringType),
       StructField("coordinates", ArrayType(DoubleType)))))))
 
-  private val fuzzyMin = udf((s: String) => FuzzyDates.minMs(s))
-  private val fuzzyMax = udf((s: String) => FuzzyDates.maxMs(s))
+  // native codegen fuzzy-date parsers (graft.plans.FuzzyMs) — these run
+  // once per NDJSON row, so the udf() wrapper's encoder round-trip and
+  // Option boxing were the per-row scalar hot path
+  private def fuzzyMin(c: Column): Column = call_function("fuzzy_min_ms", c)
+  private def fuzzyMax(c: Column): Column = call_function("fuzzy_max_ms", c)
 
-  def readStreets(spark: SparkSession, path: String): DataFrame =
+  def readStreets(spark: SparkSession, path: String): DataFrame = {
+    graft.plans.FuzzyMs.register(spark)
     spark.read.schema(streetSchema).json(path)
+  }
 
-  def readHouseNumbers(spark: SparkSession, path: String): DataFrame =
+  def readHouseNumbers(spark: SparkSession, path: String): DataFrame = {
+    graft.plans.FuzzyMs.register(spark)
     spark.read.schema(houseSchema).json(path)
+  }
 
   /** R1+R3+R5+R6: streets → one row per consecutive-vertex segment with
     * inherited street properties and precomputed fuzzy-date bounds. The

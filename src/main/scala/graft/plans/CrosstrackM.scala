@@ -82,5 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((RollHash31.ident, RollHash31.info, RollHash31.builder))
     ext.injectFunction((IntersectSortedCount.ident, IntersectSortedCount.info,
       IntersectSortedCount.builder))
+    ext.injectFunction((FuzzyMs.minIdent, FuzzyMs.minInfo, FuzzyMs.minBuilder))
+    ext.injectFunction((FuzzyMs.maxIdent, FuzzyMs.maxInfo, FuzzyMs.maxBuilder))
   }
 }

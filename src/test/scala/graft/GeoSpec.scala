@@ -55,4 +55,18 @@ class GeoSpec extends AnyFunSuite {
       assert(Geo.roundM(x) === math.floor(x + 0.5).toLong)
     }
   }
+
+  test("bench fixture generation is byte-deterministic") {
+    import java.nio.file.Files
+    def gen(): (Array[Byte], Array[Byte]) = {
+      val d = Files.createTempDirectory("graft-geo-det")
+      graft.geo.GenGeoFixtures.ensureScaled(d, nStreets = 500, nHouses = 2000)
+      (Files.readAllBytes(d.resolve("streets.ndjson")),
+        Files.readAllBytes(d.resolve("house_numbers.ndjson")))
+    }
+    val (s1, h1) = gen()
+    val (s2, h2) = gen()
+    assert(java.util.Arrays.equals(s1, s2), "streets.ndjson differs across runs")
+    assert(java.util.Arrays.equals(h1, h2), "house_numbers.ndjson differs across runs")
+  }
 }
