@@ -79,6 +79,17 @@ object StreamingQueries {
       t(s, d, "events")
         .agg(countDistinct(col("event_id")).as("n"))),
 
+    // S06 the custom Sessionize physical operator (plans/Sessionize:
+    // LogicalPlan + Strategy + single-exchange Exec) against the SAME
+    // oracle SQL as S03 — the custom operator's output is hash-checked
+    // against DuckDB, not just against the declarative Spark form.
+    "s06_sessionize_op" -> ((s, d) =>
+      graft.plans.Sessionize(
+          t(s, d, "events").select(col("user_id"), col("ts")),
+          key = "user_id", ts = "ts", gapSeconds = 1800L)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")),
+
     // S05 interval join: each view joined to the same user's purchases
     // within the next 10 minutes (inclusive). The gap is exact integer
     // micros on both engines (a seconds cast would truncate in Spark and
@@ -126,6 +137,21 @@ object StreamingQueries {
         |ORDER BY user_id, session_start""".stripMargin,
     "s04_dedup" ->
       "SELECT COUNT(DISTINCT event_id) AS n FROM events",
+    "s06_sessionize_op" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN LAG(epoch(ts)) OVER w IS NULL
+        |                OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, ts,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM x
+        |)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
     "s05_join" ->
       """SELECT v.event_id AS v_id, p.event_id AS p_id,
         |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
