@@ -348,6 +348,40 @@ object Relational {
             .cast(LongType).as("gap_days"))
         .orderBy("o_custkey", "o_orderkey")
         .limit(1000)
+    }),
+
+    // Q36 the typed top-k Aggregator (functions/TopKAgg — O(k) buffer,
+    // k rows shipped per partition) through the oracle gate: per-language
+    // top-3 docs by (n_chars DESC, doc_id-as-string ASC), vs the oracle's
+    // ROW_NUMBER form.
+    "q36_topk_udaf" -> ((s, d) => {
+      import s.implicits._
+      val ds = t(s, d, "documents")
+        .select(col("lang"), col("doc_id").cast(StringType).as("key"),
+          col("n_chars").as("value"))
+        .as[(String, String, Long)]
+      val top = ds.groupByKey(_._1)
+        .mapValues { case (_, k, v) => graft.functions.KV(k, v) }
+        .agg(new graft.functions.TopKAgg(3).toColumn.name("top"))
+      top.toDF("lang", "top")
+        .select(col("lang"), posexplode(col("top")).as(Seq("rk0", "kv")))
+        .select(col("lang"), (col("rk0") + 1).cast(LongType).as("rk"),
+          col("kv.key").as("doc_id"), col("kv.value").as("n_chars"))
+        .orderBy("lang", "rk")
+    }),
+
+    // Q37 the window-over-union as-of operator (operators/AsOfJoin — one
+    // shuffle, no re-aggregation) through the oracle gate: same output
+    // contract and oracle SQL as Q10's correlated-subquery form.
+    "q37_asof_op" -> ((s, d) => {
+      val events = t(s, d, "events")
+        .selectExpr("event_id", "user_id AS o_custkey", "ts")
+      val orders = t(s, d, "orders").select("o_custkey", "o_orderdate")
+      graft.operators.AsOfJoin
+        .latestAtOrBefore(events, orders, "o_custkey", "ts", "o_orderdate",
+          out = "last_order")
+        .select(col("event_id"), col("last_order"))
+        .orderBy("event_id")
     })
   )
 
@@ -446,6 +480,15 @@ object Relational {
         |  LEAD(o_orderkey,1) OVER w AS next_order,
         |  CAST(DATE_DIFF('day', o_orderdate, LEAD(o_orderdate,1) OVER w) AS BIGINT) AS gap_days
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, o_orderkey LIMIT 1000""".stripMargin
+        |ORDER BY o_custkey, o_orderkey LIMIT 1000""".stripMargin,
+    "q36_topk_udaf" ->
+      """SELECT lang, rk, doc_id, n_chars FROM (
+        |  SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR)) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+    "q37_asof_op" ->
+      "SELECT event_id, (SELECT MAX(o_orderdate) FROM orders WHERE o_custkey=user_id AND o_orderdate <= ts) AS last_order FROM events ORDER BY event_id"
   )
 }
