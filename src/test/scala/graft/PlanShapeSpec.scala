@@ -63,6 +63,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p4.contains("dot_long") && p4.contains("*("), "qd4 kernel not fused")
   }
 
+  test("s05: interval join is an equi-join on the user key, not nested-loop") {
+    val p = plan("s05_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degraded to nested-loop:\n$p")
+  }
+
+  test("qc1: composed pipeline has no cartesian product") {
+    val p = plan("qc1_clean")
+    assert(!p.contains("CartesianProduct"), s"cartesian in pipeline:\n$p")
+  }
+
   test("asof: one shuffle on the key, no re-aggregation join") {
     val events = Tables(spark, TestSpark.Sf, "events")
       .selectExpr("event_id", "user_id AS o_custkey", "ts")
