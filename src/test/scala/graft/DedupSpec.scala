@@ -52,6 +52,28 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getLong(3) === 2L) // min-multiplicity of 'a'
   }
 
+  test("shingle banding: qd3's declared scale path is a high-recall subset") {
+    import graft.operators.BitmaskJaccard
+    import org.apache.spark.sql.functions._
+    // the banded machinery is token-agnostic: feed it 4-gram shingles as
+    // "tokens" and it becomes the sub-quadratic candidate path qd3's
+    // comment declares for corpus scale (J >= 0.5 -> num/den = 5/10)
+    val sh = Tables(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "IF(size(tk) >= 4, transform(sequence(1, size(tk) - 3), k -> array_join(slice(tk, k, 4), ' ')), array())"))
+        .as("tok"))
+      .distinct().cache()
+    val banded = BitmaskJaccard.bandedPairsCompact(sh, 5, 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.queries.DedupExt.queries("qd3_ngram")(spark, TestSpark.Sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact), s"banded invented pairs: ${(banded -- exact).take(3)}")
+    val recall = if (exact.isEmpty) 1.0 else banded.size.toDouble / exact.size
+    info(f"shingle-banded recall vs exact 4-gram Jaccard: $recall%.4f (${banded.size}/${exact.size})")
+    assert(recall >= 0.8, f"recall $recall%.4f below 0.8")
+  }
+
   test("qd2 SimHash byte-banding is pigeonhole-exact for hd <= 3") {
     import spark.implicits._
     // independent in-memory reimplementation: sketch per doc, all pairs
