@@ -154,6 +154,49 @@ object TextExt {
         .orderBy("source", "pack_id")
     }),
 
+    // qt8 bigram language model: P(w2|w1) from corpus bigram/unigram
+    // counts — the n-gram LM scoring table of a quality-filtering
+    // pipeline. Pure integer counts; the probability is rounded only at
+    // display. Top-200 by (count DESC, bigram) keeps the output bounded.
+    "qt8_bigram_lm" -> ((s, d) => {
+      val bi = t(s, d, "documents")
+        .select(split(col("text"), " ").as("tk"))
+        .select(explode(expr(
+          "IF(size(tk) >= 2, transform(sequence(1, size(tk) - 1), " +
+            "k -> named_struct('w1', tk[k-1], 'w2', tk[k])), array())")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .join(uni, Seq("w1"))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          round(col("c12").cast(DoubleType) / col("c1"), 6)
+            .cast(DoubleType).as("p"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(200)
+    }),
+
+    // qe1 int8 embedding quantization (the serving/ANN compression step):
+    // per-vector symmetric scale 127/max|x|, qi = floor(x*scale), with
+    // reconstruction-error stats. All row-level IEEE double arithmetic
+    // (identical across engines), aggregated as exact int64/decimal.
+    "qe1_int8quant" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+        .select(col("vec_id"), col("xf").cast(DoubleType).as("x"))
+        .groupBy("vec_id").agg(max(abs(col("x"))).as("mx"))
+        .join(t(s, d, "embeddings"), Seq("vec_id"))
+        .select(col("vec_id"), col("mx"),
+          posexplode(col("embedding")).as(Seq("i0", "xf")))
+        .select(col("vec_id"), col("mx"), col("xf").cast(DoubleType).as("x"))
+        .withColumn("qi", floor(col("x") * (lit(127.0) / col("mx"))))
+        .groupBy("vec_id")
+        .agg(min(col("qi")).as("qmin"), max(col("qi")).as("qmax"),
+          round(sum(abs(col("qi") * col("mx") / 127.0 - col("x"))
+            .cast(DecimalType(28, 14))).cast(DoubleType) / count(lit(1)), 8)
+            .cast(DoubleType).as("mean_abs_err"))
+        .orderBy("vec_id")
+        .limit(500)),
+
     // qm1 multimodal plumbing: opaque binary payload column + fixed-width
     // features (byte length, head bytes as hex, rolling byte hash of the
     // 16-byte head). The decode step for real image/audio bytes is the
@@ -265,6 +308,30 @@ object TextExt {
         |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY source, pack_id
         |ORDER BY source, pack_id""".stripMargin,
+
+    "qt8_bigram_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+        |                k -> struct_pack(w1 := tk[k], w2 := tk[k+1]))) AS b
+        |  FROM t),
+        |b2 AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |uni AS (SELECT w1, COUNT(*) AS c1 FROM b2 GROUP BY 1),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY 1, 2)
+        |SELECT b.w1, b.w2, b.c12, u.c1,
+        |  CAST(ROUND(CAST(b.c12 AS DOUBLE) / u.c1, 6) AS DOUBLE) AS p
+        |FROM big b JOIN uni u USING (w1)
+        |ORDER BY c12 DESC, w1, w2 LIMIT 200""".stripMargin,
+
+    "qe1_int8quant" ->
+      """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |mx AS (SELECT vec_id, MAX(ABS(x)) AS mx FROM ex GROUP BY 1),
+        |qq AS (SELECT e.vec_id, m.mx, e.x, FLOOR(e.x * (127.0 / m.mx)) AS qi
+        |       FROM ex e JOIN mx m USING (vec_id))
+        |SELECT vec_id, CAST(MIN(qi) AS BIGINT) AS qmin, CAST(MAX(qi) AS BIGINT) AS qmax,
+        |  CAST(ROUND(CAST(SUM(CAST(ABS(qi * mx / 127.0 - x) AS DECIMAL(28,14))) AS DOUBLE)
+        |    / COUNT(*), 8) AS DOUBLE) AS mean_abs_err
+        |FROM qq GROUP BY vec_id ORDER BY vec_id LIMIT 500""".stripMargin,
 
     "qm1_multimodal" ->
       s"""SELECT doc_id,
