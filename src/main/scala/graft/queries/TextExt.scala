@@ -212,8 +212,34 @@ object TextExt {
           expr("roll_hash31(substring(cast(media AS STRING), 1, 16))")
             .as("head_hash"))
         .orderBy("doc_id")
-    })
+    }),
+
+    "qm2_mediafeat" -> ((s, d) => qm2(s, d))
   )
+
+  /** qm2: the typed multimodal feature path (Media.features —
+    * per-partition batched decode over Dataset[MediaRecord]) through the
+    * oracle gate, using document text bytes as the opaque payload: byte
+    * length, mean byte value, first thumbnail sample. ASCII text makes
+    * UTF-8 bytes == codepoints, so DuckDB mirrors with unicode(). */
+  private def qm2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val recs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        graft.multimodal.MediaRecord(id,
+          graft.multimodal.MediaMeta("text", 0, 0, 0), text.getBytes("UTF-8"))
+      }
+    graft.multimodal.Media.features(recs, thumbLen = 4)
+      .toDF()
+      .select(col("id").as("doc_id"),
+        col("nBytes").as("n_bytes"),
+        round(col("meanByte").cast(DecimalType(18, 8)), 6)
+          .cast(DoubleType).as("mean_byte"),
+        round(element_at(col("thumb"), 1).cast(DoubleType)
+          .cast(DecimalType(18, 8)), 6).cast(DoubleType).as("t0"))
+      .orderBy("doc_id")
+  }
 
   val oracle: Map[String, String] = Map(
     "qt1_langid" -> {
@@ -308,6 +334,14 @@ object TextExt {
         |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY source, pack_id
         |ORDER BY source, pack_id""".stripMargin,
+
+    "qm2_mediafeat" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |s AS (SELECT doc_id, SUM(unicode(c)) AS sv, COUNT(*) AS n FROM ch GROUP BY 1)
+        |SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+        |  CAST(ROUND(CAST(CAST(s.sv AS DOUBLE) / s.n AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_byte,
+        |  CAST(ROUND(CAST(unicode(substr(d.text, 1, 1)) / 256.0 AS DECIMAL(18,8)), 6) AS DOUBLE) AS t0
+        |FROM documents d JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "qt8_bigram_lm" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
