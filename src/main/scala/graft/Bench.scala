@@ -20,8 +20,27 @@ object Bench {
       try Tables(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
     // one-time bench-scale geo fixture generation happens here, not inside
-    // the first timed G query
-    try graft.geo.GeoQueries.geoDir(sfDir) catch { case _: Throwable => () }
+    // the first timed G query; when the bench runs against the scaled
+    // fixture, also emit the G oracle SQL bound to THAT fixture so the
+    // DuckDB baseline can be timed at the same scale (tools/geo_baseline.py)
+    try {
+      val gdir = graft.geo.GeoQueries.geoDir(sfDir)
+      if (gdir != graft.geo.GeoQueries.FixtureDir) {
+        val m = graft.geo.GeoQueries.oracleFor(gdir)
+        def esc(s: String): String = "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        val json = m.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("target", "geo_oracle_sql.json"),
+          (json + "\n").getBytes("UTF-8"))
+      }
+    } catch { case _: Throwable => () }
     try {
       Tables(spark, sfDir, "lineitem").groupBy("l_returnflag")
         .agg(sum(col("l_quantity"))).collect()
@@ -35,7 +54,13 @@ object Bench {
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => wanted(n) }
-    val results = selected.map { case (name, fn) =>
+    // Deterministic protocol (round-2 verdict: per-query times were
+    // order-dependent because the unordered Map let whichever query ran
+    // first pay shared-cache materialization): run in sorted name order
+    // and drop every cached relation between queries, so each timing is
+    // the query's own cold cost, reproducible run-to-run.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // materialize the query's OWN physical plan (toRdd keeps the final
       // ORDER BY that df.count() would let EliminateSorts strip, so
@@ -46,7 +71,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout for humans; target/bench.json for the driver (the stdout line
     // gets wrapped in sbt [info] decoration, which broke JSON parsing in

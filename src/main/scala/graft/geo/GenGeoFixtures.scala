@@ -249,7 +249,10 @@ object GenGeoFixtures {
     * per-cell candidate fan-out stays constant as sf grows. */
   def ensureScaled(outDir: Path, nStreets: Int, nHouses: Int): Path = synchronized {
     val marker = outDir.resolve("_SUCCESS")
-    if (Files.exists(marker)) return outDir
+    // the parquet check upgrades pre-existing NDJSON-only fixture dirs
+    // (earlier rounds wrote no oracle twins) in place
+    if (Files.exists(marker)
+        && Files.exists(outDir.resolve("street_segments.parquet"))) return outDir
     Files.createDirectories(outDir)
     val rnd = new Random(7)
     val scale = sqrt(nStreets / 44.0)
@@ -301,6 +304,29 @@ object GenGeoFixtures {
     }
     writeLines(outDir.resolve("streets.ndjson"), streets.toSeq.map(streetJson))
     writeLines(outDir.resolve("house_numbers.ndjson"), houses.toSeq.map(houseJson))
+    // oracle parquet twins (same shapes as the committed fixture) so the
+    // DuckDB G-query baseline is timeable at bench scale, not just on the
+    // 350-row correctness fixture
+    val hadSession = SparkSession.getDefaultSession.nonEmpty
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    writeSingle(spark,
+      segs.toSeq.map(g => (g.streetId, g.name, g.ord, g.x1, g.y1, g.x2, g.y2,
+        g.sinceMin, g.untilMax))
+        .toDF("street_id", "street_name", "seg_ord", "x1", "y1", "x2", "y2",
+          "since_min_ms", "until_max_ms"),
+      outDir.resolve("street_segments.parquet"))
+    writeSingle(spark,
+      houses.toSeq.map(h => (h.id, h.number, h.borough, h.sheetId, h.layerId,
+        h.mapId, h.pt(0), h.pt(1), Option(h.since), Option(h.until),
+        Option(h.since).flatMap(FuzzyDates.minMs),
+        Option(h.until).flatMap(FuzzyDates.maxMs)))
+        .toDF("hn_id", "number", "borough", "sheet_id", "layer_id", "map_id",
+          "px", "py", "valid_since", "valid_until", "since_min_ms", "until_max_ms"),
+      outDir.resolve("house_points.parquet"))
+    if (!hadSession) spark.stop()
     Files.write(marker, Array.emptyByteArray)
     outDir
   }

@@ -134,17 +134,34 @@ object GeoQueries {
   )
 
   /** Shared DuckDB CTE: candidates → crosstrack (same branch structure as
-    * Geo.crosstrackM) → rounded distance → per-point best row. */
-  private val bestCte =
-    s"""WITH seg AS (SELECT * FROM read_parquet('$FixtureDir/street_segments.parquet')),
-       |hp AS (SELECT * FROM read_parquet('$FixtureDir/house_points.parquet')),
+    * Geo.crosstrackM) → rounded distance → per-point best row.
+    *
+    * The candidate join carries a degree-box prefilter alongside the
+    * temporal conjuncts: a match requires raw distance < 24.5 m, and
+    * 24.5 m is < 0.00033° at every fixture latitude (|lat| < 42° ⟹
+    * cos > 0.74), so a 0.001° margin around the segment bbox can never
+    * drop a true candidate (3× headroom over the worst case plus the
+    * sub-meter arc-vs-chord sag of ≤300 m segments). Without it the
+    * temporal-only join is quadratic (every temporally compatible
+    * hp × seg pair reaches the trig), which at the 10 k × 100 k bench
+    * fixture is ~10⁹ candidate rows — the box bound is what any
+    * reasonable single-node SQL implementation would write, so it is the
+    * fair baseline. Parameterized on the fixture dir so the identical
+    * SQL is timeable at bench scale (`oracleFor`). */
+  private def bestCte(dir: String) =
+    s"""WITH seg AS (SELECT * FROM read_parquet('$dir/street_segments.parquet')),
+       |hp AS (SELECT * FROM read_parquet('$dir/house_points.parquet')),
        |cand AS (
        |  SELECT hp.hn_id, seg.street_id AS sid, seg.street_name AS sname, seg.seg_ord,
        |         radians(hp.py) AS pP, radians(hp.px) AS lP,
        |         radians(seg.y1) AS pA, radians(seg.x1) AS lA,
        |         radians(seg.y2) AS pB, radians(seg.x2) AS lB
        |  FROM hp JOIN seg
-       |    ON seg.since_min_ms - 473040000000 <= hp.since_min_ms
+       |    ON hp.py >= least(seg.y1, seg.y2) - 0.001
+       |   AND hp.py <= greatest(seg.y1, seg.y2) + 0.001
+       |   AND hp.px >= least(seg.x1, seg.x2) - 0.001
+       |   AND hp.px <= greatest(seg.x1, seg.x2) + 0.001
+       |   AND seg.since_min_ms - 473040000000 <= hp.since_min_ms
        |   AND seg.until_max_ms + 473040000000 >= hp.until_max_ms
        |),
        |ang AS (
@@ -176,21 +193,25 @@ object GeoQueries {
        |  WHERE rn = 1
        |)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** G oracle SQL over an arbitrary fixture dir — `oracle` binds the
+    * committed correctness fixture; the bench emits this same SQL bound
+    * to the 10 k × 100 k fixture (target/geo_oracle_sql.json) so the
+    * DuckDB baseline is measured at the scale the Spark side runs. */
+  def oracleFor(dir: String): Map[String, String] = Map(
     "g01_segmentize" ->
       s"""SELECT street_id, COUNT(*) AS nseg
-         |FROM read_parquet('$FixtureDir/street_segments.parquet')
+         |FROM read_parquet('$dir/street_segments.parquet')
          |GROUP BY street_id ORDER BY street_id""".stripMargin,
 
     "g02_nearest" ->
-      s"""$bestCte
+      s"""${bestCte(dir)}
          |SELECT 'building-inspector/' || hp.hn_id AS house_number_id,
          |       'nyc-streets/' || b.sid AS street_id, b.distance_m
          |FROM hp LEFT JOIN best b USING (hn_id)
          |ORDER BY house_number_id""".stripMargin,
 
     "g03_transform" ->
-      s"""$bestCte,
+      s"""${bestCte(dir)},
          |matched AS (
          |  SELECT hp.*, b.sid, b.sname, b.distance_m,
          |    'sheetId=' || sheet_id || '|layerId=' || layer_id || '|mapId=' || map_id ||
@@ -238,4 +259,7 @@ object GeoQueries {
          |ORDER BY kind, COALESCE(rel_type,''), COALESCE(house_number_id,''),
          |         COALESCE(rel_from,''), COALESCE(id,'')""".stripMargin
   )
+
+  /** The correctness-gate oracle: bound to the committed fixture. */
+  val oracle: Map[String, String] = oracleFor(FixtureDir)
 }

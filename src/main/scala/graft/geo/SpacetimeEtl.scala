@@ -119,7 +119,14 @@ object SpacetimeEtl {
     * The segment side carries no broadcast hint — the optimizer
     * broadcasts it when small and shuffles on the cell key otherwise
     * (a hard hint would force-collect an arbitrarily large segment side
-    * onto the driver at 100 TB). */
+    * onto the driver at 100 TB).
+    *
+    * PRECONDITION: `hn_id` uniquely identifies a point row in `pts0`
+    * (it is the Space/Time object id — unique by the input contract,
+    * and the committed + generated fixtures guarantee it). The top-1
+    * aggregate groups on hn_id alone and rides the rest of the payload
+    * through any_value, so duplicate hn_id rows would collapse to ONE
+    * output row; callers with non-unique ids must dedupe first. */
   def matchPoints(spark: SparkSession, segs: DataFrame, pts0: DataFrame,
                   maxDistanceM: Long = MaxDistanceM,
                   slackMs: Long = SlackMs): DataFrame = {

@@ -34,7 +34,10 @@ object AsOfJoin {
     // the left payload passes through untouched, so the internal marker
     // columns must not collide with ANY caller column (or the output
     // name): pick the first suffix depth no existing column uses
-    require(!left.columns.contains(out) || out == leftTs,
+    // no escape for out == leftTs either: that would emit TWO columns
+    // named leftTs (the passed-through probe ts plus the as-of value),
+    // ambiguous for any by-name downstream access
+    require(!left.columns.contains(out),
       s"as-of output column '$out' collides with a left column")
     val taken = (left.columns ++ right.columns ++ Seq(out)).toSet
     val intern = Iterator.iterate("_")(_ + "_")

@@ -72,6 +72,53 @@ object BitmaskJaccard {
       .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
       .select("a", "b", "inter", "na", "nb")
 
+  /** EXACT sub-quadratic near-dup pairs via prefix filtering (the
+    * ppjoin-family candidate bound): order the vocabulary by ascending
+    * document frequency (ties by token), and have each doc emit only its
+    * first ⌊(1−t)·nt⌋+1 tokens in that order as candidate keys. Any pair
+    * with J ≥ t = num/den MUST share a prefix token (if the prefixes were
+    * disjoint, the intersection would fit in the two suffixes, forcing
+    * inter ≤ min(nt)−prefix < t·min(nt) ≤ t·max(nt), contradicting
+    * J ≥ t) — so the equi-join on prefix tokens has EXACT recall, and the
+    * popcount verify keeps precision exact. Frequency-ascending order
+    * puts stop tokens at the END of every doc's sorted list, so the join
+    * keys are the RARE tokens — per-key fan-out stays bounded where a
+    * naive token join is quadratic in stop-token frequency.
+    *
+    * Same output contract as `pairs` ((a, b, inter, na, nb), a < b) and
+    * provably the same rows (`PrefixPairsSpec`), with no cartesian:
+    * this is the scale-default exact form; `pairs` remains only as the
+    * brute-force yardstick for bounded inputs. */
+  def prefixPairs(toks: DataFrame, masks: DataFrame, num: Int, den: Int,
+                  broadcastMasks: Boolean = false): DataFrame = {
+    // global total order: (document frequency ASC, token ASC). The df
+    // join is 1:1 per (doc, tok) row — linear, no fan-out.
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    val pref = toks.join(df, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nt"),
+        sort_array(collect_list(struct(col("tdf"), col("tok")))).as("ord"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(slice(ord, 1, cast((${den - num} * nt) div $den + 1 AS INT)), o -> o.tok)"))
+        .as("tok"))
+    val cand = pref.select(col("doc_id").as("a"), col("tok"))
+      .join(pref.select(col("doc_id").as("b"), col("tok")), Seq("tok"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    def side(n: String, nt: String, m: String) = {
+      val s = masks.select(col("doc_id").as(n), col("nt").as(nt), col("m").as(m))
+      if (broadcastMasks) broadcast(s) else s
+    }
+    cand
+      .join(side("a", "na", "ma"), Seq("a"))
+      .join(side("b", "nb", "mb"), Seq("b"))
+      .filter(lit(num) * col("na") <= lit(den) * col("nb")
+        && lit(num) * col("nb") <= lit(den) * col("na"))
+      .withColumn("inter", expr(interExpr))
+      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "inter", "na", "nb")
+  }
+
   /** Sub-quadratic near-dup pairs: MinHash(nHashes) + LSH(nBands)
     * candidate generation — same-bucket docs only, so the self-join
     * fan-out is bounded per band key — followed by the exact popcount
@@ -147,7 +194,11 @@ object BitmaskJaccard {
     // cached: the candidate self-join otherwise computes the signature
     // aggregation twice (a broadcast-hash self-join has no shared
     // exchange to reuse). Bounded: nBands rows per doc, ~60 B each —
-    // MEMORY_AND_DISK spills at corpus scale.
+    // MEMORY_AND_DISK spills at corpus scale. The handle stays
+    // registered for the session (the result is lazy, so this method
+    // cannot unpersist it): callers running many independent candidate
+    // builds should spark.catalog.clearCache() between them (see
+    // TrainingData.clean's caching contract).
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))

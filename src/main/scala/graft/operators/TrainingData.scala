@@ -27,6 +27,14 @@ import org.apache.spark.sql.types._
   *     - `exactRecall = true`: all-pairs bitmask (quadratic, bounded
   *       inputs only).
   *
+  * Caching contract: `clean` (and the BitmaskJaccard candidate paths it
+  * calls) marks intermediate relations `.cache()` because both the
+  * banding and the verify re-read them and a self-join has no shared
+  * exchange to reuse. The handles stay registered for the session —
+  * callers running many independent `clean()` invocations (tests,
+  * benchmarks) should `spark.catalog.clearCache()` between them to
+  * release executor memory; a production pipeline runs one.
+  *
   * Returns the cleaned corpus plus a DEFERRED per-stage stats handle:
   * stage counts are `observe()` metrics collected by whatever single
   * action the caller runs on the result (write, count, …) — `clean`
@@ -98,9 +106,28 @@ object TrainingData {
       .drop("tk", "n_tok", "n_uniq", "n_stop")
       .observe(obsOut, count(lit(1)).as("n"))
 
-    def metric(o: Observation): Long = o.get("n") match {
-      case l: java.lang.Long => l.longValue()
-      case other => other.toString.toLong
+    // bounded wait instead of the unbounded Observation.get: calling
+    // stats() before any action has completed on the cleaned DataFrame
+    // must fail with a descriptive error, not block this thread forever
+    // on a metric that will never arrive (10 s covers listener-bus lag
+    // after a COMPLETED action; an un-run query never fulfills the
+    // future regardless of wait time)
+    def metric(o: Observation): Long = {
+      val row =
+        try scala.concurrent.Await.result(o.future,
+          scala.concurrent.duration.Duration(10, "s"))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(
+              "TrainingData stats() called before an action " +
+                "(write/count/...) completed on the cleaned DataFrame — " +
+                "the stage counts are observe() metrics and only exist " +
+                "after one materialization")
+        }
+      row.getAs[Any]("n") match {
+        case l: java.lang.Long => l.longValue()
+        case other => other.toString.toLong
+      }
     }
     val stats = () => {
       val (in, q, e, out) =

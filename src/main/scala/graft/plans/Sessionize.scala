@@ -83,9 +83,17 @@ case class SessionizeExec(child: SparkPlan, keyAttr: Attribute,
         private var n = 0L
         private var open = false
         private var pending: InternalRow = _
+        // one reusable input buffer for the projection — the UnsafeRow
+        // copy() below is what escapes to consumers, so allocating a
+        // fresh GenericInternalRow (plus its boxed Array[Any]) per
+        // emitted session was pure garbage-collector load
+        private val buf = new GenericInternalRow(4)
 
-        private def emit(): InternalRow =
-          proj(new GenericInternalRow(Array[Any](curKey, start, end, n))).copy()
+        private def emit(): InternalRow = {
+          buf.update(0, curKey); buf.update(1, start)
+          buf.update(2, end); buf.update(3, n)
+          proj(buf).copy()
+        }
 
         override def hasNext: Boolean = {
           if (pending != null) return true

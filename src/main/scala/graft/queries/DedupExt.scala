@@ -152,12 +152,15 @@ object DedupExt {
         .orderBy("a", "b")
     }),
 
-    // qd3 word-4-gram shingle Jaccard ≥ 0.5 (3*inter >= na+nb), integers
-    // only. The distinct() is a deliberate materialization point: fusing
-    // the shingle expression into the self-join lets Catalyst's
-    // InferFiltersFromGenerate duplicate the (expensive) transform lambda
-    // into pushed-down filters — measured 2-3× slower. At corpus scale the
-    // candidate path is banding over shingles (qd1-style), not this join.
+    // qd3 word-4-gram shingle Jaccard ≥ 0.5 (2*inter >= na+nb-inter ⟺
+    // 3*inter >= na+nb), integers only — the BANDED scale path: MinHash(16)
+    // + LSH(4 bands) over the shingle sets bounds the candidate self-join
+    // to same-bucket docs (no shingle-key join, whose fan-out is quadratic
+    // in shingle frequency), then the dictionary-free sorted-merge verify
+    // (bandedPairsCompact — shingle vocabularies are huge by construction,
+    // so no dictionary/broadcast is the right representation). The oracle
+    // replays the identical banding in SQL (qd1-style), so recall is part
+    // of the hash-checked contract.
     "qd3_ngram" -> ((s, d) => {
       val sh = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
@@ -165,18 +168,12 @@ object DedupExt {
         // generate_series) — short docs must be guarded explicitly.
         .select(col("doc_id"), explode(expr(
           "IF(size(tk) >= 4, transform(sequence(1, size(tk) - 3), k -> array_join(slice(tk, k, 4), ' ')), array())"))
-          .as("sh"))
+          .as("tok"))
         .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      val pairs = sh.select(col("doc_id").as("a"), col("sh"))
-        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("a"), col("nt").as("na")), Seq("a"))
-        .join(sizes.select(col("doc_id").as("b"), col("nt").as("nb")), Seq("b"))
-        .filter(lit(3) * col("inter") >= col("na") + col("nb"))
-        .select("a", "b", "inter", "na", "nb")
+        // cached: the banding pass and the token-set verify pass have no
+        // shared exchange to reuse — uncached they'd re-shingle the corpus
+        .cache()
+      graft.operators.BitmaskJaccard.bandedPairsCompact(sh, 1, 2)
         .orderBy("a", "b")
     }),
 
@@ -340,21 +337,31 @@ object DedupExt {
          |ORDER BY a, b""".stripMargin,
 
     "qd3_ngram" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id, unnest(list_transform(
-        |      generate_series(1, greatest(len(string_split(text,' ')) - 3, 0)),
-        |      k -> array_to_string(string_split(text,' ')[k:k+3], ' '))) AS sh
-        |    FROM documents)
-        |),
-        |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM sh GROUP BY 1),
-        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
-        |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT a, b, inter, sa.nt AS na, sb.nt AS nb
-        |FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-        |WHERE 3*inter >= sa.nt + sb.nt
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, sh AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, greatest(len(string_split(text,' ')) - 3, 0)),
+         |      k -> array_to_string(string_split(text,' ')[k:k+3], ' '))) AS sh
+         |    FROM documents)
+         |),
+         |th AS (SELECT doc_id, ${duckH("tok")} AS h FROM sh),
+         |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
+         |           FROM generate_series(0, 15) t(i)),
+         |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
+         |          FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM sh GROUP BY 1),
+         |ints AS (SELECT c.a, c.b, COUNT(*) AS inter
+         |         FROM cand c JOIN sh ta ON ta.doc_id = c.a
+         |                     JOIN sh tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+         |         GROUP BY 1, 2)
+         |SELECT a, b, inter, sa.nt AS na, sb.nt AS nb
+         |FROM ints JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE 2*inter >= sa.nt + sb.nt - inter
+         |ORDER BY a, b""".stripMargin,
 
     "qc1_clean" ->
       s"""WITH scored AS (

@@ -54,23 +54,23 @@ object Llm {
     // Q28 exact near-dedup: token-set Jaccard >= 0.8, integer arithmetic
     // (10*|A∩B| >= 8*|A∪B|) — no floats anywhere.
     //
-    // Implementation: dictionary-encoded bitmask intersection. The token
-    // vocabulary is discovered (tiny here: ~31 tokens; the dictionary is
-    // broadcast), each doc's distinct-token set becomes an array of 64-bit
-    // words, and candidate pairs are an all-pairs broadcast nested-loop
-    // with an integer length filter (5·min ≥ 4·max, implied by J ≥ 0.8)
-    // BEFORE the popcount intersection — so the hot loop is codegen'd
-    // bit arithmetic, never a token-key shuffle join (which is quadratic
-    // in token frequency: a stop token shared by every doc makes that
-    // join O(n²) rows PER TOKEN). Exact pairwise Jaccard is inherently
-    // Ω(qualifying pairs); the sub-quadratic scale path is qd1 (MinHash
-    // LSH), which prunes candidates probabilistically.
+    // Implementation: prefix-filter candidate generation (EXACT recall,
+    // no cartesian — each doc emits only its ⌊0.2·nt⌋+1 rarest tokens as
+    // join keys, and any pair with J ≥ 0.8 provably shares one; see
+    // BitmaskJaccard.prefixPairs) followed by the dictionary-bitmask
+    // popcount verify. Never a full token-key shuffle join (quadratic in
+    // stop-token frequency) and never the all-pairs nested loop (the old
+    // bounded-input form, kept as BitmaskJaccard.pairs — the brute-force
+    // yardstick PrefixPairsSpec proves pair-identity against). The
+    // probabilistic-recall alternative at even larger scale is qd1
+    // (MinHash LSH banding).
     "q28_neardup" -> ((s, d) => {
       // tokens cached: masks() runs the dictionary's zipWithIndex as
       // separate RDD jobs, which can't share SQL exchange reuse with the
       // mask-build join — without the cache they'd re-explode the corpus
-      val masks = graft.operators.BitmaskJaccard.masks(tokens(s, d).cache()).cache()
-      graft.operators.BitmaskJaccard.pairs(masks, masks, 8, 10)
+      val tk = tokens(s, d).cache()
+      val masks = graft.operators.BitmaskJaccard.masks(tk).cache()
+      graft.operators.BitmaskJaccard.prefixPairs(tk, masks, 8, 10)
         .orderBy("a", "b")
     }),
 

@@ -107,9 +107,14 @@ object TextExt {
         .partitionBy("lang")
         .orderBy(col("hk"), col("doc_id"))
       val n = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      // doc_id is reduced mod 2^31 BEFORE the multiply so the product
+      // provably fits int64 (1103515245 * 2^31 < 2^63) — Spark would
+      // otherwise wrap silently on huge ids while DuckDB raises, making
+      // the engines diverge. No-op for ids < 2^31 (all test data).
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          ((lit(1103515245L) * col("doc_id") + 12345L) % 2147483648L).as("hk"))
+          ((lit(1103515245L) * (col("doc_id") % 2147483648L) + 12345L)
+            % 2147483648L).as("hk"))
         .withColumn("rk", row_number().over(w).cast(LongType))
         .withColumn("n", count(lit(1)).over(n))
         .where(col("rk") * 10 <= col("n") * 3)
@@ -178,22 +183,28 @@ object TextExt {
     // qe1 int8 embedding quantization (the serving/ANN compression step):
     // per-vector symmetric scale 127/max|x|, qi = floor(x*scale), with
     // reconstruction-error stats. All row-level IEEE double arithmetic
-    // (identical across engines), aggregated as exact int64/decimal.
+    // (identical across engines); the error sum folds exact
+    // DECIMAL(28,14) terms into a DECIMAL(38,14) accumulator — same
+    // exact sum as the oracle's SUM over the per-element decimals.
+    // ONE scan, zero joins, zero explodes: every stat is a per-row array
+    // HOF (array_max / array_min / aggregate), so the whole query is a
+    // single whole-stage-codegen projection + top-500 sort.
     "qe1_int8quant" -> ((s, d) =>
       t(s, d, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
-        .select(col("vec_id"), col("xf").cast(DoubleType).as("x"))
-        .groupBy("vec_id").agg(max(abs(col("x"))).as("mx"))
-        .join(t(s, d, "embeddings"), Seq("vec_id"))
-        .select(col("vec_id"), col("mx"),
-          posexplode(col("embedding")).as(Seq("i0", "xf")))
-        .select(col("vec_id"), col("mx"), col("xf").cast(DoubleType).as("x"))
-        .withColumn("qi", floor(col("x") * (lit(127.0) / col("mx"))))
-        .groupBy("vec_id")
-        .agg(min(col("qi")).as("qmin"), max(col("qi")).as("qmax"),
-          round(sum(abs(col("qi") * col("mx") / 127.0 - col("x"))
-            .cast(DecimalType(28, 14))).cast(DoubleType) / count(lit(1)), 8)
-            .cast(DoubleType).as("mean_abs_err"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xs"))
+        .select(col("vec_id"), col("xs"),
+          expr("array_max(transform(xs, x -> abs(x)))").as("mx"))
+        .select(col("vec_id"),
+          expr("CAST(array_min(transform(xs, x -> floor(x * (127.0 / mx)))) AS BIGINT)")
+            .as("qmin"),
+          expr("CAST(array_max(transform(xs, x -> floor(x * (127.0 / mx)))) AS BIGINT)")
+            .as("qmax"),
+          expr("""CAST(ROUND(CAST(aggregate(xs, CAST(0 AS DECIMAL(38,14)),
+                 |  (acc, x) -> CAST(acc + CAST(abs(floor(x * (127.0 / mx)) * mx / 127.0 - x)
+                 |                              AS DECIMAL(28,14)) AS DECIMAL(38,14)))
+                 |  AS DOUBLE) / size(xs), 8) AS DOUBLE)""".stripMargin)
+            .as("mean_abs_err"))
         .orderBy("vec_id")
         .limit(500)),
 
@@ -297,7 +308,8 @@ object TextExt {
 
     "qt5_sample" ->
       """WITH h AS (
-        |  SELECT doc_id, lang, (1103515245 * doc_id + 12345) % 2147483648 AS hk
+        |  SELECT doc_id, lang,
+        |    (1103515245 * (doc_id % 2147483648) + 12345) % 2147483648 AS hk
         |  FROM documents
         |), r AS (
         |  SELECT doc_id, lang,

@@ -46,5 +46,11 @@ class AsOfJoinSpec extends AnyFunSuite {
         out = "event_id")
     }
     assert(ex.getMessage.contains("collides"))
+    // including out == leftTs (would duplicate the probe-ts column name)
+    val ex2 = intercept[IllegalArgumentException] {
+      AsOfJoin.latestAtOrBefore(events, orders, "o_custkey", "ts", "o_orderdate",
+        out = "ts")
+    }
+    assert(ex2.getMessage.contains("collides"))
   }
 }

@@ -38,6 +38,26 @@ class DedupSpec extends AnyFunSuite {
     assert(viaSets.nonEmpty)
   }
 
+  test("prefix-filter pairs == brute-force all-pairs (EXACT recall proof)") {
+    import graft.operators.BitmaskJaccard
+    import org.apache.spark.sql.functions._
+    val toks = Tables(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct().cache()
+    val masks = BitmaskJaccard.masks(toks).cache()
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "inter", "na", "nb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // q28's threshold, plus a looser one that forces longer prefixes
+    for ((num, den) <- Seq((8, 10), (5, 10))) {
+      val brute = asSet(BitmaskJaccard.pairs(masks, masks, num, den))
+      val prefix = asSet(BitmaskJaccard.prefixPairs(toks, masks, num, den))
+      assert(prefix === brute, s"J>=$num/$den diff: " +
+        s"${(prefix diff brute).take(3)} / ${(brute diff prefix).take(3)}")
+      assert(prefix.nonEmpty || num == 8)
+    }
+  }
+
   test("intersect_sorted_count: merge semantics on handwritten cases") {
     graft.plans.IntersectSortedCount.register(spark)
     val r = spark.sql(
@@ -52,25 +72,31 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getLong(3) === 2L) // min-multiplicity of 'a'
   }
 
-  test("shingle banding: qd3's declared scale path is a high-recall subset") {
-    import graft.operators.BitmaskJaccard
+  test("qd3 banded shingle pairs are a high-recall subset of the exact join") {
     import org.apache.spark.sql.functions._
-    // the banded machinery is token-agnostic: feed it 4-gram shingles as
-    // "tokens" and it becomes the sub-quadratic candidate path qd3's
-    // comment declares for corpus scale (J >= 0.5 -> num/den = 5/10)
+    // exact yardstick: the brute-force shingle self-join qd3 used to ship
+    // (fine at test scale), reimplemented inline — qd3's banded result
+    // must be a subset with recall >= 0.8
     val sh = Tables(spark, TestSpark.Sf, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(expr(
         "IF(size(tk) >= 4, transform(sequence(1, size(tk) - 3), k -> array_join(slice(tk, k, 4), ' ')), array())"))
-        .as("tok"))
+        .as("sh"))
       .distinct().cache()
-    val banded = BitmaskJaccard.bandedPairsCompact(sh, 5, 10)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val exact = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("nt").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nt").as("nb")), Seq("b"))
+      .filter(lit(3) * col("inter") >= col("na") + col("nb"))
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = graft.queries.DedupExt.queries("qd3_ngram")(spark, TestSpark.Sf)
+    val banded = graft.queries.DedupExt.queries("qd3_ngram")(spark, TestSpark.Sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded.subsetOf(exact), s"banded invented pairs: ${(banded -- exact).take(3)}")
     val recall = if (exact.isEmpty) 1.0 else banded.size.toDouble / exact.size
-    info(f"shingle-banded recall vs exact 4-gram Jaccard: $recall%.4f (${banded.size}/${exact.size})")
+    info(f"qd3 banded recall vs exact 4-gram Jaccard: $recall%.4f (${banded.size}/${exact.size})")
     assert(recall >= 0.8, f"recall $recall%.4f below 0.8")
   }
 

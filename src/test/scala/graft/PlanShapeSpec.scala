@@ -63,6 +63,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p4.contains("dot_long") && p4.contains("*("), "qd4 kernel not fused")
   }
 
+  test("q28: prefix-filter plan has no cartesian product") {
+    // (the single-row wmax broadcast in masks() is a benign 1-row BNLJ;
+    // the guard is against the old all-pairs doc × doc cartesian)
+    val p = plan("q28_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in q28 prefix-filter plan:\n$p")
+  }
+
+  test("qd3: banded shingle plan has no cartesian product") {
+    val p = plan("qd3_ngram")
+    assert(!p.contains("CartesianProduct"), s"cartesian in qd3 banded plan:\n$p")
+  }
+
+  test("qe1: int8 quantization is one scan — no joins, no explode") {
+    val p = plan("qe1_int8quant")
+    assert(!p.contains("Join"), s"qe1 regressed to a join plan:\n$p")
+    assert(!p.contains("Generate"), s"qe1 regressed to an explode plan:\n$p")
+  }
+
   test("s05: interval join is an equi-join on the user key, not nested-loop") {
     val p = plan("s05_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

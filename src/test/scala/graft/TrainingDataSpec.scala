@@ -39,6 +39,9 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(cleanedDF.select("doc_id").exceptAll(cleaned.select("doc_id")).count() === 0)
     assert(cleaned.select("doc_id").exceptAll(cleanedDF.select("doc_id")).count() === 0)
     info(s"clean stats: $stats")
+    // clean()'s documented caching contract: callers running several
+    // independent invocations release the handles themselves
+    spark.catalog.clearCache()
   }
 
   test("relations degrees/neighbors over the pipeline's edge output") {
