@@ -90,20 +90,51 @@ object BitmaskJaccard {
     * this is the scale-default exact form; `pairs` remains only as the
     * brute-force yardstick for bounded inputs. */
   def prefixPairs(toks: DataFrame, masks: DataFrame, num: Int, den: Int,
-                  broadcastMasks: Boolean = false): DataFrame = {
+                  broadcastMasks: Boolean = false,
+                  broadcastPrefixes: Boolean = false): DataFrame = {
     // global total order: (document frequency ASC, token ASC). The df
     // join is 1:1 per (doc, tok) row — linear, no fan-out.
     val df = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    // each prefix row carries the doc's set size AND the token's 1-based
+    // position in the doc's globally-ordered token list — the ppjoin
+    // length and position filters below need both. Cached: the candidate
+    // self-join has no shared exchange to reuse, and this relation is
+    // tiny (only prefix rows survive the slice).
     val pref = toks.join(df, Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nt"),
         sort_array(collect_list(struct(col("tdf"), col("tok")))).as("ord"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), col("nt"), posexplode(expr(
         s"transform(slice(ord, 1, cast((${den - num} * nt) div $den + 1 AS INT)), o -> o.tok)"))
-        .as("tok"))
-    val cand = pref.select(col("doc_id").as("a"), col("tok"))
-      .join(pref.select(col("doc_id").as("b"), col("tok")), Seq("tok"))
-      .filter(col("a") < col("b"))
+        .as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("nt"), (col("p0") + 1).as("pos"), col("tok"))
+      .cache()
+    // Candidate join with the ppjoin filters evaluated INLINE on the
+    // join output (streamed, never shuffled):
+    //  - length: num·na ≤ den·nb ∧ num·nb ≤ den·na (implied by J ≥ t);
+    //  - position: for the FIRST shared token of a qualifying pair, all
+    //    earlier tokens of either doc are unshared, so
+    //    inter ≤ 1 + min(na−pa, nb−pb); J ≥ t needs inter ≥
+    //    num·(na+nb)/(num+den), hence rows with
+    //    (num+den)·(1+min(na−pa, nb−pb)) < num·(na+nb) can be dropped
+    //    without ever dropping a pair's first-shared-token row.
+    // The filters matter precisely when the corpus is degenerate for
+    // prefix keys (tiny/uniform vocabulary → few join keys with huge
+    // fan-out): they prune the blowup before the distinct.
+    // `broadcastPrefixes = true` additionally broadcasts the build side
+    // — only for callers that KNOW the corpus is bounded (bench scale);
+    // the default shuffle join + AQE skew split is the 100 TB plan.
+    val L = pref.select(col("doc_id").as("a"), col("nt").as("na"),
+      col("pos").as("pa"), col("tok"))
+    val R0 = pref.select(col("doc_id").as("b"), col("nt").as("nb"),
+      col("pos").as("pb"), col("tok"))
+    val R = if (broadcastPrefixes) broadcast(R0) else R0
+    val cand = L.join(R, Seq("tok"))
+      .filter(col("a") < col("b")
+        && lit(num) * col("na") <= lit(den) * col("nb")
+        && lit(num) * col("nb") <= lit(den) * col("na")
+        && lit(num + den) * (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
+          >= lit(num) * (col("na") + col("nb")))
       .select("a", "b").distinct()
     def side(n: String, nt: String, m: String) = {
       val s = masks.select(col("doc_id").as(n), col("nt").as(nt), col("m").as(m))
@@ -156,13 +187,44 @@ object BitmaskJaccard {
     * contract and (provably) same rows as `bandedPairs`. */
   def bandedPairsCompact(toks: DataFrame, num: Int, den: Int,
                          nHashes: Int = 16, nBands: Int = 4): DataFrame = {
-    graft.plans.IntersectSortedCount.register(toks.sparkSession)
-    val cand = bandedCandidates(toks, nHashes, nBands)
-    val sets = tokenSets(toks)
+    val spark = toks.sparkSession
+    graft.plans.IntersectSortedCount.register(spark)
+    graft.plans.RollHash31.register(spark)
+    val P = 1000000007L
+    val rows = nHashes / nBands
+    require(rows * nBands == nHashes, "nBands must divide nHashes")
+    // ONE pass over the token relation builds BOTH the MinHash signature
+    // (16 min columns) and the verify-side sorted token array + size —
+    // the separate bandedCandidates + tokenSets composition aggregated
+    // the corpus twice (two full shuffles of every token). The per-doc
+    // result is small (one row per doc) and cached because the band
+    // self-join and the two verify joins all re-read it.
+    // hash projected ONCE per token row (a min column per permutation
+    // would otherwise re-evaluate the rolling hash 16×)
+    val th = toks.withColumn("h", expr("roll_hash31(tok)"))
+    val minCols = (0 until nHashes).map { j =>
+      val a = 1000003L * j + 12345L
+      val b = 777767L * j + 13L
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
+    }
+    val aggCols = minCols ++ Seq(count(lit(1)).as("nt"),
+      sort_array(collect_list(col("tok"))).as("tks"))
+    val per = th.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*).cache()
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r => col(s"mh${rows * b + r}")): _*).as("key"))
+    }
+    val bands = per
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     cand
-      .join(sets.select(col("doc_id").as("a"), col("nt").as("na"),
+      .join(per.select(col("doc_id").as("a"), col("nt").as("na"),
         col("tks").as("ta")), Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("nt").as("nb"),
+      .join(per.select(col("doc_id").as("b"), col("nt").as("nb"),
         col("tks").as("tb")), Seq("b"))
       .withColumn("inter", expr("intersect_sorted_count(ta, tb)"))
       .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))

@@ -24,8 +24,9 @@ import org.apache.spark.sql.types._
   *       (`bandedPairsCompact`) — O(doc length) payload, NO global
   *       dictionary or broadcast assumption; the form that still works
   *       at a 10^9-token vocabulary. Both verified pair-identical.
-  *     - `exactRecall = true`: all-pairs bitmask (quadratic, bounded
-  *       inputs only).
+  *     - `exactRecall = true`: prefix-filter candidates + bitmask
+  *       verify (`prefixPairs`) — EXACT recall with a bounded candidate
+  *       join, no cartesian.
   *
   * Caching contract: `clean` (and the BitmaskJaccard candidate paths it
   * calls) marks intermediate relations `.cache()` because both the
@@ -88,10 +89,11 @@ object TrainingData {
     val (jn, jd) = jaccard
     val pairs =
       if (exactRecall) {
-        // bounded-input all-pairs form (vocab-width bitmasks + broadcast
-        // dictionary — exact recall, quadratic)
+        // EXACT-recall form: prefix-filter candidates + bitmask verify —
+        // sub-quadratic with the identical result set as the old
+        // all-pairs kernel (proven pair-identical in DedupSpec)
         val masks = BitmaskJaccard.masks(toks).cache()
-        BitmaskJaccard.pairs(masks, masks, jn, jd)
+        BitmaskJaccard.prefixPairs(toks, masks, jn, jd)
       } else if (dictionaryFree)
         // unbounded-vocabulary form: banded candidates + sorted-set
         // verify — no dictionary or broadcast assumption anywhere

@@ -70,7 +70,11 @@ object Llm {
       // mask-build join — without the cache they'd re-explode the corpus
       val tk = tokens(s, d).cache()
       val masks = graft.operators.BitmaskJaccard.masks(tk).cache()
-      graft.operators.BitmaskJaccard.prefixPairs(tk, masks, 8, 10)
+      // prefixes broadcast-hinted because the bench corpus is known-small
+      // (same convention as qd1's broadcastMasks); the operator default
+      // is the scale-safe shuffle join
+      graft.operators.BitmaskJaccard
+        .prefixPairs(tk, masks, 8, 10, broadcastPrefixes = true)
         .orderBy("a", "b")
     }),
 
@@ -126,19 +130,21 @@ object Llm {
 
     // T2 approx quantile sketch vs q32's exact index-based p50 — same
     // verdict-as-data convention as T1; the sketch stays mergeable
-    // (map-side partials are tiny regardless of row count).
+    // (map-side partials are tiny regardless of row count). The exact
+    // side uses q32's value-histogram form (hash agg + tiny window), not
+    // a 3-partition-key sort of the whole table.
     "t2_approxq" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_returnflag")
-        .orderBy("l_quantity", "l_orderkey", "l_linenumber", "l_extendedprice")
       val li = t(s, d, "lineitem")
-      val exact = li
-        .select(col("l_returnflag"), col("l_quantity"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy("l_returnflag")).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_quantity")
+      val exact = li.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c"))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy("l_returnflag")))
         .groupBy("l_returnflag")
-        .agg(max(when(col("rn") === expr("(n-1)*5 div 10 + 1"), col("l_quantity")))
+        .agg(min(when(col("cum") >= expr("(n-1)*5 div 10 + 1"), col("l_quantity")))
           .as("p50_exact"))
       val approx = li.groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50a"))
