@@ -103,6 +103,39 @@ object DedupExt {
           .reduce(_ + _).as("sk"))
   }
 
+  /** qd4's near-dup pair pipeline (shared with qd5's clustering):
+    * 16-hyperplane sign sketch → 2×8-bit bands → candidate self-join →
+    * exact fixed-point cosine via the native int64 kernel. Returns
+    * (a, b, cosd) with cosd ≥ 0.4. */
+  private def embDupPairs(s: SparkSession, d: String): DataFrame = {
+    graft.plans.DotLong.register(s)
+    val pv = perVec(exQ(s, d)).cache()
+    // norms ride along the band rows → the cosine check needs only the
+    // two embedding-array joins after the candidate self-join
+    val bands = pv.crossJoin(broadcast(
+        s.range(2).select(col("id").cast(IntegerType).as("k"))))
+      .select(col("vec_id"), col("n2"), col("k"),
+        expr("shiftright(sk, 8 * k) & 255").as("byte"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        col("x.n2").as("na2"), col("y.n2").as("nb2")).distinct()
+    // exact dot as a per-row int64 array kernel: zip_with + long fold
+    // (identical values to a SUM over an exploded join, without the 64×
+    // row blowup or the pair groupBy)
+    val emb = embQ(s, d)
+    cand
+      .join(emb.select(col("vec_id").as("a"), col("ei").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("ei").as("eb")), Seq("b"))
+      .withColumn("dot", expr(dotL("ea", "eb")))
+      .select(col("a"), col("b"),
+        (col("dot").cast(DoubleType)
+          / (sqrt(col("na2").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType))))
+          .as("cosd"))
+      .filter(col("cosd") >= 0.4)
+  }
+
   val queries: Map[String, Q] = Map(
     // qd1 MinHash(16) + LSH(4 bands × 4 rows) + exact-Jaccard(≥0.8)
     // verify. The 16 minhashes are 16 min-columns in ONE groupBy(doc_id)
@@ -179,36 +212,21 @@ object DedupExt {
 
     // qd4 embedding near-dup: 16-hyperplane sign sketch → 2×8-bit bands →
     // exact fixed-point cosine ≥ 0.4 on candidates
-    "qd4_embdup" -> ((s, d) => {
-      graft.plans.DotLong.register(s)
-      val pv = perVec(exQ(s, d)).cache()
-      // norms ride along the band rows → the cosine check needs only the
-      // two embedding-array joins after the candidate self-join
-      val bands = pv.crossJoin(broadcast(
-          s.range(2).select(col("id").cast(IntegerType).as("k"))))
-        .select(col("vec_id"), col("n2"), col("k"),
-          expr("shiftright(sk, 8 * k) & 255").as("byte"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
-            && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-          col("x.n2").as("na2"), col("y.n2").as("nb2")).distinct()
-      // exact dot as a per-row int64 array kernel: zip_with + long fold
-      // (identical values to a SUM over an exploded join, without the 64×
-      // row blowup or the pair groupBy)
-      val emb = embQ(s, d)
-      cand
-        .join(emb.select(col("vec_id").as("a"), col("ei").as("ea")), Seq("a"))
-        .join(emb.select(col("vec_id").as("b"), col("ei").as("eb")), Seq("b"))
-        .withColumn("dot", expr(dotL("ea", "eb")))
-        .select(col("a"), col("b"),
-          (col("dot").cast(DoubleType)
-            / (sqrt(col("na2").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType))))
-            .as("cosd"))
-        .filter(col("cosd") >= 0.4)
+    "qd4_embdup" -> ((s, d) =>
+      embDupPairs(s, d)
         .select(col("a"), col("b"), round(col("cosd"), 6).cast(DoubleType).as("score"))
-        .orderBy("a", "b")
-    }),
+        .orderBy("a", "b")),
+
+    // qd5 duplicate CLUSTERS: connected components over qd4's near-dup
+    // pair graph (DupGroups.components — iterative min-label propagation,
+    // one equi-join + one groupBy per round, no driver-side graph state).
+    // The step a cleaning pipeline needs between "pairs" and "keep one
+    // per group": pair-wise b-dropping over-deletes on chains. The oracle
+    // replays qd4's pair generation and resolves components with a
+    // recursive CTE, so the clustering itself is hash-checked.
+    "qd5_dupgroups" -> ((s, d) =>
+      graft.operators.DupGroups.components(embDupPairs(s, d).select("a", "b"))
+        .orderBy("node")),
 
     // qs1 ANN similarity search: neighbors of vec 0 from its LSH buckets
     // (same 16-plane sketch, 2×8-bit bands), exact decimal cosine re-rank,
@@ -296,6 +314,32 @@ object DedupExt {
 
   private val toksCte =
     "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"
+
+  /** qd4's oracle CTE chain through `cosd` — shared by qd4 (pair output)
+    * and qd5 (recursive-CTE connected components on top). */
+  private val embDupCtes =
+    s"""idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+       |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+       |       FROM embeddings, idx WHERE i <= len(embedding)),
+       |proj AS (SELECT vec_id, j,
+       |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
+       |             - 1073741824) * xi) AS proj
+       |         FROM ex, generate_series(0, 15) t(j) GROUP BY 1, 2),
+       |sk AS (SELECT vec_id, SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS sk
+       |       FROM proj GROUP BY 1),
+       |bands AS (SELECT vec_id, k, (sk >> (8*k)) & 255 AS byte
+       |          FROM sk, generate_series(0, 1) t(k)),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |         FROM bands x JOIN bands y
+       |           ON x.k = y.k AND x.byte = y.byte AND x.vec_id < y.vec_id),
+       |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+       |dots AS (SELECT c.a, c.b, SUM(u.xi * v.xi) AS dot
+       |         FROM cand c JOIN ex u ON u.vec_id = c.a
+       |                     JOIN ex v ON v.vec_id = c.b AND v.i = u.i
+       |         GROUP BY 1, 2),
+       |cosd AS (SELECT a, b, CAST(dot AS DOUBLE)
+       |           / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosd
+       |         FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "qd1_minhash" ->
@@ -401,31 +445,27 @@ object DedupExt {
          |ORDER BY doc_id""".stripMargin,
 
     "qd4_embdup" ->
-      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
-        |       FROM embeddings, idx WHERE i <= len(embedding)),
-        |proj AS (SELECT vec_id, j,
-        |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
-        |             - 1073741824) * xi) AS proj
-        |         FROM ex, generate_series(0, 15) t(j) GROUP BY 1, 2),
-        |sk AS (SELECT vec_id, SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS sk
-        |       FROM proj GROUP BY 1),
-        |bands AS (SELECT vec_id, k, (sk >> (8*k)) & 255 AS byte
-        |          FROM sk, generate_series(0, 1) t(k)),
-        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-        |         FROM bands x JOIN bands y
-        |           ON x.k = y.k AND x.byte = y.byte AND x.vec_id < y.vec_id),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
-        |dots AS (SELECT c.a, c.b, SUM(u.xi * v.xi) AS dot
-        |         FROM cand c JOIN ex u ON u.vec_id = c.a
-        |                     JOIN ex v ON v.vec_id = c.b AND v.i = u.i
-        |         GROUP BY 1, 2),
-        |cosd AS (SELECT a, b, CAST(dot AS DOUBLE)
-        |           / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosd
-        |         FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b)
+      s"""WITH $embDupCtes
         |SELECT a, b, CAST(ROUND(cosd, 6) AS DOUBLE) AS score
         |FROM cosd WHERE cosd >= 0.4
         |ORDER BY a, b""".stripMargin,
+
+    // qd5: qd4's pair chain + recursive-CTE connected components —
+    // min reachable id per node over the symmetrized edge list (UNION
+    // dedupes states, so the recursion terminates at the fixpoint)
+    "qd5_dupgroups" ->
+      s"""WITH RECURSIVE $embDupCtes,
+        |e AS (SELECT a, b FROM cosd WHERE cosd >= 0.4),
+        |vtx AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |edges AS (SELECT a AS x, b AS y FROM e UNION SELECT b AS x, a AS y FROM e),
+        |walk AS (
+        |  SELECT node, node AS lbl FROM vtx
+        |  UNION
+        |  SELECT eg.y AS node, w.lbl AS lbl
+        |  FROM walk w JOIN edges eg ON eg.x = w.node
+        |)
+        |SELECT node, MIN(lbl) AS grp FROM walk GROUP BY node
+        |ORDER BY node""".stripMargin,
 
     "qs1_ann" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),

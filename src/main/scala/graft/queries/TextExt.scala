@@ -225,7 +225,32 @@ object TextExt {
         .orderBy("doc_id")
     }),
 
-    "qm2_mediafeat" -> ((s, d) => qm2(s, d))
+    "qm2_mediafeat" -> ((s, d) => qm2(s, d)),
+
+    // qt9 TF-IDF-style term relevance: per-doc top-3 terms by
+    // score = tf · N / df (linear inverse-document-frequency weighting —
+    // ln() is deliberately avoided: libm last-ulp differences between
+    // engines could flip a rounded score, while tf·N (exact int64 < 2^53)
+    // divided by df is one correctly-rounded IEEE op, bit-identical in
+    // both engines). Plan: two narrow groupBys (term counts, doc
+    // frequency) + a per-doc top-3 window — all partial-aggregatable,
+    // window partitioned by doc_id (full parallelism).
+    "qt9_tfidf" -> ((s, d) => {
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * col("n") / col("df"), 6).cast(DoubleType))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    })
   )
 
   /** qm2: the typed multimodal feature path (Media.features —
@@ -378,6 +403,20 @@ object TextExt {
         |  CAST(ROUND(CAST(SUM(CAST(ABS(qi * mx / 127.0 - x) AS DECIMAL(28,14))) AS DOUBLE)
         |    / COUNT(*), 8) AS DOUBLE) AS mean_abs_err
         |FROM qq GROUP BY vec_id ORDER BY vec_id LIMIT 500""".stripMargin,
+
+    "qt9_tfidf" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |         CAST(ROUND(tf * n / df, 6) AS DOUBLE) AS score
+        |       FROM tf JOIN dfreq USING (term), n),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS BIGINT) AS rk FROM sc)
+        |SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf,
+        |       CAST(df AS BIGINT) AS df, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "qm1_multimodal" ->
       s"""SELECT doc_id,

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.DupGroups
+import org.scalatest.funsuite.AnyFunSuite
+
+class DupGroupsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cc(edges: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    DupGroups.components(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain, star, cycle, and disjoint components resolve to min ids") {
+    // chain 1-2-3-4 (diameter 3: exercises >1 propagation round),
+    // star 10-{11,12,13}, cycle 20-21-22-20, isolated pair 30-31
+    val got = cc((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L))
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    assert(got === expected)
+  }
+
+  test("long chain converges (adversarial diameter)") {
+    val edges = (1L until 40L).map(i => (i, i + 1))
+    val got = cc(edges: _*)
+    assert(got.size === 40)
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("bridging edge merges two clusters through their min label") {
+    // {5,6} and {7,8} joined by 6-7: everything labels to 5
+    val got = cc((5L, 6L), (7L, 8L), (6L, 7L))
+    assert(got === Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+  }
+}
