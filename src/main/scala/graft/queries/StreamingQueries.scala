@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
-/** Streaming surface (SURVEY §5.7 S01–S04).
+/** Streaming surface (SURVEY §5.7 S01–S07).
   *
   * The oracle-checked `queries` are the BATCH forms (the driver's DuckDB
   * oracle is batch SQL); `Streams` runs the same computations as real
@@ -79,6 +79,19 @@ object StreamingQueries {
       t(s, d, "events")
         .agg(countDistinct(col("event_id")).as("n"))),
 
+    // S07 content-fingerprint dedup: the ingest-time exact near-dup gate
+    // of a training pipeline — fingerprint the payload (cross-engine
+    // rolling hash, native expression) and count surviving uniques.
+    // Streaming form: Streams.s07 (watermark + dropDuplicates on fp);
+    // the test suite asserts streaming == batch.
+    "s07_fpdedup" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      t(s, d, "events")
+        .select(expr("roll_hash31(props)").as("fp"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("fp")).as("n_unique"))
+    }),
+
     // S06 the custom Sessionize physical operator (plans/Sessionize:
     // LogicalPlan + Strategy + single-exchange Exec) against the SAME
     // oracle SQL as S03 — the custom operator's output is hash-checked
@@ -137,6 +150,12 @@ object StreamingQueries {
         |ORDER BY user_id, session_start""".stripMargin,
     "s04_dedup" ->
       "SELECT COUNT(DISTINCT event_id) AS n FROM events",
+    "s07_fpdedup" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(props, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007)) AS n_unique
+        |FROM events""".stripMargin,
     "s06_sessionize_op" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,
@@ -240,6 +259,19 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
     runToTable(spark, dedup, "s04_stream", "append")
+  }
+
+  /** S07 as streaming: content-fingerprint dedup — watermark +
+    * dropDuplicates on the payload's rolling hash. The streaming form of
+    * an ingest-time exact near-dup gate: state is one row per distinct
+    * fingerprint inside the watermark horizon. */
+  def s07(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.RollHash31.register(spark)
+    val dedup = readEvents(spark, dir)
+      .withColumn("fp", expr("roll_hash31(props)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("fp")
+    runToTable(spark, dedup, "s07_stream", "append")
   }
 
   /** S05 as streaming: stream-stream inner join. Both sides carry

@@ -82,6 +82,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"qe1 regressed to an explode plan:\n$p")
   }
 
+  test("qd5/qt9: new round-3 operators keep cartesian-free plans") {
+    // (qd4's 2-row band range and qt9's 1-row N are benign broadcast
+    // BNLJs; the guard is against doc×doc / term×term cartesians)
+    assert(!plan("qd5_dupgroups").contains("CartesianProduct"))
+    assert(!plan("qt9_tfidf").contains("CartesianProduct"))
+  }
+
+  test("q32: exact quantiles aggregate before the window (no full-table sort)") {
+    // the value-histogram form: the window's child must be an aggregate
+    // over (flag, value), never a 600k-row sort keyed by 3 return flags
+    val p = plan("q32_quantile")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p)
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      s"no aggregate below the quantile window:\n$p")
+  }
+
   test("s05: interval join is an equi-join on the user key, not nested-loop") {
     val p = plan("s05_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

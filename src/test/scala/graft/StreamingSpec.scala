@@ -41,6 +41,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("s07 fingerprint dedup: streaming dropDuplicates(fp) == batch distinct fp") {
+    val batch = StreamingQueries.queries("s07_fpdedup")(spark, TestSpark.Sf)
+      .collect()(0)
+    val stream = Streams.s07(spark, TestSpark.Sf)
+    assert(stream.count() === batch.getLong(1)) // n_unique survivors
+    assert(batch.getLong(0) >= batch.getLong(1))
+  }
+
   test("s05 interval join: stream-stream join == batch join") {
     val batch = StreamingQueries.queries("s05_join")(spark, TestSpark.Sf)
     val stream = Streams.s05(spark, TestSpark.Sf)
