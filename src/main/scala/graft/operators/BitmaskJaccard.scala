@@ -207,9 +207,15 @@ object BitmaskJaccard {
       val b = 777767L * j + 13L
       min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
     }
-    val aggCols = minCols ++ Seq(count(lit(1)).as("nt"),
-      sort_array(collect_list(col("tok"))).as("tks"))
-    val per = th.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*).cache()
+    // duplicate-TOLERANT by construction: MIN permutation aggs are
+    // duplicate-insensitive and collect_set dedupes, so callers can pass
+    // the raw exploded (doc_id, tok) relation without paying a distinct
+    // shuffle first (qd3 feeds raw shingles; set size nt derives from
+    // the deduped array)
+    val aggCols = minCols :+ sort_array(collect_set(col("tok"))).as("tks")
+    val per = th.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("nt", size(col("tks")).cast("bigint"))
+      .cache()
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rows).map(r => col(s"mh${rows * b + r}")): _*).as("key"))

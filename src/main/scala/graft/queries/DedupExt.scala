@@ -202,10 +202,10 @@ object DedupExt {
         .select(col("doc_id"), explode(expr(
           "IF(size(tk) >= 4, transform(sequence(1, size(tk) - 3), k -> array_join(slice(tk, k, 4), ' ')), array())"))
           .as("tok"))
-        .distinct()
-        // cached: the banding pass and the token-set verify pass have no
-        // shared exchange to reuse — uncached they'd re-shingle the corpus
-        .cache()
+      // raw shingles, no distinct and no cache: bandedPairsCompact is
+      // duplicate-tolerant and consumes the relation in ONE aggregation,
+      // so the pre-distinct was a pure extra shuffle of the whole
+      // shingle explosion
       graft.operators.BitmaskJaccard.bandedPairsCompact(sh, 1, 2)
         .orderBy("a", "b")
     }),
