@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
   * engines, so results are bit-identical).
   *
   * Scale notes:
-  *  - Q28 deliberately avoids the textbook skew trap (a token self-join
-  *    is quadratic in token frequency — one stop token shared by every
-  *    doc blows up that key); it uses a dictionary bitmask + popcount
-  *    kernel instead. The sub-quadratic scale path is DedupExt's qd1
-  *    MinHash-LSH, whose banding bounds per-key fan-out.
+  *  - Q28 deliberately avoids the textbook skew trap (a naive token
+  *    self-join is quadratic in token frequency — one stop token shared
+  *    by every doc blows up that key): candidates come from the
+  *    prefix-filter join (exact recall, ppjoin length+position filters
+  *    pruning the skew inline) and verify is the dictionary bitmask +
+  *    popcount kernel. The probabilistic-recall alternative at even
+  *    larger scale is DedupExt's qd1 MinHash-LSH banding.
   *  - Q29 broadcasts the (tiny) query vector and reduces per-index
   *    partial products map-side; for ANN/IVF see DedupExt qs1/qs2.
   */

@@ -227,6 +227,27 @@ object TextExt {
 
     "qm2_mediafeat" -> ((s, d) => qm2(s, d)),
 
+    // qt10 document chunking: fixed 64-token windows with stride 48
+    // (16-token overlap) — the pre-tokenization splitting step that
+    // turns long documents into training-sized sequences. One scan, the
+    // explode fan-out is ⌈n_tok/48⌉ per doc; each chunk carries its
+    // token count and a rolling-hash fingerprint (chunk-level exact
+    // dedup key downstream). Pure integer arithmetic + the shared
+    // cross-engine hash.
+    "qt10_chunk" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(0L, (size(tk) + 47) div 48 - 1)")).as("k"))
+        .select(col("doc_id"), col("k"),
+          expr("CAST(size(slice(tk, cast(k * 48 + 1 AS INT), 64)) AS BIGINT)")
+            .as("n_tok"),
+          expr("roll_hash31(array_join(slice(tk, cast(k * 48 + 1 AS INT), 64), ' '))")
+            .as("fp"))
+        .orderBy("doc_id", "k")
+    }),
+
     // qt9 TF-IDF-style term relevance: per-doc top-3 terms by
     // score = tf · N / df (linear inverse-document-frequency weighting —
     // ln() is deliberately avoided: libm last-ulp differences between
@@ -403,6 +424,20 @@ object TextExt {
         |  CAST(ROUND(CAST(SUM(CAST(ABS(qi * mx / 127.0 - x) AS DECIMAL(28,14))) AS DOUBLE)
         |    / COUNT(*), 8) AS DOUBLE) AS mean_abs_err
         |FROM qq GROUP BY vec_id ORDER BY vec_id LIMIT 500""".stripMargin,
+
+    "qt10_chunk" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |c AS (SELECT doc_id, tk,
+         |        unnest(generate_series(CAST(0 AS BIGINT),
+         |          (len(tk) + 47) // 48 - 1)) AS k
+         |      FROM t)
+         |SELECT doc_id, k,
+         |  CAST(len(list_slice(tk, k*48 + 1, k*48 + 64)) AS BIGINT) AS n_tok,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(array_to_string(list_slice(tk, k*48 + 1, k*48 + 64), ' '), ''),
+         |      ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % $P) AS fp
+         |FROM c ORDER BY doc_id, k""".stripMargin,
 
     "qt9_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
