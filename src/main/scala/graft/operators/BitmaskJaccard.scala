@@ -180,11 +180,15 @@ object BitmaskJaccard {
   }
 
   /** `bandedPairs` with the dictionary-free verify: candidates from the
-    * same MinHash-LSH banding, exact intersection via the native
-    * sorted-merge kernel over per-doc sorted token arrays (`tokenSets`).
-    * No dictionary, no broadcast, every relation O(doc length) per row —
-    * the fully scale-safe exact near-dedup composition. Same output
-    * contract and (provably) same rows as `bandedPairs`. */
+    * same MinHash-LSH banding, intersection via the native sorted-merge
+    * kernel over per-doc sorted arrays of 64-bit token fingerprints
+    * (the shared cross-engine rolling hash — 8 B per element regardless
+    * of token length, identical in the oracle, so the hash-checked
+    * contract is Jaccard over fingerprint sets). No dictionary, no
+    * broadcast, every relation O(doc length) per row — the fully
+    * scale-safe near-dedup composition for unbounded vocabularies. Same
+    * output contract and (at test vocabularies, provably) same rows as
+    * `bandedPairs`. */
   def bandedPairsCompact(toks: DataFrame, num: Int, den: Int,
                          nHashes: Int = 16, nBands: Int = 4): DataFrame = {
     val spark = toks.sparkSession
@@ -211,10 +215,15 @@ object BitmaskJaccard {
     // duplicate-insensitive and collect_set dedupes, so callers can pass
     // the raw exploded (doc_id, tok) relation without paying a distinct
     // shuffle first (qd3 feeds raw shingles; set size nt derives from
-    // the deduped array)
-    val aggCols = minCols :+ sort_array(collect_set(col("tok"))).as("tks")
+    // the deduped array). The verify set is the token's int64 rolling
+    // hash, NOT the token string: the hash is bit-identical in both
+    // engines (the oracle mirrors it), so the contract — Jaccard over
+    // 64-bit token fingerprints — stays exactly hash-checked, while the
+    // per-doc arrays shuffle 8 B per element instead of whole shingle
+    // strings (the dominant volume for long n-gram tokens).
+    val aggCols = minCols :+ sort_array(collect_set(col("h"))).as("hs")
     val per = th.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("nt", size(col("tks")).cast("bigint"))
+      .withColumn("nt", size(col("hs")).cast("bigint"))
       .cache()
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
@@ -229,10 +238,10 @@ object BitmaskJaccard {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     cand
       .join(per.select(col("doc_id").as("a"), col("nt").as("na"),
-        col("tks").as("ta")), Seq("a"))
+        col("hs").as("ha")), Seq("a"))
       .join(per.select(col("doc_id").as("b"), col("nt").as("nb"),
-        col("tks").as("tb")), Seq("b"))
-      .withColumn("inter", expr("intersect_sorted_count(ta, tb)"))
+        col("hs").as("hb")), Seq("b"))
+      .withColumn("inter", expr("intersect_sorted_count(ha, hb)"))
       .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
       .select("a", "b", "inter", "na", "nb")
   }

@@ -388,7 +388,7 @@ object DedupExt {
          |      k -> array_to_string(string_split(text,' ')[k:k+3], ' '))) AS sh
          |    FROM documents)
          |),
-         |th AS (SELECT doc_id, ${duckH("tok")} AS h FROM sh),
+         |th AS (SELECT DISTINCT doc_id, ${duckH("tok")} AS h FROM sh),
          |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
          |           FROM generate_series(0, 15) t(i)),
          |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
@@ -397,10 +397,10 @@ object DedupExt {
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |         FROM bands x JOIN bands y
          |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM sh GROUP BY 1),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM th GROUP BY 1),
          |ints AS (SELECT c.a, c.b, COUNT(*) AS inter
-         |         FROM cand c JOIN sh ta ON ta.doc_id = c.a
-         |                     JOIN sh tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+         |         FROM cand c JOIN th ta ON ta.doc_id = c.a
+         |                     JOIN th tb ON tb.doc_id = c.b AND tb.h = ta.h
          |         GROUP BY 1, 2)
          |SELECT a, b, inter, sa.nt AS na, sb.nt AS nb
          |FROM ints JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
