@@ -86,7 +86,8 @@ object BitmaskJaccard {
     * naive token join is quadratic in stop-token frequency.
     *
     * Same output contract as `pairs` ((a, b, inter, na, nb), a < b) and
-    * provably the same rows (`PrefixPairsSpec`), with no cartesian:
+    * provably the same rows (`DedupSpec` on the fixture corpus,
+    * `PrefixPairsPropSpec` on randomized corpora), with no cartesian:
     * this is the scale-default exact form; `pairs` remains only as the
     * brute-force yardstick for bounded inputs. */
   def prefixPairs(toks: DataFrame, masks: DataFrame, num: Int, den: Int,
