@@ -39,17 +39,27 @@ import org.apache.spark.sql.types._
   * Returns the cleaned corpus plus a DEFERRED per-stage stats handle:
   * stage counts are `observe()` metrics collected by whatever single
   * action the caller runs on the result (write, count, …) — `clean`
-  * itself runs no job, and the stats cost nothing extra at 100 TB.
+  * itself runs no job (EXCEPT under `clusterDedup = true`, where the
+  * connected-components iteration necessarily materializes the pair
+  * graph during the call), and the stats cost nothing extra at 100 TB.
   * Call `stats()` after the first action has completed.
   */
 object TrainingData {
   case class CleanStats(input: Long, lowQuality: Long, exactDups: Long,
                         nearDups: Long, output: Long)
 
+  /** `clusterDedup = true` resolves near-dup PAIRS into connected
+    * components (DupGroups) and keeps exactly the min doc_id of each
+    * cluster, instead of dropping every pair's higher side. The two
+    * policies differ on open triangles: pairs (1,5), (3,5) drop only 5
+    * pairwise but collapse {1,3,5} to {1} cluster-wise — cluster
+    * survivors are always a subset of pairwise survivors (any b-side is
+    * a non-min member of its component). */
   def clean(docs: DataFrame, minTokens: Int = 20,
             jaccard: (Int, Int) = (8, 10),
             exactRecall: Boolean = false,
-            dictionaryFree: Boolean = false): (DataFrame, () => CleanStats) = {
+            dictionaryFree: Boolean = false,
+            clusterDedup: Boolean = false): (DataFrame, () => CleanStats) = {
     // auto-generated (unique) observation names: two clean() invocations
     // may legally meet in one query (e.g. comparing banded vs exact
     // recall), and duplicate metric names across different results are an
@@ -103,7 +113,12 @@ object TrainingData {
         val masks = BitmaskJaccard.masks(toks).cache()
         BitmaskJaccard.bandedPairs(toks, masks, jn, jd)
       }
-    val dropB = pairs.select(col("b").as("doc_id")).distinct()
+    val dropB =
+      if (clusterDedup)
+        DupGroups.components(pairs.select("a", "b"))
+          .filter(col("node") =!= col("grp"))
+          .select(col("node").as("doc_id"))
+      else pairs.select(col("b").as("doc_id")).distinct()
     val cleaned = exact.join(dropB, Seq("doc_id"), "left_anti")
       .drop("tk", "n_tok", "n_uniq", "n_stop")
       .observe(obsOut, count(lit(1)).as("n"))

@@ -269,6 +269,27 @@ object DedupExt {
       cleaned.select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // qc2 the composed pipeline with CLUSTER-based near-dedup: the same
+    // quality gate + exact dedup, then near-dup pairs resolved into
+    // connected components (DupGroups) keeping exactly the min doc per
+    // cluster — the transitive policy pairwise b-dropping approximates
+    // (differs on open triangles: (1,5),(3,5) keeps {1,3} pairwise but
+    // {1} cluster-wise). Oracle replays everything including the
+    // recursive-CTE component resolution. The declared input is the
+    // deterministic doc_id % 5 = 0 fifth of the corpus: this synthetic
+    // corpus's uniform vocabulary makes near-dup clusters huge, and the
+    // oracle's recursive reachability is quadratic in cluster size —
+    // the sample keeps BOTH engines' replay bounded while exercising
+    // the full composition (the Spark operator itself converges in
+    // O(diameter) min-propagation rounds at any scale; qd5 runs it
+    // unsampled over the embedding pair graph).
+    "qc2_cleanclusters" -> ((s, d) => {
+      val (cleaned, _) = graft.operators.TrainingData
+        .clean(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+          clusterDedup = true)
+      cleaned.select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // qs2 IVF similarity search: deterministic centroid sample
     // (vec_id % 50 == 1), exact fixed-point-cosine assignment to the
     // nearest centroid, probe the query's top-2 cells, exact re-rank
@@ -314,6 +335,44 @@ object DedupExt {
 
   private val toksCte =
     "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"
+
+  /** qc1/qc2's shared oracle CTE chain: quality gate → exact dedup (`e`)
+    * → MinHash-LSH banding → exact-Jaccard qualifying pair edges (`pe`).
+    * qc1 drops pair b-sides; qc2 resolves components recursively. */
+  private def cleanCtes(docWhere: String = "") =
+    s"""scored AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+       |    CAST(len(list_filter(string_split(text,' '),
+       |         x -> list_contains(['the','a','of','and'], x))) AS BIGINT) AS n_stop
+       |  FROM documents $docWhere
+       |),
+       |q AS (SELECT doc_id, text FROM scored
+       |      WHERE n_tok >= 20 AND 10*n_uniq >= 3*n_tok AND 10*n_stop <= 3*n_tok),
+       |e AS (SELECT doc_id, text FROM (
+       |        SELECT doc_id, text,
+       |               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |        FROM q) WHERE rn = 1),
+       |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM e),
+       |th AS (SELECT doc_id, ${duckH("tok")} AS h FROM toks),
+       |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
+       |           FROM generate_series(0, 15) t(i)),
+       |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
+       |          FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
+       |ints AS (SELECT c.a, c.b, COUNT(*) AS inter
+       |         FROM cand c JOIN toks ta ON ta.doc_id = c.a
+       |                     JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+       |         GROUP BY 1, 2),
+       |pe AS (SELECT i.a, i.b
+       |       FROM ints i JOIN sizes sa ON sa.doc_id = i.a
+       |                   JOIN sizes sb ON sb.doc_id = i.b
+       |       WHERE 10*i.inter >= 8*(sa.nt + sb.nt - i.inter))""".stripMargin
 
   /** qd4's oracle CTE chain through `cosd` — shared by qd4 (pair output)
     * and qd5 (recursive-CTE connected components on top). */
@@ -408,40 +467,31 @@ object DedupExt {
          |ORDER BY a, b""".stripMargin,
 
     "qc1_clean" ->
-      s"""WITH scored AS (
-         |  SELECT doc_id, text,
-         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
-         |    CAST(len(list_filter(string_split(text,' '),
-         |         x -> list_contains(['the','a','of','and'], x))) AS BIGINT) AS n_stop
-         |  FROM documents
-         |),
-         |q AS (SELECT doc_id, text FROM scored
-         |      WHERE n_tok >= 20 AND 10*n_uniq >= 3*n_tok AND 10*n_stop <= 3*n_tok),
-         |e AS (SELECT doc_id, text FROM (
-         |        SELECT doc_id, text,
-         |               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-         |        FROM q) WHERE rn = 1),
-         |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM e),
-         |th AS (SELECT doc_id, ${duckH("tok")} AS h FROM toks),
-         |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
-         |           FROM generate_series(0, 15) t(i)),
-         |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
-         |          FROM sig GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
-         |ints AS (SELECT c.a, c.b, COUNT(*) AS inter
-         |         FROM cand c JOIN toks ta ON ta.doc_id = c.a
-         |                     JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
-         |         GROUP BY 1, 2),
-         |drop AS (SELECT DISTINCT i.b
-         |         FROM ints i JOIN sizes sa ON sa.doc_id = i.a
-         |                     JOIN sizes sb ON sb.doc_id = i.b
-         |         WHERE 10*i.inter >= 8*(sa.nt + sb.nt - i.inter))
+      s"""WITH ${cleanCtes()},
+         |drop AS (SELECT DISTINCT b FROM pe)
          |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT b FROM drop)
+         |ORDER BY doc_id""".stripMargin,
+
+    // qc2: same pipeline CTEs over the sampled fifth, near-dup pairs
+    // resolved into connected components (min reachable id per node),
+    // drop every non-min member. The walk propagates only DECREASING
+    // labels (w.lbl < eg.y): the component minimum is smaller than
+    // every node on every path, so it still reaches all members, while
+    // the pruning collapses the state space from Σ size² toward the
+    // labels that can actually win the MIN.
+    "qc2_cleanclusters" ->
+      s"""WITH RECURSIVE ${cleanCtes("WHERE doc_id % 5 = 0")},
+         |vtx AS (SELECT a AS node FROM pe UNION SELECT b FROM pe),
+         |edges AS (SELECT a AS x, b AS y FROM pe UNION SELECT b AS x, a AS y FROM pe),
+         |walk AS (
+         |  SELECT node, node AS lbl FROM vtx
+         |  UNION
+         |  SELECT eg.y AS node, w.lbl AS lbl
+         |  FROM walk w JOIN edges eg ON eg.x = w.node AND w.lbl < eg.y
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS grp FROM walk GROUP BY node),
+         |dropc AS (SELECT node FROM comp WHERE node <> grp)
+         |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT node FROM dropc)
          |ORDER BY doc_id""".stripMargin,
 
     "qd4_embdup" ->
@@ -462,7 +512,7 @@ object DedupExt {
         |  SELECT node, node AS lbl FROM vtx
         |  UNION
         |  SELECT eg.y AS node, w.lbl AS lbl
-        |  FROM walk w JOIN edges eg ON eg.x = w.node
+        |  FROM walk w JOIN edges eg ON eg.x = w.node AND w.lbl < eg.y
         |)
         |SELECT node, MIN(lbl) AS grp FROM walk GROUP BY node
         |ORDER BY node""".stripMargin,

@@ -57,4 +57,21 @@ class Q28ProfileSpec extends AnyFunSuite {
     info(s"verified pairs: $full, candidates: ${cand.count()}")
     spark.catalog.clearCache()
   }
+
+  test("qc2 stage timings") {
+    assume(sys.props.get("graft.profile").contains("1"))
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      info(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+    }
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") % 5 === 0)
+    val (c1, _) = time("clean() pairwise build")(
+      graft.operators.TrainingData.clean(docs))
+    time("pairwise count")(c1.count())
+    spark.catalog.clearCache()
+    val (c2, _) = time("clean() cluster build (CC runs)")(
+      graft.operators.TrainingData.clean(docs, clusterDedup = true))
+    time("cluster count")(c2.count())
+    spark.catalog.clearCache()
+  }
 }

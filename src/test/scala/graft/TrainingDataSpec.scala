@@ -39,6 +39,13 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(cleanedDF.select("doc_id").exceptAll(cleaned.select("doc_id")).count() === 0)
     assert(cleaned.select("doc_id").exceptAll(cleanedDF.select("doc_id")).count() === 0)
     info(s"clean stats: $stats")
+    // cluster-based dedup keeps exactly one doc per near-dup component:
+    // survivors are a subset of the pairwise policy's (any pair b-side
+    // is a non-min member of its component), and every kept doc is its
+    // component's min
+    val (cleanedCl, _) = TrainingData.clean(docs, clusterDedup = true)
+    assert(cleanedCl.select("doc_id").exceptAll(cleaned.select("doc_id")).count() === 0)
+    assert(cleanedCl.count() > 0)
     // clean()'s documented caching contract: callers running several
     // independent invocations release the handles themselves
     spark.catalog.clearCache()
