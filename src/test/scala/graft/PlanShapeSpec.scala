@@ -89,6 +89,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan("qt9_tfidf").contains("CartesianProduct"))
   }
 
+  test("qt10: chunking is one scan — no joins") {
+    val p = plan("qt10_chunk")
+    assert(!p.contains("Join"), s"qt10 regressed to a join plan:\n$p")
+  }
+
   test("q32: exact quantiles aggregate before the window (no full-table sort)") {
     // the value-histogram form: the window's child must be an aggregate
     // over (flag, value), never a 600k-row sort keyed by 3 return flags
