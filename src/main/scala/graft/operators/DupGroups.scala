@@ -10,51 +10,78 @@ import org.apache.spark.sql.functions._
   * over-deletes on chains: a–b, b–c drops both b and c even though a–c
   * may not be near-dups).
   *
-  * Algorithm: iterative min-label propagation to a fixpoint — every
-  * node's label becomes the minimum label among itself and its
-  * neighbors, repeated until no label changes. Exact and deterministic
-  * (the result is the component-wide minimum id regardless of
-  * iteration order); converges in O(graph diameter) rounds, each round
-  * one equi-join + one partial-aggregatable groupBy (both shuffle on
-  * the node key — no driver-side graph state, no collect). Duplicate
-  * clusters are overwhelmingly tiny (diameter 1–3), so the loop runs
-  * 2–4 rounds in practice; `localCheckpoint` truncates the growing
-  * lineage each round so the plan stays O(1) deep. For adversarially
-  * long chains at 100 TB the classic refinement is large-star/
-  * small-star (alternating pointer-doubling, O(log n) rounds) — the
-  * per-round plan shape here is the same building block.
+  * Algorithm: alternating **large-star / small-star** (the
+  * pointer-doubling MapReduce CC formulation of Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  * literature). Each round rewrites the edge set twice:
+  *
+  *  - large-star(u): every neighbor v > u re-attaches to
+  *    m = min(Γ(u) ∪ {u}) — run from BOTH endpoints of every edge
+  *    (symmetrized list), one groupBy(min) + one equi-join;
+  *  - small-star(u): over min-oriented edges (u > v), every small
+  *    neighbor AND u itself re-attach to m = min(Γ⁻(u) ∪ {u}).
+  *
+  * Both steps emit edges (child, parent) with parent < child, preserve
+  * connectivity, and never raise a node's parent — the edge set
+  * converges to one star per component rooted at the component MINIMUM,
+  * in O(log n) rounds even on adversarial path graphs (each round at
+  * least halves the depth of every attachment tree; plain min-label
+  * propagation needs O(diameter) rounds on the same input). Exact and
+  * deterministic; each half-step is one partial-aggregatable groupBy +
+  * one equi-join, both shuffling on the node key — no driver-side graph
+  * state, no collect. `localCheckpoint` truncates the growing lineage
+  * each round so the plan stays O(1) deep; the convergence test (edge
+  * set unchanged) is two anti-joins driving a driver-side boolean,
+  * control flow only.
   *
   * Output: (node, grp) for every node that appears in `pairs`, where
   * grp = min node id of the component.
   */
 object DupGroups {
 
-  def components(pairs: DataFrame): DataFrame = {
-    // symmetrized edge list, materialized once: every round re-reads it
-    val sym = pairs.select(col("a").as("x"), col("b").as("y"))
-      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+  def components(pairs: DataFrame): DataFrame = componentsWithRounds(pairs)._1
+
+  /** `components` plus the number of large+small-star rounds executed —
+    * exposed so tests can pin the O(log n) convergence bound. */
+  def componentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    // canonical min-oriented edge list (hi, lo), deduped once up front
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint()
-    // first round folded into the init: label = min(self, neighbors)
-    var labels = sym.groupBy(col("x").as("node"))
-      .agg(min(col("y")).as("mn"))
-      .select(col("node"), least(col("node"), col("mn")).as("lbl"))
-      .localCheckpoint()
+    var rounds = 0
     var converged = false
     while (!converged) {
-      // propagate: each node takes the min over its neighbors' labels
-      val nbrMin = sym
-        .join(labels.select(col("node").as("y"), col("lbl").as("ylbl")), Seq("y"))
-        .groupBy(col("x").as("node"))
-        .agg(min(col("ylbl")).as("nlbl"))
-      val next = labels.join(nbrMin, Seq("node"))
-        .select(col("node"), least(col("lbl"), col("nlbl")).as("lbl"))
+      // ---- large-star: from each endpoint, larger neighbors hop to the
+      // neighborhood minimum. sym carries every edge in both directions
+      // so m(u) = least(u, min neighbor) is one groupBy.
+      val sym = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy("x")
+        .agg(least(col("x"), min(col("y"))).as("m"))
+      val large = sym.join(mins, Seq("x"))
+        .filter(col("y") > col("x") && col("y") =!= col("m"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct()
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .isEmpty
-      labels = next
+      // ---- small-star: edges are already min-oriented (u > v); every
+      // small neighbor and u itself re-attach to the smallest neighbor.
+      val smins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val next = large.join(smins, Seq("u"))
+        .select(col("v").as("c"), col("m"))
+        .filter(col("c") =!= col("m"))
+        .select(col("c").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      rounds += 1
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
     }
-    labels.select(col("node"), col("lbl").as("grp"))
+    // fixpoint = stars (child, root=min); roots label themselves
+    val out = edges.select(col("u").as("node"), col("v").as("grp"))
+      .union(edges.select(col("v").as("node"), col("v").as("grp")).distinct())
+    (out, rounds)
   }
 }

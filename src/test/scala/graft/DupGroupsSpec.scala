@@ -34,6 +34,20 @@ class DupGroupsSpec extends AnyFunSuite {
     assert(got.values.toSet === Set(1L))
   }
 
+  test("adversarial chain resolves in O(log n) rounds, not O(diameter)") {
+    // path graph of 129 nodes (diameter 128): min-label propagation needs
+    // ~128 rounds; the large-star/small-star alternation must stay
+    // logarithmic. 12 ≈ 1.7·log2(128) is a generous cushion over the
+    // observed count while still failing hard on any O(diameter) regress.
+    import spark.implicits._
+    val edges = (1L until 129L).map(i => (i, i + 1)).toDF("a", "b")
+    val (comp, rounds) = DupGroups.componentsWithRounds(edges)
+    val got = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 129)
+    assert(got.values.toSet === Set(1L))
+    assert(rounds <= 12, s"large-star/small-star took $rounds rounds")
+  }
+
   test("bridging edge merges two clusters through their min label") {
     // {5,6} and {7,8} joined by 6-7: everything labels to 5
     val got = cc((5L, 6L), (7L, 8L), (6L, 7L))
