@@ -20,15 +20,21 @@ import org.apache.spark.sql.types._
   *    O(candidates), not O(n²·skew). Recall is probabilistic (16 hashes,
   *    4×4 bands); the declared contract is the algorithm itself, and the
   *    test suite separately reports recall vs the exact Q28 result.
-  *  - qd2 SimHash: hd ≤ 3 with 4 byte-bands of a 32-bit sketch is
+  *  - qd2 SimHash: hd ≤ 3 with 4 16-bit bands of a 64-bit sketch is
   *    pigeonhole-EXACT (3 flipped bits cannot touch all 4 bands) — LSH
   *    with guaranteed recall, and the verify step is a cheap xor+popcount
-  *    on candidate pairs only.
+  *    on candidate pairs only. The band keyspace is 2^16 per band (the
+  *    8-bit bands of the old 32-bit sketch capped it at 256 — bucket
+  *    population grew LINEARLY with corpus size, making the candidate
+  *    self-join O(n²/256): a fixed-cardinality shuffle key is a scale
+  *    killer no matter how fast it runs at bench scale).
   *  - qd3 word-4-gram Jaccard: shingles are far more selective join keys
   *    than single tokens, collapsing the stop-token skew of Q28.
-  *  - qd4 embedding near-dup: 16 deterministic pseudo-random hyperplanes
-  *    → 16-bit sign sketch → 2×8-bit bands → exact fixed-point cosine on
-  *    candidates only. At 100 TB each stage is a shuffle on a small key.
+  *  - qd4 embedding near-dup: 64 deterministic pseudo-random hyperplanes
+  *    → 64-bit sign sketch → 4×16-bit bands → exact fixed-point cosine on
+  *    candidates only. At 100 TB each stage is a shuffle on a key whose
+  *    cardinality (2^16 per band) grows the bucket count, not the bucket
+  *    size, as the corpus grows.
   *
   * Embedding arithmetic contract (qd4/qs1/qs2): every embedding value is
   * quantized ONCE to fixed-point int64 at scale 1e7 — xi = floor(x·1e7) —
@@ -85,26 +91,40 @@ object DedupExt {
     * via DotLong.register (idempotent). */
   private def dotL(a: String, b: String): String = s"dot_long($a, $b)"
 
-  /** Per-vector sketch + squared norm from quantized exploded embeddings
-    * (vec_id, i0, xi) in ONE groupBy: the 16 deterministic pseudo-random
-    * hyperplane projections and the norm are 17 int64-sum columns —
-    * a single narrow shuffle (partial-aggregated map-side to 17 longs per
-    * vector), no plane-explode, no second norm pass. The hyperplane weight
-    * w = lcg/2^31 − 0.5 is applied as the integer (lcg − 2^30): same sign
-    * as w·2^31, so the sign sketch is unchanged and the sum stays int64. */
+  /** Per-vector band keys + squared norm from quantized exploded
+    * embeddings (vec_id, i0, xi) in ONE groupBy: the 64 deterministic
+    * pseudo-random hyperplane projections and the norm are 65 int64-sum
+    * columns — a single narrow shuffle (partial-aggregated map-side to 65
+    * longs per vector), no plane-explode, no second norm pass. The
+    * hyperplane weight w = lcg/2^31 − 0.5 is applied as the integer
+    * (lcg − 2^30): same sign as w·2^31, so the sign sketch is unchanged
+    * and the sum stays int64 (|sum| ≤ 64·2^30·1e7 < 2^63). The 64 sign
+    * bits fold into FOUR 16-bit band-key columns k0..k3 instead of one
+    * 64-bit sketch — 2^16 distinct values per band, so LSH bucket sizes
+    * stay O(n/keyspace) as the corpus grows (the old 16-plane/8-bit-band
+    * form had 512 total keys: bucket population grew linearly with n and
+    * the candidate self-join quadratically). */
   private def perVec(ex: DataFrame): DataFrame = {
-    val pSums = (0 until 16).map(j => sum(expr(
+    val pSums = (0 until 64).map(j => sum(expr(
       s"(((1103515245 * CAST(${64 * j} + i0 AS BIGINT) + 12345) % 2147483648) - 1073741824) * xi"))
       .as(s"p$j")) :+
       sum(col("xi") * col("xi")).as("n2")
     ex.groupBy("vec_id").agg(pSums.head, pSums.tail: _*)
-      .select(col("vec_id"), col("n2"),
-        (0 until 16).map(j => expr(s"IF(p$j > 0, ${1L << j}L, 0L)"))
-          .reduce(_ + _).as("sk"))
+      .select(col("vec_id") +: col("n2") +: (0 until 4).map(k =>
+        (0 until 16).map(r => expr(s"IF(p${16 * k + r} > 0, ${1L << r}L, 0L)"))
+          .reduce(_ + _).as(s"k$k")): _*)
   }
 
+  /** (vec_id, n2, k, key): each vector exploded to its 4 (band, 16-bit
+    * key) rows — the LSH index relation shared by qd4/qd5 (self-join)
+    * and qs1 (probe equi-join). */
+  private def vecBands(pv: DataFrame): DataFrame =
+    pv.select(col("vec_id"), col("n2"),
+      posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
+        .as(Seq("k", "key")))
+
   /** qd4's near-dup pair pipeline (shared with qd5's clustering):
-    * 16-hyperplane sign sketch → 2×8-bit bands → candidate self-join →
+    * 64-hyperplane sign sketch → 4×16-bit bands → candidate self-join →
     * exact fixed-point cosine via the native int64 kernel. Returns
     * (a, b, cosd) with cosd ≥ 0.4. */
   private def embDupPairs(s: SparkSession, d: String): DataFrame = {
@@ -112,12 +132,9 @@ object DedupExt {
     val pv = perVec(exQ(s, d)).cache()
     // norms ride along the band rows → the cosine check needs only the
     // two embedding-array joins after the candidate self-join
-    val bands = pv.crossJoin(broadcast(
-        s.range(2).select(col("id").cast(IntegerType).as("k"))))
-      .select(col("vec_id"), col("n2"), col("k"),
-        expr("shiftright(sk, 8 * k) & 255").as("byte"))
+    val bands = vecBands(pv)
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
+        col("x.k") === col("y.k") && col("x.key") === col("y.key")
           && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         col("x.n2").as("na2"), col("y.n2").as("nb2")).distinct()
@@ -153,33 +170,50 @@ object DedupExt {
         .orderBy("a", "b")
     }),
 
-    // qd2 SimHash(32-bit) near-dup, hd ≤ 3; 4 byte-bands = exact recall.
-    // The 32 per-bit weights are 32 sum columns in ONE groupBy (no j-explode:
-    // 32× less shuffle volume than the naive (doc,bit) aggregation).
+    // qd2 SimHash(64-bit) near-dup, hd ≤ 3; 4 16-bit bands = exact recall
+    // (3 flips cannot touch all 4 bands) with a 2^16-value keyspace per
+    // band, so bucket sizes shrink as the corpus grows instead of the
+    // candidate self-join going quadratic on ≤256 fixed keys. Bit j of a
+    // token's contribution is the low bit of its own affine permutation
+    // (a_j·h + b_j) mod P of the shared rolling hash — the rolling hash
+    // itself has only ~30 usable bits, so 64 independent permutations
+    // (same constant family as the MinHash ones) supply the 64 sign
+    // dimensions. The 64 per-bit weights are 64 sum columns in ONE
+    // groupBy (no j-explode: 64× less shuffle volume than the naive
+    // (doc,bit) aggregation); the sign bits fold straight into the four
+    // band-key columns b0..b3 — no 64-bit sketch column, so no signed
+    // bit-63 edge case in either engine.
     "qd2_simhash" -> ((s, d) => {
       graft.plans.RollHash31.register(s)
       // cache() is a no-op if qd1 already cached the same plan
       // (CacheManager dedups) but keeps the query self-sufficient when
       // run alone
       val th = toks(s, d).cache().withColumn("h", sparkH("tok"))
-      val wSums = (0 until 32).map(j =>
-        sum(expr(s"2 * (shiftright(h, $j) & 1) - 1")).as(s"w$j"))
+      val wSums = (0 until 64).map { j =>
+        val a = 1000003L * j + 12345L
+        val b = 777767L * j + 13L
+        sum(expr(s"2 * ((($a * h + $b) % $P) & 1) - 1")).as(s"w$j")
+      }
       val sk = th.groupBy("doc_id").agg(wSums.head, wSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 32).map(j => expr(s"IF(w$j > 0, ${1L << j}L, 0L)"))
-            .reduce(_ + _).as("sk"))
+        .select(col("doc_id") +: (0 until 4).map(k =>
+          (0 until 16).map(r => expr(s"IF(w${16 * k + r} > 0, ${1L << r}L, 0L)"))
+            .reduce(_ + _).as(s"b$k")): _*)
         .cache()
-      // the sketch rides along the band rows, so the hamming check runs
-      // directly on the candidate join output — no post-candidate joins
-      val bands = sk.crossJoin(broadcast(
-          s.range(4).select(col("id").cast(IntegerType).as("k"))))
-        .select(col("doc_id"), col("sk"), col("k"),
-          expr("shiftright(sk, 8 * k) & 255").as("byte"))
+      // all four band keys ride along the band rows, so the hamming
+      // check (sum of per-band xor popcounts == full 64-bit hamming
+      // distance) runs directly on the candidate join output — no
+      // post-candidate joins
+      val bands = sk.select(col("doc_id"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("k", "key")))
       bands.as("x").join(bands.as("y"),
-          col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
+          col("x.k") === col("y.k") && col("x.key") === col("y.key")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          bit_count(col("x.sk").bitwiseXOR(col("y.sk"))).cast(LongType).as("hd"))
+          (0 until 4).map(k =>
+              bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k"))))
+            .reduce(_ + _).cast(LongType).as("hd"))
         .filter(col("hd") <= 3)
         .distinct()
         .orderBy("a", "b")
@@ -210,7 +244,7 @@ object DedupExt {
         .orderBy("a", "b")
     }),
 
-    // qd4 embedding near-dup: 16-hyperplane sign sketch → 2×8-bit bands →
+    // qd4 embedding near-dup: 64-hyperplane sign sketch → 4×16-bit bands →
     // exact fixed-point cosine ≥ 0.4 on candidates
     "qd4_embdup" -> ((s, d) =>
       embDupPairs(s, d)
@@ -229,23 +263,28 @@ object DedupExt {
         .orderBy("node")),
 
     // qs1 ANN similarity search: neighbors of vec 0 from its LSH buckets
-    // (same 16-plane sketch, 2×8-bit bands), exact decimal cosine re-rank,
-    // top-5. The scale path for Q29's brute force: probe cost is
-    // O(bucket size), not O(n).
+    // (same 64-plane sketch, 4×16-bit bands), exact fixed-point cosine
+    // re-rank, top-5. The scale path for Q29's brute force: the index
+    // side is the (band, key) → vec_id relation and the probe's 4 band
+    // keys EQUI-join against it — the probe reads only the buckets it
+    // touches, never scanning all vectors (the old form filtered every
+    // vector against a broadcast probe sketch: O(n) per probe; this one
+    // is O(matching buckets), and a probe BATCH is the same join with
+    // more build rows).
     "qs1_ann" -> ((s, d) => {
       graft.plans.DotLong.register(s)
       // single small cache (one row per vector); the exploded quantized
       // table is never cached — the re-rank runs on int64 array kernels
       val pv = perVec(exQ(s, d)).cache()
-      // the probe's sketch + norm ride along every row via a broadcast
-      // cross join — band membership is two byte compares, no band explode
-      val q = pv.filter(col("vec_id") === 0)
-        .select(col("sk").as("qsk"), col("n2").as("qn2"))
-      val cand = pv.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .filter((col("sk").bitwiseAND(255) === col("qsk").bitwiseAND(255))
-          || (expr("shiftright(sk, 8) & 255") === expr("shiftright(qsk, 8) & 255")))
+      val bands = vecBands(pv)
+      // the probe's 4 (band, key) rows — tiny, broadcast; its norm rides
+      // along so the re-rank needs no extra probe join
+      val probe = bands.filter(col("vec_id") === 0)
+        .select(col("k"), col("key"), col("n2").as("qn2"))
+      val cand = bands.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe), Seq("k", "key"))
         .select(col("vec_id"), col("n2"), col("qn2"))
+        .distinct()
       val emb = embQ(s, d)
       val qe = emb.filter(col("vec_id") === 0).select(col("ei").as("qe"))
       cand.join(emb, Seq("vec_id")).crossJoin(broadcast(qe))
@@ -375,7 +414,8 @@ object DedupExt {
        |       WHERE 10*i.inter >= 8*(sa.nt + sb.nt - i.inter))""".stripMargin
 
   /** qd4's oracle CTE chain through `cosd` — shared by qd4 (pair output)
-    * and qd5 (recursive-CTE connected components on top). */
+    * and qd5 (recursive-CTE connected components on top). 64 hyperplane
+    * projections → 4×16-bit band keys, mirroring perVec/vecBands. */
   private val embDupCtes =
     s"""idx AS (SELECT i FROM generate_series(1, 64) t(i)),
        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
@@ -383,14 +423,13 @@ object DedupExt {
        |proj AS (SELECT vec_id, j,
        |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
        |             - 1073741824) * xi) AS proj
-       |         FROM ex, generate_series(0, 15) t(j) GROUP BY 1, 2),
-       |sk AS (SELECT vec_id, SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS sk
-       |       FROM proj GROUP BY 1),
-       |bands AS (SELECT vec_id, k, (sk >> (8*k)) & 255 AS byte
-       |          FROM sk, generate_series(0, 1) t(k)),
+       |         FROM ex, generate_series(0, 63) t(j) GROUP BY 1, 2),
+       |bk AS (SELECT vec_id, j // 16 AS k,
+       |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
+       |       FROM proj GROUP BY 1, 2),
        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-       |         FROM bands x JOIN bands y
-       |           ON x.k = y.k AND x.byte = y.byte AND x.vec_id < y.vec_id),
+       |         FROM bk x JOIN bk y
+       |           ON x.k = y.k AND x.key = y.key AND x.vec_id < y.vec_id),
        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
        |dots AS (SELECT c.a, c.b, SUM(u.xi * v.xi) AS dot
        |         FROM cand c JOIN ex u ON u.vec_id = c.a
@@ -425,18 +464,20 @@ object DedupExt {
     "qd2_simhash" ->
       s"""WITH $toksCte,
          |th AS (SELECT doc_id, ${duckH("tok")} AS h FROM toks),
-         |bits AS (SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS w
-         |         FROM th, generate_series(0, 31) t(j) GROUP BY 1, 2),
-         |sk AS (SELECT doc_id, SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS sk
-         |       FROM bits GROUP BY 1),
-         |bands AS (SELECT doc_id, k, (sk >> (8*k)) & 255 AS byte
-         |          FROM sk, generate_series(0, 3) t(k)),
+         |bits AS (SELECT doc_id, j,
+         |           SUM(2 * ((((1000003*j + 12345) * h + 777767*j + 13) % $P) & 1) - 1) AS w
+         |         FROM th, generate_series(0, 63) t(j) GROUP BY 1, 2),
+         |bk AS (SELECT doc_id, j // 16 AS k,
+         |         CAST(SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
+         |       FROM bits GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bands x JOIN bands y
-         |           ON x.k = y.k AND x.byte = y.byte AND x.doc_id < y.doc_id)
-         |SELECT c.a, c.b, CAST(bit_count(xor(sa.sk, sb.sk)) AS BIGINT) AS hd
-         |FROM cand c JOIN sk sa ON sa.doc_id = c.a JOIN sk sb ON sb.doc_id = c.b
-         |WHERE bit_count(xor(sa.sk, sb.sk)) <= 3
+         |         FROM bk x JOIN bk y
+         |           ON x.k = y.k AND x.key = y.key AND x.doc_id < y.doc_id),
+         |hds AS (SELECT c.a, c.b, SUM(bit_count(xor(ka.key, kb.key))) AS hd
+         |        FROM cand c JOIN bk ka ON ka.doc_id = c.a
+         |                    JOIN bk kb ON kb.doc_id = c.b AND kb.k = ka.k
+         |        GROUP BY 1, 2)
+         |SELECT a, b, CAST(hd AS BIGINT) AS hd FROM hds WHERE hd <= 3
          |ORDER BY a, b""".stripMargin,
 
     "qd3_ngram" ->
@@ -524,13 +565,12 @@ object DedupExt {
         |proj AS (SELECT vec_id, j,
         |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
         |             - 1073741824) * xi) AS proj
-        |         FROM ex, generate_series(0, 15) t(j) GROUP BY 1, 2),
-        |sk AS (SELECT vec_id, SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS sk
-        |       FROM proj GROUP BY 1),
-        |bands AS (SELECT vec_id, k, (sk >> (8*k)) & 255 AS byte
-        |          FROM sk, generate_series(0, 1) t(k)),
+        |         FROM ex, generate_series(0, 63) t(j) GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, j // 16 AS k,
+        |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
+        |       FROM proj GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT b.vec_id
-        |         FROM bands b JOIN bands q ON q.vec_id = 0 AND b.k = q.k AND b.byte = q.byte
+        |         FROM bk b JOIN bk q ON q.vec_id = 0 AND b.k = q.k AND b.key = q.key
         |         WHERE b.vec_id <> 0),
         |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |dots AS (SELECT c.vec_id, SUM(v.xi * q.xi) AS dot

@@ -100,22 +100,31 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.4f below 0.8")
   }
 
-  test("qd2 SimHash byte-banding is pigeonhole-exact for hd <= 3") {
+  test("qd2 SimHash 16-bit-banding is pigeonhole-exact for hd <= 3") {
     import spark.implicits._
-    // independent in-memory reimplementation: sketch per doc, all pairs
+    // independent in-memory reimplementation of the 64-bit sketch (bit j
+    // = sign of the summed parities of the j-th affine permutation of the
+    // rolling hash), banded 4×16 bits; ALL pairs with hd <= 3 must be
+    // found (3 flips can't touch all 4 bands), and none invented
     val docs = Tables(spark, TestSpark.Sf, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
     val sketches = docs.map { case (id, text) =>
       val hs = text.split(" ").distinct.map(h)
-      val sk = (0 until 32).foldLeft(0L) { (acc, j) =>
-        val w = hs.map(x => 2 * ((x >> j) & 1) - 1).sum
-        if (w > 0) acc | (1L << j) else acc
+      val keys = (0 until 4).map { k =>
+        (0 until 16).foldLeft(0L) { (acc, r) =>
+          val j = 16 * k + r
+          val a = 1000003L * j + 12345L
+          val b = 777767L * j + 13L
+          val w = hs.map(x => 2 * (((a * x + b) % P) & 1L) - 1).sum
+          if (w > 0) acc | (1L << r) else acc
+        }
       }
-      id -> sk
+      id -> keys
     }
     val expected = (for {
-      (a, sa) <- sketches; (b, sb) <- sketches if a < b
-      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 3
+      (a, ka) <- sketches; (b, kb) <- sketches if a < b
+      hd = (0 until 4).map(k => java.lang.Long.bitCount(ka(k) ^ kb(k))).sum
+      if hd <= 3
     } yield (a, b, hd.toLong)).toSet
     val got = DedupExt.queries("qd2_simhash")(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -94,6 +94,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"qt10 regressed to a join plan:\n$p")
   }
 
+  test("qs1: probe is a bucket equi-join, never an all-vector scan") {
+    // the (band, key) index relation must be probed via a broadcast hash
+    // EQUI-join on the band keys; the only nested-loop allowed is the
+    // benign 1-row query-embedding broadcast feeding the re-rank
+    val p = plan("qs1_ann")
+    assert(!p.contains("CartesianProduct"), s"cartesian in qs1 probe:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"qs1 probe regressed to an all-vector scan ($bnlj BNLJs):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no bucket equi-join in qs1:\n$p")
+  }
+
   test("q32: exact quantiles aggregate before the window (no full-table sort)") {
     // the value-histogram form: the window's child must be an aggregate
     // over (flag, value), never a 600k-row sort keyed by 3 return flags
