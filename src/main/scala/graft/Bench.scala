@@ -73,15 +73,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout for humans; target/bench.json for the driver (the stdout line
-    // gets wrapped in sbt [info] decoration, which broke JSON parsing in
-    // BENCH_r01 — the file is the canonical machine-readable artifact).
-    println(line)
+    // target/bench.json holds the full artifact (per-query dict included);
+    // stdout prints the full line FIRST and then a SHORT summary line LAST
+    // — the 73-query dict outgrew the driver's stdout tail buffer in
+    // BENCH_r03 and truncated mid-line, so the parseable summary must be
+    // the final (and small) thing on stdout.
+    val short = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
+    println(line)
+    println(short)
   }
 }

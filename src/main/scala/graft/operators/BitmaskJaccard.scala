@@ -101,15 +101,14 @@ object BitmaskJaccard {
     // length and position filters below need both. Cached: the candidate
     // self-join has no shared exchange to reuse, and this relation is
     // tiny (only prefix rows survive the slice).
-    val pref = toks.join(df, Seq("tok"))
+    val pref = OpCaches.track(toks.join(df, Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nt"),
         sort_array(collect_list(struct(col("tdf"), col("tok")))).as("ord"))
       .select(col("doc_id"), col("nt"), posexplode(expr(
         s"transform(slice(ord, 1, cast((${den - num} * nt) div $den + 1 AS INT)), o -> o.tok)"))
         .as(Seq("p0", "tok")))
-      .select(col("doc_id"), col("nt"), (col("p0") + 1).as("pos"), col("tok"))
-      .cache()
+      .select(col("doc_id"), col("nt"), (col("p0") + 1).as("pos"), col("tok")))
     // Candidate join with the ppjoin filters evaluated INLINE on the
     // join output (streamed, never shuffled):
     //  - length: num·na ≤ den·nb ∧ num·nb ≤ den·na (implied by J ≥ t);
@@ -223,9 +222,9 @@ object BitmaskJaccard {
     // per-doc arrays shuffle 8 B per element instead of whole shingle
     // strings (the dominant volume for long n-gram tokens).
     val aggCols = minCols :+ sort_array(collect_set(col("h"))).as("hs")
-    val per = th.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("nt", size(col("hs")).cast("bigint"))
-      .cache()
+    val per = OpCaches.track(
+      th.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("nt", size(col("hs")).cast("bigint")))
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rows).map(r => col(s"mh${rows * b + r}")): _*).as("key"))
@@ -272,15 +271,14 @@ object BitmaskJaccard {
     // cached: the candidate self-join otherwise computes the signature
     // aggregation twice (a broadcast-hash self-join has no shared
     // exchange to reuse). Bounded: nBands rows per doc, ~60 B each —
-    // MEMORY_AND_DISK spills at corpus scale. The handle stays
-    // registered for the session (the result is lazy, so this method
-    // cannot unpersist it): callers running many independent candidate
-    // builds should spark.catalog.clearCache() between them (see
+    // MEMORY_AND_DISK spills at corpus scale. The result is lazy, so
+    // this method cannot unpersist its own handle: it is registered in
+    // OpCaches, and callers release every operator cache with
+    // OpCaches.releaseAll() once they have acted on the result (see
     // TrainingData.clean's caching contract).
-    val bands = sig
+    val bands = OpCaches.track(sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      .cache()
+      .select(col("doc_id"), col("bk.band"), col("bk.key")))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))

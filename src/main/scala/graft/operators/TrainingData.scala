@@ -29,12 +29,14 @@ import org.apache.spark.sql.types._
   *       join, no cartesian.
   *
   * Caching contract: `clean` (and the BitmaskJaccard candidate paths it
-  * calls) marks intermediate relations `.cache()` because both the
-  * banding and the verify re-read them and a self-join has no shared
-  * exchange to reuse. The handles stay registered for the session —
-  * callers running many independent `clean()` invocations (tests,
-  * benchmarks) should `spark.catalog.clearCache()` between them to
-  * release executor memory; a production pipeline runs one.
+  * calls) caches intermediate relations because both the banding and the
+  * verify re-read them and a self-join has no shared exchange to reuse.
+  * Every handle is registered in [[OpCaches]]; after the first action on
+  * the returned DataFrame has completed, call `OpCaches.releaseAll()` to
+  * unpersist them all (TrainingDataSpec pins that the CacheManager is
+  * empty afterwards). Callers running many independent `clean()`
+  * invocations (tests, benchmarks) release between them; a production
+  * pipeline runs one and releases at the end.
   *
   * Returns the cleaned corpus plus a DEFERRED per-stage stats handle:
   * stage counts are `observe()` metrics collected by whatever single
@@ -94,15 +96,15 @@ object TrainingData {
     // cached: the banding signature and the verify-side token sets both
     // re-read this relation, and its lineage (quality gate + dedup
     // window) is the expensive part
-    val toks = exact.select(col("doc_id"), explode(col("tk")).as("tok"))
-      .distinct().cache()
+    val toks = OpCaches.track(
+      exact.select(col("doc_id"), explode(col("tk")).as("tok")).distinct())
     val (jn, jd) = jaccard
     val pairs =
       if (exactRecall) {
         // EXACT-recall form: prefix-filter candidates + bitmask verify —
         // sub-quadratic with the identical result set as the old
         // all-pairs kernel (proven pair-identical in DedupSpec)
-        val masks = BitmaskJaccard.masks(toks).cache()
+        val masks = OpCaches.track(BitmaskJaccard.masks(toks))
         BitmaskJaccard.prefixPairs(toks, masks, jn, jd)
       } else if (dictionaryFree)
         // unbounded-vocabulary form: banded candidates + sorted-set
@@ -110,7 +112,7 @@ object TrainingData {
         BitmaskJaccard.bandedPairsCompact(toks, jn, jd)
       else {
         // bounded-vocabulary default: banded candidates + bitmask verify
-        val masks = BitmaskJaccard.masks(toks).cache()
+        val masks = OpCaches.track(BitmaskJaccard.masks(toks))
         BitmaskJaccard.bandedPairs(toks, masks, jn, jd)
       }
     val dropB =

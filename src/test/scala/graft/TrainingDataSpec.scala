@@ -48,7 +48,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(cleanedCl.count() > 0)
     // clean()'s documented caching contract: callers running several
     // independent invocations release the handles themselves
+    graft.operators.OpCaches.releaseAll(blocking = true)
+  }
+
+  test("clean() caches are fully released by OpCaches.releaseAll") {
+    // start from a clean slate: other suites share the session
     spark.catalog.clearCache()
+    val docs = Tables(spark, TestSpark.Sf, "documents")
+    val (cleaned, _) = TrainingData.clean(docs)
+    cleaned.count() // materialize (and populate the operator caches)
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "clean() + action should have populated operator caches")
+    graft.operators.OpCaches.releaseAll(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "operator caches leaked past OpCaches.releaseAll()")
   }
 
   test("relations degrees/neighbors over the pipeline's edge output") {
