@@ -89,7 +89,16 @@ object BitmaskJaccard {
     * provably the same rows (`DedupSpec` on the fixture corpus,
     * `PrefixPairsPropSpec` on randomized corpora), with no cartesian:
     * this is the scale-default exact form; `pairs` remains only as the
-    * brute-force yardstick for bounded inputs. */
+    * brute-force yardstick for bounded inputs.
+    *
+    * PRECONDITION: `toks` must hold DISTINCT (doc_id, tok) rows — the
+    * same set-semantics input `masks()` consumes. Duplicate rows would
+    * inflate the per-token document frequencies AND each doc's `nt`
+    * used in the prefix slice and the inline length filters, while the
+    * masks' `nt` counts distinct tokens — the mismatched filters could
+    * then wrongly drop qualifying pairs. (All in-repo callers pass
+    * `.distinct()`; `bandedPairsCompact` is the duplicate-TOLERANT
+    * alternative when a pre-distinct shuffle is too expensive.) */
   def prefixPairs(toks: DataFrame, masks: DataFrame, num: Int, den: Int,
                   broadcastMasks: Boolean = false,
                   broadcastPrefixes: Boolean = false): DataFrame = {

@@ -262,15 +262,23 @@ object Streams {
   }
 
   /** S07 as streaming: content-fingerprint dedup — watermark +
-    * dropDuplicates on the payload's rolling hash. The streaming form of
-    * an ingest-time exact near-dup gate: state is one row per distinct
-    * fingerprint inside the watermark horizon. */
+    * `dropDuplicatesWithinWatermark` on the payload's rolling hash.
+    * State really is bounded to one row per distinct fingerprint inside
+    * the watermark horizon: the event-time watermark evicts fingerprint
+    * state, so a duplicate arriving AFTER the horizon re-emits — that is
+    * the contract of an ingest-time dedup gate on an unbounded stream.
+    * (Plain `dropDuplicates("fp")` keeps state forever when the
+    * watermark column is not part of the dedup key — output matches
+    * global distinct, but state grows without bound.) The fixture
+    * equality with batch COUNT(DISTINCT fp) holds because the single
+    * parquet file replays as one micro-batch, so every duplicate meets
+    * its first occurrence's state before any eviction. */
   def s07(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.RollHash31.register(spark)
     val dedup = readEvents(spark, dir)
       .withColumn("fp", expr("roll_hash31(props)"))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
     runToTable(spark, dedup, "s07_stream", "append")
   }
 

@@ -191,6 +191,11 @@ object TextExt {
     // single whole-stage-codegen projection + top-500 sort.
     "qe1_int8quant" -> ((s, d) =>
       t(s, d, "embeddings")
+        // zero-length embeddings: the oracle's unnest drops such vec_ids
+        // entirely, while the array-HOF form would emit a NULL-stats row
+        // — filter to keep the engines aligned (a no-op on the fixed-
+        // width fixtures, and the row is meaningless anyway)
+        .filter(size(col("embedding")) > 0)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xs"))
         .select(col("vec_id"), col("xs"),
