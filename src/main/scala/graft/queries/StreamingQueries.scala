@@ -92,6 +92,24 @@ object StreamingQueries {
           countDistinct(col("fp")).as("n_unique"))
     }),
 
+    // S08 chunk-level dedup: qt10's chunk relation (64-token windows,
+    // stride 48, rolling-hash fingerprint) deduped exactly — keep the
+    // least (doc_id, k) per fingerprint. This is the batch form of the
+    // ingest-time pipeline a training corpus actually runs (chunk, then
+    // drop repeated chunks across document versions/mirrors); the
+    // streaming form is Streams.s08 (same chunk relation + watermarked
+    // dropDuplicatesWithinWatermark on fp), asserted equivalent in the
+    // test suite. The window partitions on the fingerprint itself —
+    // corpus-cardinality key, full parallelism, no skew magnet.
+    "s08_chunkdedup" -> ((s, d) => {
+      val w = Window.partitionBy("fp").orderBy("doc_id", "k")
+      TextExt.chunkRel(t(s, d, "documents"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("k"), col("fp"))
+        .orderBy("doc_id", "k")
+    }),
+
     // S06 the custom Sessionize physical operator (plans/Sessionize:
     // LogicalPlan + Strategy + single-exchange Exec) against the SAME
     // oracle SQL as S03 — the custom operator's output is hash-checked
@@ -156,6 +174,22 @@ object StreamingQueries {
         |    list_transform(string_split(props, ''), ch -> CAST(unicode(ch) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007)) AS n_unique
         |FROM events""".stripMargin,
+    "s08_chunkdedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |        unnest(generate_series(CAST(0 AS BIGINT),
+        |          (len(tk) + 47) // 48 - 1)) AS k
+        |      FROM t),
+        |ch AS (SELECT doc_id, k,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(array_to_string(list_slice(tk, k*48 + 1, k*48 + 64), ' '), ''),
+        |      ch -> CAST(unicode(ch) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |  FROM c),
+        |r AS (SELECT doc_id, k, fp,
+        |        ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, k) AS rn
+        |      FROM ch)
+        |SELECT doc_id, k, fp FROM r WHERE rn = 1 ORDER BY doc_id, k""".stripMargin,
     "s06_sessionize_op" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,
@@ -189,6 +223,20 @@ object StreamingQueries {
   */
 object Streams {
 
+  /** The file streaming source requires a directory; the sf dirs hold one
+    * parquet FILE per table, so stage a symlink to it in a scratch dir
+    * (at scale the source would already be a directory of files). */
+  private def stage(dir: String, file: String): String = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream")
+    // deleteOnExit runs in reverse registration order: dir first so the
+    // (later-registered) symlink inside is removed before it
+    staged.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve(file), java.nio.file.Paths.get(s"$dir/$file"))
+      .toFile.deleteOnExit()
+    staged.toString
+  }
+
   /** Streaming read of events.parquet (nanos ts → timestamp, as Tables). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -196,19 +244,8 @@ object Streams {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    // the file streaming source requires a directory; the sf dirs hold one
-    // parquet FILE per table, so stage a symlink to it in a scratch dir
-    // (at scale the source would already be a directory of files)
-    val staged = java.nio.file.Files.createTempDirectory("graft-events-stream")
-    // deleteOnExit runs in reverse registration order: dir first so the
-    // (later-registered) symlink inside is removed before it
-    staged.toFile.deleteOnExit()
-    java.nio.file.Files.createSymbolicLink(
-      staged.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-      .toFile.deleteOnExit()
     spark.readStream.schema(raw)
-      .parquet(staged.toString)
+      .parquet(stage(dir, "events.parquet"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -280,6 +317,33 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
     runToTable(spark, dedup, "s07_stream", "append")
+  }
+
+  /** S08 as streaming: chunk-level fingerprint dedup — the ingest-time
+    * shape a training-data pipeline actually runs: stream documents in,
+    * chunk each one (qt10's 64/48 windows — the chunk relation is pure
+    * row-local column ops, so the batch definition runs unchanged on the
+    * stream), fingerprint every chunk, and drop repeated chunks via
+    * `dropDuplicatesWithinWatermark` (state = one row per distinct chunk
+    * fingerprint inside the horizon; a duplicate after the horizon
+    * re-emits — same bounded-state contract as s07). Documents carry no
+    * event time, so a deterministic synthetic one (doc_id seconds)
+    * stands in; the fixture equality with the batch s08 survivors holds
+    * because the single parquet file replays as one micro-batch. */
+  def s08(spark: SparkSession, dir: String): DataFrame = {
+    val raw = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream.schema(raw)
+      .parquet(stage(dir, "documents.parquet"))
+    // +1 day: doc_id 0 would otherwise land exactly ON the initial
+    // watermark (epoch 0) and be discarded as late by the stateful op
+    val dedup = TextExt.chunkRel(docs)
+      .withColumn("ts", timestamp_seconds(col("doc_id") + 86400L))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+    runToTable(spark, dedup, "s08_stream", "append")
   }
 
   /** S05 as streaming: stream-stream inner join. Both sides carry

@@ -31,6 +31,26 @@ object TextExt {
 
   private val stopwords = Seq("the", "a", "of", "and")
 
+  /** qt10's chunk relation: (doc_id, k, n_tok, fp) — fixed 64-token
+    * windows with stride 48 (16-token overlap) and a rolling-hash
+    * fingerprint per chunk. Pure row-local column ops (split, explode,
+    * slice, native hash), so the SAME definition runs over the batch
+    * table and a streaming read: Streams.s08 composes it with a
+    * watermarked fingerprint dedup into the ingest-time chunk-dedup
+    * pipeline. */
+  private[graft] def chunkRel(docs: DataFrame): DataFrame = {
+    graft.plans.RollHash31.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(expr("sequence(0L, (size(tk) + 47) div 48 - 1)")).as("k"))
+      .select(col("doc_id"), col("k"),
+        expr("CAST(size(slice(tk, cast(k * 48 + 1 AS INT), 64)) AS BIGINT)")
+          .as("n_tok"),
+        expr("roll_hash31(array_join(slice(tk, cast(k * 48 + 1 AS INT), 64), ' '))")
+          .as("fp"))
+  }
+
   val queries: Map[String, Q] = Map(
     // qt1 language-ID heuristic: per-doc keyword-profile scores, argmax
     // (score DESC, lang ASC), no hit → 'unknown'; output = confusion
@@ -237,21 +257,9 @@ object TextExt {
     // turns long documents into training-sized sequences. One scan, the
     // explode fan-out is ⌈n_tok/48⌉ per doc; each chunk carries its
     // token count and a rolling-hash fingerprint (chunk-level exact
-    // dedup key downstream). Pure integer arithmetic + the shared
-    // cross-engine hash.
-    "qt10_chunk" -> ((s, d) => {
-      graft.plans.RollHash31.register(s)
-      t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), col("tk"),
-          explode(expr("sequence(0L, (size(tk) + 47) div 48 - 1)")).as("k"))
-        .select(col("doc_id"), col("k"),
-          expr("CAST(size(slice(tk, cast(k * 48 + 1 AS INT), 64)) AS BIGINT)")
-            .as("n_tok"),
-          expr("roll_hash31(array_join(slice(tk, cast(k * 48 + 1 AS INT), 64), ' '))")
-            .as("fp"))
-        .orderBy("doc_id", "k")
-    }),
+    // dedup key downstream: s08 composes this relation with the dedup).
+    // Pure integer arithmetic + the shared cross-engine hash.
+    "qt10_chunk" -> ((s, d) => chunkRel(t(s, d, "documents")).orderBy("doc_id", "k")),
 
     // qt9 TF-IDF-style term relevance: per-doc top-3 terms by
     // score = tf · N / df (linear inverse-document-frequency weighting —

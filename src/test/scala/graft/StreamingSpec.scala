@@ -49,6 +49,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.getLong(0) >= batch.getLong(1))
   }
 
+  test("s08 chunk dedup: streaming chunk fp survivors == batch survivors") {
+    // the surviving-fingerprint SET is representative-independent (the
+    // stream keeps first arrival, batch keeps least (doc_id, k) — same
+    // fps either way), so compare sets plus cardinality
+    val batch = StreamingQueries.queries("s08_chunkdedup")(spark, TestSpark.Sf)
+    val stream = Streams.s08(spark, TestSpark.Sf)
+    val bfp = batch.select("fp").collect().map(_.getLong(0)).toSet
+    val sfp = stream.select("fp").collect().map(_.getLong(0)).toSet
+    assert(sfp === bfp)
+    assert(stream.count() === batch.count())
+    assert(bfp.nonEmpty)
+  }
+
   test("s05 interval join: stream-stream join == batch join") {
     val batch = StreamingQueries.queries("s05_join")(spark, TestSpark.Sf)
     val stream = Streams.s05(spark, TestSpark.Sf)
