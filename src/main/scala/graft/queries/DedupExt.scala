@@ -185,10 +185,17 @@ object DedupExt {
     // bit-63 edge case in either engine.
     "qd2_simhash" -> ((s, d) => {
       graft.plans.RollHash31.register(s)
-      // cache() is a no-op if qd1 already cached the same plan
-      // (CacheManager dedups) but keeps the query self-sufficient when
-      // run alone
-      val th = toks(s, d).cache().withColumn("h", sparkH("tok"))
+      // the distinct (doc_id, tok) set is computed ROW-LOCALLY
+      // (array_distinct before the explode) — identical semantics to the
+      // oracle's DISTINCT, with zero shuffle: the only exchange in the
+      // whole sketch build is the groupBy(doc_id), partial-aggregated
+      // map-side to 64 longs per doc (the shared toks() helper's
+      // post-explode .distinct() shuffled every token row first — at
+      // sf0.1 that one shuffle was most of the query)
+      val th = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", sparkH("tok"))
       val wSums = (0 until 64).map { j =>
         val a = 1000003L * j + 12345L
         val b = 777767L * j + 13L
@@ -202,20 +209,26 @@ object DedupExt {
       // all four band keys ride along the band rows, so the hamming
       // check (sum of per-band xor popcounts == full 64-bit hamming
       // distance) runs directly on the candidate join output — no
-      // post-candidate joins
+      // post-candidate joins. Each qualifying pair is emitted at its
+      // FIRST matching band only (the extra inequality conjuncts require
+      // every earlier band to differ): the join output is pair-unique by
+      // construction, so there is no 4× duplication to pay for and no
+      // distinct exchange at all — the classic LSH dedup-free emission.
       val bands = sk.select(col("doc_id"),
         col("b0"), col("b1"), col("b2"), col("b3"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("k", "key")))
       bands.as("x").join(bands.as("y"),
           col("x.k") === col("y.k") && col("x.key") === col("y.key")
-            && col("x.doc_id") < col("y.doc_id"))
+            && col("x.doc_id") < col("y.doc_id")
+            && (col("x.k") === 0 || col("x.b0") =!= col("y.b0"))
+            && (col("x.k") <= 1 || col("x.b1") =!= col("y.b1"))
+            && (col("x.k") <= 2 || col("x.b2") =!= col("y.b2")))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
           (0 until 4).map(k =>
               bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k"))))
             .reduce(_ + _).cast(LongType).as("hd"))
         .filter(col("hd") <= 3)
-        .distinct()
         .orderBy("a", "b")
     }),
 
