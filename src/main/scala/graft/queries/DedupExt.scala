@@ -310,6 +310,42 @@ object DedupExt {
         .limit(5)
     }),
 
+    // qs3 ANN probe BATCH: the qs1 shape at serving scale — every probe
+    // (deterministic sample vec_id % 100 = 7) equi-joins its 4 band keys
+    // against the SAME (band, key) → vec_id index relation in ONE join,
+    // then per-probe exact re-rank, top-3. This is the claim behind the
+    // qs1 bucket index made concrete: a probe batch is the same
+    // broadcast-hash equi-join with more build rows — per-probe cost
+    // stays O(buckets touched), and the index side is built (and its
+    // per-vector sketch aggregate paid) exactly once for the whole
+    // batch, not per probe.
+    "qs3_annbatch" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val pv = perVec(exQ(s, d)).cache()
+      val bands = vecBands(pv)
+      val probes = bands.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q"), col("k"), col("key"),
+          col("n2").as("qn2"))
+      val cand = bands.join(broadcast(probes), Seq("k", "key"))
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"), col("n2"), col("qn2"))
+        .distinct()
+      val emb = embQ(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy(col("score").desc, col("vec_id"))
+      cand.join(emb, Seq("vec_id"))
+        .join(broadcast(emb.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("q"), col("ei").as("qe"))), Seq("q"))
+        .withColumn("dot", expr(dotL("ei", "qe")))
+        .select(col("q"), col("vec_id"),
+          round(col("dot").cast(DoubleType)
+            / (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("n2").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= 3)
+        .orderBy("q", "rk")
+    }),
+
     // qc1 the COMPOSED training-data cleaning pipeline (quality gate →
     // exact dedup → banded near-dedup, TrainingData.clean) hash-checked
     // end-to-end: surviving doc ids. The oracle replays all three stages
@@ -595,6 +631,36 @@ object DedupExt {
         |FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
         |            JOIN norms qn ON qn.vec_id = 0
         |ORDER BY score DESC, d.vec_id LIMIT 5""".stripMargin,
+
+    "qs3_annbatch" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |proj AS (SELECT vec_id, j,
+        |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
+        |             - 1073741824) * xi) AS proj
+        |         FROM ex, generate_series(0, 63) t(j) GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, j // 16 AS k,
+        |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
+        |       FROM proj GROUP BY 1, 2),
+        |probes AS (SELECT vec_id AS q, k, key FROM bk WHERE vec_id % 100 = 7),
+        |cand AS (SELECT DISTINCT p.q, b.vec_id
+        |         FROM bk b JOIN probes p ON b.k = p.k AND b.key = p.key
+        |         WHERE b.vec_id <> p.q),
+        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT c.q, c.vec_id, SUM(v.xi * u.xi) AS dot
+        |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
+        |                     JOIN ex u ON u.vec_id = c.q AND u.i = v.i
+        |         GROUP BY 1, 2),
+        |sc AS (SELECT d.q, d.vec_id,
+        |         CAST(ROUND(CAST(dot AS DOUBLE)
+        |           / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+        |       FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
+        |                   JOIN norms qn ON qn.vec_id = d.q),
+        |r AS (SELECT q, vec_id, score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS BIGINT) AS rk
+        |      FROM sc)
+        |SELECT q, vec_id, score, rk FROM r WHERE rk <= 3 ORDER BY q, rk""".stripMargin,
 
     "qs2_ivf" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),

@@ -105,6 +105,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no bucket equi-join in qs1:\n$p")
   }
 
+  test("qs3: probe batch stays equi-joined — no nested-loop anywhere") {
+    // the batch form replaces even the 1-row re-rank BNLJ with an
+    // equi-join on the probe id, so NO nested-loop join is acceptable
+    val p = plan("qs3_annbatch")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"qs3 probe batch degraded to a nested-loop plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no bucket equi-join in qs3:\n$p")
+  }
+
   test("q32: exact quantiles aggregate before the window (no full-table sort)") {
     // the value-histogram form: the window's child must be an aggregate
     // over (flag, value), never a 600k-row sort keyed by 3 return flags
