@@ -76,7 +76,11 @@ object DupGroups {
         .distinct()
         .localCheckpoint()
       rounds += 1
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // set equality in one anti-join: both sides are distinct, so equal
+      // cardinality (cheap counts on the checkpointed data) plus
+      // next ⊆ edges ⟺ the sets are identical — the second except of
+      // the naive both-ways check is redundant
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
       edges = next
     }
     // fixpoint = stars (child, root=min); roots label themselves
