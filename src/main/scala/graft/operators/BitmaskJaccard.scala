@@ -234,17 +234,7 @@ object BitmaskJaccard {
     val per = OpCaches.track(
       th.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
         .withColumn("nt", size(col("hs")).cast("bigint")))
-    val bandStructs = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until rows).map(r => col(s"mh${rows * b + r}")): _*).as("key"))
-    }
-    val bands = per
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val cand = firstMatchCandidates(per, nBands, rows)
     cand
       .join(per.select(col("doc_id").as("a"), col("nt").as("na"),
         col("hs").as("ha")), Seq("a"))
@@ -253,6 +243,39 @@ object BitmaskJaccard {
       .withColumn("inter", expr("intersect_sorted_count(ha, hb)"))
       .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
       .select("a", "b", "inter", "na", "nb")
+  }
+
+  /** Banded candidate pairs (a < b) from a per-doc signature relation
+    * carrying minhash columns mh0..mh{nHashes-1}: band keys k0..k{B-1}
+    * ride along every band row, and each pair is emitted at its FIRST
+    * matching band only (the inequality conjuncts require every earlier
+    * band to differ) — the join output is pair-unique by construction,
+    * so there is no per-band duplication to pay for and NO distinct
+    * exchange at all. The riding keys widen the band rows B-fold, but
+    * the removed exchange is O(candidate pairs), which dominates
+    * whenever banding actually fires. The per-doc relation must be
+    * cached by the caller: a self-join has no shared exchange to reuse. */
+  private def firstMatchCandidates(per: DataFrame, nBands: Int,
+                                   rows: Int): DataFrame = {
+    val keyCols = (0 until nBands).map { b =>
+      concat_ws(",", (0 until rows).map(r => col(s"mh${rows * b + r}")): _*).as(s"k$b")
+    }
+    // cached: the candidate self-join otherwise computes the band build
+    // (and its upstream signature aggregation) twice — a self-join has
+    // no shared exchange to reuse. Bounded: nBands rows per doc;
+    // registered in OpCaches for the caller's releaseAll().
+    val bands = OpCaches.track(per
+      .select(col("doc_id") +: keyCols: _*)
+      .select(col("doc_id") +: (0 until nBands).map(b => col(s"k$b")) :+
+        posexplode(array((0 until nBands).map(b => col(s"k$b")): _*))
+          .as(Seq("band", "key")): _*))
+    val firstMatch = (1 until nBands).map(b =>
+        col("x.band") < b || col(s"x.k${b - 1}") =!= col(s"y.k${b - 1}"))
+      .reduce(_ && _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id") && firstMatch)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
   }
 
   /** MinHash-LSH banded candidate pairs (a < b), shared by both verify
@@ -273,24 +296,6 @@ object BitmaskJaccard {
       min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
     }
     val sig = th.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val bandStructs = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until rows).map(r => col(s"mh${rows * b + r}")): _*).as("key"))
-    }
-    // cached: the candidate self-join otherwise computes the signature
-    // aggregation twice (a broadcast-hash self-join has no shared
-    // exchange to reuse). Bounded: nBands rows per doc, ~60 B each —
-    // MEMORY_AND_DISK spills at corpus scale. The result is lazy, so
-    // this method cannot unpersist its own handle: it is registered in
-    // OpCaches, and callers release every operator cache with
-    // OpCaches.releaseAll() once they have acted on the result (see
-    // TrainingData.clean's caching contract).
-    val bands = OpCaches.track(sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key")))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    firstMatchCandidates(sig, nBands, rows)
   }
 }
