@@ -60,6 +60,9 @@ object Bench {
     // and drop every cached relation between queries, so each timing is
     // the query's own cold cost, reproducible run-to-run.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // clearCache evicts the blocks; releaseAll also drops the tracked
+      // handles so the OpCaches registry doesn't grow across the suite
+      graft.operators.OpCaches.releaseAll()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // materialize the query's OWN physical plan (toRdd keeps the final

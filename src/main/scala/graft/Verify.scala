@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the operator-internal caches each query registered
+      // (OpCaches contract) — 75 queries' worth of banding/mask caches
+      // would otherwise accumulate for the whole run
+      graft.operators.OpCaches.releaseAll()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
