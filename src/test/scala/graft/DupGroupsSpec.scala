@@ -53,4 +53,31 @@ class DupGroupsSpec extends AnyFunSuite {
     val got = cc((5L, 6L), (7L, 8L), (6L, 7L))
     assert(got === Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
   }
+
+  test("random graph matches a union-find reference with bounded rounds") {
+    // 2000 nodes, 2500 random edges (past the connectivity threshold in
+    // places, fragmented in others — a mix of giant component, small
+    // trees, and isolated pairs); reference = in-memory union-find with
+    // path compression
+    val rnd = new scala.util.Random(42)
+    val n = 2000L
+    val edges = Seq.fill(2500)((rnd.nextLong(n), rnd.nextLong(n)))
+      .filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    import spark.implicits._
+    val (comp, rounds) = DupGroups.componentsWithRounds(edges.toDF("a", "b"))
+    val got = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(rounds <= 12, s"star alternation took $rounds rounds on the random graph")
+  }
 }
