@@ -192,19 +192,20 @@ object DedupExt {
       // map-side to 64 longs per doc (the shared toks() helper's
       // post-explode .distinct() shuffled every token row first — at
       // sf0.1 that one shuffle was most of the query)
+      graft.plans.SimHashBands64.register(s)
       val th = t(s, d, "documents")
         .select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
         .withColumn("h", sparkH("tok"))
-      val wSums = (0 until 64).map { j =>
-        val a = 1000003L * j + 12345L
-        val b = 777767L * j + 13L
-        sum(expr(s"2 * ((($a * h + $b) % $P) & 1) - 1")).as(s"w$j")
-      }
-      val sk = th.groupBy("doc_id").agg(wSums.head, wSums.tail: _*)
+      // ONE native aggregate (plans/SimHashBands64: a 64-counter
+      // TypedImperativeAggregate emitting the four 16-bit band keys)
+      // instead of 64 separate sum() functions — same 512 B/doc partial
+      // shuffle, but a single buffer and a tight JVM loop in place of
+      // the enormous 64-buffer generated update function
+      val sk = th.groupBy("doc_id")
+        .agg(expr("simhash_bands64(h)").as("bk"))
         .select(col("doc_id") +: (0 until 4).map(k =>
-          (0 until 16).map(r => expr(s"IF(w${16 * k + r} > 0, ${1L << r}L, 0L)"))
-            .reduce(_ + _).as(s"b$k")): _*)
+          col("bk").getItem(k).as(s"b$k")): _*)
         .cache()
       // all four band keys ride along the band rows, so the hamming
       // check (sum of per-band xor popcounts == full 64-bit hamming
