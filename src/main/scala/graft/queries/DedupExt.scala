@@ -105,14 +105,15 @@ object DedupExt {
     * form had 512 total keys: bucket population grew linearly with n and
     * the candidate self-join quadratically). */
   private def perVec(ex: DataFrame): DataFrame = {
-    val pSums = (0 until 64).map(j => sum(expr(
-      s"(((1103515245 * CAST(${64 * j} + i0 AS BIGINT) + 12345) % 2147483648) - 1073741824) * xi"))
-      .as(s"p$j")) :+
-      sum(col("xi") * col("xi")).as("n2")
-    ex.groupBy("vec_id").agg(pSums.head, pSums.tail: _*)
-      .select(col("vec_id") +: col("n2") +: (0 until 4).map(k =>
-        (0 until 16).map(r => expr(s"IF(p${16 * k + r} > 0, ${1L << r}L, 0L)"))
-          .reduce(_ + _).as(s"k$k")): _*)
+    // ONE native aggregate (plans/HyperplaneBands64: 65-counter
+    // TypedImperativeAggregate emitting array(k0..k3, n2)) instead of
+    // 65 separate sum() functions — single buffer, tight JVM loop,
+    // identical partial-shuffle bytes (SimHashBands64's rationale)
+    graft.plans.HyperplaneBands64.register(ex.sparkSession)
+    ex.groupBy("vec_id")
+      .agg(expr("hyperplane_bands64(CAST(i0 AS BIGINT), xi)").as("hb"))
+      .select(col("vec_id") +: col("hb").getItem(4).as("n2") +:
+        (0 until 4).map(k => col("hb").getItem(k).as(s"k$k")): _*)
   }
 
   /** (vec_id, n2, k, key): each vector exploded to its 4 (band, 16-bit
