@@ -92,16 +92,16 @@ object DedupExt {
   private def dotL(a: String, b: String): String = s"dot_long($a, $b)"
 
   /** Per-vector band keys + squared norm from quantized exploded
-    * embeddings (vec_id, i0, xi) in ONE groupBy: the 64 deterministic
-    * pseudo-random hyperplane projections and the norm are 65 int64-sum
-    * columns — a single narrow shuffle (partial-aggregated map-side to 65
-    * longs per vector), no plane-explode, no second norm pass. The
-    * hyperplane weight w = lcg/2^31 − 0.5 is applied as the integer
-    * (lcg − 2^30): same sign as w·2^31, so the sign sketch is unchanged
-    * and the sum stays int64 (|sum| ≤ 64·2^30·1e7 < 2^63). The 64 sign
-    * bits fold into FOUR 16-bit band-key columns k0..k3 instead of one
-    * 64-bit sketch — 2^16 distinct values per band, so LSH bucket sizes
-    * stay O(n/keyspace) as the corpus grows (the old 16-plane/8-bit-band
+    * embeddings (vec_id, i0, xi) in ONE groupBy — the native
+    * hyperplane_bands64 aggregate (64 projection counters + the norm in
+    * a single buffer, partial-aggregated map-side to 520 B per vector),
+    * no plane-explode, no second norm pass. The hyperplane weight
+    * w = lcg/2^31 − 0.5 is applied as the integer (lcg − 2^30): same
+    * sign as w·2^31, so the sign sketch is unchanged and the sum stays
+    * int64 (|sum| ≤ 64·2^30·1e7 < 2^63). The 64 sign bits fold into
+    * FOUR 16-bit band-key columns k0..k3 instead of one 64-bit sketch —
+    * 2^16 distinct values per band, so LSH bucket sizes stay
+    * O(n/keyspace) as the corpus grows (the old 16-plane/8-bit-band
     * form had 512 total keys: bucket population grew linearly with n and
     * the candidate self-join quadratically). */
   private def perVec(ex: DataFrame): DataFrame = {
@@ -179,8 +179,8 @@ object DedupExt {
     // (a_j·h + b_j) mod P of the shared rolling hash — the rolling hash
     // itself has only ~30 usable bits, so 64 independent permutations
     // (same constant family as the MinHash ones) supply the 64 sign
-    // dimensions. The 64 per-bit weights are 64 sum columns in ONE
-    // groupBy (no j-explode: 64× less shuffle volume than the naive
+    // dimensions. The 64 per-bit weights accumulate in ONE native
+    // aggregate (no j-explode: 64× less shuffle volume than the naive
     // (doc,bit) aggregation); the sign bits fold straight into the four
     // band-key columns b0..b3 — no 64-bit sketch column, so no signed
     // bit-63 edge case in either engine.
