@@ -132,6 +132,75 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("qd4 LSH pairs: exact precision, recall reported by similarity tier") {
+    import org.apache.spark.sql.functions._
+    // brute-force truth: every pair with exact fixed-point cosine >= 0.4
+    // (tiny at test scale); qd4's candidates must be a subset (its
+    // verify step recomputes the exact cosine, so precision is exact by
+    // construction) and banding recall should be near-total on STRONG
+    // pairs (cos >= 0.9 — 64-bit sketches agree on some 16-bit band with
+    // high probability) while borderline pairs may be missed: that is
+    // the declared trade of the 2^16-key bands (bucket sizes shrink with
+    // corpus growth; low-similarity recall is probabilistic).
+    val emb = Tables(spark, TestSpark.Sf, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0D) AS BIGINT))")
+        .as("ei"))
+    graft.plans.DotLong.register(spark)
+    val n2 = emb.select(col("vec_id"), expr("dot_long(ei, ei)").as("n2"))
+    val exact = emb.as("a").crossJoin(emb.as("b"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        expr("dot_long(a.ei, b.ei)").as("dot"))
+      .join(n2.select(col("vec_id").as("va"), col("n2").as("na2")), Seq("va"))
+      .join(n2.select(col("vec_id").as("vb"), col("n2").as("nb2")), Seq("vb"))
+      .select(col("va"), col("vb"),
+        (col("dot").cast("double")
+          / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))).as("cos"))
+      .where(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = DedupExt.queries("qd4_embdup")(spark, TestSpark.Sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact.keySet),
+      s"qd4 invented pairs: ${(got -- exact.keySet).take(3)}")
+    // the synthetic fixture holds NO true near-duplicates (max pair
+    // cosine ≈ 0.48): every qualifying pair sits right at the 0.4
+    // threshold, where banding recall is inherently probabilistic-low —
+    // report it; the guarantee that matters (high-similarity recall) is
+    // pinned by the cloned-vector test below
+    info(f"qd4 recall at borderline similarity: ${got.size}/${exact.size} (fixture max cos ≈ 0.48)")
+  }
+
+  test("qd4 banding catches TRUE near-duplicates (cloned vectors)") {
+    import spark.implicits._
+    // the fixture has no high-cosine pairs, so build a corpus that does:
+    // 40 seeded random vectors + 15 clones perturbed in one coordinate
+    // (cos ≈ 0.9998). For cos ≥ 0.999 a 16-bit band agrees with
+    // p ≈ 0.99^16 ≈ 0.9; any of 4 bands ≈ 1 − 1e-4 — assert ≥ 90% of
+    // clone pairs are found (exact-cosine verify keeps precision exact).
+    val rnd = new scala.util.Random(31)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = (0L until 40L).map(i => (i, vec()))
+    val clones = (0 until 15).map { c =>
+      val (src, v) = base(c)
+      val w = v.clone(); w(c % 64) = w(c % 64) + 0.01f
+      (100L + c, w, src)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-qd4-clones").toString
+    (base.map { case (id, v) => (id, v.toSeq, 0) } ++
+      clones.map { case (id, v, _) => (id, v.toSeq, 0) })
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = DedupExt.queries("qd4_embdup")(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = clones.map { case (id, _, src) => (src, id) }.toSet
+    val hit = expected.count(got)
+    info(s"qd4 clone-pair recall: $hit/${expected.size}")
+    assert(hit * 10 >= expected.size * 9,
+      s"clone-pair recall $hit/${expected.size} below 0.9: missing ${(expected -- got).take(5)}")
+  }
+
   test("qs1 ANN candidates re-rank to a subset consistent with brute force") {
     // every ANN hit's score must equal the brute-force score for that vec
     val brute = Llm.queries("q29_cosine")(spark, TestSpark.Sf)
