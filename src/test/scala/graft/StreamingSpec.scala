@@ -62,6 +62,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(bfp.nonEmpty)
   }
 
+  test("geo nearest-match runs streaming: stream-static join + stateful top-1 == batch") {
+    // the reference pipeline's core match (grid-cell equi-join against
+    // the static street index, then the min_by top-1 per house number)
+    // is pure column ops end-to-end, so the SAME matchPoints definition
+    // runs over a streamed house-number source: a stream-static LEFT
+    // join plus a stateful aggregation in complete mode — the shape an
+    // always-on geocoding service runs, with the street index static
+    // and points arriving continuously
+    import graft.geo.{GeoQueries, SpacetimeEtl}
+    val dir = GeoQueries.FixtureDir
+    val segs = SpacetimeEtl.segments(
+      SpacetimeEtl.readStreets(spark, s"$dir/streets.ndjson"))
+    val batch = SpacetimeEtl.matchPoints(spark, segs,
+      SpacetimeEtl.housePoints(
+        SpacetimeEtl.readHouseNumbers(spark, s"$dir/house_numbers.ndjson")))
+    val staged = java.nio.file.Files.createTempDirectory("graft-geo-stream")
+    staged.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("house_numbers.ndjson"),
+      java.nio.file.Paths.get(s"$dir/house_numbers.ndjson"))
+      .toFile.deleteOnExit()
+    graft.plans.FuzzyMs.register(spark)
+    val houseStream = spark.readStream
+      .schema(SpacetimeEtl.houseSchema).json(staged.toString)
+    val stream = Streams.runToTable(spark,
+      SpacetimeEtl.matchPoints(spark, segs, SpacetimeEtl.housePoints(houseStream)),
+      "g02_stream", "complete")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("hn_id", "sid", "distance_m").collect()
+        .map(r => r.getString(0) -> (Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toMap
+    val (bm, sm) = (m(batch), m(stream))
+    assert(sm === bm)
+    assert(bm.nonEmpty)
+  }
+
   test("s05 interval join: stream-stream join == batch join") {
     val batch = StreamingQueries.queries("s05_join")(spark, TestSpark.Sf)
     val stream = Streams.s05(spark, TestSpark.Sf)
