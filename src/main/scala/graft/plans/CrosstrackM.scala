@@ -84,5 +84,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       IntersectSortedCount.builder))
     ext.injectFunction((FuzzyMs.minIdent, FuzzyMs.minInfo, FuzzyMs.minBuilder))
     ext.injectFunction((FuzzyMs.maxIdent, FuzzyMs.maxInfo, FuzzyMs.maxBuilder))
+    ext.injectFunction((SimHashBands64.ident, SimHashBands64.info,
+      SimHashBands64.builder))
+    ext.injectFunction((HyperplaneBands64.ident, HyperplaneBands64.info,
+      HyperplaneBands64.builder))
   }
 }

@@ -104,6 +104,13 @@ case class HyperplaneBands64(
 }
 
 object HyperplaneBands64 {
+  private[plans] val ident =
+    org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_bands64")
+  private[plans] val info =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[HyperplaneBands64].getName, "hyperplane_bands64")
+  private[plans] def builder: Seq[Expression] => Expression = build
+
   private def build(args: Seq[Expression]): Expression = {
     require(args.length == 2,
       s"hyperplane_bands64 expects 2 arguments, got ${args.length}")

@@ -100,6 +100,13 @@ case class SimHashBands64(
 }
 
 object SimHashBands64 {
+  private[plans] val ident =
+    org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_bands64")
+  private[plans] val info =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[SimHashBands64].getName, "simhash_bands64")
+  private[plans] def builder: Seq[Expression] => Expression = build
+
   private def build(args: Seq[Expression]): Expression = {
     require(args.length == 1,
       s"simhash_bands64 expects 1 argument, got ${args.length}")
