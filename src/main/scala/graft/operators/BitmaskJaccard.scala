@@ -269,9 +269,11 @@ object BitmaskJaccard {
       .select(col("doc_id") +: (0 until nBands).map(b => col(s"k$b")) :+
         posexplode(array((0 until nBands).map(b => col(s"k$b")): _*))
           .as(Seq("band", "key")): _*))
+    // reduceOption: with nBands == 1 there is no earlier band to
+    // exclude, so the first-match predicate degenerates to `true`
     val firstMatch = (1 until nBands).map(b =>
         col("x.band") < b || col(s"x.k${b - 1}") =!= col(s"y.k${b - 1}"))
-      .reduce(_ && _)
+      .reduceOption(_ && _).getOrElse(lit(true))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id") && firstMatch)

@@ -44,9 +44,14 @@ object DupGroups {
   /** `components` plus the number of large+small-star rounds executed —
     * exposed so tests can pin the O(log n) convergence bound. */
   def componentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
-    // canonical min-oriented edge list (hi, lo), deduped once up front
-    var edges = pairs
+    // canonical min-oriented edge list (hi, lo), deduped once up front.
+    // The checkpoint sits BEFORE the self-pair split so the (possibly
+    // expensive) `pairs` lineage — e.g. an LSH candidate join — is
+    // computed exactly once even though two branches read it.
+    val canon = pairs
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .localCheckpoint()
+    var edges = canon
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
@@ -84,8 +89,16 @@ object DupGroups {
       edges = next
     }
     // fixpoint = stars (child, root=min); roots label themselves
-    val out = edges.select(col("u").as("node"), col("v").as("grp"))
+    val starred = edges.select(col("u").as("node"), col("v").as("grp"))
       .union(edges.select(col("v").as("node"), col("v").as("grp")).distinct())
-    (out, rounds)
+    // a node seen ONLY as a self-pair (a, a) was dropped by the
+    // canonicalizing u =!= v filter; restore it as its own singleton
+    // component so the contract "a row for every node in `pairs`"
+    // holds (anti-join keeps nodes that also touch real edges unique)
+    val selfSingletons = canon.filter(col("u") === col("v"))
+      .select(col("u").as("node")).distinct()
+      .join(starred, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("grp"))
+    (starred.union(selfSingletons), rounds)
   }
 }

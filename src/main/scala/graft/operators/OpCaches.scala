@@ -1,6 +1,33 @@
 package graft.operators
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.DataFrame
+
+/** A releasable set of operator cache handles owned by ONE pipeline
+  * invocation. Obtained via [[OpCaches.scoped]]; releasing it
+  * unpersists exactly the handles tracked while the scope was active,
+  * so concurrent pipelines (or parallel test suites sharing the
+  * session) cannot evict each other's load-bearing caches. */
+final class CacheScope private[operators] () {
+  private val handles = ArrayBuffer.empty[DataFrame]
+
+  private[operators] def add(df: DataFrame): Unit =
+    synchronized { handles += df }
+
+  /** Number of still-tracked handles (test visibility). */
+  def size: Int = synchronized { handles.size }
+
+  /** Unpersist every handle tracked under this scope. `blocking = true`
+    * waits for block eviction (tests assert on CacheManager state
+    * immediately after). Idempotent. */
+  def release(blocking: Boolean = false): Unit = synchronized {
+    handles.foreach { df =>
+      try df.unpersist(blocking) catch { case _: Throwable => () }
+    }
+    handles.clear()
+  }
+}
 
 /** Registry for the intermediate relations the dedup/cleaning operators
   * `.cache()` internally (banding signatures, prefix relations, token
@@ -10,30 +37,65 @@ import org.apache.spark.sql.DataFrame
   * LAZY DataFrames, so they cannot unpersist their own handles: the
   * caller's first action is what materializes (and re-reads) them.
   *
-  * Every such cache is routed through [[track]], and a caller that has
-  * finished acting on an operator's result releases ALL of the session's
-  * operator caches with [[releaseAll]] — deterministic executor-memory
-  * hygiene without `spark.catalog.clearCache()`'s collateral damage to
-  * caches the caller owns. Tests pin the contract: after
-  * `clean()` + action + `releaseAll()`, the shared CacheManager is
-  * empty.
+  * Ownership model: every internal cache is routed through [[track]],
+  * which registers the handle with the CALLING THREAD's innermost open
+  * [[CacheScope]] (opened by [[scoped]]), falling back to the shared
+  * root scope. A caller that wants isolation from other pipelines on
+  * the same session wraps the operator CALL (the plan build — that is
+  * when `track` runs, actions can happen later) in `scoped` and
+  * releases the returned scope when done:
+  *
+  * {{{
+  * val (cleaned, caches) = OpCaches.scoped(TrainingData.clean(docs))
+  * cleaned.write.parquet(out)
+  * caches.release()
+  * }}}
+  *
+  * [[releaseAll]] remains the harness-level drain: it unpersists EVERY
+  * tracked handle in every scope (Verify/Bench run queries strictly
+  * sequentially, so the big hammer is correct there). Do not call it
+  * from code that may run concurrently with another pipeline — use a
+  * scope.
   */
 object OpCaches {
-  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val root = new CacheScope
+  // all scopes ever opened and not yet drained — releaseAll's inventory
+  private val scopes = ArrayBuffer[CacheScope](root)
+  private val current = new ThreadLocal[CacheScope] {
+    override def initialValue(): CacheScope = root
+  }
 
-  /** Cache `df` and register the handle for a later [[releaseAll]]. */
-  def track(df: DataFrame): DataFrame = synchronized {
-    tracked += df.cache()
+  /** Cache `df` and register the handle with the calling thread's
+    * active scope (the root scope outside any [[scoped]] block). */
+  def track(df: DataFrame): DataFrame = {
+    df.cache()
+    current.get.add(df)
     df
   }
 
-  /** Unpersist every tracked handle. `blocking = true` waits for the
-    * block eviction (tests assert on CacheManager state immediately
-    * after). */
-  def releaseAll(blocking: Boolean = false): Unit = synchronized {
-    tracked.foreach { df =>
-      try df.unpersist(blocking) catch { case _: Throwable => () }
+  /** Run `body` (an operator plan build) with a fresh scope active on
+    * this thread; returns the result together with the scope owning
+    * every handle tracked during the build. Nestable — the inner scope
+    * wins while active; the previous scope is restored on exit. */
+  def scoped[T](body: => T): (T, CacheScope) = {
+    val scope = new CacheScope
+    synchronized { scopes += scope }
+    val prev = current.get
+    current.set(scope)
+    try (body, scope)
+    finally current.set(prev)
+  }
+
+  /** Unpersist every tracked handle in EVERY scope — sequential-harness
+    * cleanup (Verify/Bench/tests), not for concurrent callers. Drained
+    * non-root scopes are forgotten; their `release()` stays a no-op. */
+  def releaseAll(blocking: Boolean = false): Unit = {
+    val snapshot = synchronized {
+      val all = scopes.toList
+      scopes.clear()
+      scopes += root
+      all
     }
-    tracked.clear()
+    snapshot.foreach(_.release(blocking))
   }
 }

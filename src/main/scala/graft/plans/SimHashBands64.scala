@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Addition is commutative/associative, so partial aggregation and
   * merge order cannot change the result.
   *
+  * Input domain: `h` is reduced mod P (non-negative) before the
+  * multiply. roll_hash31 outputs already lie in [0, P), so the mask is
+  * the identity on the documented pipeline; it exists so the globally
+  * registered SQL function stays overflow-free (and deterministic) for
+  * arbitrary BIGINT inputs instead of silently wrapping int64 where
+  * DuckDB would raise an overflow error.
+  *
   * Why an imperative aggregate: 64 independent `sum`s carry 64
   * aggregate buffers through codegen — the generated update function is
   * enormous (slow to janino-compile, hostile to JIT) and each buffer
@@ -47,7 +54,14 @@ case class SimHashBands64(
   override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
     val v = child.eval(row)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // mask the input into the rolling-hash domain [0, P) before the
+      // multiply: for roll_hash31 outputs (the documented domain) this
+      // is the identity, and for ad-hoc SQL callers passing arbitrary
+      // BIGINTs it keeps a*h inside int64 (a < 2^26, h < 2^30) instead
+      // of silently wrapping — DuckDB would error on the same overflow,
+      // so unmasked wraparound could diverge from the oracle semantics
+      val raw = v.asInstanceOf[Long] % P
+      val h = if (raw < 0) raw + P else raw
       var j = 0
       while (j < 64) {
         val a = 1000003L * j + 12345L

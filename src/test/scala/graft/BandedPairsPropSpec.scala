@@ -82,6 +82,41 @@ class BandedPairsPropSpec extends AnyFunSuite {
     graft.operators.OpCaches.releaseAll()
   }
 
+  test("nBands == 1 degenerates to plain single-band candidates (no crash)") {
+    // regression pin for the first-match predicate: with one band there
+    // is no earlier band to exclude, so the conjunct list is empty —
+    // this used to throw UnsupportedOperationException (empty.reduce).
+    // Reference: candidates share the FULL 4-hash signature (one band
+    // of 4 rows), verify = exact Jaccard over fingerprint sets.
+    import spark.implicits._
+    val docs = corpus(seed = 21, nDocs = 50, vocab = 12, minLen = 4, maxLen = 10)
+    val toksDf = docs.toSeq.flatMap { case (id, ts) => ts.map((id, _)) }
+      .toDF("doc_id", "tok")
+    val got = BitmaskJaccard.bandedPairsCompact(toksDf, 5, 10, nHashes = 4, nBands = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val per = docs.map { case (id, toks) =>
+      val hs = toks.map(h).toSet
+      val sig = (0 until 4).map { j =>
+        val a = 1000003L * j + 12345L
+        val b = 777767L * j + 13L
+        hs.map(x => (a * x + b) % P).min
+      }
+      (id, hs, sig.mkString(","))
+    }.toSeq
+    val expected = (for {
+      (a, ha, ka) <- per; (b, hb, kb) <- per
+      if a < b && ka == kb
+      inter = (ha intersect hb).size.toLong
+      na = ha.size.toLong; nb = hb.size.toLong
+      if 10 * inter >= 5 * (na + nb - inter)
+    } yield (a, b, inter, na, nb)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "degenerate fixture: no qualifying pairs")
+    graft.operators.OpCaches.releaseAll()
+  }
+
   test("duplicate token rows do not change the result (multiset tolerance)") {
     val docs = corpus(seed = 13, nDocs = 40, vocab = 25, minLen = 5, maxLen = 15)
     assert(run(docs, 8, 10, dupFactor = 3) === expectedPairs(docs, 8, 10))

@@ -48,6 +48,19 @@ class DupGroupsSpec extends AnyFunSuite {
     assert(rounds <= 12, s"large-star/small-star took $rounds rounds")
   }
 
+  test("self-pairs yield singleton components (scaladoc contract)") {
+    // node 50 appears ONLY as a self-pair (50,50): it must still get a
+    // row, as its own singleton component; node 5's self-pair must not
+    // duplicate its real-component row
+    val got = cc((5L, 6L), (5L, 5L), (50L, 50L))
+    assert(got === Map(5L -> 5L, 6L -> 5L, 50L -> 50L))
+  }
+
+  test("self-pair-only input (no real edges) still labels every node") {
+    val got = cc((7L, 7L), (9L, 9L))
+    assert(got === Map(7L -> 7L, 9L -> 9L))
+  }
+
   test("bridging edge merges two clusters through their min label") {
     // {5,6} and {7,8} joined by 6-7: everything labels to 5
     val got = cc((5L, 6L), (7L, 8L), (6L, 7L))

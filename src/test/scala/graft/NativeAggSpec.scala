@@ -38,6 +38,26 @@ class NativeAggSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("simhash_bands64 reduces out-of-domain inputs mod P (no int64 wrap)") {
+    // the SQL function is registered globally, so arbitrary BIGINTs can
+    // reach it: sketch(raw) must equal sketch(((raw % P) + P) % P) —
+    // i.e. inputs congruent mod P are indistinguishable, and huge or
+    // negative values cannot silently wrap a*h past Long.MaxValue
+    import spark.implicits._
+    graft.plans.SimHashBands64.register(spark)
+    val raw = Seq(Long.MaxValue - 5, Long.MinValue + 17, -123456789L,
+      987654321987654L, 3L, P - 1, P, P + 42)
+    val masked = raw.map(h => ((h % P) + P) % P)
+    def sketch(hs: Seq[Long]): List[Long] = {
+      val r = hs.toDF("h").repartition(4)
+        .agg(expr("simhash_bands64(h)").as("bk"))
+        .select((0 until 4).map(k => col("bk").getItem(k)): _*)
+        .head()
+      (0 until 4).map(r.getLong).toList
+    }
+    assert(sketch(raw) === sketch(masked))
+  }
+
   test("hyperplane_bands64 == 65 declarative sums under forced merges") {
     import spark.implicits._
     graft.plans.HyperplaneBands64.register(spark)
