@@ -380,6 +380,63 @@ object DedupExt {
       cleaned.select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // qd6 SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023, public
+    // literature): cluster embeddings by nearest centroid (the IVF
+    // assignment qs2 uses), find within-cell pairs with exact
+    // fixed-point cosine ≥ 0.4, resolve them into duplicate groups
+    // (DupGroups connected components), keep the min vec_id per group.
+    // Output: every vector's (cell, group, kept) verdict.
+    //
+    // Scale shape: candidate generation is BOUNDED BY THE CELL — the
+    // pairwise cosine runs only inside each cell's equi-join bucket,
+    // never across the corpus. The centroid count is the knob that keeps
+    // cells O(n/K): at 100 TB, K grows with the corpus (K ≈ √n is the
+    // classic choice — this query's deterministic `vec_id % 50` sample
+    // scales K linearly with n, strictly stronger), so per-cell pair
+    // work stays bounded instead of collapsing onto a fixed keyspace.
+    // Assignment is one broadcast pass (centroids are tiny by
+    // construction); the component resolution is the O(log n)-round
+    // large-star/small-star operator.
+    "qd6_semdedup" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val emb = embQ(s, d)
+      val cents = emb.filter(col("vec_id") % 50 === 1)
+        .select(col("vec_id").as("cid"), col("ei").as("ce"))
+        .withColumn("n2c", expr(dotL("ce", "ce")))
+      val wA = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+        .orderBy(col("sc").desc, col("cid"))
+      // cached: the assigned relation feeds the pair self-join (twice)
+      // and the final verdict join — a self-join has no shared exchange
+      val av = graft.operators.OpCaches.track(
+        emb.crossJoin(broadcast(cents))
+          .withColumn("dot", expr(dotL("ei", "ce")))
+          .select(col("vec_id"), col("ei"), col("cid"),
+            (col("dot").cast(DoubleType) / sqrt(col("n2c").cast(DoubleType))).as("sc"))
+          .withColumn("rn", row_number().over(wA))
+          .where(col("rn") === 1)
+          .withColumn("n2", expr(dotL("ei", "ei")))
+          .select("vec_id", "cid", "ei", "n2"))
+      val pairs = av.select(col("cid"), col("vec_id").as("a"),
+          col("ei").as("ea"), col("n2").as("na2"))
+        .join(av.select(col("cid"), col("vec_id").as("b"),
+          col("ei").as("eb"), col("n2").as("nb2")), Seq("cid"))
+        .filter(col("a") < col("b"))
+        .withColumn("dot", expr(dotL("ea", "eb")))
+        .select(col("a"), col("b"),
+          (col("dot").cast(DoubleType)
+            / (sqrt(col("na2").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType))))
+            .as("cosd"))
+        .filter(col("cosd") >= 0.4)
+      val comp = graft.operators.DupGroups.components(pairs.select("a", "b"))
+        .withColumnRenamed("node", "vec_id")
+      av.select("vec_id", "cid").join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(col("grp"), col("vec_id")).as("grp"),
+          when(coalesce(col("grp"), col("vec_id")) === col("vec_id"), 1L)
+            .otherwise(0L).as("kept"))
+        .orderBy("vec_id")
+    }),
+
     // qs2 IVF similarity search: deterministic centroid sample
     // (vec_id % 50 == 1), exact fixed-point-cosine assignment to the
     // nearest centroid, probe the query's top-2 cells, exact re-rank
@@ -663,6 +720,49 @@ object DedupExt {
         |        CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS BIGINT) AS rk
         |      FROM sc)
         |SELECT q, vec_id, score, rk FROM r WHERE rk <= 3 ORDER BY q, rk""".stripMargin,
+
+    // qd6: qs2's assignment CTEs + within-cell pair cosines + the
+    // qd5-style recursive-CTE component walk (decreasing labels only) +
+    // the per-vector keep/drop verdict
+    "qd6_semdedup" ->
+      s"""WITH RECURSIVE idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+         |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+         |       FROM embeddings, idx WHERE i <= len(embedding)),
+         |cex AS (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
+         |cnorm AS (SELECT cid, SUM(cx*cx) AS n2c FROM cex GROUP BY 1),
+         |adot AS (SELECT e.vec_id, c.cid, SUM(e.xi * c.cx) AS dot
+         |         FROM ex e JOIN cex c USING (i) GROUP BY 1, 2),
+         |ascore AS (SELECT vec_id, cid, CAST(dot AS DOUBLE) / SQRT(CAST(n2c AS DOUBLE)) AS sc
+         |           FROM adot JOIN cnorm USING (cid)),
+         |assign AS (SELECT vec_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn
+         |  FROM ascore) WHERE rn = 1),
+         |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+         |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |          FROM assign x JOIN assign y
+         |            ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |dots AS (SELECT p.a, p.b, SUM(u.xi * v.xi) AS dot
+         |         FROM pairs p JOIN ex u ON u.vec_id = p.a
+         |                      JOIN ex v ON v.vec_id = p.b AND v.i = u.i
+         |         GROUP BY 1, 2),
+         |e AS (SELECT a, b FROM dots
+         |      JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+         |      WHERE CAST(dot AS DOUBLE)
+         |        / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) >= 0.4),
+         |vtx AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+         |edges AS (SELECT a AS x, b AS y FROM e UNION SELECT b AS x, a AS y FROM e),
+         |walk AS (
+         |  SELECT node, node AS lbl FROM vtx
+         |  UNION
+         |  SELECT eg.y AS node, w.lbl AS lbl
+         |  FROM walk w JOIN edges eg ON eg.x = w.node AND w.lbl < eg.y
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS grp FROM walk GROUP BY node)
+         |SELECT a.vec_id, a.cid, COALESCE(c.grp, a.vec_id) AS grp,
+         |  CASE WHEN COALESCE(c.grp, a.vec_id) = a.vec_id
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+         |FROM assign a LEFT JOIN comp c ON c.node = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     "qs2_ivf" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),

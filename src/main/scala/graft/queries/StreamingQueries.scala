@@ -110,6 +110,36 @@ object StreamingQueries {
         .orderBy("doc_id", "k")
     }),
 
+    // S09 the ingest-time CLEANING gate: quality filter (qt2's integer
+    // thresholds — all row-local array stats) + exact content dedup on
+    // the text fingerprint, keep the first (min doc_id) survivor. This
+    // is the composition a training pipeline runs ON INGEST, before
+    // anything lands in the corpus; the streaming form is Streams.s09
+    // (same row-local gate on the stream + watermarked
+    // dropDuplicatesWithinWatermark on fp), asserted equivalent in the
+    // test suite. The dedup window partitions on the fingerprint —
+    // corpus-cardinality key, no skew magnet.
+    "s09_streamclean" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(col("tk")).cast(LongType).as("n_tok"),
+          size(array_distinct(col("tk"))).cast(LongType).as("n_uniq"),
+          expr("CAST(size(filter(tk, x -> x IN ('the','a','of','and'))) AS BIGINT)")
+            .as("n_stop"))
+        .where(col("n_tok") >= 20
+          && lit(10) * col("n_uniq") >= lit(3) * col("n_tok")
+          && lit(10) * col("n_stop") <= lit(3) * col("n_tok"))
+        .select(col("doc_id"), col("lang"), expr("roll_hash31(text)").as("fp"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("doc_id", "lang", "fp")
+        .orderBy("doc_id")
+    }),
+
     // S06 the custom Sessionize physical operator (plans/Sessionize:
     // LogicalPlan + Strategy + single-exchange Exec) against the SAME
     // oracle SQL as S03 — the custom operator's output is hash-checked
@@ -190,6 +220,28 @@ object StreamingQueries {
         |        ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, k) AS rn
         |      FROM ch)
         |SELECT doc_id, k, fp FROM r WHERE rn = 1 ORDER BY doc_id, k""".stripMargin,
+    "s09_streamclean" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |         x -> x IN ('the','a','of','and'))) AS BIGINT) AS n_stop
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |  FROM scored
+        |  WHERE n_tok >= 20 AND 10*n_uniq >= 3*n_tok AND 10*n_stop <= 3*n_tok
+        |), r AS (
+        |  SELECT doc_id, lang, fp,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM q
+        |)
+        |SELECT doc_id, lang, fp FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "s06_sessionize_op" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,
@@ -331,19 +383,52 @@ object Streams {
     * stands in; the fixture equality with the batch s08 survivors holds
     * because the single parquet file replays as one micro-batch. */
   def s08(spark: SparkSession, dir: String): DataFrame = {
-    val raw = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val docs = spark.readStream.schema(raw)
-      .parquet(stage(dir, "documents.parquet"))
     // +1 day: doc_id 0 would otherwise land exactly ON the initial
     // watermark (epoch 0) and be discarded as late by the stateful op
-    val dedup = TextExt.chunkRel(docs)
+    val dedup = TextExt.chunkRel(readDocuments(spark, dir))
       .withColumn("ts", timestamp_seconds(col("doc_id") + 86400L))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
     runToTable(spark, dedup, "s08_stream", "append")
+  }
+
+  /** Streaming read of documents.parquet (shared by s08/s09). */
+  private def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val raw = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(raw)
+      .parquet(stage(dir, "documents.parquet"))
+  }
+
+  /** S09 as streaming: the ingest-time cleaning gate — the row-local
+    * quality filter runs unchanged on the stream (no state), then the
+    * content-fingerprint dedup holds one state row per distinct fp
+    * inside the watermark horizon (dropDuplicatesWithinWatermark, the
+    * s07/s08 bounded-state contract). Event time is the deterministic
+    * doc_id-seconds stand-in (+1 day: the epoch-0 watermark edge).
+    * Fixture equality with the batch keep-min-doc_id survivor set holds
+    * because the single parquet file replays as one micro-batch in
+    * doc_id order. */
+  def s09(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.RollHash31.register(spark)
+    val gated = readDocuments(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(col("tk")).cast(LongType).as("n_tok"),
+        size(array_distinct(col("tk"))).cast(LongType).as("n_uniq"),
+        expr("CAST(size(filter(tk, x -> x IN ('the','a','of','and'))) AS BIGINT)")
+          .as("n_stop"))
+      .where(col("n_tok") >= 20
+        && lit(10) * col("n_uniq") >= lit(3) * col("n_tok")
+        && lit(10) * col("n_stop") <= lit(3) * col("n_tok"))
+      .select(col("doc_id"), col("lang"), expr("roll_hash31(text)").as("fp"),
+        timestamp_seconds(col("doc_id") + 86400L).as("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+    runToTable(spark, gated, "s09_stream", "append")
   }
 
   /** S05 as streaming: stream-stream inner join. Both sides carry

@@ -261,6 +261,74 @@ object TextExt {
     // Pure integer arithmetic + the shared cross-engine hash.
     "qt10_chunk" -> ((s, d) => chunkRel(t(s, d, "documents")).orderBy("doc_id", "k")),
 
+    // qt11 repetition detection (the Gopher/MassiveText "repeated
+    // n-gram" quality filter): per-doc 3-gram count, distinct 3-gram
+    // count, duplicate fraction, and a flag for any repetition. Every
+    // stat is a row-local array HOF over the token array (transform →
+    // array_distinct → size), so the whole query is ONE scan with zero
+    // shuffles before the output sort — the canonical shape for a
+    // 100 TB per-document quality signal.
+    "qt11_repetition" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          greatest(size(col("tk")) - 2, lit(0)).cast(LongType).as("n_tri"),
+          expr("CAST(size(array_distinct(IF(size(tk) >= 3, transform(sequence(1, size(tk) - 2), k -> array_join(slice(tk, k, 3), ' ')), array()))) AS BIGINT)")
+            .as("n_uniq"))
+        .filter(col("n_tri") > 0)
+        .select(col("doc_id"), col("n_tri"), col("n_uniq"),
+          (col("n_tri") - col("n_uniq")).as("n_dup"),
+          round((col("n_tri") - col("n_uniq")).cast(DoubleType) / col("n_tri"), 4)
+            .cast(DoubleType).as("rep_ratio"),
+          when(col("n_tri") > col("n_uniq"), 1L).otherwise(0L).as("flagged"))
+        .orderBy("doc_id")),
+
+    // qx2 deterministic train/val/test split (dataset mixing): the qt5
+    // LCG hash assigns each doc a reproducible bucket 0-9 → 8/1/1
+    // split; output = per (lang, split) doc and token counts. One scan,
+    // one tiny partial-aggregated groupBy — split assignment must NEVER
+    // shuffle the corpus (rand()-based splits are neither reproducible
+    // nor restart-safe; a hash of the stable id is both).
+    "qx2_split" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          ((lit(1103515245L) * (col("doc_id") % 2147483648L) + 12345L)
+            % 2147483648L % 10L).as("bucket"))
+        .select(col("lang"), col("n_tok"),
+          when(col("bucket") <= 7, "train")
+            .when(col("bucket") === 8, "val")
+            .otherwise("test").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("lang", "split")),
+
+    // qx1 benchmark decontamination: find training docs sharing any
+    // 3-token shingle with the held-out eval set (deterministic
+    // doc_id % 97 == 0 stand-in for a benchmark suite). The scale shape
+    // is the point: eval suites are tiny (MBs) next to a 100 TB corpus,
+    // so the distinct eval shingle-hash set is BROADCAST and the corpus
+    // side never shuffles — one scan, row-local distinct shingles
+    // (array_distinct before the explode), a broadcast-hash join, and a
+    // partial-aggregated per-doc count. Matching is on the shared
+    // rolling hash in BOTH engines, so hash collisions (if any) affect
+    // both sides identically and the count contract stays exact.
+    "qx1_decontam" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(IF(size(tk) >= 3, transform(sequence(1, size(tk) - 2), k -> array_join(slice(tk, k, 3), ' ')), array()))"))
+          .as("s"))
+        .select(col("doc_id"), expr("roll_hash31(s)").as("h"))
+      val ev = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(ev), Seq("h"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("h")).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // qt9 TF-IDF-style term relevance: per-doc top-3 terms by
     // score = tf · N / df (linear inverse-document-frequency weighting —
     // ln() is deliberately avoided: libm last-ulp differences between
@@ -451,6 +519,50 @@ object TextExt {
          |      ch -> CAST(unicode(ch) AS BIGINT))),
          |    (acc, x) -> (acc * 31 + x) % $P) AS fp
          |FROM c ORDER BY doc_id, k""".stripMargin,
+
+    "qt11_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(tk) - 2, 0) AS BIGINT) AS n_tri,
+        |    CAST(len(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 0)),
+        |      k -> array_to_string(tk[k:k+2], ' ')))) AS BIGINT) AS n_uniq
+        |  FROM t)
+        |SELECT doc_id, n_tri, n_uniq, n_tri - n_uniq AS n_dup,
+        |  CAST(ROUND(CAST(n_tri - n_uniq AS DOUBLE) / n_tri, 4) AS DOUBLE) AS rep_ratio,
+        |  CASE WHEN n_tri > n_uniq THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS flagged
+        |FROM tri WHERE n_tri > 0 ORDER BY doc_id""".stripMargin,
+
+    "qx2_split" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    (1103515245 * (doc_id % 2147483648) + 12345) % 2147483648 % 10 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket <= 7 THEN 'train' WHEN bucket = 8 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "qx1_decontam" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(tk) - 2, 0)),
+         |    k -> array_to_string(tk[k:k+2], ' ')))) AS s
+         |  FROM t),
+         |h AS (SELECT doc_id,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |          (acc, x) -> (acc * 31 + x) % $P) AS h
+         |      FROM sh),
+         |ev AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0)
+         |SELECT t.doc_id, CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_hits
+         |FROM h t JOIN ev USING (h)
+         |WHERE t.doc_id % 97 <> 0
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "qt9_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

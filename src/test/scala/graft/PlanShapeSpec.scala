@@ -114,6 +114,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no bucket equi-join in qs3:\n$p")
   }
 
+  test("qt11/qx2: per-doc signals are single-scan, join-free plans") {
+    // repetition stats and split assignment are row-local by design —
+    // a join or generate appearing here means the row-local array-HOF
+    // form regressed to an explode + re-aggregate shape
+    val rep = plan("qt11_repetition")
+    assert(!rep.contains("Join"), s"qt11 regressed to a join plan:\n$rep")
+    assert(!rep.contains("Generate"), s"qt11 regressed to an explode plan:\n$rep")
+    val sp = plan("qx2_split")
+    assert(!sp.contains("Join"), s"qx2 regressed to a join plan:\n$sp")
+    assert(!sp.contains("Generate"), s"qx2 regressed to an explode plan:\n$sp")
+  }
+
+  test("qx1: decontamination probes the corpus via a broadcast equi-join") {
+    // the eval shingle set is the broadcast side; the corpus side must
+    // never shuffle into a sort-merge join or degrade to a nested loop
+    val p = plan("qx1_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast probe join in qx1:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"qx1 shuffles the corpus for the eval join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"qx1 degraded to a nested-loop plan:\n$p")
+  }
+
+  test("qd6: semantic dedup stays cell-bounded — equi-joins only") {
+    // the within-cell pair join must be a hash equi-join on the cell id
+    // (candidates bounded by the cell); the only nested loop allowed is
+    // the benign broadcast of the tiny centroid relation for assignment
+    val p = plan("qd6_semdedup")
+    assert(!p.contains("CartesianProduct"), s"cartesian in qd6:\n$p")
+    // the one benign BNLJ is the tiny-centroid broadcast inside the
+    // CACHED assignment relation — the cached AQE plan prints BOTH its
+    // Final and Initial subtrees per InMemoryTableScan, so the same
+    // physical join can appear 2× per cache scan in the string
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val cacheScans = "InMemoryTableScan".r.findAllIn(p).size
+    assert(bnlj <= 2 * math.max(cacheScans, 1),
+      s"qd6 has $bnlj nested-loop joins beyond the cached centroid broadcast:\n$p")
+    // the within-cell pair join and the verdict join are equi-joins
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), s"no equi-join in qd6:\n$p")
+  }
+
   test("q32: exact quantiles aggregate before the window (no full-table sort)") {
     // the value-histogram form: the window's child must be an aggregate
     // over (flag, value), never a 600k-row sort keyed by 3 return flags

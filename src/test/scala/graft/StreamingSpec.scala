@@ -62,6 +62,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(bfp.nonEmpty)
   }
 
+  test("s09 ingest clean: streaming quality gate + fp dedup == batch survivors") {
+    // quality gating is row-local (stateless on the stream); the fp
+    // dedup's surviving-fingerprint set is representative-independent,
+    // and here representatives also agree: one micro-batch replays in
+    // doc_id order, so first-arrival == least doc_id. Compare full rows.
+    val batch = StreamingQueries.queries("s09_streamclean")(spark, TestSpark.Sf)
+    val stream = Streams.s09(spark, TestSpark.Sf)
+    val b = batch.select("doc_id", "lang", "fp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val s = stream.select("doc_id", "lang", "fp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(s === b)
+    assert(b.nonEmpty)
+  }
+
   test("geo nearest-match runs streaming: stream-static join + stateful top-1 == batch") {
     // the reference pipeline's core match (grid-cell equi-join against
     // the static street index, then the min_by top-1 per house number)
