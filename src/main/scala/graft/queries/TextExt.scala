@@ -303,6 +303,35 @@ object TextExt {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy("lang", "split")),
 
+    // qx3 dataset mixture balancing: downsample each language to hit a
+    // declared target ratio (en:de:zh:fr:es = 4:2:2:1:1) exactly —
+    // quota_s = w_s · K with K = min_s ⌊n_s / w_s⌋ (the largest scale
+    // at which every stratum can fill its share without upsampling),
+    // members chosen by the deterministic LCG rank (qt5's hash). Pure
+    // integer arithmetic end-to-end. Plan: one scan, a tiny
+    // per-language count, a broadcast of the single K row, one bounded
+    // window per stratum — the corpus itself shuffles only on the
+    // stratum key. Output = achieved per-language mixture.
+    "qx3_mix" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'zh' THEN 2 ELSE 1 END AS BIGINT)")
+            .as("w"),
+          ((lit(1103515245L) * (col("doc_id") % 2147483648L) + 12345L)
+            % 2147483648L).as("hk"))
+      val caps = docs.groupBy("lang", "w").agg(count(lit(1)).as("n_avail"))
+      val k = caps.agg(min(expr("n_avail div w")).as("k"))
+      docs.withColumn("rk", row_number().over(w).cast(LongType))
+        .join(caps.select("lang", "n_avail"), Seq("lang"))
+        .crossJoin(broadcast(k))
+        .where(col("rk") <= col("w") * col("k"))
+        .groupBy("lang", "n_avail")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     // qx1 benchmark decontamination: find training docs sharing any
     // 3-token shingle with the held-out eval set (deterministic
     // doc_id % 97 == 0 stand-in for a benchmark suite). The scale shape
@@ -545,6 +574,23 @@ object TextExt {
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "qx3_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'zh' THEN 2
+        |         ELSE 1 END AS BIGINT) AS w,
+        |    (1103515245 * (doc_id % 2147483648) + 12345) % 2147483648 AS hk
+        |  FROM documents),
+        |caps AS (SELECT lang, w, COUNT(*) AS n_avail FROM w GROUP BY 1, 2),
+        |k AS (SELECT MIN(n_avail // w) AS k FROM caps),
+        |r AS (SELECT doc_id, lang, w,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS rk
+        |      FROM w)
+        |SELECT r.lang, c.n_avail, COUNT(*) AS n_kept
+        |FROM r JOIN caps c USING (lang), k
+        |WHERE r.rk <= r.w * k.k
+        |GROUP BY 1, 2 ORDER BY lang""".stripMargin,
 
     "qx1_decontam" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
