@@ -358,6 +358,42 @@ object TextExt {
         .orderBy("doc_id")
     }),
 
+    // qt12 LM-based quality scoring (the CCNet-style filter): score
+    // every document by its average bigram probability under the
+    // corpus-wide bigram LM (qt8's table), emit the 200 worst-scoring
+    // docs — the removal candidates of an LM-perplexity filter.
+    // Determinism: each bigram's p = c12/c1 is ONE correctly-rounded
+    // IEEE division (bit-identical cross-engine), immediately rounded
+    // into DECIMAL(12,8); the per-doc sum then accumulates EXACT
+    // decimals (order-independent — a double sum would depend on
+    // partition order), and only the final average is a double. ln()
+    // deliberately avoided (libm divergence, qt9's rationale).
+    // Scale: two narrow partial-aggregatable groupBys build the LM;
+    // the corpus bigram relation shuffles once on (w1, w2) for the
+    // probability join and once on doc_id for the per-doc fold —
+    // all corpus-cardinality keys.
+    "qt12_lmscore" -> ((s, d) => {
+      val bi = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          "IF(size(tk) >= 2, transform(sequence(1, size(tk) - 1), " +
+            "k -> named_struct('w1', tk[k-1], 'w2', tk[k])), array())")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val lmp = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .join(uni, Seq("w1"))
+        .select(col("w1"), col("w2"),
+          expr("CAST(ROUND(CAST(c12 AS DOUBLE) / c1, 8) AS DECIMAL(12,8))").as("p"))
+      bi.join(lmp, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bi"), sum(col("p")).as("sp"))
+        .select(col("doc_id"), col("n_bi"),
+          round(col("sp").cast(DoubleType) / col("n_bi"), 6)
+            .cast(DoubleType).as("score"))
+        .orderBy(col("score"), col("doc_id"))
+        .limit(200)
+    }),
+
     // qt9 TF-IDF-style term relevance: per-doc top-3 terms by
     // score = tf · N / df (linear inverse-document-frequency weighting —
     // ln() is deliberately avoided: libm last-ulp differences between
@@ -609,6 +645,23 @@ object TextExt {
          |FROM h t JOIN ev USING (h)
          |WHERE t.doc_id % 97 <> 0
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "qt12_lmscore" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+        |                k -> struct_pack(w1 := tk[k], w2 := tk[k+1]))) AS b
+        |  FROM t),
+        |b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |uni AS (SELECT w1, COUNT(*) AS c1 FROM b2 GROUP BY 1),
+        |lmp AS (SELECT w1, w2,
+        |          CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(c1), 8) AS DECIMAL(12,8)) AS p
+        |        FROM b2 JOIN uni USING (w1) GROUP BY w1, w2),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bi, SUM(p) AS sp
+        |       FROM b2 JOIN lmp USING (w1, w2) GROUP BY 1)
+        |SELECT doc_id, n_bi,
+        |  CAST(ROUND(CAST(sp AS DOUBLE) / n_bi, 6) AS DOUBLE) AS score
+        |FROM sc ORDER BY score, doc_id LIMIT 200""".stripMargin,
 
     "qt9_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
