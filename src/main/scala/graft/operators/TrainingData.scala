@@ -11,6 +11,9 @@ import org.apache.spark.sql.types._
   *
   * Stages (all single-pass or one-shuffle):
   *  1. quality gate — integer-arithmetic thresholds (qt2 semantics)
+  *  1b. decontamination (optional, `evalDocs`) — drop docs sharing any
+  *     3-token shingle hash with the eval corpus (qx1 semantics: the
+  *     tiny eval shingle set broadcast against the corpus)
   *  2. exact dedup — keep the lowest doc_id per text fingerprint
   *  3. near-dedup — of the surviving docs, drop the higher doc_id of any
   *     pair with token-set Jaccard ≥ `jaccard`: MinHash-LSH banded
@@ -47,8 +50,8 @@ import org.apache.spark.sql.types._
   * Call `stats()` after the first action has completed.
   */
 object TrainingData {
-  case class CleanStats(input: Long, lowQuality: Long, exactDups: Long,
-                        nearDups: Long, output: Long)
+  case class CleanStats(input: Long, lowQuality: Long, contaminated: Long,
+                        exactDups: Long, nearDups: Long, output: Long)
 
   /** `clusterDedup = true` resolves near-dup PAIRS into connected
     * components (DupGroups) and keeps exactly the min doc_id of each
@@ -57,11 +60,20 @@ object TrainingData {
     * pairwise but collapse {1,3,5} to {1} cluster-wise — cluster
     * survivors are always a subset of pairwise survivors (any b-side is
     * a non-min member of its component). */
+  /** `evalDocs` (when given) inserts a DECONTAMINATION stage between
+    * the quality gate and exact dedup: any doc sharing a 3-token
+    * shingle (matched on the cross-engine rolling hash) with the eval
+    * corpus is removed — the benchmark-leakage guard every training
+    * pipeline needs. The eval side is tiny by construction (benchmark
+    * suites are MBs against a 100 TB corpus), so its distinct shingle
+    * hashes are BROADCAST and the corpus side never shuffles for this
+    * stage. */
   def clean(docs: DataFrame, minTokens: Int = 20,
             jaccard: (Int, Int) = (8, 10),
             exactRecall: Boolean = false,
             dictionaryFree: Boolean = false,
-            clusterDedup: Boolean = false): (DataFrame, () => CleanStats) = {
+            clusterDedup: Boolean = false,
+            evalDocs: Option[DataFrame] = None): (DataFrame, () => CleanStats) = {
     // auto-generated (unique) observation names: two clean() invocations
     // may legally meet in one query (e.g. comparing banded vs exact
     // recall), and duplicate metric names across different results are an
@@ -86,9 +98,30 @@ object TrainingData {
         && lit(10) * col("n_stop") <= lit(3) * col("n_tok"))
       .observe(obsQ, count(lit(1)).as("n"))
 
+    // 1b. decontamination (optional): drop survivors sharing any
+    // 3-token shingle hash with the eval corpus — qx1's broadcast
+    // semi-join shape, here as an anti-join
+    def shingleHashes(df: DataFrame) = {
+      graft.plans.RollHash31.register(df.sparkSession)
+      df.select(col("doc_id"), split(col("text"), " ").as("_stk"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(IF(size(_stk) >= 3, transform(sequence(1, size(_stk) - 2), k -> roll_hash31(array_join(slice(_stk, k, 3), ' '))), array()))"))
+          .as("h"))
+    }
+    val obsD = Observation()
+    val decont = (evalDocs match {
+      case Some(ev) =>
+        val evH = shingleHashes(ev).select("h").distinct()
+        val hit = shingleHashes(scored)
+          .join(broadcast(evH), Seq("h"))
+          .select("doc_id").distinct()
+        scored.join(hit, Seq("doc_id"), "left_anti")
+      case None => scored
+    }).observe(obsD, count(lit(1)).as("n"))
+
     // 2. exact dedup on the full text (Q27 semantics, keep lowest doc_id)
     val wT = Window.partitionBy("text").orderBy("doc_id")
-    val exact = scored.withColumn("_rn", row_number().over(wT))
+    val exact = decont.withColumn("_rn", row_number().over(wT))
       .filter(col("_rn") === 1).drop("_rn")
       .observe(obsE, count(lit(1)).as("n"))
 
@@ -149,9 +182,9 @@ object TrainingData {
       }
     }
     val stats = () => {
-      val (in, q, e, out) =
-        (metric(obsIn), metric(obsQ), metric(obsE), metric(obsOut))
-      CleanStats(in, in - q, q - e, e - out, out)
+      val (in, q, dp, e, out) =
+        (metric(obsIn), metric(obsQ), metric(obsD), metric(obsE), metric(obsOut))
+      CleanStats(in, in - q, q - dp, dp - e, e - out, out)
     }
     (cleaned, stats)
   }

@@ -437,6 +437,20 @@ object DedupExt {
         .orderBy("vec_id")
     }),
 
+    // qc3 the composed pipeline WITH the decontamination stage: quality
+    // gate → eval-shingle decontamination (doc_id % 97 = 0 held out as
+    // the benchmark stand-in, broadcast against the corpus — qx1's
+    // shape inside the operator) → exact dedup → banded near-dedup.
+    // Oracle replays all four stages, so the composition including the
+    // leakage guard is hash-checked end-to-end.
+    "qc3_decontclean" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (cleaned, _) = graft.operators.TrainingData.clean(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        evalDocs = Some(docs.filter(col("doc_id") % 97 === 0)))
+      cleaned.select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // qs2 IVF similarity search: deterministic centroid sample
     // (vec_id % 50 == 1), exact fixed-point-cosine assignment to the
     // nearest centroid, probe the query's top-2 cells, exact re-rank
@@ -483,10 +497,28 @@ object DedupExt {
   private val toksCte =
     "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"
 
-  /** qc1/qc2's shared oracle CTE chain: quality gate → exact dedup (`e`)
-    * → MinHash-LSH banding → exact-Jaccard qualifying pair edges (`pe`).
-    * qc1 drops pair b-sides; qc2 resolves components recursively. */
-  private def cleanCtes(docWhere: String = "") =
+  /** qc1/qc2/qc3's shared oracle CTE chain: quality gate →
+    * (optional decontamination against the doc_id % 97 = 0 eval set) →
+    * exact dedup (`e`) → MinHash-LSH banding → exact-Jaccard qualifying
+    * pair edges (`pe`). qc1 drops pair b-sides; qc2 resolves components
+    * recursively; qc3 enables the decontamination stage. */
+  private def cleanCtes(docWhere: String = "", decont: Boolean = false) = {
+    val decontCtes = if (!decont) "" else
+      s"""evsh AS (SELECT DISTINCT ${duckH("s")} AS h FROM (
+         |  SELECT unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+         |    k -> array_to_string(string_split(text,' ')[k:k+2], ' ')))) AS s
+         |  FROM documents WHERE doc_id % 97 = 0)),
+         |qsh AS (SELECT doc_id, ${duckH("s")} AS h FROM (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+         |    k -> array_to_string(string_split(text,' ')[k:k+2], ' ')))) AS s
+         |  FROM q)),
+         |hitd AS (SELECT DISTINCT doc_id FROM qsh JOIN evsh USING (h)),
+         |""".stripMargin
+    val dedupSrc = if (decont) "qd" else "q"
+    val qdCte = if (!decont) "" else
+      "qd AS (SELECT doc_id, text FROM q WHERE doc_id NOT IN (SELECT doc_id FROM hitd)),\n"
     s"""scored AS (
        |  SELECT doc_id, text,
        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
@@ -497,10 +529,11 @@ object DedupExt {
        |),
        |q AS (SELECT doc_id, text FROM scored
        |      WHERE n_tok >= 20 AND 10*n_uniq >= 3*n_tok AND 10*n_stop <= 3*n_tok),
-       |e AS (SELECT doc_id, text FROM (
+       |$decontCtes$qdCte""".stripMargin +
+    s"""e AS (SELECT doc_id, text FROM (
        |        SELECT doc_id, text,
        |               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-       |        FROM q) WHERE rn = 1),
+       |        FROM $dedupSrc) WHERE rn = 1),
        |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM e),
        |th AS (SELECT doc_id, ${duckH("tok")} AS h FROM toks),
        |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
@@ -520,6 +553,7 @@ object DedupExt {
        |       FROM ints i JOIN sizes sa ON sa.doc_id = i.a
        |                   JOIN sizes sb ON sb.doc_id = i.b
        |       WHERE 10*i.inter >= 8*(sa.nt + sb.nt - i.inter))""".stripMargin
+  }
 
   /** qd4's oracle CTE chain through `cosd` — shared by qd4 (pair output)
     * and qd5 (recursive-CTE connected components on top). 64 hyperplane
@@ -641,6 +675,12 @@ object DedupExt {
          |comp AS (SELECT node, MIN(lbl) AS grp FROM walk GROUP BY node),
          |dropc AS (SELECT node FROM comp WHERE node <> grp)
          |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT node FROM dropc)
+         |ORDER BY doc_id""".stripMargin,
+
+    "qc3_decontclean" ->
+      s"""WITH ${cleanCtes("WHERE doc_id % 97 <> 0", decont = true)},
+         |drop AS (SELECT DISTINCT b FROM pe)
+         |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT b FROM drop)
          |ORDER BY doc_id""".stripMargin,
 
     "qd4_embdup" ->

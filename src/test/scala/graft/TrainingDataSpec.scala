@@ -18,7 +18,9 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(stats.input === docs.count())
     assert(stats.output === outputRows)
     assert(stats.input ===
-      stats.lowQuality + stats.exactDups + stats.nearDups + stats.output)
+      stats.lowQuality + stats.contaminated + stats.exactDups
+        + stats.nearDups + stats.output)
+    assert(stats.contaminated === 0, "no evalDocs given — nothing to decontaminate")
     // no exact duplicates survive
     assert(cleaned.groupBy("text").count().filter(col("count") > 1).count() === 0)
     // cleaned docs all meet the quality gate
@@ -48,6 +50,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(cleanedCl.count() > 0)
     // clean()'s documented caching contract: callers running several
     // independent invocations release the handles themselves
+    graft.operators.OpCaches.releaseAll(blocking = true)
+  }
+
+  test("clean with evalDocs removes exactly the shingle-sharing survivors") {
+    import graft.operators.TrainingData
+    val docs = Tables(spark, TestSpark.Sf, "documents")
+    val ev = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val (cleaned, statsF) = TrainingData.clean(train, evalDocs = Some(ev))
+    val out = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    val stats = statsF()
+    assert(stats.contaminated > 0, "fixture should contain contaminated docs")
+    assert(stats.input === stats.lowQuality + stats.contaminated
+      + stats.exactDups + stats.nearDups + stats.output)
+    // no survivor shares a 3-token shingle with the eval set (qx1's
+    // independent query computes the contaminated doc set over the FULL
+    // corpus; restrict to quality-gated train docs)
+    val contaminated = SparkEntry.queries("qx1_decontam")(spark, TestSpark.Sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.intersect(contaminated).isEmpty,
+      "decontaminated output still contains eval-overlapping docs")
     graft.operators.OpCaches.releaseAll(blocking = true)
   }
 
