@@ -437,6 +437,61 @@ object DedupExt {
         .orderBy("vec_id")
     }),
 
+    // qs4 k-means clustering (2 Lloyd iterations, the IVF TRAINING step
+    // qs2's sampled centroids approximate): deterministic init from the
+    // vec_id % 50 sample, then assign → update → assign → update →
+    // assign, all in fixed-point int64. The update is the ELEMENT-WISE
+    // FLOOR MEAN computed with pure integer arithmetic
+    // ((S − pmod(S, n)) / n — exact floor division for either sign,
+    // bit-identical in both engines; a double AVG could round a
+    // near-integer mean across the floor). Assignment ranks by the
+    // scaled cosine dot/√(c·c) (argmax-equivalent to true cosine since
+    // |x| is constant per vector), ties to the lowest cid.
+    // Output: per-cluster member count + exact centroid squared norm —
+    // pinning both the final assignment AND the centroid arithmetic.
+    //
+    // Scale shape: each iteration is one broadcast pass over the corpus
+    // (centroids are tiny) + one (cid, i) groupBy whose cardinality is
+    // K·dims — partial-aggregated map-side, never a corpus-keyed
+    // shuffle. Two fixed iterations = the classic bounded-cost
+    // "refine the sampled centroids" step; more rounds are the same
+    // plan repeated.
+    "qs4_kmeans" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val emb = graft.operators.OpCaches.track(embQ(s, d))
+      val wA = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+        .orderBy(col("sc").desc, col("cid"))
+      def assign(cents: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cents))
+          .withColumn("dot", expr(dotL("ei", "ce")))
+          .select(col("vec_id"), col("ei"), col("cid"),
+            (col("dot").cast(DoubleType) / sqrt(col("n2c").cast(DoubleType)))
+              .as("sc"))
+          .withColumn("rn", row_number().over(wA))
+          .where(col("rn") === 1)
+          .select("vec_id", "ei", "cid")
+      // element-wise exact floor mean, rebuilt into an ordered array
+      // (array_sort on (i, c) structs — collect_list alone has no order)
+      def update(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("cid"), posexplode(col("ei")).as(Seq("i", "xi")))
+          .groupBy("cid", "i")
+          .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+          .withColumn("c", expr("(sx - ((sx % n + n) % n)) div n"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)")
+            .as("ce"))
+          .withColumn("n2c", expr(dotL("ce", "ce")))
+      val c0 = emb.filter(col("vec_id") % 50 === 1)
+        .select(col("vec_id").as("cid"), col("ei").as("ce"))
+        .withColumn("n2c", expr(dotL("ce", "ce")))
+      val c1 = update(assign(c0))
+      val c2 = graft.operators.OpCaches.track(update(assign(c1)))
+      assign(c2).groupBy("cid").agg(count(lit(1)).as("n"))
+        .join(c2.select(col("cid"), col("n2c").as("c_norm2")), Seq("cid"))
+        .orderBy("cid")
+    }),
+
     // qc3 the composed pipeline WITH the decontamination stage: quality
     // gate → eval-shingle decontamination (doc_id % 97 = 0 held out as
     // the benchmark stand-in, broadcast against the corpus — qx1's
@@ -676,6 +731,47 @@ object DedupExt {
          |dropc AS (SELECT node FROM comp WHERE node <> grp)
          |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT node FROM dropc)
          |ORDER BY doc_id""".stripMargin,
+
+    // qs4: the 2-iteration Lloyd refinement unrolled — each block is
+    // the qs2 assignment pattern; centroid updates use the exact
+    // integer floor mean ((S − pmod(S, n)) // n, bit-identical to the
+    // Spark side's `div` form because the numerator is exactly
+    // divisible)
+    "qs4_kmeans" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+         |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+         |       FROM embeddings, idx WHERE i <= len(embedding)),
+         |cent0 AS (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
+         |norm0 AS (SELECT cid, SUM(cx*cx) AS n2c FROM cent0 GROUP BY 1),
+         |dot0 AS (SELECT e.vec_id, c.cid, SUM(e.xi * c.cx) AS dot
+         |         FROM ex e JOIN cent0 c USING (i) GROUP BY 1, 2),
+         |asg0 AS (SELECT vec_id, cid FROM (
+         |  SELECT d.vec_id, d.cid, ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |    ORDER BY CAST(d.dot AS DOUBLE) / SQRT(CAST(n.n2c AS DOUBLE)) DESC, d.cid) AS rn
+         |  FROM dot0 d JOIN norm0 n USING (cid)) WHERE rn = 1),
+         |cent1 AS (SELECT cid, i, (sx - ((sx % n + n) % n)) // n AS cx FROM (
+         |  SELECT a.cid, e.i, SUM(e.xi) AS sx, COUNT(*) AS n
+         |  FROM asg0 a JOIN ex e USING (vec_id) GROUP BY 1, 2)),
+         |norm1 AS (SELECT cid, SUM(cx*cx) AS n2c FROM cent1 GROUP BY 1),
+         |dot1 AS (SELECT e.vec_id, c.cid, SUM(e.xi * c.cx) AS dot
+         |         FROM ex e JOIN cent1 c USING (i) GROUP BY 1, 2),
+         |asg1 AS (SELECT vec_id, cid FROM (
+         |  SELECT d.vec_id, d.cid, ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |    ORDER BY CAST(d.dot AS DOUBLE) / SQRT(CAST(n.n2c AS DOUBLE)) DESC, d.cid) AS rn
+         |  FROM dot1 d JOIN norm1 n USING (cid)) WHERE rn = 1),
+         |cent2 AS (SELECT cid, i, (sx - ((sx % n + n) % n)) // n AS cx FROM (
+         |  SELECT a.cid, e.i, SUM(e.xi) AS sx, COUNT(*) AS n
+         |  FROM asg1 a JOIN ex e USING (vec_id) GROUP BY 1, 2)),
+         |norm2 AS (SELECT cid, SUM(cx*cx) AS n2c FROM cent2 GROUP BY 1),
+         |dot2 AS (SELECT e.vec_id, c.cid, SUM(e.xi * c.cx) AS dot
+         |         FROM ex e JOIN cent2 c USING (i) GROUP BY 1, 2),
+         |asg2 AS (SELECT vec_id, cid FROM (
+         |  SELECT d.vec_id, d.cid, ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |    ORDER BY CAST(d.dot AS DOUBLE) / SQRT(CAST(n.n2c AS DOUBLE)) DESC, d.cid) AS rn
+         |  FROM dot2 d JOIN norm2 n USING (cid)) WHERE rn = 1)
+         |SELECT a.cid, COUNT(*) AS n, CAST(ANY_VALUE(nn.n2c) AS BIGINT) AS c_norm2
+         |FROM asg2 a JOIN norm2 nn USING (cid)
+         |GROUP BY 1 ORDER BY a.cid""".stripMargin,
 
     "qc3_decontclean" ->
       s"""WITH ${cleanCtes("WHERE doc_id % 97 <> 0", decont = true)},
