@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
   * Stages (all single-pass or one-shuffle):
   *  1. quality gate — integer-arithmetic thresholds (qt2 semantics)
   *  1b. decontamination (optional, `evalDocs`) — drop docs sharing any
-  *     3-token shingle hash with the eval corpus (qx1 semantics: the
-  *     tiny eval shingle set broadcast against the corpus)
+  *     `decontShingle`-token shingle hash with the eval corpus (qx1
+  *     semantics: the tiny eval shingle set broadcast against the
+  *     corpus)
   *  2. exact dedup — keep the lowest doc_id per text fingerprint
   *  3. near-dedup — of the surviving docs, drop the higher doc_id of any
   *     pair with token-set Jaccard ≥ `jaccard`: MinHash-LSH banded
@@ -61,10 +62,14 @@ object TrainingData {
     * survivors are always a subset of pairwise survivors (any b-side is
     * a non-min member of its component). */
   /** `evalDocs` (when given) inserts a DECONTAMINATION stage between
-    * the quality gate and exact dedup: any doc sharing a 3-token
-    * shingle (matched on the cross-engine rolling hash) with the eval
-    * corpus is removed — the benchmark-leakage guard every training
-    * pipeline needs. The eval side is tiny by construction (benchmark
+    * the quality gate and exact dedup: any doc sharing a
+    * `decontShingle`-token shingle (matched on the cross-engine rolling
+    * hash) with the eval corpus is removed — the benchmark-leakage
+    * guard every training pipeline needs. The shingle length is the
+    * sensitivity knob: 3 is an aggressive audit (qx1's report setting),
+    * the default 5 matches removal practice (long-enough exact overlap
+    * that a shared shingle is real leakage, not vocabulary
+    * coincidence). The eval side is tiny by construction (benchmark
     * suites are MBs against a 100 TB corpus), so its distinct shingle
     * hashes are BROADCAST and the corpus side never shuffles for this
     * stage. */
@@ -73,7 +78,8 @@ object TrainingData {
             exactRecall: Boolean = false,
             dictionaryFree: Boolean = false,
             clusterDedup: Boolean = false,
-            evalDocs: Option[DataFrame] = None): (DataFrame, () => CleanStats) = {
+            evalDocs: Option[DataFrame] = None,
+            decontShingle: Int = 5): (DataFrame, () => CleanStats) = {
     // auto-generated (unique) observation names: two clean() invocations
     // may legally meet in one query (e.g. comparing banded vs exact
     // recall), and duplicate metric names across different results are an
@@ -103,9 +109,10 @@ object TrainingData {
     // semi-join shape, here as an anti-join
     def shingleHashes(df: DataFrame) = {
       graft.plans.RollHash31.register(df.sparkSession)
+      val n = decontShingle
       df.select(col("doc_id"), split(col("text"), " ").as("_stk"))
         .select(col("doc_id"), explode(expr(
-          "array_distinct(IF(size(_stk) >= 3, transform(sequence(1, size(_stk) - 2), k -> roll_hash31(array_join(slice(_stk, k, 3), ' '))), array()))"))
+          s"array_distinct(IF(size(_stk) >= $n, transform(sequence(1, size(_stk) - ${n - 1}), k -> roll_hash31(array_join(slice(_stk, k, $n), ' '))), array()))"))
           .as("h"))
     }
     val obsD = Observation()

@@ -557,17 +557,19 @@ object DedupExt {
     * exact dedup (`e`) → MinHash-LSH banding → exact-Jaccard qualifying
     * pair edges (`pe`). qc1 drops pair b-sides; qc2 resolves components
     * recursively; qc3 enables the decontamination stage. */
-  private def cleanCtes(docWhere: String = "", decont: Boolean = false) = {
+  private def cleanCtes(docWhere: String = "", decont: Boolean = false,
+                        decontShingle: Int = 5) = {
+    val m = decontShingle - 1
     val decontCtes = if (!decont) "" else
       s"""evsh AS (SELECT DISTINCT ${duckH("s")} AS h FROM (
          |  SELECT unnest(list_distinct(list_transform(
-         |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
-         |    k -> array_to_string(string_split(text,' ')[k:k+2], ' ')))) AS s
+         |    generate_series(1, greatest(len(string_split(text,' ')) - $m, 0)),
+         |    k -> array_to_string(string_split(text,' ')[k:k+$m], ' ')))) AS s
          |  FROM documents WHERE doc_id % 97 = 0)),
          |qsh AS (SELECT doc_id, ${duckH("s")} AS h FROM (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
-         |    k -> array_to_string(string_split(text,' ')[k:k+2], ' ')))) AS s
+         |    generate_series(1, greatest(len(string_split(text,' ')) - $m, 0)),
+         |    k -> array_to_string(string_split(text,' ')[k:k+$m], ' ')))) AS s
          |  FROM q)),
          |hitd AS (SELECT DISTINCT doc_id FROM qsh JOIN evsh USING (h)),
          |""".stripMargin

@@ -58,7 +58,10 @@ class TrainingDataSpec extends AnyFunSuite {
     val docs = Tables(spark, TestSpark.Sf, "documents")
     val ev = docs.filter(col("doc_id") % 97 === 0)
     val train = docs.filter(col("doc_id") % 97 =!= 0)
-    val (cleaned, statsF) = TrainingData.clean(train, evalDocs = Some(ev))
+    // decontShingle = 3 matches qx1's audit setting so the cross-check
+    // against the independent qx1 contaminated set below is exact
+    val (cleaned, statsF) = TrainingData.clean(train, evalDocs = Some(ev),
+      decontShingle = 3)
     val out = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
     val stats = statsF()
     assert(stats.contaminated > 0, "fixture should contain contaminated docs")
