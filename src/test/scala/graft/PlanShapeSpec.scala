@@ -156,6 +156,23 @@ class PlanShapeSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), s"no equi-join in qd6:\n$p")
   }
 
+  test("qs4: k-means iterations are broadcast passes — no cartesian, no corpus-keyed SMJ chain") {
+    // each of the 3 assignment passes is a broadcast of the tiny
+    // centroid relation (BNLJ is that broadcast); the updates are
+    // partial-aggregated groupBys. A CartesianProduct or a SMJ on
+    // vec_id would mean the corpus started shuffling per iteration.
+    val p = plan("qs4_kmeans")
+    assert(!p.contains("CartesianProduct"), s"cartesian in qs4:\n$p")
+    assert(!p.contains("SortMergeJoin [vec_id"),
+      s"qs4 shuffles the corpus on vec_id:\n$p")
+  }
+
+  test("qt12/qc3: composed text pipelines stay cartesian-free") {
+    assert(!plan("qt12_lmscore").contains("CartesianProduct"))
+    val p = plan("qc3_decontclean")
+    assert(!p.contains("CartesianProduct"), s"cartesian in qc3:\n$p")
+  }
+
   test("q32: exact quantiles aggregate before the window (no full-table sort)") {
     // the value-histogram form: the window's child must be an aggregate
     // over (flag, value), never a 600k-row sort keyed by 3 return flags
