@@ -140,6 +140,31 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // S10 the ingest-time contamination QUARANTINE channel: incoming
+    // docs (doc_id % 97 ≠ 0) that share any 5-token shingle hash with
+    // the static eval corpus (doc_id % 97 = 0). Batch form below;
+    // streaming form = Streams.s10 — the shingle explode is row-local,
+    // the eval side is a STREAM-STATIC left-semi broadcast join
+    // (supported shape: static on the right), and the per-doc distinct
+    // is a watermarked dropDuplicatesWithinWatermark. The survivors'
+    // path is the decontamination stage inside TrainingData.clean
+    // (qc3); this query is the other half — the flagged ids a pipeline
+    // quarantines for review.
+    "s10_contamstream" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      def sh(df: DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(IF(size(tk) >= 5, transform(sequence(1, size(tk) - 4), k -> roll_hash31(array_join(slice(tk, k, 5), ' '))), array()))"))
+          .as("h"))
+      val docs = t(s, d, "documents")
+      val ev = sh(docs.filter(col("doc_id") % 97 === 0)).select("h").distinct()
+      sh(docs.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(ev), Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    }),
+
     // S06 the custom Sessionize physical operator (plans/Sessionize:
     // LogicalPlan + Strategy + single-exchange Exec) against the SAME
     // oracle SQL as S03 — the custom operator's output is hash-checked
@@ -220,6 +245,24 @@ object StreamingQueries {
         |        ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, k) AS rn
         |      FROM ch)
         |SELECT doc_id, k, fp FROM r WHERE rn = 1 ORDER BY doc_id, k""".stripMargin,
+    "s10_contamstream" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 4, 0)),
+        |    k -> array_to_string(tk[k:k+4], ' ')))) AS s
+        |  FROM t),
+        |h AS (SELECT doc_id,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |      FROM sh),
+        |ev AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0)
+        |SELECT DISTINCT t.doc_id
+        |FROM h t JOIN ev USING (h)
+        |WHERE t.doc_id % 97 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
     "s09_streamclean" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, text,
@@ -429,6 +472,37 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
     runToTable(spark, gated, "s09_stream", "append")
+  }
+
+  /** S10 as streaming: the contamination quarantine — incoming docs
+    * stream in, each row explodes to its (row-local, distinct) 5-token
+    * shingle hashes, a STREAM-STATIC left-semi join against the static
+    * eval hash relation keeps only contaminated shingle rows (static
+    * side broadcast — the benchmark premise), and a watermarked
+    * `dropDuplicatesWithinWatermark(doc_id)` collapses them to one
+    * quarantine row per doc. State = one row per flagged doc inside the
+    * horizon; the static side holds no state at all. */
+  def s10(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.RollHash31.register(spark)
+    // static eval shingle set — a bounded BATCH relation
+    val ev = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(explode(expr(
+        "array_distinct(IF(size(tk) >= 5, transform(sequence(1, size(tk) - 4), k -> roll_hash31(array_join(slice(tk, k, 5), ' '))), array()))"))
+        .as("h"))
+      .distinct()
+    val flagged = readDocuments(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(IF(size(tk) >= 5, transform(sequence(1, size(tk) - 4), k -> roll_hash31(array_join(slice(tk, k, 5), ' '))), array()))"))
+        .as("h"))
+      .join(broadcast(ev), Seq("h"), "left_semi")
+      .withColumn("ts", timestamp_seconds(col("doc_id") + 86400L))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+    runToTable(spark, flagged, "s10_stream", "append")
   }
 
   /** S05 as streaming: stream-stream inner join. Both sides carry

@@ -77,6 +77,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(b.nonEmpty)
   }
 
+  test("s10 contamination quarantine: stream-static semi join == batch flagged set") {
+    val batch = StreamingQueries.queries("s10_contamstream")(spark, TestSpark.Sf)
+      .collect().map(_.getLong(0)).toSet
+    val stream = Streams.s10(spark, TestSpark.Sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stream === batch)
+    assert(batch.nonEmpty, "fixture should flag at least one contaminated doc")
+  }
+
   test("geo nearest-match runs streaming: stream-static join + stateful top-1 == batch") {
     // the reference pipeline's core match (grid-cell equi-join against
     // the static street index, then the min_by top-1 per house number)
