@@ -437,6 +437,84 @@ object DedupExt {
         .orderBy("vec_id")
     }),
 
+    // qd7 INCREMENTAL dedup: the ingest shape a production corpus
+    // actually runs — dedup an incoming batch (doc_id % 10 = 7 stands
+    // in for today's crawl) against the EXISTING corpus index
+    // (everything else), without any incoming×incoming or index×index
+    // pairwork. Verdict per incoming doc: 'exact' (full-text
+    // fingerprint already in the index), else 'near' (shares a MinHash
+    // band with an index doc AND passes exact Jaccard ≥ 0.8 on the
+    // banded candidates — the qd1 algorithm, cross-relation), else
+    // 'new'. Candidate pairs are emitted at their FIRST matching band
+    // (both sides' band keys ride the join, inequality conjuncts on
+    // earlier bands) so the join output is pair-unique with no distinct
+    // exchange. Verify is the dictionary-free sorted-fingerprint merge
+    // (native intersect_sorted_count) — no vocabulary assumption.
+    //
+    // Scale shape: the index side's signatures are a pure function of
+    // the index corpus — in production they are computed once and
+    // PERSISTED (bucketed by band key), so a daily batch pays one
+    // signature pass over the batch + an equi-join against the stored
+    // bands; nothing here rescans old data per ingest except the
+    // benchmark's self-contained replay.
+    "qd7_incremental" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      graft.plans.IntersectSortedCount.register(s)
+      val docs = t(s, d, "documents")
+      val isInc = col("doc_id") % 10 === 7
+      // exact: fingerprint semi-join
+      val incFp = docs.filter(isInc)
+        .select(col("doc_id"), expr("roll_hash31(text)").as("fp"))
+      val idxFp = docs.filter(!isInc)
+        .select(expr("roll_hash31(text)").as("fp")).distinct()
+      val exact = incFp.join(idxFp, Seq("fp"), "left_semi").select("doc_id")
+      // near: one signature pass over the union corpus (MinHash(16) +
+      // sorted distinct token-fingerprint array per doc), then a
+      // cross-relation band equi-join incoming × index
+      val P = 1000000007L
+      val th = docs
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", expr("roll_hash31(tok)"))
+      val minCols = (0 until 16).map { j =>
+        val a = 1000003L * j + 12345L
+        val b = 777767L * j + 13L
+        min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
+      }
+      val per = graft.operators.OpCaches.track(th.groupBy("doc_id")
+        .agg(minCols.head,
+          (minCols.tail :+ sort_array(collect_set(col("h"))).as("hs")): _*)
+        .select(col("doc_id") +: col("hs") +:
+          size(col("hs")).cast(LongType).as("nt") +:
+          (0 until 4).map(b =>
+            concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*)
+              .as(s"k$b")): _*)
+        .select(col("doc_id") +: col("hs") +: col("nt") +:
+          (0 until 4).map(b => col(s"k$b")) :+
+          posexplode(array((0 until 4).map(b => col(s"k$b")): _*))
+            .as(Seq("band", "key")): _*))
+      val firstMatch = (1 until 4).map(b =>
+          col("x.band") < b || col(s"x.k${b - 1}") =!= col(s"y.k${b - 1}"))
+        .reduce(_ && _)
+      val near = per.filter(isInc).as("x")
+        .join(per.filter(!isInc).as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key")
+            && firstMatch)
+        .select(col("x.doc_id").as("doc_id"),
+          expr("intersect_sorted_count(x.hs, y.hs)").as("inter"),
+          col("x.nt").as("na"), col("y.nt").as("nb"))
+        .filter(lit(10) * col("inter") >= lit(8) * (col("na") + col("nb") - col("inter")))
+        .select("doc_id").distinct()
+      incFp.select("doc_id")
+        .join(exact.withColumn("e", lit(1)), Seq("doc_id"), "left")
+        .join(near.withColumn("nr", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("e") === 1, "exact")
+            .when(col("nr") === 1, "near")
+            .otherwise("new").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // qs4 k-means clustering (2 Lloyd iterations, the IVF TRAINING step
     // qs2's sampled centroids approximate): deterministic init from the
     // vec_id % 50 sample, then assign → update → assign → update →
@@ -733,6 +811,42 @@ object DedupExt {
          |dropc AS (SELECT node FROM comp WHERE node <> grp)
          |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT node FROM dropc)
          |ORDER BY doc_id""".stripMargin,
+
+    // qd7: exact fingerprint check + the qd1 banding chain restricted
+    // to incoming × index pairs, folded into a per-incoming-doc verdict
+    "qd7_incremental" ->
+      s"""WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+         |ifp AS (SELECT doc_id, ${duckH("text")} AS fp FROM inc),
+         |xfp AS (SELECT DISTINCT ${duckH("text")} AS fp
+         |        FROM documents WHERE doc_id % 10 <> 7),
+         |ex AS (SELECT DISTINCT i.doc_id FROM ifp i JOIN xfp x USING (fp)),
+         |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |th AS (SELECT DISTINCT doc_id, ${duckH("tok")} AS h FROM toks),
+         |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
+         |           FROM generate_series(0, 15) t(i)),
+         |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
+         |          FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.key = y.key
+         |          AND x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM th GROUP BY 1),
+         |ints AS (SELECT c.a, c.b, COUNT(*) AS inter
+         |         FROM cand c JOIN th ta ON ta.doc_id = c.a
+         |                     JOIN th tb ON tb.doc_id = c.b AND tb.h = ta.h
+         |         GROUP BY 1, 2),
+         |near AS (SELECT DISTINCT i.a AS doc_id
+         |         FROM ints i JOIN sizes sa ON sa.doc_id = i.a
+         |                     JOIN sizes sb ON sb.doc_id = i.b
+         |         WHERE 10*i.inter >= 8*(sa.nt + sb.nt - i.inter))
+         |SELECT i.doc_id,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+         |       WHEN n.doc_id IS NOT NULL THEN 'near'
+         |       ELSE 'new' END AS verdict
+         |FROM inc i LEFT JOIN ex e ON e.doc_id = i.doc_id
+         |           LEFT JOIN near n ON n.doc_id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin,
 
     // qs4: the 2-iteration Lloyd refinement unrolled — each block is
     // the qs2 assignment pattern; centroid updates use the exact
