@@ -36,8 +36,15 @@ object Scale {
     * from the dominant shuffle into a local merge. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-column bucket spec: shuffle-free joins require the join keys
+    * to cover the bucket columns on both sides. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
     df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 

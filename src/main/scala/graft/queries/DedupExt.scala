@@ -66,6 +66,41 @@ object DedupExt {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($c, ''), " +
       s"ch -> CAST(unicode(ch) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
 
+  /** Per-doc MinHash(16) band relation over distinct token
+    * fingerprints: one row per (doc, band) carrying the doc's sorted
+    * fingerprint array (the dictionary-free verify payload), set size,
+    * all four band keys (so first-matching-band emission needs no extra
+    * joins), and the exploded (band, key). This is the INDEX relation
+    * of the incremental-dedup path (qd7): a pure function of its input
+    * corpus, so a production pipeline computes it once per corpus and
+    * PERSISTS it bucketed by (band, key) — IncrementalIndexSpec proves
+    * the persisted form joins an incoming batch with no index-side
+    * shuffle. */
+  private[graft] def bandSignatures(docs: DataFrame): DataFrame = {
+    graft.plans.RollHash31.register(docs.sparkSession)
+    val th = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", expr("roll_hash31(tok)"))
+    val minCols = (0 until 16).map { j =>
+      val a = 1000003L * j + 12345L
+      val b = 777767L * j + 13L
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
+    }
+    th.groupBy("doc_id")
+      .agg(minCols.head,
+        (minCols.tail :+ sort_array(collect_set(col("h"))).as("hs")): _*)
+      .select(col("doc_id") +: col("hs") +:
+        size(col("hs")).cast(LongType).as("nt") +:
+        (0 until 4).map(b =>
+          concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*)
+            .as(s"k$b")): _*)
+      .select(col("doc_id") +: col("hs") +: col("nt") +:
+        (0 until 4).map(b => col(s"k$b")) :+
+        posexplode(array((0 until 4).map(b => col(s"k$b")): _*))
+          .as(Seq("band", "key")): _*)
+  }
+
   /** Distinct (doc_id, tok) pairs. */
   private def toks(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -471,28 +506,7 @@ object DedupExt {
       // near: one signature pass over the union corpus (MinHash(16) +
       // sorted distinct token-fingerprint array per doc), then a
       // cross-relation band equi-join incoming × index
-      val P = 1000000007L
-      val th = docs
-        .select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .withColumn("h", expr("roll_hash31(tok)"))
-      val minCols = (0 until 16).map { j =>
-        val a = 1000003L * j + 12345L
-        val b = 777767L * j + 13L
-        min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
-      }
-      val per = graft.operators.OpCaches.track(th.groupBy("doc_id")
-        .agg(minCols.head,
-          (minCols.tail :+ sort_array(collect_set(col("h"))).as("hs")): _*)
-        .select(col("doc_id") +: col("hs") +:
-          size(col("hs")).cast(LongType).as("nt") +:
-          (0 until 4).map(b =>
-            concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*)
-              .as(s"k$b")): _*)
-        .select(col("doc_id") +: col("hs") +: col("nt") +:
-          (0 until 4).map(b => col(s"k$b")) :+
-          posexplode(array((0 until 4).map(b => col(s"k$b")): _*))
-            .as(Seq("band", "key")): _*))
+      val per = graft.operators.OpCaches.track(bandSignatures(docs))
       val firstMatch = (1 until 4).map(b =>
           col("x.band") < b || col(s"x.k${b - 1}") =!= col(s"y.k${b - 1}"))
         .reduce(_ && _)
