@@ -165,6 +165,21 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // S11 the streaming INGEST-DEDUP gate: which incoming docs
+    // (doc_id % 10 = 7) does the corpus already hold, exactly or
+    // nearly? Batch form = qd7's verdicts minus the 'new' rows; the
+    // streaming form (Streams.s11) is the production shape: per-doc
+    // MinHash signatures computed ROW-LOCALLY on the stream (array
+    // HOFs over the token array — no aggregation state at all), a
+    // stream-static join against the index's fingerprint set and band
+    // relation, a row-local sorted-merge Jaccard verify, and a
+    // watermarked per-doc dedup. Asserted set-equal to batch.
+    "s11_ingestdedup" -> ((s, d) =>
+      DedupExt.queries("qd7_incremental")(s, d)
+        .filter(col("verdict") =!= "new")
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     // S06 the custom Sessionize physical operator (plans/Sessionize:
     // LogicalPlan + Strategy + single-exchange Exec) against the SAME
     // oracle SQL as S03 — the custom operator's output is hash-checked
@@ -245,6 +260,11 @@ object StreamingQueries {
         |        ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, k) AS rn
         |      FROM ch)
         |SELECT doc_id, k, fp FROM r WHERE rn = 1 ORDER BY doc_id, k""".stripMargin,
+    "s11_ingestdedup" -> {
+      val qd7 = DedupExt.oracle("qd7_incremental")
+      s"""SELECT doc_id FROM ($qd7) WHERE verdict <> 'new' ORDER BY doc_id"""
+    },
+
     "s10_contamstream" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |sh AS (
@@ -503,6 +523,77 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("doc_id")
     runToTable(spark, flagged, "s10_stream", "append")
+  }
+
+  /** S11 as streaming: the production ingest-dedup gate. The incoming
+    * doc stream computes its MinHash signatures ROW-LOCALLY (array HOFs
+    * over the token array — the per-doc signature needs no aggregation,
+    * so the stream holds zero signature state), then:
+    *  - exact: stream-static left-semi join on the text fingerprint
+    *    against the index's fingerprint set;
+    *  - near: the 4 band rows explode statelessly, stream-static-join
+    *    the index band relation on (band, key) at the first matching
+    *    band, and the exact Jaccard verify is a row-local sorted-merge
+    *    (native intersect_sorted_count) over the two fingerprint
+    *    arrays riding the join;
+    *  - the union of both flagged channels passes one watermarked
+    *    `dropDuplicatesWithinWatermark(doc_id)` — total state: one row
+    *    per flagged doc inside the horizon.
+    * In production the static side is the PERSISTED bucketed band index
+    * (IncrementalIndexSpec); here it is computed from the same batch
+    * read so the fixture equality with qd7 is self-contained. */
+  def s11(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.RollHash31.register(spark)
+    graft.plans.IntersectSortedCount.register(spark)
+    val P = 1000000007L
+    val idx = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 7)
+    val idxFp = idx.select(expr("roll_hash31(text)").as("fp")).distinct()
+    val idxBands = DedupExt.bandSignatures(idx)
+      .withColumnRenamed("doc_id", "b_doc")
+      .withColumnRenamed("hs", "b_hs")
+      .withColumnRenamed("nt", "b_nt")
+    val minCols = (0 until 16).map { j =>
+      val a = 1000003L * j + 12345L
+      val b = 777767L * j + 13L
+      expr(s"array_min(transform(hs, h -> ($a * h + $b) % $P))").as(s"mh$j")
+    }
+    val inc = readDocuments(spark, dir)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"),
+        expr("roll_hash31(text)").as("fp"),
+        expr("sort_array(array_distinct(transform(split(text, ' '), t -> roll_hash31(t))))")
+          .as("hs"),
+        timestamp_seconds(col("doc_id") + 86400L).as("ts"))
+      .select(col("doc_id") +: col("fp") +: col("hs") +: col("ts") +:
+        size(col("hs")).cast(LongType).as("nt") +: minCols: _*)
+      .select(col("doc_id") +: col("fp") +: col("hs") +: col("ts") +: col("nt") +:
+        (0 until 4).map(b =>
+          concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*)
+            .as(s"k$b")): _*)
+    val exact = inc.join(broadcast(idxFp), Seq("fp"), "left_semi")
+      .select("doc_id", "ts")
+    val firstMatch = (1 until 4).map(b =>
+        col("band") < b || col(s"k${b - 1}") =!= col(s"bk${b - 1}"))
+      .reduce(_ && _)
+    val near = inc
+      .select(col("doc_id") +: col("hs") +: col("ts") +: col("nt") +:
+        (0 until 4).map(b => col(s"k$b")) :+
+        posexplode(array((0 until 4).map(b => col(s"k$b")): _*))
+          .as(Seq("band", "key")): _*)
+      .join(idxBands
+        .select(col("band"), col("key"), col("b_hs"), col("b_nt"),
+          col("k0").as("bk0"), col("k1").as("bk1"),
+          col("k2").as("bk2"), col("k3").as("bk3")),
+        Seq("band", "key"))
+      .filter(firstMatch)
+      .filter(lit(10) * expr("intersect_sorted_count(hs, b_hs)")
+        >= lit(8) * (col("nt") + col("b_nt") - expr("intersect_sorted_count(hs, b_hs)")))
+      .select("doc_id", "ts")
+    val flagged = exact.union(near)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+    runToTable(spark, flagged, "s11_stream", "append")
   }
 
   /** S05 as streaming: stream-stream inner join. Both sides carry

@@ -86,6 +86,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture should flag at least one contaminated doc")
   }
 
+  test("s11 ingest dedup: row-local stream signatures + static index == batch qd7 flagged set") {
+    val batch = StreamingQueries.queries("s11_ingestdedup")(spark, TestSpark.Sf)
+      .collect().map(_.getLong(0)).toSet
+    val stream = Streams.s11(spark, TestSpark.Sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stream === batch)
+    assert(batch.nonEmpty, "fixture should flag at least one known doc")
+    graft.operators.OpCaches.releaseAll()
+  }
+
   test("geo nearest-match runs streaming: stream-static join + stateful top-1 == batch") {
     // the reference pipeline's core match (grid-cell equi-join against
     // the static street index, then the min_by top-1 per house number)
