@@ -159,6 +159,74 @@ object BitmaskJaccard {
       .select("a", "b", "inter", "na", "nb")
   }
 
+  /** `prefixPairs` with the per-doc aggregation FUSED: ONE groupBy(doc_id)
+    * over the dictionary-joined tokens builds BOTH the bitmask verify
+    * payload and the frequency-ordered prefix token list, where the
+    * `masks()` + `prefixPairs()` composition aggregated the corpus by doc
+    * twice (two full shuffles of every token row). The document
+    * frequency rides on the dictionary itself — the same groupBy(tok)
+    * that numbers the vocabulary counts it — so the separate df
+    * aggregation disappears too. Identical candidate bound, filters,
+    * semantics and output contract as `prefixPairs` (pair-identity
+    * pinned in `PrefixPairsPropSpec`); same distinct-(doc_id, tok)
+    * PRECONDITION. This is the scale-default exact-recall entry point;
+    * `prefixPairs` remains for callers that already hold a mask
+    * relation. */
+  def prefixPairsFused(toks: DataFrame, num: Int, den: Int,
+                       broadcastPrefixes: Boolean = false): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    // dictionary with document frequency riding along: dense ids from
+    // the same range-sorted zipWithIndex as masks() (token ASC), tdf
+    // from the same aggregation — one narrow vocab-sized relation serves
+    // both the bitmask numbering and the ppjoin global token order
+    // (tdf ASC, tok ASC). Cached: wmax and the per-doc join both read it.
+    val vocab = OpCaches.track(
+      toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+        .as[(String, Long)].rdd.sortBy(_._1).zipWithIndex()
+        .map { case ((tok, tdf), ti) => (tok, tdf, ti) }
+        .toDF("tok", "tdf", "ti"))
+    val wmax = vocab.selectExpr("ti div 64 AS w").agg(max(col("w")).as("wmax"))
+    // the single corpus-wide aggregation: set size, bitmask, prefix
+    val per = OpCaches.track(toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nt"),
+        collect_list(col("ti")).as("tis"),
+        sort_array(collect_list(struct(col("tdf"), col("tok")))).as("ord"))
+      .crossJoin(broadcast(wmax))
+      .select(col("doc_id"), col("nt"),
+        expr(
+          s"""transform(sequence(0L, wmax),
+             |  w -> aggregate(filter(tis, t -> t div 64 = w), 0L,
+             |                 (acc, t) -> acc | shiftleft(1L, cast(t % 64 as int))))
+             |""".stripMargin).as("m"),
+        expr(s"transform(slice(ord, 1, cast((${den - num} * nt) div $den + 1 AS INT)), o -> o.tok)")
+          .as("ptoks")))
+    // prefix rows derive from the CACHED per-doc relation — no second
+    // corpus aggregation behind them
+    val pref = per
+      .select(col("doc_id"), col("nt"), posexplode(col("ptoks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("nt"), (col("p0") + 1).as("pos"), col("tok"))
+    val L = pref.select(col("doc_id").as("a"), col("nt").as("na"),
+      col("pos").as("pa"), col("tok"))
+    val R0 = pref.select(col("doc_id").as("b"), col("nt").as("nb"),
+      col("pos").as("pb"), col("tok"))
+    val R = if (broadcastPrefixes) broadcast(R0) else R0
+    val cand = L.join(R, Seq("tok"))
+      .filter(col("a") < col("b")
+        && lit(num) * col("na") <= lit(den) * col("nb")
+        && lit(num) * col("nb") <= lit(den) * col("na")
+        && lit(num + den) * (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
+          >= lit(num) * (col("na") + col("nb")))
+      .select("a", "b").distinct()
+    cand
+      .join(per.select(col("doc_id").as("a"), col("nt").as("na"), col("m").as("ma")), Seq("a"))
+      .join(per.select(col("doc_id").as("b"), col("nt").as("nb"), col("m").as("mb")), Seq("b"))
+      .withColumn("inter", expr(interExpr))
+      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "inter", "na", "nb")
+  }
+
   /** Sub-quadratic near-dup pairs: MinHash(nHashes) + LSH(nBands)
     * candidate generation — same-bucket docs only, so the self-join
     * fan-out is bounded per band key — followed by the exact popcount

@@ -137,15 +137,17 @@ object TrainingData {
     // re-read this relation, and its lineage (quality gate + dedup
     // window) is the expensive part
     val toks = OpCaches.track(
-      exact.select(col("doc_id"), explode(col("tk")).as("tok")).distinct())
+      exact.select(col("doc_id"),
+        explode(array_distinct(col("tk"))).as("tok")))
     val (jn, jd) = jaccard
     val pairs =
       if (exactRecall) {
-        // EXACT-recall form: prefix-filter candidates + bitmask verify —
-        // sub-quadratic with the identical result set as the old
-        // all-pairs kernel (proven pair-identical in DedupSpec)
-        val masks = OpCaches.track(BitmaskJaccard.masks(toks))
-        BitmaskJaccard.prefixPairs(toks, masks, jn, jd)
+        // EXACT-recall form: fused prefix-filter candidates + bitmask
+        // verify — sub-quadratic with the identical result set as the
+        // old all-pairs kernel (pair-identity pinned in DedupSpec /
+        // PrefixPairsPropSpec); one per-doc aggregation builds both
+        // the prefix and the mask
+        BitmaskJaccard.prefixPairsFused(toks, jn, jd)
       } else if (dictionaryFree)
         // unbounded-vocabulary form: banded candidates + sorted-set
         // verify — no dictionary or broadcast assumption anywhere

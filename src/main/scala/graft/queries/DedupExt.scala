@@ -101,11 +101,13 @@ object DedupExt {
           .as(Seq("band", "key")): _*)
   }
 
-  /** Distinct (doc_id, tok) pairs. */
+  /** Distinct (doc_id, tok) pairs — distinct computed ROW-LOCALLY
+    * (array_distinct before the explode; zero shuffle, identical set
+    * semantics to the oracle's DISTINCT). */
   private def toks(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
 
   /** Exploded, fixed-point-quantized embeddings: (vec_id, i0, xi). */
   private def exQ(s: SparkSession, d: String): DataFrame =

@@ -31,11 +31,16 @@ object Llm {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
   private val D2814 = DecimalType(28, 14)
 
-  /** Distinct (doc_id, token) pairs — the unit of Jaccard arithmetic. */
+  /** Distinct (doc_id, token) pairs — the unit of Jaccard arithmetic.
+    * The distinct is computed ROW-LOCALLY (array_distinct before the
+    * explode): identical set semantics to the oracle's DISTINCT with
+    * ZERO shuffle, where `.distinct()` after the explode shuffled every
+    * token occurrence in the corpus first (at sf0.1 that one exchange
+    * was ~3 s of q28). */
   private def tokens(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
 
   val queries: Map[String, Q] = Map(
     // Q26 token frequency (top 20)
@@ -67,16 +72,15 @@ object Llm {
     // probabilistic-recall alternative at even larger scale is qd1
     // (MinHash LSH banding).
     "q28_neardup" -> ((s, d) => {
-      // tokens cached: masks() runs the dictionary's zipWithIndex as
-      // separate RDD jobs, which can't share SQL exchange reuse with the
-      // mask-build join — without the cache they'd re-explode the corpus
-      val tk = tokens(s, d).cache()
-      val masks = graft.operators.BitmaskJaccard.masks(tk).cache()
-      // prefixes broadcast-hinted because the bench corpus is known-small
-      // (same convention as qd1's broadcastMasks); the operator default
-      // is the scale-safe shuffle join
+      // the FUSED form: one per-doc aggregation builds both the bitmask
+      // and the prefix (prefixPairsFused scaladoc); the token relation is
+      // deliberately NOT cached — it is a shuffle-free scan (row-local
+      // distinct) read twice, cheaper re-run than materialized. Prefixes
+      // broadcast-hinted because the bench corpus is known-small (same
+      // convention as qd1's broadcastMasks); the operator default is the
+      // scale-safe shuffle join
       graft.operators.BitmaskJaccard
-        .prefixPairs(tk, masks, 8, 10, broadcastPrefixes = true)
+        .prefixPairsFused(tokens(s, d), 8, 10, broadcastPrefixes = true)
         .orderBy("a", "b")
     }),
 

@@ -41,6 +41,11 @@ class PrefixPairsPropSpec extends AnyFunSuite {
     assert(prefix === brute,
       s"seed=$seed vocab=$vocab J>=$num/$den: " +
         s"missing=${(brute diff prefix).take(3)} extra=${(prefix diff brute).take(3)}")
+    // the fused single-aggregation form must be row-identical too
+    val fused = rows(BitmaskJaccard.prefixPairsFused(toks, num, den))
+    assert(fused === brute,
+      s"fused seed=$seed vocab=$vocab J>=$num/$den: " +
+        s"missing=${(brute diff fused).take(3)} extra=${(fused diff brute).take(3)}")
     spark.catalog.clearCache()
   }
 
