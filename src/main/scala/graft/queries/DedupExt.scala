@@ -531,6 +531,102 @@ object DedupExt {
         .orderBy("doc_id")
     }),
 
+    // qd8 cross-doc repeated-SUBSTRING spans — the exact-substring dedup
+    // family (the fourth dedup granularity after doc-exact, doc-near and
+    // chunk: span-level, the "Deduplicating Training Data" shape), at
+    // 8-token window resolution. Every consecutive 8-token window is
+    // fingerprinted with the shared rolling hash; a window whose hash
+    // occurs in ≥ 2 DISTINCT docs is a cross-doc duplicated span. Per
+    // doc: window count, duplicated-window count, duplicated fraction,
+    // and the ≥ 50%-duplicated removal-candidate flag.
+    //
+    // Scale shape: the window explosion is LINEAR (one row per token,
+    // rolling-hash per window is O(window) row-local work), the
+    // (doc, h) groupBy partial-aggregates map-side, the per-hash doc
+    // count is a window over h — an unbounded-cardinality key (every
+    // distinct 8-gram), so bucket population per key stays O(true span
+    // frequency) as the corpus grows — and the per-doc rollup is a
+    // narrow groupBy. No joins anywhere in the plan.
+    "qd8_substring" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val win = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        // guard: Spark sequence(1, 0) DESCENDS (verify-skill gotcha) —
+        // docs shorter than the window emit no rows in either engine
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(1L, CAST(size(tk) - 7 AS BIGINT))")).as("k"))
+        .select(col("doc_id"),
+          expr("roll_hash31(array_join(slice(tk, CAST(k AS INT), 8), ' '))").as("h"))
+      val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      win.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+        .withColumn("nd", count(lit(1)).over(wh))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_win"),
+          sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_win"), col("n_dup"),
+          round(col("n_dup").cast(DoubleType) / col("n_win"), 4)
+            .cast(DoubleType).as("dup_frac"),
+          when(lit(2) * col("n_dup") >= col("n_win"), 1L).otherwise(0L)
+            .as("flagged"))
+        .orderBy("doc_id")
+    }),
+
+    // qs5 ANN RECALL report — the index's honesty measurement promoted
+    // to oracle-checked DATA: for every probe (vec_id % 100 = 7) the
+    // banded top-3 (qs3's bucket equi-join kernel) is compared against
+    // the exact brute-force top-3 under the identical
+    // (score DESC, vec_id) total order; output per probe = hit count +
+    // recall@3. Both paths are deterministic (fixed hyperplanes,
+    // rounded scores, total tie order), so the measured recall is
+    // itself reproducible hash-checked data — the banding trade-off
+    // lives in the contract, not in a doc claim.
+    //
+    // Scale: the banded side stays the bucket equi-join; the brute side
+    // is probes × corpus — the yardstick, deliberately bounded to the
+    // 1 % probe sample (at 100 TB a recall audit runs on a sampled
+    // probe slice by construction; the broadcast side is the tiny
+    // probe norm relation, never the corpus).
+    "qs5_annrecall" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val pv = graft.operators.OpCaches.track(perVec(exQ(s, d)))
+      val bands = vecBands(pv)
+      val emb = graft.operators.OpCaches.track(embQ(s, d))
+      val qe = broadcast(emb.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q"), col("ei").as("qe")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy(col("score").desc, col("vec_id"))
+      def top3(cand: DataFrame): DataFrame =
+        cand.join(emb, Seq("vec_id")).join(qe, Seq("q"))
+          .withColumn("dot", expr(dotL("ei", "qe")))
+          .select(col("q"), col("vec_id"),
+            round(col("dot").cast(DoubleType)
+              / (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("n2").cast(DoubleType))), 6)
+              .cast(DoubleType).as("score"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select("q", "vec_id")
+      val probes = bands.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q"), col("k"), col("key"), col("n2").as("qn2"))
+      val approxCand = bands.join(broadcast(probes), Seq("k", "key"))
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"), col("n2"), col("qn2")).distinct()
+      val probeN = pv.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q"), col("n2").as("qn2"))
+      val bruteCand = pv.select(col("vec_id"), col("n2"))
+        .crossJoin(broadcast(probeN))
+        .filter(col("vec_id") =!= col("q"))
+      val hits = top3(approxCand).withColumn("hit", lit(1L))
+      top3(bruteCand)
+        .join(hits, Seq("q", "vec_id"), "left")
+        .groupBy("q")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("q"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / 3, 4).cast(DoubleType)
+            .as("recall3"))
+        .orderBy("q")
+    }),
+
     // qs4 k-means clustering (2 Lloyd iterations, the IVF TRAINING step
     // qs2's sampled centroids approximate): deterministic init from the
     // vec_id % 50 sample, then assign → update → assign → update →
@@ -864,6 +960,23 @@ object DedupExt {
          |           LEFT JOIN near n ON n.doc_id = i.doc_id
          |ORDER BY i.doc_id""".stripMargin,
 
+    "qd8_substring" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, ${duckH("s")} AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(string_split(text, ' ')) - 7),
+         |      k -> array_to_string(string_split(text, ' ')[k:k+7], ' '))) AS s
+         |    FROM documents WHERE len(string_split(text, ' ')) >= 8)),
+         |per AS (SELECT doc_id, h, COUNT(*) AS c FROM w GROUP BY 1, 2),
+         |dd AS (SELECT doc_id, c, COUNT(*) OVER (PARTITION BY h) AS nd FROM per)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_win,
+         |  CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS DOUBLE)
+         |    / SUM(c), 4) AS DOUBLE) AS dup_frac,
+         |  CAST(CASE WHEN 2 * SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) >= SUM(c)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM dd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // qs4: the 2-iteration Lloyd refinement unrolled — each block is
     // the qs2 assignment pattern; centroid updates use the exact
     // integer floor mean ((S − pmod(S, n)) // n, bit-identical to the
@@ -988,6 +1101,58 @@ object DedupExt {
         |        CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS BIGINT) AS rk
         |      FROM sc)
         |SELECT q, vec_id, score, rk FROM r WHERE rk <= 3 ORDER BY q, rk""".stripMargin,
+
+    // qs5: qs3's banded top-3 chain + the brute-force top-3 under the
+    // same score/tie order; recall@3 per probe via a left join of the
+    // exact top-3 against the banded top-3
+    "qs5_annrecall" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |proj AS (SELECT vec_id, j,
+        |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
+        |             - 1073741824) * xi) AS proj
+        |         FROM ex, generate_series(0, 63) t(j) GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, j // 16 AS k,
+        |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
+        |       FROM proj GROUP BY 1, 2),
+        |probes AS (SELECT vec_id AS q, k, key FROM bk WHERE vec_id % 100 = 7),
+        |cand AS (SELECT DISTINCT p.q, b.vec_id
+        |         FROM bk b JOIN probes p ON b.k = p.k AND b.key = p.key
+        |         WHERE b.vec_id <> p.q),
+        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |adots AS (SELECT c.q, c.vec_id, SUM(v.xi * u.xi) AS dot
+        |          FROM cand c JOIN ex v ON v.vec_id = c.vec_id
+        |                      JOIN ex u ON u.vec_id = c.q AND u.i = v.i
+        |          GROUP BY 1, 2),
+        |asc_ AS (SELECT d.q, d.vec_id,
+        |          CAST(ROUND(CAST(dot AS DOUBLE)
+        |            / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+        |        FROM adots d JOIN norms vn ON vn.vec_id = d.vec_id
+        |                     JOIN norms qn ON qn.vec_id = d.q),
+        |ar AS (SELECT q, vec_id FROM (
+        |         SELECT q, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS rk
+        |         FROM asc_) WHERE rk <= 3),
+        |bdots AS (SELECT u.vec_id AS q, v.vec_id, SUM(v.xi * u.xi) AS dot
+        |          FROM ex u JOIN ex v ON u.i = v.i
+        |            AND u.vec_id % 100 = 7 AND v.vec_id <> u.vec_id
+        |          GROUP BY 1, 2),
+        |bsc AS (SELECT d.q, d.vec_id,
+        |          CAST(ROUND(CAST(dot AS DOUBLE)
+        |            / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+        |        FROM bdots d JOIN norms vn ON vn.vec_id = d.vec_id
+        |                     JOIN norms qn ON qn.vec_id = d.q),
+        |br AS (SELECT q, vec_id FROM (
+        |         SELECT q, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS rk
+        |         FROM bsc) WHERE rk <= 3)
+        |SELECT br.q,
+        |  CAST(SUM(CASE WHEN ar.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN ar.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / 3, 4) AS DOUBLE) AS recall3
+        |FROM br LEFT JOIN ar ON ar.q = br.q AND ar.vec_id = br.vec_id
+        |GROUP BY br.q ORDER BY br.q""".stripMargin,
 
     // qd6: qs2's assignment CTEs + within-cell pair cosines + the
     // qd5-style recursive-CTE component walk (decreasing labels only) +

@@ -159,6 +159,33 @@ object Llm {
           (abs(col("p50a") - col("p50_exact")) * 20 <= col("p50_exact"))
             .as("within_5pct"))
         .orderBy("l_returnflag")
+    }),
+
+    // T3 MERGEABLE sketch rollup — the two-level pattern a 100 TB corpus
+    // survey actually runs: build one Datasketches-HLL sketch of the
+    // token vocabulary per (lang, source) SHARD, then merge the shard
+    // sketches per language (hll_union_agg) and estimate — re-aggregating
+    // to any coarser grouping costs only sketch unions, never a second
+    // pass over the corpus (the binary sketch column is the persistable
+    // per-shard summary). Verdict-as-data convention as T1/T2: each
+    // engine checks its own estimate against the shared exact distinct
+    // count, and only (lang, n_exact, within_5pct) crosses the oracle
+    // gate. lgK = 14 → ~0.8 % standard error, comfortably inside ±5 %.
+    "t3_sketchroll" -> ((s, d) => {
+      val tk = t(s, d, "documents")
+        .select(col("lang"), col("source"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val shard = tk.groupBy("lang", "source")
+        .agg(expr("hll_sketch_agg(tok, 14)").as("sk"))
+      val merged = shard.groupBy("lang")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("na"))
+      val exact = tk.groupBy("lang")
+        .agg(count_distinct(col("tok")).as("n_exact"))
+      exact.join(merged, Seq("lang"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("na") - col("n_exact")) * 20 <= col("n_exact"))
+            .as("within_5pct"))
+        .orderBy("lang")
     })
   )
 
@@ -212,6 +239,12 @@ object Llm {
         |      FROM lineitem GROUP BY 1)
         |SELECT e.l_returnflag, p50_exact,
         |  ABS(p50a - p50_exact) * 20 <= p50_exact AS within_5pct
-        |FROM e JOIN a USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
+        |FROM e JOIN a USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    "t3_sketchroll" ->
+      """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT lang, COUNT(DISTINCT tok) AS n_exact,
+        |  ABS(approx_count_distinct(tok) - COUNT(DISTINCT tok)) * 20
+        |    <= COUNT(DISTINCT tok) AS within_5pct
+        |FROM tk GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

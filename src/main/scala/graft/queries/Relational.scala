@@ -391,6 +391,24 @@ object Relational {
           out = "last_order")
         .select(col("event_id"), col("last_order"))
         .orderBy("event_id")
+    }),
+
+    // Q38 distribution window functions — ntile buckets, percent_rank,
+    // cume_dist over each customer's order history (the remaining
+    // window-function family of the §2B windows row). percent_rank
+    // ((rank−1)/(n−1)) and cume_dist (rows≤current / n) are single
+    // correctly-rounded IEEE divisions of exact integers, bit-identical
+    // cross-engine; (o_orderdate, o_orderkey) is a total order within
+    // every partition, so ntile assignment is deterministic.
+    "q38_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast(LongType).as("bucket"),
+          round(percent_rank().over(w), 6).cast(DoubleType).as("pr"),
+          round(cume_dist().over(w), 6).cast(DoubleType).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(1000)
     })
   )
 
@@ -498,6 +516,13 @@ object Relational {
         |  FROM documents)
         |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
     "q37_asof_op" ->
-      "SELECT event_id, (SELECT MAX(o_orderdate) FROM orders WHERE o_custkey=user_id AND o_orderdate <= ts) AS last_order FROM events ORDER BY event_id"
+      "SELECT event_id, (SELECT MAX(o_orderdate) FROM orders WHERE o_custkey=user_id AND o_orderdate <= ts) AS last_order FROM events ORDER BY event_id",
+    "q38_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS bucket,
+        |  CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pr,
+        |  CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cd
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey LIMIT 1000""".stripMargin
   )
 }
