@@ -159,66 +159,88 @@ object BitmaskJaccard {
       .select("a", "b", "inter", "na", "nb")
   }
 
-  /** `prefixPairs` with the per-doc aggregation FUSED: ONE groupBy(doc_id)
-    * over the dictionary-joined tokens builds BOTH the bitmask verify
-    * payload and the frequency-ordered prefix token list, where the
-    * `masks()` + `prefixPairs()` composition aggregated the corpus by doc
-    * twice (two full shuffles of every token row). The document
-    * frequency rides on the dictionary itself — the same groupBy(tok)
-    * that numbers the vocabulary counts it — so the separate df
-    * aggregation disappears too. Identical candidate bound, filters,
-    * semantics and output contract as `prefixPairs` (pair-identity
-    * pinned in `PrefixPairsPropSpec`); same distinct-(doc_id, tok)
-    * PRECONDITION. This is the scale-default exact-recall entry point;
-    * `prefixPairs` remains for callers that already hold a mask
-    * relation. */
+  /** `prefixPairs` with the per-doc aggregation FUSED and the candidate
+    * distinct REMOVED. Two plan moves over the `masks()` +
+    * `prefixPairs()` composition:
+    *
+    *  1. ONE groupBy(doc_id) over the dictionary-joined tokens builds
+    *     both the bitmask verify payload and the prefix (the old
+    *     composition aggregated the corpus by doc twice), and the
+    *     document frequency rides on the dictionary itself — the same
+    *     groupBy(tok) that numbers the vocabulary counts it.
+    *  2. The dictionary is numbered in the GLOBAL PREFIX ORDER
+    *     (document frequency ASC, token ASC), so one dense int64 rank
+    *     serves every downstream role: the bitmask bit index (any
+    *     stable numbering gives identical popcount intersections), the
+    *     prefix slice (a doc's prefix = its smallest ranks), the join
+    *     key (int64 hashing instead of token strings), and — the pair
+    *     with `first_common_sorted` — FIRST-SHARED-TOKEN emission: a
+    *     joined row survives only if its rank is the pair's first
+    *     common prefix rank, making the join output pair-unique BY
+    *     CONSTRUCTION (the same move as the LSH bands' first-matching-
+    *     band emission). Exactness: the first-common row maximizes
+    *     min(na−pa, nb−pb) over a pair's shared rows, so the ppjoin
+    *     position filter is monotone along them — if the emitted row
+    *     fails it, every other shared row fails too, and the
+    *     qualifying-pair argument for the first shared token is
+    *     unchanged. At sf0.1 this replaces a 12.6M-row distinct
+    *     exchange with an O(prefix) codegen merge per joined row.
+    *
+    * Identical output contract and rows as `prefixPairs` (pair-identity
+    * pinned in `PrefixPairsPropSpec` across all corpus regimes); same
+    * distinct-(doc_id, tok) PRECONDITION. This is the scale-default
+    * exact-recall entry point; `prefixPairs` remains for callers that
+    * already hold a mask relation. */
   def prefixPairsFused(toks: DataFrame, num: Int, den: Int,
                        broadcastPrefixes: Boolean = false): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
-    // dictionary with document frequency riding along: dense ids from
-    // the same range-sorted zipWithIndex as masks() (token ASC), tdf
-    // from the same aggregation — one narrow vocab-sized relation serves
-    // both the bitmask numbering and the ppjoin global token order
-    // (tdf ASC, tok ASC). Cached: wmax and the per-doc join both read it.
+    graft.plans.FirstCommonSorted.register(spark)
+    // global prefix-order dictionary; cached — wmax and the per-doc
+    // join both read it, and RDD jobs cannot reuse SQL exchanges
     val vocab = OpCaches.track(
       toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
-        .as[(String, Long)].rdd.sortBy(_._1).zipWithIndex()
-        .map { case ((tok, tdf), ti) => (tok, tdf, ti) }
-        .toDF("tok", "tdf", "ti"))
-    val wmax = vocab.selectExpr("ti div 64 AS w").agg(max(col("w")).as("wmax"))
-    // the single corpus-wide aggregation: set size, bitmask, prefix
+        .as[(String, Long)].rdd
+        .sortBy { case (tok, tdf) => (tdf, tok) }.zipWithIndex()
+        .map { case ((tok, _), rk) => (tok, rk) }
+        .toDF("tok", "rk"))
+    val wmax = vocab.selectExpr("rk div 64 AS w").agg(max(col("w")).as("wmax"))
+    // the single corpus-wide aggregation: set size + sorted rank array;
+    // bitmask and prefix array are row-local projections of it
     val per = OpCaches.track(toks.join(broadcast(vocab), Seq("tok"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("nt"),
-        collect_list(col("ti")).as("tis"),
-        sort_array(collect_list(struct(col("tdf"), col("tok")))).as("ord"))
+      .agg(count(lit(1)).as("nt"), sort_array(collect_list(col("rk"))).as("rks"))
       .crossJoin(broadcast(wmax))
       .select(col("doc_id"), col("nt"),
         expr(
           s"""transform(sequence(0L, wmax),
-             |  w -> aggregate(filter(tis, t -> t div 64 = w), 0L,
+             |  w -> aggregate(filter(rks, t -> t div 64 = w), 0L,
              |                 (acc, t) -> acc | shiftleft(1L, cast(t % 64 as int))))
              |""".stripMargin).as("m"),
-        expr(s"transform(slice(ord, 1, cast((${den - num} * nt) div $den + 1 AS INT)), o -> o.tok)")
-          .as("ptoks")))
+        expr(s"slice(rks, 1, cast((${den - num} * nt) div $den + 1 AS INT))")
+          .as("parr")))
     // prefix rows derive from the CACHED per-doc relation — no second
-    // corpus aggregation behind them
+    // corpus aggregation behind them; each row carries the doc's whole
+    // prefix array (bounded: ⌊(1−t)·nt⌋+1 ranks) for the first-common
+    // merge on the join output
     val pref = per
-      .select(col("doc_id"), col("nt"), posexplode(col("ptoks")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), col("nt"), (col("p0") + 1).as("pos"), col("tok"))
+      .select(col("doc_id"), col("nt"), col("parr"),
+        posexplode(col("parr")).as(Seq("p0", "rk")))
+      .select(col("doc_id"), col("nt"), col("parr"),
+        (col("p0") + 1).as("pos"), col("rk"))
     val L = pref.select(col("doc_id").as("a"), col("nt").as("na"),
-      col("pos").as("pa"), col("tok"))
+      col("pos").as("pa"), col("parr").as("pra"), col("rk"))
     val R0 = pref.select(col("doc_id").as("b"), col("nt").as("nb"),
-      col("pos").as("pb"), col("tok"))
+      col("pos").as("pb"), col("parr").as("prb"), col("rk"))
     val R = if (broadcastPrefixes) broadcast(R0) else R0
-    val cand = L.join(R, Seq("tok"))
+    val cand = L.join(R, Seq("rk"))
       .filter(col("a") < col("b")
         && lit(num) * col("na") <= lit(den) * col("nb")
         && lit(num) * col("nb") <= lit(den) * col("na")
         && lit(num + den) * (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
-          >= lit(num) * (col("na") + col("nb")))
-      .select("a", "b").distinct()
+          >= lit(num) * (col("na") + col("nb"))
+        && col("rk") === expr("first_common_sorted(pra, prb)"))
+      .select("a", "b")
     cand
       .join(per.select(col("doc_id").as("a"), col("nt").as("na"), col("m").as("ma")), Seq("a"))
       .join(per.select(col("doc_id").as("b"), col("nt").as("nb"), col("m").as("mb")), Seq("b"))

@@ -82,6 +82,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((RollHash31.ident, RollHash31.info, RollHash31.builder))
     ext.injectFunction((IntersectSortedCount.ident, IntersectSortedCount.info,
       IntersectSortedCount.builder))
+    ext.injectFunction((FirstCommonSorted.ident, FirstCommonSorted.info,
+      FirstCommonSorted.builder))
     ext.injectFunction((FuzzyMs.minIdent, FuzzyMs.minInfo, FuzzyMs.minBuilder))
     ext.injectFunction((FuzzyMs.maxIdent, FuzzyMs.maxInfo, FuzzyMs.maxBuilder))
     ext.injectFunction((SimHashBands64.ident, SimHashBands64.info,

@@ -194,6 +194,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in pipeline:\n$p")
   }
 
+  test("qd8: substring-span dedup is join-free (window + aggs only)") {
+    val p = plan("qd8_substring")
+    assert(!p.contains("Join"), s"join crept into qd8's no-join plan:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("asof: one shuffle on the key, no re-aggregation join") {
     val events = Tables(spark, TestSpark.Sf, "events")
       .selectExpr("event_id", "user_id AS o_custkey", "ts")
