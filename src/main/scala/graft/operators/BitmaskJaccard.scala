@@ -278,6 +278,61 @@ object BitmaskJaccard {
       .select("a", "b", "inter", "na", "nb")
   }
 
+  /** `bandedPairs` with the per-doc aggregation FUSED (the same plan
+    * move as `prefixPairsFused`): ONE groupBy(doc_id) over the
+    * dictionary-joined tokens builds the MinHash signature AND the
+    * bitmask verify payload, where the `masks()` + `bandedPairs()`
+    * composition aggregated the corpus twice. Identical candidate
+    * generation (first-matching-band emission) and verify semantics;
+    * row-identity with `bandedPairs` pinned in `BandedPairsPropSpec`.
+    * Same distinct-(doc_id, tok) PRECONDITION as `masks()`. */
+  def bandedPairsFused(toks: DataFrame, num: Int, den: Int,
+                       nHashes: Int = 16, nBands: Int = 4,
+                       broadcastMasks: Boolean = false): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    graft.plans.RollHash31.register(spark)
+    val P = 1000000007L
+    val rows = nHashes / nBands
+    require(rows * nBands == nHashes, "nBands must divide nHashes")
+    // dense dictionary (token ASC, same numbering as masks()); cached —
+    // wmax and the token join both read it, and RDD jobs cannot reuse
+    // SQL exchanges
+    val vocab = OpCaches.track(toks.select("tok").distinct().as[String].rdd
+      .sortBy(identity).zipWithIndex().toDF("tok", "ti"))
+    val wmax = vocab.selectExpr("ti div 64 AS w").agg(max(col("w")).as("wmax"))
+    val th = toks.join(broadcast(vocab), Seq("tok"))
+      .withColumn("h", expr("roll_hash31(tok)"))
+    val minCols = (0 until nHashes).map { j =>
+      val a = 1000003L * j + 12345L
+      val b = 777767L * j + 13L
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
+    }
+    val aggCols = minCols ++ Seq(
+      count(lit(1)).as("nt"), collect_list(col("ti")).as("tis"))
+    val per = OpCaches.track(
+      th.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+        .crossJoin(broadcast(wmax))
+        .select(col("doc_id") +: col("nt") +:
+          expr(
+            s"""transform(sequence(0L, wmax),
+               |  w -> aggregate(filter(tis, t -> t div 64 = w), 0L,
+               |                 (acc, t) -> acc | shiftleft(1L, cast(t % 64 as int))))
+               |""".stripMargin).as("m") +:
+          (0 until nHashes).map(j => col(s"mh$j")): _*))
+    val cand = firstMatchCandidates(per, nBands, rows)
+    def side(n: String, nt: String, m: String) = {
+      val s0 = per.select(col("doc_id").as(n), col("nt").as(nt), col("m").as(m))
+      if (broadcastMasks) broadcast(s0) else s0
+    }
+    cand
+      .join(side("a", "na", "ma"), Seq("a"))
+      .join(side("b", "nb", "mb"), Seq("b"))
+      .withColumn("inter", expr(interExpr))
+      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "inter", "na", "nb")
+  }
+
   /** `bandedPairs` with the dictionary-free verify: candidates from the
     * same MinHash-LSH banding, intersection via the native sorted-merge
     * kernel over per-doc sorted arrays of 64-bit token fingerprints

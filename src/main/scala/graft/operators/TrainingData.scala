@@ -152,11 +152,10 @@ object TrainingData {
         // unbounded-vocabulary form: banded candidates + sorted-set
         // verify — no dictionary or broadcast assumption anywhere
         BitmaskJaccard.bandedPairsCompact(toks, jn, jd)
-      else {
-        // bounded-vocabulary default: banded candidates + bitmask verify
-        val masks = OpCaches.track(BitmaskJaccard.masks(toks))
-        BitmaskJaccard.bandedPairs(toks, masks, jn, jd)
-      }
+      else
+        // bounded-vocabulary default: fused banded candidates + bitmask
+        // verify (one per-doc aggregation builds signature + mask)
+        BitmaskJaccard.bandedPairsFused(toks, jn, jd)
     val dropB =
       if (clusterDedup)
         DupGroups.components(pairs.select("a", "b"))

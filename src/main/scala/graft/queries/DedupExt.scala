@@ -198,13 +198,14 @@ object DedupExt {
     // keys are string concats of the minhash columns in i order, matching
     // the oracle's string_agg(... ORDER BY i) exactly.
     "qd1_minhash" -> ((s, d) => {
-      // delegates to the shared operator (same algorithm the oracle SQL
-      // mirrors); masks broadcast-hinted because the bench corpus is
-      // known-small — the operator default is the scale-safe shuffle join
-      val tk = toks(s, d).cache()
-      val masks = graft.operators.BitmaskJaccard.masks(tk)
+      // delegates to the shared FUSED operator (same algorithm the
+      // oracle SQL mirrors; one corpus aggregation builds signature +
+      // mask); masks broadcast-hinted because the bench corpus is
+      // known-small — the operator default is the scale-safe shuffle
+      // join. The token relation is a shuffle-free scan (row-local
+      // distinct), cheaper re-read than cached.
       graft.operators.BitmaskJaccard
-        .bandedPairs(tk, masks, 8, 10, broadcastMasks = true)
+        .bandedPairsFused(toks(s, d), 8, 10, broadcastMasks = true)
         .orderBy("a", "b")
     }),
 

@@ -58,6 +58,20 @@ class BandedPairsPropSpec extends AnyFunSuite {
       .toSet
   }
 
+  /** The FUSED bitmask form over distinct (doc_id, tok) rows — its
+    * verify counts token sets, which equal the reference's fingerprint
+    * sets here (short synthetic tokens; the rolling hash is collision-
+    * free on them, asserted in expectedPairs' construction). */
+  private def runFused(docs: Map[Long, Seq[String]], num: Int, den: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val rows = (for { (id, toks) <- docs.toSeq; t <- toks } yield (id, t)).distinct
+    BitmaskJaccard.bandedPairsFused(rows.toDF("doc_id", "tok"), num, den)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+  }
+
   private def corpus(seed: Int, nDocs: Int, vocab: Int,
                      minLen: Int, maxLen: Int): Map[Long, Seq[String]] = {
     val rnd = new scala.util.Random(seed)
@@ -72,6 +86,7 @@ class BandedPairsPropSpec extends AnyFunSuite {
     val got = run(docs, 8, 10, dupFactor = 1)
     assert(got === expectedPairs(docs, 8, 10))
     assert(got.nonEmpty, "degenerate fixture: no qualifying pairs")
+    assert(runFused(docs, 8, 10) === got, "fused bitmask form diverged")
     graft.operators.OpCaches.releaseAll()
   }
 
@@ -79,6 +94,7 @@ class BandedPairsPropSpec extends AnyFunSuite {
     val docs = corpus(seed = 11, nDocs = 80, vocab = 400, minLen = 4, maxLen = 12)
     val got = run(docs, 5, 10, dupFactor = 1)
     assert(got === expectedPairs(docs, 5, 10))
+    assert(runFused(docs, 5, 10) === got, "fused bitmask form diverged")
     graft.operators.OpCaches.releaseAll()
   }
 
