@@ -52,4 +52,43 @@ object Scale {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), Seq(key))
+
+  /** Hive-style partitioned write: equality/IN predicates on the
+    * partition columns prune DIRECTORIES at planning time (the scan's
+    * `PartitionFilters`), so a filtered read of a 100 TB corpus opens
+    * only the touched partitions — no footer even gets read elsewhere.
+    * Partition columns should be low-cardinality (lang, source, date);
+    * high-cardinality values belong in bucketing or sort order. */
+  def writePartitioned(df: DataFrame, path: String,
+                       cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Morton (Z-order) key of two non-negative integer coordinates —
+    * bit-interleaved so that points close in BOTH dimensions are close
+    * in the one-dimensional sort order. Writing spatial data sorted by
+    * this key gives every file/row-group a TIGHT min/max envelope in
+    * both x and y, so a box predicate prunes on both coordinates via
+    * ordinary parquet statistics — a single-column sort order can only
+    * ever prune on its leading column. 21 bits per coordinate (42-bit
+    * key) covers the geo grid's cell ids with room to spare. Pure
+    * built-ins (HOF fold over the bit positions), codegen-friendly,
+    * identical semantics anywhere Spark runs. */
+  def zorder2(x: String, y: String): org.apache.spark.sql.Column =
+    expr(
+      s"""aggregate(sequence(0, 20), 0L, (acc, i) ->
+         |  acc | shiftleft(($x >> i) & 1L, 2 * i)
+         |      | shiftleft(($y >> i) & 1L, 2 * i + 1))""".stripMargin)
+
+  /** Write `df` z-order-clustered on two integer columns: range-
+    * partition by the Morton key (balanced output files), sort within
+    * partitions, write parquet. `files` controls the file count —
+    * at scale, one file per task; locally, enough files that min/max
+    * pruning has granularity to work with. */
+  def writeZOrdered(df: DataFrame, path: String, x: String, y: String,
+                    files: Int): Unit =
+    df.withColumn("_z", zorder2(x, y))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
 }

@@ -41,4 +41,50 @@ class ScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("partitioned write prunes directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Scale.writePartitioned(
+      Tables(spark, TestSpark.Sf, "documents"), dir, Seq("lang"))
+    val scan = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val n = scan.count()
+    val expected = Tables(spark, TestSpark.Sf, "documents")
+      .filter("lang = 'en'").count()
+    assert(n === expected)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("lang"),
+      s"no partition pruning in:\n$plan")
+    // the partition column must NOT appear as a data (pushed) filter —
+    // pruning happened at the directory level
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("z-order layout prunes a box predicate on BOTH coordinates") {
+    import spark.implicits._
+    // 64k points on a 256x256 grid, one row per cell — any box query
+    // touches a contiguous 2-D region. 32 output files per layout.
+    val pts = (0 until 256).flatMap(x => (0 until 256).map(y => (x.toLong, y.toLong)))
+      .toDF("cx", "cy")
+    val zdir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val xdir = java.nio.file.Files.createTempDirectory("graft-x").toString
+    Scale.writeZOrdered(pts, zdir, "cx", "cy", files = 32)
+    pts.repartitionByRange(32, $"cx").sortWithinPartitions("cx")
+      .write.mode("overwrite").parquet(xdir)
+    def scannedRows(dir: String): (Long, Long) = {
+      // a full-width band in cy: the x-sorted layout's every file spans
+      // all cy values, so its stats prune NOTHING; z-ordered files have
+      // tight envelopes in both coordinates and drop out of the scan
+      val q = spark.read.parquet(dir).filter("cy BETWEEN 100 AND 107")
+      val res = q.collect().length.toLong // materialize → final metrics
+      val leaf = q.queryExecution.executedPlan.collectLeaves().head
+      (res, leaf.metrics("numOutputRows").value)
+    }
+    val (zRes, zRows) = scannedRows(zdir)
+    val (xRes, xRows) = scannedRows(xdir)
+    assert(zRes === 256L * 8 && xRes === 256L * 8) // identical results
+    assert(zRows < xRows,
+      s"z-order did not prune: z-layout scanned $zRows rows, x-layout $xRows")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zdir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(xdir))
+  }
 }
