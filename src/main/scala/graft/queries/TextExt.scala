@@ -252,6 +252,31 @@ object TextExt {
 
     "qm2_mediafeat" -> ((s, d) => qm2(s, d)),
 
+    // qm3 frame sampling — the video-frame-sample plumbing shape over an
+    // opaque BINARY payload: "frames" are fixed 16-byte windows at
+    // stride 64, every 4th frame is sampled, and each sampled frame
+    // ships only a fixed-width feature (the rolling hash of its hex) —
+    // the decode itself stays the stubbed codec boundary (qm2's
+    // convention, ASCII text bytes standing in for the stream), but the
+    // schema, the row-local explode fan-out (one row per frame, linear
+    // in payload bytes, no shuffle before the final sort) and the
+    // byte-slicing plumbing are real and oracle-checked.
+    "qm3_framesample" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .filter(length(col("payload")) >= 16)
+        .select(col("doc_id"), col("payload"),
+          explode(expr(
+            "sequence(0L, CAST((length(payload) - 16) div 64 AS BIGINT))"))
+            .as("f"))
+        .filter(col("f") % 4 === 0)
+        .select(col("doc_id"), col("f"),
+          expr("roll_hash31(upper(hex(substring(payload, CAST(f * 64 + 1 AS INT), 16))))")
+            .as("fh"))
+        .orderBy("doc_id", "f")
+    }),
+
     // qt10 document chunking: fixed 64-token windows with stride 48
     // (16-token overlap) — the pre-tokenization splitting step that
     // turns long documents into training-sized sequences. One scan, the
@@ -684,6 +709,22 @@ object TextExt {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list_transform(string_split(substr(text, 1, 16), ''), ch -> CAST(unicode(ch) AS BIGINT))),
          |    (acc, x) -> (acc * 31 + x) % $P) AS head_hash
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // qm3: ASCII text makes character slicing == byte slicing, so the
+    // varchar substring mirrors Spark's BINARY substring exactly
+    "qm3_framesample" ->
+      s"""WITH p AS (SELECT doc_id, text FROM documents WHERE strlen(text) >= 16),
+         |fr AS (SELECT doc_id, text,
+         |         unnest(generate_series(0, (strlen(text) - 16) // 64)) AS f
+         |       FROM p),
+         |sel AS (SELECT doc_id, f,
+         |          upper(hex(substr(text, f * 64 + 1, 16))) AS hx
+         |        FROM fr WHERE f % 4 = 0)
+         |SELECT doc_id, f,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(hx, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % $P) AS fh
+         |FROM sel ORDER BY doc_id, f""".stripMargin
   )
 }
