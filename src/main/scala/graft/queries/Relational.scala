@@ -409,7 +409,25 @@ object Relational {
           round(cume_dist().over(w), 6).cast(DoubleType).as("cd"))
         .orderBy("o_custkey", "o_orderkey")
         .limit(1000)
-    })
+    }),
+
+    // Q39 correlated LATERAL subquery with LIMIT — per-order top-2
+    // lineitems by price, written the way an analyst writes it; the
+    // capability under test is Catalyst's DECORRELATION: Spark rewrites
+    // the per-row subquery into a window + one equi-join (the executed
+    // plan is a BroadcastHashJoin, no nested re-execution per outer
+    // row), so the declarative form gets the scale plan for free.
+    // Ordering: (l_orderkey, l_linenumber, l_extendedprice) is unique
+    // (FIXTURES.md), so (price DESC, linenumber) is total within an
+    // order and the final three-column sort is total.
+    "q39_lateral" -> ((s, d) => Tables.sql(s, d,
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        |FROM orders o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem l
+        |         WHERE l.l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+        |ORDER BY o_orderkey, l_linenumber, l_extendedprice
+        |LIMIT 2000""".stripMargin, "orders", "lineitem"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -523,6 +541,14 @@ object Relational {
         |  CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pr,
         |  CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cd
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, o_orderkey LIMIT 1000""".stripMargin
+        |ORDER BY o_custkey, o_orderkey LIMIT 1000""".stripMargin,
+    "q39_lateral" ->
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        |FROM orders o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem l
+        |         WHERE l.l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+        |ORDER BY o_orderkey, l_linenumber, l_extendedprice
+        |LIMIT 2000""".stripMargin
   )
 }

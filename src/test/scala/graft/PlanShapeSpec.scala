@@ -194,6 +194,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in pipeline:\n$p")
   }
 
+  test("q39: LATERAL subquery is decorrelated — one equi-join, no per-row re-execution") {
+    val p = plan("q39_lateral")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral subquery not decorrelated:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("qd8: substring-span dedup is join-free (window + aggs only)") {
     val p = plan("qd8_substring")
     assert(!p.contains("Join"), s"join crept into qd8's no-join plan:\n$p")
