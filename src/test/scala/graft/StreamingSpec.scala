@@ -139,4 +139,50 @@ class StreamingSpec extends AnyFunSuite {
       === rows(batch, "v_id", "p_id", "gap_us"))
     assert(batch.count() > 0, "interval join matched nothing — fixture too sparse")
   }
+
+  test("checkpointed restart is exactly-once: dedup state survives across runs") {
+    // the operational contract a production ingest gate relies on: a
+    // stopped-and-restarted streaming query (same checkpoint) must
+    // neither re-emit rows it already wrote (file-source offsets) nor
+    // re-admit duplicates it already saw (restored dedup state), even
+    // when the new input overlaps the old. AvailableNow makes each run
+    // terminate; two runs over overlapping thirds of events == one run
+    // over their union.
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // only the dedup-relevant columns ride along (ts would re-encode as
+    // a timestamp on the staging write and change the stream schema)
+    val events = Tables(spark, TestSpark.Sf, "events")
+      .select("event_id", "user_id", "event_type")
+    val in = Files.createTempDirectory("graft-ckpt-in")
+    val out = Files.createTempDirectory("graft-ckpt-out").toString + "/data"
+    val cp = Files.createTempDirectory("graft-ckpt-cp").toString
+    def onePart(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ckpt-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, in.resolve(name))
+    }
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    def run(): Unit = {
+      val q = spark.readStream.schema(raw).parquet(in.toString)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    onePart(events.filter("event_id % 3 <= 1"), "a.parquet") // thirds 0,1
+    run()
+    onePart(events.filter("event_id % 3 >= 1"), "b.parquet") // thirds 1,2
+    run() // restart: must admit only third 2, not re-emit or re-admit 1
+    val got = spark.read.parquet(out)
+    assert(got.count() === events.count(), "lost or duplicated rows across restart")
+    assert(got.groupBy("event_id").count().filter("count > 1").count() === 0L,
+      "duplicate event_ids survived the restarted dedup")
+  }
 }
