@@ -59,6 +59,38 @@ class ScaleSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (no salting needed)") {
+    // the runtime half of the skew story: saltedCount/saltedSum handle
+    // skewed AGGREGATIONS; skewed JOINS are AQE's job — one hot key
+    // whose partition dwarfs the advisory size must be split into
+    // parallel sub-partitions at runtime, visible as skew=true /
+    // AQEShuffleRead(skewed) in the final plan. Thresholds are lowered
+    // so the property shows at test scale; production keeps defaults.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      val pay = "x" * 200
+      val left = spark.range(0, 120000)
+        .selectExpr("CAST(0 AS BIGINT) AS k", s"'$pay' AS pay")
+        .union(spark.range(1, 2001).selectExpr("id AS k", s"'$pay' AS pay"))
+      val right = spark.range(0, 2001).selectExpr("id AS k", "id AS v")
+      val j = left.join(right, "k")
+      // execute j's OWN queryExecution (count() would plan a separate
+      // aggregate and leave this one isFinalPlan=false)
+      assert(j.collect().length === 120000 + 2000) // split must not change results
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"AQE did not split the skewed join:\n$p")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("z-order layout prunes a box predicate on BOTH coordinates") {
     import spark.implicits._
     // 64k points on a 256x256 grid, one row per cell — any box query
