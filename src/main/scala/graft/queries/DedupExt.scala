@@ -573,6 +573,31 @@ object DedupExt {
         .orderBy("doc_id")
     }),
 
+    // qd9 BANDING RECALL report — qs5's honesty convention applied to
+    // the MinHash-LSH path, corpus-wide: the exact J ≥ 0.8 pair set
+    // (prefix-filter kernel, exact recall) against the pairs qd1's
+    // banding actually emits; output = one hash-checked row
+    // (n_exact, n_hit, recall). Both pipelines are deterministic, so
+    // the probabilistic-recall trade-off of 16 hashes × 4 bands is
+    // CONTRACT, not a doc claim (DedupSpec pins the same number at
+    // test scale; this puts it through the oracle gate at sf0.01).
+    // banded = candidates ∩ {J≥0.8} and exact = {J≥0.8}, so
+    // exact ∩ banded = exact ∩ candidates — the oracle mirrors with
+    // the candidate semi-join, skipping a second verify replay.
+    "qd9_bandrecall" -> ((s, d) => {
+      val tk = toks(s, d)
+      val exact = graft.operators.BitmaskJaccard
+        .prefixPairsFused(tk, 8, 10).select("a", "b")
+      val banded = graft.operators.BitmaskJaccard
+        .bandedPairsFused(tk, 8, 10).select("a", "b")
+      val hit = exact.join(banded, Seq("a", "b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .cast(DoubleType).as("recall"))
+    }),
+
     // qs5 ANN RECALL report — the index's honesty measurement promoted
     // to oracle-checked DATA: for every probe (vec_id % 100 = 7) the
     // banded top-3 (qs3's bucket equi-join kernel) is compared against
@@ -1102,6 +1127,34 @@ object DedupExt {
         |        CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS BIGINT) AS rk
         |      FROM sc)
         |SELECT q, vec_id, score, rk FROM r WHERE rk <= 3 ORDER BY q, rk""".stripMargin,
+
+    // qd9: the q28 exact-pair chain + the qd1 banding chain; the hit
+    // set is the exact pairs' semi-join against the band CANDIDATES
+    // (equal to the verified banded pairs intersected with exact —
+    // see the Spark-side comment)
+    "qd9_bandrecall" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
+        |ip AS (SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS inter
+        |       FROM toks t1 JOIN toks t2 ON t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+        |       GROUP BY 1, 2),
+        |exact AS (SELECT a, b FROM ip JOIN sizes sa ON sa.doc_id = a
+        |                          JOIN sizes sb ON sb.doc_id = b
+        |          WHERE 10*inter >= 8*(sa.nt + sb.nt - inter)),
+        |th AS (SELECT doc_id, ${duckH("tok")} AS h FROM toks),
+        |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
+        |           FROM generate_series(0, 15) t(i)),
+        |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
+        |          FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |hit AS (SELECT e.a, e.b FROM exact e JOIN cand c ON c.a = e.a AND c.b = e.b)
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |       (SELECT COUNT(*) FROM hit) AS n_hit,
+        |       CAST(ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+        |         / (SELECT COUNT(*) FROM exact), 4) AS DOUBLE) AS recall""".stripMargin,
 
     // qs5: qs3's banded top-3 chain + the brute-force top-3 under the
     // same score/tie order; recall@3 per probe via a left join of the
