@@ -418,6 +418,36 @@ object DedupExt {
       cleaned.select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // qc4 END-TO-END pipeline through the oracle gate: clean (quality
+    // gate → exact dedup → cluster near-dedup, qc2's declared %5
+    // fifth) → chunk (qt10's 64/48 windows) → exact chunk dedup by
+    // fingerprint (s08's keep-least rule) → greedy 2048-token packing
+    // per source shard (qt7's shape). The per-stage oracles verify the
+    // pieces; this one hash-checks their COMPOSITION — "a user runs
+    // their whole corpus pipeline on this engine and the output
+    // matches". Every stage keeps its scale shape: the pack window
+    // partitions by source (shard-parallel), never a global order.
+    "qc4_cleanpack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val (cleaned, _) = graft.operators.TrainingData
+        .clean(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+          clusterDedup = true)
+      val cl = graft.operators.OpCaches.track(cleaned)
+      val chunks = graft.queries.TextExt.chunkRel(cl)
+      val wF = w.partitionBy("fp").orderBy("doc_id", "k")
+      val dd = chunks.withColumn("rn", row_number().over(wF))
+        .where(col("rn") === 1).drop("rn")
+        .join(cl.select("doc_id", "source"), Seq("doc_id"))
+      val wP = w.partitionBy("source").orderBy("doc_id", "k")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      dd.withColumn("cum", sum(col("n_tok")).over(wP))
+        .withColumn("pack_id", expr("(cum - n_tok) div 2048"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source", "pack_id")
+    }),
+
     // qd6 SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023, public
     // literature): cluster embeddings by nearest centroid (the IVF
     // assignment qs2 uses), find within-cell pairs with exact
@@ -949,6 +979,47 @@ object DedupExt {
          |dropc AS (SELECT node FROM comp WHERE node <> grp)
          |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT node FROM dropc)
          |ORDER BY doc_id""".stripMargin,
+
+    // qc4: qc2's survivor chain + qt10's chunk windows + s08's
+    // keep-least chunk dedup + qt7's per-source greedy packing — the
+    // full pipeline composition replayed in one SQL statement
+    "qc4_cleanpack" ->
+      s"""WITH RECURSIVE ${cleanCtes("WHERE doc_id % 5 = 0")},
+         |vtx AS (SELECT a AS node FROM pe UNION SELECT b FROM pe),
+         |edges AS (SELECT a AS x, b AS y FROM pe UNION SELECT b AS x, a AS y FROM pe),
+         |walk AS (
+         |  SELECT node, node AS lbl FROM vtx
+         |  UNION
+         |  SELECT eg.y AS node, w.lbl AS lbl
+         |  FROM walk w JOIN edges eg ON eg.x = w.node AND w.lbl < eg.y
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS grp FROM walk GROUP BY node),
+         |dropc AS (SELECT node FROM comp WHERE node <> grp),
+         |surv AS (SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT node FROM dropc)),
+         |sdocs AS (SELECT d.doc_id, d.source, string_split(d.text, ' ') AS tk
+         |          FROM documents d JOIN surv USING (doc_id)),
+         |cwin AS (SELECT doc_id, source, tk,
+         |           unnest(generate_series(CAST(0 AS BIGINT),
+         |             (len(tk) + 47) // 48 - 1)) AS k
+         |         FROM sdocs),
+         |ch AS (SELECT doc_id, source, k,
+         |         CAST(len(list_slice(tk, k*48 + 1, k*48 + 64)) AS BIGINT) AS n_tok,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(string_split(array_to_string(list_slice(tk, k*48 + 1, k*48 + 64), ' '), ''),
+         |             c -> CAST(unicode(c) AS BIGINT))),
+         |           (acc, x) -> (acc * 31 + x) % $P) AS fp
+         |       FROM cwin),
+         |r AS (SELECT doc_id, source, k, n_tok,
+         |        ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, k) AS rn
+         |      FROM ch),
+         |dd AS (SELECT doc_id, source, k, n_tok FROM r WHERE rn = 1),
+         |pk AS (SELECT source, n_tok,
+         |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id, k
+         |                          ROWS UNBOUNDED PRECEDING) AS cum
+         |       FROM dd)
+         |SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+         |       COUNT(*) AS n_chunks, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM pk GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
 
     // qd7: exact fingerprint check + the qd1 banding chain restricted
     // to incoming × index pairs, folded into a per-incoming-doc verdict
