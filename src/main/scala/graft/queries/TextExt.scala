@@ -357,6 +357,36 @@ object TextExt {
         .orderBy("lang")
     }),
 
+    // qx4 TOKEN-budget mixture sampling — qx3's rebalance in the units
+    // production mixing actually uses: the per-language quota is a
+    // TOKEN budget (quota_s = w_s · K tokens, K = min_s ⌊T_s/w_s⌋ with
+    // T_s the tokens available in stratum s), and membership is the
+    // greedy prefix of the deterministic LCG rank order whose running
+    // token count stays inside the quota (a doc that would straddle
+    // the boundary is dropped — restart-safe, no fractional docs).
+    // One scan + a tiny per-language total + a broadcast scalar K +
+    // one bounded window per stratum; output = achieved mixture.
+    "qx4_tokenmix" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          expr("CAST(CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'zh' THEN 2 ELSE 1 END AS BIGINT)")
+            .as("w"),
+          ((lit(1103515245L) * (col("doc_id") % 2147483648L) + 12345L)
+            % 2147483648L).as("hk"))
+      val totals = docs.groupBy("lang", "w").agg(sum(col("n_tok")).as("t_avail"))
+      val k = totals.agg(min(expr("t_avail div w")).as("k"))
+      docs.withColumn("cum", sum(col("n_tok")).over(w))
+        .crossJoin(broadcast(k))
+        .withColumn("quota", col("w") * col("k"))
+        .where(col("cum") <= col("quota"))
+        .groupBy("lang", "quota")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_kept"))
+        .orderBy("lang")
+    }),
+
     // qx1 benchmark decontamination: find training docs sharing any
     // 3-token shingle with the held-out eval set (deterministic
     // doc_id % 97 == 0 stand-in for a benchmark suite). The scale shape
@@ -651,6 +681,25 @@ object TextExt {
         |SELECT r.lang, c.n_avail, COUNT(*) AS n_kept
         |FROM r JOIN caps c USING (lang), k
         |WHERE r.rk <= r.w * k.k
+        |GROUP BY 1, 2 ORDER BY lang""".stripMargin,
+
+    "qx4_tokenmix" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'zh' THEN 2
+        |         ELSE 1 END AS BIGINT) AS w,
+        |    (1103515245 * (doc_id % 2147483648) + 12345) % 2147483648 AS hk
+        |  FROM documents),
+        |tot AS (SELECT lang, w, SUM(n_tok) AS t_avail FROM docs GROUP BY 1, 2),
+        |kk AS (SELECT MIN(t_avail // w) AS k FROM tot),
+        |cm AS (SELECT lang, w, n_tok,
+        |         SUM(n_tok) OVER (PARTITION BY lang ORDER BY hk, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM docs)
+        |SELECT lang, CAST(w * k AS BIGINT) AS quota, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS tok_kept
+        |FROM cm, kk WHERE cum <= w * k
         |GROUP BY 1, 2 ORDER BY lang""".stripMargin,
 
     "qx1_decontam" ->
