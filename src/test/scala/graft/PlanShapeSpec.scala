@@ -207,6 +207,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("qd9/qc4: composed audit pipelines stay cartesian-free") {
+    for (q <- Seq("qd9_bandrecall", "qc4_cleanpack")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+    }
+  }
+
+  test("qx4: token mixture is one scan + bounded windows — no SMJ, no cartesian") {
+    val p = plan("qx4_tokenmix")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"token mixture degraded:\n$p")
+  }
+
   test("asof: one shuffle on the key, no re-aggregation join") {
     val events = Tables(spark, TestSpark.Sf, "events")
       .selectExpr("event_id", "user_id AS o_custkey", "ts")
