@@ -426,9 +426,11 @@ object BitmaskJaccard {
   }
 
   /** MinHash-LSH banded candidate pairs (a < b), shared by both verify
-    * kernels. */
-  private def bandedCandidates(toks: DataFrame, nHashes: Int,
-                               nBands: Int): DataFrame = {
+    * kernels; package-visible for callers that need the CANDIDATE set
+    * itself (qd9's recall audit — exact ∩ banded = exact ∩ candidates,
+    * so the audit never needs the verify joins). */
+  private[graft] def bandedCandidates(toks: DataFrame, nHashes: Int,
+                                      nBands: Int): DataFrame = {
     val P = 1000000007L
     val rows = nHashes / nBands
     require(rows * nBands == nHashes, "nBands must divide nHashes")

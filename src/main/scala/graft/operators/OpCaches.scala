@@ -20,12 +20,18 @@ final class CacheScope private[operators] () {
 
   /** Unpersist every handle tracked under this scope. `blocking = true`
     * waits for block eviction (tests assert on CacheManager state
-    * immediately after). Idempotent. */
-  def release(blocking: Boolean = false): Unit = synchronized {
-    handles.foreach { df =>
-      try df.unpersist(blocking) catch { case _: Throwable => () }
+    * immediately after). Idempotent. Also deregisters this scope from
+    * the global registry, so repeated scoped-pipeline runs do not
+    * accumulate dead scopes (releaseAll remains able to drain scopes
+    * that were never released). */
+  def release(blocking: Boolean = false): Unit = {
+    synchronized {
+      handles.foreach { df =>
+        try df.unpersist(blocking) catch { case _: Throwable => () }
+      }
+      handles.clear()
     }
-    handles.clear()
+    OpCaches.deregister(this)
   }
 }
 
@@ -76,15 +82,27 @@ object OpCaches {
   /** Run `body` (an operator plan build) with a fresh scope active on
     * this thread; returns the result together with the scope owning
     * every handle tracked during the build. Nestable — the inner scope
-    * wins while active; the previous scope is restored on exit. */
+    * wins while active; the previous scope is restored on exit. If
+    * `body` throws, everything tracked so far is released before the
+    * exception propagates — the caller never receives the scope, so it
+    * could not release the orphaned caches itself. */
   def scoped[T](body: => T): (T, CacheScope) = {
     val scope = new CacheScope
     synchronized { scopes += scope }
     val prev = current.get
     current.set(scope)
     try (body, scope)
+    catch { case e: Throwable => scope.release(); throw e }
     finally current.set(prev)
   }
+
+  /** Forget a released scope (called by CacheScope.release). The ROOT
+    * scope is never forgotten: it is the fallback every un-scoped
+    * track() writes to, so dropping it from the registry would orphan
+    * everything tracked after the first releaseAll (whose drain path
+    * also calls release() on root). */
+  private[operators] def deregister(scope: CacheScope): Unit =
+    synchronized { if (scope ne root) scopes -= scope }
 
   /** Unpersist every tracked handle in EVERY scope — sequential-harness
     * cleanup (Verify/Bench/tests), not for concurrent callers. Drained

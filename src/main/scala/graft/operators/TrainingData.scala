@@ -54,6 +54,40 @@ object TrainingData {
   case class CleanStats(input: Long, lowQuality: Long, contaminated: Long,
                         exactDups: Long, nearDups: Long, output: Long)
 
+  private[graft] val stopTokens = Seq("the", "a", "of", "and")
+
+  /** qt2's integer-arithmetic quality predicate over a token-array
+    * column — THE definition of "document quality" every gate shares
+    * (clean stage 1, the s09 ingest gate's batch and streaming forms),
+    * so a threshold or stop-list change happens in exactly one place.
+    * Conditions: length ≥ minTokens, type-token ratio ≥ 0.3, stopword
+    * ratio ≤ 0.3 — all in exact integer arithmetic (no float
+    * threshold compares). */
+  private[graft] def qualityPred(tk: org.apache.spark.sql.Column,
+                                 minTokens: Int = 20): org.apache.spark.sql.Column = {
+    val nTok = size(tk).cast(LongType)
+    val nUniq = size(array_distinct(tk)).cast(LongType)
+    val nStop = size(filter(tk, _.isin(stopTokens: _*))).cast(LongType)
+    nTok >= minTokens &&
+      lit(10) * nUniq >= lit(3) * nTok &&
+      lit(10) * nStop <= lit(3) * nTok
+  }
+
+  /** Row-local DISTINCT n-token shingle rolling hashes, (doc_id, h) —
+    * THE shingle definition shared by decontamination (clean stage 1b)
+    * and the s10 quarantine channel (batch and streaming forms). The
+    * distinct is on the HASHES (fine for the existence semantics all
+    * callers use); qx1's per-doc hit COUNTS keep their own
+    * string-distinct form, whose contract a hash collision could
+    * otherwise shift. */
+  private[graft] def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+    graft.plans.RollHash31.register(docs.sparkSession)
+    docs.select(col("doc_id"), split(col("text"), " ").as("_stk"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(IF(size(_stk) >= $n, transform(sequence(1, size(_stk) - ${n - 1}), k -> roll_hash31(array_join(slice(_stk, k, $n), ' '))), array()))"))
+        .as("h"))
+  }
+
   /** `clusterDedup = true` resolves near-dup PAIRS into connected
     * components (DupGroups) and keeps exactly the min doc_id of each
     * cluster, instead of dropping every pair's higher side. The two
@@ -91,35 +125,21 @@ object TrainingData {
     val observed = docs.observe(obsIn, count(lit(1)).as("n"))
 
     // 1. quality gate (all three qt2 integer-arithmetic conditions:
-    // length, type-token ratio, stopword ratio)
-    val stopList = Seq("the", "a", "of", "and").map("'" + _ + "'").mkString(",")
+    // length, type-token ratio, stopword ratio — the shared predicate)
     val scored = observed
       .withColumn("tk", split(col("text"), " "))
-      .withColumn("n_tok", size(col("tk")).cast(LongType))
-      .withColumn("n_uniq", size(array_distinct(col("tk"))).cast(LongType))
-      .withColumn("n_stop",
-        expr(s"CAST(size(filter(tk, x -> x IN ($stopList))) AS BIGINT)"))
-      .filter(col("n_tok") >= minTokens
-        && lit(10) * col("n_uniq") >= lit(3) * col("n_tok")
-        && lit(10) * col("n_stop") <= lit(3) * col("n_tok"))
+      .filter(qualityPred(col("tk"), minTokens))
       .observe(obsQ, count(lit(1)).as("n"))
 
     // 1b. decontamination (optional): drop survivors sharing any
-    // 3-token shingle hash with the eval corpus — qx1's broadcast
-    // semi-join shape, here as an anti-join
-    def shingleHashes(df: DataFrame) = {
-      graft.plans.RollHash31.register(df.sparkSession)
-      val n = decontShingle
-      df.select(col("doc_id"), split(col("text"), " ").as("_stk"))
-        .select(col("doc_id"), explode(expr(
-          s"array_distinct(IF(size(_stk) >= $n, transform(sequence(1, size(_stk) - ${n - 1}), k -> roll_hash31(array_join(slice(_stk, k, $n), ' '))), array()))"))
-          .as("h"))
-    }
+    // decontShingle-token shingle hash (default 5 — removal practice;
+    // see the parameter scaladoc) with the eval corpus — qx1's
+    // broadcast semi-join shape, here as an anti-join
     val obsD = Observation()
     val decont = (evalDocs match {
       case Some(ev) =>
-        val evH = shingleHashes(ev).select("h").distinct()
-        val hit = shingleHashes(scored)
+        val evH = shingleHashes(ev, decontShingle).select("h").distinct()
+        val hit = shingleHashes(scored, decontShingle)
           .join(broadcast(evH), Seq("h"))
           .select("doc_id").distinct()
         scored.join(hit, Seq("doc_id"), "left_anti")
@@ -163,7 +183,7 @@ object TrainingData {
           .select(col("node").as("doc_id"))
       else pairs.select(col("b").as("doc_id")).distinct()
     val cleaned = exact.join(dropB, Seq("doc_id"), "left_anti")
-      .drop("tk", "n_tok", "n_uniq", "n_stop")
+      .drop("tk")
       .observe(obsOut, count(lit(1)).as("n"))
 
     // bounded wait instead of the unbounded Observation.get: calling

@@ -24,7 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Inputs must be sorted ascending; elements are non-negative ranks,
   * so the -1 sentinel never collides (callers comparing against a real
   * rank get `false` for disjoint arrays, which is the desired drop).
-  * NULL array input → NULL result.
+  * NULL array input → NULL result; NULL ELEMENTS are skipped (the
+  * function is registered globally for ad-hoc SQL, so it must be total
+  * over arbitrary ARRAY<BIGINT> values — getLong on a null slot would
+  * otherwise silently read 0 and report a phantom match).
   */
 case class FirstCommonSorted(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -55,15 +58,20 @@ case class FirstCommonSorted(left: Expression, right: Expression)
 }
 
 object FirstCommonSorted {
-  /** Two-pointer merge over sorted long arrays; first match or -1. */
+  /** Two-pointer merge over sorted long arrays; first match or -1.
+    * Null slots are skipped, never read. */
   def merge(a: ArrayData, b: ArrayData): Long = {
     var i = 0; var j = 0
     val (na, nb) = (a.numElements(), b.numElements())
     while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) return x
-      else if (x < y) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) return x
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     -1L
   }

@@ -618,9 +618,11 @@ object DedupExt {
       val tk = toks(s, d)
       val exact = graft.operators.BitmaskJaccard
         .prefixPairsFused(tk, 8, 10).select("a", "b")
-      val banded = graft.operators.BitmaskJaccard
-        .bandedPairsFused(tk, 8, 10).select("a", "b")
-      val hit = exact.join(banded, Seq("a", "b"), "left_semi")
+      // CANDIDATES suffice (exact ∩ banded = exact ∩ candidates, the
+      // identity above), so the audit pays the signature aggregation
+      // but never a second mask build or the banded verify joins
+      val cand = graft.operators.BitmaskJaccard.bandedCandidates(tk, 16, 4)
+      val hit = exact.join(cand, Seq("a", "b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .select(col("n_exact"), col("n_hit"),

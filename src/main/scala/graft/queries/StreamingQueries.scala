@@ -125,14 +125,7 @@ object StreamingQueries {
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("text"),
           split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), col("lang"), col("text"),
-          size(col("tk")).cast(LongType).as("n_tok"),
-          size(array_distinct(col("tk"))).cast(LongType).as("n_uniq"),
-          expr("CAST(size(filter(tk, x -> x IN ('the','a','of','and'))) AS BIGINT)")
-            .as("n_stop"))
-        .where(col("n_tok") >= 20
-          && lit(10) * col("n_uniq") >= lit(3) * col("n_tok")
-          && lit(10) * col("n_stop") <= lit(3) * col("n_tok"))
+        .filter(graft.operators.TrainingData.qualityPred(col("tk")))
         .select(col("doc_id"), col("lang"), expr("roll_hash31(text)").as("fp"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
@@ -151,12 +144,8 @@ object StreamingQueries {
     // (qc3); this query is the other half — the flagged ids a pipeline
     // quarantines for review.
     "s10_contamstream" -> ((s, d) => {
-      graft.plans.RollHash31.register(s)
-      def sh(df: DataFrame) = df
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(IF(size(tk) >= 5, transform(sequence(1, size(tk) - 4), k -> roll_hash31(array_join(slice(tk, k, 5), ' '))), array()))"))
-          .as("h"))
+      val sh = (df: DataFrame) =>
+        graft.operators.TrainingData.shingleHashes(df, 5)
       val docs = t(s, d, "documents")
       val ev = sh(docs.filter(col("doc_id") % 97 === 0)).select("h").distinct()
       sh(docs.filter(col("doc_id") % 97 =!= 0))
@@ -479,14 +468,7 @@ object Streams {
     val gated = readDocuments(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), col("lang"), col("text"),
-        size(col("tk")).cast(LongType).as("n_tok"),
-        size(array_distinct(col("tk"))).cast(LongType).as("n_uniq"),
-        expr("CAST(size(filter(tk, x -> x IN ('the','a','of','and'))) AS BIGINT)")
-          .as("n_stop"))
-      .where(col("n_tok") >= 20
-        && lit(10) * col("n_uniq") >= lit(3) * col("n_tok")
-        && lit(10) * col("n_stop") <= lit(3) * col("n_tok"))
+      .filter(graft.operators.TrainingData.qualityPred(col("tk")))
       .select(col("doc_id"), col("lang"), expr("roll_hash31(text)").as("fp"),
         timestamp_seconds(col("doc_id") + 86400L).as("ts"))
       .withWatermark("ts", "1 hour")
@@ -503,21 +485,15 @@ object Streams {
     * quarantine row per doc. State = one row per flagged doc inside the
     * horizon; the static side holds no state at all. */
   def s10(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.RollHash31.register(spark)
-    // static eval shingle set — a bounded BATCH relation
-    val ev = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(explode(expr(
-        "array_distinct(IF(size(tk) >= 5, transform(sequence(1, size(tk) - 4), k -> roll_hash31(array_join(slice(tk, k, 5), ' '))), array()))"))
-        .as("h"))
-      .distinct()
-    val flagged = readDocuments(spark, dir)
-      .filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(IF(size(tk) >= 5, transform(sequence(1, size(tk) - 4), k -> roll_hash31(array_join(slice(tk, k, 5), ' '))), array()))"))
-        .as("h"))
+    // static eval shingle set — a bounded BATCH relation; the shared
+    // shingle definition (TrainingData.shingleHashes) works unchanged
+    // on the streaming side: it is pure row-local column ops
+    val ev = graft.operators.TrainingData.shingleHashes(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 97 === 0), 5)
+      .select("h").distinct()
+    val flagged = graft.operators.TrainingData.shingleHashes(
+        readDocuments(spark, dir).filter(col("doc_id") % 97 =!= 0), 5)
       .join(broadcast(ev), Seq("h"), "left_semi")
       .withColumn("ts", timestamp_seconds(col("doc_id") + 86400L))
       .withWatermark("ts", "1 hour")
@@ -587,8 +563,11 @@ object Streams {
           col("k2").as("bk2"), col("k3").as("bk3")),
         Seq("band", "key"))
       .filter(firstMatch)
-      .filter(lit(10) * expr("intersect_sorted_count(hs, b_hs)")
-        >= lit(8) * (col("nt") + col("b_nt") - expr("intersect_sorted_count(hs, b_hs)")))
+      // project the merge count ONCE — two expression instances in the
+      // filter would run the O(doc-length) kernel twice per candidate
+      .withColumn("inter", expr("intersect_sorted_count(hs, b_hs)"))
+      .filter(lit(10) * col("inter")
+        >= lit(8) * (col("nt") + col("b_nt") - col("inter")))
       .select("doc_id", "ts")
     val flagged = exact.union(near)
       .withWatermark("ts", "1 hour")

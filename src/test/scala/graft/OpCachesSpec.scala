@@ -51,4 +51,32 @@ class OpCachesSpec extends AnyFunSuite {
     assert(scope.size === 0)
     scope.release(blocking = true) // must not throw
   }
+
+  test("root survives releaseAll: later un-scoped tracks still drain") {
+    // regression pin: releaseAll's drain path calls release() on every
+    // scope INCLUDING root; release() deregisters its scope, which must
+    // never forget root — handles tracked after the first releaseAll
+    // would otherwise be orphaned forever
+    import spark.implicits._
+    OpCaches.releaseAll(blocking = true)
+    val later = OpCaches.track(Seq(7).toDF("x"))
+    later.count()
+    OpCaches.releaseAll(blocking = true)
+    assert(later.storageLevel === StorageLevel.NONE,
+      "handle tracked after a releaseAll was orphaned (root deregistered)")
+  }
+
+  test("scoped() releases already-tracked handles when the body throws") {
+    import spark.implicits._
+    val probe = Seq(6).toDF("y")
+    val thrown = intercept[RuntimeException] {
+      OpCaches.scoped {
+        OpCaches.track(probe)
+        throw new RuntimeException("mid-build failure")
+      }
+    }
+    assert(thrown.getMessage === "mid-build failure")
+    assert(probe.storageLevel === StorageLevel.NONE,
+      "caches tracked before the failure were orphaned — the caller never got the scope")
+  }
 }

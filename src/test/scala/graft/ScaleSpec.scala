@@ -52,10 +52,16 @@ class ScaleSpec extends AnyFunSuite {
       .filter("lang = 'en'").count()
     assert(n === expected)
     val plan = scan.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") && plan.contains("lang"),
-      s"no partition pruning in:\n$plan")
-    // the partition column must NOT appear as a data (pushed) filter —
-    // pruning happened at the directory level
+    // the lang predicate must sit INSIDE the PartitionFilters list
+    // (directory-level pruning) and NOT in the pushed data filters —
+    // a bare substring check on the whole plan would pass vacuously
+    // (the schema string always contains 'lang')
+    def bracketed(tag: String): String =
+      s"$tag: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(bracketed("PartitionFilters").contains("lang"),
+      s"lang not in PartitionFilters:\n$plan")
+    assert(!bracketed("PushedFilters").toLowerCase.contains("lang"),
+      s"partition column leaked into pushed data filters:\n$plan")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
