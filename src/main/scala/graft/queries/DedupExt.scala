@@ -167,7 +167,7 @@ object DedupExt {
     * (a, b, cosd) with cosd ≥ 0.4. */
   private def embDupPairs(s: SparkSession, d: String): DataFrame = {
     graft.plans.DotLong.register(s)
-    val pv = perVec(exQ(s, d)).cache()
+    val pv = graft.operators.OpCaches.track(perVec(exQ(s, d)))
     // norms ride along the band rows → the cosine check needs only the
     // two embedding-array joins after the candidate self-join
     val bands = vecBands(pv)
@@ -245,7 +245,7 @@ object DedupExt {
         .agg(expr("simhash_bands64(h)").as("bk"))
         .select(col("doc_id") +: (0 until 4).map(k =>
           col("bk").getItem(k).as(s"b$k")): _*)
-        .cache()
+        .transform(graft.operators.OpCaches.track)
       // all four band keys ride along the band rows, so the hamming
       // check (sum of per-band xor popcounts == full 64-bit hamming
       // distance) runs directly on the candidate join output — no
@@ -328,7 +328,7 @@ object DedupExt {
       graft.plans.DotLong.register(s)
       // single small cache (one row per vector); the exploded quantized
       // table is never cached — the re-rank runs on int64 array kernels
-      val pv = perVec(exQ(s, d)).cache()
+      val pv = graft.operators.OpCaches.track(perVec(exQ(s, d)))
       val bands = vecBands(pv)
       // the probe's 4 (band, key) rows — tiny, broadcast; its norm rides
       // along so the re-rank needs no extra probe join
@@ -361,7 +361,7 @@ object DedupExt {
     // batch, not per probe.
     "qs3_annbatch" -> ((s, d) => {
       graft.plans.DotLong.register(s)
-      val pv = perVec(exQ(s, d)).cache()
+      val pv = graft.operators.OpCaches.track(perVec(exQ(s, d)))
       val bands = vecBands(pv)
       val probes = bands.filter(col("vec_id") % 100 === 7)
         .select(col("vec_id").as("q"), col("k"), col("key"),
@@ -774,7 +774,7 @@ object DedupExt {
         .withColumn("dot", expr(dotL("ei", "ce")))
         .select(col("vec_id"), col("cid"),
           (col("dot").cast(DoubleType) / sqrt(col("n2c").cast(DoubleType))).as("sc"))
-        .cache()
+        .transform(graft.operators.OpCaches.track)
       val wA = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
         .orderBy(col("sc").desc, col("cid"))
       val assign = scored.withColumn("rn", row_number().over(wA))
