@@ -130,7 +130,22 @@ object GeoQueries {
       fanned.orderBy(col("kind"),
         coalesce(col("rel_type"), lit("")), coalesce(col("house_number_id"), lit("")),
         coalesce(col("rel_from"), lit("")), coalesce(col("id"), lit("")))
-    })
+    }),
+
+    // G04 grid-cell DENSITY — the heatmap aggregate over the same
+    // ~0.0005° grid the nearest join partitions on (SpacetimeEtl.Cs):
+    // top-100 cells by house-point count. The analytics companion to
+    // the parity queries: one scan, partial-aggregated cell counts,
+    // TakeOrdered top-k. Cell keys are floor(coord / Cs) — one IEEE
+    // division + floor on the identical parquet doubles in both
+    // engines, bit-identical.
+    "g04_density" -> ((s, d) =>
+      housePoints(s, geoDir(d))
+        .select(floor(col("px") / SpacetimeEtl.Cs).cast(LongType).as("cx"),
+          floor(col("py") / SpacetimeEtl.Cs).cast(LongType).as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("cx"), col("cy"))
+        .limit(100))
   )
 
   /** Shared DuckDB CTE: candidates → crosstrack (same branch structure as
@@ -209,6 +224,12 @@ object GeoQueries {
          |       'nyc-streets/' || b.sid AS street_id, b.distance_m
          |FROM hp LEFT JOIN best b USING (hn_id)
          |ORDER BY house_number_id""".stripMargin,
+
+    "g04_density" ->
+      s"""SELECT CAST(floor(px / 0.0005) AS BIGINT) AS cx,
+         |       CAST(floor(py / 0.0005) AS BIGINT) AS cy, COUNT(*) AS n
+         |FROM read_parquet('$dir/house_points.parquet')
+         |GROUP BY 1, 2 ORDER BY n DESC, cx, cy LIMIT 100""".stripMargin,
 
     "g03_transform" ->
       s"""${bestCte(dir)},

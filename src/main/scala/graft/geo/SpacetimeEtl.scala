@@ -31,7 +31,7 @@ object SpacetimeEtl {
   val SlackMs: Long = FuzzyDates.ThresholdMs  // addresses.js:12,47 (N3)
 
   private val MPerDegLat = 111194.927
-  private val Cs = 0.0005 // grid cell size, degrees (~55 m lat, ~42 m lon)
+  private[geo] val Cs = 0.0005 // grid cell size, degrees (~55 m lat, ~42 m lon)
 
   val streetSchema: StructType = StructType(Seq(
     StructField("id", StringType), StructField("type", StringType),
