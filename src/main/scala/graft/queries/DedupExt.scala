@@ -574,10 +574,11 @@ object DedupExt {
     // Scale shape: the window explosion is LINEAR (one row per token,
     // rolling-hash per window is O(window) row-local work), the
     // (doc, h) groupBy partial-aggregates map-side, the per-hash doc
-    // count is a window over h — an unbounded-cardinality key (every
-    // distinct 8-gram), so bucket population per key stays O(true span
-    // frequency) as the corpus grows — and the per-doc rollup is a
-    // narrow groupBy. No joins anywhere in the plan.
+    // count is an aggregate + equi-join on h — an unbounded-cardinality
+    // key (every distinct 8-gram), so bucket population per key stays
+    // O(true span frequency) as the corpus grows, and a universal
+    // boilerplate span is AQE-skew-splittable where a window partition
+    // would not be — and the per-doc rollup is a narrow groupBy.
     "qd8_substring" -> ((s, d) => {
       graft.plans.RollHash31.register(s)
       val win = t(s, d, "documents")
@@ -589,9 +590,13 @@ object DedupExt {
           explode(expr("sequence(1L, CAST(size(tk) - 7 AS BIGINT))")).as("k"))
         .select(col("doc_id"),
           expr("roll_hash31(array_join(slice(tk, CAST(k AS INT), 8), ' '))").as("h"))
-      val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
-      win.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
-        .withColumn("nd", count(lit(1)).over(wh))
+      val per = win.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      // per-hash doc count via aggregate + equi-join rather than a
+      // window over h: identical result, but the join is AQE-skew-
+      // splittable where a window partition is not — the shape that
+      // survives a universal boilerplate 8-gram at corpus scale
+      val nd = per.groupBy("h").agg(count(lit(1)).as("nd"))
+      per.join(nd, Seq("h"))
         .groupBy("doc_id")
         .agg(sum(col("c")).as("n_win"),
           sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup"))

@@ -201,10 +201,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
-  test("qd8: substring-span dedup is join-free (window + aggs only)") {
+  test("qd8: per-hash doc count is an equi-join, never a window sort or nested-loop") {
+    // the aggregate + equi-join form is AQE-skew-splittable where a
+    // window over h is not (a universal boilerplate 8-gram would pin
+    // one partition); guard both the no-window and no-nested-loop sides
     val p = plan("qd8_substring")
-    assert(!p.contains("Join"), s"join crept into qd8's no-join plan:\n$p")
-    assert(p.contains("Window"), p)
+    assert(!p.contains("Window"), s"qd8 regressed to a window over h:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop in qd8:\n$p")
   }
 
   test("qd9/qc4: composed audit pipelines stay cartesian-free") {
