@@ -136,7 +136,7 @@ object TrainingData {
     // see the parameter scaladoc) with the eval corpus — qx1's
     // broadcast semi-join shape, here as an anti-join
     val obsD = Observation()
-    val decont = (evalDocs match {
+    val decontRaw = evalDocs match {
       case Some(ev) =>
         val evH = shingleHashes(ev, decontShingle).select("h").distinct()
         val hit = shingleHashes(scored, decontShingle)
@@ -144,12 +144,22 @@ object TrainingData {
           .select("doc_id").distinct()
         scored.join(hit, Seq("doc_id"), "left_anti")
       case None => scored
-    }).observe(obsD, count(lit(1)).as("n"))
+    }
+    // observed on the PROBE side only: decont feeds both the keep-id
+    // aggregation and the semi-join probe below, and the stage metric
+    // must count its rows exactly once
+    val decont = decontRaw.observe(obsD, count(lit(1)).as("n"))
 
-    // 2. exact dedup on the full text (Q27 semantics, keep lowest doc_id)
-    val wT = Window.partitionBy("text").orderBy("doc_id")
-    val exact = decont.withColumn("_rn", row_number().over(wT))
-      .filter(col("_rn") === 1).drop("_rn")
+    // 2. exact dedup on the full text (Q27 semantics, keep lowest
+    // doc_id) — as MIN-aggregate + narrow semi-join, not a window over
+    // text: min(doc_id) PARTIAL-AGGREGATES, so a key duplicated a
+    // million times (exactly what exact dedup exists for) collapses
+    // map-side before the shuffle, and the join-back key is the UNIQUE
+    // doc_id (skew-free), where a window partition over the hot text
+    // cannot be split
+    val keepIds = decontRaw.groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exact = decont.join(keepIds, Seq("doc_id"), "left_semi")
       .observe(obsE, count(lit(1)).as("n"))
 
     // 3. near-dedup: drop the higher doc_id of each qualifying pair

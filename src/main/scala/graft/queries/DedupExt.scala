@@ -434,9 +434,15 @@ object DedupExt {
           clusterDedup = true)
       val cl = graft.operators.OpCaches.track(cleaned)
       val chunks = graft.queries.TextExt.chunkRel(cl)
-      val wF = w.partitionBy("fp").orderBy("doc_id", "k")
-      val dd = chunks.withColumn("rn", row_number().over(wF))
-        .where(col("rn") === 1).drop("rn")
+      // keep-least chunk per fingerprint via the order-preserving
+      // int64 encoding (s08's rationale: partial-aggregatable and
+      // skew-free, no window over fp); n_tok rides back in via the
+      // unique (doc_id, k) equi-join
+      val keep = chunks.groupBy("fp")
+        .agg(min(col("doc_id") * lit(2147483648L) + col("k")).as("mk"))
+        .select(expr("mk div 2147483648").as("doc_id"),
+          expr("mk % 2147483648").as("k"))
+      val dd = chunks.join(keep, Seq("doc_id", "k"), "left_semi")
         .join(cl.select("doc_id", "source"), Seq("doc_id"))
       val wP = w.partitionBy("source").orderBy("doc_id", "k")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

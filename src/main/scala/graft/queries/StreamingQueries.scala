@@ -101,14 +101,20 @@ object StreamingQueries {
     // dropDuplicatesWithinWatermark on fp), asserted equivalent in the
     // test suite. The window partitions on the fingerprint itself —
     // corpus-cardinality key, full parallelism, no skew magnet.
-    "s08_chunkdedup" -> ((s, d) => {
-      val w = Window.partitionBy("fp").orderBy("doc_id", "k")
+    "s08_chunkdedup" -> ((s, d) =>
+      // keep-least (doc_id, k) per fingerprint as a MIN over the
+      // order-preserving int64 encoding doc_id·2³¹ + k (valid for
+      // doc_id, k < 2³¹ — a 2-billion-chunk doc is not a document):
+      // partial-aggregatable and skew-free where a window over fp
+      // pins a hot (boilerplate) chunk to one partition, and the
+      // output (doc_id, k, fp) is fully determined by (fp, min) — no
+      // join-back at all
       TextExt.chunkRel(t(s, d, "documents"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("doc_id"), col("k"), col("fp"))
-        .orderBy("doc_id", "k")
-    }),
+        .groupBy("fp")
+        .agg(min(col("doc_id") * lit(2147483648L) + col("k")).as("mk"))
+        .select(expr("mk div 2147483648").as("doc_id"),
+          expr("mk % 2147483648").as("k"), col("fp"))
+        .orderBy("doc_id", "k")),
 
     // S09 the ingest-time CLEANING gate: quality filter (qt2's integer
     // thresholds — all row-local array stats) + exact content dedup on
@@ -121,14 +127,17 @@ object StreamingQueries {
     // corpus-cardinality key, no skew magnet.
     "s09_streamclean" -> ((s, d) => {
       graft.plans.RollHash31.register(s)
-      val w = Window.partitionBy("fp").orderBy("doc_id")
-      t(s, d, "documents")
+      val gated = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("text"),
           split(col("text"), " ").as("tk"))
         .filter(graft.operators.TrainingData.qualityPred(col("tk")))
         .select(col("doc_id"), col("lang"), expr("roll_hash31(text)").as("fp"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
+      // keep-least as MIN-aggregate + semi-join on the unique doc_id
+      // (map-side-combinable, skew-free) — TrainingData.clean's exact-
+      // dedup rationale; the window-over-fp form cannot split a hot key
+      val keep = gated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      gated.join(keep, Seq("doc_id"), "left_semi")
         .select("doc_id", "lang", "fp")
         .orderBy("doc_id")
     }),
