@@ -69,7 +69,11 @@ object BitmaskJaccard {
         && lit(num) * col("na") <= lit(den) * col("nb")
         && lit(num) * col("nb") <= lit(den) * col("na"))
       .withColumn("inter", expr(interExpr))
-      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      // den·i ≥ num·(na+nb−i) ⟺ (den+num)·i ≥ num·(na+nb): the single-
+      // occurrence form — predicate pushdown substitutes projected
+      // aliases back into filters, so a two-occurrence predicate would
+      // run the intersection kernel twice per candidate row
+      .filter(lit(den + num) * col("inter") >= lit(num) * (col("na") + col("nb")))
       .select("a", "b", "inter", "na", "nb")
 
   /** EXACT sub-quadratic near-dup pairs via prefix filtering (the
@@ -155,7 +159,11 @@ object BitmaskJaccard {
       .filter(lit(num) * col("na") <= lit(den) * col("nb")
         && lit(num) * col("nb") <= lit(den) * col("na"))
       .withColumn("inter", expr(interExpr))
-      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      // den·i ≥ num·(na+nb−i) ⟺ (den+num)·i ≥ num·(na+nb): the single-
+      // occurrence form — predicate pushdown substitutes projected
+      // aliases back into filters, so a two-occurrence predicate would
+      // run the intersection kernel twice per candidate row
+      .filter(lit(den + num) * col("inter") >= lit(num) * (col("na") + col("nb")))
       .select("a", "b", "inter", "na", "nb")
   }
 
@@ -245,7 +253,11 @@ object BitmaskJaccard {
       .join(per.select(col("doc_id").as("a"), col("nt").as("na"), col("m").as("ma")), Seq("a"))
       .join(per.select(col("doc_id").as("b"), col("nt").as("nb"), col("m").as("mb")), Seq("b"))
       .withColumn("inter", expr(interExpr))
-      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      // den·i ≥ num·(na+nb−i) ⟺ (den+num)·i ≥ num·(na+nb): the single-
+      // occurrence form — predicate pushdown substitutes projected
+      // aliases back into filters, so a two-occurrence predicate would
+      // run the intersection kernel twice per candidate row
+      .filter(lit(den + num) * col("inter") >= lit(num) * (col("na") + col("nb")))
       .select("a", "b", "inter", "na", "nb")
   }
 
@@ -274,7 +286,11 @@ object BitmaskJaccard {
       .join(side("a", "na", "ma"), Seq("a"))
       .join(side("b", "nb", "mb"), Seq("b"))
       .withColumn("inter", expr(interExpr))
-      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      // den·i ≥ num·(na+nb−i) ⟺ (den+num)·i ≥ num·(na+nb): the single-
+      // occurrence form — predicate pushdown substitutes projected
+      // aliases back into filters, so a two-occurrence predicate would
+      // run the intersection kernel twice per candidate row
+      .filter(lit(den + num) * col("inter") >= lit(num) * (col("na") + col("nb")))
       .select("a", "b", "inter", "na", "nb")
   }
 
@@ -329,7 +345,11 @@ object BitmaskJaccard {
       .join(side("a", "na", "ma"), Seq("a"))
       .join(side("b", "nb", "mb"), Seq("b"))
       .withColumn("inter", expr(interExpr))
-      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      // den·i ≥ num·(na+nb−i) ⟺ (den+num)·i ≥ num·(na+nb): the single-
+      // occurrence form — predicate pushdown substitutes projected
+      // aliases back into filters, so a two-occurrence predicate would
+      // run the intersection kernel twice per candidate row
+      .filter(lit(den + num) * col("inter") >= lit(num) * (col("na") + col("nb")))
       .select("a", "b", "inter", "na", "nb")
   }
 
@@ -386,7 +406,11 @@ object BitmaskJaccard {
       .join(per.select(col("doc_id").as("b"), col("nt").as("nb"),
         col("hs").as("hb")), Seq("b"))
       .withColumn("inter", expr("intersect_sorted_count(ha, hb)"))
-      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      // den·i ≥ num·(na+nb−i) ⟺ (den+num)·i ≥ num·(na+nb): the single-
+      // occurrence form — predicate pushdown substitutes projected
+      // aliases back into filters, so a two-occurrence predicate would
+      // run the intersection kernel twice per candidate row
+      .filter(lit(den + num) * col("inter") >= lit(num) * (col("na") + col("nb")))
       .select("a", "b", "inter", "na", "nb")
   }
 

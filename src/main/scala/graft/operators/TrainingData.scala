@@ -145,21 +145,22 @@ object TrainingData {
         scored.join(hit, Seq("doc_id"), "left_anti")
       case None => scored
     }
-    // observed on the PROBE side only: decont feeds both the keep-id
-    // aggregation and the semi-join probe below, and the stage metric
-    // must count its rows exactly once
     val decont = decontRaw.observe(obsD, count(lit(1)).as("n"))
 
     // 2. exact dedup on the full text (Q27 semantics, keep lowest
-    // doc_id) — as MIN-aggregate + narrow semi-join, not a window over
-    // text: min(doc_id) PARTIAL-AGGREGATES, so a key duplicated a
-    // million times (exactly what exact dedup exists for) collapses
-    // map-side before the shuffle, and the join-back key is the UNIQUE
-    // doc_id (skew-free), where a window partition over the hot text
-    // cannot be split
-    val keepIds = decontRaw.groupBy("text")
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val exact = decont.join(keepIds, Seq("doc_id"), "left_semi")
+    // doc_id) — as ONE min(struct) aggregate, not a window over text:
+    // the min PARTIAL-AGGREGATES, so a key duplicated a million times
+    // (exactly what exact dedup exists for) collapses map-side before
+    // the shuffle, and a hot text never pins an un-splittable window
+    // partition. doc_id leads the struct and is globally unique, so
+    // the comparison never reaches the payload fields — the kept row
+    // is exactly the min-doc_id row. One pass over the gated corpus
+    // (a semi-join-back form would run the gate + decontamination
+    // twice per action).
+    val payload = decont.columns.filterNot(c => c == "doc_id" || c == "text")
+    val exact = decont.groupBy("text")
+      .agg(min(struct(col("doc_id") +: payload.map(col): _*)).as("_m"))
+      .select(col("_m.*"), col("text"))
       .observe(obsE, count(lit(1)).as("n"))
 
     // 3. near-dedup: drop the higher doc_id of each qualifying pair

@@ -434,15 +434,15 @@ object DedupExt {
           clusterDedup = true)
       val cl = graft.operators.OpCaches.track(cleaned)
       val chunks = graft.queries.TextExt.chunkRel(cl)
-      // keep-least chunk per fingerprint via the order-preserving
-      // int64 encoding (s08's rationale: partial-aggregatable and
-      // skew-free, no window over fp); n_tok rides back in via the
-      // unique (doc_id, k) equi-join
-      val keep = chunks.groupBy("fp")
-        .agg(min(col("doc_id") * lit(2147483648L) + col("k")).as("mk"))
-        .select(expr("mk div 2147483648").as("doc_id"),
-          expr("mk % 2147483648").as("k"))
-      val dd = chunks.join(keep, Seq("doc_id", "k"), "left_semi")
+      // keep-least chunk per fingerprint as ONE min(struct) aggregate
+      // (s08's rationale: partial-aggregatable, skew-free, no window
+      // over fp) — n_tok rides in the struct behind the unique
+      // (doc_id, k) prefix, so the single pass needs no join-back to
+      // the chunk relation at all
+      val dd = chunks.groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("k"), col("n_tok"))).as("_m"))
+        .select(col("_m.doc_id").as("doc_id"), col("_m.k").as("k"),
+          col("_m.n_tok").as("n_tok"))
         .join(cl.select("doc_id", "source"), Seq("doc_id"))
       val wP = w.partitionBy("source").orderBy("doc_id", "k")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -556,7 +556,8 @@ object DedupExt {
         .select(col("x.doc_id").as("doc_id"),
           expr("intersect_sorted_count(x.hs, y.hs)").as("inter"),
           col("x.nt").as("na"), col("y.nt").as("nb"))
-        .filter(lit(10) * col("inter") >= lit(8) * (col("na") + col("nb") - col("inter")))
+        // 10·i ≥ 8·(na+nb−i) ⟺ 18·i ≥ 8·(na+nb) — single kernel occurrence
+        .filter(lit(18) * col("inter") >= lit(8) * (col("na") + col("nb")))
         .select("doc_id").distinct()
       incFp.select("doc_id")
         .join(exact.withColumn("e", lit(1)), Seq("doc_id"), "left")

@@ -127,18 +127,20 @@ object StreamingQueries {
     // corpus-cardinality key, no skew magnet.
     "s09_streamclean" -> ((s, d) => {
       graft.plans.RollHash31.register(s)
-      val gated = t(s, d, "documents")
+      t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("text"),
           split(col("text"), " ").as("tk"))
         .filter(graft.operators.TrainingData.qualityPred(col("tk")))
         .select(col("doc_id"), col("lang"), expr("roll_hash31(text)").as("fp"))
-      // keep-least as MIN-aggregate + semi-join on the unique doc_id
-      // (map-side-combinable, skew-free) — TrainingData.clean's exact-
-      // dedup rationale; the window-over-fp form cannot split a hot key
-      val keep = gated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      gated.join(keep, Seq("doc_id"), "left_semi")
-        .select("doc_id", "lang", "fp")
+        // keep-least as ONE min(struct) aggregate per fingerprint:
+        // map-side-combinable (duplicates collapse before the shuffle)
+        // and skew-free where a window over fp pins a hot key; doc_id
+        // leads the struct and is unique, so lang never tie-breaks.
+        // One pass — a semi-join-back form would re-run the scan+gate.
+        .groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("lang"))).as("_m"))
+        .select(col("_m.doc_id").as("doc_id"), col("_m.lang").as("lang"),
+          col("fp"))
         .orderBy("doc_id")
     }),
 
@@ -572,11 +574,12 @@ object Streams {
           col("k2").as("bk2"), col("k3").as("bk3")),
         Seq("band", "key"))
       .filter(firstMatch)
-      // project the merge count ONCE — two expression instances in the
-      // filter would run the O(doc-length) kernel twice per candidate
-      .withColumn("inter", expr("intersect_sorted_count(hs, b_hs)"))
-      .filter(lit(10) * col("inter")
-        >= lit(8) * (col("nt") + col("b_nt") - col("inter")))
+      // 10·i ≥ 8·(nt+b_nt−i) ⟺ 18·i ≥ 8·(nt+b_nt): the kernel appears
+      // ONCE in the predicate — merely projecting it first is undone by
+      // predicate pushdown, which substitutes the alias back into the
+      // filter and re-duplicates the O(doc-length) merge
+      .filter(lit(18) * expr("intersect_sorted_count(hs, b_hs)")
+        >= lit(8) * (col("nt") + col("b_nt")))
       .select("doc_id", "ts")
     val flagged = exact.union(near)
       .withWatermark("ts", "1 hour")

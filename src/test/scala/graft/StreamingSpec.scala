@@ -66,17 +66,15 @@ class StreamingSpec extends AnyFunSuite {
     // quality gating is row-local (stateless on the stream). The
     // guaranteed streaming contract is the surviving FINGERPRINT set:
     // batch keeps the least doc_id per fp while the stream keeps the
-    // first-ARRIVED row, so the representative doc is only equal under
-    // single-file, in-order replay — compare the (fp, lang) survivor
-    // set (representative-independent), not full rows, so the test
-    // cannot fail spuriously if the fixture ever splits into multiple
-    // files / micro-batches.
+    // first-ARRIVED row, so every REPRESENTATIVE attribute (doc_id AND
+    // its lang) is only equal under single-file, in-order replay —
+    // compare the bare fp set plus the survivor count, which cannot
+    // fail spuriously if the fixture ever splits into multiple files /
+    // micro-batches.
     val batch = StreamingQueries.queries("s09_streamclean")(spark, TestSpark.Sf)
     val stream = Streams.s09(spark, TestSpark.Sf)
-    val b = batch.select("fp", "lang").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
-    val s = stream.select("fp", "lang").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = batch.select("fp").collect().map(_.getLong(0)).toSet
+    val s = stream.select("fp").collect().map(_.getLong(0)).toSet
     assert(s === b)
     assert(b.nonEmpty)
     assert(stream.count() === batch.count()) // one survivor per fp
