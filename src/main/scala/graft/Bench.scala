@@ -59,6 +59,16 @@ object Bench {
     // first pay shared-cache materialization): run in sorted name order
     // and drop every cached relation between queries, so each timing is
     // the query's own cold cost, reproducible run-to-run.
+    // host-load snapshot: three rounds running, the driver's bench
+    // artifact has shown 1.3–2.3× inflation vs idle-host reruns of
+    // identical code — the loadavg in the artifact lets a reader
+    // distinguish external contention from a code regression
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // clearCache evicts the blocks; releaseAll also drops the tracked
       // handles so the OpCaches registry doesn't grow across the suite
@@ -67,21 +77,37 @@ object Bench {
       val t0 = System.nanoTime()
       // materialize the query's OWN physical plan (toRdd keeps the final
       // ORDER BY that df.count() would let EliminateSorts strip, so
-      // timings reflect the plan Verify actually executes)
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // timings reflect the plan Verify actually executes). A throwing
+      // query is recorded as err — swallowing it silently would let a
+      // crash report as a fast pass and make the bench total
+      // incomparable.
+      val err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
+      catch { case e: Throwable =>
+        Some((e.getClass.getSimpleName + ": "
+          + Option(e.getMessage).getOrElse("")).take(160))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadEnd = loadavg()
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
+    val nErr = results.count(_._3.isDefined)
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errs,"n_err":$nErr,"load_start":"$loadStart","load_end":"$loadEnd","sf":"$sfDir"}"""
     // target/bench.json holds the full artifact (per-query dict included);
     // stdout prints the full line FIRST and then a SHORT summary line LAST
     // — the 73-query dict outgrew the driver's stdout tail buffer in
     // BENCH_r03 and truncated mid-line, so the parseable summary must be
     // the final (and small) thing on stdout.
-    val short = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    val short = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"load":"$loadStart","sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -90,5 +116,11 @@ object Bench {
     spark.stop()
     println(line)
     println(short)
+    // fail LOUD: a bench total is only comparable when all queries ran —
+    // exit non-zero after the artifact is written and printed
+    if (nErr > 0) {
+      System.err.println(s"[bench] $nErr quer${if (nErr == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }

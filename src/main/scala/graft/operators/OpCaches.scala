@@ -11,26 +11,41 @@ import org.apache.spark.sql.DataFrame
   * session) cannot evict each other's load-bearing caches. */
 final class CacheScope private[operators] () {
   private val handles = ArrayBuffer.empty[DataFrame]
+  private var released = false
 
-  private[operators] def add(df: DataFrame): Unit =
-    synchronized { handles += df }
+  private[operators] def add(df: DataFrame): Unit = {
+    val late = synchronized {
+      if (released) true else { handles += df; false }
+    }
+    // a track() racing release(): the scope is already drained and
+    // deregistered, so a handle registered now could never be drained
+    // by releaseAll — unpersist it immediately instead of leaking it
+    if (late) { try df.unpersist() catch { case _: Throwable => () } }
+  }
 
   /** Number of still-tracked handles (test visibility). */
   def size: Int = synchronized { handles.size }
 
-  /** Unpersist every handle tracked under this scope. `blocking = true`
-    * waits for block eviction (tests assert on CacheManager state
-    * immediately after). Idempotent. Also deregisters this scope from
-    * the global registry, so repeated scoped-pipeline runs do not
-    * accumulate dead scopes (releaseAll remains able to drain scopes
-    * that were never released). */
-  def release(blocking: Boolean = false): Unit = {
-    synchronized {
-      handles.foreach { df =>
-        try df.unpersist(blocking) catch { case _: Throwable => () }
-      }
-      handles.clear()
+  /** Drain every tracked handle without closing the scope (the root
+    * scope stays open across releaseAll calls). */
+  private[operators] def drain(blocking: Boolean): Unit = synchronized {
+    handles.foreach { df =>
+      try df.unpersist(blocking) catch { case _: Throwable => () }
     }
+    handles.clear()
+  }
+
+  /** Unpersist every handle tracked under this scope and CLOSE it: a
+    * subsequent `track()` into this scope unpersists its handle
+    * immediately (nothing can leak into a deregistered scope).
+    * `blocking = true` waits for block eviction (tests assert on
+    * CacheManager state immediately after). Idempotent. Also
+    * deregisters this scope from the global registry, so repeated
+    * scoped-pipeline runs do not accumulate dead scopes (releaseAll
+    * remains able to drain scopes that were never released). */
+  def release(blocking: Boolean = false): Unit = {
+    synchronized { released = true; () }
+    drain(blocking)
     OpCaches.deregister(this)
   }
 }
@@ -114,6 +129,10 @@ object OpCaches {
       scopes += root
       all
     }
-    snapshot.foreach(_.release(blocking))
+    // the root scope is DRAINED, never closed: it stays registered as
+    // the fallback target of every un-scoped track()
+    snapshot.foreach { s =>
+      if (s eq root) s.drain(blocking) else s.release(blocking)
+    }
   }
 }

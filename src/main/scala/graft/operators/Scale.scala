@@ -72,12 +72,19 @@ object Scale {
     * ever prune on its leading column. 21 bits per coordinate (42-bit
     * key) covers the geo grid's cell ids with room to spare. Pure
     * built-ins (HOF fold over the bit positions), codegen-friendly,
-    * identical semantics anywhere Spark runs. */
+    * identical semantics anywhere Spark runs.
+    *
+    * DOMAIN: 0 ≤ v < 2²¹ per coordinate. Inputs are masked to their
+    * low 21 bits, so an out-of-range (or negative) coordinate still
+    * yields an in-domain key — clustering quality degrades for such
+    * values (distant coordinates can alias), but the key never
+    * propagates sign bits or exceeds 42 bits. Callers with wider
+    * coordinates should pre-scale into the domain. */
   def zorder2(x: String, y: String): org.apache.spark.sql.Column =
     expr(
       s"""aggregate(sequence(0, 20), 0L, (acc, i) ->
-         |  acc | shiftleft(($x >> i) & 1L, 2 * i)
-         |      | shiftleft(($y >> i) & 1L, 2 * i + 1))""".stripMargin)
+         |  acc | shiftleft((($x & 2097151) >> i) & 1L, 2 * i)
+         |      | shiftleft((($y & 2097151) >> i) & 1L, 2 * i + 1))""".stripMargin)
 
   /** Write `df` z-order-clustered on two integer columns: range-
     * partition by the Morton key (balanced output files), sort within

@@ -628,8 +628,12 @@ object DedupExt {
     // the candidate semi-join, skipping a second verify replay.
     "qd9_bandrecall" -> ((s, d) => {
       val tk = toks(s, d)
-      val exact = graft.operators.BitmaskJaccard
-        .prefixPairsFused(tk, 8, 10).select("a", "b")
+      // cached: the exact pair set feeds BOTH the n_exact count and the
+      // semi-join hit branch — without the cache the whole prefix-join
+      // candidate pipeline executes twice per action
+      val exact = graft.operators.OpCaches.track(
+        graft.operators.BitmaskJaccard
+          .prefixPairsFused(tk, 8, 10).select("a", "b"))
       // CANDIDATES suffice (exact ∩ banded = exact ∩ candidates, the
       // identity above), so the audit pays the signature aggregation
       // but never a second mask build or the banded verify joins

@@ -102,18 +102,18 @@ object StreamingQueries {
     // test suite. The window partitions on the fingerprint itself —
     // corpus-cardinality key, full parallelism, no skew magnet.
     "s08_chunkdedup" -> ((s, d) =>
-      // keep-least (doc_id, k) per fingerprint as a MIN over the
-      // order-preserving int64 encoding doc_id·2³¹ + k (valid for
-      // doc_id, k < 2³¹ — a 2-billion-chunk doc is not a document):
-      // partial-aggregatable and skew-free where a window over fp
-      // pins a hot (boilerplate) chunk to one partition, and the
-      // output (doc_id, k, fp) is fully determined by (fp, min) — no
-      // join-back at all
+      // keep-least (doc_id, k) per fingerprint as ONE min(struct)
+      // aggregate: partial-aggregatable and skew-free where a window
+      // over fp pins a hot (boilerplate) chunk to one partition, and
+      // the output (doc_id, k, fp) is fully determined by (fp, min) —
+      // no join-back at all. Struct-min (s09/qc4's form) has no range
+      // constraint, unlike the previous doc_id·2³¹+k int64 encoding,
+      // which silently returned the wrong representative past 2³¹.
       TextExt.chunkRel(t(s, d, "documents"))
         .groupBy("fp")
-        .agg(min(col("doc_id") * lit(2147483648L) + col("k")).as("mk"))
-        .select(expr("mk div 2147483648").as("doc_id"),
-          expr("mk % 2147483648").as("k"), col("fp"))
+        .agg(min(struct(col("doc_id"), col("k"))).as("_m"))
+        .select(col("_m.doc_id").as("doc_id"), col("_m.k").as("k"),
+          col("fp"))
         .orderBy("doc_id", "k")),
 
     // S09 the ingest-time CLEANING gate: quality filter (qt2's integer
