@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED dedup/ANN corpus index — the index lifecycle qd7/qs3
+  * claim, made real (round-6 verdict item #1).
+  *
+  * At 100 TB, recomputing MinHash signatures over the whole corpus per
+  * ingest IS the dominant cost: the signatures are a pure function of
+  * the corpus, so a production pipeline computes them ONCE, writes them
+  * as bucketed parquet keyed by the band join keys, and every
+  * subsequent ingest batch equi-joins its (small) incoming signature
+  * relation against the stored table — the index never shuffles again
+  * (its scan's bucketing satisfies the join's required distribution),
+  * and a fresh session re-attaches to the same files with one DDL
+  * statement, no metastore required.
+  *
+  * Two tables per index:
+  *  - `bands`: one row per (doc, band) carrying the sorted token-
+  *    fingerprint array (the dictionary-free verify payload), set size,
+  *    all four band keys (first-matching-band emission needs no extra
+  *    joins), and the exploded (band, key) — bucketed+sorted by
+  *    (band, key), the probe join's exact equi keys.
+  *  - `fp`: the distinct full-text fingerprint set — bucketed by fp for
+  *    the exact-dup semi-join.
+  *
+  * Table names are derived from the on-disk location, so indexes for
+  * different corpora coexist in one session's catalog.
+  */
+object DedupIndex {
+  /** Bucket count: sized so one bucket ≈ one task's working set at the
+    * target scale (the knob a deployment tunes; 8 covers the test SFs). */
+  val Buckets = 8
+
+  /** The two relations of a loaded index. */
+  final case class Handles(bands: DataFrame, fp: DataFrame)
+
+  private def suffix(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  def bandsTable(dir: String): String = s"graft_idx_bands_${suffix(dir)}"
+  def fpTable(dir: String): String = s"graft_idx_fp_${suffix(dir)}"
+
+  /** Compute the corpus's band-signature + fingerprint relations and
+    * persist both as bucketed external parquet tables under `dir`.
+    * One signature pass over the corpus — the cost an ingest pipeline
+    * pays once, not per batch. */
+  def write(corpus: DataFrame, dir: String,
+            buckets: Int = Buckets): Handles = {
+    val spark = corpus.sparkSession
+    graft.plans.RollHash31.register(spark)
+    val bands = graft.queries.DedupExt.bandSignatures(corpus)
+    val fps = corpus.select(expr("roll_hash31(text)").as("fp")).distinct()
+    spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${fpTable(dir)}")
+    bands.write.mode("overwrite")
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .option("path", s"$dir/bands").format("parquet")
+      .saveAsTable(bandsTable(dir))
+    fps.write.mode("overwrite")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .option("path", s"$dir/fp").format("parquet")
+      .saveAsTable(fpTable(dir))
+    Handles(spark.table(bandsTable(dir)), spark.table(fpTable(dir)))
+  }
+
+  /** Attach a previously-written index to THIS session's catalog from
+    * its on-disk location (the cross-session path: Spark's default
+    * in-memory catalog does not survive the writing session, but the
+    * bucketed files + this DDL reconstruct the exact same bucketed
+    * table — bucket ids are recovered from the file names). The schema
+    * is declared, not inferred: a bucketed table's layout is part of
+    * the index CONTRACT. `buckets` must match the written layout. */
+  def load(spark: SparkSession, dir: String,
+           buckets: Int = Buckets): Handles = {
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS ${bandsTable(dir)} (
+         |  doc_id BIGINT, hs ARRAY<BIGINT>, nt BIGINT,
+         |  k0 STRING, k1 STRING, k2 STRING, k3 STRING,
+         |  band INT, key STRING)
+         |USING PARQUET
+         |CLUSTERED BY (band, key) SORTED BY (band, key)
+         |INTO $buckets BUCKETS
+         |LOCATION '$dir/bands'""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS ${fpTable(dir)} (fp BIGINT)
+         |USING PARQUET
+         |CLUSTERED BY (fp) SORTED BY (fp)
+         |INTO $buckets BUCKETS
+         |LOCATION '$dir/fp'""".stripMargin)
+    Handles(spark.table(bandsTable(dir)), spark.table(fpTable(dir)))
+  }
+
+  /** Drop the index's catalog entries (leaves the files on disk —
+    * `load` re-attaches). Test/lifecycle helper. */
+  def detach(spark: SparkSession, dir: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${fpTable(dir)}")
+  }
+}

@@ -101,6 +101,39 @@ object DedupExt {
           .as(Seq("band", "key")): _*)
   }
 
+  /** The incremental-dedup verdict kernel shared by qd7 (inline
+    * signatures) and qd10 (signatures loaded from the PERSISTED
+    * bucketed index): per incoming doc, 'exact' (fingerprint semi-join
+    * hit), else 'near' (first-matching-band candidate + exact Jaccard
+    * ≥ 0.8 via the sorted-merge kernel), else 'new'. Both band sides
+    * must carry (doc_id, hs, nt, k0..k3, band, key) — the
+    * bandSignatures / DedupIndex schema. */
+  private[graft] def incrementalVerdicts(incFp: DataFrame, idxFp: DataFrame,
+      incBands: DataFrame, idxBands: DataFrame): DataFrame = {
+    val exact = incFp.join(idxFp, Seq("fp"), "left_semi").select("doc_id")
+    val firstMatch = (1 until 4).map(b =>
+        col("x.band") < b || col(s"x.k${b - 1}") =!= col(s"y.k${b - 1}"))
+      .reduce(_ && _)
+    val near = incBands.as("x")
+      .join(idxBands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && firstMatch)
+      .select(col("x.doc_id").as("doc_id"),
+        expr("intersect_sorted_count(x.hs, y.hs)").as("inter"),
+        col("x.nt").as("na"), col("y.nt").as("nb"))
+      // 10·i ≥ 8·(na+nb−i) ⟺ 18·i ≥ 8·(na+nb) — single kernel occurrence
+      .filter(lit(18) * col("inter") >= lit(8) * (col("na") + col("nb")))
+      .select("doc_id").distinct()
+    incFp.select("doc_id")
+      .join(exact.withColumn("e", lit(1)), Seq("doc_id"), "left")
+      .join(near.withColumn("nr", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("e") === 1, "exact")
+          .when(col("nr") === 1, "near")
+          .otherwise("new").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct (doc_id, tok) pairs — distinct computed ROW-LOCALLY
     * (array_distinct before the explode; zero shuffle, identical set
     * semantics to the oracle's DISTINCT). */
@@ -541,32 +574,43 @@ object DedupExt {
         .select(col("doc_id"), expr("roll_hash31(text)").as("fp"))
       val idxFp = docs.filter(!isInc)
         .select(expr("roll_hash31(text)").as("fp")).distinct()
-      val exact = incFp.join(idxFp, Seq("fp"), "left_semi").select("doc_id")
       // near: one signature pass over the union corpus (MinHash(16) +
       // sorted distinct token-fingerprint array per doc), then a
       // cross-relation band equi-join incoming × index
       val per = graft.operators.OpCaches.track(bandSignatures(docs))
-      val firstMatch = (1 until 4).map(b =>
-          col("x.band") < b || col(s"x.k${b - 1}") =!= col(s"y.k${b - 1}"))
-        .reduce(_ && _)
-      val near = per.filter(isInc).as("x")
-        .join(per.filter(!isInc).as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key")
-            && firstMatch)
-        .select(col("x.doc_id").as("doc_id"),
-          expr("intersect_sorted_count(x.hs, y.hs)").as("inter"),
-          col("x.nt").as("na"), col("y.nt").as("nb"))
-        // 10·i ≥ 8·(na+nb−i) ⟺ 18·i ≥ 8·(na+nb) — single kernel occurrence
-        .filter(lit(18) * col("inter") >= lit(8) * (col("na") + col("nb")))
-        .select("doc_id").distinct()
-      incFp.select("doc_id")
-        .join(exact.withColumn("e", lit(1)), Seq("doc_id"), "left")
-        .join(near.withColumn("nr", lit(1)), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("e") === 1, "exact")
-            .when(col("nr") === 1, "near")
-            .otherwise("new").as("verdict"))
-        .orderBy("doc_id")
+      incrementalVerdicts(incFp, idxFp, per.filter(isInc), per.filter(!isInc))
+    }),
+
+    // qd10 the PERSISTED-index ingest (qd7's production shape made
+    // real — round-6 verdict item #1): the corpus side's signatures
+    // and fingerprint set are written ONCE as bucketed parquet tables
+    // (DedupIndex.write — bucketed+sorted by the probe join's exact
+    // equi keys), then the incoming batch pays one signature pass over
+    // ITSELF ONLY and probes the LOADED tables. Identical verdicts to
+    // qd7 (the signatures are a pure per-doc function, so computing
+    // them over the union or per side is the same relation); the
+    // difference is the plan: the index side is a bucketed scan whose
+    // partitioning already satisfies the join — no index-side
+    // exchange, ever (PersistIndexSpec pins it in a detached-catalog
+    // session). At 100 TB this is THE ingest shape: per batch, the
+    // corpus is never rescanned and never reshuffled.
+    "qd10_persistindex" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      graft.plans.IntersectSortedCount.register(s)
+      val docs = t(s, d, "documents")
+      val isInc = col("doc_id") % 10 === 7
+      // the index build+persist — production pays this once per corpus
+      // version, not per ingest; the benchmark replays it so the query
+      // stays self-contained and its cost stays honest
+      val dir = "target/graft-index/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.DedupIndex.write(docs.filter(!isInc), dir)
+      val idx = graft.operators.DedupIndex.load(s, dir)
+      val incFp = docs.filter(isInc)
+        .select(col("doc_id"), expr("roll_hash31(text)").as("fp"))
+      // batch-side signatures: ONE pass over the incoming tenth only
+      val incBands = graft.operators.OpCaches.track(
+        bandSignatures(docs.filter(isInc)))
+      incrementalVerdicts(incFp, idx.fp, incBands, idx.bands)
     }),
 
     // qd8 cross-doc repeated-SUBSTRING spans — the exact-substring dedup
@@ -902,6 +946,43 @@ object DedupExt {
        |           / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosd
        |         FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b)""".stripMargin
 
+  /** qd7's verdict SQL — shared verbatim by qd10_persistindex: the
+    * persisted-index path must produce bit-identical verdicts to the
+    * inline recompute (that IS the persistence contract). */
+  private val oracleQd7 =
+    s"""WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+       |ifp AS (SELECT doc_id, ${duckH("text")} AS fp FROM inc),
+       |xfp AS (SELECT DISTINCT ${duckH("text")} AS fp
+       |        FROM documents WHERE doc_id % 10 <> 7),
+       |ex AS (SELECT DISTINCT i.doc_id FROM ifp i JOIN xfp x USING (fp)),
+       |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |th AS (SELECT DISTINCT doc_id, ${duckH("tok")} AS h FROM toks),
+       |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
+       |           FROM generate_series(0, 15) t(i)),
+       |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
+       |          FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.key = y.key
+       |          AND x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM th GROUP BY 1),
+       |ints AS (SELECT c.a, c.b, COUNT(*) AS inter
+       |         FROM cand c JOIN th ta ON ta.doc_id = c.a
+       |                     JOIN th tb ON tb.doc_id = c.b AND tb.h = ta.h
+       |         GROUP BY 1, 2),
+       |near AS (SELECT DISTINCT i.a AS doc_id
+       |         FROM ints i JOIN sizes sa ON sa.doc_id = i.a
+       |                     JOIN sizes sb ON sb.doc_id = i.b
+       |         WHERE 10*i.inter >= 8*(sa.nt + sb.nt - i.inter))
+       |SELECT i.doc_id,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+       |       WHEN n.doc_id IS NOT NULL THEN 'near'
+       |       ELSE 'new' END AS verdict
+       |FROM inc i LEFT JOIN ex e ON e.doc_id = i.doc_id
+       |           LEFT JOIN near n ON n.doc_id = i.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "qd1_minhash" ->
       s"""WITH $toksCte,
@@ -1041,39 +1122,12 @@ object DedupExt {
 
     // qd7: exact fingerprint check + the qd1 banding chain restricted
     // to incoming × index pairs, folded into a per-incoming-doc verdict
-    "qd7_incremental" ->
-      s"""WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
-         |ifp AS (SELECT doc_id, ${duckH("text")} AS fp FROM inc),
-         |xfp AS (SELECT DISTINCT ${duckH("text")} AS fp
-         |        FROM documents WHERE doc_id % 10 <> 7),
-         |ex AS (SELECT DISTINCT i.doc_id FROM ifp i JOIN xfp x USING (fp)),
-         |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |th AS (SELECT DISTINCT doc_id, ${duckH("tok")} AS h FROM toks),
-         |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
-         |           FROM generate_series(0, 15) t(i)),
-         |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
-         |          FROM sig GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.key = y.key
-         |          AND x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7),
-         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM th GROUP BY 1),
-         |ints AS (SELECT c.a, c.b, COUNT(*) AS inter
-         |         FROM cand c JOIN th ta ON ta.doc_id = c.a
-         |                     JOIN th tb ON tb.doc_id = c.b AND tb.h = ta.h
-         |         GROUP BY 1, 2),
-         |near AS (SELECT DISTINCT i.a AS doc_id
-         |         FROM ints i JOIN sizes sa ON sa.doc_id = i.a
-         |                     JOIN sizes sb ON sb.doc_id = i.b
-         |         WHERE 10*i.inter >= 8*(sa.nt + sb.nt - i.inter))
-         |SELECT i.doc_id,
-         |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
-         |       WHEN n.doc_id IS NOT NULL THEN 'near'
-         |       ELSE 'new' END AS verdict
-         |FROM inc i LEFT JOIN ex e ON e.doc_id = i.doc_id
-         |           LEFT JOIN near n ON n.doc_id = i.doc_id
-         |ORDER BY i.doc_id""".stripMargin,
+    "qd7_incremental" -> oracleQd7,
+
+    // qd10: identical verdict semantics to qd7 — the Spark side differs
+    // only in WHERE the index signatures come from (the persisted
+    // bucketed tables), which is invisible to the result
+    "qd10_persistindex" -> oracleQd7,
 
     "qd8_substring" ->
       s"""WITH w AS (
