@@ -107,6 +107,62 @@ object TrainingData {
     * suites are MBs against a 100 TB corpus), so its distinct shingle
     * hashes are BROADCAST and the corpus side never shuffles for this
     * stage. */
+  /** Span-level dedup REMOVAL (the ExactSubstr step of Lee et al.'s
+    * "Deduplicating Training Data", public literature) at `win`-token
+    * window resolution — the production counterpart of qd8's flagging:
+    * drop every token covered by ANY `win`-token window whose rolling
+    * hash occurs in ≥ 2 distinct documents, stitch the survivors back
+    * into a cleaned text. Deterministic by construction (the shared
+    * cross-engine hash, exact position sets); docs shorter than the
+    * window keep everything.
+    *
+    * Returns (doc_id, n_orig, n_kept, cleaned).
+    *
+    * Scale shape: the window explosion is linear (one row per window,
+    * row-local hashing); the duplicated-hash set is an aggregate +
+    * equi-join on the unbounded-cardinality hash key (qd8's
+    * AQE-skew-splittable shape — never a window over h); removed
+    * positions fan out ONLY from duplicated windows (8× the dup rows,
+    * not the corpus) and collapse into one sorted array per doc; the
+    * stitch itself is ROW-LOCAL (an indexed array filter against the
+    * per-doc removed set riding a narrow equi-join) — the corpus text
+    * never shuffles. */
+  def removeDupSpans(docs: DataFrame, win: Int = 8): DataFrame = {
+    graft.plans.RollHash31.register(docs.sparkSession)
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // one row per window: (doc_id, k, h), k 1-based
+    val w = OpCaches.track(tk
+      .filter(size(col("tk")) >= win)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(1L, CAST(size(tk) - ${win - 1} AS BIGINT))"))
+          .as("k"))
+      .select(col("doc_id"), col("k"),
+        expr(s"roll_hash31(array_join(slice(tk, CAST(k AS INT), $win), ' '))")
+          .as("h")))
+    // hashes in ≥ 2 distinct docs: per-(h, doc) collapse first
+    // (map-side combinable), then the narrow per-h count
+    val nd = w.groupBy("h", "doc_id").agg(count(lit(1)).as("_c"))
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    // removed token positions per doc, as one sorted array
+    val rem = w.join(nd, Seq("h"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(k, k + ${win - 1})")).as("p"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("p"))).as("rem"))
+    // row-local stitch: indexed filter against the per-doc removed set
+    // (Spark lambda index i is 0-based; positions are 1-based)
+    tk.join(rem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("tk")).cast(LongType).as("n_orig"),
+        expr("CASE WHEN rem IS NULL THEN tk ELSE " +
+          "filter(tk, (t, i) -> NOT array_contains(rem, CAST(i + 1 AS BIGINT))) END")
+          .as("kept"))
+      .select(col("doc_id"), col("n_orig"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        array_join(col("kept"), " ").as("cleaned"))
+  }
+
   def clean(docs: DataFrame, minTokens: Int = 20,
             jaccard: (Int, Int) = (8, 10),
             exactRecall: Boolean = false,

@@ -487,6 +487,30 @@ object DedupExt {
         .orderBy("source", "pack_id")
     }),
 
+    // qc5 the composed pipeline WITH span-level removal (round 6): the
+    // qc2 chain (quality gate → exact dedup → cluster near-dedup over
+    // the declared %5 fifth) followed by TrainingData.removeDupSpans
+    // over the SURVIVORS — doc-level dedup first (cheap drops whole
+    // docs), then the span pass scrubs the cross-doc boilerplate that
+    // survives it. Output per survivor: (doc_id, n_orig, n_kept,
+    // cleaned_fp) — the cleaned text pinned by its rolling hash, so
+    // the stitched CONTENT (not just counts) is hash-checked through
+    // the whole composition.
+    "qc5_spanclean" -> ((s, d) => {
+      val (cleaned, _) = graft.operators.TrainingData
+        .clean(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+          clusterDedup = true)
+      // survivors cached: removeDupSpans re-reads its input (window
+      // build + final stitch), and the survivor lineage (gate + dedup
+      // + components) is the expensive part
+      val surv = graft.operators.OpCaches.track(
+        cleaned.select("doc_id", "text"))
+      graft.operators.TrainingData.removeDupSpans(surv)
+        .select(col("doc_id"), col("n_orig"), col("n_kept"),
+          expr("roll_hash31(cleaned)").as("cleaned_fp"))
+        .orderBy("doc_id")
+    }),
+
     // qd6 SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023, public
     // literature): cluster embeddings by nearest centroid (the IVF
     // assignment qs2 uses), find within-cell pairs with exact
@@ -1119,6 +1143,26 @@ object DedupExt {
          |SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
          |       COUNT(*) AS n_chunks, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          |FROM pk GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+
+    // qc5: qc2's survivor chain + the shared span-removal SQL chain
+    // (TextExt.spanRemovalSql) over the survivors — the composition
+    // replayed in one statement
+    "qc5_spanclean" ->
+      (s"""WITH RECURSIVE ${cleanCtes("WHERE doc_id % 5 = 0")},
+          |vtx AS (SELECT a AS node FROM pe UNION SELECT b FROM pe),
+          |edges AS (SELECT a AS x, b AS y FROM pe UNION SELECT b AS x, a AS y FROM pe),
+          |walk AS (
+          |  SELECT node, node AS lbl FROM vtx
+          |  UNION
+          |  SELECT eg.y AS node, w.lbl AS lbl
+          |  FROM walk w JOIN edges eg ON eg.x = w.node AND w.lbl < eg.y
+          |),
+          |comp AS (SELECT node, MIN(lbl) AS grp FROM walk GROUP BY node),
+          |dropc AS (SELECT node FROM comp WHERE node <> grp),
+          |surv AS (SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT node FROM dropc)),
+          |t AS (SELECT d.doc_id, string_split(d.text, ' ') AS tk
+          |      FROM documents d JOIN surv USING (doc_id)),
+          |""".stripMargin + TextExt.spanRemovalSql),
 
     // qd7: exact fingerprint check + the qd1 banding chain restricted
     // to incoming × index pairs, folded into a per-incoming-doc verdict

@@ -449,6 +449,20 @@ object TextExt {
         .limit(200)
     }),
 
+    // qt13 span-level dedup REMOVAL (round 6 — the production
+    // counterpart of qd8's flagging, the ExactSubstr step): drop every
+    // token covered by an 8-token window whose hash occurs in ≥ 2
+    // distinct docs, stitch survivors (TrainingData.removeDupSpans),
+    // emit (doc_id, n_orig, n_kept, cleaned_fp) — the cleaned text
+    // pinned by its cross-engine rolling hash. A fully-removed doc has
+    // cleaned_fp = 0 (the hash of the empty string; the oracle guards
+    // the empty case explicitly because DuckDB's unicode('') is -1).
+    "qt13_spanremove" -> ((s, d) =>
+      graft.operators.TrainingData.removeDupSpans(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_orig"), col("n_kept"),
+          expr("roll_hash31(cleaned)").as("cleaned_fp"))
+        .orderBy("doc_id")),
+
     // qt9 TF-IDF-style term relevance: per-doc top-3 terms by
     // score = tf · N / df (linear inverse-document-frequency weighting —
     // ln() is deliberately avoided: libm last-ulp differences between
@@ -498,6 +512,36 @@ object TextExt {
           .cast(DecimalType(18, 8)), 6).cast(DoubleType).as("t0"))
       .orderBy("doc_id")
   }
+
+  /** The span-removal SQL chain over a CTE `t(doc_id, tk)` — shared by
+    * qt13 (whole corpus) and qc5 (the cleaned survivors; DedupExt
+    * splices its pipeline CTEs in front). Mirrors
+    * TrainingData.removeDupSpans exactly, including the 1-based
+    * list_filter index and the empty-stitch fp = 0 guard. */
+  private[queries] val spanRemovalSql: String =
+    s"""w AS (SELECT doc_id, k,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split(array_to_string(tk[k:k+7], ' '), ''),
+       |            ch -> CAST(unicode(ch) AS BIGINT))),
+       |          (acc, x) -> (acc * 31 + x) % $P) AS h
+       |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS k
+       |            FROM t WHERE len(tk) >= 8)),
+       |nd AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |remp AS (SELECT DISTINCT w.doc_id, w.k + o AS p
+       |         FROM w JOIN nd USING (h), generate_series(0, 7) g(o)),
+       |rem AS (SELECT doc_id, list(p) AS rem FROM remp GROUP BY doc_id),
+       |x AS (SELECT t.doc_id, tk,
+       |        CASE WHEN rem IS NULL THEN tk
+       |             ELSE list_filter(tk, (tok, i) -> NOT list_contains(rem, CAST(i AS BIGINT))) END AS kept
+       |      FROM t LEFT JOIN rem USING (doc_id))
+       |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_orig,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CASE WHEN len(kept) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform(string_split(array_to_string(kept, ' '), ''),
+       |           ch -> CAST(unicode(ch) AS BIGINT))),
+       |         (acc, x) -> (acc * 31 + x) % $P) END AS cleaned_fp
+       |FROM x ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "qt1_langid" -> {
@@ -552,6 +596,16 @@ object TextExt {
          |)
          |SELECT fp, COUNT(*) AS c FROM fps GROUP BY fp HAVING COUNT(*) > 1
          |ORDER BY c DESC, fp""".stripMargin,
+
+    // qt13: the span-removal chain replayed in SQL — windows, the
+    // ≥2-distinct-doc hash set, removed positions (k..k+7 per dup
+    // window), the 1-based-indexed list_filter stitch, and the
+    // rolling hash of the stitched text (empty case pinned to 0:
+    // DuckDB's string_split('','') is [''] with unicode('') = -1,
+    // while the Spark kernel folds zero codepoints to 0)
+    "qt13_spanremove" ->
+      (s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |""".stripMargin + spanRemovalSql),
 
     "qt5_sample" ->
       """WITH h AS (

@@ -109,4 +109,30 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(nb.count() > 0)
     assert(nb.collect().forall(_.getString(0).startsWith("building-inspector/")))
   }
+
+  test("removeDupSpans: shared 8-token spans are scrubbed, short docs untouched") {
+    import spark.implicits._
+    // docs 1 and 2 share the 8-token span s1..s8 (plus their own unique
+    // tails); doc 3 is shorter than the window; doc 4 IS exactly the
+    // shared span, so every token is removed and the stitch is empty
+    val shared = (1 to 8).map("s" + _).mkString(" ")
+    val docs = Seq(
+      (1L, shared + " u1 u2 u3 u4 u5 u6 u7 u8"),
+      (2L, "v1 v2 v3 v4 v5 v6 v7 v8 " + shared),
+      (3L, "tiny doc"),
+      (4L, shared)
+    ).toDF("doc_id", "text")
+    val out = TrainingData.removeDupSpans(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: the shared span's 8 tokens removed, unique tail survives
+    assert(out(0) === ((1L, 16L, 8L, "u1 u2 u3 u4 u5 u6 u7 u8")))
+    // doc 2: prefix survives
+    assert(out(1) === ((2L, 16L, 8L, "v1 v2 v3 v4 v5 v6 v7 v8")))
+    // doc 3: below the window, untouched
+    assert(out(2) === ((3L, 2L, 2L, "tiny doc")))
+    // doc 4: fully removed, empty stitch
+    assert(out(3) === ((4L, 8L, 0L, "")))
+    graft.operators.OpCaches.releaseAll()
+  }
 }
