@@ -838,6 +838,83 @@ object DedupExt {
       cleaned.select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // qs6 IVF-PQ similarity search (round 6): qs2's IVF composed with
+    // qe1's int8 quantization — the ANN-SERVING shape at 100 TB, where
+    // the full-precision corpus doesn't fit the serving tier: assign
+    // every vector to its nearest centroid (qs2's broadcast kernel in
+    // the fixed-point domain), quantize every vector to int8 codes
+    // (qe1's symmetric per-vector 127/max|x| scale), probe the query's
+    // top-2 cells, score the candidates ENTIRELY IN THE QUANTIZED
+    // DOMAIN (integer code dot / integer code norms — the per-vector
+    // scale factors cancel in the quantized cosine, so the ADC score
+    // is pure int64 arithmetic over the int8 codes, 8× less memory
+    // traffic than the fixed-point arrays), shortlist top-20 by
+    // (adc DESC, vec_id), then exact-re-rank only the shortlist with
+    // the full fixed-point cosine → top-5 (vec_id, adc, score).
+    //
+    // Scale shape: centroids and the query's code/norm rows broadcast;
+    // candidates = an equi-join on cid; the ADC pass touches only the
+    // probed cells' codes; the exact arrays are read for 20 rows. Both
+    // top-k are total-ordered (rounded score, vec_id) TakeOrdered —
+    // no global sort, no corpus SMJ (PlanShapeSpec pins it).
+    "qs6_ivfpq" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val emb = embQ(s, d)
+      // int8 codes in BIGINT domain so the native dot_long kernel is
+      // reused for the ADC dots (values are int8-range; dots ≤ 64·127²
+      // — nowhere near overflow)
+      val codes = t(s, d, "embeddings")
+        .filter(size(col("embedding")) > 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xs"))
+        .select(col("vec_id"),
+          expr("array_max(transform(xs, x -> abs(x)))").as("mx"), col("xs"))
+        .select(col("vec_id"),
+          expr("transform(xs, x -> CAST(floor(x * (127.0 / mx)) AS BIGINT))")
+            .as("ci"))
+        .withColumn("cn2", expr(dotL("ci", "ci")))
+      val cents = emb.filter(col("vec_id") % 50 === 1)
+        .select(col("vec_id").as("cid"), col("ei").as("ce"))
+        .withColumn("n2c", expr(dotL("ce", "ce")))
+      val scored = emb.crossJoin(broadcast(cents))
+        .withColumn("dot", expr(dotL("ei", "ce")))
+        .select(col("vec_id"), col("cid"),
+          (col("dot").cast(DoubleType) / sqrt(col("n2c").cast(DoubleType)))
+            .as("sc"))
+        .transform(graft.operators.OpCaches.track)
+      val wA = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+        .orderBy(col("sc").desc, col("cid"))
+      val assign = scored.withColumn("rn", row_number().over(wA))
+        .where(col("rn") === 1).select("vec_id", "cid")
+      val probe = scored.where(col("vec_id") === 0)
+        .orderBy(col("sc").desc, col("cid")).limit(2).select("cid")
+      val cand = assign.join(broadcast(probe), Seq("cid"))
+        .where(col("vec_id") =!= 0).select("vec_id")
+      // ADC: quantized-domain cosine — integer dot over the int8
+      // codes, integer code norms; scales cancel
+      val qc = codes.where(col("vec_id") === 0)
+        .select(col("ci").as("qc"), col("cn2").as("qcn2"))
+      val short = cand.join(codes, Seq("vec_id")).crossJoin(broadcast(qc))
+        .withColumn("adcdot", expr(dotL("ci", "qc")))
+        .select(col("vec_id"),
+          round(col("adcdot").cast(DoubleType)
+            / (sqrt(col("qcn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))), 6)
+            .cast(DoubleType).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id")).limit(20)
+      // exact re-rank: full fixed-point cosine on the 20-row shortlist
+      val qe = emb.where(col("vec_id") === 0).select(col("ei").as("qe"))
+        .withColumn("n2q", expr(dotL("qe", "qe")))
+      short.join(emb, Seq("vec_id")).crossJoin(broadcast(qe))
+        .withColumn("dot", expr(dotL("ei", "qe")))
+        .withColumn("n2v", expr(dotL("ei", "ei")))
+        .select(col("vec_id"), col("adc"),
+          round(col("dot").cast(DoubleType)
+            / (sqrt(col("n2q").cast(DoubleType)) * sqrt(col("n2v").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // qs2 IVF similarity search: deterministic centroid sample
     // (vec_id % 50 == 1), exact fixed-point-cosine assignment to the
     // nearest centroid, probe the query's top-2 cells, exact re-rank
@@ -1437,6 +1514,53 @@ object DedupExt {
          |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
          |FROM assign a LEFT JOIN comp c ON c.node = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    // qs6: qs2's assignment CTEs + the qe1 quantization replayed in
+    // exploded form + the quantized-domain ADC shortlist + the exact
+    // fixed-point re-rank — both top-k under total (score, vec_id)
+    // orders
+    "qs6_ivfpq" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |cex AS (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
+        |cnorm AS (SELECT cid, SUM(cx*cx) AS n2c FROM cex GROUP BY 1),
+        |adot AS (SELECT e.vec_id, c.cid, SUM(e.xi * c.cx) AS dot
+        |         FROM ex e JOIN cex c USING (i) GROUP BY 1, 2),
+        |ascore AS (SELECT vec_id, cid, CAST(dot AS DOUBLE) / SQRT(CAST(n2c AS DOUBLE)) AS sc
+        |           FROM adot JOIN cnorm USING (cid)),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn
+        |  FROM ascore) WHERE rn = 1),
+        |probe AS (SELECT cid FROM ascore WHERE vec_id = 0 ORDER BY sc DESC, cid LIMIT 2),
+        |cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+        |         WHERE a.vec_id <> 0),
+        |cexq AS (SELECT vec_id, i,
+        |           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * (127.0 / mx)) AS BIGINT) AS qi
+        |         FROM (SELECT vec_id, embedding,
+        |                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |               FROM embeddings WHERE len(embedding) > 0), idx
+        |         WHERE i <= len(embedding)),
+        |qnorms AS (SELECT vec_id, SUM(qi*qi) AS cn2 FROM cexq GROUP BY 1),
+        |adots AS (SELECT c.vec_id, SUM(v.qi * q.qi) AS adcdot
+        |          FROM cand c JOIN cexq v ON v.vec_id = c.vec_id
+        |                      JOIN cexq q ON q.vec_id = 0 AND q.i = v.i
+        |          GROUP BY 1),
+        |ashort AS (SELECT d.vec_id, CAST(ROUND(CAST(adcdot AS DOUBLE)
+        |             / (SQRT(CAST(qn.cn2 AS DOUBLE)) * SQRT(CAST(vn.cn2 AS DOUBLE))), 6) AS DOUBLE) AS adc
+        |           FROM adots d JOIN qnorms vn ON vn.vec_id = d.vec_id
+        |                        JOIN qnorms qn ON qn.vec_id = 0
+        |           ORDER BY adc DESC, d.vec_id LIMIT 20),
+        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT c.vec_id, c.adc, SUM(v.xi * q.xi) AS dot
+        |         FROM ashort c JOIN ex v ON v.vec_id = c.vec_id
+        |                       JOIN ex q ON q.vec_id = 0 AND q.i = v.i
+        |         GROUP BY 1, 2)
+        |SELECT d.vec_id, d.adc, CAST(ROUND(CAST(dot AS DOUBLE)
+        |         / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+        |FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
+        |            JOIN norms qn ON qn.vec_id = 0
+        |ORDER BY score DESC, d.vec_id LIMIT 5""".stripMargin,
 
     "qs2_ivf" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),

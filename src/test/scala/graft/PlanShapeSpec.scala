@@ -167,6 +167,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"qs4 shuffles the corpus on vec_id:\n$p")
   }
 
+  test("qs6: IVF-PQ stays broadcast — no cartesian, no corpus-keyed SMJ, top-k via TakeOrdered") {
+    // centroids, probe cells, query codes and query embedding are the
+    // only broadcast relations; the corpus must never shuffle into a
+    // vec_id sort-merge join, and both top-k stages must plan as
+    // TakeOrderedAndProject (rounded-score total orders), not global
+    // sorts
+    val p = plan("qs6_ivfpq")
+    assert(!p.contains("CartesianProduct"), s"cartesian in qs6:\n$p")
+    assert(!p.contains("SortMergeJoin [vec_id"),
+      s"qs6 shuffles the corpus on vec_id:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"qs6 top-k regressed to a global sort:\n$p")
+  }
+
   test("qt12/qc3: composed text pipelines stay cartesian-free") {
     assert(!plan("qt12_lmscore").contains("CartesianProduct"))
     val p = plan("qc3_decontclean")
