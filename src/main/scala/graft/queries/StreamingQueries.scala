@@ -180,6 +180,48 @@ object StreamingQueries {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // S12 the streaming INDEX-UPSERT ingest (round 6): s11 gates a
+    // stream against a STATIC index; production also MAINTAINS it —
+    // batch N+1 must dedup against batch N's accepted docs. Batch form
+    // below (the oracle semantics): batch A (doc_id % 10 = 3) gets
+    // qd7 verdicts against the base index (% 10 ∉ {3, 7}); its
+    // accepted ('new') docs JOIN the index; batch B (% 10 = 7) gets
+    // verdicts against the GROWN index. The streaming form
+    // (Streams.s12) is the production shape: a foreachBatch sink that
+    // computes verdicts against the PERSISTED bucketed index tables
+    // (DedupIndex) and appends each batch's accepted signatures +
+    // fingerprints back into them — asserted row-equal to this batch
+    // replay, including across a checkpointed restart.
+    "s12_indexupsert" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      graft.plans.IntersectSortedCount.register(s)
+      val docs = t(s, d, "documents")
+      val isA = col("doc_id") % 10 === 3
+      val isB = col("doc_id") % 10 === 7
+      val isIdx = !isA && !isB
+      // one signature + fingerprint pass over the union corpus (the
+      // per-doc relations are pure functions — computing them once and
+      // filtering per side is the same relation the staged ingest sees)
+      val per = graft.operators.OpCaches.track(DedupExt.bandSignatures(docs))
+      val fps = graft.operators.OpCaches.track(
+        docs.select(col("doc_id"), expr("roll_hash31(text)").as("fp")))
+      val vA = DedupExt.incrementalVerdicts(
+        fps.filter(isA), fps.filter(isIdx).select("fp").distinct(),
+        per.filter(isA), per.filter(isIdx))
+      val accA = vA.filter(col("verdict") === "new").select("doc_id")
+      val vB = DedupExt.incrementalVerdicts(
+        fps.filter(isB),
+        fps.filter(isIdx).select("fp")
+          .union(fps.join(accA, Seq("doc_id"), "left_semi").select("fp"))
+          .distinct(),
+        per.filter(isB),
+        per.filter(isIdx)
+          .unionByName(per.join(accA, Seq("doc_id"), "left_semi")))
+      vA.withColumn("batch", lit(1L))
+        .unionByName(vB.withColumn("batch", lit(2L)))
+        .orderBy("doc_id")
+    }),
+
     // S06 the custom Sessionize physical operator (plans/Sessionize:
     // LogicalPlan + Strategy + single-exchange Exec) against the SAME
     // oracle SQL as S03 — the custom operator's output is hash-checked
@@ -264,6 +306,79 @@ object StreamingQueries {
       val qd7 = DedupExt.oracle("qd7_incremental")
       s"""SELECT doc_id FROM ($qd7) WHERE verdict <> 'new' ORDER BY doc_id"""
     },
+
+    // s12: the two-batch staged ingest replayed in SQL — shared
+    // fingerprint/banding CTEs, batch A's verdicts against the base
+    // index, the accepted set joining the index, batch B's verdicts
+    // against the grown index
+    "s12_indexupsert" ->
+      """WITH fps AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |  FROM documents),
+        |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (SELECT DISTINCT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(tok, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |  FROM toks),
+        |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
+        |           FROM generate_series(0, 15) t(i)),
+        |sig AS (SELECT doc_id, i, MIN((a*h + b) % 1000000007) AS mh FROM th, params GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
+        |          FROM sig GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM th GROUP BY 1),
+        |exA AS (SELECT DISTINCT f.doc_id FROM fps f
+        |        JOIN (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 NOT IN (3, 7)) x USING (fp)
+        |        WHERE f.doc_id % 10 = 3),
+        |candA AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |          FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        |          WHERE x.doc_id % 10 = 3 AND y.doc_id % 10 NOT IN (3, 7)),
+        |intsA AS (SELECT c.a, c.b, COUNT(*) AS inter
+        |          FROM candA c JOIN th ta ON ta.doc_id = c.a
+        |                       JOIN th tb ON tb.doc_id = c.b AND tb.h = ta.h
+        |          GROUP BY 1, 2),
+        |nearA AS (SELECT DISTINCT i.a AS doc_id
+        |          FROM intsA i JOIN sizes sa ON sa.doc_id = i.a
+        |                       JOIN sizes sb ON sb.doc_id = i.b
+        |          WHERE 10*i.inter >= 8*(sa.nt + sb.nt - i.inter)),
+        |vA AS (SELECT f.doc_id,
+        |         CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+        |              WHEN n.doc_id IS NOT NULL THEN 'near'
+        |              ELSE 'new' END AS verdict
+        |       FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 3) f
+        |       LEFT JOIN exA e ON e.doc_id = f.doc_id
+        |       LEFT JOIN nearA n ON n.doc_id = f.doc_id),
+        |accA AS (SELECT doc_id FROM vA WHERE verdict = 'new'),
+        |idxB AS (SELECT doc_id FROM documents WHERE doc_id % 10 NOT IN (3, 7)
+        |         UNION ALL SELECT doc_id FROM accA),
+        |exB AS (SELECT DISTINCT f.doc_id FROM fps f
+        |        JOIN (SELECT DISTINCT fp FROM fps JOIN idxB USING (doc_id)) x USING (fp)
+        |        WHERE f.doc_id % 10 = 7),
+        |candB AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |          FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        |          JOIN idxB ib ON ib.doc_id = y.doc_id
+        |          WHERE x.doc_id % 10 = 7),
+        |intsB AS (SELECT c.a, c.b, COUNT(*) AS inter
+        |          FROM candB c JOIN th ta ON ta.doc_id = c.a
+        |                       JOIN th tb ON tb.doc_id = c.b AND tb.h = ta.h
+        |          GROUP BY 1, 2),
+        |nearB AS (SELECT DISTINCT i.a AS doc_id
+        |          FROM intsB i JOIN sizes sa ON sa.doc_id = i.a
+        |                       JOIN sizes sb ON sb.doc_id = i.b
+        |          WHERE 10*i.inter >= 8*(sa.nt + sb.nt - i.inter)),
+        |vB AS (SELECT f.doc_id,
+        |         CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+        |              WHEN n.doc_id IS NOT NULL THEN 'near'
+        |              ELSE 'new' END AS verdict
+        |       FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) f
+        |       LEFT JOIN exB e ON e.doc_id = f.doc_id
+        |       LEFT JOIN nearB n ON n.doc_id = f.doc_id)
+        |SELECT doc_id, verdict, CAST(1 AS BIGINT) AS batch FROM vA
+        |UNION ALL
+        |SELECT doc_id, verdict, CAST(2 AS BIGINT) AS batch FROM vB
+        |ORDER BY doc_id""".stripMargin,
 
     "s10_contamstream" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -585,6 +700,61 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("doc_id")
     runToTable(spark, flagged, "s11_stream", "append")
+  }
+
+  /** S12 as streaming: the index-MAINTAINING ingest (round 6) — the
+    * production shape behind the s12 batch replay. A foreachBatch sink
+    * computes each micro-batch's qd7 verdicts against the PERSISTED
+    * bucketed index tables (`DedupIndex` at `idxDir`), appends the
+    * verdicts to `resultDir`, and UPSERTS the batch's accepted ('new')
+    * docs back into the index — signatures into the bucketed band
+    * table, fingerprints into the fp table — so the NEXT batch dedups
+    * against everything accepted before it. The checkpoint makes the
+    * ingest exactly-once across restarts: a re-run with the same
+    * checkpoint skips already-processed files while the index tables
+    * (external state, like any production store) carry the accepted
+    * docs forward. Batch-side work per micro-batch: one signature pass
+    * over the batch + bucketed-table probes — the corpus is never
+    * rescanned. */
+  def s12(spark: SparkSession, idxDir: String, inDir: String,
+          checkpoint: String, resultDir: String): Unit = {
+    graft.plans.RollHash31.register(spark)
+    graft.plans.IntersectSortedCount.register(spark)
+    val raw = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(raw).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val idx = graft.operators.DedupIndex.load(spark, idxDir)
+        val b = batch.cache()
+        val incFp = b.select(col("doc_id"), expr("roll_hash31(text)").as("fp"))
+        val incBands = DedupExt.bandSignatures(b)
+        val v = DedupExt.incrementalVerdicts(incFp, idx.fp, incBands, idx.bands)
+          .withColumn("batch", lit(batchId + 1)).cache()
+        try {
+          v.write.mode("append").parquet(resultDir)
+          val accepted = v.filter(col("verdict") === "new").select("doc_id")
+          // upsert: append-only into the bucketed tables (bucket spec
+          // must match the written layout — part of the index contract)
+          incBands.join(accepted, Seq("doc_id"), "left_semi")
+            .write.mode("append")
+            .bucketBy(graft.operators.DedupIndex.Buckets, "band", "key")
+            .sortBy("band", "key").format("parquet")
+            .saveAsTable(graft.operators.DedupIndex.bandsTable(idxDir))
+          incFp.join(accepted, Seq("doc_id"), "left_semi")
+            .select("fp").distinct()
+            .write.mode("append")
+            .bucketBy(graft.operators.DedupIndex.Buckets, "fp")
+            .sortBy("fp").format("parquet")
+            .saveAsTable(graft.operators.DedupIndex.fpTable(idxDir))
+        } finally { v.unpersist(); b.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
   }
 
   /** S05 as streaming: stream-stream inner join. Both sides carry
