@@ -132,6 +132,19 @@ object GeoQueries {
         coalesce(col("rel_from"), lit("")), coalesce(col("id"), lit("")))
     }),
 
+    // G05 manifest-driven flattenPaths projection + payload validation
+    // (round 6 — the reference framework's two remaining behaviors,
+    // `addresses.dataset.json:27-79`, as one generic operator): flatten
+    // the declared JSONPaths of the payload fixture into typed columns
+    // and emit per-row JSON-Schema-style violations as DATA. Always
+    // reads the committed fixture (a manifest projection has no scale
+    // dimension — the data pass is one row-local text scan).
+    "g05_manifest" -> ((s, _) =>
+      DatasetManifest.flatten(s,
+          s"$FixtureDir/addresses.manifest.json",
+          s"$FixtureDir/addresses_payload.ndjson")
+        .orderBy("id")),
+
     // G04 grid-cell DENSITY — the heatmap aggregate over the same
     // ~0.0005° grid the nearest join partitions on (SpacetimeEtl.Cs):
     // top-100 cells by house-point count. The analytics companion to
@@ -281,6 +294,44 @@ object GeoQueries {
          |         COALESCE(rel_from,''), COALESCE(id,'')""".stripMargin
   )
 
-  /** The correctness-gate oracle: bound to the committed fixture. */
-  val oracle: Map[String, String] = oracleFor(FixtureDir)
+  /** The correctness-gate oracle: bound to the committed fixture.
+    * g05 is fixture-bound at every scale (manifest projection has no
+    * scale dimension), so it lives here, not in `oracleFor`. The SQL
+    * replays the manifest's declared paths/schema inline: raw lines
+    * via read_ndjson_objects, scalar extraction (quote-stripping, like
+    * Spark's get_json_object), TRY_CAST value-typing, json_keys for
+    * the additionalProperties check. Aliases are double-quoted to
+    * preserve the camelCase column names the path-derived naming
+    * produces. */
+  val oracle: Map[String, String] = oracleFor(FixtureDir) +
+    ("g05_manifest" -> {
+      val req = Seq("sheetId", "layerId", "mapId", "number", "borough")
+      val ints = Seq("sheetId", "layerId", "mapId")
+      val missing = req.map(r =>
+        s"CASE WHEN json_extract_string(line, '$$.data.$r') IS NULL THEN 'missing:$r' END")
+      val types = ints.map(k =>
+        s"CASE WHEN json_extract_string(line, '$$.data.$k') IS NOT NULL AND " +
+          s"TRY_CAST(json_extract_string(line, '$$.data.$k') AS BIGINT) IS NULL THEN 'type:$k' END")
+      val declared = req.sorted.map("'" + _ + "'").mkString(", ")
+      s"""WITH raw AS (SELECT json AS line
+         |  FROM read_ndjson_objects('$FixtureDir/addresses_payload.ndjson')),
+         |v AS (SELECT
+         |    json_extract_string(line, '$$.id') AS id,
+         |    TRY_CAST(json_extract_string(line, '$$.data.sheetId') AS BIGINT) AS "data_sheetId",
+         |    TRY_CAST(json_extract_string(line, '$$.data.layerId') AS BIGINT) AS "data_layerId",
+         |    TRY_CAST(json_extract_string(line, '$$.data.mapId') AS BIGINT) AS "data_mapId",
+         |    json_extract_string(line, '$$.data.number') AS "data_number",
+         |    json_extract_string(line, '$$.data.borough') AS "data_borough",
+         |    list_sort(list_concat(
+         |      list_filter([${(missing ++ types).mkString(",\n         ")}], x -> x IS NOT NULL),
+         |      list_transform(
+         |        list_filter(coalesce(json_keys(line, '$$.data'), []),
+         |          k -> NOT list_contains([$declared], k)),
+         |        k -> 'extra:' || k))) AS errl
+         |  FROM raw)
+         |SELECT id, "data_sheetId", "data_layerId", "data_mapId", "data_number",
+         |  "data_borough", CAST(len(errl) AS BIGINT) AS n_errors,
+         |  coalesce(array_to_string(errl, ';'), '') AS errs
+         |FROM v ORDER BY id""".stripMargin
+    })
 }
