@@ -427,7 +427,65 @@ object Relational {
         |         WHERE l.l_orderkey = o.o_orderkey
         |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
         |ORDER BY o_orderkey, l_linenumber, l_extendedprice
-        |LIMIT 2000""".stripMargin, "orders", "lineitem"))
+        |LIMIT 2000""".stripMargin, "orders", "lineitem")),
+
+    // Q40 per-group OLS regression (slope / intercept / r²) of net price
+    // on quantity — the regr_slope/regr_intercept/regr_r2 family, but
+    // derived from EXACT decimal moment sums (Q33's regime: decimal
+    // accumulation is order-independent, so shuffle order can't change a
+    // bit). Each sum is then cast to double ONCE (correctly rounded,
+    // bit-identical cross-engine) and the closed-form arithmetic runs in
+    // IEEE doubles with an identical expression tree in both engines.
+    // Scale: one partial-aggregated scan (5 sums, map-side combine), a
+    // 3-row final — the same plan at 100 TB.
+    "q40_regress" -> ((s, d) => {
+      val D286 = DecimalType(28, 6)
+      def d6(c: org.apache.spark.sql.Column) = c.cast(D286)
+      val y = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val x = col("l_quantity")
+      val agg = t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n0"),
+          sum(d6(x)).as("sx0"), sum(d6(y)).as("sy0"),
+          sum(d6(x * y)).as("sxy0"), sum(d6(x * x)).as("sx20"),
+          sum(d6(y * y)).as("sy20"))
+        .select(col("l_returnflag"),
+          col("n0").cast(DoubleType).as("n"),
+          col("sx0").cast(DoubleType).as("sx"),
+          col("sy0").cast(DoubleType).as("sy"),
+          col("sxy0").cast(DoubleType).as("sxy"),
+          col("sx20").cast(DoubleType).as("sx2"),
+          col("sy20").cast(DoubleType).as("sy2"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sx2") - col("sx") * col("sx")
+      val vy = col("n") * col("sy2") - col("sy") * col("sy")
+      agg.select(col("l_returnflag"),
+          col("n").cast(LongType).as("n"),
+          round(cov / vx, 6).cast(DoubleType).as("slope"),
+          round((col("sy") - cov / vx * col("sx")) / col("n"), 6)
+            .cast(DoubleType).as("intercept"),
+          round(cov * cov / (vx * vy), 6).cast(DoubleType).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q41 correlated subqueries the way an analyst writes them: a
+    // correlated scalar AGGREGATE subquery in the predicate plus a
+    // correlated NOT EXISTS — the capability under test is Catalyst
+    // DECORRELATION: the scalar subquery becomes an aggregate + one
+    // equi-join and the NOT EXISTS a left-anti join (pinned in
+    // PlanShapeSpec), never a per-outer-row re-execution. The comparison
+    // runs in exact decimals (o_totalprice cast vs the exact decimal
+    // sum), so no float threshold flakiness.
+    "q41_subq" -> ((s, d) => Tables.sql(s, d,
+      """SELECT o.o_orderkey, CAST(ROUND(o.o_totalprice, 4) AS DOUBLE) AS total
+        |FROM orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,6)) >
+        |      (SELECT COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 0)
+        |       FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_orderkey = o.o_orderkey
+        |                    AND l2.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin, "orders", "lineitem"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -549,6 +607,36 @@ object Relational {
         |         WHERE l.l_orderkey = o.o_orderkey
         |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
         |ORDER BY o_orderkey, l_linenumber, l_extendedprice
-        |LIMIT 2000""".stripMargin
+        |LIMIT 2000""".stripMargin,
+    "q40_regress" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n0,
+        |         SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx0,
+        |         SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS sy0,
+        |         SUM(CAST(l_quantity*(l_extendedprice*(1-l_discount)) AS DECIMAL(28,6))) AS sxy0,
+        |         SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS sx20,
+        |         SUM(CAST((l_extendedprice*(1-l_discount))*(l_extendedprice*(1-l_discount)) AS DECIMAL(28,6))) AS sy20
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, CAST(n0 AS DOUBLE) AS n,
+        |         CAST(sx0 AS DOUBLE) AS sx, CAST(sy0 AS DOUBLE) AS sy,
+        |         CAST(sxy0 AS DOUBLE) AS sxy, CAST(sx20 AS DOUBLE) AS sx2,
+        |         CAST(sy20 AS DOUBLE) AS sy2
+        |  FROM a)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |       CAST(ROUND((n*sxy - sx*sy) / (n*sx2 - sx*sx), 6) AS DOUBLE) AS slope,
+        |       CAST(ROUND((sy - (n*sxy - sx*sy) / (n*sx2 - sx*sx) * sx) / n, 6) AS DOUBLE) AS intercept,
+        |       CAST(ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sx2 - sx*sx) * (n*sy2 - sy*sy)), 6) AS DOUBLE) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q41_subq" ->
+      """SELECT o.o_orderkey, CAST(ROUND(o.o_totalprice, 4) AS DOUBLE) AS total
+        |FROM orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,6)) >
+        |      (SELECT COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 0)
+        |       FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_orderkey = o.o_orderkey
+        |                    AND l2.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

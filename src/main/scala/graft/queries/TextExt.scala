@@ -38,6 +38,20 @@ object TextExt {
     * table and a streaming read: Streams.s08 composes it with a
     * watermarked fingerprint dedup into the ingest-time chunk-dedup
     * pipeline. */
+  /** Distinct 3-token shingle hashes per document — the contamination
+    * currency shared by qx1 (exact gate) and qx5 (Bloom gate). Row-local
+    * shingling (array_distinct BEFORE the explode) + the cross-engine
+    * rolling hash; one scan, no shuffle. */
+  private def shingleHash3(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RollHash31.register(s)
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(IF(size(tk) >= 3, transform(sequence(1, size(tk) - 2), k -> array_join(slice(tk, k, 3), ' ')), array()))"))
+        .as("s"))
+      .select(col("doc_id"), expr("roll_hash31(s)").as("h"))
+  }
+
   private[graft] def chunkRel(docs: DataFrame): DataFrame = {
     graft.plans.RollHash31.register(docs.sparkSession)
     docs
@@ -398,18 +412,60 @@ object TextExt {
     // rolling hash in BOTH engines, so hash collisions (if any) affect
     // both sides identically and the count contract stays exact.
     "qx1_decontam" -> ((s, d) => {
-      graft.plans.RollHash31.register(s)
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(IF(size(tk) >= 3, transform(sequence(1, size(tk) - 2), k -> array_join(slice(tk, k, 3), ' ')), array()))"))
-          .as("s"))
-        .select(col("doc_id"), expr("roll_hash31(s)").as("h"))
+      val sh = shingleHash3(s, d)
       val ev = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
       sh.filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(ev), Seq("h"))
         .groupBy("doc_id")
         .agg(countDistinct(col("h")).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // qx5 BLOOM-FILTER decontamination gate — the fixed-size alternative
+    // to qx1's exact broadcast set. The eval suite's shingle hashes are
+    // folded into a 2^16-bit Bloom bitmap (2048 × 32-bit words, k=2
+    // probes per shingle: h % 2^16 and (h·31+17) % 2^16 — int64-exact,
+    // h < 2^30); the corpus side checks both bits via TWO broadcast
+    // equi-joins against the 2048-row word table. The contract is the
+    // Bloom SEMANTICS, not a float threshold: bitmap and probes are pure
+    // integer bit math, so Spark and DuckDB flag byte-identical doc sets
+    // — including identical FALSE POSITIVES, which the output exposes by
+    // carrying n_exact (true eval hits) next to n_bloom (bits-said-yes):
+    // n_bloom ≥ n_exact row-by-row, and the gap IS the measured FP rate.
+    // Scale: qx1's exact set grows with the eval suite, but this bitmap
+    // is 8 KB FOREVER — the 100 TB shape broadcasts a few fixed-size
+    // words tables (production sizes m,k to the eval cardinality; m=2^16
+    // here so FPs actually occur at test scale and the n_exact column
+    // stays meaningful), the corpus never shuffles, and the whole gate
+    // is one scan + partial-agg. Spark's native bloom_filter_agg /
+    // might_contain is the same plan with an opaque sketch — expressed
+    // as data here so the oracle can replay it.
+    "qx5_bloomgate" -> ((s, d) => {
+      val sh = shingleHash3(s, d)
+      def bit1(h: Column): Column = h % 65536L
+      def bit2(h: Column): Column = (h * 31L + 17L) % 65536L
+      val words = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(array(bit1(col("h")), bit2(col("h")))).as("b"))
+        .select(expr("b div 32").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))").as("m"))
+        .groupBy("w").agg(expr("bit_or(m)").as("mask"))
+      val evh = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("h").as("eh")).distinct()
+      val probes = sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("h"),
+          bit1(col("h")).as("pb1"), bit2(col("h")).as("pb2"))
+      probes
+        .join(broadcast(words.select(col("w").as("w1"), col("mask").as("m1"))),
+          expr("w1 = pb1 div 32"))
+        .join(broadcast(words.select(col("w").as("w2"), col("mask").as("m2"))),
+          expr("w2 = pb2 div 32"))
+        .filter(expr(
+          "(m1 & shiftleft(CAST(1 AS BIGINT), CAST(pb1 % 32 AS INT))) != 0 AND " +
+          "(m2 & shiftleft(CAST(1 AS BIGINT), CAST(pb2 % 32 AS INT))) != 0"))
+        .join(broadcast(evh), col("h") === col("eh"), "left")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("h")).as("n_bloom"),
+          countDistinct(when(col("eh").isNotNull, col("h"))).as("n_exact"))
         .orderBy("doc_id")
     }),
 
@@ -772,6 +828,36 @@ object TextExt {
          |SELECT t.doc_id, CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_hits
          |FROM h t JOIN ev USING (h)
          |WHERE t.doc_id % 97 <> 0
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "qx5_bloomgate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(tk) - 2, 0)),
+         |    k -> array_to_string(tk[k:k+2], ' ')))) AS s
+         |  FROM t),
+         |h AS (SELECT doc_id,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |          (acc, x) -> (acc * 31 + x) % $P) AS h
+         |      FROM sh),
+         |bits AS (SELECT unnest([h % 65536, (h * 31 + 17) % 65536]) AS b
+         |         FROM h WHERE doc_id % 97 = 0),
+         |words AS (SELECT b // 32 AS w,
+         |                 bit_or(CAST(1 AS BIGINT) << CAST(b % 32 AS INT)) AS mask
+         |          FROM bits GROUP BY 1),
+         |ev AS (SELECT DISTINCT h AS eh FROM h WHERE doc_id % 97 = 0),
+         |pr AS (SELECT doc_id, h, h % 65536 AS pb1, (h * 31 + 17) % 65536 AS pb2
+         |       FROM h WHERE doc_id % 97 <> 0)
+         |SELECT pr.doc_id, CAST(COUNT(DISTINCT pr.h) AS BIGINT) AS n_bloom,
+         |       CAST(COUNT(DISTINCT CASE WHEN ev.eh IS NOT NULL THEN pr.h END) AS BIGINT) AS n_exact
+         |FROM pr
+         |JOIN words w1 ON w1.w = pr.pb1 // 32
+         |JOIN words w2 ON w2.w = pr.pb2 // 32
+         |LEFT JOIN ev ON ev.eh = pr.h
+         |WHERE (w1.mask & (CAST(1 AS BIGINT) << CAST(pr.pb1 % 32 AS INT))) <> 0
+         |  AND (w2.mask & (CAST(1 AS BIGINT) << CAST(pr.pb2 % 32 AS INT))) <> 0
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "qt12_lmscore" ->

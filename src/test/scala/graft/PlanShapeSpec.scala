@@ -238,6 +238,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"token mixture degraded:\n$p")
   }
 
+  test("q41: correlated subqueries decorrelate to equi-joins, no per-row re-execution") {
+    val p = plan("q41_subq")
+    // scalar-agg subquery → aggregate + equi-join; NOT EXISTS → anti join
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery re-executed per row:\n$p")
+  }
+
+  test("qx5: bloom gate is broadcast-only — corpus side never shuffles pre-agg") {
+    val p = plan("qx5_bloomgate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bloom word lookup degraded:\n$p")
+  }
+
   test("asof: one shuffle on the key, no re-aggregation join") {
     val events = Tables(spark, TestSpark.Sf, "events")
       .selectExpr("event_id", "user_id AS o_custkey", "ts")
