@@ -73,10 +73,13 @@ object CrosstrackM {
 
 /** `SparkSessionExtensions` entry point: set
   * `spark.sql.extensions=graft.plans.GraftExtensions` and the graft
-  * native functions (`crosstrack_m`, `dot_long`) are available in plain
-  * SQL on any session of the cluster. */
+  * native functions (`crosstrack_m`, `dot_long`, …) are available in
+  * plain SQL — and the Sessionize planner strategy is installed — on
+  * every session of the cluster, with no per-session register() calls.
+  * (ExtensionsSpec drives a fresh session through this path.) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => SessionizeStrategy)
     ext.injectFunction((CrosstrackM.ident, CrosstrackM.info, CrosstrackM(_)))
     ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
     ext.injectFunction((RollHash31.ident, RollHash31.info, RollHash31.builder))

@@ -12,6 +12,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the cluster-deploy entry point, active for the whole suite:
+      // every spec runs with the injected functions + strategy present
+      // (ExtensionsSpec proves resolution through THIS path on a fresh
+      // newSession() whose registry has no register()-written entries)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
