@@ -145,6 +145,36 @@ object GeoQueries {
           s"$FixtureDir/addresses_payload.ndjson")
         .orderBy("id")),
 
+    // G06 property-graph TRAVERSAL over the ETL's relation edges — the
+    // Space/Time data model is a graph (SURVEY §1.1b: objects + typed
+    // edges), and the canonical consumer question is a 2-hop
+    // composition: address —st:sameAs→ houseNumber —st:in→ street,
+    // folded to per-street address rosters. Implemented as an edge
+    // EQUI-JOIN over the two typed edge relations (not a row-local
+    // recomposition): both edge sets derive from the shared matched
+    // relation (cached once via OpCaches — a self-join has no exchange
+    // to reuse), join on the intermediate vertex key, then a
+    // partial-aggregated per-street fold. At 100 TB the edges are a
+    // materialized table partitioned by src — the same join plan,
+    // shuffling only the narrow (src, dst) pairs, applies unchanged.
+    "g06_graph" -> ((s, d) => {
+      val m = graft.operators.OpCaches.track(
+        inferred(s, geoDir(d)).filter(col("sid").isNotNull)
+          .select(col("hn_id"), col("sid")))
+      val sameAs = m.select(
+        SpacetimeEtl.internalId(col("hn_id")).as("src"),
+        SpacetimeEtl.fullId("building-inspector", col("hn_id")).as("dst"))
+      val inEdges = m.select(
+        SpacetimeEtl.fullId("building-inspector", col("hn_id")).as("src"),
+        SpacetimeEtl.fullId("nyc-streets", col("sid")).as("dst"))
+      sameAs.join(inEdges, sameAs("dst") === inEdges("src"))
+        .select(sameAs("src").as("address_id"), inEdges("dst").as("street_id"))
+        .groupBy("street_id")
+        .agg(countDistinct(col("address_id")).as("n_addresses"),
+          min(col("address_id")).as("first_address"))
+        .orderBy("street_id")
+    }),
+
     // G04 grid-cell DENSITY — the heatmap aggregate over the same
     // ~0.0005° grid the nearest join partitions on (SpacetimeEtl.Cs):
     // top-100 cells by house-point count. The analytics companion to
@@ -243,6 +273,19 @@ object GeoQueries {
          |       CAST(floor(py / 0.0005) AS BIGINT) AS cy, COUNT(*) AS n
          |FROM read_parquet('$dir/house_points.parquet')
          |GROUP BY 1, 2 ORDER BY n DESC, cx, cy LIMIT 100""".stripMargin,
+
+    "g06_graph" ->
+      s"""${bestCte(dir)},
+         |m AS (SELECT hn_id, sid FROM hp JOIN best b USING (hn_id)),
+         |sameas AS (SELECT hn_id AS src,
+         |                  'building-inspector/' || hn_id AS dst FROM m),
+         |ine AS (SELECT 'building-inspector/' || hn_id AS src,
+         |               'nyc-streets/' || sid AS dst FROM m)
+         |SELECT i.dst AS street_id,
+         |       CAST(COUNT(DISTINCT s.src) AS BIGINT) AS n_addresses,
+         |       MIN(s.src) AS first_address
+         |FROM sameas s JOIN ine i ON s.dst = i.src
+         |GROUP BY 1 ORDER BY street_id""".stripMargin,
 
     "g03_transform" ->
       s"""${bestCte(dir)},

@@ -251,6 +251,31 @@ object StreamingQueries {
         .select(col("v_id"), col("p_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
         .orderBy("v_id", "p_id")
+    }),
+
+    // S13 LEFT-OUTER interval join — the attribution shape: EVERY view,
+    // with each purchase it produced within 10 minutes, or a null row
+    // if none. Batch form is the oracle gate; Streams.s13 runs the same
+    // join as a watermarked stream-stream left-outer join, where the
+    // null (unmatched) rows are the stateful part: they can only emit
+    // once the watermark proves no matching purchase can still arrive,
+    // so the streaming spec asserts equality on the watermark-closed
+    // region and containment globally — the honest unbounded contract.
+    // Scale: equi-key (user_id) drives the shuffle; the time-range
+    // conjunct both prunes the join and (streaming) bounds the state.
+    "s13_outerjoin" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      v.join(p, col("p_user") === col("user_id")
+          && col("p_ts") >= col("v_ts")
+          && col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"), "left")
+        .select(col("v_id"), col("p_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+        .orderBy("v_id", "p_id")
     })
   )
 
@@ -442,7 +467,15 @@ object StreamingQueries {
         |  ON p.user_id = v.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
-        |ORDER BY v_id, p_id""".stripMargin
+        |ORDER BY v_id, p_id""".stripMargin,
+    "s13_outerjoin" ->
+      """SELECT v.event_id AS v_id, p.event_id AS p_id,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = v.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+        |ORDER BY v_id, p_id NULLS FIRST""".stripMargin
   )
 }
 
@@ -775,5 +808,30 @@ object Streams {
       .select(col("v_id"), col("p_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
     runToTable(spark, joined, "s05_stream", "append")
+  }
+
+  /** S13 as streaming: stream-stream LEFT-OUTER interval join. Matched
+    * rows emit as they join; an UNMATCHED view emits its null row only
+    * after the watermark passes the end of its match window (no
+    * qualifying purchase can still arrive) — so the final no-data
+    * micro-batch of the AvailableNow run flushes exactly the
+    * watermark-closed region, and views inside the final horizon stay
+    * in state, correctly unemitted. Also returns v_ts so the spec can
+    * compute the horizon without re-deriving event times. */
+  def s13(spark: SparkSession, dir: String): DataFrame = {
+    val v = readEvents(spark, dir).filter(col("event_type") === "view")
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+    val p = readEvents(spark, dir).filter(col("event_type") === "purchase")
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val joined = v.join(p,
+        expr("p_user = v_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(col("v_id"), col("v_ts"), col("p_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    runToTable(spark, joined, "s13_stream", "append")
   }
 }

@@ -143,6 +143,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0, "interval join matched nothing — fixture too sparse")
   }
 
+  test("s13 left-outer interval join: matched == batch; null rows exactly the watermark-closed region") {
+    import org.apache.spark.sql.functions._
+    val batch = StreamingQueries.queries("s13_outerjoin")(spark, TestSpark.Sf)
+    val stream = Streams.s13(spark, TestSpark.Sf)
+    // matched rows are emitted as they join — exact equality
+    assert(rows(stream.filter(col("p_id").isNotNull), "v_id", "p_id", "gap_us")
+      === rows(batch.filter(col("p_id").isNotNull), "v_id", "p_id", "gap_us"))
+    // unmatched rows emit iff the final watermark passed STRICTLY
+    // beyond the end of their 10-minute match window (state is evicted
+    // when v_ts + 10 min < watermark, not <=). The GLOBAL watermark is
+    // min over both inputs' watermarks (each side's max event time −
+    // 30 min, ms-truncated) — the last view itself can therefore never
+    // flush, its own side's watermark never passes it.
+    val perType = Tables(spark, TestSpark.Sf, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wmMs = math.min(perType("view"), perType("purchase")) / 1000L - 30L * 60 * 1000
+    val horizonUs = (wmMs - 10L * 60 * 1000) * 1000L
+    val streamNulls = rows(stream.filter(col("p_id").isNull
+      && unix_micros(col("v_ts")) < horizonUs), "v_id")
+    val allStreamNulls = rows(stream.filter(col("p_id").isNull), "v_id")
+    val vTs = Tables(spark, TestSpark.Sf, "events")
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), unix_micros(col("ts")).as("vus"))
+    val batchNullsClosed = rows(batch.filter(col("p_id").isNull)
+      .join(vTs, "v_id").filter(col("vus") < horizonUs), "v_id")
+    assert(allStreamNulls === streamNulls,
+      "a null row emitted INSIDE the open horizon — watermark not respected")
+    assert(streamNulls === batchNullsClosed)
+    assert(batch.filter(col("p_id").isNull).count() > 0
+      && batch.filter(col("p_id").isNotNull).count() > 0,
+      "fixture exercises only one branch of the outer join")
+  }
+
   test("checkpointed restart is exactly-once: dedup state survives across runs") {
     // the operational contract a production ingest gate relies on: a
     // stopped-and-restarted streaming query (same checkpoint) must
