@@ -235,7 +235,11 @@ object Relational {
           upper(col("c_name")).as("up"),
           substring(col("c_name"), 1, 8).as("sub"),
           length(col("c_name")).cast(LongType).as("len"),
-          regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("repl"))
+          // single-char-class regex ≡ translate: same output, but
+          // translate is a codegen'd char map, not an interpreted
+          // java.util.regex Matcher per row (the oracle keeps the
+          // regexp_replace spelling — results are identical)
+          translate(col("c_mktsegment"), "AEIOU", "_____").as("repl"))
         .orderBy("c_custkey")),
 
     // Q22 date bucketing
@@ -485,7 +489,60 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
         |                  WHERE l2.l_orderkey = o.o_orderkey
         |                    AND l2.l_returnflag = 'R')
-        |ORDER BY o_orderkey""".stripMargin, "orders", "lineitem"))
+        |ORDER BY o_orderkey""".stripMargin, "orders", "lineitem")),
+
+    // Q42 range join with NO equi key — for every purchase, how many
+    // view windows [v_ts, v_ts+10 min] (across ALL users) were active
+    // at the instant of purchase. Spark's native plan for a pure
+    // inequality condition is a BroadcastNestedLoopJoin — O(|V|·|P|)
+    // and an unbounded broadcast, the 100 TB killer. RangeJoin
+    // bin-replicates the windows (bin width = window length → ≤2 bins
+    // each) and equi-joins on the bin, keeping the exact containment
+    // predicate as a residual — identical rows, shuffled-join plan
+    // (PlanShapeSpec pins: no BNLJ, no cartesian). Left join keeps
+    // zero-concurrency purchases; COUNT(v_id) ignores the null rows.
+    "q42_rangejoin" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val win = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"),
+          unix_micros(col("ts")).as("v_start"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("v_end"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+      graft.operators.RangeJoin
+        .binnedPointJoin(p, "p_us", win, "v_start", "v_end",
+          binWidth = 600000000L, joinType = "left")
+        .groupBy("p_id")
+        .agg(count(col("v_id")).as("n_concurrent"),
+          min(col("v_id")).as("first_view"))
+        .orderBy("p_id")
+    }),
+
+    // Q43 interval-overlap self-join (no equi key): pairs of view
+    // windows that overlap in time, rolled up to a per-day pair count.
+    // Each overlapping pair meets in exactly one bin (the bin of the
+    // later start — RangeJoin's first-common-bin rule), so the join
+    // output is pair-unique with NO distinct exchange; the a_id < b_id
+    // residual keeps one orientation and drops self-pairs. Day key is
+    // integer days-since-epoch of the later start: pure int64 math,
+    // bit-identical cross-engine.
+    "q43_overlap" -> ((s, d) => {
+      val e = t(s, d, "events")
+      def win(idCol: String, sCol: String, eCol: String) =
+        e.filter(col("event_type") === "view")
+          .select(col("event_id").as(idCol),
+            unix_micros(col("ts")).as(sCol),
+            (unix_micros(col("ts")) + lit(600000000L)).as(eCol))
+      graft.operators.RangeJoin
+        .binnedOverlapJoin(win("a_id", "a_s", "a_e"), "a_s", "a_e",
+          win("b_id", "b_s", "b_e"), "b_s", "b_e", binWidth = 600000000L)
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(floor(greatest(col("a_s"), col("b_s")) / lit(86400000000L))
+          .cast(LongType).as("day_idx"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("a_id")).as("first_a"))
+        .orderBy("day_idx")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -637,6 +694,24 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
         |                  WHERE l2.l_orderkey = o.o_orderkey
         |                    AND l2.l_returnflag = 'R')
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // DuckDB plans these range predicates with its IEJoin — a fair
+    // specialized-baseline for the binned join to beat at scale
+    "q42_rangejoin" ->
+      """SELECT p.event_id AS p_id, COUNT(v.event_id) AS n_concurrent,
+        |       MIN(v.event_id) AS first_view
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON epoch_us(p.ts) >= epoch_us(v.ts)
+        | AND epoch_us(p.ts) <= epoch_us(v.ts) + 600000000
+        |GROUP BY 1 ORDER BY p_id""".stripMargin,
+    "q43_overlap" ->
+      """WITH v AS (SELECT event_id AS id, epoch_us(ts) AS s,
+        |                  epoch_us(ts) + 600000000 AS e
+        |           FROM events WHERE event_type = 'view')
+        |SELECT CAST(FLOOR(GREATEST(a.s, b.s) / 86400000000) AS BIGINT) AS day_idx,
+        |       COUNT(*) AS n_pairs, MIN(a.id) AS first_a
+        |FROM v a JOIN v b ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY 1 ORDER BY day_idx""".stripMargin
   )
 }

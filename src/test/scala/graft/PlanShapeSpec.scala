@@ -253,6 +253,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bloom word lookup degraded:\n$p")
   }
 
+  test("q42/q43: binned range joins are equi-joins on the bin — never BNLJ or cartesian") {
+    for (q <- Seq("q42_rangejoin", "q43_overlap")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q range join degraded to a nested loop:\n$p")
+      assert(p.contains("Join"), s"$q lost its join entirely:\n$p")
+    }
+  }
+
   test("asof: one shuffle on the key, no re-aggregation join") {
     val events = Tables(spark, TestSpark.Sf, "events")
       .selectExpr("event_id", "user_id AS o_custkey", "ts")
