@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same deploy surface Verify runs under (q44 needs the injected
+      // optimizer rule; the injected functions replace per-query
+      // register() calls on the cluster)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: touch every table's parquet footer and exercise the codegen /

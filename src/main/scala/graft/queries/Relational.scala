@@ -542,6 +542,32 @@ object Relational {
         .agg(count(lit(1)).as("n_pairs"),
           min(col("a_id")).as("first_a"))
         .orderBy("day_idx")
+    }),
+
+    // Q44 q42's semantics spelled as the NAIVE inequality join, planned
+    // through the injected `BinnedRangeJoinRule` optimizer rewrite
+    // (plans/BinnedRangeJoinRule.scala) — the transparent counterpart of
+    // q42's explicit RangeJoin operator: user writes the BNLJ-shaped
+    // join, the rule rebuilds the binned equi-join inside Catalyst. The
+    // plan snapshot pins the rewrite (a Generate + hash join, no BNLJ);
+    // the oracle pins that the rewrite changed nothing. Runs on a child
+    // session so the bin-width conf never leaks to other queries.
+    "q44_rangerule" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey, "600000000")
+      val e = t(s, d, "events")
+      val win = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"),
+          unix_micros(col("ts")).as("v_start"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("v_end"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+      p.join(win, col("p_us") >= col("v_start") && col("p_us") <= col("v_end"),
+          "left")
+        .groupBy("p_id")
+        .agg(count(col("v_id")).as("n_concurrent"),
+          min(col("v_id")).as("first_view"))
+        .orderBy("p_id")
     })
   )
 
@@ -712,6 +738,16 @@ object Relational {
         |SELECT CAST(FLOOR(GREATEST(a.s, b.s) / 86400000000) AS BIGINT) AS day_idx,
         |       COUNT(*) AS n_pairs, MIN(a.id) AS first_a
         |FROM v a JOIN v b ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
-        |GROUP BY 1 ORDER BY day_idx""".stripMargin
+        |GROUP BY 1 ORDER BY day_idx""".stripMargin,
+    // identical SQL to q42 by design: the optimizer rewrite must be
+    // invisible in the data
+    "q44_rangerule" ->
+      """SELECT p.event_id AS p_id, COUNT(v.event_id) AS n_concurrent,
+        |       MIN(v.event_id) AS first_view
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON epoch_us(p.ts) >= epoch_us(v.ts)
+        | AND epoch_us(p.ts) <= epoch_us(v.ts) + 600000000
+        |GROUP BY 1 ORDER BY p_id""".stripMargin
   )
 }

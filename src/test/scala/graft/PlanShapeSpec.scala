@@ -253,8 +253,8 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bloom word lookup degraded:\n$p")
   }
 
-  test("q42/q43: binned range joins are equi-joins on the bin — never BNLJ or cartesian") {
-    for (q <- Seq("q42_rangejoin", "q43_overlap")) {
+  test("q42/q43/q44: binned range joins are equi-joins on the bin — never BNLJ or cartesian") {
+    for (q <- Seq("q42_rangejoin", "q43_overlap", "q44_rangerule")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q range join degraded to a nested loop:\n$p")
