@@ -97,6 +97,77 @@ class ScaleSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the third leg of the join-pruning story (static partition pruning,
+    // AQE skew, THIS): when a shuffle join's build side carries a
+    // selective filter, Catalyst injects a bloom filter of the build
+    // keys into the probe side's scan stage, discarding non-joining
+    // fact rows BEFORE the shuffle — at 100 TB that's the difference
+    // between shuffling the whole fact table and shuffling the ~1% that
+    // can join. Thresholds are lowered to make the property visible at
+    // test scale (the application-side default is 10 GB); production
+    // keeps defaults.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      val li = Tables(spark, TestSpark.Sf, "lineitem")
+      val o = Tables(spark, TestSpark.Sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 300000)
+      val j = li.join(o,
+        org.apache.spark.sql.functions.col("l_orderkey")
+          === org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$p")
+      // and the filter is semantics-preserving
+      val expected = Tables(spark, TestSpark.Sf, "lineitem")
+        .join(Tables(spark, TestSpark.Sf, "orders")
+          .filter(org.apache.spark.sql.functions.col("o_totalprice") > 300000),
+          org.apache.spark.sql.functions.col("l_orderkey")
+            === org.apache.spark.sql.functions.col("o_orderkey"))
+      assert(j.count() === { conf.set(keys.head, saved.head._2); expected.count() })
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // static pruning (test above) needs the literal predicate ON the
+    // partition column; DPP covers the star-join shape — the filter sits
+    // on the DIMENSION, and the fact side's partition list is computed
+    // at runtime from the dim's join keys (reusing the broadcast). The
+    // fact scan's PartitionFilters then carries a dynamicpruning#
+    // subquery instead of reading every lang directory.
+    // NB the dim's filter must sit on a NON-join column: a literal
+    // predicate on the join key itself propagates to the fact scan as a
+    // STATIC PartitionFilter through constraint inference (no runtime
+    // subquery needed — Catalyst's even-cheaper path, worth knowing).
+    import org.apache.spark.sql.functions._
+    val dir = "target/scale-dpp"
+    Scale.writePartitioned(
+      Tables(spark, TestSpark.Sf, "documents").select("doc_id", "lang", "n_chars"),
+      dir, Seq("lang"))
+    val fact = spark.read.parquet(dir)
+    val dim = Tables(spark, TestSpark.Sf, "documents")
+      .select(col("lang"), col("source")).distinct()
+      .filter(col("source") === "src7")
+    val j = fact.join(dim, Seq("lang"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no DPP subquery in the fact scan:\n$p")
+    val langs = Tables(spark, TestSpark.Sf, "documents")
+      .filter(col("source") === "src7").select("lang").distinct().count()
+    val exact = Tables(spark, TestSpark.Sf, "documents")
+      .join(dim, Seq("lang")).count()
+    assert(langs > 0 && j.count() === exact)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("z-order layout prunes a box predicate on BOTH coordinates") {
     import spark.implicits._
     // 64k points on a 256x256 grid, one row per cell — any box query
