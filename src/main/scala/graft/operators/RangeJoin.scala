@@ -32,6 +32,14 @@ object RangeJoin {
 
   private def bin(c: Column, w: Long): Column = floor(c / lit(w)).cast("long")
 
+  /** Bin list of one interval. Guarded: a reversed (hi < lo) or
+    * null-bounded interval explodes to ZERO bins — Spark's `sequence`
+    * would otherwise DESCEND for reversed bounds, replicating a row
+    * that can never match into every bin it doesn't belong to. */
+  private def bins(lo: Column, hi: Column, w: Long): Column =
+    when(bin(lo, w) <= bin(hi, w), sequence(bin(lo, w), bin(hi, w)))
+      .otherwise(array().cast("array<long>"))
+
   /** Join `points` (one numeric column `pointCol`, e.g. epoch micros) to
     * `intervals` ([startCol, endCol] closed) on containment, with no
     * equi key. `joinType` "inner" or "left" (left keeps unmatched
@@ -42,7 +50,7 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       binWidth: Long, joinType: String = "inner"): DataFrame = {
     val iv = intervals.withColumn("_bin",
-      explode(sequence(bin(col(startCol), binWidth), bin(col(endCol), binWidth))))
+      explode(bins(col(startCol), col(endCol), binWidth)))
     val pt = points.withColumn("_pbin", bin(col(pointCol), binWidth))
     pt.join(iv,
         pt("_pbin") === iv("_bin")
@@ -61,9 +69,9 @@ object RangeJoin {
                         b: DataFrame, bStart: String, bEnd: String,
                         binWidth: Long): DataFrame = {
     val ab = a.withColumn("_abin",
-      explode(sequence(bin(col(aStart), binWidth), bin(col(aEnd), binWidth))))
+      explode(bins(col(aStart), col(aEnd), binWidth)))
     val bb = b.withColumn("_bbin",
-      explode(sequence(bin(col(bStart), binWidth), bin(col(bEnd), binWidth))))
+      explode(bins(col(bStart), col(bEnd), binWidth)))
     ab.join(bb,
         ab("_abin") === bb("_bbin")
           && col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd)

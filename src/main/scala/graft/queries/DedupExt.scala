@@ -696,12 +696,16 @@ object DedupExt {
     // the candidate semi-join, skipping a second verify replay.
     "qd9_bandrecall" -> ((s, d) => {
       val tk = toks(s, d)
-      // cached: the exact pair set feeds BOTH the n_exact count and the
-      // semi-join hit branch — without the cache the whole prefix-join
-      // candidate pipeline executes twice per action
-      val exact = graft.operators.OpCaches.track(
-        graft.operators.BitmaskJaccard
-          .prefixPairsFused(tk, 8, 10).select("a", "b"))
+      // deliberately NOT cached, though the pair set feeds both the
+      // n_exact count and the semi-join branch: caching it was
+      // A/B-measured ~1–1.4 s SLOWER at sf0.1 (8.4/8.5/7.7 s cached vs
+      // 7.0/7.0 s uncached, back-to-back) — materializing the pair rows
+      // costs more than the second pipeline execution, whose count-only
+      // branch prunes hard (fifth measured fusion/cache negative;
+      // prefixPairsFused's INTERNAL vocab/per caches stay, they serve
+      // both executions)
+      val exact = graft.operators.BitmaskJaccard
+          .prefixPairsFused(tk, 8, 10).select("a", "b")
       // CANDIDATES suffice (exact ∩ banded = exact ∩ candidates, the
       // identity above), so the audit pays the signature aggregation
       // but never a second mask build or the banded verify joins

@@ -18,7 +18,8 @@ class RangeJoinSpec extends AnyFunSuite {
     import s.implicits._
     // (id, start, end): widths from 0 to 2.5 bins at W=10
     Seq((1L, 0L, 9L), (2L, 5L, 24L), (3L, 10L, 10L), (4L, 17L, 42L),
-        (5L, 30L, 31L), (6L, 100L, 105L))
+        (5L, 30L, 31L), (6L, 100L, 105L),
+        (7L, 50L, 40L)) // reversed: matches nothing, explodes to 0 bins
       .toDF("i_id", "s", "e")
   }
   private def pts = {
