@@ -568,6 +568,35 @@ object Relational {
         .agg(count(col("v_id")).as("n_concurrent"),
           min(col("v_id")).as("first_view"))
         .orderBy("p_id")
+    }),
+
+    // Q45 time-series GAP-FILL: densify a sparse daily series onto the
+    // full calendar (missing days appear with n=0) and forward-fill the
+    // last observed average. The calendar derives from a one-row
+    // min/max aggregate (broadcast, no driver round-trip); the ffill
+    // window is a global order over the DENSIFIED grid — post-
+    // aggregation day cardinality (365/yr), not row cardinality, so the
+    // single-partition window is bounded by the calendar no matter how
+    // many raw events feed it. Sparse series: high-value purchases
+    // (value > 280 ⇒ ~0.5% of purchases: 9 events on 9 of 30 days at
+    // the sf0.01 gate), so the fill branch genuinely executes.
+    "q45_gapfill" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("value") > 280)
+        .select(date_trunc("day", col("ts")).cast(DateType).as("day"),
+          col("value"))
+      val daily = e.groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          round((sum(col("value").cast(DecimalType(18, 6))) / count(lit(1)))
+            .cast(DecimalType(18, 6)), 4).cast(DoubleType).as("avg_v"))
+      val cal = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+          last(col("avg_v"), ignoreNulls = true).over(w).as("avg_v_ff"))
+        .orderBy("day")
     })
   )
 
@@ -748,6 +777,21 @@ object Relational {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON epoch_us(p.ts) >= epoch_us(v.ts)
         | AND epoch_us(p.ts) <= epoch_us(v.ts) + 600000000
-        |GROUP BY 1 ORDER BY p_id""".stripMargin
+        |GROUP BY 1 ORDER BY p_id""".stripMargin,
+    "q45_gapfill" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value
+        |           FROM events WHERE event_type = 'purchase' AND value > 280),
+        |daily AS (SELECT day, COUNT(*) AS n,
+        |            CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) / COUNT(*)
+        |              AS DECIMAL(18,6)), 4) AS DOUBLE) AS avg_v
+        |          FROM e GROUP BY 1),
+        |cal AS (SELECT CAST(unnest(generate_series(
+        |          (SELECT MIN(day) FROM e), (SELECT MAX(day) FROM e),
+        |          INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT c.day, COALESCE(n, 0) AS n,
+        |       last_value(avg_v IGNORE NULLS) OVER (ORDER BY c.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v_ff
+        |FROM cal c LEFT JOIN daily USING (day)
+        |ORDER BY day""".stripMargin
   )
 }
