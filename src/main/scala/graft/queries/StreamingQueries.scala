@@ -276,6 +276,37 @@ object StreamingQueries {
         .select(col("v_id"), col("p_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
         .orderBy("v_id", "p_id")
+    }),
+
+    // S14 NO-EQUI-KEY stream-stream interval join, bin-sharded — q42's
+    // streaming form: every purchase against EVERY view window that
+    // covers it, across all users. s05/s13 shard their join state on
+    // user_id; with no key at all, Spark's stream-stream join would
+    // funnel all state through one partition. The RangeJoin bin trick
+    // carries over verbatim: views explode into their ≤2 width-10-min
+    // time-bucket bins, purchases carry their single bin, the join gets
+    // `v_bin = p_bin` as its equi key — state shards BY TIME BUCKET,
+    // each micro-batch probes only its own buckets, and the watermark
+    // evicts whole expired bins. Pair-unique (a purchase has one bin).
+    // Batch form below is the oracle gate; Streams.s14 is the real
+    // watermarked run, spec-pinned equal.
+    "s14_nokeyjoin" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val W = 600000000L
+      val v = e.filter(col("event_type") === "view")
+        .select(col("ts").as("v_ts"), col("event_id").as("v_id"))
+        .withColumn("v_bin", explode(sequence(
+          floor(unix_micros(col("v_ts")) / W).cast("long"),
+          floor((unix_micros(col("v_ts")) + W) / W).cast("long"))))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("ts").as("p_ts"), col("event_id").as("p_id"),
+          floor(unix_micros(col("ts")) / W).cast("long").as("p_bin"))
+      v.join(p, col("p_bin") === col("v_bin")
+          && col("p_ts") >= col("v_ts")
+          && col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("v_id"), col("p_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+        .orderBy("v_id", "p_id")
     })
   )
 
@@ -475,7 +506,16 @@ object StreamingQueries {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON p.user_id = v.user_id
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
-        |ORDER BY v_id, p_id NULLS FIRST""".stripMargin
+        |ORDER BY v_id, p_id NULLS FIRST""".stripMargin,
+    // the oracle is the PLAIN no-key interval join — the bins must be
+    // invisible in the data
+    "s14_nokeyjoin" ->
+      """SELECT v.event_id AS v_id, p.event_id AS p_id,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+        |ORDER BY v_id, p_id""".stripMargin
   )
 }
 
@@ -833,5 +873,32 @@ object Streams {
       .select(col("v_id"), col("v_ts"), col("p_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
     runToTable(spark, joined, "s13_stream", "append")
+  }
+
+  /** S14 as streaming: the NO-equi-key interval join, state-sharded by
+    * time-bucket bins. The view side's bin explode is a stateless
+    * transform ahead of the join; `p_bin = v_bin` becomes the join's
+    * equi key, so state partitions by time bucket (not one global
+    * partition, not per-user), and watermark eviction drops whole
+    * expired bins. Inner join ⇒ every matched pair emits within the
+    * micro-batch where both sides are present — the one-file replay
+    * equals the batch form exactly. */
+  def s14(spark: SparkSession, dir: String): DataFrame = {
+    val W = 600000000L
+    val v = readEvents(spark, dir).filter(col("event_type") === "view")
+      .withWatermark("ts", "30 minutes")
+      .select(col("ts").as("v_ts"), col("event_id").as("v_id"))
+      .withColumn("v_bin", explode(sequence(
+        floor(unix_micros(col("v_ts")) / W).cast("long"),
+        floor((unix_micros(col("v_ts")) + W) / W).cast("long"))))
+    val p = readEvents(spark, dir).filter(col("event_type") === "purchase")
+      .withWatermark("ts", "30 minutes")
+      .select(col("ts").as("p_ts"), col("event_id").as("p_id"),
+        floor(unix_micros(col("ts")) / W).cast("long").as("p_bin"))
+    val joined = v.join(p,
+        expr("p_bin = v_bin AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 10 MINUTES"))
+      .select(col("v_id"), col("p_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    runToTable(spark, joined, "s14_stream", "append")
   }
 }

