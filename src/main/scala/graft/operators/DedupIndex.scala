@@ -98,4 +98,47 @@ object DedupIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(dir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${fpTable(dir)}")
   }
+
+  /** GENERATIONAL COMPACTION — the third verb of the index lifecycle
+    * (write once / upsert per ingest / compact periodically). Every
+    * foreachBatch upsert appends a fresh set of per-bucket files, so
+    * after B batches a bucket's probe reads B fragments; compaction
+    * rewrites the index as a NEW generation at `dstDir` with the same
+    * bucket spec and ONE file per bucket (the `repartition` on the
+    * bucket keys uses the same hash as the bucketing, so each task
+    * holds exactly one bucket). The caller then points ingest at the
+    * new generation and drops the old dir — the atomic-swap-by-pointer
+    * pattern, never an in-place rewrite a concurrent probe could
+    * half-read. Probe plans and verdicts are unchanged (same bucketed
+    * layout); `fp` re-asserts set semantics with a distinct. */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+              buckets: Int = Buckets): Handles = {
+    val src = load(spark, srcDir, buckets)
+    spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(dstDir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${fpTable(dstDir)}")
+    // shuffle on the PRECOMPUTED bucket id (hash() is the same
+    // murmur3(seed 42) the bucketed writer assigns file suffixes with),
+    // not on the raw bucket columns: a (band,key) repartition can be
+    // planner-elided against the bucketed scan's claimed partitioning,
+    // leaving whichever task layout the fragmented scan had — this
+    // exchange cannot be elided, and AQE coalescing only ever MERGES
+    // partitions, so every bucket stays atomic in one task → exactly
+    // one output file per bucket.
+    def oneFilePerBucket(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.withColumn("_gbucket",
+          pmod(hash(keys.map(col): _*), lit(buckets)))
+        .repartition(buckets, col("_gbucket"))
+        .drop("_gbucket")
+    oneFilePerBucket(src.bands, Seq("band", "key"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .option("path", s"$dstDir/bands").format("parquet")
+      .saveAsTable(bandsTable(dstDir))
+    oneFilePerBucket(src.fp.select("fp").distinct(), Seq("fp"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .option("path", s"$dstDir/fp").format("parquet")
+      .saveAsTable(fpTable(dstDir))
+    Handles(spark.table(bandsTable(dstDir)), spark.table(fpTable(dstDir)))
+  }
 }

@@ -48,6 +48,57 @@ class IndexUpsertSpec extends AnyFunSuite {
       // so only guard the fixture is non-degenerate: some non-'new' in B)
       assert(got.exists { case (_, v, b) => b == 2L && v != "new" },
         "degenerate fixture: batch B saw nothing in the grown index")
+
+      // COMPACTION: two upserts have fragmented every bucket; a new
+      // generation must (1) shrink to one file per bucket, (2) produce
+      // bit-identical probe verdicts, (3) keep the no-index-side-
+      // exchange probe plan (same bucketed layout).
+      def parquetFiles(p: String): Int =
+        org.apache.commons.io.FileUtils
+          .listFiles(new java.io.File(p), Array("parquet"), true).size()
+      val fragmented = parquetFiles(s"$idxDir/bands")
+      val gen2 = s"$tmp/index-gen2"
+      val c = DedupIndex.compact(spark, idxDir, gen2)
+      try {
+        assert(parquetFiles(s"$gen2/bands") <= DedupIndex.Buckets,
+          "compaction left more than one file per bucket")
+        assert(parquetFiles(s"$gen2/bands") < fragmented,
+          s"compaction did not reduce fragments ($fragmented)")
+        val probe = docs.filter(col("doc_id") % 10 === 1)
+        graft.plans.RollHash31.register(spark)
+        graft.plans.IntersectSortedCount.register(spark)
+        def verdicts(h: DedupIndex.Handles) = {
+          val fp = probe.select(col("doc_id"), expr("roll_hash31(text)").as("fp"))
+          graft.queries.DedupExt.incrementalVerdicts(
+              fp, h.fp, graft.queries.DedupExt.bandSignatures(probe), h.bands)
+            .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        }
+        val old = verdicts(DedupIndex.load(spark, idxDir))
+        graft.operators.OpCaches.releaseAll()
+        assert(verdicts(c) === old,
+          "compacted generation changed probe verdicts")
+        // plan: the compacted generation still probes with NO index-side
+        // exchange (PersistIndexSpec's pin, re-asserted post-compaction):
+        // force the SMJ path and count exactly ONE band-key exchange —
+        // the incoming side — while the index side scans Bucketed: true
+        val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val fp = probe.select(col("doc_id"), expr("roll_hash31(text)").as("fp"))
+          val v = graft.queries.DedupExt.incrementalVerdicts(
+            fp, c.fp, graft.queries.DedupExt.bandSignatures(probe), c.bands)
+          v.collect()
+          // post-collect the AQE plan string carries BOTH the final and
+          // the initial plan — count exchanges in the final section only
+          val p = v.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
+          val bandEx = "Exchange hashpartitioning\\(band".r.findAllIn(p).size
+          assert(bandEx === 1,
+            s"expected 1 band-key exchange (incoming side only), got $bandEx:\n$p")
+          assert(p.contains("Bucketed: true"),
+            s"compacted scan lost its bucketing:\n$p")
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      } finally DedupIndex.detach(spark, gen2)
     } finally {
       DedupIndex.detach(spark, idxDir)
       graft.operators.OpCaches.releaseAll()
