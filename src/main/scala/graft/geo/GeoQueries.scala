@@ -152,15 +152,19 @@ object GeoQueries {
     // folded to per-street address rosters. Implemented as an edge
     // EQUI-JOIN over the two typed edge relations (not a row-local
     // recomposition): both edge sets derive from the shared matched
-    // relation (cached once via OpCaches — a self-join has no exchange
-    // to reuse), join on the intermediate vertex key, then a
+    // relation — deliberately NOT cached: A/B at bench scale measured
+    // the OpCaches form ~0.5-0.9 s SLOWER (6.7/6.9 s vs 5.9/6.4 s,
+    // back-to-back) — the matched relation is narrow but its
+    // materialization is a separate job + an InMemoryTableScan that
+    // breaks codegen fusion, while the recomputed lineage shares the
+    // parquet scan and stays fused (same shape as the qd9 cache
+    // negative result). Join on the intermediate vertex key, then a
     // partial-aggregated per-street fold. At 100 TB the edges are a
     // materialized table partitioned by src — the same join plan,
     // shuffling only the narrow (src, dst) pairs, applies unchanged.
     "g06_graph" -> ((s, d) => {
-      val m = graft.operators.OpCaches.track(
-        inferred(s, geoDir(d)).filter(col("sid").isNotNull)
-          .select(col("hn_id"), col("sid")))
+      val m = inferred(s, geoDir(d)).filter(col("sid").isNotNull)
+          .select(col("hn_id"), col("sid"))
       val sameAs = m.select(
         SpacetimeEtl.internalId(col("hn_id")).as("src"),
         SpacetimeEtl.fullId("building-inspector", col("hn_id")).as("dst"))
