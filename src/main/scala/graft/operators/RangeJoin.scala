@@ -32,12 +32,15 @@ object RangeJoin {
 
   private def bin(c: Column, w: Long): Column = floor(c / lit(w)).cast("long")
 
-  /** Bin list of one interval. Guarded: a reversed (hi < lo) or
-    * null-bounded interval explodes to ZERO bins — Spark's `sequence`
-    * would otherwise DESCEND for reversed bounds, replicating a row
-    * that can never match into every bin it doesn't belong to. */
+  /** Bin list of one interval. Guarded on the RAW bounds: a reversed
+    * (hi < lo) or null-bounded interval explodes to ZERO bins — Spark's
+    * `sequence` would otherwise DESCEND for reversed bounds, and a
+    * bin-level guard would miss a reversal that stays inside one bin
+    * (caught by RangeJoinPropSpec: the overlap predicate alone can
+    * match a same-bin reversed interval that the [lo,hi] contract says
+    * is empty). */
   private def bins(lo: Column, hi: Column, w: Long): Column =
-    when(bin(lo, w) <= bin(hi, w), sequence(bin(lo, w), bin(hi, w)))
+    when(lo <= hi, sequence(bin(lo, w), bin(hi, w)))
       .otherwise(array().cast("array<long>"))
 
   /** Join `points` (one numeric column `pointCol`, e.g. epoch micros) to
@@ -61,7 +64,10 @@ object RangeJoin {
 
   /** Join two interval relations on overlap ([aStart,aEnd] ∩
     * [bStart,bEnd] ≠ ∅), no equi key. Each overlapping pair emits
-    * exactly once (first-common-bin rule). Inner join only — an
+    * exactly once (first-common-bin rule). A reversed (end < start) or
+    * null-bounded interval is EMPTY and overlaps nothing — note this is
+    * strictly tighter than the raw predicate aStart ≤ bEnd ∧ bStart ≤
+    * aEnd, which a reversed interval can satisfy. Inner join only — an
     * unmatched interval has no "first common bin" to anchor a null row;
     * express left-outer needs via a separate anti-join on the same
     * binned condition. */

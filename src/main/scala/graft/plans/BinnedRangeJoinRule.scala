@@ -124,10 +124,13 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         val pbin = Alias(floorDivL(p, w), "_graft_pbin")()
         val binAttr = AttributeReference("_graft_bin", LongType,
           nullable = false)()
-        val binLo = floorDivL(lo, w)
-        val binHi = floorDivL(hi, w)
-        val bins = If(LessThanOrEqual(binLo, binHi),
-          Sequence(binLo, binHi, Some(Literal(1L)),
+        // raw-bound guard (not bin-level): a same-bin reversed interval
+        // would pass a bin comparison and draw a bin it must not have —
+        // harmless here (the residual original condition rejects it)
+        // but wasteful; `sequence` with explicit step also THROWS on
+        // reversed bounds, so the guard is load-bearing either way
+        val bins = If(LessThanOrEqual(Cast(lo, LongType), Cast(hi, LongType)),
+          Sequence(floorDivL(lo, w), floorDivL(hi, w), Some(Literal(1L)),
             Some(conf.sessionLocalTimeZone)),
           Literal.create(Array.empty[Long], ArrayType(LongType, false)))
         val pointSide = if (pLeft) left else right
