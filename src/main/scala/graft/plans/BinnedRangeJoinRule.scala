@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite a join whose condition is PURE range
   * predicates (no cross-side equality anywhere — the shape Spark can only
@@ -32,8 +32,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   *
   * Scope guards (each preserves exactness, not just performance):
   *  - any cross-side `=`/`<=>` conjunct ⇒ no-op (Spark already hash-joins);
-  *  - bounded expr and both bounds must be integral (int/long) and each
-  *    entirely from one join side;
+  *  - bounded expr and both bounds must be int/long or TIMESTAMP
+  *    (timestamps bin on epoch micros, so `binWidth` is micros there)
+  *    and each entirely from one join side;
   *  - outer joins only when the PRESERVED side is the point side — the
   *    replicated (Generate) side must not be the side whose unmatched rows
   *    are re-emitted, or each unmatched interval would surface once per
@@ -48,14 +49,24 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   val ConfKey = "spark.graft.rangeJoin.binWidth"
 
   private def integral(t: DataType): Boolean =
-    t == LongType || t == IntegerType
+    t == LongType || t == IntegerType || t == TimestampType
+
+  /** Normalize a bound to int64: timestamps become epoch MICROS (so
+    * `binWidth` is micros for timestamp joins — the natural SQL
+    * spelling `p.ts BETWEEN v.ts AND v.ts + INTERVAL …` rewrites
+    * without the query author converting anything), ints widen. */
+  private def toLong(e: Expression): Expression = e.dataType match {
+    case TimestampType => UnixMicros(e)
+    case LongType      => e
+    case _             => Cast(e, LongType)
+  }
 
   /** Exact floor division as a codegen'd static call — `Divide` on
     * doubles loses exactness past 2^53 and integer `div` truncates
     * toward zero for negatives. */
   private def floorDivL(e: Expression, w: Long): Expression =
     StaticInvoke(classOf[java.lang.Math], LongType, "floorDiv",
-      Seq(Cast(e, LongType), Literal(w)), Seq(LongType, LongType))
+      Seq(toLong(e), Literal(w)), Seq(LongType, LongType))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w =
@@ -129,7 +140,7 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         // harmless here (the residual original condition rejects it)
         // but wasteful; `sequence` with explicit step also THROWS on
         // reversed bounds, so the guard is load-bearing either way
-        val bins = If(LessThanOrEqual(Cast(lo, LongType), Cast(hi, LongType)),
+        val bins = If(LessThanOrEqual(toLong(lo), toLong(hi)),
           Sequence(floorDivL(lo, w), floorDivL(hi, w), Some(Literal(1L)),
             Some(conf.sessionLocalTimeZone)),
           Literal.create(Array.empty[Long], ArrayType(LongType, false)))

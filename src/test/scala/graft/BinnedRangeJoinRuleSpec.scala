@@ -79,6 +79,27 @@ class BinnedRangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp bounds: the natural SQL interval spelling rewrites on epoch-micro bins") {
+    def q(s: SparkSession) = {
+      val e = Tables(s, TestSpark.Sf, "events")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("ts").as("v_ts"), col("event_id").as("v_id"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("ts").as("p_ts"), col("event_id").as("p_id"))
+      p.join(v, col("p_ts") >= col("v_ts")
+        && col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+        .select("p_id", "v_id")
+    }
+    val expected = withRuleSession(0)(s => rows(q(s)))
+    withRuleSession(600000000L) { s =>
+      val j = q(s)
+      assert(rows(j) === expected)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"timestamp range join not rewritten:\n$p")
+    }
+  }
+
   test("conf unset: strict no-op") {
     withRuleSession(0) { s =>
       val p = naive(s).queryExecution.executedPlan.toString
