@@ -99,6 +99,65 @@ object DedupIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${fpTable(dir)}")
   }
 
+  /** The two relations of a loaded ANN (embedding) index. */
+  final case class AnnHandles(bands: DataFrame, vec: DataFrame)
+
+  def annBandsTable(dir: String): String = s"graft_idx_vbands_${suffix(dir)}"
+  def annVecTable(dir: String): String = s"graft_idx_vec_${suffix(dir)}"
+
+  /** Persist an embeddings table's ANN index: the hyperplane-LSH band
+    * relation bucketed+sorted by the probe join's (k, key) equi keys,
+    * and the fixed-point quantized vectors bucketed by vec_id for the
+    * exact re-rank join. One sketch pass over the corpus — the cost an
+    * ANN-serving deployment pays per corpus version, not per probe
+    * batch; every later batch broadcasts its probes against the
+    * bucketed scans and the corpus vectors never shuffle. */
+  def writeAnn(emb: DataFrame, dir: String,
+               buckets: Int = Buckets): AnnHandles = {
+    val spark = emb.sparkSession
+    val bands = graft.queries.DedupExt.annBandRelation(emb)
+    val vecs = graft.queries.DedupExt.quantizedRelation(emb)
+    spark.sql(s"DROP TABLE IF EXISTS ${annBandsTable(dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${annVecTable(dir)}")
+    bands.write.mode("overwrite")
+      .bucketBy(buckets, "k", "key").sortBy("k", "key")
+      .option("path", s"$dir/vbands").format("parquet")
+      .saveAsTable(annBandsTable(dir))
+    vecs.write.mode("overwrite")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .option("path", s"$dir/vec").format("parquet")
+      .saveAsTable(annVecTable(dir))
+    AnnHandles(spark.table(annBandsTable(dir)), spark.table(annVecTable(dir)))
+  }
+
+  /** Re-attach a previously-written ANN index in a fresh session (same
+    * declared-schema DDL contract as `load`). */
+  def loadAnn(spark: SparkSession, dir: String,
+              buckets: Int = Buckets): AnnHandles = {
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS ${annBandsTable(dir)} (
+         |  vec_id BIGINT, n2 BIGINT, k INT, key BIGINT)
+         |USING PARQUET
+         |CLUSTERED BY (k, key) SORTED BY (k, key)
+         |INTO $buckets BUCKETS
+         |LOCATION '$dir/vbands'""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS ${annVecTable(dir)} (
+         |  vec_id BIGINT, ei ARRAY<BIGINT>)
+         |USING PARQUET
+         |CLUSTERED BY (vec_id) SORTED BY (vec_id)
+         |INTO $buckets BUCKETS
+         |LOCATION '$dir/vec'""".stripMargin)
+    AnnHandles(spark.table(annBandsTable(dir)), spark.table(annVecTable(dir)))
+  }
+
+  /** Drop the ANN index's catalog entries (files stay; `loadAnn`
+    * re-attaches). */
+  def detachAnn(spark: SparkSession, dir: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${annBandsTable(dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${annVecTable(dir)}")
+  }
+
   /** GENERATIONAL COMPACTION — the third verb of the index lifecycle
     * (write once / upsert per ingest / compact periodically). Every
     * foreachBatch upsert appends a fresh set of per-bucket files, so

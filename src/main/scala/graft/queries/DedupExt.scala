@@ -194,6 +194,55 @@ object DedupExt {
       posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
         .as(Seq("k", "key")))
 
+  /** The ANN index's band relation (vec_id, n2, k, key) of an
+    * embeddings table — what `DedupIndex.writeAnn` persists as the
+    * bucketed probe side. */
+  private[graft] def annBandRelation(emb: DataFrame): DataFrame = {
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), col("i0"),
+        expr(s"CAST(floor(CAST(xf AS DOUBLE) * $FP) AS BIGINT)").as("xi"))
+    vecBands(perVec(ex))
+  }
+
+  /** The ANN index's re-rank relation (vec_id, ei): fixed-point int64
+    * quantized vectors — what `DedupIndex.writeAnn` persists bucketed
+    * by vec_id. */
+  private[graft] def quantizedRelation(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $FP) AS BIGINT))")
+        .as("ei"))
+
+  /** The qs3 probe-batch verdict kernel over INDEX RELATIONS (inline or
+    * loaded from the persisted bucketed tables — qs7's contract is that
+    * the source makes no difference to the verdicts): probes = the
+    * deterministic vec_id %100 = 7 sample, candidates via the (k, key)
+    * band equi-join (probe side broadcast — the index side never
+    * shuffles), exact fixed-point cosine re-rank, top-3 per probe. */
+  private[graft] def annBatchVerdicts(bands: DataFrame,
+      vecs: DataFrame): DataFrame = {
+    val probes = bands.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("q"), col("k"), col("key"),
+        col("n2").as("qn2"))
+    val cand = bands.join(broadcast(probes), Seq("k", "key"))
+      .filter(col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id"), col("n2"), col("qn2"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy(col("score").desc, col("vec_id"))
+    cand.join(vecs, Seq("vec_id"))
+      .join(broadcast(vecs.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q"), col("ei").as("qe"))), Seq("q"))
+      .withColumn("dot", expr("dot_long(ei, qe)"))
+      .select(col("q"), col("vec_id"),
+        round(col("dot").cast(DoubleType)
+          / (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("n2").cast(DoubleType))), 6)
+          .cast(DoubleType).as("score"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .where(col("rk") <= 3)
+      .orderBy("q", "rk")
+  }
+
   /** qd4's near-dup pair pipeline (shared with qd5's clustering):
     * 64-hyperplane sign sketch → 4×16-bit bands → candidate self-join →
     * exact fixed-point cosine via the native int64 kernel. Returns
@@ -417,6 +466,24 @@ object DedupExt {
         .withColumn("rk", row_number().over(w).cast(LongType))
         .where(col("rk") <= 3)
         .orderBy("q", "rk")
+    }),
+
+    // qs7 the qs3 probe batch against the PERSISTED ANN index — the
+    // serving half of the round-6 index lifecycle (qd10 is the dedup
+    // half): hyperplane band relation + quantized vectors written once
+    // as bucketed parquet (DedupIndex.writeAnn), re-attached by DDL,
+    // and the probe batch runs entirely against the LOADED tables —
+    // same oracle SQL as qs3, so bit-identical verdicts ARE the
+    // persistence contract. At 100 TB the corpus sketch pass happens
+    // per corpus version; a probe batch broadcasts 4·|probes| band
+    // rows against the bucketed scan and the vectors never shuffle
+    // (PersistIndexSpec pins the fresh-catalog plan).
+    "qs7_persistann" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val dir = "target/graft-annindex/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.DedupIndex.writeAnn(t(s, d, "embeddings"), dir)
+      val idx = graft.operators.DedupIndex.loadAnn(s, dir)
+      annBatchVerdicts(idx.bands, idx.vec)
     }),
 
     // qc1 the COMPOSED training-data cleaning pipeline (quality gate →
@@ -1054,6 +1121,38 @@ object DedupExt {
   /** qd7's verdict SQL — shared verbatim by qd10_persistindex: the
     * persisted-index path must produce bit-identical verdicts to the
     * inline recompute (that IS the persistence contract). */
+  /** qs3's probe-batch SQL — shared verbatim by qs7_persistann (the
+    * persisted ANN index must reproduce the inline recompute exactly). */
+  private val oracleQs3 =
+    s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+      |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+      |       FROM embeddings, idx WHERE i <= len(embedding)),
+      |proj AS (SELECT vec_id, j,
+      |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
+      |             - 1073741824) * xi) AS proj
+      |         FROM ex, generate_series(0, 63) t(j) GROUP BY 1, 2),
+      |bk AS (SELECT vec_id, j // 16 AS k,
+      |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
+      |       FROM proj GROUP BY 1, 2),
+      |probes AS (SELECT vec_id AS q, k, key FROM bk WHERE vec_id % 100 = 7),
+      |cand AS (SELECT DISTINCT p.q, b.vec_id
+      |         FROM bk b JOIN probes p ON b.k = p.k AND b.key = p.key
+      |         WHERE b.vec_id <> p.q),
+      |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+      |dots AS (SELECT c.q, c.vec_id, SUM(v.xi * u.xi) AS dot
+      |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
+      |                     JOIN ex u ON u.vec_id = c.q AND u.i = v.i
+      |         GROUP BY 1, 2),
+      |sc AS (SELECT d.q, d.vec_id,
+      |         CAST(ROUND(CAST(dot AS DOUBLE)
+      |           / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+      |       FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
+      |                   JOIN norms qn ON qn.vec_id = d.q),
+      |r AS (SELECT q, vec_id, score,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS BIGINT) AS rk
+      |      FROM sc)
+      |SELECT q, vec_id, score, rk FROM r WHERE rk <= 3 ORDER BY q, rk""".stripMargin
+
   private val oracleQd7 =
     s"""WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
        |ifp AS (SELECT doc_id, ${duckH("text")} AS fp FROM inc),
@@ -1366,35 +1465,12 @@ object DedupExt {
         |            JOIN norms qn ON qn.vec_id = 0
         |ORDER BY score DESC, d.vec_id LIMIT 5""".stripMargin,
 
-    "qs3_annbatch" ->
-      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
-        |       FROM embeddings, idx WHERE i <= len(embedding)),
-        |proj AS (SELECT vec_id, j,
-        |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
-        |             - 1073741824) * xi) AS proj
-        |         FROM ex, generate_series(0, 63) t(j) GROUP BY 1, 2),
-        |bk AS (SELECT vec_id, j // 16 AS k,
-        |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
-        |       FROM proj GROUP BY 1, 2),
-        |probes AS (SELECT vec_id AS q, k, key FROM bk WHERE vec_id % 100 = 7),
-        |cand AS (SELECT DISTINCT p.q, b.vec_id
-        |         FROM bk b JOIN probes p ON b.k = p.k AND b.key = p.key
-        |         WHERE b.vec_id <> p.q),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
-        |dots AS (SELECT c.q, c.vec_id, SUM(v.xi * u.xi) AS dot
-        |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
-        |                     JOIN ex u ON u.vec_id = c.q AND u.i = v.i
-        |         GROUP BY 1, 2),
-        |sc AS (SELECT d.q, d.vec_id,
-        |         CAST(ROUND(CAST(dot AS DOUBLE)
-        |           / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
-        |       FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
-        |                   JOIN norms qn ON qn.vec_id = d.q),
-        |r AS (SELECT q, vec_id, score,
-        |        CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS BIGINT) AS rk
-        |      FROM sc)
-        |SELECT q, vec_id, score, rk FROM r WHERE rk <= 3 ORDER BY q, rk""".stripMargin,
+    "qs3_annbatch" -> oracleQs3,
+
+    // qs7: the SAME oracle SQL as qs3 — the persisted-index probe path
+    // must be indistinguishable from the inline recompute (that IS the
+    // persistence contract; qd10 makes the same claim against qd7)
+    "qs7_persistann" -> oracleQs3,
 
     // qd9: the q28 exact-pair chain + the qd1 banding chain; the hit
     // set is the exact pairs' semi-join against the band CANDIDATES

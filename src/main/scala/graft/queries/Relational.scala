@@ -597,6 +597,76 @@ object Relational {
         .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
           last(col("avg_v"), ignoreNulls = true).over(w).as("avg_v_ff"))
         .orderBy("day")
+    }),
+
+    // Q46 CSV SOURCE round-trip + malformed-record capture AS DATA. The
+    // corpus writes to CSV (header, default quoting), a deterministic
+    // corrupt fixture file joins the directory, and the read-back
+    // DECLARES the schema (no inference scan — at 100 TB schema
+    // inference is a full extra pass) with PERMISSIVE mode routing
+    // unparseable lines into a corrupt-record column instead of killing
+    // the job: third-party CSV always has bad rows, and they must
+    // surface as data, not exceptions. Per-doc rolling-hash fingerprints
+    // prove the round trip lossless through the text format; the -1
+    // summary row pins that EXACTLY the 3 injected lines — and no real
+    // row — fell out as corrupt. Scale shape: write and read are both
+    // distributed scans; the final orderBy is the display convention.
+    "q46_csv" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val dir = "target/graft-csv/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      // corrupt fixture: own header (header=true strips line 1 of EVERY
+      // file), then a non-numeric key, an extra-field row, a second
+      // non-numeric key — three distinct parse failures
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-corrupt.csv"),
+        "doc_id,text\nnot_a_number,\"x\"\n7,\"y\",extra,fields\nNaN,\"z\"\n"
+          .getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("_bad", StringType)))
+      // Spark refuses a query whose reference set against a raw CSV scan
+      // is only the corrupt-record column (the bad-count branch), because
+      // PERMISSIVE parsing is lazy per referenced column; caching the
+      // parsed relation is the documented contract — and what an ingest
+      // job does anyway before splitting good rows from quarantine
+      val r = graft.operators.OpCaches.track(s.read.schema(schema)
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad").csv(dir))
+      val good = r.filter(col("_bad").isNull)
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("n"),
+          expr("roll_hash31(text)").as("fp"))
+      val badCount = r.filter(col("_bad").isNotNull)
+        .agg(count(lit(1)).as("n"))
+        .select(lit(-1L).as("doc_id"), col("n"), lit(0L).as("fp"))
+      good.unionAll(badCount).orderBy("doc_id")
+    }),
+
+    // Q47 ORC SOURCE round-trip with pushdown: lineitem rewrites as ORC
+    // (the second columnar lake format), reads back with a selective
+    // filter that must reach the ORC reader (predicate pushdown +
+    // column pruning apply to ORC exactly as to parquet), and
+    // aggregates in the exact-decimal regime. Hash-match against the
+    // parquet-sourced oracle pins type fidelity across the format
+    // boundary — BIGINT keys, DOUBLE measures, STRING flags, TIMESTAMP
+    // dates (micros survive ORC's nanos encoding losslessly).
+    "q47_orc" -> ((s, d) => {
+      val dir = "target/graft-orc/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+          r4(sumDec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -792,6 +862,28 @@ object Relational {
         |       last_value(avg_v IGNORE NULLS) OVER (ORDER BY c.day
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v_ff
         |FROM cal c LEFT JOIN daily USING (day)
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    // the oracle never sees the CSV: it recomputes the expected rows
+    // from parquet, so a hash match proves the CSV round trip (write →
+    // corrupt-file merge → schema-declared PERMISSIVE read) lossless
+    // and the corrupt capture exact (3 injected lines, zero real rows)
+    "q46_csv" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''),
+        |      ch -> CAST(unicode(ch) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents
+        |UNION ALL SELECT -1, 3, 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q47_orc" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_disc,
+        |  MIN(l_shipdate) AS first_ship, MAX(l_orderkey) AS max_key
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -542,6 +542,71 @@ object TextExt {
         .where(col("rk") <= 3)
         .select("doc_id", "rk", "term", "tf", "df", "score")
         .orderBy("doc_id", "rk")
+    }),
+
+    // qt14 BM25 relevance scoring (k1=1.2, b=0.75) — the IR-standard
+    // refinement of qt9's tf·n/df weight. The idf is the RATIONAL form
+    // (n-df+0.5)/(df+0.5): no ln(), so every op stays a correctly-
+    // rounded IEEE double with an identical expression tree cross-
+    // engine (libm transcendentals are the one double op the
+    // determinism contract can't pin). Corpus stats (n, Σdl) come from
+    // one one-row aggregate (broadcast scalar, no driver round-trip);
+    // the corpus shuffles are qt9's same (doc,term)/(term) partial
+    // aggregates; per-doc top-3 ranks on the ROUNDED decimal(18,8)
+    // score (the qm2 regime) so the window order is the displayed
+    // value, never an invisible ulp.
+    "qt14_bm25" -> ((s, d) => {
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast(LongType).as("dl"),
+          explode(col("tk")).as("term"))
+      val tf = tk.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val g = t(s, d, "documents")
+        .select(size(split(col("text"), " ")).cast(LongType).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      def dbl(c: String): Column = col(c).cast(DoubleType)
+      val idf = (dbl("n") - dbl("df") + lit(0.5)) / (dbl("df") + lit(0.5))
+      val tfn = dbl("tf") * lit(2.2) /
+        (dbl("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (dbl("dl") * dbl("n") / dbl("sdl"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, Seq("term")).crossJoin(broadcast(g))
+        .withColumn("score",
+          round((idf * tfn).cast(DecimalType(18, 8)), 6)
+            .cast(DoubleType))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "score")
+        .orderBy("doc_id", "rk")
+    }),
+
+    // qx6 deterministic GLOBAL SHUFFLE into training shards — the last
+    // mile of a training-data pipeline: each doc draws its LCG hash
+    // (qx2/qt5's generator — a bijection on [0,2³¹), so h is unique per
+    // doc and the permutation has no ties), lands in shard h%8, and the
+    // shard orders by (h, doc_id) — a reproducible pseudo-random
+    // permutation with no RNG state and no global sort: shards sort
+    // independently (at scale, repartition on the shard key → one
+    // writer task per shard, each sorting only its slice). The order-
+    // DEPENDENT checksum Σ doc_id·pos pins the exact write order per
+    // shard, not just membership; n/token totals pin shard balance.
+    "qx6_shard" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          ((lit(1103515245L) * (col("doc_id") % 2147483648L) + 12345L)
+            % 2147483648L).as("h"))
+        .withColumn("shard", col("h") % 8)
+        .withColumn("pos", row_number().over(w).cast(LongType))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"),
+          sum(col("doc_id") * col("pos")).as("perm_sum"))
+        .orderBy("shard")
     })
   )
 
@@ -914,6 +979,50 @@ object TextExt {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list_transform(string_split(hx, ''), ch -> CAST(unicode(ch) AS BIGINT))),
          |    (acc, x) -> (acc * 31 + x) % $P) AS fh
-         |FROM sel ORDER BY doc_id, f""".stripMargin
+         |FROM sel ORDER BY doc_id, f""".stripMargin,
+
+    // same expression tree as the Spark side, operation for operation:
+    // every intermediate is an IEEE double (the decimal literals widen
+    // to double on first contact), so products/sums/quotients are
+    // correctly rounded identically; the final decimal(18,8) round-6
+    // is the shared display convention
+    "qt14_bm25" ->
+      """WITH tk AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |              unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl
+        |      FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |            FROM documents)),
+        |sc AS (SELECT doc_id, term, tf,
+        |         CAST(ROUND(CAST(
+        |           ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |              / (CAST(df AS DOUBLE) + 0.5))
+        |           * (CAST(tf AS DOUBLE) * 2.2
+        |              / (CAST(tf AS DOUBLE) + 1.2
+        |                 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)
+        |                                   / CAST(sdl AS DOUBLE)))))
+        |           AS DECIMAL(18,8)), 6) AS DOUBLE) AS score
+        |       FROM tf JOIN dfreq USING (term), g),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS BIGINT) AS rk FROM sc)
+        |SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "qx6_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    (1103515245 * (doc_id % 2147483648) + 12345) % 2147483648 AS h
+        |  FROM documents),
+        |p AS (SELECT *, h % 8 AS shard,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
+        |          ORDER BY h, doc_id) AS BIGINT) AS pos
+        |      FROM h)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(h) AS min_h, MAX(h) AS max_h,
+        |  CAST(SUM(doc_id * pos) AS BIGINT) AS perm_sum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

@@ -82,4 +82,45 @@ class PersistIndexSpec extends AnyFunSuite {
       DedupIndex.detach(spark, dir)
     }
   }
+
+  test("ANN index: fresh-catalog load reproduces qs3 with no index-side exchange") {
+    graft.plans.DotLong.register(spark)
+    val dir = "target/graft-annindex-spec/sf0_001"
+    val emb = Tables(spark, TestSpark.Sf, "embeddings")
+
+    DedupIndex.writeAnn(emb, dir)
+    DedupIndex.detachAnn(spark, dir)
+    spark.catalog.clearCache()
+
+    val idx = DedupIndex.loadAnn(spark, dir)
+    val verdicts = DedupExt.annBatchVerdicts(idx.bands, idx.vec)
+    try {
+      val got = verdicts.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      graft.operators.OpCaches.releaseAll()
+      val expect = DedupExt.queries("qs3_annbatch")(spark, TestSpark.Sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      assert(got === expect,
+        "persisted-ANN-index probe batch diverges from the inline qs3 recompute")
+      assert(got.nonEmpty, "degenerate fixture: no probe hits")
+
+      // probe side is an explicit broadcast, so the index side of the
+      // (k, key) join must carry ZERO exchanges — any exchange on the
+      // band keys means the persisted corpus index is being reshuffled
+      // per probe batch
+      val plan = verdicts.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val bandEx = "Exchange hashpartitioning\\(k".r.findAllIn(plan).size
+      assert(bandEx == 0,
+        s"expected no band-key exchange (probe side broadcasts), got $bandEx:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"ANN index side not read as a bucketed table:\n$plan")
+    } finally {
+      graft.operators.OpCaches.releaseAll()
+      DedupIndex.detachAnn(spark, dir)
+    }
+  }
 }
