@@ -704,6 +704,48 @@ object DedupExt {
       incrementalVerdicts(incFp, idx.fp, incBands, idx.bands)
     }),
 
+    // qd11 CROSS-CORPUS near-dup join (round 6): align two DIFFERENT
+    // relations — the existing corpus A (doc_id % 3 != 0) against a new
+    // crawl B (doc_id % 3 = 0) — and emit every near-duplicate PAIR
+    // with its exact Jaccard score. Distinct from qd1 (self-join pairs
+    // within one corpus) and qd7 (per-doc verdicts): this is the R-S
+    // band join that answers "which of my existing docs does each new
+    // doc duplicate", the shape behind crawl-over-crawl overlap audits
+    // and cross-source contamination reports. Candidates emit at their
+    // FIRST matching band (pair-unique, no distinct exchange); verify
+    // is the dictionary-free sorted-fingerprint merge kernel.
+    //
+    // Scale shape: one signature pass over the union (each side's
+    // signatures are a pure per-doc function — in production each
+    // corpus's band relation is persisted, qd10-style, and this query
+    // is ONE equi-join between two bucketed tables); band keyspace is
+    // 2^16-bounded per band so bucket population stays O(n/keyspace),
+    // and the verify runs on candidates only.
+    "qd11_crossdup" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      graft.plans.IntersectSortedCount.register(s)
+      val docs = t(s, d, "documents")
+      val isB = col("doc_id") % 3 === 0
+      val per = graft.operators.OpCaches.track(bandSignatures(docs))
+      val firstMatch = (1 until 4).map(k =>
+          col("x.band") < k || col(s"x.k${k - 1}") =!= col(s"y.k${k - 1}"))
+        .reduce(_ && _)
+      per.filter(!isB).as("x")
+        .join(per.filter(isB).as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key")
+            && firstMatch)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          expr("intersect_sorted_count(x.hs, y.hs)").as("inter"),
+          col("x.nt").as("na"), col("y.nt").as("nb"))
+        // 10·i ≥ 8·(na+nb−i) ⟺ 18·i ≥ 8·(na+nb) — single kernel occurrence
+        .filter(lit(18) * col("inter") >= lit(8) * (col("na") + col("nb")))
+        .select(col("a"), col("b"),
+          round(col("inter").cast(DoubleType)
+              / (col("na") + col("nb") - col("inter")).cast(DoubleType), 6)
+            .cast(DoubleType).as("jac"))
+        .orderBy("a", "b")
+    }),
+
     // qd8 cross-doc repeated-SUBSTRING spans — the exact-substring dedup
     // family (the fourth dedup granularity after doc-exact, doc-near and
     // chunk: span-level, the "Deduplicating Training Data" shape), at
@@ -981,6 +1023,75 @@ object DedupExt {
         .select(col("vec_id"), col("adc"),
           round(col("dot").cast(DoubleType)
             / (sqrt(col("n2q").cast(DoubleType)) * sqrt(col("n2v").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // qs8 PRODUCT QUANTIZATION search (round 6): true PQ — the vector
+    // splits into M=8 subspaces of 8 dims, each subspace gets its own
+    // K=16-entry codebook (seeded deterministically from the first 16
+    // corpus vectors; distributed codebook TRAINING is qs4's k-means
+    // kernel, deliberately not replayed here so the oracle pins the
+    // encode/serve mechanics, not Lloyd iterations), and every vector
+    // compresses to 8 code bytes. A probe precomputes one ADC lookup
+    // table (subspace × code → int64 partial dot, 128 rows, broadcast)
+    // and scores the whole corpus by summing 8 table lookups per
+    // vector — no float math, no full-vector reads — then exact-re-ranks
+    // the top-20 shortlist with the fixed-point cosine. vs qs6's scalar
+    // int8: PQ codes are 8 B/vector instead of 64 B, and ADC replaces
+    // per-pair array dots with table lookups.
+    //
+    // Scale shape: the codebook and LUT are O(K·M) broadcasts; encode
+    // is one broadcast join over the corpus (production persists the
+    // codes, qs7-style); the ADC pass reads 8 small ints per vector —
+    // the memory-bandwidth-bounded linear scan PQ exists for — and
+    // composing with qs2's IVF cell restriction (the qs6 pattern)
+    // bounds it to the probed cells. All integer arithmetic: both
+    // engines agree bit for bit (|partial dot| ≤ 8·1e14, sum ≤ 6.4e15
+    // < 2^63 — and < 2^53, so even the display double is exact).
+    "qs8_pq" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val emb = embQ(s, d)
+      // per-vector subspace slices: (vec_id, sub, se[8])
+      val sv = emb.select(col("vec_id"),
+        posexplode(expr("transform(sequence(0, 7), m -> slice(ei, m*8+1, 8))"))
+          .as(Seq("sub", "se")))
+      // codebook: 16 seed vectors × 8 subspaces → (sub, cb, ce[8])
+      val cb = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cb"),
+          posexplode(expr("transform(sequence(0, 7), m -> slice(ei, m*8+1, 8))"))
+            .as(Seq("sub", "ce")))
+      // encode: nearest codebook entry per (vector, subspace) by exact
+      // int64 L2 (|x−c|² = |x|² − 2x·c + |c|²), tie-broken on code id
+      // via min(struct) — deterministic cross-engine
+      val codes = sv.join(broadcast(cb), Seq("sub"))
+        .withColumn("dist",
+          expr(dotL("se", "se")) - lit(2L) * expr(dotL("se", "ce"))
+            + expr(dotL("ce", "ce")))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("cb"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cb").as("code"))
+      // probe q=0's ADC lookup table: (sub, code) → partial dot
+      val qsub = sv.where(col("vec_id") === 0)
+        .select(col("sub"), col("se").as("qe"))
+      val lut = cb.join(qsub, Seq("sub"))
+        .select(col("sub"), col("cb").as("code"),
+          expr(dotL("qe", "ce")).as("pd"))
+      // ADC score = Σ over the 8 subspaces of the table lookup
+      val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+        .where(col("vec_id") =!= 0)
+        .groupBy("vec_id").agg(sum(col("pd")).as("adcdot"))
+      val short = adc.orderBy(col("adcdot").desc, col("vec_id")).limit(20)
+      // exact re-rank: full fixed-point cosine on the 20-row shortlist
+      val qe = emb.where(col("vec_id") === 0).select(col("ei").as("qe"))
+        .withColumn("n2q", expr(dotL("qe", "qe")))
+      short.join(emb, Seq("vec_id")).crossJoin(broadcast(qe))
+        .withColumn("dot", expr(dotL("ei", "qe")))
+        .withColumn("n2v", expr(dotL("ei", "ei")))
+        .select(col("vec_id"), col("adcdot"),
+          round(col("dot").cast(DoubleType)
+              / (sqrt(col("n2q").cast(DoubleType)) * sqrt(col("n2v").cast(DoubleType))), 6)
             .cast(DoubleType).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(5)
@@ -1348,6 +1459,33 @@ object DedupExt {
     // to incoming × index pairs, folded into a per-incoming-doc verdict
     "qd7_incremental" -> oracleQd7,
 
+    // qd11: qd7's banding CTEs with a cross-corpus candidate join
+    // (A = doc_id % 3 != 0, B = % 3 = 0) emitting scored pairs
+    "qd11_crossdup" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |th AS (SELECT DISTINCT doc_id, ${duckH("tok")} AS h FROM toks),
+        |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
+        |           FROM generate_series(0, 15) t(i)),
+        |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
+        |          FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.key = y.key
+        |          AND x.doc_id % 3 <> 0 AND y.doc_id % 3 = 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM th GROUP BY 1),
+        |ints AS (SELECT c.a, c.b, COUNT(*) AS inter
+        |         FROM cand c JOIN th ta ON ta.doc_id = c.a
+        |                     JOIN th tb ON tb.doc_id = c.b AND tb.h = ta.h
+        |         GROUP BY 1, 2)
+        |SELECT i.a, i.b, CAST(ROUND(CAST(i.inter AS DOUBLE)
+        |         / CAST(sa.nt + sb.nt - i.inter AS DOUBLE), 6) AS DOUBLE) AS jac
+        |FROM ints i JOIN sizes sa ON sa.doc_id = i.a
+        |            JOIN sizes sb ON sb.doc_id = i.b
+        |WHERE 10*i.inter >= 8*(sa.nt + sb.nt - i.inter)
+        |ORDER BY i.a, i.b""".stripMargin,
+
     // qd10: identical verdict semantics to qd7 — the Spark side differs
     // only in WHERE the index signatures come from (the persisted
     // bucketed tables), which is invisible to the result
@@ -1637,6 +1775,41 @@ object DedupExt {
         |                       JOIN ex q ON q.vec_id = 0 AND q.i = v.i
         |         GROUP BY 1, 2)
         |SELECT d.vec_id, d.adc, CAST(ROUND(CAST(dot AS DOUBLE)
+        |         / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+        |FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
+        |            JOIN norms qn ON qn.vec_id = 0
+        |ORDER BY score DESC, d.vec_id LIMIT 5""".stripMargin,
+
+    // qs8: the PQ chain replayed in exploded form — subspace split,
+    // exact-int64 L2 encode (tie on code id), ADC LUT join, shortlist,
+    // exact re-rank; every value before the final display round is an
+    // integer, so both engines agree bit for bit
+    "qs8_pq" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |sv AS (SELECT vec_id, (i-1) // 8 AS sub, (i-1) % 8 AS jj, xi FROM ex),
+        |cb AS (SELECT vec_id AS cb, sub, jj, xi AS ci FROM sv WHERE vec_id < 16),
+        |dist AS (SELECT v.vec_id, v.sub, c.cb,
+        |           SUM((v.xi - c.ci) * (v.xi - c.ci)) AS dist
+        |         FROM sv v JOIN cb c ON c.sub = v.sub AND c.jj = v.jj
+        |         GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cb AS code FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, cb) AS rn FROM dist) WHERE rn = 1),
+        |lut AS (SELECT c.sub, c.cb AS code, SUM(q.xi * c.ci) AS pd
+        |        FROM cb c JOIN sv q ON q.vec_id = 0 AND q.sub = c.sub AND q.jj = c.jj
+        |        GROUP BY 1, 2),
+        |adc AS (SELECT k.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adcdot
+        |        FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+        |        WHERE k.vec_id <> 0 GROUP BY 1),
+        |short AS (SELECT vec_id, adcdot FROM adc ORDER BY adcdot DESC, vec_id LIMIT 20),
+        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT s.vec_id, s.adcdot, SUM(v.xi * q.xi) AS dot
+        |         FROM short s JOIN ex v ON v.vec_id = s.vec_id
+        |                      JOIN ex q ON q.vec_id = 0 AND q.i = v.i
+        |         GROUP BY 1, 2)
+        |SELECT d.vec_id, d.adcdot, CAST(ROUND(CAST(dot AS DOUBLE)
         |         / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
         |FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
         |            JOIN norms qn ON qn.vec_id = 0

@@ -667,6 +667,65 @@ object Relational {
           min(col("l_shipdate")).as("first_ship"),
           max(col("l_orderkey")).as("max_key"))
         .orderBy("l_returnflag")
+    }),
+
+    // Q48 SCHEMA EVOLUTION read: a table written in two generations —
+    // batch 1 before a column existed, batch 2 after l_discount was
+    // added — read back as ONE relation with mergeSchema, the lake
+    // contract every long-lived 100 TB table ends up needing (schemas
+    // drift; rewriting history to backfill a column is exactly the
+    // full-table pass you can't afford). The merged scan must surface
+    // the missing column as NULL for old files, and the aggregate pins
+    // the NULL semantics three ways: total rows, non-null discount
+    // count (only batch-2 rows), and the discount sum over
+    // NULL-coalesced values. Scale shape: both batches are ordinary
+    // parquet scans; merge happens at planning time from file footers,
+    // not by rewriting data.
+    "q48_mergeschema" -> ((s, d) => {
+      val dir = "target/graft-evol/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val li = t(s, d, "lineitem")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").parquet(s"$dir/b1")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_discount")
+        .write.mode("overwrite").parquet(s"$dir/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+          count(col("l_discount")).as("n_disc"),
+          r4(sumDec6(coalesce(col("l_discount"), lit(0.0)))).as("sum_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q49 DYNAMIC PARTITION OVERWRITE — the backfill contract: rewrite
+    // ONE partition of a partitioned table (the corrected "day") while
+    // every other partition's files stay untouched. Generation 1 lays
+    // the full table out partitioned by l_returnflag; generation 2
+    // overwrites ONLY the R partition (quantity corrected by +1) in
+    // dynamic mode — static overwrite mode would TRUNCATE the whole
+    // table first, the classic backfill footgun. The read-back
+    // aggregate pins all three failure modes at once: dropped sibling
+    // partitions (missing groups), append-instead-of-overwrite
+    // (doubled R count), and a missed patch (unchanged R sum). At
+    // 100 TB this is how corrections land: O(partition) rewrite,
+    // O(1) metadata swap, never a full-table pass.
+    "q49_dynpart" -> ((s, d) => {
+      val dir = "target/graft-dynpart/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      li.filter(col("l_returnflag") === "R")
+        .withColumn("l_quantity", col("l_quantity") + 1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("l_returnflag").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -884,6 +943,26 @@ object Relational {
         |  CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_disc,
         |  MIN(l_shipdate) AS first_ship, MAX(l_orderkey) AS max_key
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q48: the oracle models the merged scan directly on the source
+    // table — even-key rows are "old files" whose discount is NULL
+    "q48_mergeschema" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty,
+        |  COUNT(CASE WHEN l_orderkey % 2 = 1 THEN 1 END) AS n_disc,
+        |  CAST(ROUND(SUM(CASE WHEN l_orderkey % 2 = 1
+        |                      THEN CAST(l_discount AS DECIMAL(18,6))
+        |                      ELSE CAST(0 AS DECIMAL(18,6)) END),4) AS DOUBLE) AS sum_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q49: the oracle models the post-backfill table state — R rows
+    // carry the +1 correction, sibling partitions are untouched
+    "q49_dynpart" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity
+        |    + CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        |    AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

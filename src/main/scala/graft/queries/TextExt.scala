@@ -291,6 +291,36 @@ object TextExt {
         .orderBy("doc_id", "f")
     }),
 
+    // qm4 binaryFile SOURCE ingest (round 6): the lake-side half of the
+    // multimodal story qm1–qm3 assume — raw media arrives as FILES, not
+    // parquet rows. The fixture stage writes one file per sampled doc
+    // DISTRIBUTEDLY (partitionBy(doc_id) text sink — no driver loop, no
+    // collect; ASCII text bytes stand in for media payloads per the
+    // declared codec-stub convention), then `spark.read.format
+    // ("binaryFile")` ingests the directory tree: one row per file with
+    // (path, length, content) — the schema a 100 TB image/audio crawl
+    // lands in before any decode. The id parses from the partition
+    // path, the length is the source's file-size metadata column
+    // (filterable WITHOUT reading content bytes — binaryFile pushes
+    // length/path filters to the listing), and the rolling hash of the
+    // content proves byte-exact ingest (the text sink appends one \n
+    // per line, which the oracle models as text || chr(10)).
+    "qm4_binaryfiles" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val dir = "target/graft-binfiles/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      t(s, d, "documents").filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), col("text").as("value"))
+        .write.mode("overwrite").partitionBy("doc_id").text(dir)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt").load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_id=(\\d+)", 1)
+            .cast(LongType).as("doc_id"),
+          col("length").as("n_bytes"),
+          expr("roll_hash31(cast(content AS STRING))").as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // qt10 document chunking: fixed 64-token windows with stride 48
     // (16-token overlap) — the pre-tokenization splitting step that
     // turns long documents into training-sized sequences. One scan, the
@@ -980,6 +1010,16 @@ object TextExt {
          |    list_transform(string_split(hx, ''), ch -> CAST(unicode(ch) AS BIGINT))),
          |    (acc, x) -> (acc * 31 + x) % $P) AS fh
          |FROM sel ORDER BY doc_id, f""".stripMargin,
+
+    // qm4: the oracle recomputes the expected bytes from parquet — a
+    // hash match proves the file write → binaryFile read round trip
+    // byte-exact (the +1/chr(10) is the text sink's per-line newline)
+    "qm4_binaryfiles" ->
+      s"""SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(text || chr(10), ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % $P) AS fp
+         |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
 
     // same expression tree as the Spark side, operation for operation:
     // every intermediate is an IEEE double (the decimal literals widen
