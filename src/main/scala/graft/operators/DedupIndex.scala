@@ -158,6 +158,50 @@ object DedupIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${annVecTable(dir)}")
   }
 
+  /** UPSERT a batch of new embeddings into the persisted ANN index —
+    * the ANN side of the s12 ingest verb: the batch pays one sketch +
+    * quantization pass over ITSELF only, and appends per-bucket file
+    * fragments into both tables (bucket spec must match the written
+    * layout — part of the index contract). The grown index is
+    * RELATION-IDENTICAL to a monolithic rebuild (the band/vector rows
+    * are pure per-vector functions), so probe verdicts are bit-equal;
+    * periodic `compactAnn` folds the accumulated fragments. The index
+    * must be attached in this session (`writeAnn`/`loadAnn`). */
+  def upsertAnn(emb: DataFrame, dir: String,
+                buckets: Int = Buckets): Unit = {
+    graft.queries.DedupExt.annBandRelation(emb)
+      .write.mode("append")
+      .bucketBy(buckets, "k", "key").sortBy("k", "key").format("parquet")
+      .saveAsTable(annBandsTable(dir))
+    graft.queries.DedupExt.quantizedRelation(emb)
+      .write.mode("append")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id").format("parquet")
+      .saveAsTable(annVecTable(dir))
+  }
+
+  /** Generational compaction of the ANN index — `compact`'s twin over
+    * the (vbands, vec) pair: rewrite at `dstDir` with the same bucket
+    * spec and one file per bucket; same atomic-swap-by-pointer
+    * deployment pattern, probe plans unchanged. */
+  def compactAnn(spark: SparkSession, srcDir: String, dstDir: String,
+                 buckets: Int = Buckets): AnnHandles = {
+    val src = loadAnn(spark, srcDir, buckets)
+    spark.sql(s"DROP TABLE IF EXISTS ${annBandsTable(dstDir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${annVecTable(dstDir)}")
+    oneFilePerBucket(src.bands, Seq("k", "key"), buckets)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "k", "key").sortBy("k", "key")
+      .option("path", s"$dstDir/vbands").format("parquet")
+      .saveAsTable(annBandsTable(dstDir))
+    oneFilePerBucket(src.vec, Seq("vec_id"), buckets)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .option("path", s"$dstDir/vec").format("parquet")
+      .saveAsTable(annVecTable(dstDir))
+    AnnHandles(spark.table(annBandsTable(dstDir)),
+      spark.table(annVecTable(dstDir)))
+  }
+
   /** GENERATIONAL COMPACTION — the third verb of the index lifecycle
     * (write once / upsert per ingest / compact periodically). Every
     * foreachBatch upsert appends a fresh set of per-bucket files, so
@@ -175,29 +219,31 @@ object DedupIndex {
     val src = load(spark, srcDir, buckets)
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(dstDir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${fpTable(dstDir)}")
-    // shuffle on the PRECOMPUTED bucket id (hash() is the same
-    // murmur3(seed 42) the bucketed writer assigns file suffixes with),
-    // not on the raw bucket columns: a (band,key) repartition can be
-    // planner-elided against the bucketed scan's claimed partitioning,
-    // leaving whichever task layout the fragmented scan had — this
-    // exchange cannot be elided, and AQE coalescing only ever MERGES
-    // partitions, so every bucket stays atomic in one task → exactly
-    // one output file per bucket.
-    def oneFilePerBucket(df: DataFrame, keys: Seq[String]): DataFrame =
-      df.withColumn("_gbucket",
-          pmod(hash(keys.map(col): _*), lit(buckets)))
-        .repartition(buckets, col("_gbucket"))
-        .drop("_gbucket")
-    oneFilePerBucket(src.bands, Seq("band", "key"))
+    oneFilePerBucket(src.bands, Seq("band", "key"), buckets)
       .write.mode("overwrite")
       .bucketBy(buckets, "band", "key").sortBy("band", "key")
       .option("path", s"$dstDir/bands").format("parquet")
       .saveAsTable(bandsTable(dstDir))
-    oneFilePerBucket(src.fp.select("fp").distinct(), Seq("fp"))
+    oneFilePerBucket(src.fp.select("fp").distinct(), Seq("fp"), buckets)
       .write.mode("overwrite")
       .bucketBy(buckets, "fp").sortBy("fp")
       .option("path", s"$dstDir/fp").format("parquet")
       .saveAsTable(fpTable(dstDir))
     Handles(spark.table(bandsTable(dstDir)), spark.table(fpTable(dstDir)))
   }
+
+  /** Shuffle on the PRECOMPUTED bucket id (hash() is the same
+    * murmur3(seed 42) the bucketed writer assigns file suffixes with),
+    * not on the raw bucket columns: a raw-key repartition can be
+    * planner-elided against the bucketed scan's claimed partitioning,
+    * leaving whichever task layout the fragmented scan had — this
+    * exchange cannot be elided, and AQE coalescing only ever MERGES
+    * partitions, so every bucket stays atomic in one task → exactly
+    * one output file per bucket. */
+  private def oneFilePerBucket(df: DataFrame, keys: Seq[String],
+                               buckets: Int): DataFrame =
+    df.withColumn("_gbucket",
+        pmod(hash(keys.map(col): _*), lit(buckets)))
+      .repartition(buckets, col("_gbucket"))
+      .drop("_gbucket")
 }

@@ -486,6 +486,30 @@ object DedupExt {
       annBatchVerdicts(idx.bands, idx.vec)
     }),
 
+    // qs9 the ANN index GROWN BY UPSERT (round 6): the base index is
+    // built from 90% of the corpus, a new batch (vec_id % 10 = 3)
+    // appends its band rows + quantized vectors via DedupIndex
+    // .upsertAnn — one sketch pass over the batch only — and the qs3
+    // probe batch then runs against the grown index. Same oracle SQL
+    // as qs3/qs7: the upsert path must reproduce the monolithic
+    // rebuild bit for bit (the index rows are pure per-vector
+    // functions, so append ≡ rebuild at the relation level — that IS
+    // the upsert contract). At 100 TB this is the ingest shape for a
+    // growing vector corpus: per batch O(batch) sketch work and
+    // per-bucket file appends; fragments fold periodically via
+    // compactAnn (PersistIndexSpec pins fragment shrink + identical
+    // verdicts + the preserved probe plan).
+    "qs9_annupsert" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val dir = "target/graft-annups/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val emb = t(s, d, "embeddings")
+      val isB = col("vec_id") % 10 === 3
+      graft.operators.DedupIndex.writeAnn(emb.filter(!isB), dir)
+      graft.operators.DedupIndex.upsertAnn(emb.filter(isB), dir)
+      val idx = graft.operators.DedupIndex.loadAnn(s, dir)
+      annBatchVerdicts(idx.bands, idx.vec)
+    }),
+
     // qc1 the COMPOSED training-data cleaning pipeline (quality gate →
     // exact dedup → banded near-dedup, TrainingData.clean) hash-checked
     // end-to-end: surviving doc ids. The oracle replays all three stages
@@ -1609,6 +1633,10 @@ object DedupExt {
     // must be indistinguishable from the inline recompute (that IS the
     // persistence contract; qd10 makes the same claim against qd7)
     "qs7_persistann" -> oracleQs3,
+
+    // qs9: same SQL again — upsert-grown index ≡ monolithic rebuild is
+    // the contract, and the shared oracle is what enforces it
+    "qs9_annupsert" -> oracleQs3,
 
     // qd9: the q28 exact-pair chain + the qd1 banding chain; the hit
     // set is the exact pairs' semi-join against the band CANDIDATES

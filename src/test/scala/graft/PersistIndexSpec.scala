@@ -123,4 +123,56 @@ class PersistIndexSpec extends AnyFunSuite {
       DedupIndex.detachAnn(spark, dir)
     }
   }
+
+  test("ANN upsert grows the index to the monolithic relation; compaction folds fragments") {
+    graft.plans.DotLong.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annups").toString
+    val dir = s"$tmp/index"
+    val emb = Tables(spark, TestSpark.Sf, "embeddings")
+    val isB = col("vec_id") % 10 === 3
+
+    // upsert contract: base(90%) + appended batch ≡ monolithic rebuild
+    DedupIndex.writeAnn(emb.filter(!isB), dir)
+    DedupIndex.upsertAnn(emb.filter(isB), dir)
+    try {
+      val grown = DedupIndex.loadAnn(spark, dir)
+      val mono = DedupExt.queries("qs3_annbatch")(spark, TestSpark.Sf)
+        .collect().map(_.toSeq).toSeq
+      graft.operators.OpCaches.releaseAll()
+      val got = DedupExt.annBatchVerdicts(grown.bands, grown.vec)
+        .collect().map(_.toSeq).toSeq
+      assert(got === mono,
+        "upsert-grown ANN index diverges from the inline monolithic probe")
+      assert(got.nonEmpty, "degenerate fixture: no probe hits")
+
+      // compaction: fragments shrink to ≤1 file per bucket, verdicts
+      // bit-identical, probe plan still exchange-free on the index side
+      def parquetFiles(p: String): Int =
+        org.apache.commons.io.FileUtils
+          .listFiles(new java.io.File(p), Array("parquet"), true).size()
+      val fragmented = parquetFiles(s"$dir/vbands")
+      val gen2 = s"$tmp/index-gen2"
+      val c = DedupIndex.compactAnn(spark, dir, gen2)
+      try {
+        assert(parquetFiles(s"$gen2/vbands") <= DedupIndex.Buckets,
+          "ANN compaction left more than one file per bucket")
+        assert(parquetFiles(s"$gen2/vbands") < fragmented,
+          s"ANN compaction did not reduce fragments ($fragmented)")
+        val verdicts = DedupExt.annBatchVerdicts(c.bands, c.vec)
+        val gotC = verdicts.collect().map(_.toSeq).toSeq
+        assert(gotC === mono,
+          "compacted ANN generation changed probe verdicts")
+        val plan = verdicts.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val bandEx = "Exchange hashpartitioning\\(k".r.findAllIn(plan).size
+        assert(bandEx == 0,
+          s"expected no band-key exchange post-compaction, got $bandEx:\n$plan")
+        assert(plan.contains("SelectedBucketsCount"),
+          s"compacted ANN scan lost its bucketing:\n$plan")
+      } finally DedupIndex.detachAnn(spark, gen2)
+    } finally {
+      graft.operators.OpCaches.releaseAll()
+      DedupIndex.detachAnn(spark, dir)
+    }
+  }
 }
