@@ -181,6 +181,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"qs6 top-k regressed to a global sort:\n$p")
   }
 
+  test("qs8: PQ encode/ADC is broadcast-only — codebook and LUT never shuffle the corpus") {
+    // the codebook join (encode), the LUT join (ADC) and the query
+    // re-rank row are the only small sides; the corpus must join them
+    // broadcast, never via a corpus-keyed sort-merge, and both top-k
+    // stages plan as TakeOrderedAndProject
+    val p = plan("qs8_pq")
+    assert(!p.contains("CartesianProduct"), s"cartesian in qs8:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"qs8 shuffles the corpus into a sort-merge join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"qs8 top-k regressed to a global sort:\n$p")
+  }
+
+  test("qd11: cross-corpus band join is pair-unique — no cartesian, no distinct exchange") {
+    val p = plan("qd11_crossdup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi cross-corpus join:\n$p")
+    // first-matching-band emission makes pairs unique by construction:
+    // no post-join distinct aggregate may appear (an aggregate keyed on
+    // the pair would mean the construction regressed)
+    assert(!p.toLowerCase.contains("hashaggregate(keys=[a#"),
+      s"pair-distinct exchange reappeared:\n$p")
+  }
+
   test("qt12/qc3: composed text pipelines stay cartesian-free") {
     assert(!plan("qt12_lmscore").contains("CartesianProduct"))
     val p = plan("qc3_decontclean")
