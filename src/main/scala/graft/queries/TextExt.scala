@@ -560,6 +560,12 @@ object TextExt {
     "qt9_tfidf" -> ((s, d) => {
       val tk = t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      // tf feeds both dfreq and the final join — but caching it was
+      // A/B-measured 0.4–0.5 s SLOWER at sf0.1 (1.61/1.71 s uncached
+      // vs 2.09 s cached back-to-back): dfreq's second execution of
+      // the (doc,term) aggregate is cheaper than materializing the
+      // wide tf rows and losing the codegen fusion (the advisor-
+      // suggested fusion; same shape as the qd9 cache negatives)
       val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
