@@ -243,6 +243,37 @@ object DedupExt {
       .orderBy("q", "rk")
   }
 
+  /** The ANN ingest-dedup verdict kernel shared by s15 (inline
+    * relations, the oracle-gated batch replay) and Streams.s15 (index
+    * side loaded from the PERSISTED bucketed tables): per incoming
+    * vector, 'dup' if any INDEX vector shares a hyperplane band AND
+    * passes the exact fixed-point cosine ≥ 0.4 (qd4's near-dup
+    * regime), else 'new'. Band sides carry (vec_id, n2, k, key) — the
+    * annBandRelation / DedupIndex.AnnHandles schema; vec sides carry
+    * (vec_id, ei). The candidate join is the bounded-bucket equi-join;
+    * the cosine verify touches candidates only. */
+  private[graft] def annIngestVerdicts(incBands: DataFrame, incVec: DataFrame,
+      idxBands: DataFrame, idxVec: DataFrame): DataFrame = {
+    val cand = incBands
+      .select(col("vec_id").as("q"), col("n2").as("qn2"),
+        col("k"), col("key"))
+      .join(idxBands.select(col("vec_id").as("v"), col("n2").as("vn2"),
+        col("k"), col("key")), Seq("k", "key"))
+      .select("q", "v", "qn2", "vn2").distinct()
+    val dup = cand
+      .join(incVec.select(col("vec_id").as("q"), col("ei").as("qe")), Seq("q"))
+      .join(idxVec.select(col("vec_id").as("v"), col("ei").as("ve")), Seq("v"))
+      .withColumn("dot", expr("dot_long(qe, ve)"))
+      .filter(col("dot").cast(DoubleType)
+        / (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("vn2").cast(DoubleType)))
+        >= 0.4)
+      .select(col("q").as("vec_id")).distinct()
+    incBands.select("vec_id").distinct()
+      .join(dup.withColumn("dd", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("dd") === 1, "dup").otherwise("new").as("verdict"))
+  }
+
   /** qd4's near-dup pair pipeline (shared with qd5's clustering):
     * 64-hyperplane sign sketch → 4×16-bit bands → candidate self-join →
     * exact fixed-point cosine via the native int64 kernel. Returns
@@ -508,6 +539,40 @@ object DedupExt {
       graft.operators.DedupIndex.upsertAnn(emb.filter(isB), dir)
       val idx = graft.operators.DedupIndex.loadAnn(s, dir)
       annBatchVerdicts(idx.bands, idx.vec)
+    }),
+
+    // s15 ANN INGEST-DEDUP GATE, two-batch staged replay (round 6):
+    // s12's twin for the VECTOR index — batch A (vec_id % 10 = 3) gets
+    // dup/new verdicts against the base index (% 10 ∉ {3,7}) under
+    // qd4's near-dup regime (shared hyperplane band + exact
+    // fixed-point cosine ≥ 0.4); its accepted vectors JOIN the index;
+    // batch B (% 10 = 7) gets verdicts against the GROWN index. This
+    // batch form is the oracle gate (pure relations — the per-vector
+    // sketch rows are pure functions, so staged filtering ≡ the real
+    // ingest); the streaming form (Streams.s15) is the production
+    // shape: foreachBatch verdicts against the PERSISTED bucketed ANN
+    // tables + DedupIndex.upsertAnn of each batch's accepted vectors,
+    // asserted row-equal to this replay including across a
+    // checkpointed restart (AnnIngestSpec).
+    "s15_anningest" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val emb = t(s, d, "embeddings")
+      val isA = col("vec_id") % 10 === 3
+      val isB = col("vec_id") % 10 === 7
+      val isIdx = !isA && !isB
+      val bands = graft.operators.OpCaches.track(annBandRelation(emb))
+      val vecs = graft.operators.OpCaches.track(quantizedRelation(emb))
+      val vA = annIngestVerdicts(bands.filter(isA), vecs.filter(isA),
+        bands.filter(isIdx), vecs.filter(isIdx))
+      val accA = vA.filter(col("verdict") === "new").select("vec_id")
+      val vB = annIngestVerdicts(bands.filter(isB), vecs.filter(isB),
+        bands.filter(isIdx)
+          .unionByName(bands.join(accA, Seq("vec_id"), "left_semi")),
+        vecs.filter(isIdx)
+          .unionByName(vecs.join(accA, Seq("vec_id"), "left_semi")))
+      vA.withColumn("batch", lit(1L))
+        .unionByName(vB.withColumn("batch", lit(2L)))
+        .orderBy("vec_id")
     }),
 
     // qc1 the COMPOSED training-data cleaning pipeline (quality gate →
@@ -1637,6 +1702,62 @@ object DedupExt {
     // qs9: same SQL again — upsert-grown index ≡ monolithic rebuild is
     // the contract, and the shared oracle is what enforces it
     "qs9_annupsert" -> oracleQs3,
+
+    // s15: the two-batch staged ANN ingest replayed in SQL — the
+    // hyperplane chain (qs3's CTEs), then per batch: band candidates
+    // against the (possibly grown) index, exact cosine ≥ 0.4 → dup
+    "s15_anningest" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |proj AS (SELECT vec_id, j,
+        |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
+        |             - 1073741824) * xi) AS proj
+        |         FROM ex, generate_series(0, 63) t(j) GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, j // 16 AS k,
+        |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
+        |       FROM proj GROUP BY 1, 2),
+        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |candA AS (SELECT DISTINCT x.vec_id AS q, y.vec_id AS v
+        |          FROM bk x JOIN bk y ON x.k = y.k AND x.key = y.key
+        |          WHERE x.vec_id % 10 = 3 AND y.vec_id % 10 NOT IN (3, 7)),
+        |dotsA AS (SELECT c.q, c.v, SUM(u.xi * w.xi) AS dot
+        |          FROM candA c JOIN ex u ON u.vec_id = c.q
+        |                       JOIN ex w ON w.vec_id = c.v AND w.i = u.i
+        |          GROUP BY 1, 2),
+        |dupA AS (SELECT DISTINCT d.q FROM dotsA d
+        |         JOIN norms nq ON nq.vec_id = d.q
+        |         JOIN norms nv ON nv.vec_id = d.v
+        |         WHERE CAST(dot AS DOUBLE)
+        |           / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nv.n2 AS DOUBLE))) >= 0.4),
+        |accA AS (SELECT DISTINCT vec_id FROM embeddings
+        |         WHERE vec_id % 10 = 3 AND vec_id NOT IN (SELECT q FROM dupA)),
+        |candB AS (SELECT DISTINCT x.vec_id AS q, y.vec_id AS v
+        |          FROM bk x JOIN bk y ON x.k = y.k AND x.key = y.key
+        |          WHERE x.vec_id % 10 = 7
+        |            AND (y.vec_id % 10 NOT IN (3, 7)
+        |                 OR y.vec_id IN (SELECT vec_id FROM accA))),
+        |dotsB AS (SELECT c.q, c.v, SUM(u.xi * w.xi) AS dot
+        |          FROM candB c JOIN ex u ON u.vec_id = c.q
+        |                       JOIN ex w ON w.vec_id = c.v AND w.i = u.i
+        |          GROUP BY 1, 2),
+        |dupB AS (SELECT DISTINCT d.q FROM dotsB d
+        |         JOIN norms nq ON nq.vec_id = d.q
+        |         JOIN norms nv ON nv.vec_id = d.v
+        |         WHERE CAST(dot AS DOUBLE)
+        |           / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nv.n2 AS DOUBLE))) >= 0.4)
+        |SELECT e.vec_id,
+        |  CASE WHEN d.q IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict,
+        |  CAST(1 AS BIGINT) AS batch
+        |FROM embeddings e LEFT JOIN dupA d ON d.q = e.vec_id
+        |WHERE e.vec_id % 10 = 3
+        |UNION ALL
+        |SELECT e.vec_id,
+        |  CASE WHEN d.q IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict,
+        |  CAST(2 AS BIGINT) AS batch
+        |FROM embeddings e LEFT JOIN dupB d ON d.q = e.vec_id
+        |WHERE e.vec_id % 10 = 7
+        |ORDER BY vec_id""".stripMargin,
 
     // qd9: the q28 exact-pair chain + the qd1 banding chain; the hit
     // set is the exact pairs' semi-join against the band CANDIDATES

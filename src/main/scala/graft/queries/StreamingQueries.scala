@@ -830,6 +830,48 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** S15 as streaming: the ANN-index-maintaining VECTOR ingest — s12's
+    * twin over `DedupIndex`'s ANN tables (round 6). Per micro-batch: a
+    * foreachBatch sink sketches the batch's embeddings (hyperplane
+    * band rows + fixed-point quantized vectors — one pass over the
+    * batch only), computes dup/new verdicts against the PERSISTED
+    * bucketed ANN index (shared band + exact cosine ≥ 0.4, the
+    * `DedupExt.annIngestVerdicts` kernel), appends the verdicts to
+    * `resultDir`, and UPSERTS the accepted vectors back into the index
+    * via `DedupIndex.upsertAnn` — so the next batch dedups against
+    * everything accepted before it. Checkpointed exactly-once across
+    * restarts; the index tables carry the growth as external state.
+    * The corpus is never rescanned per batch. */
+  def s15(spark: SparkSession, idxDir: String, inDir: String,
+          checkpoint: String, resultDir: String): Unit = {
+    graft.plans.DotLong.register(spark)
+    val raw = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val stream = spark.readStream.schema(raw).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val idx = graft.operators.DedupIndex.loadAnn(spark, idxDir)
+        val b = batch.cache()
+        val incBands = DedupExt.annBandRelation(b).cache()
+        val incVec = DedupExt.quantizedRelation(b)
+        val v = DedupExt.annIngestVerdicts(incBands, incVec,
+            idx.bands, idx.vec)
+          .withColumn("batch", lit(batchId + 1)).cache()
+        try {
+          v.write.mode("append").parquet(resultDir)
+          val accepted = v.filter(col("verdict") === "new").select("vec_id")
+          graft.operators.DedupIndex.upsertAnn(
+            b.join(accepted, Seq("vec_id"), "left_semi"), idxDir)
+        } finally { v.unpersist(); incBands.unpersist(); b.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** S05 as streaming: stream-stream inner join. Both sides carry
     * watermarks and the join condition bounds event time on both ends —
     * exactly what Structured Streaming requires to age out join state. */
