@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Scale
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 class ScaleSpec extends AnyFunSuite {
@@ -166,6 +167,36 @@ class ScaleSpec extends AnyFunSuite {
       .join(dim, Seq("lang")).count()
     assert(langs > 0 && j.count() === exact)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("sharded write: one file per shard, exact within-shard order, no global sort") {
+    graft.plans.RollHash31.register(spark)
+    val docs = Tables(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"),
+        ((lit(1103515245L) * (col("doc_id") % 2147483648L) + 12345L)
+          % 2147483648L).as("h"))
+      .withColumn("shard", col("h") % 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Scale.writeSharded(docs, dir, "shard", 8, Seq("h", "doc_id"))
+
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    for (sd <- shardDirs) {
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${sd.getName}: expected one file per shard, got ${files.length}")
+      // parquet preserves row order within a file: read THIS file alone
+      // and require exactly the (h, doc_id) order the contract declares
+      val rows = spark.read.parquet(files.head.getPath)
+        .select("h", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.nonEmpty)
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"${sd.getName}: rows not in (h, doc_id) order")
+    }
+    // completeness: the shards reassemble the exact input relation
+    val n = spark.read.parquet(dir).count()
+    assert(n === docs.count())
   }
 
   test("z-order layout prunes a box predicate on BOTH coordinates") {
