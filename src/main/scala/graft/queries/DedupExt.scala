@@ -1226,6 +1226,100 @@ object DedupExt {
             .cast(DoubleType).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(5)
+    }),
+
+    // qs10 FILTERED ANN search (round 6): the production vector-serving
+    // shape qs2/qs6 omit — a metadata predicate (here documents.lang =
+    // 'en', joined on vec_id = doc_id) restricting which vectors may be
+    // returned. PRE-filtering: the eligible-id relation (a selective
+    // metadata projection — small even at 100 TB because the predicate
+    // is selective, and broadcastable as a semi-join; at extreme
+    // corpus sizes it rides a bloom filter instead) intersects the IVF
+    // candidate stream BEFORE the exact re-rank, so the expensive
+    // fixed-point cosine runs only on vectors that can actually be
+    // returned. Post-filtering (score first, filter the top-k after)
+    // would silently return < k rows whenever the filter is selective;
+    // under very selective filters production raises nprobe — the
+    // deterministic fixture keeps qs2's nprobe=2 so the two queries'
+    // plans differ by exactly the filter semi-join.
+    "qs10_filteredann" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val emb = embQ(s, d)
+      val allowed = t(s, d, "documents").filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val cents = emb.filter(col("vec_id") % 50 === 1)
+        .select(col("vec_id").as("cid"), col("ei").as("ce"))
+        .withColumn("n2c", expr(dotL("ce", "ce")))
+      val scored = emb.crossJoin(broadcast(cents))
+        .withColumn("dot", expr(dotL("ei", "ce")))
+        .select(col("vec_id"), col("cid"),
+          (col("dot").cast(DoubleType) / sqrt(col("n2c").cast(DoubleType))).as("sc"))
+        .transform(graft.operators.OpCaches.track)
+      val wA = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+        .orderBy(col("sc").desc, col("cid"))
+      val assign = scored.withColumn("rn", row_number().over(wA))
+        .where(col("rn") === 1).select("vec_id", "cid")
+      val probe = scored.where(col("vec_id") === 0)
+        .orderBy(col("sc").desc, col("cid")).limit(2).select("cid")
+      val cand = assign.join(broadcast(probe), Seq("cid"))
+        .where(col("vec_id") =!= 0)
+        .join(broadcast(allowed), Seq("vec_id"), "left_semi")
+        .select("vec_id")
+      val qe = emb.where(col("vec_id") === 0).select(col("ei").as("qe"))
+        .withColumn("n2q", expr(dotL("qe", "qe")))
+      cand.join(emb, Seq("vec_id")).crossJoin(broadcast(qe))
+        .withColumn("dot", expr(dotL("ei", "qe")))
+        .withColumn("n2v", expr(dotL("ei", "ei")))
+        .select(col("vec_id"),
+          round(col("dot").cast(DoubleType)
+            / (sqrt(col("n2q").cast(DoubleType)) * sqrt(col("n2v").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // qe2 MATRYOSHKA truncation audit (round 6): the embedding-
+    // compression evaluation qe1 (scalar int8) doesn't cover —
+    // dimensionality truncation. For each probe (vec_id % 100 == 7,
+    // qs5's set), rank the corpus under the full 64-dim fixed-point
+    // cosine and under the 16-dim PREFIX cosine, and report top-3
+    // overlap per probe — the retrieval-quality cost of a 4× smaller
+    // index, hash-checked as DATA like qs5's recall. Ranking divides
+    // the int64 dot by the candidate norm only (the probe's norm is
+    // constant inside its rank partition, so it cancels); every input
+    // to the IEEE division is an exactly-converted int64, so both
+    // engines rank identical doubles. Like qs5, the brute pass is the
+    // deliberately-bounded audit yardstick: corpus × 1 % probe sample,
+    // probes broadcast, windows partitioned per probe.
+    "qe2_matryoshka" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val emb = embQ(s, d).withColumn("ei16", expr("slice(ei, 1, 16)"))
+      val probes = emb.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q"), col("ei").as("qe"),
+          col("ei16").as("qe16"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          (expr(dotL("ei", "qe")).cast(DoubleType)
+            / sqrt(expr(dotL("ei", "ei")).cast(DoubleType))).as("scf"),
+          (expr(dotL("ei16", "qe16")).cast(DoubleType)
+            / sqrt(expr(dotL("ei16", "ei16")).cast(DoubleType))).as("sct"))
+        .transform(graft.operators.OpCaches.track)
+      val wF = org.apache.spark.sql.expressions.Window.partitionBy("q")
+        .orderBy(col("scf").desc, col("vec_id"))
+      val wT = org.apache.spark.sql.expressions.Window.partitionBy("q")
+        .orderBy(col("sct").desc, col("vec_id"))
+      val topF = scored.withColumn("rk", row_number().over(wF))
+        .where(col("rk") <= 3).select("q", "vec_id")
+      val topT = scored.withColumn("rk", row_number().over(wT))
+        .where(col("rk") <= 3).select("q", "vec_id")
+      // both join sides are audit-bounded (3 rows per probe) — broadcast
+      // explicitly so the intersection never plans a shuffle pair
+      val ov = topF.join(broadcast(topT), Seq("q", "vec_id"))
+        .groupBy("q").agg(count(lit(1)).as("n_overlap"))
+      probes.select("q").join(broadcast(ov), Seq("q"), "left")
+        .select(col("q"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .orderBy("q")
     })
   )
 
@@ -1989,6 +2083,69 @@ object DedupExt {
         |         / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
         |FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
         |            JOIN norms qn ON qn.vec_id = 0
-        |ORDER BY score DESC, d.vec_id LIMIT 5""".stripMargin
+        |ORDER BY score DESC, d.vec_id LIMIT 5""".stripMargin,
+
+    // qs10: qs2's IVF probe with the metadata PRE-filter — candidates
+    // intersect the lang='en' doc-id set before the exact re-rank
+    "qs10_filteredann" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |cex AS (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
+        |cnorm AS (SELECT cid, SUM(cx*cx) AS n2c FROM cex GROUP BY 1),
+        |adot AS (SELECT e.vec_id, c.cid, SUM(e.xi * c.cx) AS dot
+        |         FROM ex e JOIN cex c USING (i) GROUP BY 1, 2),
+        |ascore AS (SELECT vec_id, cid, CAST(dot AS DOUBLE) / SQRT(CAST(n2c AS DOUBLE)) AS sc
+        |           FROM adot JOIN cnorm USING (cid)),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn
+        |  FROM ascore) WHERE rn = 1),
+        |probe AS (SELECT cid FROM ascore WHERE vec_id = 0 ORDER BY sc DESC, cid LIMIT 2),
+        |allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+        |cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+        |         WHERE a.vec_id <> 0
+        |           AND a.vec_id IN (SELECT vec_id FROM allowed)),
+        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT c.vec_id, SUM(v.xi * q.xi) AS dot
+        |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
+        |                     JOIN ex q ON q.vec_id = 0 AND q.i = v.i
+        |         GROUP BY 1)
+        |SELECT d.vec_id, CAST(ROUND(CAST(dot AS DOUBLE)
+        |         / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+        |FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
+        |            JOIN norms qn ON qn.vec_id = 0
+        |ORDER BY score DESC, d.vec_id LIMIT 5""".stripMargin,
+
+    // qe2: full-vs-16-dim-prefix rankings replayed; ranking keys are
+    // the same candidate-norm-only divisions (probe norm cancels
+    // inside a rank partition)
+    "qe2_matryoshka" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2,
+        |            SUM(CASE WHEN i <= 16 THEN xi*xi ELSE 0 END) AS n2t
+        |          FROM ex GROUP BY 1),
+        |pdots AS (SELECT q.vec_id AS q, v.vec_id,
+        |            SUM(v.xi * q.xi) AS dotf,
+        |            SUM(CASE WHEN v.i <= 16 THEN v.xi * q.xi ELSE 0 END) AS dott
+        |          FROM ex v JOIN ex q ON q.i = v.i AND q.vec_id % 100 = 7
+        |          WHERE v.vec_id <> q.vec_id
+        |          GROUP BY 1, 2),
+        |sc AS (SELECT q, p.vec_id,
+        |         CAST(dotf AS DOUBLE) / SQRT(CAST(n2 AS DOUBLE)) AS scf,
+        |         CAST(dott AS DOUBLE) / SQRT(CAST(n2t AS DOUBLE)) AS sct
+        |       FROM pdots p JOIN norms n ON n.vec_id = p.vec_id),
+        |tf AS (SELECT q, vec_id FROM (
+        |  SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q ORDER BY scf DESC, vec_id) AS rk
+        |  FROM sc) WHERE rk <= 3),
+        |tt AS (SELECT q, vec_id FROM (
+        |  SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q ORDER BY sct DESC, vec_id) AS rk
+        |  FROM sc) WHERE rk <= 3),
+        |ov AS (SELECT q, COUNT(*) AS n_overlap
+        |       FROM tf JOIN tt USING (q, vec_id) GROUP BY 1),
+        |pr AS (SELECT vec_id AS q FROM embeddings WHERE vec_id % 100 = 7)
+        |SELECT p.q, COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
+        |FROM pr p LEFT JOIN ov USING (q) ORDER BY q""".stripMargin
   )
 }

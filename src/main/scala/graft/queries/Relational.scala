@@ -726,6 +726,57 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           r4(sumDec6(col("l_quantity"))).as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // Q50 RECURSIVE CTE — native iterative query evaluation (Spark 4's
+    // UnionLoop): top-down BFS over a derived hierarchy (binary-heap
+    // org chart over customer: child k >= 1 reports to (k-1) div 2,
+    // root 0), emitting every node's depth, rolled up per level. The
+    // scale-correct recursion direction: walking DOWN from the root
+    // visits each node exactly ONCE (total work O(n) rows across all
+    // iterations, frontier joins are equi-joins against the edge
+    // relation), where the naive per-node walk UP would materialize
+    // O(n·depth) rows. Depth is ~log2(n) iterations — 14 at sf0.1,
+    // bounded far under the engine's recursion limit at any corpus
+    // size that fits a BIGINT key.
+    "q50_recursive" -> ((s, d) =>
+      Tables.sql(s, d,
+        """WITH RECURSIVE walk AS (
+          |  SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+          |  UNION ALL
+          |  SELECT e.child, w.depth + 1
+          |  FROM walk w
+          |  JOIN (SELECT c_custkey AS child, (c_custkey - 1) DIV 2 AS parent
+          |        FROM customer WHERE c_custkey >= 1) e
+          |    ON e.parent = w.k
+          |)
+          |SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
+          |       SUM(k) AS sum_k
+          |FROM walk GROUP BY depth ORDER BY depth""".stripMargin,
+        "customer")),
+
+    // Q51 time-RANGE window frame — the rolling time-window aggregate
+    // (7-day trailing spend per user) that ROWS frames cannot express:
+    // the frame is defined by the ORDER-key VALUE (epoch micros), so
+    // rows with equal timestamps are frame PEERS and the result is
+    // deterministic even under timestamp ties, where a ROWS frame would
+    // depend on tie order. Scale shape: one shuffle on user_id, one
+    // sort per partition, O(1) frame state per row (Spark's range-frame
+    // processor advances two monotonic pointers); sums accumulate in
+    // exact decimal so partial order cannot change the value.
+    "q51_rangeframe" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          col("value"))
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-604800000000L, 0L)
+      e.select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_7d"),
+          round(sum(dec6(col("value"))).over(w), 4).cast(DoubleType)
+            .as("sum_7d"))
+        .orderBy("event_id")
     })
   )
 
@@ -963,6 +1014,30 @@ object Relational {
         |  CAST(ROUND(SUM(CAST(l_quantity
         |    + CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
         |    AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q50: the same recursion in DuckDB's dialect (// is integer div)
+    "q50_recursive" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT e.child, w.depth + 1
+        |  FROM walk w
+        |  JOIN (SELECT c_custkey AS child, (c_custkey - 1) // 2 AS parent
+        |        FROM customer WHERE c_custkey >= 1) e
+        |    ON e.parent = w.k
+        |)
+        |SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM walk GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "q51_rangeframe" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_7d,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE) AS sum_7d
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -643,6 +643,60 @@ object TextExt {
           min(col("h")).as("min_h"), max(col("h")).as("max_h"),
           sum(col("doc_id") * col("pos")).as("perm_sum"))
         .orderBy("shard")
+    }),
+
+    // qt15 token canonicalization (round 6): the text-normalization
+    // pass that runs BEFORE dedup/fingerprinting in a corpus pipeline —
+    // here the two transforms that genuinely execute on a lowercase
+    // token corpus: (1) drop declared stopwords ('the','a','of','and' —
+    // qt2's list), then (2) collapse runs of identical ADJACENT tokens
+    // (" a a the " → " a "-free, run-collapsed text — the
+    // boilerplate-stutter form of whitespace canonicalization). Both
+    // are row-local array HOFs: ONE scan, zero shuffles before the
+    // display sort, and the canonical text feeds any downstream dedup
+    // key verbatim. The adjacent-collapse filter indexes the SAME
+    // array it filters (kept[i-1]) — position semantics, not value
+    // dedup: non-adjacent repeats survive. n_orig/n_norm pin the drop
+    // counts; the rolling-hash fingerprint pins the stitched CONTENT
+    // (empty result pinned to fp 0, the qt13 cross-engine guard).
+    "qt15_normalize" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("kept", expr(
+          "filter(tk, x -> NOT array_contains(array('the','a','of','and'), x))"))
+        .withColumn("norm", expr(
+          "filter(kept, (x, i) -> i = 0 OR x != kept[i-1])"))
+        .select(col("doc_id"),
+          size(col("tk")).cast(LongType).as("n_orig"),
+          size(col("norm")).cast(LongType).as("n_norm"),
+          when(size(col("norm")) === 0, lit(0L))
+            .otherwise(expr("roll_hash31(array_join(norm, ' '))"))
+            .as("fp_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // qt16 first-occurrence NOVELTY scoring (round 6): the curation
+    // metric for crawl-ordered ingestion — per doc, how many of its
+    // distinct 3-gram shingles appear HERE FIRST (corpus-min doc_id ==
+    // this doc)? A doc whose shingles are mostly inherited is
+    // boilerplate/derivative; high-novelty docs carry new content. The
+    // scale-correct shape: novel-per-doc comes from the (hash →
+    // min doc_id) aggregate RE-AGGREGATED by the winning doc — two
+    // narrow partial-aggregated groupBys and one doc-keyed (narrow,
+    // skew-free) left join; the corpus-cardinality shingle relation is
+    // never joined back against itself. The shingle explosion is
+    // recomputed for both consumers rather than cached (the qt9/qd9
+    // lesson: narrow-aggregate second consumers beat materialization).
+    "qt16_novelty" -> ((s, d) => {
+      val sh = shingleHash3(s, d)
+      val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val novel = sh.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      tot.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1069,6 +1123,48 @@ object TextExt {
         |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  MIN(h) AS min_h, MAX(h) AS max_h,
         |  CAST(SUM(doc_id * pos) AS BIGINT) AS perm_sum
-        |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // qt15: the canonicalization replayed with DuckDB's 1-based list
+    // lambdas (Spark's filter index is 0-based, DuckDB's is 1-based;
+    // the out-of-range kept[i-1] at the first element is NULL in both,
+    // absorbed by the leading OR)
+    "qt15_normalize" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |k AS (SELECT doc_id, tk,
+        |        list_filter(tk, x -> NOT list_contains(['the','a','of','and'], x)) AS kept
+        |      FROM tk),
+        |n AS (SELECT doc_id, tk,
+        |        list_filter(kept, (x, i) -> i = 1 OR x != kept[i-1]) AS norm
+        |      FROM k)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_orig,
+        |  CAST(len(norm) AS BIGINT) AS n_norm,
+        |  CASE WHEN len(norm) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(array_to_string(norm, ' '), ''),
+        |           ch -> CAST(unicode(ch) AS BIGINT))),
+        |         (acc, x) -> (acc * 31 + x) % $P) END AS fp_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // qt16: the novelty chain replayed — distinct 3-gram shingle hashes
+    // per doc (qx1's spelling), min-doc winners, re-aggregated per doc
+    "qt16_novelty" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(tk) - 2, 0)),
+         |    k -> array_to_string(tk[k:k+2], ' ')))) AS s
+         |  FROM t),
+         |h AS (SELECT doc_id,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |          (acc, x) -> (acc * 31 + x) % $P) AS h
+         |      FROM sh),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM h GROUP BY 1),
+         |novel AS (SELECT doc_id, COUNT(*) AS n_novel FROM (
+         |    SELECT h, MIN(doc_id) AS doc_id FROM h GROUP BY h) GROUP BY 1)
+         |SELECT t.doc_id, t.n_shingles,
+         |  COALESCE(n.n_novel, CAST(0 AS BIGINT)) AS n_novel
+         |FROM tot t LEFT JOIN novel n USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -286,6 +286,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q50: recursion plans as native UnionLoop with a pushed edge-scan filter") {
+    val p = plan("q50_recursive")
+    // the iterative operator itself (a silent unroll or a fallback to a
+    // cartesian fixpoint would lose it) — the snapshot harness doesn't
+    // track UnionLoop, so pin it here
+    assert(p.contains("UnionLoop"), s"recursion lost its UnionLoop operator:\n$p")
+    // the recursion step is an equi-join of the frontier ref against the
+    // filtered edge relation (each iteration plans its own scan, so the
+    // body prints as a logical subtree — pushdown happens per iteration)
+    assert(p.contains("UnionLoopRef"), s"recursion body lost its frontier ref:\n$p")
+    assert(p.contains("Join Inner, (parent"), s"frontier step is not an equi-join:\n$p")
+    assert(p.contains("c_custkey") && p.contains(">= 1"), s"edge filter missing:\n$p")
+  }
+
+  test("qs10: metadata pre-filter is a broadcast semi-join — no SMJ, no cartesian") {
+    val p = plan("qs10_filteredann")
+    assert(!p.contains("SortMergeJoin"), s"filtered-ANN degraded to SMJ:\n$p")
+    assert(p.contains("LeftSemi"), s"metadata filter lost its semi-join:\n$p")
+    graft.operators.OpCaches.releaseAll()
+  }
+
   test("asof: one shuffle on the key, no re-aggregation join") {
     val events = Tables(spark, TestSpark.Sf, "events")
       .selectExpr("event_id", "user_id AS o_custkey", "ts")
