@@ -777,7 +777,65 @@ object Relational {
           round(sum(dec6(col("value"))).over(w), 4).cast(DoubleType)
             .as("sum_7d"))
         .orderBy("event_id")
-    })
+    }),
+
+    // Q52 VARIANT semi-structured analytics — Spark 4's lake-native
+    // open-variant type, vs Q24's per-path string JSON probing: the
+    // payload parses ONCE into a binary VARIANT column and every
+    // extraction after that is a typed variant_get on the encoded
+    // form (no re-tokenizing the JSON text per path — the difference
+    // that compounds when one payload feeds many extractions at
+    // 100 TB). The typed extraction, the predicate on it, and the
+    // exact-decimal aggregate are all post-parse.
+    "q52_variant" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"), col("value"),
+          parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"), col("value"))
+        .filter(col("k") > 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          r4(sumDec6(col("value"))).as("sum_v"))
+        .orderBy("event_type")),
+
+    // Q53 UNPIVOT (melt) — the inverse of Q31's pivot: wide measure
+    // columns fold into (measure, val) rows through the typed Dataset
+    // unpivot API (a zero-shuffle row-local Expand, not a join or
+    // union of re-scans: ONE pass over the fact table emits all three
+    // measures), then a per-measure exact-decimal profile. The lake
+    // use: normalizing wide telemetry tables into long form for
+    // generic per-metric pipelines.
+    "q53_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("val"))).as("sum_val"),
+          r4(min(col("val")).cast(D186)).as("min_val"),
+          r4(max(col("val")).cast(D186)).as("max_val"))
+        .orderBy("measure")),
+
+    // Q54 ordered string aggregation (LISTAGG WITHIN GROUP — Spark 4)
+    // — the report-shaped "roster in one cell" aggregate: per region,
+    // the comma-joined ordered nation roster. The ORDER BY inside the
+    // aggregate is the determinism contract (an unordered listagg is
+    // partition-order-dependent and would never hash-match); at scale
+    // it costs a per-group sort of group-local rows, never a global
+    // one.
+    "q54_listagg" -> ((s, d) =>
+      Tables.sql(s, d,
+        """SELECT r.r_name,
+          |       listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+          |         AS nations,
+          |       count(1) AS n
+          |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+        "nation", "region"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1038,6 +1096,36 @@ object Relational {
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // q52: DuckDB has no VARIANT — the oracle extracts the same typed
+    // value from the JSON text; the contract is the extraction result
+    "q52_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_v
+        |FROM (SELECT event_type, value,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |WHERE k > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q53_unpivot" ->
+      """SELECT measure, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(val AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_val,
+        |  CAST(ROUND(CAST(MIN(val) AS DECIMAL(18,6)),4) AS DOUBLE) AS min_val,
+        |  CAST(ROUND(CAST(MAX(val) AS DECIMAL(18,6)),4) AS DOUBLE) AS max_val
+        |FROM (UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount
+        |               FROM lineitem)
+        |      ON l_quantity, l_extendedprice, l_discount
+        |      INTO NAME measure VALUE val)
+        |GROUP BY measure ORDER BY measure""".stripMargin,
+
+    "q54_listagg" ->
+      """SELECT r.r_name,
+        |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+        |  COUNT(*) AS n
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin
   )
 }
