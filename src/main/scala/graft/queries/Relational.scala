@@ -835,7 +835,56 @@ object Relational {
           |       count(1) AS n
           |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
           |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
-        "nation", "region"))
+        "nation", "region")),
+
+    // Q55 SQL-language UDF (CREATE FUNCTION ... RETURN expr — Spark 4):
+    // the scale-correct answer to "custom scalar function". A SQL UDF
+    // is INLINED by the analyzer — the body becomes an ordinary
+    // Catalyst expression tree, so it codegens, pushes down, and
+    // constant-folds exactly like hand-written SQL, where a Scala/JVM
+    // UDF is an opaque serde wall that blocks pushdown and whole-stage
+    // codegen. The oracle writes the body inline: a hash match proves
+    // the UDF changed nothing — which is the point.
+    "q55_sqludf" -> ((s, d) => {
+      val sq = s.newSession()  // function registration stays scoped
+      sq.sql("""CREATE OR REPLACE TEMPORARY FUNCTION net_price(
+               |  p DOUBLE, disc DOUBLE, tax DOUBLE)
+               |RETURNS DECIMAL(18,6)
+               |RETURN CAST(p * (1.0 - disc) * (1.0 + tax) AS DECIMAL(18,6))
+               |""".stripMargin)
+      Tables.sql(sq, d,
+        """SELECT l_returnflag, count(1) AS n,
+          |  CAST(ROUND(SUM(net_price(l_extendedprice, l_discount, l_tax)), 4)
+          |       AS DOUBLE) AS revenue
+          |FROM lineitem
+          |WHERE net_price(l_extendedprice, l_discount, l_tax) > 50000
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        "lineitem")
+    }),
+
+    // Q56 TRY_CAST dirty-data hardening: third-party feeds carry
+    // unparseable numerics; ANSI mode would kill the job on the first
+    // bad cell, silent-cast modes corrupt it. try_cast turns each
+    // failure into a NULL that is then COUNTED as data (the quarantine
+    // column), the q46-PERMISSIVE contract at expression granularity.
+    // The dirty column derives deterministically from props: docs with
+    // k % 7 == 0 get a trailing junk suffix the cast must reject.
+    "q56_trycast" -> ((s, d) =>
+      Tables.sql(s, d,
+        """WITH raw AS (
+          |  SELECT event_type,
+          |    CASE WHEN CAST(get_json_object(props, '$.k') AS BIGINT) % 7 = 0
+          |         THEN concat(get_json_object(props, '$.k'), 'x')
+          |         ELSE get_json_object(props, '$.k') END AS k_str
+          |  FROM events)
+          |SELECT event_type,
+          |  count(1) AS n,
+          |  count(try_cast(k_str AS BIGINT)) AS n_ok,
+          |  CAST(count(1) - count(try_cast(k_str AS BIGINT)) AS BIGINT)
+          |    AS n_quarantined,
+          |  CAST(sum(try_cast(k_str AS BIGINT)) AS BIGINT) AS sum_k
+          |FROM raw GROUP BY event_type ORDER BY event_type""".stripMargin,
+        "events"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1126,6 +1175,32 @@ object Relational {
         |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
         |  COUNT(*) AS n
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+
+    // q55: the UDF body written inline — a hash match proves the SQL
+    // UDF is pure syntax (analyzer inlining), zero semantic drift
+    "q55_sqludf" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |        AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |      AS DECIMAL(18,6)) > 50000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q56_trycast" ->
+      """WITH raw AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+        |         THEN json_extract_string(props, '$.k') || 'x'
+        |         ELSE json_extract_string(props, '$.k') END AS k_str
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(*) AS n,
+        |  COUNT(TRY_CAST(k_str AS BIGINT)) AS n_ok,
+        |  CAST(COUNT(*) - COUNT(TRY_CAST(k_str AS BIGINT)) AS BIGINT)
+        |    AS n_quarantined,
+        |  CAST(SUM(TRY_CAST(k_str AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM raw GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
