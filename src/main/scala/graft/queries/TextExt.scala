@@ -676,6 +676,46 @@ object TextExt {
         .orderBy("doc_id")
     }),
 
+    // qx7 sharded-writer AUDIT (round 6): qx6 declares the training-
+    // shard contract in LOGICAL form; this query puts the PHYSICAL
+    // layout through the same oracle — Scale.writeSharded lays the
+    // corpus out (one file per shard, (h, doc_id) order in-file), the
+    // files read back ONE SHARD FILE AT A TIME with positions recovered
+    // from raw file order (monotonically_increasing_id is monotone
+    // within each file's single read partition; row_number over it per
+    // shard converts to 1-based in-file positions without trusting the
+    // ids' absolute values), and the order-DEPENDENT checksum
+    // Σ doc_id·pos must hash-match qx6's oracle. A writer that loses
+    // one file's sort, splits a shard into two files, or drops the
+    // shard-leading sortWithinPartitions fails the gate — the qd10/qs7
+    // pattern (persist, reload, same oracle) applied to the last-mile
+    // writer. The per-shard driver loop is bounded by SHARD COUNT
+    // (fixed at 8), never data.
+    "qx7_shardaudit" -> ((s, d) => {
+      val dir = "target/graft-shardaudit/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          ((lit(1103515245L) * (col("doc_id") % 2147483648L) + 12345L)
+            % 2147483648L).as("h"))
+        .withColumn("shard", col("h") % 8)
+      graft.operators.Scale.writeSharded(docs, dir, "shard", 8,
+        Seq("h", "doc_id"))
+      val byShard = (0 until 8).map { k =>
+        s.read.parquet(s"$dir/shard=$k")
+          .select(lit(k.toLong).as("shard"), col("doc_id"), col("n_tok"),
+            col("h"), monotonically_increasing_id().as("fpos"))
+      }.reduce(_ unionAll _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("fpos")
+      byShard.withColumn("pos", row_number().over(w).cast(LongType))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"),
+          sum(col("doc_id") * col("pos")).as("perm_sum"))
+        .orderBy("shard")
+    }),
+
     // qt16 first-occurrence NOVELTY scoring (round 6): the curation
     // metric for crawl-ordered ingestion — per doc, how many of its
     // distinct 3-gram shingles appear HERE FIRST (corpus-min doc_id ==
@@ -1145,6 +1185,22 @@ object TextExt {
         |           ch -> CAST(unicode(ch) AS BIGINT))),
         |         (acc, x) -> (acc * 31 + x) % $P) END AS fp_norm
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // qx7: the physical write order must reproduce qx6's LOGICAL
+    // contract — same oracle text, so a hash match proves the layout
+    "qx7_shardaudit" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    (1103515245 * (doc_id % 2147483648) + 12345) % 2147483648 AS h
+        |  FROM documents),
+        |p AS (SELECT *, h % 8 AS shard,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
+        |          ORDER BY h, doc_id) AS BIGINT) AS pos
+        |      FROM h)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(h) AS min_h, MAX(h) AS max_h,
+        |  CAST(SUM(doc_id * pos) AS BIGINT) AS perm_sum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     // qt16: the novelty chain replayed — distinct 3-gram shingle hashes
     // per doc (qx1's spelling), min-doc winners, re-aggregated per doc
