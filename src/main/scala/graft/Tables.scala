@@ -18,15 +18,22 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and convert with
-    * integer division — the generator emits micro-precision values, so
-    * `div 1000` is lossless (and matches DuckDB's nanos→micros narrowing).
+  /** events.ts has shipped as INT64 TIMESTAMP(NANOS) parquet (which Spark's
+    * vectorized reader rejects — read as raw nanos via the legacy conf and
+    * narrow with lossless integer division; the generator emits
+    * micro-precision values), and as TIMESTAMP(MICROS) without timezone
+    * (→ TIMESTAMP_NTZ). Normalize every generation of the fixture to
+    * session-tz TIMESTAMP — sessions pin UTC, so the NTZ cast is an
+    * identity on the stored micros, matching DuckDB's naive read.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** Register temp views for SQL-form queries, then run the SQL. */

@@ -540,16 +540,25 @@ object Streams {
     staged.toString
   }
 
-  /** Streaming read of events.parquet (nanos ts → timestamp, as Tables). */
+  /** Streaming read of events.parquet (ts → timestamp, as Tables: adapt on
+    * the footer schema — INT64-nanos fixtures need the lossless div-1000
+    * narrowing; TIMESTAMP(MICROS)-no-tz fixtures read as NTZ and cast,
+    * an identity on the stored micros under the pinned UTC session tz). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(raw)
-      .parquet(stage(dir, "events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val s = spark.readStream.schema(raw).parquet(stage(dir, "events.parquet"))
+    tsType match {
+      case LongType         => s.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => s.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => s
+    }
   }
 
   /** Run a streaming DataFrame to completion into a memory table. */
