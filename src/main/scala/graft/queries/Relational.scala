@@ -884,7 +884,47 @@ object Relational {
           |    AS n_quarantined,
           |  CAST(sum(try_cast(k_str AS BIGINT)) AS BIGINT) AS sum_k
           |FROM raw GROUP BY event_type ORDER BY event_type""".stripMargin,
-        "events"))
+        "events")),
+
+    // Q57 MATERIALIZED-VIEW REWRITE — the repeated-dashboard contract at
+    // 100 TB: the first rollup pays one corpus pass to build a KB-scale
+    // summary table; every compatible aggregate after that must be
+    // ANSWERED FROM THE SUMMARY by the optimizer, not by re-reading the
+    // corpus. The query aggregates the dedicated base copy at a COARSER
+    // grouping than the MV (l_returnflag vs (l_returnflag, l_linestatus)),
+    // through a group-column filter, with scalar post-processing around
+    // the aggregate calls — the full rewrite surface: filter moves onto
+    // the summary, COUNT re-sums the per-group counts, SUM/MIN/MAX
+    // re-aggregate the partials, ROUND/CAST scaffolding carries over.
+    // plans/MatViewRewrite performs the swap inside Catalyst;
+    // MatViewSpec pins that the executed plan scans ONLY the MV files.
+    // The oracle computes from the raw table — the hash match proves the
+    // whole chain (summary build → rewrite → re-aggregation) exact.
+    "q57_matview" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val baseDir = "target/graft-mvbase/" + tag
+      val mvDir = "target/graft-mv/" + tag
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .write.mode("overwrite").parquet(baseDir)
+      graft.plans.MatViewRewrite.create(s, baseDir, mvDir,
+        groupCols = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq(dec6(col("l_quantity")),
+          dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))),
+        mins = Seq(col("l_shipdate")),
+        maxs = Seq(col("l_orderkey")))
+      s.read.parquet(baseDir)
+        .filter(col("l_returnflag") =!= "N")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+          r4(sumDec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -1201,6 +1241,17 @@ object Relational {
         |  CAST(COUNT(*) - COUNT(TRY_CAST(k_str AS BIGINT)) AS BIGINT)
         |    AS n_quarantined,
         |  CAST(SUM(TRY_CAST(k_str AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM raw GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM raw GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q57: the oracle aggregates the raw table — Spark's answer comes
+    // from the rewritten summary scan, so the hash match proves the MV
+    // chain exact
+    "q57_matview" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_disc,
+        |  MIN(l_shipdate) AS first_ship, MAX(l_orderkey) AS max_key
+        |FROM lineitem WHERE l_returnflag <> 'N'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
