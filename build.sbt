@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g starved a 130+-query suite: by the tail of the run, accumulated
+  // codegen classes + broadcast remnants left the old gen near-full and
+  // the qc* composed pipelines ran 7-10x slow in GC thrash (measured
+  // 421s -> 267s for the identical suite at 24g). local[32] on a
+  // 128 GiB host affords the headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

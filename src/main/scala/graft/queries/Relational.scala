@@ -924,6 +924,41 @@ object Relational {
           min(col("l_shipdate")).as("first_ship"),
           max(col("l_orderkey")).as("max_key"))
         .orderBy("l_returnflag")
+    }),
+
+    // Q58 MERGE INTO — upsert as partition-scoped copy-on-write
+    // (operators/Lakehouse.mergeInto): the update batch (price
+    // corrections for key%100==0 plus new key%100==1 rows inserted
+    // under key+1e8, both confined to the two highest priorities)
+    // rewrites ONLY the '1-URGENT' and '2-HIGH' partitions; the three
+    // sibling partitions' files are never listed, read, or rewritten
+    // (LakehouseSpec pins them byte-identical). At 100 TB this is how
+    // row-level corrections land: O(affected partitions) data moved +
+    // one metadata swap, never a full-table pass. The read-back
+    // aggregate pins matched-row replacement (price +1000), insert
+    // arrival (max_key jumps by 1e8 in touched partitions only), and
+    // sibling integrity (untouched groups' sums unchanged) in one
+    // statement; the oracle models the merged end state from the raw
+    // table.
+    "q58_merge" -> ((s, d) => {
+      val dir = "target/graft-merge/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val orders = t(s, d, "orders")
+      orders.write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(dir)
+      val touched = col("o_orderpriority") <= "2-HIGH"
+      val upd = orders.filter(touched && col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      val ins = orders.filter(touched && col("o_orderkey") % 100 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_totalprice", col("o_totalprice") + 7)
+      graft.operators.Lakehouse.mergeInto(
+        s, dir, "o_orderpriority", Seq("o_orderkey"), upd.unionByName(ins))
+      s.read.parquet(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("o_totalprice"))).as("sum_price"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -1252,6 +1287,26 @@ object Relational {
         |  CAST(ROUND(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_disc,
         |  MIN(l_shipdate) AS first_ship, MAX(l_orderkey) AS max_key
         |FROM lineitem WHERE l_returnflag <> 'N'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q58: the oracle models the post-merge table state — touched-
+    // priority key%100==0 rows carry the +1000 correction, the insert
+    // rows join under key+1e8, siblings are verbatim
+    "q58_merge" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         o_totalprice + CASE WHEN o_orderpriority <= '2-HIGH'
+        |                              AND o_orderkey % 100 = 0
+        |                             THEN 1000 ELSE 0 END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice + 7
+        |  FROM orders
+        |  WHERE o_orderpriority <= '2-HIGH' AND o_orderkey % 100 = 1)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))),4) AS DOUBLE)
+        |    AS sum_price,
+        |  MAX(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
