@@ -959,6 +959,38 @@ object Relational {
           r4(sumDec6(col("o_totalprice"))).as("sum_price"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Q59 SNAPSHOT TABLE — the minimal lakehouse commit protocol
+    // (operators/SnapTable): immutable data files + immutable per-
+    // version manifests + an atomically-swapped pointer. The query
+    // commits v1 (keys %3==0), plants an ORPHAN parquet write in the
+    // data directory (a failed/in-flight commit no manifest names),
+    // appends v2 (keys %3==1), then aggregates BOTH versions — v1 read
+    // AFTER v2 exists, so time travel is hash-checked, and the orphan's
+    // rows (%3==2) would corrupt both counts if a reader ever listed
+    // the directory instead of the manifest, so snapshot isolation is
+    // hash-checked too. At 100 TB: commits move O(new files) data + one
+    // pointer swap; historical versions stay readable with no rewrite.
+    "q59_snapshot" -> ((s, d) => {
+      val dir = "target/graft-snap/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      graft.operators.SnapTable.commit(s, dir,
+        li.filter(col("l_orderkey") % 3 === 0))
+      li.filter(col("l_orderkey") % 3 === 2)
+        .write.mode("overwrite").parquet(s"$dir/data/orphan")
+      graft.operators.SnapTable.commit(s, dir,
+        li.filter(col("l_orderkey") % 3 === 1), append = true)
+      Seq(1, 2).map { v =>
+        graft.operators.SnapTable.read(s, dir, v)
+          .agg(count(lit(1)).as("n"),
+            r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+            max(col("l_orderkey")).as("max_key"))
+          .select(lit(v.toLong).as("version"), col("n"),
+            col("sum_qty"), col("max_key"))
+      }.reduce(_ unionByName _).orderBy("version")
     })
   )
 
@@ -1307,6 +1339,21 @@ object Relational {
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))),4) AS DOUBLE)
         |    AS sum_price,
         |  MAX(o_orderkey) AS max_key
-        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q59: the oracle models each snapshot's membership from the raw
+    // table — v1 = keys %3==0, v2 = v1 plus the appended %3==1 files;
+    // the planted orphan's %3==2 rows appear in neither
+    "q59_snapshot" ->
+      """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty,
+        |  MAX(l_orderkey) AS max_key
+        |FROM lineitem WHERE l_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*),
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE),
+        |  MAX(l_orderkey)
+        |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
+        |ORDER BY version""".stripMargin
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SnapTable
+
+/** Snapshot-manifest table (operators/SnapTable): commit protocol
+  * invariants — time travel, manifest immutability, orphan isolation,
+  * overwrite-vs-append semantics, clean pointer swaps. */
+class SnapTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dir = "target/graft-snap-spec"
+
+  private def li = Tables(spark, TestSpark.Sf, "lineitem")
+    .select("l_orderkey", "l_linenumber", "l_quantity")
+
+  private def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+
+  test("append commit grows the snapshot; old versions stay readable") {
+    SnapTable.destroy(spark, dir)
+    val v1 = SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0))
+    val v2 = SnapTable.commit(spark, dir,
+      li.filter(col("l_orderkey") % 3 === 1), append = true)
+    assert(v1 == 1 && v2 == 2)
+    val k1 = keys(SnapTable.read(spark, dir, 1))
+    val k2 = keys(SnapTable.read(spark, dir, 2))
+    assert(k1.forall(_ % 3 == 0))
+    assert(k2 == k1 ++ keys(li.filter(col("l_orderkey") % 3 === 1)))
+    assert(keys(SnapTable.read(spark, dir)) == k2) // latest == v2
+  }
+
+  test("orphan files in the data dir are invisible to every snapshot") {
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0))
+    li.filter(col("l_orderkey") % 3 === 2)
+      .write.mode("overwrite").parquet(s"$dir/data/orphan")
+    SnapTable.commit(spark, dir,
+      li.filter(col("l_orderkey") % 3 === 1), append = true)
+    assert(keys(SnapTable.read(spark, dir)).forall(_ % 3 != 2))
+    assert(keys(SnapTable.read(spark, dir, 1)).forall(_ % 3 == 0))
+  }
+
+  test("commit N+1 never rewrites manifest N (reader isolation)") {
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0))
+    val m1 = Files.readAllBytes(Paths.get(dir, "_manifests", "v1.txt")).toSeq
+    SnapTable.commit(spark, dir,
+      li.filter(col("l_orderkey") % 3 === 1), append = true)
+    assert(Files.readAllBytes(Paths.get(dir, "_manifests", "v1.txt")).toSeq == m1)
+    // no torn temp files survive the pointer swaps
+    assert(!Files.exists(Paths.get(dir, "_latest.tmp")))
+    assert(Files.readString(Paths.get(dir, "_latest")).trim == "2")
+  }
+
+  test("overwrite commit replaces state; history remains") {
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0))
+    SnapTable.commit(spark, dir,
+      li.filter(col("l_orderkey") % 3 === 1), append = true)
+    val v3 = SnapTable.commit(spark, dir,
+      li.filter(col("l_orderkey") % 3 === 2)) // append=false: full replace
+    assert(v3 == 3)
+    assert(keys(SnapTable.read(spark, dir, 3)).forall(_ % 3 == 2))
+    assert(keys(SnapTable.read(spark, dir, 2)).forall(_ % 3 != 2))
+  }
+}
