@@ -192,7 +192,36 @@ object GeoQueries {
           floor(col("py") / SpacetimeEtl.Cs).cast(LongType).as("cy"))
         .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("cx"), col("cy"))
-        .limit(100))
+        .limit(100)),
+
+    // G07 the R1 NDJSON surface as a first-class DataSource V2 connector
+    // (sources/GraftNdjson): declared schema, filter pushdown INTO the
+    // parser (the type/validSince conjuncts evaluate on parsed nodes
+    // before any row materializes — rows with a MISSING validSince are
+    // correctly rejected by SQL null semantics on both engines), column
+    // pruning to the parser, and line-aligned byte splits for
+    // coordination-free parallel reads. Nested subtrees arrive as
+    // compact-JSON strings (the `data` column) and compose with the
+    // ordinary JSON functions downstream. NdjsonSourceSpec pins
+    // built-in-reader equality, pushdown placement, and split-size
+    // invariance.
+    "g07_dsv2" -> ((s, d) => {
+      val schema = StructType(Seq(
+        StructField("id", StringType), StructField("type", StringType),
+        StructField("validSince", StringType),
+        StructField("validUntil", StringType),
+        StructField("data", StringType), StructField("geometry", StringType)))
+      s.read.format("graft-ndjson").schema(schema)
+        .load(s"${geoDir(d)}/house_numbers.ndjson")
+        .filter(col("type") === "st:Address" && col("validSince") >= "1880")
+        .select(col("id"),
+          get_json_object(col("data"), "$.borough").as("borough"),
+          get_json_object(col("data"), "$.number").as("number"))
+        .groupBy("borough")
+        .agg(count(lit(1)).as("n"), min(col("id")).as("first_id"),
+          max(col("number")).as("max_number"))
+        .orderBy("borough")
+    })
   )
 
   /** Shared DuckDB CTE: candidates → crosstrack (same branch structure as
@@ -277,6 +306,23 @@ object GeoQueries {
          |       CAST(floor(py / 0.0005) AS BIGINT) AS cy, COUNT(*) AS n
          |FROM read_parquet('$dir/house_points.parquet')
          |GROUP BY 1, 2 ORDER BY n DESC, cx, cy LIMIT 100""".stripMargin,
+
+    // g07: the oracle replays the DSv2 source's contract on the raw
+    // lines — scalar extraction, the pushed predicate (missing
+    // validSince → NULL → rejected), nested fields via JSON paths
+    "g07_dsv2" ->
+      s"""WITH raw AS (SELECT json AS line
+         |  FROM read_ndjson_objects('$dir/house_numbers.ndjson')),
+         |v AS (SELECT json_extract_string(line, '$$.id') AS id,
+         |             json_extract_string(line, '$$.type') AS typ,
+         |             json_extract_string(line, '$$.validSince') AS vs,
+         |             json_extract_string(line, '$$.data.borough') AS borough,
+         |             json_extract_string(line, '$$.data.number') AS number
+         |      FROM raw)
+         |SELECT borough, COUNT(*) AS n, MIN(id) AS first_id,
+         |       MAX(number) AS max_number
+         |FROM v WHERE typ = 'st:Address' AND vs >= '1880'
+         |GROUP BY borough ORDER BY borough""".stripMargin,
 
     "g06_graph" ->
       s"""${bestCte(dir)},

@@ -1,0 +1,261 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.Text
+import org.apache.hadoop.util.LineReader
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 NDJSON source — the reference's R1 surface
+  * (`/root/reference/addresses.js:124-162` consumes NDJSON object
+  * streams) implemented as a first-class Spark connector instead of a
+  * pre-pass:
+  *
+  *   spark.read.format("graft-ndjson").schema(s).load(path)
+  *
+  * Scale properties, each doing real work at 100 TB:
+  *   - DECLARED schema only (`supportsExternalMetadata`): schema
+  *     inference over NDJSON is a full extra corpus pass, so the source
+  *     refuses to guess — the engine's schema-on-read discipline;
+  *   - FILTER PUSHDOWN to the parser: comparisons on top-level scalar
+  *     fields evaluate on the parsed node BEFORE a row is built, so
+  *     filtered-out lines never materialize rows (Spark trusts the
+  *     pushed subset — the evaluation is exact, including SQL null
+  *     semantics: comparisons with missing/null fields are false);
+  *   - COLUMN PRUNING to the parser: only requested fields convert to
+  *     row values (nested subtrees a STRING column captures re-serialize
+  *     only when asked for);
+  *   - LINE-ALIGNED BYTE SPLITS: each file splits into `splitBytes`
+  *     ranges read in parallel with the classic text-split protocol — a
+  *     reader at offset>0 discards its first (partial) line, every
+  *     reader reads through its end boundary to the next newline, so
+  *     each line lands in exactly one split with no coordination
+  *     (NdjsonSourceSpec proves split-size invariance).
+  *
+  * Type mapping per top-level field: STRING captures textual values
+  * verbatim and non-scalar subtrees as compact JSON (the downstream
+  * `from_json`/`get_json_object` contract); LONG/DOUBLE read numerics;
+  * BOOLEAN reads booleans; anything else reads as null. Malformed JSON
+  * lines throw (strict mode — the q46 PERMISSIVE pattern belongs to the
+  * quarantining reader, not the engine source).
+  */
+class GraftNdjson extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-ndjson"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-ndjson requires a declared schema (.schema(...)): schema " +
+        "inference would cost a full corpus pass")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NdjsonTable(schema, properties.asScala.toMap)
+}
+
+final class NdjsonTable(declared: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-ndjson(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NdjsonScanBuilder(declared,
+      options.asScala.toMap ++ props)
+}
+
+final class NdjsonScanBuilder(full: StructType, opts: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = full
+
+  private def supportedType(dt: DataType): Boolean = dt match {
+    case StringType | LongType | DoubleType | BooleanType => true
+    case _ => false
+  }
+
+  private def fieldOk(name: String): Boolean =
+    full.fields.exists(f => f.name == name && supportedType(f.dataType))
+
+  private def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => fieldOk(a)
+    case GreaterThan(a, _)        => fieldOk(a)
+    case GreaterThanOrEqual(a, _) => fieldOk(a)
+    case LessThan(a, _)           => fieldOk(a)
+    case LessThanOrEqual(a, _)    => fieldOk(a)
+    case In(a, _)                 => fieldOk(a)
+    case IsNull(a)                => fieldOk(a)
+    case IsNotNull(a)             => fieldOk(a)
+    case StringStartsWith(a, _)   => fieldOk(a)
+    case And(l, r)                => supported(l) && supported(r)
+    case Or(l, r)                 => supported(l) && supported(r)
+    case Not(c)                   => supported(c)
+    case _                        => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(supported)
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new NdjsonScan(full, required, pushed, opts)
+}
+
+final class NdjsonScan(full: StructType, required: StructType,
+                       val pushedFilters: Array[Filter],
+                       opts: Map[String, String]) extends Scan with Batch {
+  private val path = opts.getOrElse("path",
+    throw new IllegalArgumentException("graft-ndjson: no path"))
+  private val splitBytes =
+    opts.get("splitbytes").map(_.toLong).getOrElse(16L * 1024 * 1024)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftNdjson $path ReadSchema: ${required.fieldNames.mkString(",")} " +
+      s"PushedFilters: [${pushedFilters.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+      else Array(p)
+    files.flatMap { f =>
+      val len = fs.getFileStatus(f).getLen
+      if (len == 0) Nil
+      else (0L until len by splitBytes).map { start =>
+        NdjsonPartition(f.toString, start, math.min(splitBytes, len - start))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NdjsonReaderFactory(full, required, pushedFilters)
+}
+
+final case class NdjsonPartition(file: String, start: Long, length: Long)
+    extends InputPartition
+
+final class NdjsonReaderFactory(full: StructType, required: StructType,
+                                filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new NdjsonReader(full, required, filters,
+      partition.asInstanceOf[NdjsonPartition])
+}
+
+final class NdjsonReader(full: StructType, required: StructType,
+                         filters: Array[Filter], part: NdjsonPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val end = part.start + part.length
+  private val in = {
+    val p = new Path(part.file)
+    val stream = p.getFileSystem(new Configuration()).open(p)
+    stream.seek(part.start)
+    stream
+  }
+  private val lines = new LineReader(in)
+  private var pos = part.start
+  // a reader starting mid-file discards its first (partial) line — the
+  // previous split read through its own end boundary and consumed it
+  if (part.start != 0) pos += lines.readLine(new Text())
+
+  private val fullType: Map[String, DataType] =
+    full.fields.map(f => f.name -> f.dataType).toMap
+  private var row: InternalRow = _
+
+  /** Typed value of a top-level field under the FULL schema. */
+  private def value(node: JsonNode, name: String): Any = {
+    val n = node.get(name)
+    if (n == null || n.isNull) null
+    else fullType(name) match {
+      case StringType  => if (n.isTextual) n.asText else n.toString
+      case LongType    => if (n.isNumber) n.asLong else null
+      case DoubleType  => if (n.isNumber) n.asDouble else null
+      case BooleanType => if (n.isBoolean) n.asBoolean else null
+      case _           => null
+    }
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null)        => None
+    case (x: String, y: String)       => Some(x.compareTo(y))
+    case (x: Long, y: Number)         => Some(java.lang.Long.compare(x, y.longValue))
+    case (x: Double, y: Number)       => Some(java.lang.Double.compare(x, y.doubleValue))
+    case (x: Boolean, y: Boolean)     => Some(java.lang.Boolean.compare(x, y))
+    case _                            => None
+  }
+
+  private def eval(f: Filter, node: JsonNode): Boolean = f match {
+    case EqualTo(a, v)            => cmp(value(node, a), v).contains(0)
+    case GreaterThan(a, v)        => cmp(value(node, a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(value(node, a), v).exists(_ >= 0)
+    case LessThan(a, v)           => cmp(value(node, a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(value(node, a), v).exists(_ <= 0)
+    case In(a, vs)                => vs.exists(v => cmp(value(node, a), v).contains(0))
+    case IsNull(a)                => value(node, a) == null
+    case IsNotNull(a)             => value(node, a) != null
+    case StringStartsWith(a, p) => value(node, a) match {
+      case s: String => s.startsWith(p)
+      case _         => false
+    }
+    case And(l, r) => eval(l, node) && eval(r, node)
+    case Or(l, r)  => eval(l, node) || eval(r, node)
+    case Not(c)    => !eval(c, node)
+    case _         => false
+  }
+
+  override def next(): Boolean = {
+    // line-start ownership: reader 0 emits lines starting in [0, end];
+    // a mid-file reader discarded the line spanning (or starting at) its
+    // start offset, so it emits (start, end] — the <= boundary is what
+    // makes a line starting EXACTLY on a split boundary land in the
+    // earlier split while the later one discards it: exactly-once with
+    // no coordination
+    while (pos <= end) {
+      val text = new Text()
+      val n = lines.readLine(text)
+      if (n == 0) return false
+      pos += n
+      val node = mapper.readTree(text.toString)
+      if (filters.forall(eval(_, node))) {
+        val vals = required.fields.map { f =>
+          value(node, f.name) match {
+            case s: String => UTF8String.fromString(s)
+            case other     => other
+          }
+        }
+        row = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.NdjsonScan
+
+/** DataSource V2 NDJSON connector (sources/GraftNdjson): built-in-reader
+  * equality, pushdown placement, null semantics of pushed comparisons,
+  * subtree-as-string capture, and split-size invariance of the
+  * line-aligned byte-split protocol. */
+class NdjsonSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val file = "src/test/resources/geo/house_numbers.ndjson"
+
+  private val scalarSchema = StructType(Seq(
+    StructField("id", StringType), StructField("type", StringType),
+    StructField("validSince", StringType), StructField("validUntil", StringType)))
+
+  private val fullSchema = scalarSchema
+    .add(StructField("data", StringType))
+    .add(StructField("geometry", StringType))
+
+  private def viaSource(schema: StructType, extra: (String, String)*): DataFrame = {
+    val r = spark.read.format("graft-ndjson").schema(schema)
+    extra.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load(file)
+  }
+
+  private def viaBuiltin(schema: StructType): DataFrame =
+    spark.read.schema(schema).json(file)
+
+  test("scalar columns equal the built-in json reader") {
+    val a = viaSource(scalarSchema).orderBy("id").collect().toSeq
+    val b = viaBuiltin(scalarSchema).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("nested subtrees arrive as JSON strings composable downstream") {
+    val src = viaSource(fullSchema)
+      .select(col("id"), get_json_object(col("data"), "$.borough").as("b"))
+      .orderBy("id").collect().toSeq
+    val ref = spark.read.schema(StructType(Seq(
+        StructField("id", StringType),
+        StructField("data", StructType(Seq(StructField("borough", StringType)))))))
+      .json(file)
+      .select(col("id"), col("data.borough").as("b"))
+      .orderBy("id").collect().toSeq
+    assert(src == ref)
+  }
+
+  private def batchScan(df: DataFrame): NdjsonScan = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    scans.head.asInstanceOf[NdjsonScan]
+  }
+
+  test("supported predicates push into the parser; others stay post-scan") {
+    val df = viaSource(scalarSchema)
+      .filter(col("type") === "st:Address" && col("validSince") >= "1880" &&
+        length(col("id")) === 4)
+    val pushed = batchScan(df).pushedFilters.map(_.toString).mkString(";")
+    assert(pushed.contains("type") && pushed.contains("validSince"), pushed)
+    assert(!pushed.toLowerCase.contains("length"), pushed)
+    // and the combination still computes the right answer
+    val n = df.count()
+    val ref = viaBuiltin(scalarSchema)
+      .filter(col("type") === "st:Address" && col("validSince") >= "1880" &&
+        length(col("id")) === 4).count()
+    assert(n == ref)
+  }
+
+  test("pushed comparison on a missing field follows SQL null semantics") {
+    val src = viaSource(scalarSchema)
+      .filter(col("validSince") >= "1880").count()
+    val ref = viaBuiltin(scalarSchema)
+      .filter(col("validSince") >= "1880").count()
+    assert(src == ref)
+    // missing-key rows exist in the fixture and are excluded
+    val withMissing = viaBuiltin(scalarSchema)
+      .filter(col("validSince").isNull).count()
+    assert(withMissing > 0)
+  }
+
+  test("tiny splits read the same rows as one split (line alignment)") {
+    val one = viaSource(scalarSchema).select("id").collect()
+      .map(_.getString(0)).sorted.toSeq
+    val many = viaSource(scalarSchema, "splitBytes" -> "512").select("id")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(many.size == one.size)
+    assert(many == one)
+  }
+}
