@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Snapshot-manifest table format over plain parquet — the minimal
   * lakehouse commit protocol (the Iceberg/Delta core, derived from the
@@ -25,11 +26,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     order is data files → manifest → pointer, and a crash before the
   *     pointer swap leaves only invisible orphans.
   *
-  * At 100 TB the same protocol holds with manifests listing O(files)
-  * names — metadata, scanned at planning time; the data path is ordinary
-  * distributed parquet scans of the named files.
+  * MANIFEST STATS (zone maps): a commit may declare LONG stat columns;
+  * each new file's min/max per column is computed in one aggregate over
+  * the just-written files and recorded on its manifest line. `readWhere`
+  * then prunes files whose [min,max] cannot intersect a range predicate
+  * AT PLANNING TIME — metadata-only work, before any data file opens.
+  * At 100 TB this is the difference between "scan the corpus" and "open
+  * the 3 files that can match": the same mechanism as Iceberg manifest
+  * pruning / parquet row-group skipping, one level up, with O(files)
+  * metadata. The residual predicate still applies to survivors, so
+  * pruning is a pure optimization and can never change results.
+  *
+  * Manifest line format:  relPath[\tmin,max[,min,max...]]
+  * with a `#stats:` header naming the stat columns. Files with all-null
+  * stat values record `-,-` and are never pruned.
   */
 object SnapTable {
+
+  final case class ScanPlan(df: DataFrame, filesScanned: Int, filesTotal: Int)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -57,12 +71,18 @@ object SnapTable {
     if (f.exists(latestPath(dir))) readSmall(f, latestPath(dir)).trim.toInt else 0
   }
 
+  private def manifestLines(f: FileSystem, dir: String, v: Int): Seq[String] =
+    readSmall(f, manifestPath(dir, v)).split("\n").toSeq.filter(_.nonEmpty)
+
   /** Commit `df` as the next version. `append = true` carries the
     * previous snapshot's files forward; `false` makes `df` the entire
     * new table state (files of older versions remain on disk and remain
-    * readable through their manifests). Returns the new version. */
+    * readable through their manifests). `statCols` declares LONG columns
+    * whose per-file min/max land in the manifest for `readWhere`
+    * pruning; an append must declare the same columns as the manifest
+    * it extends. Returns the new version. */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-             append: Boolean = false): Int = {
+             append: Boolean = false, statCols: Seq[String] = Nil): Int = {
     val f = fs(spark, dir)
     val prev = latestVersion(spark, dir)
     val v = prev + 1
@@ -74,24 +94,103 @@ object SnapTable {
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .map(p => s"data/$commitId/${p.getName}")
       .sorted
+    // per-file zone maps: ONE aggregate over the just-written files
+    val statsByName: Map[String, String] =
+      if (statCols.isEmpty) Map.empty
+      else {
+        val aggs = statCols.flatMap(c =>
+          Seq(min(col(c).cast("long")).as(s"_min_$c"),
+            max(col(c).cast("long")).as(s"_max_$c")))
+        spark.read.parquet(genDir)
+          .groupBy(input_file_name().as("_f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val name = r.getString(0).split("/").last
+            val cells = statCols.flatMap { c =>
+              val i = r.fieldIndex(s"_min_$c")
+              val j = r.fieldIndex(s"_max_$c")
+              if (r.isNullAt(i) || r.isNullAt(j)) Seq("-", "-")
+              else Seq(r.getLong(i).toString, r.getLong(j).toString)
+            }
+            name -> cells.mkString(",")
+          }.toMap
+      }
+    val header =
+      if (statCols.nonEmpty) Seq(s"#stats:${statCols.mkString(",")}") else Nil
+    val newLines = newFiles.map { rel =>
+      statsByName.get(rel.split("/").last) match {
+        case Some(cells) => s"$rel\t$cells"
+        case None        => rel
+      }
+    }
     val carried =
-      if (append && prev > 0)
-        readSmall(f, manifestPath(dir, prev)).split("\n").toSeq.filter(_.nonEmpty)
-      else Nil
-    writeAtomic(f, manifestPath(dir, v), (carried ++ newFiles).mkString("\n"))
+      if (append && prev > 0) {
+        val prevLines = manifestLines(f, dir, prev)
+        val prevHeader = prevLines.headOption.filter(_.startsWith("#stats:"))
+        require(prevHeader.forall(h => h == s"#stats:${statCols.mkString(",")}"),
+          s"append stat columns must match the extended manifest ($prevHeader)")
+        prevLines.filterNot(_.startsWith("#"))
+      } else Nil
+    writeAtomic(f, manifestPath(dir, v),
+      (header ++ carried ++ newLines).mkString("\n"))
     writeAtomic(f, latestPath(dir), v.toString)
     v
   }
 
+  private def entries(f: FileSystem, dir: String, version: Int)
+      : (Seq[String], Seq[(String, Seq[Option[(Long, Long)]])]) = {
+    val lines = manifestLines(f, dir, version)
+    val statCols = lines.headOption.filter(_.startsWith("#stats:"))
+      .map(_.stripPrefix("#stats:").split(",").toSeq).getOrElse(Nil)
+    val rows = lines.filterNot(_.startsWith("#")).map { line =>
+      line.split("\t", 2) match {
+        case Array(rel) => (rel, statCols.map(_ => None))
+        case Array(rel, cells) =>
+          val parts = cells.split(",")
+          val ranges = statCols.indices.map { k =>
+            val lo = parts(2 * k); val hi = parts(2 * k + 1)
+            if (lo == "-" || hi == "-") None else Some((lo.toLong, hi.toLong))
+          }
+          (rel, ranges)
+      }
+    }
+    (statCols, rows)
+  }
+
   /** Read a snapshot (default: latest). The scan is exactly the
     * manifest's file list — never a directory listing. */
-  def read(spark: SparkSession, dir: String, version: Int = 0): DataFrame = {
+  def read(spark: SparkSession, dir: String, version: Int = 0): DataFrame =
+    readWhere(spark, dir, version).df
+
+  /** Read a snapshot with planning-time file skipping: files whose
+    * recorded [min,max] for `statCol` cannot intersect [lo, hi] are
+    * never opened; the exact predicate still applies to survivors. */
+  def readWhere(spark: SparkSession, dir: String, version: Int = 0,
+                statCol: String = null, lo: Long = Long.MinValue,
+                hi: Long = Long.MaxValue): ScanPlan = {
     val f = fs(spark, dir)
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"no committed version at $dir")
-    val files = readSmall(f, manifestPath(dir, v)).split("\n")
-      .filter(_.nonEmpty).map(rel => s"$dir/$rel").toSeq
-    spark.read.parquet(files: _*)
+    val (statCols, rows) = entries(f, dir, v)
+    val keep =
+      if (statCol == null) rows
+      else {
+        val k = statCols.indexOf(statCol)
+        require(k >= 0, s"no recorded stats for $statCol (have $statCols)")
+        rows.filter { case (_, ranges) =>
+          ranges(k) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi // ranges intersect
+            case None           => true                 // unknown: never prune
+          }
+        }
+      }
+    require(keep.nonEmpty, "empty scan set: no file can match")
+    val df0 = spark.read.parquet(keep.map { case (rel, _) => s"$dir/$rel" }: _*)
+    val df =
+      if (statCol == null) df0
+      else df0.filter(col(statCol) >= lo && col(statCol) <= hi)
+    ScanPlan(df, keep.size, rows.size)
   }
 
   /** Drop the whole table (test/fixture hygiene). */

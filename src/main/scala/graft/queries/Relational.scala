@@ -991,6 +991,37 @@ object Relational {
           .select(lit(v.toLong).as("version"), col("n"),
             col("sum_qty"), col("max_key"))
       }.reduce(_ unionByName _).orderBy("version")
+    }),
+
+    // Q60 MANIFEST-STATS FILE SKIPPING — zone maps one level above
+    // parquet row groups: the snapshot commit records each data file's
+    // l_orderkey min/max on its manifest line (one aggregate over the
+    // just-written files), and readWhere prunes files whose range
+    // cannot intersect the predicate AT PLANNING TIME, before any file
+    // opens. The table is laid out range-partitioned on the key, so a
+    // narrow key range touches 1-2 of 8 files — `pruned` (files_scanned
+    // < files_total) is emitted AS DATA and hash-checked against the
+    // oracle's TRUE: the optimization is part of the contract, not a
+    // doc claim. The residual predicate still applies to survivors, so
+    // results are exact regardless of how files split. At 100 TB:
+    // O(files) metadata decides what to open; the corpus never lists.
+    "q60_snapskip" -> ((s, d) => {
+      val dir = "target/graft-snapskip/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      graft.operators.SnapTable.commit(s, dir,
+        li.repartitionByRange(8, col("l_orderkey")),
+        statCols = Seq("l_orderkey"))
+      val plan = graft.operators.SnapTable.readWhere(s, dir,
+        statCol = "l_orderkey", lo = 1000L, hi = 2999L)
+      plan.df
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
+        .select(col("n"), col("sum_qty"), col("min_key"), col("max_key"),
+          lit(plan.filesScanned < plan.filesTotal).as("pruned"))
     })
   )
 
@@ -1354,6 +1385,16 @@ object Relational {
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE),
         |  MAX(l_orderkey)
         |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+
+    // q60: the oracle computes the range aggregate from the raw table
+    // and asserts pruned=TRUE — a snapshot layout that failed to skip
+    // files would hash-mismatch
+    "q60_snapskip" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+        |  TRUE AS pruned
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2999""".stripMargin
   )
 }

@@ -57,6 +57,42 @@ class SnapTableSpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(dir, "_latest")).trim == "2")
   }
 
+  test("manifest stats skip files at planning time, results exact") {
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir,
+      li.repartitionByRange(8, col("l_orderkey")),
+      statCols = Seq("l_orderkey"))
+    val plan = SnapTable.readWhere(spark, dir,
+      statCol = "l_orderkey", lo = 100L, hi = 300L)
+    assert(plan.filesTotal == 8)
+    assert(plan.filesScanned < plan.filesTotal,
+      s"expected pruning, scanned ${plan.filesScanned}/${plan.filesTotal}")
+    val pruned = keys(plan.df)
+    val full = keys(SnapTable.read(spark, dir)
+      .filter(col("l_orderkey").between(100, 300)))
+    assert(pruned == full)
+  }
+
+  test("stats survive append commits; stat-less manifests refuse readWhere") {
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir,
+      li.filter(col("l_orderkey") < 500).repartitionByRange(4, col("l_orderkey")),
+      statCols = Seq("l_orderkey"))
+    SnapTable.commit(spark, dir,
+      li.filter(col("l_orderkey") >= 500).repartitionByRange(4, col("l_orderkey")),
+      append = true, statCols = Seq("l_orderkey"))
+    val plan = SnapTable.readWhere(spark, dir,
+      statCol = "l_orderkey", lo = 0L, hi = 100L)
+    assert(plan.filesTotal == 8 && plan.filesScanned < 8)
+    assert(keys(plan.df) == keys(li.filter(col("l_orderkey") <= 100)))
+    // a table committed WITHOUT stats cannot serve a stats read
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir, li)
+    intercept[IllegalArgumentException] {
+      SnapTable.readWhere(spark, dir, statCol = "l_orderkey", lo = 0L, hi = 1L)
+    }
+  }
+
   test("overwrite commit replaces state; history remains") {
     SnapTable.destroy(spark, dir)
     SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0))
