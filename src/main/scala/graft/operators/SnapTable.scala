@@ -82,7 +82,8 @@ object SnapTable {
     * pruning; an append must declare the same columns as the manifest
     * it extends. Returns the new version. */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-             append: Boolean = false, statCols: Seq[String] = Nil): Int = {
+             append: Boolean = false, statCols: Seq[String] = Nil,
+             meta: Map[String, String] = Map.empty): Int = {
     val f = fs(spark, dir)
     val prev = latestVersion(spark, dir)
     val v = prev + 1
@@ -117,7 +118,8 @@ object SnapTable {
           }.toMap
       }
     val header =
-      if (statCols.nonEmpty) Seq(s"#stats:${statCols.mkString(",")}") else Nil
+      (if (statCols.nonEmpty) Seq(s"#stats:${statCols.mkString(",")}") else Nil) ++
+        meta.toSeq.sortBy(_._1).map { case (k, vl) => s"#meta:$k=$vl" }
     val newLines = newFiles.map { rel =>
       statsByName.get(rel.split("/").last) match {
         case Some(cells) => s"$rel\t$cells"
@@ -127,7 +129,7 @@ object SnapTable {
     val carried =
       if (append && prev > 0) {
         val prevLines = manifestLines(f, dir, prev)
-        val prevHeader = prevLines.headOption.filter(_.startsWith("#stats:"))
+        val prevHeader = prevLines.find(_.startsWith("#stats:"))
         require(prevHeader.forall(h => h == s"#stats:${statCols.mkString(",")}"),
           s"append stat columns must match the extended manifest ($prevHeader)")
         prevLines.filterNot(_.startsWith("#"))
@@ -138,10 +140,42 @@ object SnapTable {
     v
   }
 
+  /** Commit metadata (`#meta:` header lines) of a version. */
+  def meta(spark: SparkSession, dir: String, version: Int = 0): Map[String, String] = {
+    val f = fs(spark, dir)
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    if (v == 0) Map.empty
+    else manifestLines(f, dir, v)
+      .filter(_.startsWith("#meta:"))
+      .map(_.stripPrefix("#meta:").split("=", 2))
+      .collect { case Array(k, vl) => k -> vl }.toMap
+  }
+
+  /** OPTIMIZE: rewrite the CURRENT snapshot into `targetFiles` files as
+    * a new commit — history stays readable, the pointer swaps, and if
+    * the manifest carries zone-map stats the rewrite lays files out
+    * range-partitioned on the first stat column so the maps stay tight
+    * (small per-batch commits otherwise accumulate unboundedly — the
+    * same fragment problem DedupIndex.compact solves for buckets). */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): Int = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    val statCols = manifestLines(f, dir, v).find(_.startsWith("#stats:"))
+      .map(_.stripPrefix("#stats:").split(",").toSeq).getOrElse(Nil)
+    val cur = read(spark, dir)
+    val laidOut = statCols.headOption match {
+      case Some(c) => cur.repartitionByRange(targetFiles, col(c))
+      case None    => cur.repartition(targetFiles)
+    }
+    commit(spark, dir, laidOut, append = false, statCols = statCols,
+      meta = Map("compactedFrom" -> v.toString))
+  }
+
   private def entries(f: FileSystem, dir: String, version: Int)
       : (Seq[String], Seq[(String, Seq[Option[(Long, Long)]])]) = {
     val lines = manifestLines(f, dir, version)
-    val statCols = lines.headOption.filter(_.startsWith("#stats:"))
+    val statCols = lines.find(_.startsWith("#stats:"))
       .map(_.stripPrefix("#stats:").split(",").toSeq).getOrElse(Nil)
     val rows = lines.filterNot(_.startsWith("#")).map { line =>
       line.split("\t", 2) match {

@@ -222,6 +222,38 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // S16 SNAPSHOT-TABLE STREAMING SINK — the lakehouse ingestion
+    // terminal: each micro-batch lands as ONE atomic SnapTable commit
+    // (operators/SnapTable), so downstream readers only ever see whole
+    // batches — never a torn half-batch — and every historical batch
+    // boundary stays time-travelable. Exactly-once is the batchId
+    // guard: the commit records its micro-batch id in the manifest
+    // metadata, and a replayed batch (crash between commit and
+    // checkpoint write) is skipped because its id is not greater than
+    // the last committed one (Streams.s16CommitBatch; SnapSinkSpec
+    // pins the guard + a checkpointed restart). Batch form below =
+    // the oracle semantics: two halves committed as two versions, the
+    // final snapshot aggregated, with the VERSION COUNT emitted as
+    // hash-checked data (the two-commit protocol is contract).
+    "s16_snapsink" -> ((s, d) => {
+      val dir = "target/graft-snapsink/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.operators.SnapTable.commit(s, dir,
+        e.filter(col("event_id") % 2 === 0),
+        append = true, meta = Map("batchId" -> "0"))
+      graft.operators.SnapTable.commit(s, dir,
+        e.filter(col("event_id") % 2 === 1),
+        append = true, meta = Map("batchId" -> "1"))
+      val versions = graft.operators.SnapTable.latestVersion(s, dir).toLong
+      graft.operators.SnapTable.read(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Conv.r4(Conv.sumDec6(col("value"))).as("sum_v"))
+        .withColumn("versions", lit(versions))
+        .orderBy("event_type")
+    }),
+
     // S06 the custom Sessionize physical operator (plans/Sessionize:
     // LogicalPlan + Strategy + single-exchange Exec) against the SAME
     // oracle SQL as S03 — the custom operator's output is hash-checked
@@ -362,6 +394,14 @@ object StreamingQueries {
       val qd7 = DedupExt.oracle("qd7_incremental")
       s"""SELECT doc_id FROM ($qd7) WHERE verdict <> 'new' ORDER BY doc_id"""
     },
+
+    // s16: the sink's end state from the raw table; versions=2 pins
+    // the two-commit protocol as data
+    "s16_snapsink" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_v,
+        |  CAST(2 AS BIGINT) AS versions
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // s12: the two-batch staged ingest replayed in SQL — shared
     // fingerprint/banding CTEs, batch A's verdicts against the base
@@ -832,6 +872,45 @@ object Streams {
             .sortBy("fp").format("parquet")
             .saveAsTable(graft.operators.DedupIndex.fpTable(idxDir))
         } finally { v.unpersist(); b.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** S16 per-batch commit with the exactly-once guard: commit iff this
+    * micro-batch id is GREATER than the last committed one (recorded in
+    * the manifest metadata). A foreachBatch re-delivery after a crash
+    * between commit and checkpoint write re-presents the same id — the
+    * guard skips it, so the table never holds a batch twice. Returns
+    * whether a commit happened. */
+  def s16CommitBatch(spark: SparkSession, tableDir: String,
+                     batch: DataFrame, batchId: Long): Boolean = {
+    val last = graft.operators.SnapTable.meta(spark, tableDir)
+      .get("batchId").map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) false
+    else {
+      graft.operators.SnapTable.commit(spark, tableDir,
+        batch.select("event_id", "event_type", "value"),
+        append = true, meta = Map("batchId" -> batchId.toString))
+      true
+    }
+  }
+
+  /** S16 as streaming: the snapshot-table sink — one atomic SnapTable
+    * commit per micro-batch, batchId-guarded for exactly-once, readable
+    * mid-stream at every committed version. */
+  def s16(spark: SparkSession, tableDir: String, inDir: String,
+          checkpoint: String): Unit = {
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val q = spark.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        s16CommitBatch(spark, tableDir, b, id); ()
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)

@@ -93,6 +93,27 @@ class SnapTableSpec extends AnyFunSuite {
     }
   }
 
+  test("compact folds fragments; data, history, and pruning preserved") {
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir,
+      li.filter(col("l_orderkey") < 500).repartitionByRange(4, col("l_orderkey")),
+      statCols = Seq("l_orderkey"))
+    SnapTable.commit(spark, dir,
+      li.filter(col("l_orderkey") >= 500).repartitionByRange(4, col("l_orderkey")),
+      append = true, statCols = Seq("l_orderkey"))
+    val before = keys(SnapTable.read(spark, dir))
+    val v3 = SnapTable.compact(spark, dir, targetFiles = 2)
+    assert(v3 == 3)
+    assert(SnapTable.meta(spark, dir)("compactedFrom") == "2")
+    val plan = SnapTable.readWhere(spark, dir,
+      statCol = "l_orderkey", lo = 0L, hi = 100L)
+    assert(plan.filesTotal == 2, s"expected 2 files, got ${plan.filesTotal}")
+    assert(plan.filesScanned < plan.filesTotal) // zone maps still tight
+    assert(keys(SnapTable.read(spark, dir)) == before)
+    // pre-compaction history still readable with its own layout
+    assert(keys(SnapTable.read(spark, dir, 2)) == before)
+  }
+
   test("overwrite commit replaces state; history remains") {
     SnapTable.destroy(spark, dir)
     SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0))
