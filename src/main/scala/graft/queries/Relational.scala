@@ -1022,6 +1022,38 @@ object Relational {
           max(col("l_orderkey")).as("max_key"))
         .select(col("n"), col("sum_qty"), col("min_key"), col("max_key"),
           lit(plan.filesScanned < plan.filesTotal).as("pruned"))
+    }),
+
+    // Q61 DSv2 NDJSON SINK round-trip — the write half of the g07
+    // connector (sources/GraftNdjsonWrite): documents stream out
+    // through the connector's distributed task-commit protocol (temp
+    // files → job-commit renames; nothing visible mid-job), with the
+    // `props` column embedded as a RAW JSON subtree (jsonColumns — the
+    // inverse of the read side's subtree-as-string capture, so the
+    // file is natural nested NDJSON), then read BACK through the g07
+    // source. Per-language rolling-hash sums over the round-tripped
+    // text prove byte fidelity through escape/unescape; the subtree
+    // field re-extracts via get_json_object. The oracle computes from
+    // parquet and never sees the NDJSON — the hash match proves the
+    // whole write→commit→read chain lossless.
+    "q61_ndjsonsink" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val dir = "target/graft-ndjsonsink/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"),
+          to_json(struct(col("source"), col("n_chars"))).as("props"))
+        .write.format("graft-ndjson").mode("overwrite")
+        .option("jsonColumns", "props").save(dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("props", StringType)))
+      s.read.format("graft-ndjson").schema(schema).load(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("roll_hash31(text)")).as("fp_sum"),
+          sum(get_json_object(col("props"), "$.n_chars").cast(LongType))
+            .as("sum_chars"))
+        .orderBy("lang")
     })
   )
 
@@ -1395,6 +1427,17 @@ object Relational {
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty,
         |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
         |  TRUE AS pruned
-        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2999""".stripMargin
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2999""".stripMargin,
+
+    // q61: the oracle computes from parquet — a hash match proves the
+    // connector write → task-commit → connector read chain lossless
+    "q61_ndjsonsink" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''),
+        |      ch -> CAST(unicode(ch) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) AS fp_sum,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -11,9 +11,10 @@ import org.apache.hadoop.io.Text
 import org.apache.hadoop.util.LineReader
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -67,14 +68,20 @@ class GraftNdjson extends TableProvider with DataSourceRegister {
 }
 
 final class NdjsonTable(declared: StructType, props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-ndjson(${props.getOrElse("path", "?")})"
   override def schema(): StructType = declared
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NdjsonScanBuilder(declared,
       options.asScala.toMap ++ props)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = Option(info.options.get("path")).orElse(props.get("path"))
+      .getOrElse(throw new IllegalArgumentException("graft-ndjson: no path"))
+    new NdjsonWriteSupport.NdjsonWriteBuilder(path, info)
+  }
 }
 
 final class NdjsonScanBuilder(full: StructType, opts: Map[String, String])
@@ -140,7 +147,10 @@ final class NdjsonScan(full: StructType, required: StructType,
     val fs = p.getFileSystem(new Configuration())
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        fs.listStatus(p).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith(".") &&
+            !s.getPath.getName.startsWith("_"))
+          .map(_.getPath)
       else Array(p)
     files.flatMap { f =>
       val len = fs.getFileStatus(f).getLen

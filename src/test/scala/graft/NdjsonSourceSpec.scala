@@ -87,6 +87,47 @@ class NdjsonSourceSpec extends AnyFunSuite {
     assert(withMissing > 0)
   }
 
+  test("write path round-trips scalars and raw JSON subtrees") {
+    val dir = "target/graft-ndjson-write-spec"
+    val src = Tables(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"),
+        to_json(struct(col("source"), col("n_chars"))).as("props"))
+    src.write.format("graft-ndjson").mode("overwrite")
+      .option("jsonColumns", "props").save(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("props", StringType)))
+    val back = spark.read.format("graft-ndjson").schema(schema).load(dir)
+      .select(col("doc_id"), col("text"), col("lang"),
+        get_json_object(col("props"), "$.source").as("source"),
+        get_json_object(col("props"), "$.n_chars").cast(LongType).as("n_chars"))
+      .orderBy("doc_id").collect().toSeq
+    val expect = Tables(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect().toSeq
+    assert(back == expect)
+    // job commit left no temp state behind
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_temporary")))
+    // raw embedding produced natural nested NDJSON, not quoted strings
+    val firstLine = scala.io.Source.fromFile(
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".ndjson")).minBy(_.getName)).getLines().next()
+    assert(firstLine.contains("\"props\":{"), firstLine)
+  }
+
+  test("overwrite mode truncates; append mode accumulates") {
+    val dir = "target/graft-ndjson-mode-spec"
+    val rows = viaSource(scalarSchema).limit(10).select("id", "type")
+    val s2 = StructType(Seq(
+      StructField("id", StringType), StructField("type", StringType)))
+    rows.write.format("graft-ndjson").mode("overwrite").save(dir)
+    rows.write.format("graft-ndjson").mode("append").save(dir)
+    assert(spark.read.format("graft-ndjson").schema(s2).load(dir).count() == 20)
+    rows.write.format("graft-ndjson").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-ndjson").schema(s2).load(dir).count() == 10)
+  }
+
   test("tiny splits read the same rows as one split (line alignment)") {
     val one = viaSource(scalarSchema).select("id").collect()
       .map(_.getString(0)).sorted.toSeq
