@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{count, lit, max => fmax, min => fmin, sum => fsum}
+import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin, sum => fsum}
 
 /** Materialized-view rewrite: a Catalyst optimizer rule that answers
   * aggregates over a registered base table from a pre-aggregated summary
@@ -54,7 +54,9 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   final case class Measure(kind: String, srcSql: String, mvCol: String)
   final case class MvDef(baseRoots: Set[String], groupCols: Seq[String],
                          measures: Seq[Measure], cntCol: String,
-                         relation: LogicalRelation)
+                         relation: LogicalRelation, mvDir: String,
+                         generation: Int,
+                         sums: Seq[Column], mins: Seq[Column], maxs: Seq[Column])
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
@@ -80,28 +82,74 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val sumSql = srcSqls(sums)
     val minSql = srcSqls(mins)
     val maxSql = srcSqls(maxs)
-    val aggCols =
-      Seq(count(lit(1)).as("_mv_cnt")) ++
-        sums.zipWithIndex.map { case (c, i) => fsum(c).as(s"_mv_sum_$i") } ++
-        mins.zipWithIndex.map { case (c, i) => fmin(c).as(s"_mv_min_$i") } ++
-        maxs.zipWithIndex.map { case (c, i) => fmax(c).as(s"_mv_max_$i") }
-    base.groupBy(groupCols.map(base(_)): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
-      .write.mode("overwrite").parquet(mvDir)
+    partialAgg(base, groupCols, sums, mins, maxs)
+      .write.mode("overwrite").parquet(s"$mvDir/gen-1")
     val roots = base.queryExecution.analyzed.collect {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
         case _                    => Nil
       }
     }.flatten.toSet
-    val rel = spark.read.parquet(mvDir).queryExecution.analyzed.collectFirst {
-      case l: LogicalRelation => l
-    }.getOrElse(throw new IllegalStateException(s"no scan for MV at $mvDir"))
     val ms =
       sumSql.zipWithIndex.map { case (s, i) => Measure("sum", s, s"_mv_sum_$i") } ++
         minSql.zipWithIndex.map { case (s, i) => Measure("min", s, s"_mv_min_$i") } ++
         maxSql.zipWithIndex.map { case (s, i) => Measure("max", s, s"_mv_max_$i") }
-    registry.put(basePath, MvDef(roots, groupCols, ms, "_mv_cnt", rel))
+    registry.put(basePath, MvDef(roots, groupCols, ms, "_mv_cnt",
+      relationAt(spark, s"$mvDir/gen-1"), mvDir, 1, sums, mins, maxs))
+  }
+
+  private def relationAt(spark: SparkSession, path: String): LogicalRelation =
+    spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation => l
+    }.getOrElse(throw new IllegalStateException(s"no scan for MV at $path"))
+
+  /** The summary-building aggregate — shared by create() (over the
+    * base) and refresh() (over a delta batch). */
+  private def partialAgg(df: org.apache.spark.sql.DataFrame,
+                         groupCols: Seq[String], sums: Seq[Column],
+                         mins: Seq[Column], maxs: Seq[Column])
+      : org.apache.spark.sql.DataFrame = {
+    val aggCols =
+      Seq(count(lit(1)).as("_mv_cnt")) ++
+        sums.zipWithIndex.map { case (c, i) => fsum(c).as(s"_mv_sum_$i") } ++
+        mins.zipWithIndex.map { case (c, i) => fmin(c).as(s"_mv_min_$i") } ++
+        maxs.zipWithIndex.map { case (c, i) => fmax(c).as(s"_mv_max_$i") }
+    df.groupBy(groupCols.map(df(_)): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** INCREMENTAL REFRESH: fold a delta batch into the summary without
+    * re-reading the base corpus — the maintenance step that makes an MV
+    * affordable at 100 TB (a full rebuild IS a corpus pass; the delta's
+    * partials are O(batch)). The delta aggregates with the SAME
+    * measure expressions, unions the current summary generation, and
+    * re-aggregates (counts and sums add, mins/maxs fold — exactly the
+    * partial-merge semantics the rewrite already relies on), landing in
+    * a NEW generation directory; the registry swaps to it atomically
+    * from the rule's perspective (subsequent optimizations see the new
+    * relation). Works for append-only deltas — updates/deletes need
+    * retractable aggregates, declared out of scope. */
+  def refresh(spark: SparkSession, basePath: String, delta: org.apache.spark.sql.DataFrame): Unit = {
+    val mv = registry.get(basePath)
+    require(mv != null, s"no MV registered for $basePath")
+    val cur = spark.read.parquet(s"${mv.mvDir}/gen-${mv.generation}")
+    val deltaAgg = partialAgg(delta, mv.groupCols, mv.sums, mv.mins, mv.maxs)
+    val merged = cur.unionByName(deltaAgg)
+    val folded = merged.groupBy(mv.groupCols.map(merged(_)): _*)
+      .agg(
+        fsum(col(mv.cntCol)).cast("long").as(mv.cntCol),
+        mv.measures.map { m =>
+          val t = cur.schema(m.mvCol).dataType
+          m.kind match {
+            case "sum" => fsum(col(m.mvCol)).cast(t).as(m.mvCol)
+            case "min" => fmin(col(m.mvCol)).as(m.mvCol)
+            case "max" => fmax(col(m.mvCol)).as(m.mvCol)
+          }
+        }: _*)
+    val nextGen = mv.generation + 1
+    folded.write.mode("overwrite").parquet(s"${mv.mvDir}/gen-$nextGen")
+    registry.put(basePath, mv.copy(
+      relation = relationAt(spark, s"${mv.mvDir}/gen-$nextGen"),
+      generation = nextGen))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

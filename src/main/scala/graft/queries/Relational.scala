@@ -1054,6 +1054,41 @@ object Relational {
           sum(get_json_object(col("props"), "$.n_chars").cast(LongType))
             .as("sum_chars"))
         .orderBy("lang")
+    }),
+
+    // Q62 INCREMENTAL MV REFRESH — q57's maintenance story: when a
+    // delta batch appends to the base table, the summary must fold the
+    // delta's partials in (O(batch) work: counts and sums add, mins/
+    // maxs fold) — a full rebuild IS the corpus pass the MV exists to
+    // avoid. The query builds the MV from 90% of the data, appends the
+    // other 10% to the base AND refreshes, then aggregates the base —
+    // Catalyst answers it from the REFRESHED generation-2 summary
+    // (MatViewSpec pins the gen-2-only scan), and the hash match
+    // against the full-table oracle proves refresh ≡ rebuild.
+    "q62_mvrefresh" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val baseDir = "target/graft-mvbase2/" + tag
+      val mvDir = "target/graft-mv2/" + tag
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+      val delta = li.filter(col("l_orderkey") % 10 === 0)
+      li.filter(col("l_orderkey") % 10 =!= 0)
+        .write.mode("overwrite").parquet(baseDir)
+      graft.plans.MatViewRewrite.create(s, baseDir, mvDir,
+        groupCols = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq(dec6(col("l_quantity"))),
+        mins = Seq(col("l_shipdate")),
+        maxs = Seq(col("l_orderkey")))
+      delta.write.mode("append").parquet(baseDir)
+      graft.plans.MatViewRewrite.refresh(s, baseDir, delta)
+      s.read.parquet(baseDir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -1438,6 +1473,15 @@ object Relational {
         |      ch -> CAST(unicode(ch) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) AS fp_sum,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q62: the full-table aggregate — Spark's answer comes from the
+    // incrementally refreshed summary, so the hash match proves
+    // refresh ≡ full rebuild
+    "q62_mvrefresh" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty,
+        |  MIN(l_shipdate) AS first_ship, MAX(l_orderkey) AS max_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -737,6 +737,40 @@ object TextExt {
         .select(col("doc_id"), col("n_shingles"),
           coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .orderBy("doc_id")
+    }),
+
+    // qt17 HEAVY HITTERS via Count-Min sketch (round 7) — the
+    // bounded-memory frequent-token report: at 100 TB the exact
+    // (token, count) table is itself corpus-scale, but a CMS is a few
+    // KB of mergeable counters computed in one distributed pass
+    // (map-side partial sketches merge associatively), and its
+    // one-sided guarantee — est ≥ true, est ≤ true + ε·N with
+    // probability 1−δ — is exactly what quality filters need. The
+    // t1/t2 verdict-as-data convention: for the exact top-10 tokens
+    // (themselves a distributed aggregate; the driver handles 10
+    // rows), emit the exact count plus each engine's own
+    // within-guarantee verdict — Spark validates its sketch
+    // (ε=1e-4, δ=1e-3, fixed seed ⇒ deterministic), DuckDB's exact
+    // count trivially satisfies its own bound, and the hash compares
+    // the shared exact counts + verdicts.
+    "qt17_heavyhitters" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val n = toks.count()
+      val sketch = toks.stat.countMinSketch(
+        "tok", eps = 0.0001, confidence = 0.999, seed = 42)
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(10).collect()
+      val rows = top.toSeq.map { r =>
+        val tok = r.getString(0)
+        val exact = r.getLong(1)
+        val est = sketch.estimateCount(tok)
+        (tok, exact, est >= exact && est <= exact + (0.0001 * n).toLong + 1)
+      }
+      import s.implicits._
+      rows.toDF("tok", "n_exact", "ok")
+        .orderBy(col("n_exact").desc, col("tok"))
     })
   )
 
@@ -1221,6 +1255,15 @@ object TextExt {
          |    SELECT h, MIN(doc_id) AS doc_id FROM h GROUP BY h) GROUP BY 1)
          |SELECT t.doc_id, t.n_shingles,
          |  COALESCE(n.n_novel, CAST(0 AS BIGINT)) AS n_novel
-         |FROM tot t LEFT JOIN novel n USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM tot t LEFT JOIN novel n USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // qt17: exact top-10 token counts; DuckDB's "sketch" is the exact
+    // count, which satisfies its own bound by definition (the t1/t2
+    // each-engine-validates-its-own convention)
+    "qt17_heavyhitters" ->
+      """SELECT tok, COUNT(*) AS n_exact, TRUE AS ok
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE strlen(tok) > 0
+        |GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 10""".stripMargin
   )
 }

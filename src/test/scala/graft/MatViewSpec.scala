@@ -100,6 +100,33 @@ class MatViewSpec extends AnyFunSuite {
       s"non-group filter must read the base: $roots")
   }
 
+  test("incremental refresh == full rebuild; rewrite targets gen-2") {
+    val base2 = "target/graft-mvbase2-spec"
+    val mv2 = "target/graft-mv2-spec"
+    val li = Tables(spark, TestSpark.Sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+    val delta = li.filter(col("l_orderkey") % 10 === 0)
+    li.filter(col("l_orderkey") % 10 =!= 0)
+      .write.mode("overwrite").parquet(base2)
+    MatViewRewrite.create(spark, base2, mv2,
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      sums = Seq(dec6(col("l_quantity"))), maxs = Seq(col("l_orderkey")))
+    delta.write.mode("append").parquet(base2)
+    MatViewRewrite.refresh(spark, base2, delta)
+    def q() = spark.read.parquet(base2)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy("l_returnflag")
+    val roots = scanRoots(q())
+    assert(roots.nonEmpty && roots.forall(_.contains("graft-mv2-spec/gen-2")),
+      s"expected only gen-2 MV scans, got: $roots")
+    val rewritten = q().collect().toSeq
+    MatViewRewrite.deregister(base2)
+    assert(q().collect().toSeq == rewritten)
+  }
+
   test("distinct aggregate falls back") {
     setup()
     val df = spark.read.parquet(baseDir)
