@@ -227,6 +227,21 @@ object SnapTable {
     ScanPlan(df, keep.size, rows.size)
   }
 
+  /** SNAPSHOT DIFF — the CDC report between two committed versions:
+    * rows present in `vNew` but not `vOld` ('added') and vice versa
+    * ('removed'), as exact MULTISET differences (a row changed in
+    * place shows up as one removed + one added). Because both sides
+    * are immutable manifests, the diff is reproducible forever — the
+    * audit trail a mutable table cannot give. Scale shape: two scans +
+    * one hash-partitioned exceptAll per direction; for key-bounded
+    * diffs, filter both sides first (zone maps apply). */
+  def diff(spark: SparkSession, dir: String, vOld: Int, vNew: Int): DataFrame = {
+    val a = read(spark, dir, vOld)
+    val b = read(spark, dir, vNew)
+    b.exceptAll(a).withColumn("change", lit("added"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
+  }
+
   /** Drop the whole table (test/fixture hygiene). */
   def destroy(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark, dir)

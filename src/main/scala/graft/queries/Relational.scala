@@ -1089,6 +1089,38 @@ object Relational {
           min(col("l_shipdate")).as("first_ship"),
           max(col("l_orderkey")).as("max_key"))
         .orderBy("l_returnflag")
+    }),
+
+    // Q63 SNAPSHOT DIFF — the CDC question a lakehouse answers that a
+    // mutable table cannot: WHAT CHANGED between version 1 and
+    // version 2, reproducibly, forever. v1 holds key%3∈{0,1}; v2
+    // overwrites with key%3∈{1,2} where the %3==1∩%5==0 rows carry a
+    // quantity correction — so the diff must show the %3==0 rows and
+    // the pre-correction originals as 'removed', the %3==2 rows and
+    // the corrected rows as 'added' (an in-place change = one removed
+    // + one added, exact multiset semantics via exceptAll). Both
+    // sides are immutable manifests, so the report is stable however
+    // long ago the versions committed. The per-change aggregate is
+    // hash-checked against an oracle replaying membership from the
+    // raw table.
+    "q63_snapdiff" -> ((s, d) => {
+      val dir = "target/graft-snapdiff/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      graft.operators.SnapTable.commit(s, dir,
+        li.filter(col("l_orderkey") % 3 <= 1))
+      graft.operators.SnapTable.commit(s, dir,
+        li.filter(col("l_orderkey") % 3 === 1)
+          .withColumn("l_quantity",
+            col("l_quantity") + when(col("l_orderkey") % 5 === 0, 1).otherwise(0))
+          .unionByName(li.filter(col("l_orderkey") % 3 === 2)))
+      graft.operators.SnapTable.diff(s, dir, 1, 2)
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+          sum(col("l_orderkey")).as("sum_key"))
+        .orderBy("change")
     })
   )
 
@@ -1482,6 +1514,34 @@ object Relational {
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty,
         |  MIN(l_shipdate) AS first_ship, MAX(l_orderkey) AS max_key
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q63: membership replay — v1 and v2 reconstructed from the raw
+    // table, EXCEPT ALL both ways (multiset-exact, matching Spark's
+    // exceptAll), per-change aggregates
+    "q63_snapdiff" ->
+      """WITH v1 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 3 <= 1),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_quantity + CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE 0 END
+        |           AS l_quantity
+        |  FROM lineitem WHERE l_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 3 = 2),
+        |added AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1),
+        |removed AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+        |SELECT 'added' AS change, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+        |FROM added
+        |UNION ALL
+        |SELECT 'removed', COUNT(*),
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE),
+        |  CAST(SUM(l_orderkey) AS BIGINT)
+        |FROM removed
+        |ORDER BY change""".stripMargin
   )
 }

@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -73,7 +74,7 @@ final class NdjsonTable(declared: StructType, props: Map[String, String])
   override def schema(): StructType = declared
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NdjsonScanBuilder(declared,
       options.asScala.toMap ++ props)
@@ -163,6 +164,69 @@ final class NdjsonScan(full: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NdjsonReaderFactory(full, required, pushedFilters)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new NdjsonMicroBatchStream(path, full, required, pushedFilters, splitBytes)
+}
+
+/** Streaming offset: how many files (in lexicographic name order) have
+  * been processed. The streaming contract is an APPEND-ONLY directory
+  * with monotonically named files (part-00000…, the convention every
+  * distributed writer including ours follows) — a file sorting before
+  * an already-processed name would be missed, exactly like Spark's own
+  * file source without its seen-files log. */
+final case class NdjsonOffset(n: Int) extends Offset {
+  override def json: String = s"""{"n":$n}"""
+}
+
+/** MICRO_BATCH_READ for graft-ndjson: each trigger's batch is "the
+  * files that appeared since the last offset", split and parsed by the
+  * SAME partition readers as the batch path — pushdown and pruning
+  * included, since the ScanBuilder is shared. Exactly-once rides the
+  * offset log: a crash-replayed batch re-plans the identical file
+  * slice. */
+final class NdjsonMicroBatchStream(path: String, full: StructType,
+                                   required: StructType, filters: Array[Filter],
+                                   splitBytes: Long) extends MicroBatchStream {
+
+  private def fs = new Path(path).getFileSystem(new Configuration())
+
+  private def listFiles(): Seq[Path] = {
+    val p = new Path(path)
+    val f = fs
+    if (!f.exists(p)) Nil
+    else if (f.getFileStatus(p).isDirectory)
+      f.listStatus(p).filter(s => s.isFile &&
+          !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+        .map(_.getPath).sortBy(_.getName).toSeq
+    else Seq(p)
+  }
+
+  override def initialOffset(): Offset = NdjsonOffset(0)
+  override def latestOffset(): Offset = NdjsonOffset(listFiles().size)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[NdjsonOffset].n
+    val e = end.asInstanceOf[NdjsonOffset].n
+    val f = fs
+    listFiles().slice(s, e).flatMap { file =>
+      val len = f.getFileStatus(file).getLen
+      if (len == 0) Nil
+      else (0L until len by splitBytes).map { st =>
+        NdjsonPartition(file.toString, st, math.min(splitBytes, len - st))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NdjsonReaderFactory(full, required, filters)
+
+  override def deserializeOffset(json: String): Offset =
+    NdjsonOffset(json.filter(_.isDigit).toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class NdjsonPartition(file: String, start: Long, length: Long)

@@ -128,6 +128,39 @@ class NdjsonSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft-ndjson").schema(s2).load(dir).count() == 10)
   }
 
+  test("micro-batch streaming read: new files per trigger, checkpointed restart") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndjson-stream")
+    val (inDir, cp, out) = (s"$tmp/in", s"$tmp/cp", s"$tmp/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def stage(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(inDir, name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-ndjson").schema(scalarSchema)
+        .load(inDir)
+        .filter(col("type") === "st:Address") // pushdown rides streaming too
+        .select("id")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .option("path", out).start()
+      q.awaitTermination()
+    }
+    def ids(): Seq[String] = spark.read.parquet(out)
+      .collect().map(_.getString(0)).sorted.toSeq
+    stage("part-00000.ndjson", Seq(
+      """{"id":"a1","type":"st:Address","validSince":"1880"}""",
+      """{"id":"x1","type":"st:Street","validSince":"1880"}"""))
+    run()
+    assert(ids() == Seq("a1")) // filter pushed, street row dropped
+    // restart with a new file: old file skipped via the offset log
+    stage("part-00001.ndjson", Seq(
+      """{"id":"a2","type":"st:Address","validSince":"1890"}"""))
+    run()
+    assert(ids() == Seq("a1", "a2"))
+  }
+
   test("tiny splits read the same rows as one split (line alignment)") {
     val one = viaSource(scalarSchema).select("id").collect()
       .map(_.getString(0)).sorted.toSeq
