@@ -57,12 +57,26 @@ object SnapTable {
     finally in.close()
   }
 
-  private def writeAtomic(f: FileSystem, p: Path, content: String): Unit = {
+  /** A concurrent commit raced this one to the version slot. */
+  final class CommitConflictException(v: Int)
+    extends RuntimeException(s"version $v was committed concurrently; " +
+      "re-read the table and retry")
+
+  private def writeAtomic(f: FileSystem, p: Path, content: String,
+                          overwrite: Boolean = true): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p)) throw new java.io.IOException(s"rename $tmp -> $p failed")
+    if (overwrite && f.exists(p)) f.delete(p, false)
+    // with overwrite=false this is the commit CAS: HDFS/posix rename onto
+    // an existing path fails, so exactly one of two racing committers
+    // claims the version slot — optimistic concurrency with no lock
+    // service (losers throw CommitConflictException and retry on a
+    // re-read table)
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+    }
   }
 
   /** Latest committed version, 0 if the table has none. */
@@ -134,10 +148,53 @@ object SnapTable {
           s"append stat columns must match the extended manifest ($prevHeader)")
         prevLines.filterNot(_.startsWith("#"))
       } else Nil
-    writeAtomic(f, manifestPath(dir, v),
-      (header ++ carried ++ newLines).mkString("\n"))
+    val manifest = manifestPath(dir, v)
+    if (f.exists(manifest)) throw new CommitConflictException(v)
+    try writeAtomic(f, manifest,
+      (header ++ carried ++ newLines).mkString("\n"), overwrite = false)
+    catch {
+      case _: java.io.IOException => throw new CommitConflictException(v)
+    }
     writeAtomic(f, latestPath(dir), v.toString)
     v
+  }
+
+  /** VACUUM: physically delete data files no retained manifest
+    * references. `retainLast` manifests (ending at the current version)
+    * survive; older manifests are dropped too, so time travel is
+    * explicitly bounded by retention — the declared trade for
+    * reclaiming overwritten/compacted storage. Orphans of in-flight
+    * commits are left alone (they may belong to a commit racing this
+    * vacuum); a failed commit's orphans get collected once its version
+    * slot is claimed by a later commit and ages out of retention.
+    * Returns the number of data files deleted. */
+  def vacuum(spark: SparkSession, dir: String, retainLast: Int = 2): Int = {
+    require(retainLast >= 1, "must retain at least the current version")
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    val keep = (math.max(1, v - retainLast + 1) to v).toSet
+    val referenced: Set[String] = keep.flatMap { kv =>
+      entries(f, dir, kv)._2.map(_._1)
+    }
+    val dataRoot = new Path(s"$dir/data")
+    var deleted = 0
+    if (f.exists(dataRoot)) {
+      // only files that SOME retained-or-dropped manifest ever named are
+      // candidates — unreferenced orphans may be an in-flight commit
+      val everNamed: Set[String] = (1 to v).toSet[Int].flatMap { kv =>
+        if (f.exists(manifestPath(dir, kv))) entries(f, dir, kv)._2.map(_._1)
+        else Set.empty[String]
+      }
+      (everNamed -- referenced).foreach { rel =>
+        val p = new Path(s"$dir/$rel")
+        if (f.exists(p) && f.delete(p, false)) deleted += 1
+      }
+    }
+    (1 until keep.min).foreach { kv =>
+      f.delete(manifestPath(dir, kv), false); ()
+    }
+    deleted
   }
 
   /** Commit metadata (`#meta:` header lines) of a version. */

@@ -131,7 +131,8 @@ final class NdjsonScanBuilder(full: StructType, opts: Map[String, String])
 
 final class NdjsonScan(full: StructType, required: StructType,
                        val pushedFilters: Array[Filter],
-                       opts: Map[String, String]) extends Scan with Batch {
+                       opts: Map[String, String])
+    extends Scan with Batch with SupportsReportStatistics {
   private val path = opts.getOrElse("path",
     throw new IllegalArgumentException("graft-ndjson: no path"))
   private val splitBytes =
@@ -139,6 +140,28 @@ final class NdjsonScan(full: StructType, required: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** File-length statistics (metadata only, no data read): without
+    * this a DSv2 relation defaults to "unknown = huge" and every join
+    * over the source degrades to sort-merge — reporting the real bytes
+    * lets Catalyst broadcast a small NDJSON side exactly as it would a
+    * small parquet dim (NdjsonSourceSpec pins the BHJ). */
+  override def estimateStatistics(): Statistics = {
+    val bytes =
+      try {
+        val p = new Path(path)
+        val fs = p.getFileSystem(new Configuration())
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+        else fs.getFileStatus(p).getLen
+      } catch { case _: java.io.IOException => Long.MaxValue }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def description(): String =
     s"GraftNdjson $path ReadSchema: ${required.fieldNames.mkString(",")} " +
       s"PushedFilters: [${pushedFilters.mkString(", ")}]"

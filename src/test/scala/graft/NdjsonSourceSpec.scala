@@ -161,6 +161,19 @@ class NdjsonSourceSpec extends AnyFunSuite {
     assert(ids() == Seq("a1", "a2"))
   }
 
+  test("reported statistics let Catalyst broadcast the small NDJSON side") {
+    val big = spark.range(200000)
+      .selectExpr("concat('h', lpad(cast(id % 500 as string), 3, '0')) AS id",
+        "id AS n")
+    val joined = big.join(viaSource(scalarSchema), Seq("id"))
+      .groupBy("type").count()
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"DSv2 side not broadcast (stats missing?):\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("tiny splits read the same rows as one split (line alignment)") {
     val one = viaSource(scalarSchema).select("id").collect()
       .map(_.getString(0)).sorted.toSeq

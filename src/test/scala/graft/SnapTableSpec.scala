@@ -114,6 +114,38 @@ class SnapTableSpec extends AnyFunSuite {
     assert(keys(SnapTable.read(spark, dir, 2)) == before)
   }
 
+  test("racing committers: exactly one claims the version slot") {
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0))
+    // simulate a concurrent commit that already claimed v2
+    val m2 = Paths.get(dir, "_manifests", "v2.txt")
+    Files.createDirectories(m2.getParent)
+    Files.writeString(m2, "")
+    intercept[SnapTable.CommitConflictException] {
+      SnapTable.commit(spark, dir,
+        li.filter(col("l_orderkey") % 3 === 1), append = true)
+    }
+    // the loser's data files are orphans: invisible, and v1 is intact
+    assert(keys(SnapTable.read(spark, dir, 1)).forall(_ % 3 == 0))
+  }
+
+  test("vacuum reclaims unreferenced files; retention bounds time travel") {
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0)) // v1
+    SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 1)) // v2 replaces
+    SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 2)) // v3 replaces
+    val before = keys(SnapTable.read(spark, dir, 3))
+    val deleted = SnapTable.vacuum(spark, dir, retainLast = 2)
+    assert(deleted > 0, "expected v1's files reclaimed")
+    // current + previous still read
+    assert(keys(SnapTable.read(spark, dir, 3)) == before)
+    assert(keys(SnapTable.read(spark, dir, 2)).forall(_ % 3 == 1))
+    // v1 is out of retention: manifest gone
+    assert(!Files.exists(Paths.get(dir, "_manifests", "v1.txt")))
+    // vacuum is idempotent
+    assert(SnapTable.vacuum(spark, dir, retainLast = 2) == 0)
+  }
+
   test("overwrite commit replaces state; history remains") {
     SnapTable.destroy(spark, dir)
     SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0))
