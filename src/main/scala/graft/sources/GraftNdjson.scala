@@ -12,7 +12,8 @@ import org.apache.hadoop.util.LineReader
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => VMax, Min => VMin}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -85,12 +86,19 @@ final class NdjsonTable(declared: StructType, props: Map[String, String])
   }
 }
 
+/** A pushed aggregate call: COUNT(*) or MIN/MAX of a top-level field. */
+sealed trait NdjsonAgg extends Serializable
+case object NdjsonCountStar extends NdjsonAgg
+final case class NdjsonMin(field: String) extends NdjsonAgg
+final case class NdjsonMax(field: String) extends NdjsonAgg
+
 final class NdjsonScanBuilder(full: StructType, opts: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+  private var aggs: Seq[NdjsonAgg] = Nil
 
   private def supportedType(dt: DataType): Boolean = dt match {
     case StringType | LongType | DoubleType | BooleanType => true
@@ -126,12 +134,47 @@ final class NdjsonScanBuilder(full: StructType, opts: Map[String, String])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new NdjsonScan(full, required, pushed, opts)
+  /** Aggregate pushdown (partial mode): COUNT(*)/MIN/MAX over top-level
+    * scalar fields, no grouping. Each partition reader then emits ONE
+    * pre-aggregated row — for a filter-free COUNT(*) it never even JSON-
+    * parses (newline counting is the whole job), and MIN/MAX only
+    * convert the one requested field. Spark plans the final merge
+    * (SUM of counts, MIN of mins, MAX of maxs) over the partial rows:
+    * rows shipped = partitions, not lines. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head).filter(fieldOk)
+      case _ => None
+    }
+    val specs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(NdjsonCountStar)
+      case m: VMin      => fieldOf(m.column).map(NdjsonMin)
+      case m: VMax      => fieldOf(m.column).map(NdjsonMax)
+      case _            => None
+    }
+    if (specs.exists(_.isEmpty)) false
+    else { aggs = specs.flatten; true }
+  }
+
+  override def build(): Scan = {
+    val aggSchema =
+      if (aggs.isEmpty) None
+      else Some(StructType(aggs.zipWithIndex.map {
+        case (NdjsonCountStar, i) => StructField(s"count_$i", LongType, nullable = false)
+        case (NdjsonMin(f), i) => StructField(s"min_$i", full(f).dataType)
+        case (NdjsonMax(f), i) => StructField(s"max_$i", full(f).dataType)
+      }))
+    new NdjsonScan(full, aggSchema.getOrElse(required), pushed, opts, aggs)
+  }
 }
 
 final class NdjsonScan(full: StructType, required: StructType,
                        val pushedFilters: Array[Filter],
-                       opts: Map[String, String])
+                       opts: Map[String, String],
+                       val pushedAggs: Seq[NdjsonAgg] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
   private val path = opts.getOrElse("path",
     throw new IllegalArgumentException("graft-ndjson: no path"))
@@ -164,7 +207,8 @@ final class NdjsonScan(full: StructType, required: StructType,
   }
   override def description(): String =
     s"GraftNdjson $path ReadSchema: ${required.fieldNames.mkString(",")} " +
-      s"PushedFilters: [${pushedFilters.mkString(", ")}]"
+      s"PushedFilters: [${pushedFilters.mkString(", ")}] " +
+      s"PushedAggregates: [${pushedAggs.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -186,7 +230,7 @@ final class NdjsonScan(full: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NdjsonReaderFactory(full, required, pushedFilters)
+    new NdjsonReaderFactory(full, required, pushedFilters, pushedAggs)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new NdjsonMicroBatchStream(path, full, required, pushedFilters, splitBytes)
@@ -256,37 +300,44 @@ final case class NdjsonPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
 final class NdjsonReaderFactory(full: StructType, required: StructType,
-                                filters: Array[Filter])
+                                filters: Array[Filter],
+                                aggs: Seq[NdjsonAgg] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NdjsonReader(full, required, filters,
-      partition.asInstanceOf[NdjsonPartition])
+    if (aggs.isEmpty)
+      new NdjsonReader(full, required, filters,
+        partition.asInstanceOf[NdjsonPartition])
+    else
+      new NdjsonAggReader(full, filters, aggs,
+        partition.asInstanceOf[NdjsonPartition])
 }
 
-final class NdjsonReader(full: StructType, required: StructType,
-                         filters: Array[Filter], part: NdjsonPartition)
+/** Shared split machinery: line-aligned byte ownership, typed field
+  * extraction, and exact pushed-filter evaluation. */
+sealed abstract class NdjsonReaderBase(full: StructType,
+                                       part: NdjsonPartition)
     extends PartitionReader[InternalRow] {
 
-  private val mapper = new ObjectMapper()
-  private val end = part.start + part.length
-  private val in = {
+  protected val mapper = new ObjectMapper()
+  protected val end: Long = part.start + part.length
+  protected val in = {
     val p = new Path(part.file)
     val stream = p.getFileSystem(new Configuration()).open(p)
     stream.seek(part.start)
     stream
   }
-  private val lines = new LineReader(in)
-  private var pos = part.start
+  protected val lines = new LineReader(in)
+  protected var pos: Long = part.start
   // a reader starting mid-file discards its first (partial) line — the
   // previous split read through its own end boundary and consumed it
   if (part.start != 0) pos += lines.readLine(new Text())
 
   private val fullType: Map[String, DataType] =
     full.fields.map(f => f.name -> f.dataType).toMap
-  private var row: InternalRow = _
+  protected var row: InternalRow = _
 
   /** Typed value of a top-level field under the FULL schema. */
-  private def value(node: JsonNode, name: String): Any = {
+  protected def value(node: JsonNode, name: String): Any = {
     val n = node.get(name)
     if (n == null || n.isNull) null
     else fullType(name) match {
@@ -298,7 +349,7 @@ final class NdjsonReader(full: StructType, required: StructType,
     }
   }
 
-  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+  protected def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null)        => None
     case (x: String, y: String)       => Some(x.compareTo(y))
     case (x: Long, y: Number)         => Some(java.lang.Long.compare(x, y.longValue))
@@ -307,7 +358,7 @@ final class NdjsonReader(full: StructType, required: StructType,
     case _                            => None
   }
 
-  private def eval(f: Filter, node: JsonNode): Boolean = f match {
+  protected def eval(f: Filter, node: JsonNode): Boolean = f match {
     case EqualTo(a, v)            => cmp(value(node, a), v).contains(0)
     case GreaterThan(a, v)        => cmp(value(node, a), v).exists(_ > 0)
     case GreaterThanOrEqual(a, v) => cmp(value(node, a), v).exists(_ >= 0)
@@ -325,6 +376,14 @@ final class NdjsonReader(full: StructType, required: StructType,
     case Not(c)    => !eval(c, node)
     case _         => false
   }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+final class NdjsonReader(full: StructType, required: StructType,
+                         filters: Array[Filter], part: NdjsonPartition)
+    extends NdjsonReaderBase(full, part) {
 
   override def next(): Boolean = {
     // line-start ownership: reader 0 emits lines starting in [0, end];
@@ -352,7 +411,59 @@ final class NdjsonReader(full: StructType, required: StructType,
     }
     false
   }
+}
 
-  override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+/** Aggregate-pushdown reader: consumes the whole split and emits ONE
+  * partial row (counts/mins/maxs in push order). A filter-free pure
+  * COUNT(*) never JSON-parses — counting newlines IS the job; with
+  * filters or MIN/MAX the parse runs but no per-line row ever builds.
+  * Spark merges the partials (SUM/MIN/MAX) — rows shipped = splits. */
+final class NdjsonAggReader(full: StructType, filters: Array[Filter],
+                            aggs: Seq[NdjsonAgg], part: NdjsonPartition)
+    extends NdjsonReaderBase(full, part) {
+
+  private var done = false
+
+  override def next(): Boolean = {
+    if (done) return false
+    done = true
+    val countOnly = filters.isEmpty && aggs.forall(_ == NdjsonCountStar)
+    var count = 0L
+    val acc = new Array[Any](aggs.size)
+    while (pos <= end) {
+      val text = new Text()
+      val n = lines.readLine(text)
+      if (n == 0) { pos = end + 1 }
+      else {
+        pos += n
+        if (countOnly) count += 1
+        else {
+          val node = mapper.readTree(text.toString)
+          if (filters.forall(eval(_, node))) {
+            count += 1
+            aggs.zipWithIndex.foreach {
+              case (NdjsonMin(f), i) =>
+                val v = value(node, f)
+                if (v != null && (acc(i) == null || cmp(v, acc(i)).exists(_ < 0)))
+                  acc(i) = v
+              case (NdjsonMax(f), i) =>
+                val v = value(node, f)
+                if (v != null && (acc(i) == null || cmp(v, acc(i)).exists(_ > 0)))
+                  acc(i) = v
+              case (NdjsonCountStar, _) => ()
+            }
+          }
+        }
+      }
+    }
+    val vals: Array[Any] = aggs.zipWithIndex.map {
+      case (NdjsonCountStar, _) => java.lang.Long.valueOf(count)
+      case (_, i) => acc(i) match {
+        case s: String => UTF8String.fromString(s)
+        case other     => other
+      }
+    }.toArray
+    row = new GenericInternalRow(vals)
+    true
+  }
 }

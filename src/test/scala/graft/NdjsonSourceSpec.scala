@@ -53,11 +53,17 @@ class NdjsonSourceSpec extends AnyFunSuite {
   }
 
   private def batchScan(df: DataFrame): NdjsonScan = {
-    val scans = df.queryExecution.executedPlan.collect {
-      case b: BatchScanExec => b.scan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case b: BatchScanExec         => Seq(b)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case other                    => other.children.flatMap(scans)
     }
-    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
-    scans.head.asInstanceOf[NdjsonScan]
+    val found = scans(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, df.queryExecution.executedPlan.toString)
+    found.head.scan.asInstanceOf[NdjsonScan]
   }
 
   test("supported predicates push into the parser; others stay post-scan") {
@@ -159,6 +165,31 @@ class NdjsonSourceSpec extends AnyFunSuite {
       """{"id":"a2","type":"st:Address","validSince":"1890"}"""))
     run()
     assert(ids() == Seq("a1", "a2"))
+  }
+
+  test("COUNT/MIN/MAX push into the source; partials merge exactly") {
+    // pure count: pushed (and served by newline counting, no parse)
+    val c = viaSource(scalarSchema, "splitBytes" -> "4096")
+    assert(batchScan(c.groupBy().count()).pushedAggs
+      .contains(graft.sources.NdjsonCountStar))
+    assert(c.count() == viaBuiltin(scalarSchema).count())
+    // min/max under a pushed filter, many splits
+    val agg = viaSource(scalarSchema, "splitBytes" -> "4096")
+      .filter(col("type") === "st:Address")
+      .agg(min("id").as("lo"), max("validSince").as("hi"),
+        count(lit(1)).as("n"))
+    assert(batchScan(agg).pushedAggs.size == 3)
+    val got = agg.collect().head
+    val ref = viaBuiltin(scalarSchema)
+      .filter(col("type") === "st:Address")
+      .agg(min("id"), max("validSince"), count(lit(1))).collect().head
+    assert(got.toSeq == ref.toSeq)
+    // avg is not pushable: falls back to row reads, still exact
+    val av = viaSource(scalarSchema)
+      .agg(avg(length(col("id"))).as("a"))
+    assert(batchScan(av).pushedAggs.isEmpty)
+    assert(av.collect().head.getDouble(0) ==
+      viaBuiltin(scalarSchema).agg(avg(length(col("id")))).collect().head.getDouble(0))
   }
 
   test("reported statistics let Catalyst broadcast the small NDJSON side") {
