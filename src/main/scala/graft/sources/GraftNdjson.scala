@@ -105,8 +105,14 @@ final class NdjsonScanBuilder(full: StructType, opts: Map[String, String])
     case _ => false
   }
 
+  private val corruptCol =
+    opts.getOrElse("columnnameofcorruptrecord", "_corrupt_record")
+
+  // the corrupt-record column is populated by the reader, not parsed
+  // from JSON — predicates and aggregates over it must stay post-scan
   private def fieldOk(name: String): Boolean =
-    full.fields.exists(f => f.name == name && supportedType(f.dataType))
+    name != corruptCol &&
+      full.fields.exists(f => f.name == name && supportedType(f.dataType))
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo(a, _)            => fieldOk(a)
@@ -143,6 +149,9 @@ final class NdjsonScanBuilder(full: StructType, opts: Map[String, String])
     * rows shipped = partitions, not lines. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (aggregation.groupByExpressions.nonEmpty) return false
+    // permissive mode quarantines malformed lines as rows — the agg
+    // fast path has no quarantine story, so it must not claim the push
+    if (opts.get("mode").exists(_.equalsIgnoreCase("permissive"))) return false
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -229,8 +238,14 @@ final class NdjsonScan(full: StructType, required: StructType,
     }.toArray
   }
 
+  private val permissive =
+    opts.get("mode").exists(_.equalsIgnoreCase("permissive"))
+  private val corruptCol =
+    opts.getOrElse("columnnameofcorruptrecord", "_corrupt_record")
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new NdjsonReaderFactory(full, required, pushedFilters, pushedAggs)
+    new NdjsonReaderFactory(full, required, pushedFilters, pushedAggs,
+      permissive, corruptCol)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new NdjsonMicroBatchStream(path, full, required, pushedFilters, splitBytes)
@@ -301,12 +316,14 @@ final case class NdjsonPartition(file: String, start: Long, length: Long)
 
 final class NdjsonReaderFactory(full: StructType, required: StructType,
                                 filters: Array[Filter],
-                                aggs: Seq[NdjsonAgg] = Nil)
+                                aggs: Seq[NdjsonAgg] = Nil,
+                                permissive: Boolean = false,
+                                corruptCol: String = "_corrupt_record")
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     if (aggs.isEmpty)
       new NdjsonReader(full, required, filters,
-        partition.asInstanceOf[NdjsonPartition])
+        partition.asInstanceOf[NdjsonPartition], permissive, corruptCol)
     else
       new NdjsonAggReader(full, filters, aggs,
         partition.asInstanceOf[NdjsonPartition])
@@ -382,7 +399,9 @@ sealed abstract class NdjsonReaderBase(full: StructType,
 }
 
 final class NdjsonReader(full: StructType, required: StructType,
-                         filters: Array[Filter], part: NdjsonPartition)
+                         filters: Array[Filter], part: NdjsonPartition,
+                         permissive: Boolean = false,
+                         corruptCol: String = "_corrupt_record")
     extends NdjsonReaderBase(full, part) {
 
   override def next(): Boolean = {
@@ -397,10 +416,29 @@ final class NdjsonReader(full: StructType, required: StructType,
       val n = lines.readLine(text)
       if (n == 0) return false
       pos += n
-      val node = mapper.readTree(text.toString)
-      if (filters.forall(eval(_, node))) {
+      val line = text.toString
+      val node =
+        try mapper.readTree(line)
+        catch {
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            if (!permissive) throw new java.io.IOException(
+              s"malformed NDJSON line in ${part.file}: " +
+                line.take(80) + " (use mode=permissive to quarantine)", e)
+            null
+        }
+      // PERMISSIVE: a malformed line becomes an all-null row carrying
+      // the raw text in the corrupt-record column (the q46 quarantine
+      // contract at connector level). Pushed filters evaluate against
+      // the EMPTY node — every field null, exactly the verdict a
+      // post-scan filter would reach — so pushed and residual
+      // filtering agree on quarantine rows.
+      val corrupt = node == null
+      val effNode = if (corrupt) mapper.createObjectNode() else node
+      if (filters.forall(eval(_, effNode))) {
         val vals = required.fields.map { f =>
-          value(node, f.name) match {
+          if (f.name == corruptCol)
+            if (corrupt) UTF8String.fromString(line) else null
+          else value(effNode, f.name) match {
             case s: String => UTF8String.fromString(s)
             case other     => other
           }

@@ -205,6 +205,34 @@ class NdjsonSourceSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("permissive mode quarantines malformed lines; strict mode throws") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndjson-bad")
+    val f = s"$tmp/mixed.ndjson"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+      """{"id":"a1","type":"st:Address"}
+        |this is not json {{{
+        |{"id":"a2","type":"st:Street"}
+        |""".stripMargin)
+    val schema = scalarSchema.add(StructField("_corrupt_record", StringType))
+    val rows = spark.read.format("graft-ndjson").schema(schema)
+      .option("mode", "permissive").load(f)
+      .select("id", "_corrupt_record").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sortBy(t => (t._1 == null, t._1))
+    assert(rows == Seq(("a1", null), ("a2", null), (null, "this is not json {{{")))
+    // pushed filter on a data field drops quarantine rows by null
+    // semantics — same verdict a post-scan filter reaches
+    val filtered = spark.read.format("graft-ndjson").schema(schema)
+      .option("mode", "permissive").load(f)
+      .filter(col("type") === "st:Address").collect()
+    assert(filtered.map(_.getString(0)).toSeq == Seq("a1"))
+    // strict (default) mode fails loudly instead
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-ndjson").schema(scalarSchema).load(f).collect()
+    }
+    assert(ex.getMessage.contains("malformed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("malformed")))
+  }
+
   test("tiny splits read the same rows as one split (line alignment)") {
     val one = viaSource(scalarSchema).select("id").collect()
       .map(_.getString(0)).sorted.toSeq
