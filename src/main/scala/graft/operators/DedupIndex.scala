@@ -89,6 +89,16 @@ object DedupIndex {
          |CLUSTERED BY (fp) SORTED BY (fp)
          |INTO $buckets BUCKETS
          |LOCATION '$dir/fp'""".stripMargin)
+    // load means "the index AS ON DISK, now": upserts may have appended
+    // fragments through a DIFFERENT session (a foreachBatch micro-batch
+    // runs in a cloned SparkSession, whose saveAsTable refresh does not
+    // reliably reach this session's relation cache) — an explicit
+    // refresh re-lists the files, so a later batch always dedups
+    // against everything accepted before it (round-7 find: without
+    // this, the second streamed batch of the s17 pipeline read the
+    // PRE-append listing and re-accepted a near-duplicate)
+    spark.catalog.refreshTable(bandsTable(dir))
+    spark.catalog.refreshTable(fpTable(dir))
     Handles(spark.table(bandsTable(dir)), spark.table(fpTable(dir)))
   }
 

@@ -299,6 +299,21 @@ object SnapTable {
       .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
   }
 
+  /** DESCRIBE HISTORY: one row per surviving committed version —
+    * (version, n_files, meta as "k=v;…"). Metadata-only: manifests are
+    * O(files) text, never data. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    import spark.implicits._
+    (1 to v).flatMap { kv =>
+      if (!f.exists(manifestPath(dir, kv))) None
+      else Some((kv.toLong, entries(f, dir, kv)._2.size.toLong,
+        meta(spark, dir, kv).toSeq.sorted
+          .map { case (k, vl) => s"$k=$vl" }.mkString(";")))
+    }.toDF("version", "n_files", "meta")
+  }
+
   /** Drop the whole table (test/fixture hygiene). */
   def destroy(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark, dir)

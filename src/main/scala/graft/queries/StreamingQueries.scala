@@ -254,6 +254,59 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // S17 the COMPOSED ingest pipeline — the three production verbs
+    // this suite built separately, chained: per batch, (1) dedup
+    // verdicts against the persisted corpus index (s12's kernel),
+    // (2) index growth with the batch's accepted docs so batch N+1
+    // dedups against batch N, (3) the accepted docs PUBLISHED as one
+    // atomic snapshot commit (s16's sink) — consumers only ever see
+    // whole deduplicated batches, and every publish is a
+    // time-travelable version. Batch form below is the oracle gate
+    // (s12's staged two-batch replay + the snapshot read-back);
+    // Streams.s17 is the streaming form over the real persisted
+    // index + checkpoint, spec-asserted equal across a restart.
+    "s17_ingestpipeline" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      graft.plans.IntersectSortedCount.register(s)
+      val dir = "target/graft-ingest/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val docs = t(s, d, "documents")
+      val isA = col("doc_id") % 10 === 3
+      val isB = col("doc_id") % 10 === 7
+      val isIdx = !isA && !isB
+      val per = graft.operators.OpCaches.track(DedupExt.bandSignatures(docs))
+      val fps = graft.operators.OpCaches.track(
+        docs.select(col("doc_id"), expr("roll_hash31(text)").as("fp")))
+      val vA = DedupExt.incrementalVerdicts(
+        fps.filter(isA), fps.filter(isIdx).select("fp").distinct(),
+        per.filter(isA), per.filter(isIdx))
+      val accA = vA.filter(col("verdict") === "new").select("doc_id")
+      graft.operators.SnapTable.commit(s, dir,
+        docs.join(accA, Seq("doc_id"), "left_semi")
+          .select("doc_id", "lang", "n_chars"),
+        append = true, meta = Map("batchId" -> "0"))
+      val vB = DedupExt.incrementalVerdicts(
+        fps.filter(isB),
+        fps.filter(isIdx).select("fp")
+          .union(fps.join(accA, Seq("doc_id"), "left_semi").select("fp"))
+          .distinct(),
+        per.filter(isB),
+        per.filter(isIdx)
+          .unionByName(per.join(accA, Seq("doc_id"), "left_semi")))
+      val accB = vB.filter(col("verdict") === "new").select("doc_id")
+      graft.operators.SnapTable.commit(s, dir,
+        docs.join(accB, Seq("doc_id"), "left_semi")
+          .select("doc_id", "lang", "n_chars"),
+        append = true, meta = Map("batchId" -> "1"))
+      val versions = graft.operators.SnapTable.latestVersion(s, dir).toLong
+      graft.operators.SnapTable.read(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("versions", lit(versions))
+        .orderBy("lang")
+    }),
+
     // S06 the custom Sessionize physical operator (plans/Sessionize:
     // LogicalPlan + Strategy + single-exchange Exec) against the SAME
     // oracle SQL as S03 — the custom operator's output is hash-checked
@@ -342,7 +395,7 @@ object StreamingQueries {
     })
   )
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "s01_tumbling" ->
       "SELECT make_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000) AS ts_bucket, event_type, COUNT(*) AS n, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))),4) AS DOUBLE) AS v FROM events GROUP BY ts_bucket, event_type ORDER BY ts_bucket, event_type",
     "s02_sliding" ->
@@ -557,6 +610,21 @@ object StreamingQueries {
         |  ON p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
         |ORDER BY v_id, p_id""".stripMargin
   )
+
+  val oracle: Map[String, String] = oracleBase +
+    // s17: the composed pipeline's oracle reuses s12's two-batch
+    // verdict replay verbatim as a CTE, keeps the accepted ('new')
+    // docs — the published snapshot's exact membership — and
+    // aggregates per language; versions=2 pins the two atomic
+    // publishes as data
+    ("s17_ingestpipeline" ->
+      s"""WITH sv AS (${oracleBase("s12_indexupsert")})
+         |SELECT d.lang, COUNT(*) AS n,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(2 AS BIGINT) AS versions
+         |FROM sv JOIN documents d USING (doc_id)
+         |WHERE sv.verdict = 'new'
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
 }
 
 /** Real Structured Streaming executions of the S-suite: file source over
@@ -857,7 +925,16 @@ object Streams {
           .withColumn("batch", lit(batchId + 1)).cache()
         try {
           v.write.mode("append").parquet(resultDir)
-          val accepted = v.filter(col("verdict") === "new").select("doc_id")
+          // accepted comes from the DURABLY WRITTEN verdicts, not the
+          // live plan: the first index append refreshes the bands table,
+          // which invalidates v's cache, and a recompute would verdict
+          // the batch against an index that already contains it — every
+          // doc re-reads as a dup of itself and the SECOND append would
+          // silently write zero rows (round-7 find: the fp set never
+          // grew; the disk-backed accepted set is immune)
+          val accepted = spark.read.parquet(resultDir)
+            .filter(col("batch") === batchId + 1 && col("verdict") === "new")
+            .select("doc_id")
           // upsert: append-only into the bucketed tables (bucket spec
           // must match the written layout — part of the index contract)
           incBands.join(accepted, Seq("doc_id"), "left_semi")
@@ -911,6 +988,102 @@ object Streams {
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         s16CommitBatch(spark, tableDir, b, id); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** S17 as streaming: the COMPOSED ingest pipeline — s12's
+    * index-maintaining dedup verbs chained into s16's atomic snapshot
+    * publish. Per micro-batch: qd7 verdicts against the PERSISTED
+    * bucketed index; the accepted docs PUBLISH as one atomic SnapTable
+    * commit (batchId exactly-once guard), then the index grows from
+    * the PUBLISHED immutable version. The ordering is load-bearing
+    * twice over: (1) publishing from the pre-mutation verdicts avoids
+    * the append→refreshTable→cache-invalidation trap where the commit
+    * would recompute verdicts against an index that already contains
+    * the batch (every doc re-verdicts 'exact', publishing nothing);
+    * (2) the index append reads the published version — an immutable
+    * manifest — so a crash-replay re-applies the IDENTICAL append,
+    * gated by the `_indexed` marker (written after the appends): a
+    * replay that finds the publish done but the marker behind re-runs
+    * only the append, from the same immutable version. */
+  def s17(spark: SparkSession, idxDir: String, tableDir: String,
+          inDir: String, checkpoint: String): Unit = {
+    graft.plans.RollHash31.register(spark)
+    graft.plans.IntersectSortedCount.register(spark)
+    val raw = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+
+    def markerPath = new org.apache.hadoop.fs.Path(s"$tableDir/_indexed")
+    def hfs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def lastIndexed: Long =
+      if (!hfs.exists(markerPath)) -1L
+      else {
+        val in = hfs.open(markerPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    def writeMarker(id: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/_indexed.tmp")
+      val out = hfs.create(tmp, true)
+      try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+      if (hfs.exists(markerPath)) hfs.delete(markerPath, false)
+      hfs.rename(tmp, markerPath); ()
+    }
+
+    /** Grow the index with version `v`'s published docs (immutable →
+      * replay re-derives the identical append). */
+    def appendIndexFrom(b: DataFrame, version: Int, batchId: Long): Unit = {
+      val published = graft.operators.SnapTable
+        .read(spark, tableDir, version).select("doc_id")
+      val incFp = b.select(col("doc_id"), expr("roll_hash31(text)").as("fp"))
+      graft.queries.DedupExt.bandSignatures(b)
+        .join(published, Seq("doc_id"), "left_semi")
+        .write.mode("append")
+        .bucketBy(graft.operators.DedupIndex.Buckets, "band", "key")
+        .sortBy("band", "key").format("parquet")
+        .saveAsTable(graft.operators.DedupIndex.bandsTable(idxDir))
+      incFp.join(published, Seq("doc_id"), "left_semi")
+        .select("fp").distinct()
+        .write.mode("append")
+        .bucketBy(graft.operators.DedupIndex.Buckets, "fp")
+        .sortBy("fp").format("parquet")
+        .saveAsTable(graft.operators.DedupIndex.fpTable(idxDir))
+      writeMarker(batchId)
+    }
+
+    val q = spark.readStream.schema(raw).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val lastPub = graft.operators.SnapTable.meta(spark, tableDir)
+          .get("batchId").map(_.toLong).getOrElse(-1L)
+        if (batchId > lastPub) {
+          val idx = graft.operators.DedupIndex.load(spark, idxDir)
+          val b = batch.cache()
+          try {
+            val incFp = b.select(col("doc_id"), expr("roll_hash31(text)").as("fp"))
+            val v = DedupExt.incrementalVerdicts(
+              incFp, idx.fp, DedupExt.bandSignatures(b), idx.bands)
+            val accepted = v.filter(col("verdict") === "new").select("doc_id")
+            val version = graft.operators.SnapTable.commit(spark, tableDir,
+              b.join(accepted, Seq("doc_id"), "left_semi")
+                .select("doc_id", "lang", "n_chars"),
+              append = true, meta = Map("batchId" -> batchId.toString))
+            appendIndexFrom(b, version, batchId)
+          } finally { b.unpersist(); () }
+        } else if (batchId > lastIndexed) {
+          // crash window: published but index append incomplete — re-run
+          // the append from the published version for THIS batch id
+          val version = graft.operators.SnapTable.history(spark, tableDir)
+            .filter(col("meta") === s"batchId=$batchId")
+            .select("version").collect().headOption.map(_.getLong(0).toInt)
+          version.foreach(v => appendIndexFrom(batch, v, batchId))
+        }
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)

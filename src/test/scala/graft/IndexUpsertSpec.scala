@@ -48,6 +48,16 @@ class IndexUpsertSpec extends AnyFunSuite {
       // so only guard the fixture is non-degenerate: some non-'new' in B)
       assert(got.exists { case (_, v, b) => b == 2L && v != "new" },
         "degenerate fixture: batch B saw nothing in the grown index")
+      // BOTH index relations grew by the accepted docs (round-7 fixed
+      // bug: the fp append silently wrote zero rows because `accepted`
+      // recomputed against the just-mutated bands table after its
+      // refresh invalidated the cached verdict plan — pin the fp SET
+      // growth, not just band growth)
+      val nAccepted = got.count(_._2 == "new")
+      val idxNow = DedupIndex.load(spark, idxDir)
+      assert(idxNow.fp.count() == docs.filter(!isA && !isB)
+        .select("text").distinct().count() + nAccepted,
+        "fp set did not grow by the accepted docs")
 
       // COMPACTION: two upserts have fragmented every bucket; a new
       // generation must (1) shrink to one file per bucket, (2) produce
