@@ -93,6 +93,30 @@ class SnapTableSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-column zone maps: each stat column prunes independently") {
+    SnapTable.destroy(spark, dir)
+    // range-partition on key: key maps are tight, linenumber maps are
+    // wide (every file spans all line numbers) — so a key range prunes
+    // and a linenumber range must NOT (stats are per-file truth, not
+    // layout wishes)
+    SnapTable.commit(spark, dir,
+      Tables(spark, TestSpark.Sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartitionByRange(8, col("l_orderkey")),
+      statCols = Seq("l_orderkey", "l_linenumber"))
+    val byKey = SnapTable.readWhere(spark, dir,
+      statCol = "l_orderkey", lo = 100L, hi = 300L)
+    assert(byKey.filesScanned < byKey.filesTotal)
+    val byLine = SnapTable.readWhere(spark, dir,
+      statCol = "l_linenumber", lo = 1L, hi = 2L)
+    assert(byLine.filesScanned == byLine.filesTotal,
+      "linenumber maps span every file; pruning here would be wrong")
+    // both predicates still exact
+    assert(keys(byLine.df) ==
+      keys(SnapTable.read(spark, dir)
+        .filter(col("l_linenumber").between(1, 2))))
+  }
+
   test("compact folds fragments; data, history, and pruning preserved") {
     SnapTable.destroy(spark, dir)
     SnapTable.commit(spark, dir,
