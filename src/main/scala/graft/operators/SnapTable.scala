@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot-manifest table format over plain parquet — the minimal
@@ -37,13 +37,43 @@ import org.apache.spark.sql.functions._
   * metadata. The residual predicate still applies to survivors, so
   * pruning is a pure optimization and can never change results.
   *
-  * Manifest line format:  relPath[\tmin,max[,min,max...]]
-  * with a `#stats:` header naming the stat columns. Files with all-null
-  * stat values record `-,-` and are never pruned.
+  * PER-FILE BLOOM FILTERS: zone maps prune RANGE predicates on sorted
+  * layouts, but a point lookup on a high-cardinality key in a hash/
+  * unsorted layout sees every file's [min,max] span the whole domain —
+  * nothing prunes. A commit may therefore also declare ONE bloom column:
+  * each file's values fold into an m-bit, 2-hash bloom bitmap recorded
+  * (hex) on its manifest line, and `readWhereEq` skips files whose bloom
+  * proves the probe value absent. False positives only cost an extra
+  * file scan (the residual predicate still applies), never wrong rows;
+  * with fixed hash functions the scan set is deterministic, so queries
+  * can pin `pruned` as hash-checked data. This is Iceberg/Delta's
+  * file-level bloom story with O(files · m/8) metadata.
+  *
+  * ROW-LEVEL DELETE (`delete`): copy-on-write at FILE granularity — the
+  * predicate's zone-map hint bounds the candidate file set, only
+  * candidates are rewritten (survivor rows land as new files), untouched
+  * files carry into the new manifest VERBATIM (bytes, stats, and bloom
+  * cells untouched), and the new version commits atomically while every
+  * old version stays readable. At 100 TB a keyed delete is O(files that
+  * can contain the key), not a table rewrite — the GDPR/right-to-be-
+  * forgotten shape.
+  *
+  * Manifest line format:  relPath[\tmin,max[,min,max...][\tB<hexwords>]]
+  * with a `#stats:` header naming the stat columns and a `#bloom:` header
+  * naming the bloom column and bitmap size. Files with all-null stat
+  * values record `-,-` and are never pruned.
   */
 object SnapTable {
 
   final case class ScanPlan(df: DataFrame, filesScanned: Int, filesTotal: Int)
+
+  final case class DeleteResult(version: Int, rowsDeleted: Long,
+                                filesRewritten: Int, filesTotal: Int)
+
+  /** Second bloom hash = xxhash64 over (value, BloomSeed); first is
+    * xxhash64(value) with Spark's default seed. Fixed forever — bloom
+    * bitmaps are persistent metadata. */
+  private val BloomSeed = 7L
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -88,29 +118,52 @@ object SnapTable {
   private def manifestLines(f: FileSystem, dir: String, v: Int): Seq[String] =
     readSmall(f, manifestPath(dir, v)).split("\n").toSeq.filter(_.nonEmpty)
 
-  /** Commit `df` as the next version. `append = true` carries the
-    * previous snapshot's files forward; `false` makes `df` the entire
-    * new table state (files of older versions remain on disk and remain
-    * readable through their manifests). `statCols` declares LONG columns
-    * whose per-file min/max land in the manifest for `readWhere`
-    * pruning; an append must declare the same columns as the manifest
-    * it extends. Returns the new version. */
-  def commit(spark: SparkSession, dir: String, df: DataFrame,
-             append: Boolean = false, statCols: Seq[String] = Nil,
-             meta: Map[String, String] = Map.empty): Int = {
-    val f = fs(spark, dir)
-    val prev = latestVersion(spark, dir)
-    val v = prev + 1
-    val commitId = f"c$v%05d-" + java.util.UUID.randomUUID().toString.take(8)
-    val genDir = s"$dir/data/$commitId"
-    df.write.parquet(genDir)
-    val newFiles = f.listStatus(new Path(genDir)).toSeq
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .map(p => s"data/$commitId/${p.getName}")
-      .sorted
-    // per-file zone maps: ONE aggregate over the just-written files
-    val statsByName: Map[String, String] =
+  // ---- manifest model ------------------------------------------------
+
+  private final case class FileEntry(rel: String,
+                                     ranges: Seq[Option[(Long, Long)]],
+                                     bloomHex: Option[String],
+                                     raw: String)
+
+  private final case class ManifestInfo(statCols: Seq[String],
+                                        bloom: Option[(String, Int)],
+                                        files: Seq[FileEntry])
+
+  private def parseManifest(f: FileSystem, dir: String, v: Int): ManifestInfo = {
+    val lines = manifestLines(f, dir, v)
+    val statCols = lines.find(_.startsWith("#stats:"))
+      .map(_.stripPrefix("#stats:").split(",").toSeq).getOrElse(Nil)
+    val bloom = lines.find(_.startsWith("#bloom:")).map { h =>
+      val Array(c, m) = h.stripPrefix("#bloom:").split(":")
+      (c, m.toInt)
+    }
+    val files = lines.filterNot(_.startsWith("#")).map { line =>
+      val parts = line.split("\t", -1)
+      val rel = parts(0)
+      val cells =
+        if (parts.length > 1 && parts(1).nonEmpty) {
+          val cs = parts(1).split(",")
+          statCols.indices.map { k =>
+            val lo = cs(2 * k); val hi = cs(2 * k + 1)
+            if (lo == "-" || hi == "-") None else Some((lo.toLong, hi.toLong))
+          }
+        } else statCols.map(_ => None)
+      val bh =
+        if (parts.length > 2 && parts(2).startsWith("B"))
+          Some(parts(2).stripPrefix("B"))
+        else None
+      FileEntry(rel, cells, bh, line)
+    }
+    ManifestInfo(statCols, bloom, files)
+  }
+
+  /** Per-file metadata cells for the files just written under `genDir`:
+    * zone-map min/max for `statCols` and the bloom bitmap for `bloom` —
+    * one metadata aggregate each over the new files only. */
+  private def fileCells(spark: SparkSession, genDir: String,
+                        statCols: Seq[String], bloom: Option[(String, Int)])
+      : (Map[String, String], Map[String, String]) = {
+    val zones: Map[String, String] =
       if (statCols.isEmpty) Map.empty
       else {
         val aggs = statCols.flatMap(c =>
@@ -131,32 +184,137 @@ object SnapTable {
             name -> cells.mkString(",")
           }.toMap
       }
+    val blooms: Map[String, String] = bloom match {
+      case None => Map.empty
+      case Some((bc, m)) =>
+        require(m % 64 == 0 && m > 0, s"bloom bits must be a multiple of 64, got $m")
+        val v = col(bc).cast("long")
+        val rows = spark.read.parquet(genDir)
+          .where(col(bc).isNotNull)
+          .select(input_file_name().as("_f"),
+            explode(array(
+              pmod(xxhash64(v), lit(m.toLong)),
+              pmod(xxhash64(v, lit(BloomSeed)), lit(m.toLong)))).as("p"))
+          .groupBy(col("_f"), (col("p") / 64).cast("int").as("w"))
+          .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"))
+            .as("bits"))
+          .collect()
+        rows.groupBy(_.getString(0)).map { case (path, rs) =>
+          val words = new Array[Long](m / 64)
+          rs.foreach(r => words(r.getInt(1)) = r.getLong(2))
+          path.split("/").last -> words.map(w => f"$w%016x").mkString
+        }
+    }
+    (zones, blooms)
+  }
+
+  /** Write `df` as a new commit whose manifest = header + `carriedRaw`
+    * (verbatim lines of surviving prior files) + the new files' lines.
+    * The manifest create is the rename-CAS (optimistic concurrency). */
+  private def writeCommit(spark: SparkSession, dir: String, df: DataFrame,
+                          carriedRaw: Seq[String], statCols: Seq[String],
+                          bloom: Option[(String, Int)],
+                          meta: Map[String, String]): (Int, Int) = {
+    val f = fs(spark, dir)
+    val prev = latestVersion(spark, dir)
+    val v = prev + 1
+    val commitId = f"c$v%05d-" + java.util.UUID.randomUUID().toString.take(8)
+    val genDir = s"$dir/data/$commitId"
+    df.write.parquet(genDir)
+    val newFiles = f.listStatus(new Path(genDir)).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .map(p => s"data/$commitId/${p.getName}")
+      .sorted
+    val (zones, blooms) = fileCells(spark, genDir, statCols, bloom)
     val header =
       (if (statCols.nonEmpty) Seq(s"#stats:${statCols.mkString(",")}") else Nil) ++
+        bloom.map { case (c, m) => s"#bloom:$c:$m" }.toSeq ++
         meta.toSeq.sortBy(_._1).map { case (k, vl) => s"#meta:$k=$vl" }
     val newLines = newFiles.map { rel =>
-      statsByName.get(rel.split("/").last) match {
-        case Some(cells) => s"$rel\t$cells"
-        case None        => rel
+      val name = rel.split("/").last
+      val zoneCell = zones.get(name)
+      val bloomCell = blooms.get(name).map("B" + _)
+      (zoneCell, bloomCell) match {
+        case (None, None)       => rel
+        case (Some(z), None)    => s"$rel\t$z"
+        case (None, Some(b))    => s"$rel\t\t$b"
+        case (Some(z), Some(b)) => s"$rel\t$z\t$b"
       }
     }
-    val carried =
-      if (append && prev > 0) {
-        val prevLines = manifestLines(f, dir, prev)
-        val prevHeader = prevLines.find(_.startsWith("#stats:"))
-        require(prevHeader.forall(h => h == s"#stats:${statCols.mkString(",")}"),
-          s"append stat columns must match the extended manifest ($prevHeader)")
-        prevLines.filterNot(_.startsWith("#"))
-      } else Nil
     val manifest = manifestPath(dir, v)
     if (f.exists(manifest)) throw new CommitConflictException(v)
     try writeAtomic(f, manifest,
-      (header ++ carried ++ newLines).mkString("\n"), overwrite = false)
+      (header ++ carriedRaw ++ newLines).mkString("\n"), overwrite = false)
     catch {
       case _: java.io.IOException => throw new CommitConflictException(v)
     }
     writeAtomic(f, latestPath(dir), v.toString)
-    v
+    (v, newFiles.size)
+  }
+
+  /** Commit `df` as the next version. `append = true` carries the
+    * previous snapshot's files forward; `false` makes `df` the entire
+    * new table state (files of older versions remain on disk and remain
+    * readable through their manifests). `statCols` declares LONG columns
+    * whose per-file min/max land in the manifest for `readWhere`
+    * pruning; `bloomCol`/`bloomBits` declare the per-file bloom column
+    * for `readWhereEq` point-lookup skipping; an append must declare the
+    * same columns as the manifest it extends. Returns the new version. */
+  def commit(spark: SparkSession, dir: String, df: DataFrame,
+             append: Boolean = false, statCols: Seq[String] = Nil,
+             meta: Map[String, String] = Map.empty,
+             bloomCol: String = null, bloomBits: Int = 65536): Int = {
+    val f = fs(spark, dir)
+    val prev = latestVersion(spark, dir)
+    val bloom = Option(bloomCol).map(c => (c, bloomBits))
+    val carried =
+      if (append && prev > 0) {
+        val info = parseManifest(f, dir, prev)
+        require(info.statCols == statCols,
+          s"append stat columns must match the extended manifest (${info.statCols})")
+        require(info.bloom == bloom,
+          s"append bloom config must match the extended manifest (${info.bloom})")
+        info.files.map(_.raw)
+      } else Nil
+    writeCommit(spark, dir, df, carried, statCols, bloom, meta)._1
+  }
+
+  /** ROW-LEVEL DELETE as file-granular copy-on-write: drop every row of
+    * the current snapshot matching `cond` and commit the result as the
+    * next version. `pruneCol`/[lo,hi] is the zone-map hint bounding
+    * which files can contain matching rows — `cond` must imply
+    * pruneCol ∈ [lo,hi] (same implied-predicate contract as
+    * `readWhere`); files whose recorded range cannot intersect carry
+    * into the new manifest verbatim, untouched on disk. Candidate files
+    * rewrite to survivor rows, recomputing their zone/bloom cells. A
+    * delete that matches nothing commits nothing and reports 0. */
+  def delete(spark: SparkSession, dir: String, cond: Column,
+             pruneCol: String = null, lo: Long = Long.MinValue,
+             hi: Long = Long.MaxValue): DeleteResult = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    val info = parseManifest(f, dir, v)
+    val k = if (pruneCol == null) -1 else {
+      val i = info.statCols.indexOf(pruneCol)
+      require(i >= 0, s"no recorded stats for $pruneCol (have ${info.statCols})")
+      i
+    }
+    val (cand, untouched) = info.files.partition { e =>
+      k < 0 || (e.ranges(k) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true // unknown stats: must treat as candidate
+      })
+    }
+    if (cand.isEmpty) return DeleteResult(v, 0L, 0, info.files.size)
+    val candDf = spark.read.parquet(cand.map(e => s"$dir/${e.rel}"): _*)
+    val deleted = candDf.filter(cond).count()
+    if (deleted == 0L) return DeleteResult(v, 0L, 0, info.files.size)
+    val (nv, _) = writeCommit(spark, dir, candDf.filter(!cond),
+      untouched.map(_.raw), info.statCols, info.bloom,
+      Map("deleteFrom" -> v.toString))
+    DeleteResult(nv, deleted, cand.size, info.files.size)
   }
 
   /** VACUUM: physically delete data files no retained manifest
@@ -175,7 +333,7 @@ object SnapTable {
     require(v > 0, s"no committed version at $dir")
     val keep = (math.max(1, v - retainLast + 1) to v).toSet
     val referenced: Set[String] = keep.flatMap { kv =>
-      entries(f, dir, kv)._2.map(_._1)
+      parseManifest(f, dir, kv).files.map(_.rel)
     }
     val dataRoot = new Path(s"$dir/data")
     var deleted = 0
@@ -183,7 +341,7 @@ object SnapTable {
       // only files that SOME retained-or-dropped manifest ever named are
       // candidates — unreferenced orphans may be an in-flight commit
       val everNamed: Set[String] = (1 to v).toSet[Int].flatMap { kv =>
-        if (f.exists(manifestPath(dir, kv))) entries(f, dir, kv)._2.map(_._1)
+        if (f.exists(manifestPath(dir, kv))) parseManifest(f, dir, kv).files.map(_.rel)
         else Set.empty[String]
       }
       (everNamed -- referenced).foreach { rel =>
@@ -213,40 +371,20 @@ object SnapTable {
     * the manifest carries zone-map stats the rewrite lays files out
     * range-partitioned on the first stat column so the maps stay tight
     * (small per-batch commits otherwise accumulate unboundedly — the
-    * same fragment problem DedupIndex.compact solves for buckets). */
+    * same fragment problem DedupIndex.compact solves for buckets). A
+    * declared bloom column re-sketches on the new layout. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int): Int = {
     val f = fs(spark, dir)
     val v = latestVersion(spark, dir)
     require(v > 0, s"no committed version at $dir")
-    val statCols = manifestLines(f, dir, v).find(_.startsWith("#stats:"))
-      .map(_.stripPrefix("#stats:").split(",").toSeq).getOrElse(Nil)
+    val info = parseManifest(f, dir, v)
     val cur = read(spark, dir)
-    val laidOut = statCols.headOption match {
+    val laidOut = info.statCols.headOption match {
       case Some(c) => cur.repartitionByRange(targetFiles, col(c))
       case None    => cur.repartition(targetFiles)
     }
-    commit(spark, dir, laidOut, append = false, statCols = statCols,
-      meta = Map("compactedFrom" -> v.toString))
-  }
-
-  private def entries(f: FileSystem, dir: String, version: Int)
-      : (Seq[String], Seq[(String, Seq[Option[(Long, Long)]])]) = {
-    val lines = manifestLines(f, dir, version)
-    val statCols = lines.find(_.startsWith("#stats:"))
-      .map(_.stripPrefix("#stats:").split(",").toSeq).getOrElse(Nil)
-    val rows = lines.filterNot(_.startsWith("#")).map { line =>
-      line.split("\t", 2) match {
-        case Array(rel) => (rel, statCols.map(_ => None))
-        case Array(rel, cells) =>
-          val parts = cells.split(",")
-          val ranges = statCols.indices.map { k =>
-            val lo = parts(2 * k); val hi = parts(2 * k + 1)
-            if (lo == "-" || hi == "-") None else Some((lo.toLong, hi.toLong))
-          }
-          (rel, ranges)
-      }
-    }
-    (statCols, rows)
+    writeCommit(spark, dir, laidOut, Nil, info.statCols, info.bloom,
+      Map("compactedFrom" -> v.toString))._1
   }
 
   /** Read a snapshot (default: latest). The scan is exactly the
@@ -263,25 +401,75 @@ object SnapTable {
     val f = fs(spark, dir)
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"no committed version at $dir")
-    val (statCols, rows) = entries(f, dir, v)
+    val info = parseManifest(f, dir, v)
     val keep =
-      if (statCol == null) rows
+      if (statCol == null) info.files
       else {
-        val k = statCols.indexOf(statCol)
-        require(k >= 0, s"no recorded stats for $statCol (have $statCols)")
-        rows.filter { case (_, ranges) =>
-          ranges(k) match {
+        val k = info.statCols.indexOf(statCol)
+        require(k >= 0, s"no recorded stats for $statCol (have ${info.statCols})")
+        info.files.filter { e =>
+          e.ranges(k) match {
             case Some((mn, mx)) => mx >= lo && mn <= hi // ranges intersect
             case None           => true                 // unknown: never prune
           }
         }
       }
     require(keep.nonEmpty, "empty scan set: no file can match")
-    val df0 = spark.read.parquet(keep.map { case (rel, _) => s"$dir/$rel" }: _*)
+    val df0 = spark.read.parquet(keep.map(e => s"$dir/${e.rel}"): _*)
     val df =
       if (statCol == null) df0
       else df0.filter(col(statCol) >= lo && col(statCol) <= hi)
-    ScanPlan(df, keep.size, rows.size)
+    ScanPlan(df, keep.size, info.files.size)
+  }
+
+  /** POINT LOOKUP with bloom file skipping: scan only the files whose
+    * bloom bitmap admits `value` for the manifest's declared bloom
+    * column (both hash bits set), then apply the exact equality
+    * predicate. Zone maps on the same column (if recorded) prune first
+    * — the two mechanisms compose. Deterministic scan set: fixed hash
+    * functions mean the same table always opens the same files. */
+  def readWhereEq(spark: SparkSession, dir: String, value: Long,
+                  version: Int = 0): ScanPlan = {
+    val f = fs(spark, dir)
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    val info = parseManifest(f, dir, v)
+    val (bc, m) = info.bloom.getOrElse(
+      throw new IllegalArgumentException(s"no bloom column declared at $dir"))
+    // probe bit positions computed through the SAME Spark expressions
+    // that built the bitmaps (constant-folded local relation, no job)
+    val probe = spark.range(1).select(
+      pmod(xxhash64(lit(value)), lit(m.toLong)).as("p1"),
+      pmod(xxhash64(lit(value), lit(BloomSeed)), lit(m.toLong)).as("p2")).head()
+    val (p1, p2) = (probe.getLong(0), probe.getLong(1))
+    def bitSet(hex: String, p: Long): Boolean = {
+      val w = (p / 64).toInt
+      val word = java.lang.Long.parseUnsignedLong(
+        hex.substring(w * 16, w * 16 + 16), 16)
+      (word & (1L << (p % 64))) != 0L
+    }
+    val zk = info.statCols.indexOf(bc)
+    val keep = info.files.filter { e =>
+      val zoneOk = zk < 0 || (e.ranges(zk) match {
+        case Some((mn, mx)) => mn <= value && value <= mx
+        case None           => true
+      })
+      zoneOk && (e.bloomHex match {
+        case Some(hex) => bitSet(hex, p1) && bitSet(hex, p2)
+        case None      => true // no bitmap recorded: never prune
+      })
+    }
+    if (keep.isEmpty) {
+      // provably-absent value: empty relation with the table's schema
+      val schema = spark.read.parquet(s"$dir/${info.files.head.rel}").schema
+      return ScanPlan(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema),
+        0, info.files.size)
+    }
+    val df = spark.read.parquet(keep.map(e => s"$dir/${e.rel}"): _*)
+      .filter(col(bc).cast("long") === value)
+    ScanPlan(df, keep.size, info.files.size)
   }
 
   /** SNAPSHOT DIFF — the CDC report between two committed versions:
@@ -308,7 +496,7 @@ object SnapTable {
     import spark.implicits._
     (1 to v).flatMap { kv =>
       if (!f.exists(manifestPath(dir, kv))) None
-      else Some((kv.toLong, entries(f, dir, kv)._2.size.toLong,
+      else Some((kv.toLong, parseManifest(f, dir, kv).files.size.toLong,
         meta(spark, dir, kv).toSeq.sorted
           .map { case (k, vl) => s"$k=$vl" }.mkString(";")))
     }.toDF("version", "n_files", "meta")

@@ -1320,6 +1320,48 @@ object DedupExt {
       probes.select("q").join(broadcast(ov), Seq("q"), "left")
         .select(col("q"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
         .orderBy("q")
+    }),
+
+    // QD12 EDIT-DISTANCE NEAR-DEDUP — the PassJoin/Ed-Join family
+    // (public literature): the string-similarity granularity the
+    // token-set kernels (qd1/qd3) cannot see — transpositions and
+    // single-character typos that leave the shingle sets nearly
+    // disjoint. Declared contract: per doc, the 24-char prefix;
+    // candidates are pairs sharing at least one of three FIXED 8-char
+    // segments at the SAME position (the pigeonhole seed of the exact
+    // algorithm — segment-match candidate generation is the declared
+    // recall trade, replayed in the oracle exactly like qd3's banding);
+    // verify = exact Levenshtein ≤ 2 (pure integer DP, identical
+    // definition both engines). Pair-unique emission at the FIRST
+    // matching segment (later-segment joins require earlier segments to
+    // differ), so no distinct exchange ever runs. Scale shape: three
+    // equi-joins on (segment text) — unbounded keyspace, bucket sizes
+    // shrink as the corpus grows, AQE-skew-splittable — and the O(s²)
+    // DP runs on CANDIDATES only, never all pairs.
+    "qd12_editdist" -> ((s, d) => {
+      val p = graft.Tables(s, d, "documents")
+        .filter(length(col("text")) >= 24)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("s"))
+        .select(col("doc_id"), col("s"),
+          substring(col("s"), 1, 8).as("g1"),
+          substring(col("s"), 9, 8).as("g2"),
+          substring(col("s"), 17, 8).as("g3"))
+      def side(tag: String) = p.select(
+        col("doc_id").as(s"${tag}_id"), col("s").as(s"${tag}_s"),
+        col("g1").as(s"${tag}_g1"), col("g2").as(s"${tag}_g2"),
+        col("g3").as(s"${tag}_g3"))
+      val a = side("a"); val b = side("b")
+      val lt = col("a_id") < col("b_id")
+      val m1 = a.join(b, col("a_g1") === col("b_g1") && lt)
+      val m2 = a.join(b, col("a_g2") === col("b_g2")
+        && col("a_g1") =!= col("b_g1") && lt)
+      val m3 = a.join(b, col("a_g3") === col("b_g3")
+        && col("a_g1") =!= col("b_g1") && col("a_g2") =!= col("b_g2") && lt)
+      m1.unionByName(m2).unionByName(m3)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+          levenshtein(col("a_s"), col("b_s")).cast("long").as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -2146,6 +2188,31 @@ object DedupExt {
         |       FROM tf JOIN tt USING (q, vec_id) GROUP BY 1),
         |pr AS (SELECT vec_id AS q FROM embeddings WHERE vec_id % 100 = 7)
         |SELECT p.q, COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
-        |FROM pr p LEFT JOIN ov USING (q) ORDER BY q""".stripMargin
+        |FROM pr p LEFT JOIN ov USING (q) ORDER BY q""".stripMargin,
+
+    // qd12: the oracle replays segment-seeded candidate generation
+    // (first-matching-segment pair uniqueness included) and the exact
+    // Levenshtein verify — candidate recall is part of the contract,
+    // exactly like qd3's banding
+    "qd12_editdist" ->
+      """WITH p AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS s,
+        |         substr(text, 1, 8) AS g1, substr(text, 9, 8) AS g2,
+        |         substr(text, 17, 8) AS g3
+        |  FROM documents WHERE length(text) >= 24),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM p a JOIN p b ON a.g1 = b.g1 AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id, a.s, b.s
+        |  FROM p a JOIN p b ON a.g2 = b.g2 AND a.g1 <> b.g1
+        |                   AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id, a.s, b.s
+        |  FROM p a JOIN p b ON a.g3 = b.g3 AND a.g1 <> b.g1 AND a.g2 <> b.g2
+        |                   AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(sa, sb) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

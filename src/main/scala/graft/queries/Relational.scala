@@ -1121,6 +1121,154 @@ object Relational {
           r4(sumDec6(col("l_quantity"))).as("sum_qty"),
           sum(col("l_orderkey")).as("sum_key"))
         .orderBy("change")
+    }),
+
+    // Q64 ROW-LEVEL DELETE — copy-on-write at FILE granularity
+    // (SnapTable.delete): the table lays out range-partitioned on
+    // l_orderkey with manifest zone maps, and a keyed delete (keys in
+    // [1000,2999] with l_linenumber=1) rewrites ONLY the 1-2 files whose
+    // recorded range can contain matching rows — every other file
+    // carries into the new manifest verbatim, bytes untouched. The query
+    // emits the pre-delete version's aggregate (time travel: v1 read
+    // AFTER the delete committed), the post-delete aggregate, the exact
+    // deleted-row count, and cow_bounded = files_rewritten < files_total
+    // AS DATA — so the O(affected files) work bound is hash-checked, not
+    // claimed. At 100 TB this is the GDPR shape: a keyed erasure costs
+    // the files that can contain the key, never a table pass.
+    "q64_snapdelete" -> ((s, d) => {
+      val dir = "target/graft-snapdel/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      graft.operators.SnapTable.commit(s, dir,
+        li.repartitionByRange(8, col("l_orderkey")),
+        statCols = Seq("l_orderkey"))
+      val res = graft.operators.SnapTable.delete(s, dir,
+        col("l_orderkey").between(1000L, 2999L) && col("l_linenumber") === 1,
+        pruneCol = "l_orderkey", lo = 1000L, hi = 2999L)
+      val before = graft.operators.SnapTable.read(s, dir, 1)
+        .agg(count(lit(1)).as("n_before"),
+          r4(sumDec6(col("l_quantity"))).as("sum_before"))
+      val after = graft.operators.SnapTable.read(s, dir, res.version)
+        .agg(count(lit(1)).as("n_after"),
+          r4(sumDec6(col("l_quantity"))).as("sum_after"))
+      before.crossJoin(after)
+        .select(col("n_before"), col("sum_before"), col("n_after"),
+          col("sum_after"), lit(res.rowsDeleted).as("rows_deleted"),
+          lit(res.filesRewritten < res.filesTotal).as("cow_bounded"))
+    }),
+
+    // Q65 BLOOM-FILTER FILE SKIPPING — the point-lookup case zone maps
+    // cannot touch: the table lays out HASH-partitioned on l_orderkey
+    // (every file's key range spans the whole domain), the commit folds
+    // each file's keys into a 64K-bit 2-hash bloom bitmap on its
+    // manifest line, and readWhereEq opens only the files whose bitmap
+    // admits the probe key. `pruned` (files_scanned < files_total) is
+    // hash-checked DATA — fixed hash functions make the scan set
+    // deterministic, so the skipping is contract. At 100 TB a key
+    // lookup on an unsorted corpus costs O(1-2 files + FP rate), never
+    // a scan; false positives only cost extra file opens (the exact
+    // equality predicate still applies), never wrong rows.
+    "q65_bloomskip" -> ((s, d) => {
+      val dir = "target/graft-bloomskip/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      graft.operators.SnapTable.commit(s, dir,
+        li.repartition(8, col("l_orderkey")),
+        bloomCol = "l_orderkey", bloomBits = 65536)
+      val probe = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val plan = graft.operators.SnapTable.readWhereEq(s, dir, probe)
+      plan.df
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+          sum(col("l_linenumber")).as("sum_line"))
+        .select(col("n"), col("sum_qty"), col("sum_line"),
+          lit(plan.filesScanned < plan.filesTotal).as("pruned"))
+    }),
+
+    // Q66 FUNNEL ANALYSIS — the ordered-sequence conversion question
+    // (view → click-after-view → purchase-after-click) every product-
+    // analytics engine answers: stage 1 is a per-user min over views;
+    // each later stage is a narrow equi-join of the previous stage's
+    // per-user timestamp against the next event type with a strictly-
+    // after predicate, then another per-user min. Scale shape: every
+    // stage is one user_id-keyed partial-aggregated groupBy + one
+    // user_id equi-join — all three stages co-partition on the same
+    // key, so at 100 TB the funnel costs one shuffle of each stage's
+    // SURVIVORS (monotonically shrinking), never a session-assembly
+    // sort of the whole event log.
+    "q66_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select("user_id", "event_type", "ts")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_full_funnel")))
+    }),
+
+    // Q67 COHORT RETENTION — users grouped by first-activity week
+    // (pure integer week index: epoch seconds div 604800 — no calendar
+    // functions whose week-start conventions could diverge across
+    // engines), counted distinct per (cohort_week, week_offset). Scale
+    // shape: one user-keyed aggregate finds each user's cohort, one
+    // user_id equi-join tags activity rows, one (cohort, offset)
+    // groupBy counts — the cohort relation is |users| not |events|, so
+    // the join's build side is the small one and the event log streams
+    // through exactly once.
+    "q67_cohort" -> ((s, d) => {
+      val wk = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 604800L).cast(LongType).as("wk"))
+      val cohort = wk.groupBy("user_id").agg(min(col("wk")).as("cw"))
+      wk.join(cohort, "user_id")
+        .groupBy(col("cw").as("cohort_week"),
+          (col("wk") - col("cw")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Q68 PAGERANK — iterative graph centrality in the Pregel shape
+    // (public GraphX/Pregel design), 3 fixed iterations over the
+    // symmetric order↔part bipartite graph, ALL-INTEGER arithmetic so
+    // both engines agree bit for bit: ranks start at 1e6, each node
+    // sends rank div out_degree along its edges, and the update is
+    // 150000 + (85 · Σ incoming) div 100 — the 0.15/0.85 damping in
+    // fixed-point with explicit integer floors (a double PageRank can
+    // never hash-match across engines; this one must). Scale shape:
+    // per iteration exactly one src-keyed equi-join (rank relation is
+    // O(nodes), edges pre-shuffled once on src and reusable every
+    // round) + one dst-keyed partial-aggregated groupBy — no driver-
+    // side graph state, no per-node walks; 3 rounds of 2 narrow
+    // shuffles regardless of corpus size.
+    "q68_pagerank" -> ((s, d) => {
+      val e0 = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + 10000000L).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(e0.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var r = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 3) {
+        val send = r.join(deg.withColumnRenamed("src", "node"), "node")
+          .select(col("node").as("src"), expr("rank div deg").as("c"))
+        r = edges.join(send, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("c")).as("sc"))
+          .select(col("node"),
+            (lit(150000L) + expr("(85 * sc) div 100")).as("rank"))
+      }
+      r.orderBy(col("rank").desc, col("node")).limit(20)
     })
   )
 
@@ -1542,6 +1690,92 @@ object Relational {
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE),
         |  CAST(SUM(l_orderkey) AS BIGINT)
         |FROM removed
-        |ORDER BY change""".stripMargin
+        |ORDER BY change""".stripMargin,
+
+    // q64: the oracle models both versions from the raw table — v1 is
+    // everything, the post-delete state excludes the predicate's rows —
+    // and asserts rows_deleted + cow_bounded; a delete that rewrote the
+    // whole table (or missed a file) would hash-mismatch
+    "q64_snapdelete" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem) AS n_before,
+        |  (SELECT CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE)
+        |     FROM lineitem) AS sum_before,
+        |  (SELECT COUNT(*) FROM lineitem
+        |     WHERE NOT (l_orderkey BETWEEN 1000 AND 2999 AND l_linenumber = 1))
+        |    AS n_after,
+        |  (SELECT CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE)
+        |     FROM lineitem
+        |     WHERE NOT (l_orderkey BETWEEN 1000 AND 2999 AND l_linenumber = 1))
+        |    AS sum_after,
+        |  (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_orderkey BETWEEN 1000 AND 2999 AND l_linenumber = 1)
+        |    AS rows_deleted,
+        |  TRUE AS cow_bounded""".stripMargin,
+
+    // q65: the point-lookup aggregate from the raw table + pruned=TRUE —
+    // a bloom layout that failed to skip any file would hash-mismatch
+    "q65_bloomskip" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+        |  TRUE AS pruned
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem)""".stripMargin,
+
+    // q66: each funnel stage as a CTE chaining strictly-after mins
+    "q66_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, MIN(ts) AS t2 FROM ev
+        |       JOIN s1 ON ev.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, MIN(ts) AS t3 FROM ev
+        |       JOIN s2 ON ev.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY ev.user_id)
+        |SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+        |       (SELECT COUNT(*) FROM s2) AS n_view_click,
+        |       (SELECT COUNT(*) FROM s3) AS n_full_funnel""".stripMargin,
+
+    // q67: integer week indexes (epoch div 604800) — no calendar
+    // week-start conventions anywhere
+    "q67_cohort" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, MIN(wk) AS cw FROM w GROUP BY user_id)
+        |SELECT c.cw AS cohort_week, w.wk - c.cw AS week_offset,
+        |       COUNT(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q68: the three iterations unrolled as CTEs — same integer floors
+    // (// is DuckDB integer division), rank cast back to BIGINT at each
+    // level (DuckDB SUMs BIGINT into HUGEINT)
+    "q68_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_orderkey AS src, l_partkey + 10000000 AS dst
+        |  FROM lineitem),
+        |edges AS (SELECT src, dst FROM e0
+        |          UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        |r1 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+        |       FROM edges e JOIN r0 r ON e.src = r.node
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+        |       FROM edges e JOIN r1 r ON e.src = r.node
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+        |       FROM edges e JOIN r2 r ON e.src = r.node
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst)
+        |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
   )
 }

@@ -170,6 +170,96 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.vacuum(spark, dir, retainLast = 2) == 0)
   }
 
+  test("delete is file-granular copy-on-write: untouched files byte-identical") {
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir,
+      li.repartitionByRange(8, col("l_orderkey")),
+      statCols = Seq("l_orderkey"))
+    // snapshot the physical file inventory before the delete
+    def inventory(): Map[String, (Long, Long)] = {
+      val root = Paths.get(dir, "data")
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          ((Files.size(p), Files.getLastModifiedTime(p).toMillis)))
+        .toMap
+    }
+    val before = inventory()
+    val nBefore = SnapTable.read(spark, dir).count()
+    val res = SnapTable.delete(spark, dir,
+      col("l_orderkey").between(1000L, 2999L) && col("l_linenumber") === 1,
+      pruneCol = "l_orderkey", lo = 1000L, hi = 2999L)
+    assert(res.rowsDeleted > 0)
+    assert(res.filesRewritten < res.filesTotal,
+      s"expected bounded rewrite, got ${res.filesRewritten}/${res.filesTotal}")
+    // v1's files are ALL still on disk, byte-identical (CoW, time travel)
+    val after = inventory()
+    before.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"pre-delete file changed: $p")
+    }
+    // semantics: exactly the predicate's rows are gone, v1 unchanged
+    val cur = SnapTable.read(spark, dir)
+    assert(cur.count() == nBefore - res.rowsDeleted)
+    assert(cur.filter(col("l_orderkey").between(1000L, 2999L)
+      && col("l_linenumber") === 1).count() == 0)
+    assert(SnapTable.read(spark, dir, 1).count() == nBefore)
+    // the rewritten files' zone maps recomputed: a key-range read prunes
+    val plan = SnapTable.readWhere(spark, dir,
+      statCol = "l_orderkey", lo = 1000L, hi = 2999L)
+    assert(plan.filesScanned < plan.filesTotal)
+    // a delete matching nothing commits nothing
+    val v = SnapTable.latestVersion(spark, dir)
+    val noop = SnapTable.delete(spark, dir, col("l_orderkey") === -1L,
+      pruneCol = "l_orderkey", lo = -1L, hi = -1L)
+    assert(noop.rowsDeleted == 0 && noop.version == v)
+    assert(SnapTable.latestVersion(spark, dir) == v)
+  }
+
+  test("bloom skipping: point lookups prune a hash layout, results exact") {
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir,
+      li.repartition(8, col("l_orderkey")),
+      bloomCol = "l_orderkey", bloomBits = 65536)
+    val someKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val plan = SnapTable.readWhereEq(spark, dir, someKey)
+    assert(plan.filesTotal == 8)
+    assert(plan.filesScanned < plan.filesTotal,
+      s"expected bloom pruning, scanned ${plan.filesScanned}/${plan.filesTotal}")
+    val expected = li.filter(col("l_orderkey") === someKey).count()
+    assert(plan.df.count() == expected && expected > 0)
+    // a value provably absent everywhere scans zero files, empty result
+    val absent = SnapTable.readWhereEq(spark, dir, -424242L)
+    assert(absent.filesScanned == 0 && absent.df.count() == 0)
+    // bloom survives appends (config must match) and compaction
+    SnapTable.commit(spark, dir, li.limit(0), append = true,
+      bloomCol = "l_orderkey", bloomBits = 65536)
+    intercept[IllegalArgumentException] {
+      SnapTable.commit(spark, dir, li.limit(0), append = true) // no bloom decl
+    }
+    SnapTable.compact(spark, dir, targetFiles = 2)
+    val planC = SnapTable.readWhereEq(spark, dir, someKey)
+    assert(planC.df.count() == expected)
+    assert(planC.filesTotal == 2)
+  }
+
+  test("zone maps and bloom compose on the same commit") {
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir,
+      li.repartitionByRange(8, col("l_orderkey")),
+      statCols = Seq("l_orderkey"), bloomCol = "l_orderkey", bloomBits = 65536)
+    // range read uses zone maps
+    val byRange = SnapTable.readWhere(spark, dir,
+      statCol = "l_orderkey", lo = 100L, hi = 300L)
+    assert(byRange.filesScanned < byRange.filesTotal)
+    // point read: zone maps narrow to the one covering file, bloom
+    // confirms — on a range layout the zone map alone already prunes
+    val someKey = li.agg(min(col("l_orderkey"))).head().getLong(0)
+    val eq = SnapTable.readWhereEq(spark, dir, someKey)
+    assert(eq.filesScanned <= 2)
+    assert(eq.df.count() == li.filter(col("l_orderkey") === someKey).count())
+  }
+
   test("overwrite commit replaces state; history remains") {
     SnapTable.destroy(spark, dir)
     SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0))
