@@ -355,6 +355,16 @@ object SnapTable {
     deleted
   }
 
+  /** Relative data-file paths of a committed version, in manifest
+    * order — the immutable membership a derived consumer (incremental
+    * MV, index append, CDC reader) can re-derive forever. */
+  def files(spark: SparkSession, dir: String, version: Int = 0): Seq[String] = {
+    val f = fs(spark, dir)
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    parseManifest(f, dir, v).files.map(_.rel)
+  }
+
   /** Commit metadata (`#meta:` header lines) of a version. */
   def meta(spark: SparkSession, dir: String, version: Int = 0): Map[String, String] = {
     val f = fs(spark, dir)

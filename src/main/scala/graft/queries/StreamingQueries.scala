@@ -254,6 +254,46 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // S18 INCREMENTAL MV OFF THE COMMIT LOG — streaming materialized-
+    // view maintenance made exactly-once BY CONSTRUCTION: the base is
+    // the s16 snapshot sink (atomic batchId-guarded commits), and the
+    // MV's delta feed is the MANIFEST DIFF between synced versions
+    // (operators/SnapMv) — version v's new files are immutable forever,
+    // so a crash-replayed sync re-derives the IDENTICAL delta and the
+    // pointer swap is the only commit point. No fold can ever apply
+    // twice, with no careful crash-window reasoning: every step is a
+    // pure function of durable state. Batch form below = two commits +
+    // two syncs, the summary read back with its (generation, synced
+    // version) pinned as data; Streams.s18 is the streaming form,
+    // spec-asserted equal across a checkpointed restart (MvStreamSpec).
+    "s18_mvstream" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tdir = "target/graft-mvstream-tbl/" + tag
+      val mdir = "target/graft-mvstream-mv/" + tag
+      graft.operators.SnapTable.destroy(s, tdir)
+      graft.operators.SnapMv.destroy(s, mdir)
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val spec = graft.operators.SnapMv.MvSpec(
+        groupCols = Seq("event_type"),
+        sums = Seq(Conv.dec6(col("value"))),
+        maxs = Seq(col("event_id")))
+      graft.operators.SnapTable.commit(s, tdir,
+        e.filter(col("event_id") % 2 === 0),
+        append = true, meta = Map("batchId" -> "0"))
+      graft.operators.SnapMv.sync(s, tdir, mdir, spec)
+      graft.operators.SnapTable.commit(s, tdir,
+        e.filter(col("event_id") % 2 === 1),
+        append = true, meta = Map("batchId" -> "1"))
+      val st = graft.operators.SnapMv.sync(s, tdir, mdir, spec)
+      graft.operators.SnapMv.read(s, mdir)
+        .select(col("event_type"), col("_cnt").as("n"),
+          Conv.r4(col("_sum_0")).as("sum_v"), col("_max_0").as("max_id"),
+          lit(st.generation.toLong).as("mv_gen"),
+          lit(st.syncedVersion.toLong).as("synced"))
+        .orderBy("event_type")
+    }),
+
     // S17 the COMPOSED ingest pipeline — the three production verbs
     // this suite built separately, chained: per batch, (1) dedup
     // verdicts against the persisted corpus index (s12's kernel),
@@ -454,6 +494,15 @@ object StreamingQueries {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_v,
         |  CAST(2 AS BIGINT) AS versions
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // s18: the MV's end state from the raw table; (mv_gen, synced)=2
+    // pin the per-version fold protocol as data
+    "s18_mvstream" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_v,
+        |  MAX(event_id) AS max_id,
+        |  CAST(2 AS BIGINT) AS mv_gen, CAST(2 AS BIGINT) AS synced
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // s12: the two-batch staged ingest replayed in SQL — shared
@@ -988,6 +1037,32 @@ object Streams {
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         s16CommitBatch(spark, tableDir, b, id); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** S18 as streaming: incremental MV maintenance off the snapshot
+    * table's commit log. Per micro-batch: the s16 atomic commit
+    * (batchId-guarded), then `SnapMv.sync` folds every not-yet-synced
+    * version's manifest-diff delta into the summary. Exactly-once
+    * needs no extra guard — commit replays are skipped by the batchId,
+    * and sync is a pure function of (table manifests, MV pointer), so
+    * a crash anywhere re-derives the identical state. */
+  def s18(spark: SparkSession, tableDir: String, mvDir: String,
+          inDir: String, checkpoint: String,
+          spec: graft.operators.SnapMv.MvSpec): Unit = {
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val q = spark.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        s16CommitBatch(spark, tableDir, b, id)
+        graft.operators.SnapMv.sync(spark, tableDir, mvDir, spec); ()
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
