@@ -659,6 +659,30 @@ object TextExt {
     // dedup: non-adjacent repeats survive. n_orig/n_norm pin the drop
     // counts; the rolling-hash fingerprint pins the stitched CONTENT
     // (empty result pinned to fp 0, the qt13 cross-engine guard).
+    // qt18 CONTENT-DEFINED CHUNKING — the storage-dedup boundary rule
+    // (the FastCDC/gear-hash family, public literature) applied at
+    // token granularity: a chunk boundary falls AFTER token i wherever
+    // the rolling hash of the 4-token window ending at i ≡ 0 (mod 32)
+    // — so boundaries are determined by CONTENT, and an insertion
+    // early in a document shifts only the chunks it touches, where
+    // qt10's fixed-stride windows shift every subsequent chunk (the
+    // whole point of CDC for dedup). Per chunk: 1-based index, token
+    // count, rolling-hash fingerprint; `dup` flags fingerprints seen
+    // ≥2 times across the corpus chunk multiset. Scale shape: the
+    // split is ONE row-local scan (array HOFs, no shuffle before the
+    // explode); the dup flag is one fp-keyed partial-aggregated
+    // groupBy + one equi-join — qd8's unbounded-key aggregate shape,
+    // AQE-skew-splittable.
+    "qt18_cdcchunk" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val chunks = cdcChunks(t(s, d, "documents"))
+      val cnt = chunks.groupBy("fp").agg(count(lit(1)).as("cnt"))
+      chunks.join(cnt, Seq("fp"))
+        .select(col("doc_id"), col("k"), col("nt"), col("fp"),
+          (col("cnt") >= 2).as("dup"))
+        .orderBy("doc_id", "k")
+    }),
+
     "qt15_normalize" -> ((s, d) => {
       graft.plans.RollHash31.register(s)
       t(s, d, "documents")
@@ -827,6 +851,32 @@ object TextExt {
        |           ch -> CAST(unicode(ch) AS BIGINT))),
        |         (acc, x) -> (acc * 31 + x) % $P) END AS cleaned_fp
        |FROM x ORDER BY doc_id""".stripMargin
+
+  /** qt18's row-local content-defined split: (doc_id, k, nt, fp) chunk
+    * rows — a boundary falls after token i where the rolling hash of
+    * the 4-token window ending at i ≡ 0 (mod 32), so boundaries move
+    * with CONTENT and an edit perturbs only the chunks it touches
+    * (CdcChunkSpec pins the shift-resistance property). Expects
+    * (doc_id, text); caller registers roll_hash31 or runs under
+    * GraftExtensions. */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+        // sequence(4, n-1) DESCENDS when n-1 < 4 — guard short docs
+        expr("IF(size(tk) >= 5, filter(sequence(4, size(tk) - 1), " +
+          "i -> roll_hash31(concat_ws(' ', slice(tk, i - 3, 4))) % 32 = 0), " +
+          "array())").as("bounds"))
+      .select(col("doc_id"), col("tk"),
+        expr("concat(array(1), transform(bounds, b -> b + 1))").as("starts"),
+        expr("concat(bounds, array(size(tk)))").as("ends"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(starts)), k -> named_struct(" +
+          "'k', CAST(k AS BIGINT), " +
+          "'nt', CAST(ends[k-1] - starts[k-1] + 1 AS BIGINT), " +
+          "'fp', roll_hash31(concat_ws(' ', " +
+          "slice(tk, starts[k-1], ends[k-1] - starts[k-1] + 1)))))")).as("c"))
+      .select(col("doc_id"), col("c.k"), col("c.nt"), col("c.fp"))
 
   val oracle: Map[String, String] = Map(
     "qt1_langid" -> {
@@ -1219,6 +1269,38 @@ object TextExt {
         |           ch -> CAST(unicode(ch) AS BIGINT))),
         |         (acc, x) -> (acc * 31 + x) % $P) END AS fp_norm
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // qt18: boundaries, chunk slices, fingerprints, and the corpus dup
+    // flag replayed with DuckDB list comprehensions (1-based inclusive
+    // slices, generate_series empty when reversed — matching the
+    // Spark side's guarded sequence)
+    "qt18_cdcchunk" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, tk,
+        |        [i FOR i IN generate_series(4, len(tk) - 1)
+        |         IF list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(array_to_string(tk[i-3:i], ' '), ''),
+        |                ch -> CAST(unicode(ch) AS BIGINT))),
+        |              (acc, x) -> (acc * 31 + x) % $P) % 32 = 0] AS bounds
+        |      FROM t),
+        |se AS (SELECT doc_id, tk,
+        |         list_prepend(1, list_transform(bounds, x -> x + 1)) AS starts,
+        |         list_append(bounds, len(tk)) AS ends
+        |       FROM b),
+        |c AS (SELECT doc_id, tk, starts, ends,
+        |        unnest(generate_series(1, len(starts))) AS k
+        |      FROM se),
+        |ch AS (SELECT doc_id, CAST(k AS BIGINT) AS k,
+        |         CAST(ends[k] - starts[k] + 1 AS BIGINT) AS nt,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(array_to_string(tk[starts[k]:ends[k]], ' '), ''),
+        |             ch -> CAST(unicode(ch) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % $P) AS fp
+        |       FROM c),
+        |cnt AS (SELECT fp, COUNT(*) AS cnt FROM ch GROUP BY fp)
+        |SELECT ch.doc_id, ch.k, ch.nt, ch.fp, cnt.cnt >= 2 AS dup
+        |FROM ch JOIN cnt USING (fp)
+        |ORDER BY doc_id, k""".stripMargin,
 
     // qx7: the physical write order must reproduce qx6's LOGICAL
     // contract — same oracle text, so a hash match proves the layout
