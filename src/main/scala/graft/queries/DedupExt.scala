@@ -1322,6 +1322,70 @@ object DedupExt {
         .orderBy("q")
     }),
 
+    // QS11 HYBRID SEARCH — Reciprocal Rank Fusion of a lexical ranker
+    // and a vector ranker (the production retrieval shape behind RAG
+    // corpora; RRF is the public Cormack/Clarke/Buettcher method):
+    // text side = qt14's BM25 restricted to the declared query terms
+    // (per-term scores rounded into exact decimals so the per-doc SUM
+    // is order-independent), vector side = exact fixed-point cosine
+    // against the probe vector (vec 7; the serving path would ride
+    // qs3's banded index — the exact rank here makes the FUSION
+    // mechanics the thing under test, qs5's honesty convention), both
+    // capped at top-50 under total (score, id) orders; fusion score =
+    // Σ 1/(60+rank) over the lists containing the doc — two correctly-
+    // rounded IEEE divisions and one add, bit-identical cross-engine,
+    // ties broken by doc_id. Scale shape: the BM25 aggregate touches
+    // only rows of the (tiny) query-term posting lists, corpus stats
+    // are a one-row broadcast, the top-50 caps are TakeOrdered, and
+    // the fusion join is a 50×50 full-outer — O(k), never O(corpus).
+    "qs11_hybrid" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val qterms = Seq("customer", "order", "part")
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast(LongType).as("dl"),
+          explode(col("tk")).as("term"))
+      val tf = tk.filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val g = t(s, d, "documents")
+        .select(size(split(col("text"), " ")).cast(LongType).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      def dbl(c: String): Column = col(c).cast(DoubleType)
+      val idf = (dbl("n") - dbl("df") + lit(0.5)) / (dbl("df") + lit(0.5))
+      val tfn = dbl("tf") * lit(2.2) /
+        (dbl("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (dbl("dl") * dbl("n") / dbl("sdl"))))
+      val ts = tf.join(dfreq, Seq("term")).crossJoin(broadcast(g))
+        .withColumn("sc", round((idf * tfn).cast(DecimalType(18, 8)), 6))
+        .groupBy("doc_id").agg(sum(col("sc")).as("tscore"))
+      val wT = org.apache.spark.sql.expressions.Window
+        .orderBy(col("tscore").desc, col("doc_id"))
+      val tr = ts.orderBy(col("tscore").desc, col("doc_id")).limit(50)
+        .withColumn("t_rk", row_number().over(wT).cast(LongType))
+        .select("doc_id", "t_rk")
+      val emb = graft.operators.OpCaches.track(embQ(s, d))
+      val qv = broadcast(emb.filter(col("vec_id") === 7)
+        .select(col("ei").as("qe")))
+      val vs = emb.filter(col("vec_id") =!= 7).crossJoin(qv)
+        .select(col("vec_id"),
+          round(expr(dotL("ei", "qe")).cast(DoubleType)
+            / (sqrt(expr(dotL("ei", "ei")).cast(DoubleType))
+              * sqrt(expr(dotL("qe", "qe")).cast(DoubleType))), 6)
+            .cast(DoubleType).as("vscore"))
+      val wV = org.apache.spark.sql.expressions.Window
+        .orderBy(col("vscore").desc, col("vec_id"))
+      val vr = vs.orderBy(col("vscore").desc, col("vec_id")).limit(50)
+        .withColumn("v_rk", row_number().over(wV).cast(LongType))
+        .select(col("vec_id").as("doc_id"), col("v_rk"))
+      tr.join(vr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("t_rk"), col("v_rk"),
+          round(coalesce(lit(1.0) / (lit(60L) + col("t_rk")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60L) + col("v_rk")), lit(0.0)), 8)
+            .cast(DoubleType).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+
     // QD12 EDIT-DISTANCE NEAR-DEDUP — the PassJoin/Ed-Join family
     // (public literature): the string-similarity granularity the
     // token-set kernels (qd1/qd3) cannot see — transpositions and
@@ -2189,6 +2253,58 @@ object DedupExt {
         |pr AS (SELECT vec_id AS q FROM embeddings WHERE vec_id % 100 = 7)
         |SELECT p.q, COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
         |FROM pr p LEFT JOIN ov USING (q) ORDER BY q""".stripMargin,
+
+    // qs11: BM25 over the query-term posting lists (qt14's CTEs), the
+    // exact fixed-point cosine rank against vec 7 (qs5's kernel), both
+    // top-50, RRF-fused on rank reciprocals
+    "qs11_hybrid" ->
+      s"""WITH tk AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |              unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tk
+        |       WHERE term IN ('customer', 'order', 'part') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS n, SUM(dl2) AS sdl
+        |      FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS dl2
+        |            FROM documents)),
+        |sc AS (SELECT doc_id,
+        |         ROUND(CAST(
+        |           ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |              / (CAST(df AS DOUBLE) + 0.5))
+        |           * (CAST(tf AS DOUBLE) * 2.2
+        |              / (CAST(tf AS DOUBLE) + 1.2
+        |                 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)
+        |                                   / CAST(sdl AS DOUBLE)))))
+        |           AS DECIMAL(18,8)), 6) AS sc
+        |       FROM tf JOIN dfreq USING (term), g),
+        |ts AS (SELECT doc_id, SUM(sc) AS tscore FROM sc GROUP BY 1),
+        |tr AS (SELECT doc_id, t_rk FROM (
+        |         SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |           (ORDER BY tscore DESC, doc_id) AS BIGINT) AS t_rk FROM ts)
+        |       WHERE t_rk <= 50),
+        |idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |qn AS (SELECT n2 AS qn2 FROM norms WHERE vec_id = 7),
+        |vd AS (SELECT v.vec_id, SUM(v.xi * u.xi) AS dot
+        |       FROM ex v JOIN ex u ON u.i = v.i AND u.vec_id = 7
+        |       WHERE v.vec_id <> 7 GROUP BY 1),
+        |vsc AS (SELECT d.vec_id,
+        |          CAST(ROUND(CAST(dot AS DOUBLE)
+        |            / (SQRT(CAST(vn.n2 AS DOUBLE)) * SQRT(CAST(qn2 AS DOUBLE))), 6)
+        |            AS DOUBLE) AS vscore
+        |        FROM vd d JOIN norms vn ON vn.vec_id = d.vec_id, qn),
+        |vr AS (SELECT doc_id, v_rk FROM (
+        |         SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER
+        |           (ORDER BY vscore DESC, vec_id) AS BIGINT) AS v_rk FROM vsc)
+        |       WHERE v_rk <= 50)
+        |SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, t_rk, v_rk,
+        |  CAST(ROUND(COALESCE(1.0/(60 + t_rk), 0.0)
+        |    + COALESCE(1.0/(60 + v_rk), 0.0), 8) AS DOUBLE) AS rrf
+        |FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // qd12: the oracle replays segment-seeded candidate generation
     // (first-matching-segment pair uniqueness included) and the exact

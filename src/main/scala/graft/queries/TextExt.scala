@@ -683,6 +683,35 @@ object TextExt {
         .orderBy("doc_id", "k")
     }),
 
+    // Q69 K-ANONYMITY GENERALIZATION — the privacy gate a training-data
+    // release pipeline runs before publishing per-group statistics:
+    // a (lang, source) group smaller than k=10 could re-identify its
+    // members, so small groups climb a declared generalization ladder —
+    // level 0 (lang, source) → level 1 (lang, *) → level 2 (*, *) —
+    // until the merged group reaches k (the last level publishes
+    // unconditionally, standard k-anonymity practice). Every document
+    // lands in exactly one published group. Scale shape: ONE corpus
+    // aggregate produces the level-0 summary; every ladder step then
+    // re-aggregates the (tiny) summary, never the corpus — the
+    // generalization lattice walk costs O(groups), not O(rows).
+    "q69_kanon" -> ((s, d) => {
+      val k = 10L
+      val g0 = t(s, d, "documents").groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+      val pub0 = g0.filter(col("n") >= k)
+        .select(col("lang"), col("source"), col("n"), lit(0L).as("level"))
+      val g1 = g0.filter(col("n") < k)
+        .groupBy("lang").agg(sum(col("n")).as("n"))
+      val pub1 = g1.filter(col("n") >= k)
+        .select(col("lang"), lit("*").as("source"), col("n"), lit(1L).as("level"))
+      val pub2 = g1.filter(col("n") < k)
+        .agg(sum(col("n")).as("n")).filter(col("n").isNotNull)
+        .select(lit("*").as("lang"), lit("*").as("source"), col("n"),
+          lit(2L).as("level"))
+      pub0.unionByName(pub1).unionByName(pub2)
+        .orderBy("level", "lang", "source")
+    }),
+
     "qt15_normalize" -> ((s, d) => {
       graft.plans.RollHash31.register(s)
       t(s, d, "documents")
@@ -1269,6 +1298,23 @@ object TextExt {
         |           ch -> CAST(unicode(ch) AS BIGINT))),
         |         (acc, x) -> (acc * 31 + x) % $P) END AS fp_norm
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // q69: the generalization ladder replayed on the group summary
+    "q69_kanon" ->
+      """WITH g0 AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |pub0 AS (SELECT lang, source, n, CAST(0 AS BIGINT) AS level
+        |         FROM g0 WHERE n >= 10),
+        |g1 AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n FROM g0
+        |       WHERE n < 10 GROUP BY lang),
+        |pub1 AS (SELECT lang, '*' AS source, n, CAST(1 AS BIGINT) AS level
+        |         FROM g1 WHERE n >= 10),
+        |pub2 AS (SELECT '*' AS lang, '*' AS source,
+        |           CAST(SUM(n) AS BIGINT) AS n, CAST(2 AS BIGINT) AS level
+        |         FROM g1 WHERE n < 10 HAVING SUM(n) IS NOT NULL)
+        |SELECT * FROM pub0 UNION ALL SELECT * FROM pub1
+        |UNION ALL SELECT * FROM pub2
+        |ORDER BY level, lang, source""".stripMargin,
 
     // qt18: boundaries, chunk slices, fingerprints, and the corpus dup
     // flag replayed with DuckDB list comprehensions (1-based inclusive
