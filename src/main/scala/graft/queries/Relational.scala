@@ -1282,6 +1282,81 @@ object Relational {
             (lit(150000L) + expr("(85 * sc) div 100")).as("rank"))
       }
       r.orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
+    // Q70 DATA-QUALITY VALIDATION SUITE — the Deequ-style constraint
+    // gate (public Amazon Deequ design) an ingest pipeline runs before
+    // publishing a table: each declared constraint emits (check,
+    // violations, ok) AS DATA, so the quality contract is hash-checked
+    // like any other result. Checks: completeness (null l_shipdate),
+    // key uniqueness ((l_orderkey, l_linenumber, l_extendedprice) — the
+    // documented unique key of this synthetic lineitem), referential
+    // integrity (orders → customer as a LEFT ANTI join), domain range
+    // (l_quantity ∈ [1,50]), and positivity (l_extendedprice > 0).
+    // Scale shape: the three row-local lineitem checks FUSE into ONE
+    // aggregate pass (conditional sums — no per-check scans);
+    // uniqueness is one distinct-count aggregate; the FK check is one
+    // anti join that AQE broadcasts (customer keys are the small
+    // side). Five constraints, three passes, zero driver loops.
+    "q70_dqcheck" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val fused = li.agg(
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+          .as("v_range"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v_pos"))
+      val uniq = li.agg((count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))).as("v_dup"))
+      val orphans = t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      val rows = fused.crossJoin(uniq).crossJoin(orphans)
+      def check(name: String, c: String) =
+        rows.select(lit(name).as("check"), col(c).as("violations"),
+          (col(c) === 0).as("ok"))
+      check("fk_orders_customer", "v_fk")
+        .unionByName(check("key_uniqueness", "v_dup"))
+        .unionByName(check("nonpositive_price", "v_pos"))
+        .unionByName(check("null_shipdate", "v_null"))
+        .unionByName(check("quantity_range", "v_range"))
+        .orderBy("check")
+    }),
+
+    // Q71 Z-SCORE ANOMALY DETECTION — the metric-monitoring question
+    // over the event stream: per event type, how many values sit more
+    // than 3σ from the mean. Statistics come from q33's exact-decimal
+    // moment regime (Σx/Σx² accumulate order-independently; sqrt/
+    // divide in double only at the end, ROUNDED so the per-row
+    // comparison uses identical displayed values in both engines —
+    // never an invisible ulp). Scale shape: one partial-aggregated
+    // stats pass (5 rows out), stats BROADCAST back onto the event
+    // scan, one more partial-aggregated pass for the verdict counts —
+    // two corpus scans, no window, no sort.
+    "q71_anomaly" -> ((s, d) => {
+      val D2810 = DecimalType(28, 10)
+      val e = t(s, d, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val stats = e.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(D2810)).as("sx"),
+          sum((col("value") * col("value")).cast(D2810)).as("sx2"))
+        .select(col("event_type"), col("n"),
+          round(col("sx").cast(DoubleType) / col("n"), 6)
+            .cast(DoubleType).as("mean"),
+          round(sqrt((col("n") * col("sx2") - col("sx") * col("sx"))
+            .cast(DoubleType) / (col("n") * (col("n") - 1))), 6)
+            .cast(DoubleType).as("sd"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          abs(col("value").cast(DoubleType) - col("mean")).as("dev"),
+          col("sd"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          sum(when(col("dev") > lit(3.0) * col("sd"), 1L).otherwise(0L))
+            .as("n_out"),
+          round(max(col("dev")), 4).cast(DoubleType).as("max_dev"))
+        .orderBy("event_type")
     })
   )
 
@@ -1789,6 +1864,45 @@ object Relational {
         |         CAST(150000 + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
         |       FROM edges e JOIN r2 r ON e.src = r.node
         |       JOIN deg d ON d.src = e.src GROUP BY e.dst)
-        |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+        |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    // q70: each constraint replayed as a scalar; ok mirrors
+    // violations = 0
+    "q70_dqcheck" ->
+      """WITH m AS (SELECT
+        |  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS v_fk,
+        |  (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber,
+        |     l_extendedprice)) FROM lineitem) AS v_dup,
+        |  (SELECT COUNT(*) FILTER (l_extendedprice <= 0) FROM lineitem) AS v_pos,
+        |  (SELECT COUNT(*) FILTER (l_shipdate IS NULL) FROM lineitem) AS v_null,
+        |  (SELECT COUNT(*) FILTER (NOT l_quantity BETWEEN 1 AND 50)
+        |     FROM lineitem) AS v_range)
+        |SELECT 'fk_orders_customer' AS "check", CAST(v_fk AS BIGINT) AS violations,
+        |       v_fk = 0 AS ok FROM m
+        |UNION ALL SELECT 'key_uniqueness', CAST(v_dup AS BIGINT), v_dup = 0 FROM m
+        |UNION ALL SELECT 'nonpositive_price', CAST(v_pos AS BIGINT), v_pos = 0 FROM m
+        |UNION ALL SELECT 'null_shipdate', CAST(v_null AS BIGINT), v_null = 0 FROM m
+        |UNION ALL SELECT 'quantity_range', CAST(v_range AS BIGINT), v_range = 0 FROM m
+        |ORDER BY "check"""".stripMargin,
+
+    // q71: q33's moment expressions per event type, verdicts against
+    // the ROUNDED displayed statistics
+    "q71_anomaly" ->
+      """WITH e AS (SELECT event_type, value FROM events
+        |           WHERE value IS NOT NULL),
+        |st AS (SELECT event_type, COUNT(*) AS n,
+        |  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+        |    / COUNT(*), 6) AS DOUBLE) AS mean,
+        |  CAST(ROUND(SQRT(CAST(COUNT(*)*SUM(CAST(value*value AS DECIMAL(28,10)))
+        |    - SUM(CAST(value AS DECIMAL(28,10)))*SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+        |    / (COUNT(*)*(COUNT(*)-1))), 6) AS DOUBLE) AS sd
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_type, MAX(n) AS n,
+        |  CAST(SUM(CASE WHEN ABS(CAST(value AS DOUBLE) - mean) > 3.0 * sd
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+        |  CAST(ROUND(MAX(ABS(CAST(value AS DOUBLE) - mean)), 4) AS DOUBLE) AS max_dev
+        |FROM e JOIN st USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
