@@ -317,6 +317,52 @@ object SnapTable {
     DeleteResult(nv, deleted, cand.size, info.files.size)
   }
 
+  /** ROW-LEVEL UPDATE — the third copy-on-write DML verb (MERGE lives
+    * in [[Lakehouse]], DELETE above): rows matching `cond` take the
+    * `set` expressions, every other row carries unchanged, and only
+    * files the zone-map hint admits are rewritten (same
+    * implied-predicate contract as `delete`). The rewritten files'
+    * zone/bloom cells recompute, so an update that moves a stat
+    * column's range keeps pruning truthful. */
+  def update(spark: SparkSession, dir: String, cond: Column,
+             set: Map[String, Column], pruneCol: String = null,
+             lo: Long = Long.MinValue, hi: Long = Long.MaxValue): DeleteResult = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    val info = parseManifest(f, dir, v)
+    val k = if (pruneCol == null) -1 else {
+      val i = info.statCols.indexOf(pruneCol)
+      require(i >= 0, s"no recorded stats for $pruneCol (have ${info.statCols})")
+      i
+    }
+    val (cand, untouched) = info.files.partition { e =>
+      k < 0 || (e.ranges(k) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
+      })
+    }
+    if (cand.isEmpty) return DeleteResult(v, 0L, 0, info.files.size)
+    val candDf = spark.read.parquet(cand.map(e => s"$dir/${e.rel}"): _*)
+    val updated = candDf.filter(cond).count()
+    if (updated == 0L) return DeleteResult(v, 0L, 0, info.files.size)
+    require(set.keySet.subsetOf(candDf.columns.toSet),
+      s"unknown update columns: ${set.keySet -- candDf.columns.toSet}")
+    // one select so cond and every RHS evaluate against the ORIGINAL
+    // row (chained withColumn would let later expressions see earlier
+    // updates — not SQL UPDATE semantics)
+    val applied = candDf.select(candDf.columns.map { c =>
+      set.get(c) match {
+        case Some(e) => when(cond, e).otherwise(col(c)).as(c)
+        case None    => col(c)
+      }
+    }: _*)
+    val (nv, _) = writeCommit(spark, dir, applied,
+      untouched.map(_.raw), info.statCols, info.bloom,
+      Map("updateFrom" -> v.toString))
+    DeleteResult(nv, updated, cand.size, info.files.size)
+  }
+
   /** VACUUM: physically delete data files no retained manifest
     * references. `retainLast` manifests (ending at the current version)
     * survive; older manifests are dropped too, so time travel is

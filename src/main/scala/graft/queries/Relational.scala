@@ -1158,6 +1158,37 @@ object Relational {
           lit(res.filesRewritten < res.filesTotal).as("cow_bounded"))
     }),
 
+    // Q72 ROW-LEVEL UPDATE — the third copy-on-write DML verb (q58
+    // MERGE, q64 DELETE): keyed rows take the set expressions, only
+    // zone-map-admitted files rewrite (cond and every RHS evaluate
+    // against the ORIGINAL row — SQL UPDATE semantics), untouched
+    // files carry verbatim, and the pre-update version stays readable.
+    // Emits before/after aggregates + rows_updated + the O(affected
+    // files) bound as hash-checked data, like q64.
+    "q72_snapupdate" -> ((s, d) => {
+      val dir = "target/graft-snapupd/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      graft.operators.SnapTable.commit(s, dir,
+        li.repartitionByRange(8, col("l_orderkey")),
+        statCols = Seq("l_orderkey"))
+      val res = graft.operators.SnapTable.update(s, dir,
+        col("l_orderkey").between(1000L, 2999L) && col("l_linenumber") === 2,
+        Map("l_quantity" -> (col("l_quantity") + 5)),
+        pruneCol = "l_orderkey", lo = 1000L, hi = 2999L)
+      val before = graft.operators.SnapTable.read(s, dir, 1)
+        .agg(count(lit(1)).as("n_before"),
+          r4(sumDec6(col("l_quantity"))).as("sum_before"))
+      val after = graft.operators.SnapTable.read(s, dir, res.version)
+        .agg(count(lit(1)).as("n_after"),
+          r4(sumDec6(col("l_quantity"))).as("sum_after"))
+      before.crossJoin(after)
+        .select(col("n_before"), col("sum_before"), col("n_after"),
+          col("sum_after"), lit(res.rowsDeleted).as("rows_updated"),
+          lit(res.filesRewritten < res.filesTotal).as("cow_bounded"))
+    }),
+
     // Q65 BLOOM-FILTER FILE SKIPPING — the point-lookup case zone maps
     // cannot touch: the table lays out HASH-partitioned on l_orderkey
     // (every file's key range spans the whole domain), the commit folds
@@ -1800,6 +1831,23 @@ object Relational {
         |  (SELECT COUNT(*) FROM lineitem
         |     WHERE l_orderkey BETWEEN 1000 AND 2999 AND l_linenumber = 1)
         |    AS rows_deleted,
+        |  TRUE AS cow_bounded""".stripMargin,
+
+    // q72: both versions modeled from the raw table — post-update rows
+    // in the key range with linenumber 2 carry +5
+    "q72_snapupdate" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem) AS n_before,
+        |  (SELECT CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE)
+        |     FROM lineitem) AS sum_before,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_after,
+        |  (SELECT CAST(ROUND(SUM(CAST(l_quantity +
+        |       CASE WHEN l_orderkey BETWEEN 1000 AND 2999 AND l_linenumber = 2
+        |            THEN 5 ELSE 0 END AS DECIMAL(18,6))),4) AS DOUBLE)
+        |     FROM lineitem) AS sum_after,
+        |  (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_orderkey BETWEEN 1000 AND 2999 AND l_linenumber = 2)
+        |    AS rows_updated,
         |  TRUE AS cow_bounded""".stripMargin,
 
     // q65: the point-lookup aggregate from the raw table + pruned=TRUE —

@@ -216,6 +216,42 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.latestVersion(spark, dir) == v)
   }
 
+  test("update is copy-on-write with original-row semantics") {
+    SnapTable.destroy(spark, dir)
+    SnapTable.commit(spark, dir,
+      li.repartitionByRange(8, col("l_orderkey")),
+      statCols = Seq("l_orderkey"))
+    val nBefore = SnapTable.read(spark, dir).count()
+    // swap-style update: quantity takes linenumber's value and
+    // linenumber takes quantity's — both RHS must see ORIGINAL values
+    val cond = col("l_orderkey").between(500L, 999L)
+    val probe = SnapTable.read(spark, dir).filter(cond)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      .limit(1).collect().head
+    val res = SnapTable.update(spark, dir, cond,
+      Map("l_quantity" -> col("l_linenumber").cast("double"),
+        "l_linenumber" -> col("l_quantity").cast("int")),
+      pruneCol = "l_orderkey", lo = 500L, hi = 999L)
+    assert(res.rowsDeleted > 0 && res.filesRewritten < res.filesTotal)
+    val cur = SnapTable.read(spark, dir)
+    assert(cur.count() == nBefore) // updates never change cardinality
+    // the probed row swapped its two fields exactly once
+    val got = cur.filter(col("l_orderkey") === probe.getLong(0)
+        && col("l_linenumber") === probe.getDouble(2).toInt
+        && col("l_quantity") === probe.getInt(1).toDouble)
+      .count()
+    assert(got >= 1, "swap must reflect original-row values")
+    // v1 unchanged (time travel)
+    assert(SnapTable.read(spark, dir, 1).filter(cond)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      .limit(1).collect().head == probe)
+    // a no-match update commits nothing
+    val v = SnapTable.latestVersion(spark, dir)
+    val noop = SnapTable.update(spark, dir, col("l_orderkey") === -1L,
+      Map("l_quantity" -> lit(0.0)), pruneCol = "l_orderkey", lo = -1L, hi = -1L)
+    assert(noop.rowsDeleted == 0 && SnapTable.latestVersion(spark, dir) == v)
+  }
+
   test("bloom skipping: point lookups prune a hash layout, results exact") {
     SnapTable.destroy(spark, dir)
     SnapTable.commit(spark, dir,
