@@ -294,6 +294,22 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // S19 STREAMING FUNNEL DETECTION — q66's conversion contract as a
+    // flatMapGroupsWithState state machine (streaming/FunnelState):
+    // the conversion event fires the MOMENT the completing purchase
+    // arrives, instead of a batch job over the full log. State per
+    // user = two optional timestamps + a flag; event-time timeout
+    // evicts non-converting users, so the store is O(users in the
+    // watermark horizon). Processing in event-time order makes the
+    // incremental fold equal the global-minimum semantics (monotone
+    // time ⇒ first-qualifying == minimum), so the batch form below is
+    // the oracle gate and FunnelStreamSpec pins streamed == batch
+    // across a checkpointed restart over a time-split feed.
+    "s19_funnelstate" -> ((s, d) =>
+      graft.streaming.FunnelState.conversionsBatch(
+          graft.streaming.FunnelState.fromEvents(s, t(s, d, "events")))
+        .toDF().orderBy("user_id")),
+
     // S17 the COMPOSED ingest pipeline — the three production verbs
     // this suite built separately, chained: per batch, (1) dedup
     // verdicts against the persisted corpus index (s12's kernel),
@@ -504,6 +520,25 @@ object StreamingQueries {
         |  MAX(event_id) AS max_id,
         |  CAST(2 AS BIGINT) AS mv_gen, CAST(2 AS BIGINT) AS synced
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // s19: the q66 CTE chain restricted to completed funnels, all
+    // three stage timestamps riding
+    "s19_funnelstate" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, MIN(ts) AS t2 FROM ev
+        |       JOIN s1 ON ev.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, MIN(ts) AS t3 FROM ev
+        |       JOIN s2 ON ev.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY ev.user_id)
+        |SELECT s3.user_id, t1, t2, t3
+        |FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+        |        JOIN s1 ON s3.user_id = s1.user_id
+        |ORDER BY s3.user_id""".stripMargin,
 
     // s12: the two-batch staged ingest replayed in SQL — shared
     // fingerprint/banding CTEs, batch A's verdicts against the base
