@@ -112,7 +112,8 @@ object SnapMv {
       val deltaAgg =
         if (delta.isEmpty) None
         else Some(partialAgg(
-          spark.read.parquet(delta.map(r => s"$tableDir/$r"): _*), spec))
+          spark.read.parquet(
+            delta.map(r => SnapTable.resolvePath(tableDir, r)): _*), spec))
       val next = (st.generation, deltaAgg) match {
         case (0, None) =>
           // an empty first commit: an empty summary with the right schema

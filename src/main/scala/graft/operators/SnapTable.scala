@@ -78,6 +78,14 @@ object SnapTable {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Manifest entries are table-relative, EXCEPT cloned-in references,
+    * which are absolute paths into the source table (shallowClone). */
+  def resolvePath(dir: String, rel: String): String =
+    if (rel.startsWith("/") || rel.contains(":/")) rel else s"$dir/$rel"
+
+  private def isForeign(rel: String): Boolean =
+    rel.startsWith("/") || rel.contains(":/")
+
   private def manifestPath(dir: String, v: Int) = new Path(s"$dir/_manifests/v$v.txt")
   private def latestPath(dir: String) = new Path(s"$dir/_latest")
 
@@ -308,7 +316,7 @@ object SnapTable {
       })
     }
     if (cand.isEmpty) return DeleteResult(v, 0L, 0, info.files.size)
-    val candDf = spark.read.parquet(cand.map(e => s"$dir/${e.rel}"): _*)
+    val candDf = spark.read.parquet(cand.map(e => resolvePath(dir, e.rel)): _*)
     val deleted = candDf.filter(cond).count()
     if (deleted == 0L) return DeleteResult(v, 0L, 0, info.files.size)
     val (nv, _) = writeCommit(spark, dir, candDf.filter(!cond),
@@ -343,7 +351,7 @@ object SnapTable {
       })
     }
     if (cand.isEmpty) return DeleteResult(v, 0L, 0, info.files.size)
-    val candDf = spark.read.parquet(cand.map(e => s"$dir/${e.rel}"): _*)
+    val candDf = spark.read.parquet(cand.map(e => resolvePath(dir, e.rel)): _*)
     val updated = candDf.filter(cond).count()
     if (updated == 0L) return DeleteResult(v, 0L, 0, info.files.size)
     require(set.keySet.subsetOf(candDf.columns.toSet),
@@ -361,6 +369,45 @@ object SnapTable {
       untouched.map(_.raw), info.statCols, info.bloom,
       Map("updateFrom" -> v.toString))
     DeleteResult(nv, updated, cand.size, info.files.size)
+  }
+
+  /** SHALLOW CLONE: a new table whose first version REFERENCES the
+    * source's data files — zero data copied, O(files) metadata, the
+    * Delta `SHALLOW CLONE` / branch-for-experiment verb. The clone
+    * then evolves independently: its commits/deletes/updates land in
+    * its OWN data directory (copy-on-write naturally materializes
+    * whatever it touches; `compact` deep-copies the rest on demand),
+    * and the source never observes them. Caveats, same as the public
+    * designs: the clone references the source's storage, so a SOURCE
+    * vacuum can reclaim files the clone still lists (clone before
+    * vacuuming, or retain); clone-side vacuum never touches
+    * cloned-in references (isForeign guard). Same-filesystem clones
+    * only (references are stored as absolute paths). */
+  def shallowClone(spark: SparkSession, srcDir: String, dstDir: String,
+                   version: Int = 0): Int = {
+    val sf = fs(spark, srcDir)
+    val v = if (version > 0) version else latestVersion(spark, srcDir)
+    require(v > 0, s"no committed version at $srcDir")
+    require(latestVersion(spark, dstDir) == 0, s"clone target $dstDir not empty")
+    val info = parseManifest(sf, srcDir, v)
+    val lines = info.files.map { e =>
+      val abs = sf.makeQualified(new Path(resolvePath(srcDir, e.rel)))
+        .toUri.getPath
+      abs + e.raw.stripPrefix(e.rel)
+    }
+    val header =
+      (if (info.statCols.nonEmpty) Seq(s"#stats:${info.statCols.mkString(",")}")
+       else Nil) ++
+        info.bloom.map { case (c, m) => s"#bloom:$c:$m" }.toSeq ++
+        Seq(s"#meta:clonedFrom=$srcDir@v$v")
+    val df = fs(spark, dstDir)
+    val manifest = manifestPath(dstDir, 1)
+    if (df.exists(manifest)) throw new CommitConflictException(1)
+    try writeAtomic(df, manifest, (header ++ lines).mkString("\n"),
+      overwrite = false)
+    catch { case _: java.io.IOException => throw new CommitConflictException(1) }
+    writeAtomic(df, latestPath(dstDir), "1")
+    1
   }
 
   /** VACUUM: physically delete data files no retained manifest
@@ -391,8 +438,12 @@ object SnapTable {
         else Set.empty[String]
       }
       (everNamed -- referenced).foreach { rel =>
-        val p = new Path(s"$dir/$rel")
-        if (f.exists(p) && f.delete(p, false)) deleted += 1
+        // cloned-in references point into the SOURCE table — never
+        // this table's storage to reclaim (the shallow-clone caveat)
+        if (!isForeign(rel)) {
+          val p = new Path(s"$dir/$rel")
+          if (f.exists(p) && f.delete(p, false)) deleted += 1
+        }
       }
     }
     (1 until keep.min).foreach { kv =>
@@ -471,7 +522,7 @@ object SnapTable {
         }
       }
     require(keep.nonEmpty, "empty scan set: no file can match")
-    val df0 = spark.read.parquet(keep.map(e => s"$dir/${e.rel}"): _*)
+    val df0 = spark.read.parquet(keep.map(e => resolvePath(dir, e.rel)): _*)
     val df =
       if (statCol == null) df0
       else df0.filter(col(statCol) >= lo && col(statCol) <= hi)
@@ -517,13 +568,13 @@ object SnapTable {
     }
     if (keep.isEmpty) {
       // provably-absent value: empty relation with the table's schema
-      val schema = spark.read.parquet(s"$dir/${info.files.head.rel}").schema
+      val schema = spark.read.parquet(resolvePath(dir, info.files.head.rel)).schema
       return ScanPlan(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema),
         0, info.files.size)
     }
-    val df = spark.read.parquet(keep.map(e => s"$dir/${e.rel}"): _*)
+    val df = spark.read.parquet(keep.map(e => resolvePath(dir, e.rel)): _*)
       .filter(col(bc).cast("long") === value)
     ScanPlan(df, keep.size, info.files.size)
   }

@@ -1189,6 +1189,44 @@ object Relational {
           lit(res.filesRewritten < res.filesTotal).as("cow_bounded"))
     }),
 
+    // Q73 SHALLOW CLONE — zero-copy table branching (the Delta SHALLOW
+    // CLONE verb): the clone's v1 manifest REFERENCES the source's
+    // files (O(files) metadata, no data moved — zero_copy is pinned as
+    // data by checking the clone owns no storage before its first
+    // write), then both sides evolve independently: the source appends
+    // a third of the rows, the clone deletes its linenumber-1 rows
+    // (copy-on-write lands in the CLONE's storage; the spec pins
+    // source bytes untouched). The final aggregates prove divergence
+    // from one shared starting point — the branch-for-experiment shape
+    // a 100 TB training-data pipeline uses to trial a cleaning policy
+    // without copying the corpus.
+    "q73_snapclone" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val srcDir = "target/graft-clone-src/" + tag
+      val clDir = "target/graft-clone-dst/" + tag
+      graft.operators.SnapTable.destroy(s, srcDir)
+      graft.operators.SnapTable.destroy(s, clDir)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      graft.operators.SnapTable.commit(s, srcDir,
+        li.filter(col("l_orderkey") % 3 <= 1))
+      graft.operators.SnapTable.shallowClone(s, srcDir, clDir)
+      val zeroCopy =
+        !new java.io.File(clDir + "/data").exists()
+      graft.operators.SnapTable.commit(s, srcDir,
+        li.filter(col("l_orderkey") % 3 === 2), append = true)
+      graft.operators.SnapTable.delete(s, clDir, col("l_linenumber") === 1)
+      val src = graft.operators.SnapTable.read(s, srcDir)
+        .agg(count(lit(1)).as("n_src"),
+          r4(sumDec6(col("l_quantity"))).as("sum_src"))
+      val cl = graft.operators.SnapTable.read(s, clDir)
+        .agg(count(lit(1)).as("n_clone"),
+          r4(sumDec6(col("l_quantity"))).as("sum_clone"))
+      src.crossJoin(cl)
+        .select(col("n_src"), col("sum_src"), col("n_clone"),
+          col("sum_clone"), lit(zeroCopy).as("zero_copy"))
+    }),
+
     // Q65 BLOOM-FILTER FILE SKIPPING — the point-lookup case zone maps
     // cannot touch: the table lays out HASH-partitioned on l_orderkey
     // (every file's key range spans the whole domain), the commit folds
@@ -1849,6 +1887,21 @@ object Relational {
         |     WHERE l_orderkey BETWEEN 1000 AND 2999 AND l_linenumber = 2)
         |    AS rows_updated,
         |  TRUE AS cow_bounded""".stripMargin,
+
+    // q73: both branches modeled from the raw table — the source holds
+    // everything, the clone holds the original two-thirds minus its
+    // linenumber-1 deletion; zero_copy pins the metadata-only clone
+    "q73_snapclone" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem) AS n_src,
+        |  (SELECT CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE)
+        |     FROM lineitem) AS sum_src,
+        |  (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_orderkey % 3 <= 1 AND l_linenumber <> 1) AS n_clone,
+        |  (SELECT CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE)
+        |     FROM lineitem
+        |     WHERE l_orderkey % 3 <= 1 AND l_linenumber <> 1) AS sum_clone,
+        |  TRUE AS zero_copy""".stripMargin,
 
     // q65: the point-lookup aggregate from the raw table + pruned=TRUE —
     // a bloom layout that failed to skip any file would hash-mismatch

@@ -296,6 +296,44 @@ class SnapTableSpec extends AnyFunSuite {
     assert(eq.df.count() == li.filter(col("l_orderkey") === someKey).count())
   }
 
+  test("shallow clone: zero copy, independent evolution, vacuum-safe") {
+    val srcDir = dir + "-clsrc"; val cloneDir = dir + "-clone"
+    SnapTable.destroy(spark, srcDir); SnapTable.destroy(spark, cloneDir)
+    SnapTable.commit(spark, srcDir,
+      li.repartitionByRange(4, col("l_orderkey")),
+      statCols = Seq("l_orderkey"))
+    val srcN = SnapTable.read(spark, srcDir).count()
+    assert(SnapTable.shallowClone(spark, srcDir, cloneDir) == 1)
+    // zero copy: the clone owns no data files at all
+    assert(!Files.exists(Paths.get(cloneDir, "data")))
+    assert(SnapTable.read(spark, cloneDir).count() == srcN)
+    // zone maps carried: a range read on the clone still prunes
+    val plan = SnapTable.readWhere(spark, cloneDir,
+      statCol = "l_orderkey", lo = 0L, hi = 100L)
+    assert(plan.filesScanned < plan.filesTotal)
+    // independence: a source append is invisible to the clone
+    SnapTable.commit(spark, srcDir, li.limit(7), append = true,
+      statCols = Seq("l_orderkey"))
+    assert(SnapTable.read(spark, cloneDir).count() == srcN)
+    // a clone-side delete rewrites into the CLONE's storage only
+    import scala.jdk.CollectionConverters._
+    def srcFiles(): Map[String, Long] =
+      Files.walk(Paths.get(srcDir, "data")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.size(p)).toMap
+    val before = srcFiles()
+    val res = SnapTable.delete(spark, cloneDir, col("l_linenumber") === 1)
+    assert(res.rowsDeleted > 0)
+    assert(srcFiles() == before, "source storage must never change")
+    assert(SnapTable.read(spark, srcDir, 1).count() == srcN)
+    assert(SnapTable.read(spark, cloneDir).count() == srcN - res.rowsDeleted)
+    // clone vacuum reclaims only clone-owned files, never the source's
+    SnapTable.vacuum(spark, cloneDir, retainLast = 1)
+    assert(srcFiles() == before, "vacuum must skip cloned-in references")
+    assert(SnapTable.read(spark, cloneDir).count() == srcN - res.rowsDeleted)
+    SnapTable.destroy(spark, srcDir); SnapTable.destroy(spark, cloneDir)
+  }
+
   test("overwrite commit replaces state; history remains") {
     SnapTable.destroy(spark, dir)
     SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0))
