@@ -1322,6 +1322,50 @@ object DedupExt {
         .orderBy("q")
     }),
 
+    // QE3 BINARY QUANTIZATION retrieval audit — the 1-bit member of
+    // the embedding-compression family (qe1 int8 scalar, qe2 dimension
+    // truncation, qs8 PQ): each vector compresses to its 64 SIGN BITS
+    // (one int64 — 32× smaller than fp32, the vector-DB "BQ" shape,
+    // public design), candidates shortlist by HAMMING distance (one
+    // xor + popcount per comparison — the memory-bandwidth argument
+    // for BQ), top-20 shortlist exact-reranks in the fixed-point
+    // domain, and the audit emits overlap@5 against the exact top-5 AS
+    // hash-checked data (qe2's convention — the recall trade is
+    // contract, not claim). Probes = the 1% sample; the corpus-side
+    // work is one sketch aggregate + the broadcast probe pass.
+    "qe3_binaryquant" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val sk = exQ(s, d).groupBy("vec_id")
+        .agg(sum(expr("CASE WHEN xi > 0 THEN CAST(1 AS BIGINT) << " +
+          "CAST(i0 AS INT) ELSE CAST(0 AS BIGINT) END")).as("sk"))
+      val emb = embQ(s, d).join(sk, Seq("vec_id"))
+        .transform(graft.operators.OpCaches.track)
+      val probes = emb.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q"), col("ei").as("qe"), col("sk").as("qsk"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          (expr(dotL("ei", "qe")).cast(DoubleType)
+            / sqrt(expr(dotL("ei", "ei")).cast(DoubleType))).as("sc"),
+          expr("bit_count(sk ^ qsk)").cast(LongType).as("ham"))
+        .transform(graft.operators.OpCaches.track)
+      val wE = org.apache.spark.sql.expressions.Window.partitionBy("q")
+        .orderBy(col("sc").desc, col("vec_id"))
+      val wH = org.apache.spark.sql.expressions.Window.partitionBy("q")
+        .orderBy(col("ham"), col("vec_id"))
+      val exact5 = scored.withColumn("rk", row_number().over(wE))
+        .where(col("rk") <= 5).select("q", "vec_id")
+      val short20 = scored.withColumn("rk", row_number().over(wH))
+        .where(col("rk") <= 20).drop("rk")
+      val bq5 = short20.withColumn("rk", row_number().over(wE))
+        .where(col("rk") <= 5).select("q", "vec_id")
+      val ov = exact5.join(broadcast(bq5), Seq("q", "vec_id"))
+        .groupBy("q").agg(count(lit(1)).as("n_overlap"))
+      probes.select("q").join(broadcast(ov), Seq("q"), "left")
+        .select(col("q"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .orderBy("q")
+    }),
+
     // QS11 HYBRID SEARCH — Reciprocal Rank Fusion of a lexical ranker
     // and a vector ranker (the production retrieval shape behind RAG
     // corpora; RRF is the public Cormack/Clarke/Buettcher method):
@@ -2253,6 +2297,52 @@ object DedupExt {
         |pr AS (SELECT vec_id AS q FROM embeddings WHERE vec_id % 100 = 7)
         |SELECT p.q, COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
         |FROM pr p LEFT JOIN ov USING (q) ORDER BY q""".stripMargin,
+
+    // qe3: sign sketches, xor/popcount hamming, shortlist-rerank, and
+    // the overlap@5 audit replayed (qs5's ex/norms kernel; DuckDB
+    // xor() function vs Spark's ^ operator, shift by i-1 for the
+    // 1-based index)
+    "qe3_binaryquant" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |sk AS (SELECT vec_id,
+        |         CAST(SUM(CASE WHEN xi > 0 THEN
+        |             CASE WHEN i = 64 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+        |                  ELSE CAST(1 AS BIGINT) << CAST(i - 1 AS INT) END
+        |           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sk
+        |       FROM ex GROUP BY 1),
+        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT u.vec_id AS q, v.vec_id, SUM(v.xi * u.xi) AS dot
+        |         FROM ex u JOIN ex v ON u.i = v.i
+        |           AND u.vec_id % 100 = 7 AND v.vec_id <> u.vec_id
+        |         GROUP BY 1, 2),
+        |sc AS (SELECT d.q, d.vec_id,
+        |         CAST(dot AS DOUBLE) / SQRT(CAST(vn.n2 AS DOUBLE)) AS sc
+        |       FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id),
+        |pr AS (SELECT vec_id AS q, sk AS qsk FROM sk WHERE vec_id % 100 = 7),
+        |ham AS (SELECT p.q, s.vec_id,
+        |          CAST(bit_count(xor(s.sk, p.qsk)) AS BIGINT) AS ham
+        |        FROM sk s, pr p WHERE s.vec_id <> p.q),
+        |e5 AS (SELECT q, vec_id FROM (
+        |         SELECT q, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q ORDER BY sc DESC, vec_id) AS rk
+        |         FROM sc) WHERE rk <= 5),
+        |h20 AS (SELECT q, vec_id FROM (
+        |          SELECT q, vec_id,
+        |            ROW_NUMBER() OVER (PARTITION BY q ORDER BY ham, vec_id) AS rk
+        |          FROM ham) WHERE rk <= 20),
+        |bq5 AS (SELECT q, vec_id FROM (
+        |          SELECT h.q, h.vec_id,
+        |            ROW_NUMBER() OVER (PARTITION BY h.q
+        |              ORDER BY s.sc DESC, h.vec_id) AS rk
+        |          FROM h20 h JOIN sc s ON s.q = h.q AND s.vec_id = h.vec_id)
+        |        WHERE rk <= 5),
+        |ov AS (SELECT e5.q, COUNT(*) AS n_overlap
+        |       FROM e5 JOIN bq5 ON e5.q = bq5.q AND e5.vec_id = bq5.vec_id
+        |       GROUP BY 1)
+        |SELECT pr.q, COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
+        |FROM pr LEFT JOIN ov ON pr.q = ov.q ORDER BY pr.q""".stripMargin,
 
     // qs11: BM25 over the query-term posting lists (qt14's CTEs), the
     // exact fixed-point cosine rank against vec 7 (qs5's kernel), both

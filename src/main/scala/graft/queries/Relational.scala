@@ -1123,6 +1123,44 @@ object Relational {
         .orderBy("change")
     }),
 
+    // Q74 CDC APPLY — the consumer half of q63's changefeed: a replica
+    // holding v1 applies the diff (v1 ⊎ added ∖ removed, exact
+    // MULTISET semantics via exceptAll) and must land on EXACTLY v2.
+    // The query emits v2's aggregates computed FROM THE REBUILT
+    // relation plus the symmetric-difference count against the real v2
+    // (n_mismatch, pinned 0) — so the changefeed's COMPLETENESS is
+    // hash-checked, not assumed: a diff that missed a row or
+    // double-counted a multiset duplicate fails the gate. At 100 TB
+    // this is the replica-maintenance contract: shipping O(changes)
+    // beats re-shipping the table exactly when apply ≡ snapshot, which
+    // is the property this query pins.
+    "q74_cdcapply" -> ((s, d) => {
+      val dir = "target/graft-cdcapply/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      graft.operators.SnapTable.commit(s, dir,
+        li.filter(col("l_orderkey") % 3 <= 1))
+      graft.operators.SnapTable.commit(s, dir,
+        li.filter(col("l_orderkey") % 3 === 1)
+          .withColumn("l_quantity",
+            col("l_quantity") + when(col("l_orderkey") % 5 === 0, 1).otherwise(0))
+          .unionByName(li.filter(col("l_orderkey") % 3 === 2)))
+      val changes = graft.operators.SnapTable.diff(s, dir, 1, 2)
+        .transform(graft.operators.OpCaches.track)
+      val rebuilt = graft.operators.SnapTable.read(s, dir, 1)
+        .unionByName(changes.filter(col("change") === "added").drop("change"))
+        .exceptAll(changes.filter(col("change") === "removed").drop("change"))
+        .transform(graft.operators.OpCaches.track)
+      val v2 = graft.operators.SnapTable.read(s, dir, 2)
+      val mismatch = rebuilt.exceptAll(v2).count() + v2.exceptAll(rebuilt).count()
+      rebuilt.agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+          sum(col("l_orderkey")).as("sum_key"))
+        .select(col("n"), col("sum_qty"), col("sum_key"),
+          lit(mismatch).as("n_mismatch"))
+    }),
+
     // Q64 ROW-LEVEL DELETE — copy-on-write at FILE granularity
     // (SnapTable.delete): the table lays out range-partitioned on
     // l_orderkey with manifest zone maps, and a keyed delete (keys in
@@ -1849,6 +1887,23 @@ object Relational {
         |  CAST(SUM(l_orderkey) AS BIGINT)
         |FROM removed
         |ORDER BY change""".stripMargin,
+
+    // q74: v2's aggregates from the raw table + mismatch 0 — apply ≡
+    // snapshot is the hash-checked contract
+    "q74_cdcapply" ->
+      """WITH v2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_quantity + CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE 0 END
+        |           AS l_quantity
+        |  FROM lineitem WHERE l_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 3 = 2)
+        |SELECT COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM v2""".stripMargin,
 
     // q64: the oracle models both versions from the raw table — v1 is
     // everything, the post-delete state excludes the predicate's rows —
