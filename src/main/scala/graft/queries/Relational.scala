@@ -1391,6 +1391,29 @@ object Relational {
       r.orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
+    // Q75 SALTED TWO-PHASE AGGREGATION — the skew-mitigation path
+    // (operators/Scale) through the oracle gate: l_returnflag has THREE
+    // values, so a plain groupBy funnels a third of the corpus through
+    // single reducers; the salted form aggregates on (key, salt) first
+    // (parallelism = keys × salts, partial-aggregatable) and folds the
+    // partials second (rows = keys × salts, trivially small). Decimal
+    // partial sums are exact and order-independent, so the two-phase
+    // result hash-matches the plain GROUP BY oracle bit for bit — the
+    // rewrite is proven safe, not assumed. At 100 TB this is the
+    // standard answer to hot-key aggregation skew that AQE's skew-join
+    // handling does not cover (it splits JOIN partitions, not
+    // aggregation keys).
+    "q75_salted" -> ((s, d) => {
+      val df = t(s, d, "lineitem")
+        .select(col("l_returnflag"), dec6(col("l_quantity")).as("q"))
+      val sums = graft.operators.Scale.saltedSum(df, "l_returnflag", "q")
+      val cnts = graft.operators.Scale.saltedCount(df, "l_returnflag")
+      sums.join(cnts, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("cnt").as("n"),
+          r4(col("sum_q")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Q70 DATA-QUALITY VALIDATION SUITE — the Deequ-style constraint
     // gate (public Amazon Deequ design) an ingest pipeline runs before
     // publishing a table: each declared constraint emits (check,
@@ -2022,6 +2045,13 @@ object Relational {
         |       FROM edges e JOIN r2 r ON e.src = r.node
         |       JOIN deg d ON d.src = e.src GROUP BY e.dst)
         |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    // q75: the plain GROUP BY — the salted two-phase form must match
+    // it bit for bit
+    "q75_salted" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // q70: each constraint replayed as a scalar; ok mirrors
     // violations = 0
