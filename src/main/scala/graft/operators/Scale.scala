@@ -30,6 +30,29 @@ object Scale {
       .groupBy(col(key))
       .agg(sum(col("_partial")).as(s"sum_$valueCol"))
 
+  /** Salted equi-join for skewed join keys: every row of the LARGE side
+    * draws a salt in [0, salts) (any per-row value works — the salt never
+    * reaches the output), the SMALL side is replicated once per salt
+    * value, and the join runs on (key, salt) — so one hot key's rows
+    * spread over `salts` reducers instead of funneling through one.
+    * Result is bit-identical to the plain equi-join (every large row
+    * still meets every matching small row exactly once, at its own salt
+    * replica). Use when BOTH sides are too large to broadcast and one
+    * join key dominates; costs a `salts`× blow-up of the small side,
+    * which is the standard trade (Spark's AQE skew handling splits
+    * oversized partitions after the fact; salting shapes the shuffle
+    * before it happens and also covers sort-merge buffers).
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 8): DataFrame = {
+    val l = large.withColumn("_salt",
+      pmod(spark_partition_id().cast("long") + monotonically_increasing_id(),
+        lit(salts.toLong)))
+    val sm = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    l.join(sm, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Write a DataFrame bucketed + sorted by a join key. Two tables
     * bucketed the same way join WITHOUT a shuffle (each bucket pair is
     * co-located) — at 100 TB this turns the nightly fact-to-fact join
@@ -80,6 +103,18 @@ object Scale {
     * values (distant coordinates can alias), but the key never
     * propagates sign bits or exceeds 42 bits. Callers with wider
     * coordinates should pre-scale into the domain. */
+  /** Driver-side morton key for deriving z-range CONSTANTS (box corners)
+    * that bound a box query's z values — same bit math as `zorder2`.
+    * Because the interleave is monotone in each coordinate separately,
+    * every point inside the box [x1,x2]×[y1,y2] has
+    * mortonKey(x1,y1) ≤ z ≤ mortonKey(x2,y2): the z-range is a sound
+    * coarse prefilter (a superset), never a lossy one. */
+  def mortonKey(x: Long, y: Long): Long =
+    (0 to 20).foldLeft(0L) { (acc, i) =>
+      acc | ((((x & 2097151L) >> i) & 1L) << (2 * i)) |
+        ((((y & 2097151L) >> i) & 1L) << (2 * i + 1))
+    }
+
   def zorder2(x: String, y: String): org.apache.spark.sql.Column =
     expr(
       s"""aggregate(sequence(0, 20), 0L, (acc, i) ->

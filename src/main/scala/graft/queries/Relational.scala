@@ -1488,6 +1488,182 @@ object Relational {
             .as("n_out"),
           round(max(col("dev")), 4).cast(DoubleType).as("max_dev"))
         .orderBy("event_type")
+    }),
+
+    // Q76 MORTON (Z-ORDER) BOX QUERY — the in-query half of the z-order
+    // story (operators/Scale.zorder2; ScaleSpec pins the file-skipping
+    // half on a z-ordered layout). A 2-D box predicate is bounded by a
+    // SINGLE interleaved-key range: z is monotone in each coordinate, so
+    // every in-box point has mortonKey(x1,y1) ≤ z ≤ mortonKey(x2,y2) —
+    // the coarse z-range is a sound superset. The query applies the
+    // z-range BEFORE the exact box test and must still hash-match the
+    // oracle's plain box count: the match PROVES the prefilter loses
+    // nothing, and n_zrange reports its selectivity as data. On a
+    // z-sorted 100 TB layout the z-range collapses to min/max pruning on
+    // one column — files outside it are never opened.
+    "q76_zorderbox" -> ((s, d) => {
+      val (x1, x2, y1, y2) = (262144L, 524287L, 131072L, 393215L)
+      val zmin = graft.operators.Scale.mortonKey(x1, y1)
+      val zmax = graft.operators.Scale.mortonKey(x2, y2)
+      val pts = t(s, d, "events").select(
+          ((col("event_id") * 2654435761L) % 1048576L).as("x"),
+          ((col("event_id") * 69069L + 12345L) % 1048576L).as("y"))
+        .withColumn("z", graft.operators.Scale.zorder2("x", "y"))
+      val inZ = col("z").between(zmin, zmax)
+      val inBox = inZ && col("x").between(x1, x2) && col("y").between(y1, y2)
+      pts.agg(
+        sum(when(inZ, 1L).otherwise(0L)).as("n_zrange"),
+        sum(when(inBox, 1L).otherwise(0L)).as("n_box"),
+        sum(when(inBox, col("x"))).as("sx"),
+        sum(when(inBox, col("y"))).as("sy"))
+    }),
+
+    // Q77 BUCKETED SORT-MERGE-BUCKET JOIN — the shuffle-free co-located
+    // fact-to-fact join through the oracle gate (operators/Scale
+    // .writeBucketed was previously test-only). Both sides are written
+    // bucketed 8 ways on the join key; reading them back, the join's
+    // required hash distribution is ALREADY satisfied by the bucketed
+    // scans, so the plan has ZERO shuffle exchanges on either side
+    // (PlanShapeSpec pins it). The merge hint keeps AQE from
+    // broadcasting the small fixture side — at 100 TB neither side
+    // broadcasts and this layout turns the nightly fact join from the
+    // dominant shuffle into co-located merges. The write cost is paid
+    // in-query to stay self-contained (production pays it once per
+    // table generation, the q46–q49/qd10 convention).
+    "q77_smbjoin" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val lt = s"g77_lineitem_$tag"
+      val ot = s"g77_orders_$tag"
+      graft.operators.Scale.writeBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey").as("k"),
+          col("l_returnflag"), col("l_quantity")), lt, "k", 8)
+      graft.operators.Scale.writeBucketed(
+        t(s, d, "orders").select(col("o_orderkey").as("k"),
+          col("o_totalprice")), ot, "k", 8)
+      s.table(ot).hint("merge").join(s.table(lt), Seq("k"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("qty"),
+          r4(sumDec6(col("o_totalprice"))).as("tp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q78 SALTED SKEW JOIN — the hot-key join answer when NEITHER side
+    // broadcasts (operators/Scale.saltedJoin): the large side salts each
+    // row into one of 8 shards, the small side replicates once per salt,
+    // and the join key becomes (key, salt) — a hot key's rows spread
+    // over 8 reducers instead of one. The hash-match against the PLAIN
+    // join oracle proves the rewrite is result-identical (every large
+    // row meets each matching small row exactly once, at its own salt);
+    // the decimal aggregate folds order-independently, so even the
+    // nondeterministic per-row salt cannot leak into the output.
+    "q78_skewjoin" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val or = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      graft.operators.Scale.saltedJoin(li, or, "k", 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q79 BOUNDED EWMA — exponentially weighted moving average over the
+    // event stream, the metric-smoothing primitive of monitoring/
+    // feature pipelines, in EXACT dyadic arithmetic: the 8-event window
+    // weights are 2⁷..2⁰ over integerized values, so the numerator is an
+    // exact int64 and /256 is a power-of-two scale — every double is
+    // exactly representable and the result is bit-identical cross-engine
+    // (no recursive state, no libm). Scale shape: one window pass
+    // partitioned by user (full parallelism), 8 LAGs that Spark
+    // evaluates in a single WindowExec over one sort.
+    "q79_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val e = t(s, d, "events").select(col("user_id"), col("event_id"),
+        col("ts"), floor(col("value")).cast(LongType).as("x"))
+      val num = (1 to 7).map(k =>
+          coalesce(lag(col("x"), k).over(w), lit(0L)) * lit(1L << (7 - k)))
+        .foldLeft(col("x") * lit(128L))(_ + _)
+      e.select(col("user_id"), col("event_id"), col("x"),
+          (num.cast(DoubleType) / lit(256.0)).as("ewma"))
+        .orderBy("user_id", "event_id")
+        .limit(1000)
+    }),
+
+    // Q80 MARKETING ATTRIBUTION — first-touch / last-touch analysis:
+    // for every purchase, the first and the most recent non-purchase
+    // event the same user emitted BEFORE it (IGNORE NULLS first/last
+    // over an unbounded-preceding-to-1-preceding frame), rolled up to
+    // (first_touch, last_touch) cohorts with purchase counts and
+    // revenue. The per-user event order is total (ts, event_id), so the
+    // window values are deterministic in both engines. Scale shape: one
+    // window pass partitioned by user + one narrow groupBy — no join.
+    "q80_attrib" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      t(s, d, "events")
+        .withColumn("first_touch",
+          coalesce(first(touch, ignoreNulls = true).over(w), lit("none")))
+        .withColumn("last_touch",
+          coalesce(last(touch, ignoreNulls = true).over(w), lit("none")))
+        .filter(col("event_type") === "purchase")
+        .groupBy("first_touch", "last_touch")
+        .agg(count(lit(1)).as("n"), r4(sumDec6(col("value"))).as("rev"))
+        .orderBy("first_touch", "last_touch")
+    }),
+
+    // Q81 KMV (θ-sketch-style) DISTINCT + INTERSECTION ESTIMATE — the
+    // mergeable audience-overlap sketch: per event type, the 64 smallest
+    // values of an LCG hash over user-days give the k-minimum-values
+    // estimator (k−1)·2³¹ / kth_min; the click∩purchase overlap is
+    // estimated from the UNION sketch (the 64 smallest of the union) by
+    // counting how many of its members both sets contain — the standard
+    // θ-sketch set-operation rule, all in exact integer math (the LCG is
+    // replayed verbatim in the oracle; exact distinct counts ride along
+    // as the audit columns). Scale shape: sketches are BOUNDED (64 rows
+    // per group after a partial-aggregatable distinct), so the sketch
+    // build is one distinct + one per-group top-k — at 100 TB the
+    // relation being unioned/intersected never re-shuffles, only the
+    // 64-row sketches move.
+    "q81_kmv" -> ((s, d) => {
+      val dkey = col("user_id") * 100000L +
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+      val base = t(s, d, "events")
+        .select(col("event_type"),
+          ((dkey % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
+        .toDF("event_type", "h").distinct()
+      val rnT = Window.partitionBy("event_type").orderBy("h")
+      val perType = base
+        .withColumn("n_exact", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("rn", row_number().over(rnT))
+        .filter(col("rn") === 64)
+        .select(col("event_type").as("scope"), col("n_exact"),
+          col("h").as("kth_min"),
+          expr("(63 * 2147483648) div h").as("est"))
+      val cp = base.filter(col("event_type").isin("click", "purchase"))
+      val uni = cp.select("h").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("h")))
+        .filter(col("rn") <= 64)
+      val flags = uni
+        .join(cp.filter(col("event_type") === "click").select(col("h"),
+          lit(1L).as("in_c")), Seq("h"), "left")
+        .join(cp.filter(col("event_type") === "purchase").select(col("h"),
+          lit(1L).as("in_p")), Seq("h"), "left")
+      val nExactInter = cp.filter(col("event_type") === "click")
+        .select("h").intersect(
+          cp.filter(col("event_type") === "purchase").select("h"))
+        .agg(count(lit(1)).as("n_exact"))
+      val inter = flags.agg(
+          max(when(col("rn") === 64, col("h"))).as("kth_min"),
+          sum(when(col("in_c").isNotNull && col("in_p").isNotNull, 1L)
+            .otherwise(0L)).as("rho"))
+        .crossJoin(nExactInter)
+        .select(lit("click&purchase").as("scope"), col("n_exact"),
+          col("kth_min"),
+          expr("(rho * ((63 * 2147483648) div kth_min)) div 64").as("est"))
+      perType.unionByName(inter).orderBy("scope")
     })
   )
 
