@@ -62,14 +62,28 @@ object Scale {
     writeBucketed(df, table, Seq(key), buckets)
 
   /** Multi-column bucket spec: shuffle-free joins require the join keys
-    * to cover the bucket columns on both sides. */
+    * to cover the bucket columns on both sides.
+    *
+    * Idempotent across JVMs: a fresh session's in-memory catalog doesn't
+    * know about a managed-table directory a PREVIOUS run left in the
+    * warehouse, so a bare `mode("overwrite").saveAsTable` throws
+    * LOCATION_ALREADY_EXISTS on every rerun in a used workspace. Drop
+    * the catalog entry AND delete any stale location first — reruns then
+    * behave exactly like first runs (ScaleSpec pins the rerun). */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed catalog tables on their bucket key. */
   def bucketedJoin(spark: SparkSession, left: String, right: String,

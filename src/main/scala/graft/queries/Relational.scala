@@ -1524,7 +1524,7 @@ object Relational {
     // bucketed 8 ways on the join key; reading them back, the join's
     // required hash distribution is ALREADY satisfied by the bucketed
     // scans, so the plan has ZERO shuffle exchanges on either side
-    // (PlanShapeSpec pins it). The merge hint keeps AQE from
+    // (ScaleSpec pins it). The merge hint keeps AQE from
     // broadcasting the small fixture side — at 100 TB neither side
     // broadcasts and this layout turns the nightly fact join from the
     // dominant shuffle into co-located merges. The write cost is paid
@@ -1631,35 +1631,56 @@ object Relational {
       val dkey = col("user_id") * 100000L +
         datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
       val base = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("event_type"),
           ((dkey % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
         .toDF("event_type", "h").distinct()
-      val rnT = Window.partitionBy("event_type").orderBy("h")
-      val perType = base
-        .withColumn("n_exact", count(lit(1)).over(Window.partitionBy("event_type")))
-        .withColumn("rn", row_number().over(rnT))
+      // Per-type sketch, TWO-PHASE top-k: phase 1 takes the 64 smallest
+      // per (type, salt) — 32 salts spread one type's distinct hashes
+      // over 32 partitions, so no sort ever sees more than 1/32 of a
+      // type — phase 2 folds the ≤64·32 partial rows per type (bounded,
+      // KB-scale) into the true per-type top-64. Salting by the hash
+      // value itself keeps the phase-1 window deterministic.
+      val salts = 32
+      val partial = base
+        .withColumn("_salt", pmod(col("h"), lit(salts.toLong)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type", "_salt").orderBy("h")))
+        .filter(col("rn") <= 64).select("event_type", "h")
+      val nExactT = base.groupBy("event_type")
+        .agg(count(lit(1)).as("n_exact"))
+      val perType = partial
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("h")))
         .filter(col("rn") === 64)
+        .join(broadcast(nExactT), Seq("event_type"))
         .select(col("event_type").as("scope"), col("n_exact"),
           col("h").as("kth_min"),
           expr("(63 * 2147483648) div h").as("est"))
       val cp = base.filter(col("event_type").isin("click", "purchase"))
-      val uni = cp.select("h").distinct()
+      // Union sketch: orderBy+limit = TakeOrderedAndProject (per-partition
+      // top-64, then a 64-row merge on the driver — O(k) per partition,
+      // nothing global ever funnels through one reducer). The row_number
+      // after it runs over a ≤64-row relation, which is bounded by
+      // construction.
+      val uni = cp.select("h").distinct().orderBy("h").limit(64)
         .withColumn("rn", row_number().over(Window.orderBy("h")))
-        .filter(col("rn") <= 64)
-      val flags = uni
-        .join(cp.filter(col("event_type") === "click").select(col("h"),
-          lit(1L).as("in_c")), Seq("h"), "left")
-        .join(cp.filter(col("event_type") === "purchase").select(col("h"),
-          lit(1L).as("in_p")), Seq("h"), "left")
+      // Membership probe: the corpus-scale relation streams past a
+      // BROADCAST of the 64-row sketch — the inner join prunes it to at
+      // most 128 rows (≤1 click + ≤1 purchase row per sketch member)
+      // before any aggregation.
+      val rho = cp.join(broadcast(uni.select("h")), Seq("h"))
+        .groupBy("h")
+        .agg(max(when(col("event_type") === "click", 1L)).as("in_c"),
+          max(when(col("event_type") === "purchase", 1L)).as("in_p"))
+        .agg(sum(when(col("in_c").isNotNull && col("in_p").isNotNull, 1L)
+          .otherwise(0L)).as("rho"))
       val nExactInter = cp.filter(col("event_type") === "click")
         .select("h").intersect(
           cp.filter(col("event_type") === "purchase").select("h"))
         .agg(count(lit(1)).as("n_exact"))
-      val inter = flags.agg(
-          max(when(col("rn") === 64, col("h"))).as("kth_min"),
-          sum(when(col("in_c").isNotNull && col("in_p").isNotNull, 1L)
-            .otherwise(0L)).as("rho"))
-        .crossJoin(nExactInter)
+      val inter = uni.agg(max(when(col("rn") === 64, col("h"))).as("kth_min"))
+        .crossJoin(rho).crossJoin(nExactInter)
         .select(lit("click&purchase").as("scope"), col("n_exact"),
           col("kth_min"),
           expr("(rho * ((63 * 2147483648) div kth_min)) div 64").as("est"))
@@ -2266,6 +2287,126 @@ object Relational {
         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
         |  CAST(ROUND(MAX(ABS(CAST(value AS DOUBLE) - mean)), 4) AS DOUBLE) AS max_dev
         |FROM e JOIN st USING (event_type)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q76: the PLAIN box computation plus the same morton-key range —
+    // the z interleave is replayed bit for bit (42 shift terms generated
+    // from the same (0..20) positions as Scale.zorder2), the z-range
+    // bounds are the same mortonKey(corner) constants, so a hash match
+    // proves the prefilter is a sound superset of the box
+    "q76_zorderbox" -> {
+      val zmin = graft.operators.Scale.mortonKey(262144L, 131072L)
+      val zmax = graft.operators.Scale.mortonKey(524287L, 393215L)
+      val zbits = (0 to 20).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH p AS (SELECT (event_id * 2654435761) % 1048576 AS x,
+         |                  (event_id * 69069 + 12345) % 1048576 AS y
+         |           FROM events),
+         |f AS (SELECT x, y,
+         |        ($zbits) BETWEEN $zmin AND $zmax AS in_z,
+         |        (($zbits) BETWEEN $zmin AND $zmax)
+         |          AND x BETWEEN 262144 AND 524287
+         |          AND y BETWEEN 131072 AND 393215 AS in_box
+         |      FROM p)
+         |SELECT CAST(SUM(CASE WHEN in_z THEN 1 ELSE 0 END) AS BIGINT) AS n_zrange,
+         |       CAST(SUM(CASE WHEN in_box THEN 1 ELSE 0 END) AS BIGINT) AS n_box,
+         |       CAST(SUM(CASE WHEN in_box THEN x END) AS BIGINT) AS sx,
+         |       CAST(SUM(CASE WHEN in_box THEN y END) AS BIGINT) AS sy
+         |FROM f""".stripMargin
+    },
+
+    // q77: the same fact-to-fact join WITHOUT the bucketing — bucketed
+    // layout must be invisible in the result
+    "q77_smbjoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS qty,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))),4) AS DOUBLE) AS tp
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q78: the PLAIN join — the salt must be invisible in the result
+    "q78_skewjoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q79: the same dyadic weights (2^7..2^0 over integerized values,
+    // /256 exact) — every double is exactly representable, so the EWMA
+    // is bit-identical cross-engine
+    "q79_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |             CAST(floor(value) AS BIGINT) AS x FROM events),
+        |w AS (SELECT user_id, event_id, x,
+        |        x*128 + COALESCE(LAG(x,1) OVER win, 0)*64
+        |              + COALESCE(LAG(x,2) OVER win, 0)*32
+        |              + COALESCE(LAG(x,3) OVER win, 0)*16
+        |              + COALESCE(LAG(x,4) OVER win, 0)*8
+        |              + COALESCE(LAG(x,5) OVER win, 0)*4
+        |              + COALESCE(LAG(x,6) OVER win, 0)*2
+        |              + COALESCE(LAG(x,7) OVER win, 0)*1 AS num
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id
+        |                     ORDER BY ts NULLS FIRST, event_id NULLS FIRST))
+        |SELECT user_id, event_id, x, CAST(num AS DOUBLE)/256.0 AS ewma
+        |FROM w ORDER BY user_id NULLS FIRST, event_id NULLS FIRST
+        |LIMIT 1000""".stripMargin,
+
+    // q80: IGNORE NULLS first/last over the same
+    // unbounded-preceding-to-1-preceding frame, same 'none' default
+    "q80_attrib" ->
+      """WITH e AS (SELECT event_type, value,
+        |  COALESCE(FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER win, 'none') AS first_touch,
+        |  COALESCE(LAST_VALUE(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER win, 'none') AS last_touch
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id
+        |                 ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT first_touch, last_touch, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))),4) AS DOUBLE) AS rev
+        |FROM e WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q81: the LCG replayed verbatim (SURVEY §5.3), direct per-type
+    // rank-64 (the two-phase salted top-k must be invisible), // is
+    // DuckDB integer division = Spark div
+    "q81_kmv" ->
+      """WITH base AS (
+        |  SELECT DISTINCT event_type,
+        |    (((user_id * 100000
+        |        + datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |       % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pt AS (SELECT event_type, h,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+        |       FROM base),
+        |per_type AS (
+        |  SELECT event_type AS scope, CAST(n_exact AS BIGINT) AS n_exact,
+        |         h AS kth_min, (63 * 2147483648) // h AS est
+        |  FROM pt WHERE rn = 64),
+        |cp AS (SELECT event_type, h FROM base
+        |       WHERE event_type IN ('click','purchase')),
+        |uni AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        |        FROM (SELECT DISTINCT h FROM cp ORDER BY h LIMIT 64) u),
+        |rho AS (SELECT CAST(COUNT(*) AS BIGINT) AS rho FROM (
+        |  SELECT u.h FROM uni u JOIN cp c ON u.h = c.h
+        |  GROUP BY u.h
+        |  HAVING MAX(CASE WHEN c.event_type = 'click' THEN 1 END) IS NOT NULL
+        |     AND MAX(CASE WHEN c.event_type = 'purchase' THEN 1 END) IS NOT NULL) m),
+        |ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM (
+        |  SELECT h FROM cp WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT h FROM cp WHERE event_type = 'purchase') i),
+        |km AS (SELECT MAX(CASE WHEN rn = 64 THEN h END) AS kth_min FROM uni),
+        |inter AS (SELECT 'click&purchase' AS scope, ni.n_exact, km.kth_min,
+        |            (rho.rho * ((63 * 2147483648) // km.kth_min)) // 64 AS est
+        |          FROM km, rho, ni)
+        |SELECT * FROM per_type
+        |UNION ALL SELECT * FROM inter
+        |ORDER BY scope""".stripMargin
   )
 }

@@ -43,6 +43,75 @@ class ScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("writeBucketed is idempotent: stale managed location from a dead JVM") {
+    // the failure mode: a PREVIOUS JVM left the managed-table directory
+    // in the warehouse, this session's in-memory catalog has never heard
+    // of the table — a bare overwrite saveAsTable then throws
+    // LOCATION_ALREADY_EXISTS. Simulate by dropping the catalog entry
+    // and re-creating the bare directory, then write again.
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Scale.writeBucketed(df, "b_idem", "k", 2)
+    spark.sql("DROP TABLE b_idem") // managed drop deletes the location
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, "b_idem")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc) // the stale-location corpse
+    fs.create(new org.apache.hadoop.fs.Path(loc, "stale.parquet")).close()
+    Scale.writeBucketed(df, "b_idem", "k", 2) // must not throw
+    assert(spark.table("b_idem").count() === 2)
+    // and a plain same-session rerun also works
+    Scale.writeBucketed(df, "b_idem", "k", 2)
+    assert(spark.table("b_idem").count() === 2)
+    spark.sql("DROP TABLE IF EXISTS b_idem")
+  }
+
+  test("saltedJoin equals the plain join: skew, null keys, empty small side") {
+    import spark.implicits._
+    // one hot key, a tail, and null-key rows on BOTH sides (equi-join
+    // semantics: nulls never match — the salt must not change that)
+    val large = (Seq.fill(5000)(Option(0L)) ++ (1L to 300L).map(Option(_))
+      ++ Seq.fill(7)(Option.empty[Long]))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val small = ((0L to 150L).map(Option(_)) ++ Seq(Option.empty[Long]))
+      .map(k => (k, k.map(_ * 10).getOrElse(-1L))).toDF("k", "w")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val plain = canon(large.join(small, Seq("k")))
+    val salted = canon(Scale.saltedJoin(large, small, "k"))
+    assert(salted === plain)
+    assert(plain.count(_._1 == 0L) === 5000) // the hot key really joined
+    // empty small side → empty result, not an error
+    assert(Scale.saltedJoin(large, small.filter(lit(false)), "k").count() === 0)
+  }
+
+  test("mortonKey (driver) and zorder2 (column) agree bit for bit") {
+    import spark.implicits._
+    // LCG-spread coordinates across the full 21-bit domain + the corners
+    val pts = ((0L until 500L).map(i =>
+        ((i * 2654435761L) % 2097152L, (i * 69069L + 12345L) % 2097152L))
+      ++ Seq((0L, 0L), (2097151L, 2097151L), (2097151L, 0L), (0L, 2097151L)))
+    val got = pts.toDF("x", "y")
+      .withColumn("z", Scale.zorder2("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      assert(z === Scale.mortonKey(x, y), s"mismatch at ($x,$y)")
+    }
+  }
+
+  test("q77: the bucketed join itself has no exchange on the join key") {
+    // makes the q77 comment's zero-shuffle claim a tested fact: the only
+    // hashpartitioning exchange in the plan is the final groupBy's
+    // (l_returnflag) — neither join side re-partitions on k
+    val df = graft.queries.Relational.queries("q77_smbjoin")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning(k"),
+      s"bucketed q77 join still shuffles on the join key:\n$p")
+    spark.sql("SHOW TABLES").collect().map(_.getString(1))
+      .filter(_.startsWith("g77_")).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("partitioned write prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Scale.writePartitioned(
