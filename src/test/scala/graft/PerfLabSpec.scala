@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Throwaway A/B timing lab (run manually; not part of the shipped
+  * contract — ignored unless GRAFT_PERFLAB=1). Back-to-back runs on
+  * one JVM per the measurement convention: absolute numbers are
+  * machine-state noise, only same-state deltas count. */
+class PerfLabSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.1"
+
+  private def time[T](label: String, reps: Int = 3)(f: => T): Seq[Double] = {
+    val ts = (1 to reps).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    info(f"$label%-32s ${ts.map(t => f"$t%5.2f").mkString(" ")} s")
+    ts
+  }
+
+  test("q68 pagerank: AQE on vs off") {
+    assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
+    def run(): Unit = {
+      SparkEntry.queries("q68_pagerank")(spark, sf).collect()
+      graft.operators.OpCaches.releaseAll()
+    }
+    time("q68 AQE on")(run())
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try time("q68 AQE off")(run())
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    time("q68 AQE on again")(run())
+  }
+
+  test("qt9/qt14: duplicated tokenize pass") {
+    assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
+    def run(q: String): Unit = {
+      SparkEntry.queries(q)(spark, sf).collect()
+      graft.operators.OpCaches.releaseAll()
+    }
+    time("qt9_tfidf")(run("qt9_tfidf"))
+    time("qt14_bm25")(run("qt14_bm25"))
+    // variant: cache the shared tf relation (round-6 measured this
+    // NEGATIVE for qt9; the BM25 form carries dl too — re-measure)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Column
+    def bm25cached(): Unit = {
+      val tk = Tables(spark, sf, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast(LongType).as("dl"),
+          explode(col("tk")).as("term"))
+      val tf = tk.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        .transform(graft.operators.OpCaches.track)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val g = Tables(spark, sf, "documents")
+        .select(size(split(col("text"), " ")).cast(LongType).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      def dbl(c: String): Column = col(c).cast(DoubleType)
+      val idf = (dbl("n") - dbl("df") + lit(0.5)) / (dbl("df") + lit(0.5))
+      val tfn = dbl("tf") * lit(2.2) /
+        (dbl("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (dbl("dl") * dbl("n") / dbl("sdl"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, Seq("term")).crossJoin(broadcast(g))
+        .withColumn("score",
+          round((idf * tfn).cast(DecimalType(18, 8)), 6).cast(DoubleType))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "score")
+        .orderBy("doc_id", "rk").collect()
+      graft.operators.OpCaches.releaseAll()
+    }
+    time("qt14 tf cached")(bm25cached())
+    time("qt14_bm25 again")(run("qt14_bm25"))
+  }
+}
