@@ -1685,6 +1685,109 @@ object Relational {
           col("kth_min"),
           expr("(rho * ((63 * 2147483648) div kth_min)) div 64").as("est"))
       perType.unionByName(inter).orderBy("scope")
+    }),
+
+    // Q82 SCD2 DIMENSION BUILD — the slowly-changing-dimension type-2
+    // verb: a change log (each event sets the user's current value)
+    // becomes validity-interval rows [valid_from, valid_to) with a
+    // version number per key; the open current row carries valid_to
+    // NULL. ONE lead() window partitioned by user (full parallelism,
+    // no join, no self-aggregation) — the classic warehouse build that
+    // a MERGE-per-change would pay a table rewrite for. Timestamps
+    // leave as epoch-second BIGINTs (integer math both engines); the
+    // per-user order (ts, event_id) is total, so version numbering is
+    // deterministic.
+    "q82_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("valid_from"), col("event_id"))
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast(LongType).as("valid_from"),
+          floor(col("value")).cast(LongType).as("attr"))
+        .withColumn("version", row_number().over(w).cast(LongType))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .select("user_id", "version", "attr", "valid_from", "valid_to")
+        .orderBy("user_id", "version")
+        .limit(1000)
+    }),
+
+    // Q83 GAPS-AND-ISLANDS — merge each user's event intervals
+    // [ts, ts+300 s) into maximal overlapping-or-touching islands: the
+    // session/coverage verb SQL warehouses spell with the running-max
+    // trick. A row opens a NEW island iff its start lies strictly past
+    // the max end of ALL previous rows (running max over an
+    // unbounded-preceding frame — a plain lag(end) is wrong when an
+    // earlier long interval swallows its successor); island id = the
+    // running sum of the open flags. Two windows + one partial agg,
+    // everything partitioned by user — no corpus-wide sort, no join;
+    // the island count per user is data-bounded, never materialized
+    // driver-side.
+    "q83_islands" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("st"), col("event_id"))
+      val prevMax = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast(LongType).as("st"),
+          (col("ts").cast(LongType) + 300L).as("en"))
+        .withColumn("pmax", max(col("en")).over(prevMax))
+        .withColumn("opens",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("opens")).over(run))
+        .groupBy("user_id", "island")
+        .agg(min(col("st")).as("island_start"), max(col("en")).as("island_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "island")
+        .limit(1000)
+    }),
+
+    // Q84 INCREMENTAL SCD2 MERGE — the production companion of q82's
+    // from-scratch build: an existing dimension (built from the
+    // pre-split half of the log) absorbs a NEW change batch by (a)
+    // closing each affected user's open row at the batch's first
+    // change timestamp, and (b) appending the batch's rows versioned
+    // on top of the user's current max version. The oracle is q82's
+    // FULL-REBUILD SQL over the whole log — the hash match proves
+    // merge ≡ rebuild, which is the contract that lets a 100 TB
+    // dimension pay O(changes + affected-users) per day instead of a
+    // rebuild. Scale shape: windows partitioned by user over the
+    // CHANGE BATCH only; the two dimension-side joins (first-change
+    // timestamp, max version) are user-keyed equi-joins of O(affected
+    // users) relations — nothing broadcast-unsafe, nothing corpus-wide.
+    "q84_scd2merge" -> ((s, d) => {
+      val split = 1705363200L // 2024-01-16 00:00:00 UTC
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("valid_from"), col("event_id"))
+      val base = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast(LongType).as("valid_from"),
+          floor(col("value")).cast(LongType).as("attr"))
+      val hist = base.filter(col("valid_from") < split)
+      val chg = base.filter(col("valid_from") >= split)
+      // the pre-existing dimension (in production: a persisted table;
+      // built in-query per the q46–q49 self-containment convention)
+      val dim = hist.withColumn("version", row_number().over(w).cast(LongType))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .select("user_id", "version", "attr", "valid_from", "valid_to")
+      val firstNew = chg.groupBy("user_id")
+        .agg(min(col("valid_from")).as("first_new"))
+      val closed = dim.join(firstNew, Seq("user_id"), "left")
+        .withColumn("valid_to",
+          when(col("valid_to").isNull, col("first_new"))
+            .otherwise(col("valid_to")))
+        .drop("first_new")
+      val v0 = dim.groupBy("user_id").agg(max(col("version")).as("v0"))
+      val newRows = chg
+        .withColumn("vloc", row_number().over(w).cast(LongType))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .join(v0, Seq("user_id"), "left")
+        .withColumn("version", coalesce(col("v0"), lit(0L)) + col("vloc"))
+        .select("user_id", "version", "attr", "valid_from", "valid_to")
+      closed.unionByName(newRows)
+        .orderBy("user_id", "version").limit(1000)
     })
   )
 
@@ -2407,6 +2510,63 @@ object Relational {
         |          FROM km, rho, ni)
         |SELECT * FROM per_type
         |UNION ALL SELECT * FROM inter
-        |ORDER BY scope""".stripMargin
+        |ORDER BY scope""".stripMargin,
+
+    // q82: the same lead() build — FLOOR(epoch(ts)) matches Spark's
+    // timestamp→long cast (truncation, not round-half-even)
+    "q82_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from,
+        |         CAST(FLOOR(value) AS BIGINT) AS attr
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |v AS (SELECT user_id, event_id, valid_from, attr,
+        |        CAST(ROW_NUMBER() OVER win AS BIGINT) AS version,
+        |        LEAD(valid_from, 1) OVER win AS valid_to
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id
+        |                     ORDER BY valid_from, event_id))
+        |SELECT user_id, version, attr, valid_from, valid_to
+        |FROM v ORDER BY user_id, version LIMIT 1000""".stripMargin,
+
+    // q83: the same running-max island assembly; ROWS frames spelled
+    // explicitly on both windows
+    "q83_islands" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+        |         CAST(FLOOR(epoch(ts)) AS BIGINT) + 300 AS en
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, event_id, st, en,
+        |        MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM e),
+        |g AS (SELECT user_id, st, en,
+        |        SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY st, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM f)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |       MIN(st) AS island_start, MAX(en) AS island_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, island LIMIT 1000""".stripMargin,
+
+    // q84: the FULL REBUILD over the whole log (q82's oracle verbatim)
+    // — the incremental merge must be indistinguishable from it
+    "q84_scd2merge" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from,
+        |         CAST(FLOOR(value) AS BIGINT) AS attr
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |v AS (SELECT user_id, event_id, valid_from, attr,
+        |        CAST(ROW_NUMBER() OVER win AS BIGINT) AS version,
+        |        LEAD(valid_from, 1) OVER win AS valid_to
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id
+        |                     ORDER BY valid_from, event_id))
+        |SELECT user_id, version, attr, valid_from, valid_to
+        |FROM v ORDER BY user_id, version LIMIT 1000""".stripMargin
   )
 }

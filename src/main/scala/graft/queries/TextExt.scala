@@ -431,6 +431,59 @@ object TextExt {
         .orderBy("lang")
     }),
 
+    // qx8 TEMPERATURE-balanced mixture (τ = 2) — the UniMax-style
+    // multilingual rebalance where the weights come FROM the data:
+    // sampling weight w_s ∝ n_s^(1/τ) = isqrt(n_s) flattens the
+    // head-language dominance that proportional sampling keeps and the
+    // uniform mixture over-corrects. Everything is EXACT integer math:
+    // isqrt is floor(√n) with a ±1 correction step (the double sqrt is
+    // correctly rounded IEEE in both engines, and the correction makes
+    // the result exact regardless); quotas apportion a budget of
+    // B = N div 2 docs by largest remainder ((B·w_s) div W + 1 for the
+    // R largest (B·w_s) mod W, ties broken by lang), capped at n_s;
+    // membership is the per-stratum LCG-rank prefix (qx3's generator).
+    // Scale shape: one scan + a per-language count (|langs| rows — the
+    // apportionment windows run over THAT bounded relation, never the
+    // corpus) + one bounded window per stratum.
+    "qx8_tempmix" -> ((s, d) => {
+      def isqrt(c: Column): Column = {
+        val s0 = floor(sqrt(c.cast(DoubleType))).cast(LongType)
+        val s1 = when(s0 * s0 > c, s0 - 1L).otherwise(s0)
+        when((s1 + 1L) * (s1 + 1L) <= c, s1 + 1L).otherwise(s1)
+      }
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+      val remRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("lang"))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          ((lit(1103515245L) * (col("doc_id") % 2147483648L) + 12345L)
+            % 2147483648L).as("hk"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_avail"))
+        .withColumn("w", isqrt(col("n_avail")))
+      val tot = counts.agg(sum(col("w")).as("bigw"),
+        expr("sum(n_avail) div 2").as("b"))
+      val quotas = counts.crossJoin(broadcast(tot))
+        .withColumn("q0", expr("(b * w) div bigw"))
+        .withColumn("rem", expr("(b * w) % bigw"))
+        .withColumn("rr", row_number().over(remRank).cast(LongType))
+        .withColumn("r", col("b") - sum(col("q0")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(lit(1)).rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .withColumn("quota",
+          least(when(col("rr") <= col("r"), col("q0") + 1L).otherwise(col("q0")),
+            col("n_avail")))
+        .select("lang", "n_avail", "w", "quota")
+      docs.withColumn("rk", row_number().over(rk).cast(LongType))
+        .join(broadcast(quotas), Seq("lang"))
+        .where(col("rk") <= col("quota"))
+        .groupBy("lang", "n_avail", "w", "quota")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // qx1 benchmark decontamination: find training docs sharing any
     // 3-token shingle with the held-out eval set (deterministic
     // doc_id % 97 == 0 stand-in for a benchmark suite). The scale shape
@@ -1119,6 +1172,45 @@ object TextExt {
         |       CAST(SUM(n_tok) AS BIGINT) AS tok_kept
         |FROM cm, kk WHERE cum <= w * k
         |GROUP BY 1, 2 ORDER BY lang""".stripMargin,
+
+    // qx8: the same isqrt (floor(sqrt)+correction — exact regardless of
+    // the double rounding) and largest-remainder apportionment
+    "qx8_tempmix" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    (1103515245 * (doc_id % 2147483648) + 12345) % 2147483648 AS hk
+        |  FROM documents),
+        |c AS (SELECT lang, COUNT(*) AS n_avail FROM docs GROUP BY lang),
+        |w AS (SELECT lang, n_avail,
+        |        CASE WHEN (s1+1)*(s1+1) <= n_avail THEN s1+1 ELSE s1 END AS w
+        |      FROM (SELECT lang, n_avail,
+        |              CASE WHEN s0*s0 > n_avail THEN s0-1 ELSE s0 END AS s1
+        |            FROM (SELECT lang, n_avail,
+        |                    CAST(FLOOR(SQRT(CAST(n_avail AS DOUBLE))) AS BIGINT) AS s0
+        |                  FROM c) a) b),
+        |t AS (SELECT SUM(w) AS bigw, SUM(n_avail) // 2 AS b FROM w),
+        |q AS (SELECT lang, n_avail, w,
+        |        (t.b * w) // t.bigw AS q0, (t.b * w) % t.bigw AS rem, t.b AS b
+        |      FROM w, t),
+        |q2 AS (SELECT lang, n_avail, w, q0,
+        |         ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr,
+        |         b - SUM(q0) OVER () AS r
+        |       FROM q),
+        |quotas AS (SELECT lang, n_avail, w,
+        |             LEAST(CASE WHEN rr <= r THEN q0+1 ELSE q0 END,
+        |                   n_avail) AS quota
+        |           FROM q2),
+        |rkd AS (SELECT doc_id, lang,
+        |          ROW_NUMBER() OVER (PARTITION BY lang
+        |                             ORDER BY hk, doc_id) AS rk
+        |        FROM docs)
+        |SELECT r.lang, q.n_avail, CAST(q.w AS BIGINT) AS w,
+        |       CAST(q.quota AS BIGINT) AS quota,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       CAST(SUM(r.doc_id) AS BIGINT) AS id_sum
+        |FROM rkd r JOIN quotas q ON r.lang = q.lang
+        |WHERE r.rk <= q.quota
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
 
     "qx1_decontam" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
