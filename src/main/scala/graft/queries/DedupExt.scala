@@ -463,6 +463,47 @@ object DedupExt {
         .limit(5)
     }),
 
+    // qs12 MULTI-PROBE LSH — the recall knob that does NOT cost more
+    // index (Lv et al.'s multi-probe idea, public method): each of the
+    // probe's 4 band keys ALSO probes its 16 single-bit perturbations
+    // (the nearest-miss buckets of a hyperplane sketch differ in one
+    // bit), so the probe relation grows 4 → 68 rows — still O(1),
+    // still broadcast — while the candidate set approaches what 17×
+    // the bands would reach. Exact re-rank on candidates only, qs1's
+    // kernel; n_cand vs n_cand1 (single-probe) ride along as audit
+    // data, so the recall/selectivity trade is hash-checked, not
+    // claimed. At 100 TB the index side is unchanged — the entire
+    // delta is 64 extra rows on the broadcast build side.
+    "qs12_multiprobe" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val pv = graft.operators.OpCaches.track(perVec(exQ(s, d)))
+      val bands = vecBands(pv)
+      val pk = bands.filter(col("vec_id") === 0)
+        .select(col("k"), col("key"), col("n2").as("qn2"))
+      val probe = pk.select(col("k"), col("qn2"),
+        explode(expr("transform(sequence(0, 16), p -> IF(p = 0, key, " +
+          "key ^ shiftleft(CAST(1 AS BIGINT), CAST(p AS INT) - 1)))"))
+          .as("key"))
+      val others = bands.filter(col("vec_id") =!= 0)
+      val cand = others.join(broadcast(probe), Seq("k", "key"))
+        .select(col("vec_id"), col("n2"), col("qn2")).distinct()
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nCand1 = others.join(broadcast(pk), Seq("k", "key"))
+        .select("vec_id").distinct().agg(count(lit(1)).as("n_cand1"))
+      val emb = embQ(s, d)
+      val qe = emb.filter(col("vec_id") === 0).select(col("ei").as("qe"))
+      cand.join(emb, Seq("vec_id")).crossJoin(broadcast(qe))
+        .withColumn("dot", expr(dotL("ei", "qe")))
+        .select(col("vec_id"),
+          round(col("dot").cast(DoubleType)
+            / (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("n2").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+        .crossJoin(broadcast(nCand)).crossJoin(broadcast(nCand1))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     // qs3 ANN probe BATCH: the qs1 shape at serving scale — every probe
     // (deterministic sample vec_id % 100 = 7) equi-joins its 4 band keys
     // against the SAME (band, key) → vec_id index relation in ONE join,
@@ -1932,6 +1973,44 @@ object DedupExt {
         |         GROUP BY 1)
         |SELECT d.vec_id, CAST(ROUND(CAST(dot AS DOUBLE)
         |         / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+        |FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
+        |            JOIN norms qn ON qn.vec_id = 0
+        |ORDER BY score DESC, d.vec_id LIMIT 5""".stripMargin,
+
+    // qs12: qs1's hyperplane chain + the single-bit perturbation fan
+    // replayed as a 17-way generate_series; both candidate counts ride
+    // along as scalar subqueries
+    "qs12_multiprobe" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |proj AS (SELECT vec_id, j,
+        |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
+        |             - 1073741824) * xi) AS proj
+        |         FROM ex, generate_series(0, 63) t(j) GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, j // 16 AS k,
+        |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
+        |       FROM proj GROUP BY 1, 2),
+        |pk AS (SELECT k, key FROM bk WHERE vec_id = 0),
+        |probe AS (SELECT k,
+        |            CASE WHEN p = 0 THEN key
+        |                 ELSE xor(key, CAST(1 AS BIGINT) << (p - 1)) END AS key
+        |          FROM pk, generate_series(0, 16) t(p)),
+        |cand AS (SELECT DISTINCT b.vec_id
+        |         FROM bk b JOIN probe q ON b.k = q.k AND b.key = q.key
+        |         WHERE b.vec_id <> 0),
+        |cand1 AS (SELECT DISTINCT b.vec_id
+        |          FROM bk b JOIN pk q ON b.k = q.k AND b.key = q.key
+        |          WHERE b.vec_id <> 0),
+        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT c.vec_id, SUM(v.xi * q.xi) AS dot
+        |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
+        |                     JOIN ex q ON q.vec_id = 0 AND q.i = v.i
+        |         GROUP BY 1)
+        |SELECT d.vec_id, CAST(ROUND(CAST(dot AS DOUBLE)
+        |         / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand1) AS n_cand1
         |FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
         |            JOIN norms qn ON qn.vec_id = 0
         |ORDER BY score DESC, d.vec_id LIMIT 5""".stripMargin,

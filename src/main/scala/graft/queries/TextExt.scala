@@ -247,6 +247,34 @@ object TextExt {
         .orderBy("vec_id")
         .limit(500)),
 
+    // qe4 PER-DIMENSION (channel-wise) int8 quantization — the FAISS-
+    // SQ8-style member of the compression family: one shared scale per
+    // DIMENSION across the corpus (qe1 scales per vector), which is
+    // what a serving index actually ships (one 64-float scale table,
+    // not a scale per row). Scale shape: one explode scan → a
+    // (dim)-cardinality partial aggregate (64 rows — never a corpus
+    // shuffle) → the 64-row scale table BROADCAST back onto the scan →
+    // per-dim quantization-error stats, again (dim)-keyed. Same exact
+    // arithmetic regime as qe1: floor over correctly-rounded IEEE
+    // doubles, DECIMAL(28,14) error terms in a (38,14) accumulator.
+    "qe4_chanquant" -> ((s, d) => {
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+        .select((col("i0") + 1).cast(LongType).as("dim"),
+          col("xf").cast(DoubleType).as("x"))
+      val scales = ex.groupBy("dim").agg(max(abs(col("x"))).as("mx"))
+      ex.join(broadcast(scales), Seq("dim"))
+        .withColumn("qi", floor(col("x") * (lit(127.0) / col("mx"))))
+        .groupBy("dim")
+        .agg(round(max(col("mx")), 6).cast(DoubleType).as("mx"),
+          min(col("qi")).cast(LongType).as("qmin"),
+          max(col("qi")).cast(LongType).as("qmax"),
+          round(sum(expr("CAST(CAST(abs(qi * mx / 127.0 - x) AS DECIMAL(28,14)) AS DECIMAL(38,14))"))
+            .cast(DoubleType) / count(lit(1)), 8).cast(DoubleType)
+            .as("mean_abs_err"))
+        .orderBy("dim")
+    }),
+
     // qm1 multimodal plumbing: opaque binary payload column + fixed-width
     // features (byte length, head bytes as hex, rolling byte hash of the
     // 16-byte head). The decode step for real image/audio bytes is the
@@ -1096,6 +1124,20 @@ object TextExt {
         |  CAST(ROUND(CAST(SUM(CAST(ABS(qi * mx / 127.0 - x) AS DECIMAL(28,14))) AS DOUBLE)
         |    / COUNT(*), 8) AS DOUBLE) AS mean_abs_err
         |FROM qq GROUP BY vec_id ORDER BY vec_id LIMIT 500""".stripMargin,
+
+    // qe4: the per-dimension replay — same floor/decimal regime as qe1
+    "qe4_chanquant" ->
+      """WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT CAST(i AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |sc AS (SELECT dim, MAX(ABS(x)) AS mx FROM ex GROUP BY 1),
+        |q AS (SELECT e.dim, s.mx, e.x, FLOOR(e.x * (127.0 / s.mx)) AS qi
+        |      FROM ex e JOIN sc s USING (dim))
+        |SELECT dim, CAST(ROUND(MAX(mx), 6) AS DOUBLE) AS mx,
+        |  CAST(MIN(qi) AS BIGINT) AS qmin, CAST(MAX(qi) AS BIGINT) AS qmax,
+        |  CAST(ROUND(CAST(SUM(CAST(ABS(qi * mx / 127.0 - x) AS DECIMAL(28,14))) AS DOUBLE)
+        |    / COUNT(*), 8) AS DOUBLE) AS mean_abs_err
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
 
     "qt10_chunk" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
