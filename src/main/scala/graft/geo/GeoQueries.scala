@@ -221,8 +221,70 @@ object GeoQueries {
         .agg(count(lit(1)).as("n"), min(col("id")).as("first_id"),
           max(col("number")).as("max_number"))
         .orderBy("borough")
+    }),
+
+    // G08 POINT-IN-POLYGON SPATIAL JOIN — assign every house point to
+    // the first of four fixed "district" polygons containing it (ray
+    // casting: a point is inside iff a rightward ray crosses an odd
+    // number of edges). The crossing test is pure IEEE double
+    // arithmetic with an IDENTICAL expression tree in the oracle
+    // (x < xi + (xj−xi)·(y−yi)/(yj−yi) — every op correctly rounded,
+    // so both engines flip together or not at all; vertices are decimal
+    // literals that parse to the same doubles everywhere). Scale shape:
+    // the polygon EDGE relation is O(polygons) and broadcast — the
+    // point scan streams past it row-locally, then two narrow partial
+    // aggregates (per-point crossing fold, per-region stats); no
+    // corpus shuffle keyed on anything wider than the point id. The
+    // diamonds overlap deliberately: the min-rid tie rule is exercised,
+    // not just claimed.
+    "g08_polyjoin" -> ((s, d) => {
+      import s.implicits._
+      val edges = g08Edges.toDF("rid", "xi", "yi", "xj", "yj")
+      val pts = housePoints(s, geoDir(d)).select(col("hn_id"), col("px"), col("py"))
+      pts.crossJoin(broadcast(edges))
+        .withColumn("c",
+          when(((col("yi") > col("py")) =!= (col("yj") > col("py"))) &&
+            col("px") < col("xi") + (col("xj") - col("xi"))
+              * (col("py") - col("yi")) / (col("yj") - col("yi")), 1L)
+            .otherwise(0L))
+        .groupBy("hn_id", "px", "py", "rid").agg(sum(col("c")).as("nc"))
+        .groupBy("hn_id", "px", "py")
+        .agg(min(when(col("nc") % 2 === 1, col("rid"))).as("r0"))
+        .withColumn("region", coalesce(col("r0"), lit(0)).cast(LongType))
+        .groupBy("region")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("px").cast(DecimalType(28, 14))), 6)
+            .cast(DoubleType).as("sx"),
+          round(sum(col("py").cast(DecimalType(28, 14))), 6)
+            .cast(DoubleType).as("sy"))
+        .orderBy("region")
     })
   )
+
+  /** G08's district polygons: four diamonds over the committed
+    * fixture's bbox (lon −74.017..−73.969, lat 40.700..40.759; the
+    * bench-scale fixture spans a wider box, so there the polygons
+    * cover a sub-area and more points land in region 0 — the crossing
+    * test is box-independent), two of them overlapping so the min-rid
+    * assignment rule is exercised. Vertex literals round-trip exactly
+    * through Double.toString into both engines' SQL parsers. */
+  private val g08Polys: Seq[(Int, Seq[(Double, Double)])] = Seq(
+    1 -> Seq((-74.017, 40.715), (-74.005, 40.727), (-73.993, 40.715),
+      (-74.005, 40.703)),
+    2 -> Seq((-74.002, 40.718), (-73.990, 40.730), (-73.978, 40.718),
+      (-73.990, 40.706)),
+    3 -> Seq((-73.990, 40.748), (-73.978, 40.760), (-73.966, 40.748),
+      (-73.978, 40.736)),
+    4 -> Seq((-74.012, 40.744), (-74.002, 40.754), (-73.992, 40.744),
+      (-74.002, 40.734)))
+
+  private[geo] val g08Edges: Seq[(Int, Double, Double, Double, Double)] =
+    g08Polys.flatMap { case (rid, vs) =>
+      vs.indices.map { i =>
+        val (xi, yi) = vs(i); val (xj, yj) = vs((i + 1) % vs.size)
+        (rid, xi, yi, xj, yj)
+      }
+    }
 
   /** Shared DuckDB CTE: candidates → crosstrack (same branch structure as
     * Geo.crosstrackM) → rounded distance → per-point best row.
@@ -306,6 +368,30 @@ object GeoQueries {
          |       CAST(floor(py / 0.0005) AS BIGINT) AS cy, COUNT(*) AS n
          |FROM read_parquet('$dir/house_points.parquet')
          |GROUP BY 1, 2 ORDER BY n DESC, cx, cy LIMIT 100""".stripMargin,
+
+    // g08: the same edge relation as literal VALUES rows and the
+    // IDENTICAL crossing expression tree (every op correctly-rounded
+    // IEEE — both engines agree bit for bit)
+    "g08_polyjoin" -> {
+      val values = g08Edges
+        .map { case (r, xi, yi, xj, yj) => s"($r, $xi, $yi, $xj, $yj)" }
+        .mkString(", ")
+      s"""WITH pts AS (SELECT hn_id, px, py
+         |             FROM read_parquet('$dir/house_points.parquet')),
+         |edges(rid, xi, yi, xj, yj) AS (VALUES $values),
+         |cr AS (SELECT p.hn_id, p.px, p.py, e.rid,
+         |         SUM(CASE WHEN (e.yi > p.py) <> (e.yj > p.py)
+         |               AND p.px < e.xi + (e.xj - e.xi) * (p.py - e.yi) / (e.yj - e.yi)
+         |             THEN 1 ELSE 0 END) AS nc
+         |       FROM pts p, edges e GROUP BY 1, 2, 3, 4),
+         |a AS (SELECT hn_id, px, py,
+         |        COALESCE(MIN(CASE WHEN nc % 2 = 1 THEN rid END), 0) AS region
+         |      FROM cr GROUP BY 1, 2, 3)
+         |SELECT CAST(region AS BIGINT) AS region, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(ROUND(SUM(CAST(px AS DECIMAL(28,14))), 6) AS DOUBLE) AS sx,
+         |  CAST(ROUND(SUM(CAST(py AS DECIMAL(28,14))), 6) AS DOUBLE) AS sy
+         |FROM a GROUP BY region ORDER BY region""".stripMargin
+    },
 
     // g07: the oracle replays the DSv2 source's contract on the raw
     // lines — scalar extraction, the pushed predicate (missing
