@@ -310,6 +310,33 @@ object StreamingQueries {
           graft.streaming.FunnelState.fromEvents(s, t(s, d, "events")))
         .toDF().orderBy("user_id")),
 
+    // S20 streaming SCD2 apply (streaming/Scd2State): each arriving
+    // change CLOSES the user's open version row the moment it is
+    // superseded — the dimension-maintenance verb (q82 build / q84
+    // merge) as incremental state instead of a nightly batch. Open
+    // rows live in state only (they would retract when closed); the
+    // stream publishes exactly the CLOSED rows, and validity bounds
+    // are epoch MICROS so the fold's event-time order and this batch
+    // window's (valid_from, event_id) order are one total order — no
+    // same-second tie can diverge. This batch form is the oracle
+    // gate; Scd2StreamSpec pins streamed == batch across a
+    // checkpointed restart over a time-split feed.
+    "s20_scd2stream" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("valid_from"), col("event_id"))
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("valid_from"),
+          floor(col("value")).cast(LongType).as("attr"))
+        .withColumn("version", row_number().over(w).cast(LongType))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .filter(col("valid_to").isNotNull)
+        .select("user_id", "version", "attr", "valid_from", "valid_to")
+        .orderBy("user_id", "version")
+        .limit(2000)
+    }),
+
     // S17 the COMPOSED ingest pipeline — the three production verbs
     // this suite built separately, chained: per batch, (1) dedup
     // verdicts against the persisted corpus index (s12's kernel),
@@ -539,6 +566,22 @@ object StreamingQueries {
         |FROM s3 JOIN s2 ON s3.user_id = s2.user_id
         |        JOIN s1 ON s3.user_id = s1.user_id
         |ORDER BY s3.user_id""".stripMargin,
+
+    // s20: the q82 window build at MICROS resolution, closed rows only
+    "s20_scd2stream" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS valid_from,
+        |         CAST(FLOOR(value) AS BIGINT) AS attr
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |v AS (SELECT user_id, event_id, valid_from, attr,
+        |        CAST(ROW_NUMBER() OVER win AS BIGINT) AS version,
+        |        LEAD(valid_from, 1) OVER win AS valid_to
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id
+        |                     ORDER BY valid_from, event_id))
+        |SELECT user_id, version, attr, valid_from, valid_to
+        |FROM v WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, version LIMIT 2000""".stripMargin,
 
     // s12: the two-batch staged ingest replayed in SQL — shared
     // fingerprint/banding CTEs, batch A's verdicts against the base
