@@ -91,6 +91,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FirstCommonSorted.builder))
     ext.injectFunction((FuzzyMs.minIdent, FuzzyMs.minInfo, FuzzyMs.minBuilder))
     ext.injectFunction((FuzzyMs.maxIdent, FuzzyMs.maxInfo, FuzzyMs.maxBuilder))
+    ext.injectFunction((Morton2.ident, Morton2.info, Morton2.builder))
     ext.injectFunction((SimHashBands64.ident, SimHashBands64.info,
       SimHashBands64.builder))
     ext.injectFunction((HyperplaneBands64.ident, HyperplaneBands64.info,

@@ -1502,13 +1502,17 @@ object Relational {
     // z-sorted 100 TB layout the z-range collapses to min/max pruning on
     // one column — files outside it are never opened.
     "q76_zorderbox" -> ((s, d) => {
+      graft.plans.Morton2.register(s)
       val (x1, x2, y1, y2) = (262144L, 524287L, 131072L, 393215L)
       val zmin = graft.operators.Scale.mortonKey(x1, y1)
       val zmax = graft.operators.Scale.mortonKey(x2, y2)
       val pts = t(s, d, "events").select(
           ((col("event_id") * 2654435761L) % 1048576L).as("x"),
           ((col("event_id") * 69069L + 12345L) % 1048576L).as("y"))
-        .withColumn("z", graft.operators.Scale.zorder2("x", "y"))
+        // native codegen interleave (plans/Morton2) — the HOF form
+        // (Scale.zorder2) is kept for extension-free sessions and
+        // pinned equal in ScaleSpec
+        .withColumn("z", expr("morton2(x, y)"))
       val inZ = col("z").between(zmin, zmax)
       val inBox = inZ && col("x").between(x1, x2) && col("y").between(y1, y2)
       pts.agg(
@@ -1788,6 +1792,35 @@ object Relational {
         .select("user_id", "version", "attr", "valid_from", "valid_to")
       closed.unionByName(newRows)
         .orderBy("user_id", "version").limit(1000)
+    }),
+
+    // Q85 TIME-WEIGHTED AVERAGE (TWAP) — the monitoring/finance
+    // primitive a plain AVG gets wrong: each observation holds until
+    // the NEXT one, so its weight is its holding duration, not 1.
+    // All-integer numerator: duration in MICROS (epoch_us deltas via
+    // one lead() per user) × integerized value (floor) — per-user sums
+    // stay far under 2⁶³ and the single final division is one
+    // correctly-rounded IEEE op, bit-identical cross-engine. The last
+    // observation has no duration and single-event users have no span
+    // (both excluded by construction). One window pass partitioned by
+    // user + one partial agg — q79/q80's scale shape.
+    "q85_twap" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"),
+          floor(col("value")).cast(LongType).as("x"))
+        .withColumn("dur", lead(col("t"), 1).over(w) - col("t"))
+        .filter(col("dur").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_holds"),
+          sum(col("dur")).as("span_us"),
+          sum(col("dur") * col("x")).as("wsum"))
+        .withColumn("twap",
+          round(col("wsum").cast(DoubleType) / col("span_us"), 6)
+            .cast(DoubleType))
+        .orderBy("user_id")
     })
   )
 
@@ -2567,6 +2600,25 @@ object Relational {
         |      WINDOW win AS (PARTITION BY user_id
         |                     ORDER BY valid_from, event_id))
         |SELECT user_id, version, attr, valid_from, valid_to
-        |FROM v ORDER BY user_id, version LIMIT 1000""".stripMargin
+        |FROM v ORDER BY user_id, version LIMIT 1000""".stripMargin,
+
+    // q85: the same integer-micros holding durations; // and FLOOR
+    // replayed, one final IEEE division
+    "q85_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         CAST(FLOOR(value) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT user_id, x,
+        |        LEAD(t, 1) OVER (PARTITION BY user_id
+        |                         ORDER BY t, event_id) - t AS dur
+        |      FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_holds,
+        |  CAST(SUM(dur) AS BIGINT) AS span_us,
+        |  CAST(SUM(dur * x) AS BIGINT) AS wsum,
+        |  CAST(ROUND(CAST(SUM(dur * x) AS DOUBLE) / CAST(SUM(dur) AS BIGINT), 6)
+        |    AS DOUBLE) AS twap
+        |FROM h WHERE dur IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

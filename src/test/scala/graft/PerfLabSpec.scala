@@ -74,4 +74,25 @@ class PerfLabSpec extends AnyFunSuite {
     time("qt14 tf cached")(bm25cached())
     time("qt14_bm25 again")(run("qt14_bm25"))
   }
+
+  test("q76 morton: HOF vs codegen expression") {
+    assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
+    import org.apache.spark.sql.functions._
+    graft.plans.Morton2.register(spark)
+    val (x1, x2, y1, y2) = (262144L, 524287L, 131072L, 393215L)
+    val zmin = graft.operators.Scale.mortonKey(x1, y1)
+    val zmax = graft.operators.Scale.mortonKey(x2, y2)
+    def boxAgg(zcol: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val pts = Tables(spark, sf, "events").select(
+          ((col("event_id") * 2654435761L) % 1048576L).as("x"),
+          ((col("event_id") * 69069L + 12345L) % 1048576L).as("y"))
+      val z = zcol(pts)
+      val inZ = col("z").between(zmin, zmax)
+      val inBox = inZ && col("x").between(x1, x2) && col("y").between(y1, y2)
+      z.agg(sum(when(inZ, 1L).otherwise(0L)), sum(when(inBox, 1L))).collect()
+    }
+    time("q76 HOF zorder2")(boxAgg(_.withColumn("z", graft.operators.Scale.zorder2("x", "y"))))
+    time("q76 codegen morton2")(boxAgg(_.withColumn("z", expr("morton2(x, y)"))))
+    time("q76 HOF again")(boxAgg(_.withColumn("z", graft.operators.Scale.zorder2("x", "y"))))
+  }
 }

@@ -86,17 +86,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(Scale.saltedJoin(large, small.filter(lit(false)), "k").count() === 0)
   }
 
-  test("mortonKey (driver) and zorder2 (column) agree bit for bit") {
+  test("mortonKey (driver), zorder2 (HOF), morton2 (codegen) agree bit for bit") {
     import spark.implicits._
+    graft.plans.Morton2.register(spark)
     // LCG-spread coordinates across the full 21-bit domain + the corners
     val pts = ((0L until 500L).map(i =>
         ((i * 2654435761L) % 2097152L, (i * 69069L + 12345L) % 2097152L))
       ++ Seq((0L, 0L), (2097151L, 2097151L), (2097151L, 0L), (0L, 2097151L)))
     val got = pts.toDF("x", "y")
       .withColumn("z", Scale.zorder2("x", "y"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    got.foreach { case (x, y, z) =>
-      assert(z === Scale.mortonKey(x, y), s"mismatch at ($x,$y)")
+      .withColumn("zn", org.apache.spark.sql.functions.expr("morton2(x, y)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (x, y, z, zn) =>
+      assert(z === Scale.mortonKey(x, y), s"HOF mismatch at ($x,$y)")
+      assert(zn === z, s"codegen mismatch at ($x,$y)")
+    }
+    // out-of-domain inputs mask to 21 bits identically in all three
+    val odd = Seq((-1L, 5L), (1L << 40, 123L), (2097152L, 2097153L))
+    val got2 = odd.toDF("x", "y")
+      .withColumn("z", Scale.zorder2("x", "y"))
+      .withColumn("zn", org.apache.spark.sql.functions.expr("morton2(x, y)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got2.foreach { case (x, y, z, zn) =>
+      assert(z === Scale.mortonKey(x, y) && zn === z, s"domain-mask mismatch at ($x,$y)")
     }
   }
 
