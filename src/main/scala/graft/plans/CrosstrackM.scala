@@ -96,5 +96,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimHashBands64.builder))
     ext.injectFunction((HyperplaneBands64.ident, HyperplaneBands64.info,
       HyperplaneBands64.builder))
+    ext.injectFunction((JaroWinklerSim.ident, JaroWinklerSim.info,
+      JaroWinklerSim.builder))
   }
 }

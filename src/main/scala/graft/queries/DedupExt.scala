@@ -1511,6 +1511,37 @@ object DedupExt {
           levenshtein(col("a_s"), col("b_s")).cast("long").as("dist"))
         .filter(col("dist") <= 2)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // QD13 JARO-WINKLER RECORD LINKAGE — the weighted-similarity verb of
+    // the Fellegi-Sunter linkage family: where qd12's Levenshtein counts
+    // edits, Jaro-Winkler scores positional agreement with a prefix
+    // boost — the standard measure for short identifier-like fields.
+    // Spark has no built-in; `jaro_winkler` here is a native codegen
+    // BinaryExpression (plans/JaroWinkler.scala) evaluated over UTF-8
+    // bytes with the exact float-op order of the DuckDB oracle builtin,
+    // so the emitted double and the >= 0.85 keep/drop decision are
+    // bit-identical cross-engine. Blocking = (lang, first token): an
+    // equi-join whose keyspace GROWS with the corpus (bucket sizes
+    // stay bounded as data scales → no quadratic blowup), shuffled on
+    // the block key, AQE-skew-splittable; the O(s²) byte kernel runs on
+    // candidates only.
+    "qd13_jarowink" -> ((s, d) => {
+      graft.plans.JaroWinklerSim.register(s)
+      val p = graft.Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").getItem(0).as("tok1"),
+          substring(col("text"), 1, 32).as("s"))
+      val a = p.select(col("doc_id").as("doc_a"), col("lang"),
+        col("tok1"), col("s").as("sa"))
+      val b = p.select(col("doc_id").as("doc_b"), col("lang"),
+        col("tok1"), col("s").as("sb"))
+      a.join(b, Seq("lang", "tok1"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("jaro_winkler(sa, sb)").as("jw"))
+        .filter(col("jw") >= 0.85)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -2498,6 +2529,18 @@ object DedupExt {
         |                   AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(sa, sb) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "qd13_jarowink" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, split_part(text, ' ', 1) AS tok1,
+        |         substr(text, 1, 32) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       jaro_winkler_similarity(a.s, b.s) AS jw
+        |FROM p a JOIN p b ON a.lang = b.lang AND a.tok1 = b.tok1
+        |                 AND a.doc_id < b.doc_id
+        |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.85
         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }
