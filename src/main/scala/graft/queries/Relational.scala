@@ -1821,6 +1821,64 @@ object Relational {
           round(col("wsum").cast(DoubleType) / col("span_us"), 6)
             .cast(DoubleType))
         .orderBy("user_id")
+    }),
+
+    // Q86 COMPACTION PLANNER — the lakehouse OPTIMIZE verb's planning
+    // half: given a file manifest (path → partition, size), pack each
+    // partition's files into target-size rewrite bins. The policy is
+    // next-fit-decreasing by cumulative size: files ordered (bytes
+    // DESC, shard) within their partition, bin = (running_bytes_before
+    // div TARGET) — deterministic, SQL-replayable, and the shape real
+    // table services use. The manifest here is SIMULATED from events
+    // ((day, user_id%16) → summed payload bytes) so the oracle can
+    // replay it from the same parquet; a real SnapTable manifest plugs
+    // into the same plan. Scale shape: the planner runs on METADATA
+    // (one row per file, ~1e6 rows for a 100 TB table — trivial), the
+    // window partitions by table-partition (full parallelism), and the
+    // rewrite jobs the plan drives are embarrassingly parallel per bin.
+    "q86_compact" -> ((s, d) => {
+      val target = 4096L
+      val files = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"),
+          (col("user_id") % 16).as("shard"))
+        .agg(sum(length(coalesce(col("props"), lit(""))).cast(LongType)
+          + 32L).as("bytes"))
+      val w = Window.partitionBy("day")
+        .orderBy(col("bytes").desc, col("shard"))
+      files
+        .withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin", expr(s"(cum - bytes) div $target"))
+        .groupBy("day", "bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("bytes")).as("bin_bytes"),
+          min(col("shard")).as("first_shard"))
+        .orderBy("day", "bin")
+    }),
+
+    // Q87 SLIDING-WINDOW DISTINCT COUNT — the "distinct over a moving
+    // frame" verb SQL windows don't natively express (COUNT(DISTINCT)
+    // OVER is illegal in Spark): per user, the number of distinct event
+    // types among the trailing 5 events. For a BOUNDED frame the exact
+    // answer is row-local — collect_list over the ROWS frame (frame
+    // order = total (t, event_id) order) then array_distinct/size; no
+    // second shuffle, no self-join, O(frame) per row. Scale shape: one
+    // user-partitioned WindowExec (full parallelism, bounded O(k)
+    // frame buffer per row); the unbounded-frame variant would instead
+    // need the aggregate-to-(group,value) trick — this is the verb's
+    // bounded form, the one session analytics actually runs.
+    "q87_rolldistinct" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id")).rowsBetween(-4, 0)
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("event_type"))
+        .withColumn("k5",
+          size(array_distinct(collect_list(col("event_type")).over(w)))
+            .cast(LongType))
+        .select("user_id", "event_id", "k5")
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -2619,6 +2677,32 @@ object Relational {
         |  CAST(ROUND(CAST(SUM(dur * x) AS DOUBLE) / CAST(SUM(dur) AS BIGINT), 6)
         |    AS DOUBLE) AS twap
         |FROM h WHERE dur IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q86_compact" ->
+      """WITH f AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id % 16 AS shard,
+        |         SUM(CAST(length(COALESCE(props, '')) AS BIGINT) + 32)
+        |           AS bytes
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (
+        |  SELECT day, shard, bytes,
+        |         SUM(bytes) OVER (PARTITION BY day
+        |                          ORDER BY bytes DESC, shard) AS cum
+        |  FROM f)
+        |SELECT day, CAST((cum - bytes) // 4096 AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_files,
+        |       CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+        |       MIN(shard) AS first_shard
+        |FROM b GROUP BY day, bin ORDER BY day, bin""".stripMargin,
+
+    "q87_rolldistinct" ->
+      """SELECT user_id, event_id,
+        |  CAST(len(list_distinct(list(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))) AS BIGINT) AS k5
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }
