@@ -504,6 +504,56 @@ object DedupExt {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // QS13 EXACT RADIUS SEARCH with a Matryoshka prefix-dot prune — the
+    // range-query verb of the similarity family (top-k = qs1/qs12;
+    // "everything within cos ≥ τ" is this). LSH prefilters trade recall;
+    // this one is EXACT: by Cauchy-Schwarz the suffix dot is bounded by
+    // √(s2·qs2), so dp48 + √(s2·qs2) ≥ τ·√(n2·qn2) is a NECESSARY
+    // condition for membership — rows failing it cannot be hits, and
+    // the hash match against a brute-force oracle (which never prunes)
+    // PROVES the prune loses nothing. Membership itself is decided in
+    // exact integer/decimal arithmetic (dot > 0 ∧ 400·dot² ≥ 49·n2·qn2
+    // ⟺ cos ≥ 0.35), so no float knife-edge can flip a hit; the bound
+    // test is an identical IEEE expression tree in both engines (g08's
+    // convention) so the n_exact audit hash-matches too. Scale story:
+    // the 48-dim prefix IS a Matryoshka short embedding (qe2) — stored
+    // separately, only survivors (n_exact/n_all ≈ 32% here) ever fetch
+    // the full vector; the probe is one broadcast row, no shuffle.
+    "qs13_radius" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val base = embQ(s, d).select(col("vec_id"), col("ei"),
+        expr(dotL("ei", "ei")).as("n2"),
+        expr("aggregate(slice(ei, 49, 16), 0L, (a, x) -> a + x * x)")
+          .as("s2"))
+      val q = base.filter(col("vec_id") === 169)
+        .select(col("ei").as("qe"), col("n2").as("qn2"),
+          col("s2").as("qs2"))
+      val cand = base.filter(col("vec_id") =!= 169)
+        .crossJoin(broadcast(q))
+        .withColumn("dp48", expr(
+          "aggregate(zip_with(slice(ei, 1, 48), slice(qe, 1, 48), " +
+            "(x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("keep",
+          col("dp48").cast(DoubleType)
+            + sqrt(col("s2").cast(DoubleType) * col("qs2").cast(DoubleType))
+            >= lit(0.35)
+            * sqrt(col("n2").cast(DoubleType) * col("qn2").cast(DoubleType)))
+      val nAll = cand.agg(count(lit(1)).as("n_all"))
+      val survivors = cand.filter(col("keep"))
+      val nExact = survivors.agg(count(lit(1)).as("n_exact"))
+      survivors.withColumn("dot", expr(dotL("ei", "qe")))
+        .filter(col("dot") > 0 && expr(
+          "400 * CAST(dot AS DECIMAL(20,0)) * CAST(dot AS DECIMAL(20,0))" +
+            " >= 49 * CAST(n2 AS DECIMAL(20,0)) * CAST(qn2 AS DECIMAL(20,0))"))
+        .select(col("vec_id"),
+          round(col("dot").cast(DoubleType)
+            / (sqrt(col("qn2").cast(DoubleType))
+              * sqrt(col("n2").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .crossJoin(broadcast(nAll)).crossJoin(broadcast(nExact))
+        .orderBy("vec_id")
+    }),
+
     // qs3 ANN probe BATCH: the qs1 shape at serving scale — every probe
     // (deterministic sample vec_id % 100 = 7) equi-joins its 4 band keys
     // against the SAME (band, key) → vec_id index relation in ONE join,
@@ -2045,6 +2095,40 @@ object DedupExt {
         |FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
         |            JOIN norms qn ON qn.vec_id = 0
         |ORDER BY score DESC, d.vec_id LIMIT 5""".stripMargin,
+
+    // qs13: brute-force radius oracle — NO prefix prune on this side;
+    // the hash match proves the Spark prune is lossless. Membership is
+    // exact integer arithmetic (dot>0 ∧ 400·dot² ≥ 49·n2·qn2 ⟺ cos ≥
+    // 0.35 — HUGEINT here, DECIMAL(38,0) in Spark, both exact); the
+    // n_exact audit replays the Spark bound test as the identical IEEE
+    // expression tree.
+    "qs13_radius" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |agg AS (SELECT vec_id, SUM(xi*xi) AS n2,
+        |          SUM(CASE WHEN i > 48 THEN xi*xi ELSE 0 END) AS s2
+        |        FROM ex GROUP BY 1),
+        |pd AS (SELECT v.vec_id,
+        |         SUM(CASE WHEN v.i <= 48 THEN v.xi * q.xi ELSE 0 END) AS dp48,
+        |         SUM(v.xi * q.xi) AS dot
+        |       FROM ex v JOIN ex q ON q.vec_id = 169 AND q.i = v.i
+        |       WHERE v.vec_id <> 169 GROUP BY 1),
+        |j AS (SELECT p.vec_id, p.dp48, p.dot, a.n2, a.s2, qa.n2 AS qn2, qa.s2 AS qs2
+        |      FROM pd p JOIN agg a ON a.vec_id = p.vec_id,
+        |           (SELECT n2, s2 FROM agg WHERE vec_id = 169) qa),
+        |aud AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+        |          CAST(SUM(CASE WHEN CAST(dp48 AS DOUBLE)
+        |              + SQRT(CAST(s2 AS DOUBLE) * CAST(qs2 AS DOUBLE))
+        |              >= 0.35 * SQRT(CAST(n2 AS DOUBLE) * CAST(qn2 AS DOUBLE))
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        |        FROM j)
+        |SELECT vec_id, CAST(ROUND(CAST(dot AS DOUBLE)
+        |         / (SQRT(CAST(qn2 AS DOUBLE)) * SQRT(CAST(n2 AS DOUBLE))), 6) AS DOUBLE) AS score,
+        |       n_all, n_exact
+        |FROM j, aud
+        |WHERE dot > 0 AND 400 * dot * dot >= 49 * n2 * qn2
+        |ORDER BY vec_id""".stripMargin,
 
     "qs3_annbatch" -> oracleQs3,
 
