@@ -337,6 +337,41 @@ object StreamingQueries {
         .limit(2000)
     }),
 
+    // S21 streaming z-score anomaly detection (streaming/AnomState):
+    // flag an observation whose squared deviation from the user's
+    // PRIOR running mean exceeds 9× the prior population variance
+    // (|z| > 3, ≥ 8 observations of history). Scoring against the
+    // PRIOR prefix makes the incremental fold equal this batch window
+    // form — each verdict depends only on rows before it in the total
+    // (ts, event_id) order. The test is exact integer algebra on the
+    // integerized metric (x = floor(value·100)): with prior sums
+    // (n, S, Q), (x−mean)² > 9·var ⟺ (n·x − S)² > 9·(n·Q − S²) —
+    // no division, no sqrt, no float epsilon. State per user is three
+    // longs; the batch form is ONE user-partitioned window pass with
+    // an unbounded-preceding-to-1-preceding frame. This batch form is
+    // the oracle gate; AnomStreamSpec pins streamed == typed fold ==
+    // this window build across a checkpointed restart.
+    "s21_anomstream" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dev = col("n_prior") * col("x") - col("s_prior")
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"),
+          floor(coalesce(col("value"), lit(0.0)) * 100)
+            .cast(LongType).as("x"))
+        .withColumn("n_prior", count(lit(1)).over(w))
+        .withColumn("s_prior", sum(col("x")).over(w))
+        .withColumn("q_prior", sum(col("x") * col("x")).over(w))
+        .filter(col("n_prior") >= 8 &&
+          dev * dev > lit(9L)
+            * (col("n_prior") * col("q_prior") - col("s_prior") * col("s_prior")))
+        .select("user_id", "event_id", "x", "n_prior")
+        .orderBy("user_id", "event_id")
+    }),
+
     // S17 the COMPOSED ingest pipeline — the three production verbs
     // this suite built separately, chained: per batch, (1) dedup
     // verdicts against the persisted corpus index (s12's kernel),
@@ -582,6 +617,27 @@ object StreamingQueries {
         |SELECT user_id, version, attr, valid_from, valid_to
         |FROM v WHERE valid_to IS NOT NULL
         |ORDER BY user_id, version LIMIT 2000""".stripMargin,
+
+    // s21: the prior-prefix z test replayed with cumulative window sums
+    "s21_anomstream" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         CAST(FLOOR(COALESCE(value, 0.0) * 100) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT user_id, event_id, x,
+        |        COUNT(*) OVER win AS n_prior,
+        |        COALESCE(SUM(x) OVER win, 0) AS s_prior,
+        |        COALESCE(SUM(x * x) OVER win, 0) AS q_prior
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING
+        |                              AND 1 PRECEDING))
+        |SELECT user_id, event_id, x, CAST(n_prior AS BIGINT) AS n_prior
+        |FROM m
+        |WHERE n_prior >= 8
+        |  AND (n_prior * x - s_prior) * (n_prior * x - s_prior)
+        |      > 9 * (n_prior * q_prior - s_prior * s_prior)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // s12: the two-batch staged ingest replayed in SQL — shared
     // fingerprint/banding CTEs, batch A's verdicts against the base
