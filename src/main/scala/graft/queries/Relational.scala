@@ -1879,6 +1879,49 @@ object Relational {
             .cast(LongType))
         .select("user_id", "event_id", "k5")
         .orderBy("user_id", "event_id")
+    }),
+
+    // Q88 BITEMPORAL POINT-IN-TIME QUERY — the two-axis temporal verb
+    // (valid time × transaction time) the SCD2 family (q82/q84) and
+    // snapshot time travel (q59) each cover only half of: "what did we
+    // BELIEVE at transaction time T the world looked like at valid
+    // time V". Changes carry valid time vt (event ts) and transaction
+    // time tx (vt + a deterministic 0–6 day ingestion delay); the SAME
+    // valid instant V queried as-known-at T1 and as-known-at T2 gives
+    // different answers where late-arriving changes revised history —
+    // the `revised` flag is that audit, hash-checked. Both as-of
+    // reads are ONE partial-aggregatable groupBy pass (max over a
+    // lexicographic (vt, event_id, attr) struct under a transaction-
+    // time predicate — conditional aggregates, no join, no window);
+    // all arithmetic is epoch-micros integers. Scale: per-user state
+    // is two structs + a count — map-side combine collapses the
+    // corpus before the shuffle, and a 100 TB change log aggregates
+    // in one pass per queried (V, T) pair.
+    "q88_bitemporal" -> ((s, d) => {
+      val V = 1705708800000000L  // 2024-01-20T00:00:00Z
+      val T1 = 1705881600000000L // 2024-01-22
+      val T2 = 1706227200000000L // 2024-01-26
+      val c = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("vt"),
+          floor(coalesce(col("value"), lit(0.0))).cast(LongType).as("attr"))
+        .withColumn("tx", col("vt") + (col("event_id") % 7) * 86400000000L)
+        .filter(col("vt") <= V)
+      c.groupBy("user_id").agg(
+          max(when(col("tx") <= T1,
+            struct(col("vt"), col("event_id"), col("attr")))).as("r1"),
+          max(when(col("tx") <= T2,
+            struct(col("vt"), col("event_id"), col("attr")))).as("r2"),
+          count(when(col("tx") <= T2, 1)).as("n_known"))
+        .filter(col("r2").isNotNull)
+        .select(col("user_id"),
+          col("r1.attr").as("attr_t1"),
+          col("r2.attr").as("attr_t2"),
+          col("r2.vt").as("vf_t2"),
+          expr("CAST(NOT (r1.attr <=> r2.attr) AS BIGINT)").as("revised"),
+          col("n_known"))
+        .orderBy("user_id")
     })
   )
 
@@ -2703,6 +2746,29 @@ object Relational {
         |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))) AS BIGINT) AS k5
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q88_bitemporal" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS vt,
+        |         CAST(FLOOR(COALESCE(value, 0.0)) AS BIGINT) AS attr,
+        |         epoch_us(ts) + (event_id % 7) * 86400000000 AS tx
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND epoch_us(ts) <= 1705708800000000),
+        |t1 AS (SELECT user_id, attr, ROW_NUMBER() OVER (
+        |         PARTITION BY user_id ORDER BY vt DESC, event_id DESC) AS rn
+        |       FROM c WHERE tx <= 1705881600000000),
+        |t2 AS (SELECT user_id, attr, vt, ROW_NUMBER() OVER (
+        |         PARTITION BY user_id ORDER BY vt DESC, event_id DESC) AS rn,
+        |       COUNT(*) OVER (PARTITION BY user_id) AS n_known
+        |       FROM c WHERE tx <= 1706227200000000)
+        |SELECT t2.user_id, t1.attr AS attr_t1, t2.attr AS attr_t2,
+        |       t2.vt AS vf_t2,
+        |       CAST(t1.attr IS DISTINCT FROM t2.attr AS BIGINT) AS revised,
+        |       CAST(t2.n_known AS BIGINT) AS n_known
+        |FROM t2 LEFT JOIN t1 ON t1.user_id = t2.user_id AND t1.rn = 1
+        |WHERE t2.rn = 1
+        |ORDER BY t2.user_id""".stripMargin
   )
 }
