@@ -1922,6 +1922,35 @@ object Relational {
           expr("CAST(NOT (r1.attr <=> r2.attr) AS BIGINT)").as("revised"),
           col("n_known"))
         .orderBy("user_id")
+    }),
+
+    // Q89 M4 TIME-SERIES DOWNSAMPLING — the error-free visualization
+    // downsample (Jugel et al., VLDB'14, public method): per series and
+    // time bucket, the min, max, FIRST and LAST observations — the four
+    // points that make a line chart of the bucket pixel-identical to
+    // the full series. First/last ride the min/max of a lexicographic
+    // (t, event_id, x) struct ((t, event_id) is a total order), so the
+    // whole downsample is ONE partial-aggregatable groupBy — no window,
+    // no sort, no join; map-side combine collapses each bucket before
+    // the shuffle and a 100 TB series downsamples in a single pass.
+    // Values are copied, never computed — no float arithmetic at all.
+    "q89_m4" -> ((s, d) => {
+      val bucketUs = 6L * 3600L * 1000000L
+      t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"),
+          col("value").as("x"))
+        .withColumn("bucket", expr(s"t div $bucketUs"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("vmin"), max(col("x")).as("vmax"),
+          min(struct(col("t"), col("event_id"), col("x"))).as("f"),
+          max(struct(col("t"), col("event_id"), col("x"))).as("l"))
+        .select(col("event_type"), col("bucket"), col("n"),
+          col("vmin"), col("vmax"),
+          col("f.x").as("vfirst"), col("l.x").as("vlast"))
+        .orderBy("event_type", "bucket")
     })
   )
 
@@ -2769,6 +2798,24 @@ object Relational {
         |       CAST(t2.n_known AS BIGINT) AS n_known
         |FROM t2 LEFT JOIN t1 ON t1.user_id = t2.user_id AND t1.rn = 1
         |WHERE t2.rn = 1
-        |ORDER BY t2.user_id""".stripMargin
+        |ORDER BY t2.user_id""".stripMargin,
+
+    "q89_m4" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t, event_id, value AS x,
+        |         epoch_us(ts) // 21600000000 AS bucket
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT event_type, bucket, t, event_id, x,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+        |                           ORDER BY t, event_id) AS rf,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+        |                           ORDER BY t DESC, event_id DESC) AS rl
+        |      FROM e)
+        |SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(x) AS vmin, MAX(x) AS vmax,
+        |       MAX(CASE WHEN rf = 1 THEN x END) AS vfirst,
+        |       MAX(CASE WHEN rl = 1 THEN x END) AS vlast
+        |FROM r GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin
   )
 }

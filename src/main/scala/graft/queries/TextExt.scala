@@ -214,6 +214,43 @@ object TextExt {
         .limit(200)
     }),
 
+    // QT19 COLLOCATION MINING — the phrase-extraction verb (PMI family,
+    // public method): bigrams whose observed frequency beats the
+    // independence expectation, scored by lift = p(w1w2)/(p(w1)·p(w2))
+    // = c12·Nu²/(ca·cb·Nb). Where qt8 gives the LM's conditional
+    // p(w2|w1), this gives the association strength that finds
+    // multiword terms worth merging into tokens. The score is ONE
+    // IEEE expression tree written identically in the oracle (g08
+    // convention); counts stay exact BIGINTs and ride as audit
+    // columns; output is the full qualifying set in (w1, w2) order —
+    // no rank cutoff, so no ordering knife-edge at all. Scale: two
+    // partial-aggregatable counts (unigram, bigram) over one token
+    // explosion; the vocab-sized count relations broadcast back onto
+    // the bigram table — the corpus is never joined to itself.
+    "qt19_colloc" -> ((s, d) => {
+      val tk = t(s, d, "documents").select(split(col("text"), " ").as("tk"))
+      val toks = tk.select(explode(col("tk")).as("w"))
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+      val nu = toks.agg(count(lit(1)).as("nu"))
+      val bi = tk.select(explode(expr(
+        "IF(size(tk) >= 2, transform(sequence(1, size(tk) - 1), " +
+          "k -> named_struct('w1', tk[k-1], 'w2', tk[k])), array())")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val nb = bi.agg(count(lit(1)).as("nb"))
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 20)
+        .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("ca"))),
+          Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cb"))),
+          Seq("w2"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c12"), col("ca"), col("cb"),
+          round(col("c12").cast(DoubleType) * col("nu") * col("nu")
+            / (col("ca").cast(DoubleType) * col("cb") * col("nb")), 6)
+            .cast(DoubleType).as("lift"))
+        .orderBy("w1", "w2")
+    }),
+
     // qe1 int8 embedding quantization (the serving/ANN compression step):
     // per-vector symmetric scale 127/max|x|, qi = floor(x*scale), with
     // reconstruction-error stats. All row-level IEEE double arithmetic
@@ -1114,6 +1151,26 @@ object TextExt {
         |  CAST(ROUND(CAST(b.c12 AS DOUBLE) / u.c1, 6) AS DOUBLE) AS p
         |FROM big b JOIN uni u USING (w1)
         |ORDER BY c12 DESC, w1, w2 LIMIT 200""".stripMargin,
+
+    "qt19_colloc" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |toks AS (SELECT unnest(tk) AS w FROM t),
+        |uni AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY 1),
+        |nuc AS (SELECT COUNT(*) AS nu FROM toks),
+        |bi AS (
+        |  SELECT unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+        |                k -> struct_pack(w1 := tk[k], w2 := tk[k+1]))) AS b
+        |  FROM t),
+        |b2 AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |nbc AS (SELECT COUNT(*) AS nb FROM b2),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY 1, 2)
+        |SELECT w1, w2, c12, a.cu AS ca, b.cu AS cb,
+        |  CAST(ROUND(CAST(c12 AS DOUBLE) * nu * nu
+        |    / (CAST(a.cu AS DOUBLE) * b.cu * nb), 6) AS DOUBLE) AS lift
+        |FROM big JOIN uni a ON a.w = big.w1
+        |         JOIN uni b ON b.w = big.w2, nuc, nbc
+        |WHERE c12 >= 20
+        |ORDER BY w1, w2""".stripMargin,
 
     "qe1_int8quant" ->
       """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
