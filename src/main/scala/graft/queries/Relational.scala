@@ -1951,6 +1951,47 @@ object Relational {
           col("vmin"), col("vmax"),
           col("f.x").as("vfirst"), col("l.x").as("vlast"))
         .orderBy("event_type", "bucket")
+    }),
+
+    // Q90 WINSORIZED AGGREGATION — robust-stats preprocessing: clamp a
+    // metric at its exact per-group P01/P99 before aggregating, so a
+    // handful of outliers can't own the sum. Percentile bounds come
+    // from q32's histogram trick — aggregate to (group, value, count)
+    // first (fully parallel partial agg), take the smallest value whose
+    // cumulative count reaches the index rank — so no corpus-scale
+    // sort ever runs and the per-group window touches ~distinct-values
+    // rows, not 600k. Bounds (a |groups|-row relation) broadcast back
+    // onto the scan; clamp + clip counters are row-local; the final
+    // aggregate is partial-aggregatable. All integer cents (x =
+    // floor(value·100)) — exact sums, no float epsilon anywhere.
+    "q90_winsorize" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast(LongType).as("x"))
+      val hist = e.groupBy("event_type", "x").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("x")
+      val bounds = hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c"))
+          .over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(
+          min(when(col("cum") >= expr("(n-1)*1 div 100 + 1"), col("x")))
+            .as("p01"),
+          min(when(col("cum") >= expr("(n-1)*99 div 100 + 1"), col("x")))
+            .as("p99"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_type"), col("p01"), col("p99"),
+          greatest(col("p01"), least(col("p99"), col("x"))).as("xc"),
+          (col("x") < col("p01")).cast(LongType).as("lo"),
+          (col("x") > col("p99")).cast(LongType).as("hi"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xc")).as("sum_clipped"),
+          sum(col("lo")).as("n_lo"), sum(col("hi")).as("n_hi"),
+          min(col("p01")).as("p01"), max(col("p99")).as("p99"))
+        .orderBy("event_type")
     })
   )
 
@@ -2816,6 +2857,27 @@ object Relational {
         |       MAX(CASE WHEN rf = 1 THEN x END) AS vfirst,
         |       MAX(CASE WHEN rl = 1 THEN x END) AS vlast
         |FROM r GROUP BY event_type, bucket
-        |ORDER BY event_type, bucket""".stripMargin
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q90_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, x, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cu AS (SELECT event_type, x,
+        |         SUM(c) OVER (PARTITION BY event_type ORDER BY x) AS cum,
+        |         SUM(c) OVER (PARTITION BY event_type) AS n
+        |       FROM h),
+        |b AS (SELECT event_type,
+        |        MIN(CASE WHEN cum >= (n-1)*1 // 100 + 1 THEN x END) AS p01,
+        |        MIN(CASE WHEN cum >= (n-1)*99 // 100 + 1 THEN x END) AS p99
+        |      FROM cu GROUP BY 1)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(GREATEST(p01, LEAST(p99, x))) AS BIGINT) AS sum_clipped,
+        |       CAST(SUM(CASE WHEN x < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |       CAST(SUM(CASE WHEN x > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |       MIN(p01) AS p01, MAX(p99) AS p99
+        |FROM e JOIN b ON b.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
   )
 }

@@ -549,6 +549,54 @@ object TextExt {
         .orderBy("lang")
     }),
 
+    // QX9 CURRICULUM SCHEDULE — order training data easy→hard and cut
+    // it into stages (curriculum-learning data prep, public method).
+    // Difficulty is exact integer arithmetic per doc: length + scaled
+    // type-token ratio + scaled rare-token fraction (rare = corpus
+    // frequency below 2% of tokens — frequency comes FROM the data,
+    // qx8's convention). Stage boundaries avoid the q81 trap (no
+    // corpus-scale global window): the score DISTRIBUTION (one row per
+    // distinct score) gets a cumulative count, stage(score) =
+    // min(3, 4·c_lt div N), and docs join the bounded stage map by
+    // score — fully parallel at any corpus size. Per-doc stats are
+    // row-local (size/array_distinct before any explode); the rare
+    // count joins the exploded tokens against the BROADCAST vocab
+    // frequency table.
+    "qx9_curriculum" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val toks = docs.select(col("doc_id"), explode(col("tk")).as("w"))
+      val freq = toks.groupBy("w").agg(count(lit(1)).as("cf"))
+      val ntot = toks.agg(count(lit(1)).as("ntot"))
+      val rare = toks.join(broadcast(freq), Seq("w"))
+        .crossJoin(broadcast(ntot))
+        .groupBy("doc_id")
+        .agg(sum(when(col("cf") * 50 < col("ntot"), 1L).otherwise(0L))
+          .as("r"))
+      val per = docs.select(col("doc_id"),
+          size(col("tk")).cast(LongType).as("n"),
+          size(array_distinct(col("tk"))).cast(LongType).as("u"))
+        .join(rare, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("n") + expr("u * 1000 div n") + expr("r * 5000 div n"))
+            .as("score"))
+      val dist = per.groupBy("score").agg(count(lit(1)).as("c"))
+      val wS = org.apache.spark.sql.expressions.Window.orderBy("score")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val nd = per.agg(count(lit(1)).as("nd"))
+      val stages = dist
+        .withColumn("clt", coalesce(sum(col("c")).over(wS), lit(0L)))
+        .crossJoin(broadcast(nd))
+        .select(col("score"), least(lit(3L), expr("(clt * 4) div nd"))
+          .as("stage"))
+      per.join(broadcast(stages), Seq("score"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), min("score").as("smin"),
+          max("score").as("smax"), sum("score").as("ssum"))
+        .orderBy("stage")
+    }),
+
     // qx1 benchmark decontamination: find training docs sharing any
     // 3-token shingle with the held-out eval set (deterministic
     // doc_id % 97 == 0 stand-in for a benchmark suite). The scale shape
@@ -1310,6 +1358,34 @@ object TextExt {
         |FROM rkd r JOIN quotas q ON r.lang = q.lang
         |WHERE r.rk <= q.quota
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    "qx9_curriculum" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |toks AS (SELECT doc_id, unnest(tk) AS w FROM docs),
+        |freq AS (SELECT w, COUNT(*) AS cf FROM toks GROUP BY 1),
+        |ntot AS (SELECT COUNT(*) AS ntot FROM toks),
+        |rare AS (SELECT doc_id,
+        |           SUM(CASE WHEN cf * 50 < ntot THEN 1 ELSE 0 END) AS r
+        |         FROM toks JOIN freq USING (w), ntot GROUP BY 1),
+        |per AS (SELECT d.doc_id,
+        |          CAST(len(tk) AS BIGINT)
+        |            + CAST(len(list_distinct(tk)) AS BIGINT) * 1000 // len(tk)
+        |            + r * 5000 // len(tk) AS score
+        |        FROM docs d JOIN rare USING (doc_id)),
+        |dist AS (SELECT score, COUNT(*) AS c FROM per GROUP BY 1),
+        |st AS (SELECT score,
+        |         LEAST(3, (COALESCE(SUM(c) OVER (ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 4)
+        |           // (SELECT COUNT(*) FROM per)) AS stage
+        |       FROM dist)
+        |SELECT CAST(stage AS BIGINT) AS stage,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MIN(p.score) AS BIGINT) AS smin,
+        |       CAST(MAX(p.score) AS BIGINT) AS smax,
+        |       CAST(SUM(p.score) AS BIGINT) AS ssum
+        |FROM per p JOIN st ON st.score = p.score
+        |GROUP BY stage ORDER BY stage""".stripMargin,
 
     "qx1_decontam" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
