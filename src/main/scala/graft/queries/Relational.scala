@@ -1992,6 +1992,64 @@ object Relational {
           sum(col("lo")).as("n_lo"), sum(col("hi")).as("n_hi"),
           min(col("p01")).as("p01"), max(col("p99")).as("p99"))
         .orderBy("event_type")
+    }),
+
+    // Q91 USER-JOURNEY TRANSITION MATRIX — the Markov-chain view of
+    // behavior (funnel q66 asks "did the path happen"; this asks "what
+    // are ALL the paths"): per user in total (t, event_id) order, each
+    // event's type transitions to the next's, with a START pseudo-state
+    // for the first event so entry distribution rides the same matrix.
+    // One lag() per user-partitioned window + one partial-aggregatable
+    // groupBy; row probability = n(a→b)/n(a→·) as one identical IEEE
+    // tree (counts stay exact BIGINT audit columns). Scale: the matrix
+    // is |states|² rows — map-side combine collapses a 100 TB event
+    // log to it before the shuffle.
+    "q91_markov" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val pairs = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("event_type"))
+        .withColumn("src",
+          coalesce(lag(col("event_type"), 1).over(w), lit("START")))
+        .select(col("src"), col("event_type").as("dst"))
+      val out = pairs.groupBy("src").agg(count(lit(1)).as("n_src"))
+      pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .join(broadcast(out), Seq("src"))
+        .select(col("src"), col("dst"), col("n"), col("n_src"),
+          round(col("n").cast(DoubleType) / col("n_src"), 6)
+            .cast(DoubleType).as("p"))
+        .orderBy("src", "dst")
+    }),
+
+    // Q92 SURVIVAL CURVE — retention's aggregate twin (cohort q67 slices
+    // by start week; this is the Kaplan-Meier-style "fraction of users
+    // still active after k days" over the whole population, no
+    // censoring — every user's span is fully observed in the fixture):
+    // lifetime = last event − first event in whole days (exact
+    // epoch-micros div), the lifetime DISTRIBUTION aggregates first
+    // (one row per distinct day count — q32/qx9's shape), and the
+    // survival count at day k is a reverse-cumulative window over that
+    // bounded relation, never the corpus. One per-user min/max groupBy
+    // + one tiny window; frac = one identical IEEE division.
+    "q92_survival" -> ((s, d) => {
+      val life = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("mx"),
+          min(unix_micros(col("ts"))).as("mn"))
+        .select(col("user_id"), expr("(mx - mn) div 86400000000").as("days"))
+      val dist = life.groupBy("days").agg(count(lit(1)).as("c"))
+      val nu = life.agg(count(lit(1)).as("n_users"))
+      val wRev = Window.orderBy(col("days").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dist
+        .withColumn("n_surviving", sum(col("c")).over(wRev))
+        .crossJoin(broadcast(nu))
+        .select(col("days"), col("n_surviving"), col("n_users"),
+          round(col("n_surviving").cast(DoubleType) / col("n_users"), 6)
+            .cast(DoubleType).as("frac"))
+        .orderBy("days")
     })
   )
 
@@ -2878,6 +2936,41 @@ object Relational {
         |       CAST(SUM(CASE WHEN x > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
         |       MIN(p01) AS p01, MAX(p99) AS p99
         |FROM e JOIN b ON b.event_type = e.event_type
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q91_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT COALESCE(LAG(event_type, 1) OVER (
+        |          PARTITION BY user_id ORDER BY t, event_id), 'START') AS src,
+        |        event_type AS dst
+        |      FROM e),
+        |o AS (SELECT src, COUNT(*) AS n_src FROM p GROUP BY 1)
+        |SELECT p.src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(o.n_src AS BIGINT) AS n_src,
+        |       CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / o.n_src, 6) AS DOUBLE) AS p
+        |FROM p JOIN o ON o.src = p.src
+        |GROUP BY p.src, dst, o.n_src
+        |ORDER BY p.src, dst""".stripMargin,
+
+    "q92_survival" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS days
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |dist AS (SELECT days, COUNT(*) AS c FROM life GROUP BY 1),
+        |nu AS (SELECT COUNT(*) AS n_users FROM life)
+        |SELECT CAST(days AS BIGINT) AS days,
+        |       CAST(SUM(c) OVER (ORDER BY days DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS n_surviving,
+        |       CAST(n_users AS BIGINT) AS n_users,
+        |       CAST(ROUND(CAST(SUM(c) OVER (ORDER BY days DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         / n_users, 6) AS DOUBLE) AS frac
+        |FROM dist, nu
+        |ORDER BY days""".stripMargin
   )
 }
