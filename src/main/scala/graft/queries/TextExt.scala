@@ -331,6 +331,54 @@ object TextExt {
 
     "qm2_mediafeat" -> ((s, d) => qm2(s, d)),
 
+    // QM5 PERCEPTUAL-HASH MEDIA NEAR-DUP — the multimodal member of the
+    // dedup family (qd2 simhashes TOKENS; media payloads have no
+    // tokens): a 60-bit block-hash signature over the opaque BINARY
+    // payload (60 equal blocks, bit = parity of the block's rolling
+    // hash — the pHash shape with the stubbed codec boundary standing
+    // in for DCT, per qm2/qm3's convention), banded 4×15 for LSH
+    // candidates, exact Hamming ≤ 6 verify via xor+popcount on the
+    // riding band keys. 15-bit bands deliberately avoid the BIGINT
+    // MSB (qe3's DuckDB shift-overflow lesson). Pair-unique first-
+    // matching-band emission (qd2's idiom) — no distinct exchange;
+    // signature build is row-local (one scan), the only corpus
+    // exchange is the band self-join, whose keyspace grows with the
+    // corpus. VARCHAR slicing == byte slicing on the declared ASCII
+    // payload contract (chars == bytes), hex uppercased both engines.
+    "qm5_phashdup" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val sk = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .filter(length(col("payload")) >= 60)
+        .withColumn("bs", expr("CAST(length(payload) div 60 AS INT)"))
+        .select(col("doc_id") +: (0 until 4).map { k =>
+          expr(
+            s"aggregate(transform(sequence(${k * 15}, ${k * 15 + 14}), i -> " +
+              "IF(roll_hash31(upper(hex(substring(payload, CAST(i AS INT) * bs + 1, bs)))) % 2 = 1, " +
+              s"shiftleft(CAST(1 AS BIGINT), CAST(i - ${k * 15} AS INT)), CAST(0 AS BIGINT))), " +
+              "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"b$k")
+        }: _*)
+        .transform(graft.operators.OpCaches.track)
+      val bands = sk.select(col("doc_id"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("k", "key")))
+      bands.as("x").join(bands.as("y"),
+          col("x.k") === col("y.k") && col("x.key") === col("y.key")
+            && col("x.doc_id") < col("y.doc_id")
+            && (col("x.k") === 0 || col("x.b0") =!= col("y.b0"))
+            && (col("x.k") <= 1 || col("x.b1") =!= col("y.b1"))
+            && (col("x.k") <= 2 || col("x.b2") =!= col("y.b2")))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          (bit_count(col("x.b0").bitwiseXOR(col("y.b0")))
+            + bit_count(col("x.b1").bitwiseXOR(col("y.b1")))
+            + bit_count(col("x.b2").bitwiseXOR(col("y.b2")))
+            + bit_count(col("x.b3").bitwiseXOR(col("y.b3"))))
+            .cast(LongType).as("hd"))
+        .filter(col("hd") <= 6)
+        .orderBy("a", "b")
+    }),
+
     // qm3 frame sampling — the video-frame-sample plumbing shape over an
     // opaque BINARY payload: "frames" are fixed 16-byte windows at
     // stride 64, every 4th frame is sampled, and each sampled frame
@@ -1177,6 +1225,31 @@ object TextExt {
         |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY source, pack_id
         |ORDER BY source, pack_id""".stripMargin,
+
+    "qm5_phashdup" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text, CAST(strlen(text) // 60 AS INT) AS bs
+         |  FROM documents WHERE strlen(text) >= 60),
+         |bits AS (
+         |  SELECT doc_id, i,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(upper(hex(substr(text, i*bs+1, bs))), ''),
+         |        ch -> CAST(unicode(ch) AS BIGINT))),
+         |      (acc, x) -> (acc * 31 + x) % $P) % 2 AS bit
+         |  FROM p, generate_series(0, 59) g(i)),
+         |bk AS (SELECT doc_id, i // 15 AS k,
+         |         CAST(SUM(CASE WHEN bit = 1
+         |           THEN CAST(1 AS BIGINT) << (i % 15) ELSE 0 END) AS BIGINT) AS key
+         |       FROM bits GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bk x JOIN bk y
+         |           ON x.k = y.k AND x.key = y.key AND x.doc_id < y.doc_id),
+         |hds AS (SELECT c.a, c.b, SUM(bit_count(xor(ka.key, kb.key))) AS hd
+         |        FROM cand c JOIN bk ka ON ka.doc_id = c.a
+         |                    JOIN bk kb ON kb.doc_id = c.b AND kb.k = ka.k
+         |        GROUP BY 1, 2)
+         |SELECT a, b, CAST(hd AS BIGINT) AS hd
+         |FROM hds WHERE hd <= 6 ORDER BY a, b""".stripMargin,
 
     "qm2_mediafeat" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
