@@ -98,5 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneBands64.builder))
     ext.injectFunction((JaroWinklerSim.ident, JaroWinklerSim.info,
       JaroWinklerSim.builder))
+    ext.injectFunction((HistBins600.ident, HistBins600.info,
+      HistBins600.builder))
   }
 }

@@ -186,6 +186,51 @@ object Llm {
           (abs(col("na") - col("n_exact")) * 20 <= col("n_exact"))
             .as("within_5pct"))
         .orderBy("lang")
+    }),
+
+    // T4 EXACT-HISTOGRAM SKETCH ROLLUP — the deterministic member of
+    // the mergeable-summary family (t1/t3 HLL merges pass a ±5%
+    // tolerance check; a fixed-bin histogram's merge is plain addition,
+    // so its answers HASH-MATCH). `hist_bins600` is the third native
+    // `TypedImperativeAggregate` (plans/HistBins600: one 600-counter
+    // buffer + O(1) per row — 600 declarative sum(when) columns would
+    // generate an enormous update function, the SimHashBands64 lesson):
+    // per (event_type, day) one histogram row = the persistable daily
+    // summary; the day→total rollup is elementwise bin addition (a
+    // ≤600-rows-per-type relation, never raw data again); bin-
+    // resolution p50/p95/p99 read off cumulative counts with q32's
+    // index-rank convention. The oracle replays binning from RAW
+    // events — the hash match proves build+rollup lost nothing.
+    "t4_histq" -> ((s, d) => {
+      graft.plans.HistBins600.register(s)
+      val daily = t(s, d, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 100).cast("long").as("x"))
+        .groupBy("event_type", "day")
+        .agg(expr("hist_bins600(x)").as("h"))
+      val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      val bins = daily
+        .select(col("event_type"), posexplode(col("h")).as(Seq("bin", "c")))
+        .groupBy("event_type", "bin").agg(sum("c").as("c"))
+        .filter(col("c") > 0)
+      val wC = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bin")
+      val wN = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      bins
+        .withColumn("cum", sum(col("c")).over(wC))
+        .withColumn("n", sum(col("c")).over(wN))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= expr("(n-1)*5 div 10 + 1"),
+            col("bin").cast("long") * 100)).as("p50c"),
+          min(when(col("cum") >= expr("(n-1)*95 div 100 + 1"),
+            col("bin").cast("long") * 100)).as("p95c"),
+          min(when(col("cum") >= expr("(n-1)*99 div 100 + 1"),
+            col("bin").cast("long") * 100)).as("p99c"))
+        .join(nDays, Seq("event_type"))
+        .orderBy("event_type")
     })
   )
 
@@ -245,6 +290,33 @@ object Llm {
         |SELECT lang, COUNT(DISTINCT tok) AS n_exact,
         |  ABS(approx_count_distinct(tok) - COUNT(DISTINCT tok)) * 20
         |    <= COUNT(DISTINCT tok) AS within_5pct
-        |FROM tk GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t4: the oracle replays binning + index-rank quantiles from RAW
+    // events — the Spark side must lose nothing across build + rollup
+    "t4_histq" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(FLOOR(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT event_type, LEAST(599, GREATEST(0, x // 100)) AS bin,
+        |        COUNT(*) AS c
+        |      FROM e GROUP BY 1, 2),
+        |nd AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+        |       FROM e GROUP BY 1),
+        |cu AS (SELECT event_type, bin, c,
+        |         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |         SUM(c) OVER (PARTITION BY event_type) AS n
+        |       FROM b)
+        |SELECT cu.event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum >= (n-1)*5 // 10 + 1 THEN bin*100 END)
+        |    AS BIGINT) AS p50c,
+        |  CAST(MIN(CASE WHEN cum >= (n-1)*95 // 100 + 1 THEN bin*100 END)
+        |    AS BIGINT) AS p95c,
+        |  CAST(MIN(CASE WHEN cum >= (n-1)*99 // 100 + 1 THEN bin*100 END)
+        |    AS BIGINT) AS p99c,
+        |  MAX(n_days) AS n_days
+        |FROM cu JOIN nd USING (event_type)
+        |GROUP BY cu.event_type ORDER BY cu.event_type""".stripMargin
   )
 }

@@ -2050,6 +2050,56 @@ object Relational {
           round(col("n_surviving").cast(DoubleType) / col("n_users"), 6)
             .cast(DoubleType).as("frac"))
         .orderBy("days")
+    }),
+
+    // Q93 A/B EXPERIMENT ANALYSIS — the two-proportion test readout:
+    // deterministic arm assignment (user_id % 2), exposure = first
+    // 'view' (exact min event time), conversion = a 'purchase' within
+    // 6 hours strictly after it (the bounded attribution window keeps
+    // the rate non-degenerate — an unbounded window converts everyone
+    // over a month of events, zeroing the pooled variance); per arm
+    // n/conv/rate plus the pooled two-proportion z statistic riding
+    // both rows — ONE identical IEEE tree (g08 convention), every
+    // count exact BIGINT.
+    // Scale: exposure and conversion are partial-aggregatable per-user
+    // aggregates; the arm rollup is 2 rows; z math runs on a broadcast
+    // scalar — nothing after the per-user aggregates touches corpus
+    // scale.
+    "q93_abtest" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val firstView = e.filter(col("event_type") === "view")
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("vt"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pt"))
+        .join(firstView, Seq("user_id"))
+        .filter(col("pt") > col("vt") && col("pt") <= col("vt") + 21600000000L)
+        .select("user_id").distinct()
+        .withColumn("cflag", lit(1L))
+      val arms = firstView
+        .select(col("user_id"), (col("user_id") % 2).as("arm"))
+        .join(conv, Seq("user_id"), "left")
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("cflag"), lit(0L))).as("n_conv"))
+      val tot = arms.agg(
+        sum("n_users").as("nt"), sum("n_conv").as("ct"),
+        sum(when(col("arm") === 0, col("n_conv"))).as("c0"),
+        sum(when(col("arm") === 0, col("n_users"))).as("n0"),
+        sum(when(col("arm") === 1, col("n_conv"))).as("c1"),
+        sum(when(col("arm") === 1, col("n_users"))).as("n1"))
+      arms.crossJoin(broadcast(tot))
+        .select(col("arm"), col("n_users"), col("n_conv"),
+          round(col("n_conv").cast(DoubleType) / col("n_users"), 6)
+            .cast(DoubleType).as("rate"),
+          round((col("c1").cast(DoubleType) / col("n1")
+            - col("c0").cast(DoubleType) / col("n0"))
+            / sqrt((col("ct").cast(DoubleType) / col("nt"))
+              * (lit(1.0) - col("ct").cast(DoubleType) / col("nt"))
+              * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6)
+            .cast(DoubleType).as("z"))
+        .orderBy("arm")
     })
   )
 
@@ -2971,6 +3021,35 @@ object Relational {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |         / n_users, 6) AS DOUBLE) AS frac
         |FROM dist, nu
-        |ORDER BY days""".stripMargin
+        |ORDER BY days""".stripMargin,
+
+    "q93_abtest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fv AS (SELECT user_id, MIN(t) AS vt FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |conv AS (SELECT DISTINCT e.user_id FROM e JOIN fv USING (user_id)
+        |         WHERE event_type = 'purchase' AND t > vt
+        |           AND t <= vt + 21600000000),
+        |arms AS (SELECT fv.user_id % 2 AS arm,
+        |           CAST(COUNT(*) AS BIGINT) AS n_users,
+        |           CAST(SUM(CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END)
+        |             AS BIGINT) AS n_conv
+        |         FROM fv LEFT JOIN conv ON conv.user_id = fv.user_id
+        |         GROUP BY 1),
+        |tot AS (SELECT SUM(n_users) AS nt, SUM(n_conv) AS ct,
+        |          SUM(CASE WHEN arm = 0 THEN n_conv END) AS c0,
+        |          SUM(CASE WHEN arm = 0 THEN n_users END) AS n0,
+        |          SUM(CASE WHEN arm = 1 THEN n_conv END) AS c1,
+        |          SUM(CASE WHEN arm = 1 THEN n_users END) AS n1
+        |        FROM arms)
+        |SELECT arm, n_users, n_conv,
+        |  CAST(ROUND(CAST(n_conv AS DOUBLE) / n_users, 6) AS DOUBLE) AS rate,
+        |  CAST(ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+        |    / SQRT((CAST(ct AS DOUBLE) / nt)
+        |      * (1.0 - CAST(ct AS DOUBLE) / nt)
+        |      * (1.0 / n0 + 1.0 / n1)), 6) AS DOUBLE) AS z
+        |FROM arms, tot ORDER BY arm""".stripMargin
   )
 }
