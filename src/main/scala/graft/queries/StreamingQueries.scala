@@ -372,6 +372,33 @@ object StreamingQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // S22 streaming M4 downsample — q89's in-flight twin: telemetry
+    // downsampled AS IT ARRIVES into tumbling 6-hour windows, each
+    // window carrying min/max/FIRST/LAST (first/last ride min/max of a
+    // lexicographic (t, event_id, x) struct — a plain declarative
+    // windowed aggregate, so the stream needs no custom state and the
+    // partial-merge order can't change the result). This batch window
+    // form is the oracle gate; Streams.s22 is the same aggregate over
+    // readStream (StreamingSpec pins streamed == batch). Scale: one
+    // watermarked windowed agg, state = one row per open (window,
+    // series).
+    "s22_m4stream" -> ((s, d) => {
+      t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"), col("ts"),
+          unix_micros(col("ts")).as("t"), col("event_id"),
+          col("value").as("x"))
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("vmin"), max(col("x")).as("vmax"),
+          min(struct(col("t"), col("event_id"), col("x"))).as("f"),
+          max(struct(col("t"), col("event_id"), col("x"))).as("l"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"),
+          col("vmin"), col("vmax"),
+          col("f.x").as("vfirst"), col("l.x").as("vlast"))
+        .orderBy("event_type", "ws")
+    }),
+
     // S17 the COMPOSED ingest pipeline — the three production verbs
     // this suite built separately, chained: per batch, (1) dedup
     // verdicts against the persisted corpus index (s12's kernel),
@@ -639,6 +666,25 @@ object StreamingQueries {
         |      > 9 * (n_prior * q_prior - s_prior * s_prior)
         |ORDER BY user_id, event_id""".stripMargin,
 
+    // s22: q89's M4 shape keyed by the tumbling window start
+    "s22_m4stream" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t, event_id, value AS x,
+        |         to_timestamp((epoch_us(ts) // 21600000000) * 21600) AS ws
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT event_type, ws, t, event_id, x,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, ws
+        |                           ORDER BY t, event_id) AS rf,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, ws
+        |                           ORDER BY t DESC, event_id DESC) AS rl
+        |      FROM e)
+        |SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(x) AS vmin, MAX(x) AS vmax,
+        |       MAX(CASE WHEN rf = 1 THEN x END) AS vfirst,
+        |       MAX(CASE WHEN rl = 1 THEN x END) AS vlast
+        |FROM r GROUP BY event_type, ws
+        |ORDER BY event_type, ws""".stripMargin,
+
     // s12: the two-batch staged ingest replayed in SQL — shared
     // fingerprint/banding CTEs, batch A's verdicts against the base
     // index, the accepted set joining the index, batch B's verdicts
@@ -870,6 +916,25 @@ object Streams {
       .agg(count(lit(1)).as("n"), Conv.r4(Conv.sumDec6(col("value"))).as("v"))
       .select(col("window.start").as("ts_bucket"), col("event_type"), col("n"), col("v"))
     runToTable(spark, agg, "s01_stream", "complete")
+  }
+
+  /** S22 as streaming: the M4 downsample as a tumbling windowed
+    * aggregate (first/last via lexicographic struct min/max — no
+    * custom state, merge-order independent). */
+  def s22(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("t", unix_micros(col("ts")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        min(struct(col("t"), col("event_id"), col("value").as("x"))).as("f"),
+        max(struct(col("t"), col("event_id"), col("value").as("x"))).as("l"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("vmin"), col("vmax"),
+        col("f.x").as("vfirst"), col("l.x").as("vlast"))
+    runToTable(spark, agg, "s22_stream", "complete")
   }
 
   /** S02 as streaming: sliding window(10 min, 5 min). */

@@ -20,6 +20,13 @@ class StreamingSpec extends AnyFunSuite {
       === rows(batch, "ts_bucket", "event_type", "n", "v"))
   }
 
+  test("s22 m4 downsample: streaming == batch") {
+    val batch = StreamingQueries.queries("s22_m4stream")(spark, TestSpark.Sf)
+    val stream = Streams.s22(spark, TestSpark.Sf)
+    assert(rows(stream, "ws", "event_type", "n", "vmin", "vmax", "vfirst", "vlast")
+      === rows(batch, "ws", "event_type", "n", "vmin", "vmax", "vfirst", "vlast"))
+  }
+
   test("s02 sliding: streaming == batch") {
     val batch = StreamingQueries.queries("s02_sliding")(spark, TestSpark.Sf)
     val stream = Streams.s02(spark, TestSpark.Sf)
