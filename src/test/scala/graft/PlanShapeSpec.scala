@@ -307,6 +307,40 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.operators.OpCaches.releaseAll()
   }
 
+  test("round-8 additions: broadcast where claimed, no cartesians, no SMJ") {
+    // qt19: vocab-sized count relations broadcast onto the bigram table
+    val pColloc = plan("qt19_colloc")
+    assert(pColloc.contains("BroadcastHashJoin"), pColloc)
+    assert(!pColloc.contains("SortMergeJoin"),
+      s"qt19 vocab join degraded to SMJ:\n$pColloc")
+    // q90: the |groups|-row percentile bounds broadcast back onto the scan
+    val pWin = plan("q90_winsorize")
+    assert(pWin.contains("BroadcastHashJoin"), pWin)
+    assert(!pWin.contains("SortMergeJoin"), s"q90 bounds join SMJ:\n$pWin")
+    // qs13: probe + audit scalars broadcast; the only joins are
+    // broadcast nested-loop (single-row build sides) — never a shuffle join
+    val pRad = plan("qs13_radius")
+    assert(!pRad.contains("SortMergeJoin") && !pRad.contains("ShuffledHashJoin"),
+      s"qs13 grew a shuffle join:\n$pRad")
+    // qd13: the blocked self-join is an equi-join, not a cartesian
+    val pJw = plan("qd13_jarowink")
+    assert(!pJw.contains("CartesianProduct") &&
+      !pJw.contains("BroadcastNestedLoopJoin"),
+      s"qd13 block join degraded to a non-equi join:\n$pJw")
+  }
+
+  test("q88/q89: single-pass partial aggregates — no window, no join (q89)") {
+    // q89 M4 is ONE groupBy: exactly one shuffle exchange, no WindowExec
+    val pM4 = plan("q89_m4")
+    assert(!pM4.contains("Window"), s"q89 grew a window:\n$pM4")
+    assert(!pM4.contains("Join"), s"q89 grew a join:\n$pM4")
+    // q88 bitemporal: conditional aggregates in one groupBy — no join
+    // anywhere (the oracle needs two CTEs + a join; the Spark side must not)
+    val pBi = plan("q88_bitemporal")
+    assert(!pBi.contains("Join"), s"q88 grew a join:\n$pBi")
+    assert(!pBi.contains("Window"), s"q88 grew a window:\n$pBi")
+  }
+
   test("asof: one shuffle on the key, no re-aggregation join") {
     val events = Tables(spark, TestSpark.Sf, "events")
       .selectExpr("event_id", "user_id AS o_custkey", "ts")
