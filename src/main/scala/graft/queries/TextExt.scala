@@ -260,6 +260,61 @@ object TextExt {
     // ONE scan, zero joins, zero explodes: every stat is a per-row array
     // HOF (array_max / array_min / aggregate), so the whole query is a
     // single whole-stage-codegen projection + top-500 sort.
+    // QE5 RESIDUAL QUANTIZATION — the RQ member of the compression
+    // family (qe1 int8/vector, qe4 int8/dimension, qe2 truncation, qe3
+    // 1-bit, qs8 PQ): quantize with a coarse codebook, then quantize
+    // the RESIDUAL with a second one — x̂ = c1 + c2, the additive-
+    // codebook shape serving indexes use between PQ and full precision.
+    // Deterministic codebooks from the data (stage 1 = vec_id % 50
+    // sample, stage 2 = the residuals of the % 71 sample — qs4's
+    // convention); assignment = exact integer argmin of squared L2
+    // (d² = |x|² − 2x·c + |c|², int64 dot_long kernels, min over a
+    // lexicographic (d², cid) struct so ties break identically in the
+    // oracle's ROW_NUMBER); per-stage error sums are exact int64 and
+    // the stage-2/stage-1 ratio rides as ONE IEEE division. Scale:
+    // codebooks BROADCAST (tiny at any corpus size), assignment is a
+    // row-local crossJoin pass + a partial-aggregatable argmin groupBy
+    // — the corpus never self-joins (qs2's small-pairwise-relation
+    // lesson: array kernels win here).
+    "qe5_residualquant" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val emb = t(s, d, "embeddings")
+        .filter(size(col("embedding")) === 64)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))")
+          .as("ei"))
+      val c1 = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid1"), col("ei").as("ce1"))
+      val a1 = emb.crossJoin(broadcast(c1))
+        .withColumn("d2", expr(
+          "dot_long(ei, ei) - 2 * dot_long(ei, ce1) + dot_long(ce1, ce1)"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid1"))).as("m"),
+          any_value(col("ei")).as("ei"))
+        .select(col("vec_id"), col("ei"),
+          col("m.cid1").as("cid1"), col("m.d2").as("err1"))
+        .join(broadcast(c1), Seq("cid1"))
+        .withColumn("r1", expr("zip_with(ei, ce1, (x, y) -> x - y)"))
+      val c2 = a1.filter(col("vec_id") % 71 === 0)
+        .select(col("vec_id").as("cid2"), col("r1").as("ce2"))
+      a1.crossJoin(broadcast(c2))
+        .withColumn("e2", expr(
+          "dot_long(r1, r1) - 2 * dot_long(r1, ce2) + dot_long(ce2, ce2)"))
+        .groupBy("vec_id")
+        .agg(any_value(col("cid1")).as("cid1"),
+          any_value(col("err1")).as("err1"),
+          min(struct(col("e2"), col("cid2"))).as("m2"))
+        .select(col("vec_id"), col("cid1"), col("err1"),
+          col("m2.e2").as("err2"))
+        .groupBy("cid1")
+        .agg(count(lit(1)).as("n"),
+          sum(col("err1")).as("err1"), sum(col("err2")).as("err2"))
+        .withColumn("gain",
+          round(col("err2").cast(DoubleType) / col("err1"), 6)
+            .cast(DoubleType))
+        .orderBy("cid1")
+    }),
+
     "qe1_int8quant" -> ((s, d) =>
       t(s, d, "embeddings")
         // zero-length embeddings: the oracle's unnest drops such vec_ids
@@ -1292,6 +1347,38 @@ object TextExt {
         |         JOIN uni b ON b.w = big.w2, nuc, nbc
         |WHERE c12 >= 20
         |ORDER BY w1, w2""".stripMargin,
+
+    // qe5: the two-stage assignment replayed with ROW_NUMBER argmins —
+    // identical (d², cid) tie order, exact integer arithmetic throughout
+    "qe5_residualquant" ->
+      """WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i,
+        |         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS xi
+        |       FROM embeddings, idx
+        |       WHERE len(embedding) = 64 AND i <= len(embedding)),
+        |c1 AS (SELECT vec_id AS cid1, i, xi AS ci FROM ex WHERE vec_id % 50 = 0),
+        |d1 AS (SELECT e.vec_id, c.cid1,
+        |         SUM((e.xi - c.ci) * (e.xi - c.ci)) AS d2
+        |       FROM ex e JOIN c1 c ON c.i = e.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid1, d2, ROW_NUMBER() OVER (
+        |         PARTITION BY vec_id ORDER BY d2, cid1) AS rn FROM d1),
+        |r1 AS (SELECT e.vec_id, a.cid1, a.d2 AS err1, e.i, e.xi - c.ci AS ri
+        |       FROM ex e JOIN a1 a ON a.vec_id = e.vec_id AND a.rn = 1
+        |                 JOIN c1 c ON c.cid1 = a.cid1 AND c.i = e.i),
+        |c2 AS (SELECT vec_id AS cid2, i, ri AS c2i FROM r1 WHERE vec_id % 71 = 0),
+        |d2s AS (SELECT r.vec_id, c.cid2,
+        |          SUM((r.ri - c.c2i) * (r.ri - c.c2i)) AS e2
+        |        FROM r1 r JOIN c2 c ON c.i = r.i GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, e2, ROW_NUMBER() OVER (
+        |         PARTITION BY vec_id ORDER BY e2, cid2) AS rn FROM d2s),
+        |v AS (SELECT DISTINCT r.vec_id, r.cid1, r.err1, a2.e2 AS err2
+        |      FROM r1 r JOIN a2 ON a2.vec_id = r.vec_id AND a2.rn = 1)
+        |SELECT cid1, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(err1) AS BIGINT) AS err1,
+        |       CAST(SUM(err2) AS BIGINT) AS err2,
+        |       CAST(ROUND(CAST(SUM(err2) AS DOUBLE) / CAST(SUM(err1) AS BIGINT), 6)
+        |         AS DOUBLE) AS gain
+        |FROM v GROUP BY cid1 ORDER BY cid1""".stripMargin,
 
     "qe1_int8quant" ->
       """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
