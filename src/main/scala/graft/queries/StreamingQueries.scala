@@ -399,6 +399,30 @@ object StreamingQueries {
         .orderBy("event_type", "ws")
     }),
 
+    // S23 streaming cardinality sketch — t3's in-flight twin: distinct
+    // users per event type tracked continuously with a Datasketches
+    // HLL aggregate (state = one bounded sketch per type, NEVER the
+    // user set itself — the O(distinct) exact answer is the thing a
+    // stream cannot hold at 100 TB). t1/t3's verdict-as-data
+    // convention: each engine checks its own estimate against the
+    // shared exact count, only (event_type, n_exact, within_5pct)
+    // crosses the oracle gate. This batch form is the gate;
+    // Streams.s23 is the same aggregate over readStream
+    // (StreamingSpec pins streamed verdicts == batch).
+    "s23_hllstream" -> ((s, d) => {
+      val e = t(s, d, "events").filter(col("user_id").isNotNull)
+      val exact = e.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      val approx = e.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+          .as("na"))
+      exact.join(approx, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("na") - col("n_exact")) * 20 <= col("n_exact"))
+            .as("within_5pct"))
+        .orderBy("event_type")
+    }),
+
     // S17 the COMPOSED ingest pipeline — the three production verbs
     // this suite built separately, chained: per batch, (1) dedup
     // verdicts against the persisted corpus index (s12's kernel),
@@ -685,6 +709,15 @@ object StreamingQueries {
         |FROM r GROUP BY event_type, ws
         |ORDER BY event_type, ws""".stripMargin,
 
+    // s23: exact distinct + each engine's own ±5% sketch verdict (t3)
+    "s23_hllstream" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_exact,
+        |  ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id)) * 20
+        |    <= COUNT(DISTINCT user_id) AS within_5pct
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // s12: the two-batch staged ingest replayed in SQL — shared
     // fingerprint/banding CTEs, batch A's verdicts against the base
     // index, the accepted set joining the index, batch B's verdicts
@@ -935,6 +968,18 @@ object Streams {
         col("vmin"), col("vmax"),
         col("f.x").as("vfirst"), col("l.x").as("vlast"))
     runToTable(spark, agg, "s22_stream", "complete")
+  }
+
+  /** S23 as streaming: continuous per-type distinct-user cardinality
+    * via a Datasketches HLL aggregate — state is one bounded sketch
+    * per type, never the user set. */
+  def s23(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("na"))
+    runToTable(spark, agg, "s23_stream", "complete")
   }
 
   /** S02 as streaming: sliding window(10 min, 5 min). */

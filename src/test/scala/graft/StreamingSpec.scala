@@ -27,6 +27,20 @@ class StreamingSpec extends AnyFunSuite {
       === rows(batch, "ws", "event_type", "n", "vmin", "vmax", "vfirst", "vlast"))
   }
 
+  test("s23 hll cardinality: streamed sketch verdict == batch verdict") {
+    val batch = StreamingQueries.queries("s23_hllstream")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val streamed = Streams.s23(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(batch.nonEmpty && batch.forall(_._3),
+      s"batch sketch out of tolerance: ${batch.mkString(",")}")
+    batch.foreach { case (et, nExact, _) =>
+      val na = streamed(et)
+      assert(math.abs(na - nExact) * 20 <= nExact,
+        s"streamed estimate $na for $et outside 5% of $nExact")
+    }
+  }
+
   test("s02 sliding: streaming == batch") {
     val batch = StreamingQueries.queries("s02_sliding")(spark, TestSpark.Sf)
     val stream = Streams.s02(spark, TestSpark.Sf)
