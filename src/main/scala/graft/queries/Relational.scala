@@ -2100,6 +2100,58 @@ object Relational {
               * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6)
             .cast(DoubleType).as("z"))
         .orderBy("arm")
+    }),
+
+    // Q94 RFM SEGMENTATION — the marketing-analytics composite: per user
+    // recency (days since last event vs a fixed reference instant),
+    // frequency (event count), monetary (exact cent sum); each
+    // dimension quartiled with q32's distribution trick (per-dim value
+    // histogram → cumulative ranks → three boundary values — never a
+    // corpus sort, the windows run over distinct-value relations),
+    // boundaries broadcast as ONE scalar row, per-user scores are
+    // boundary comparisons (score = #boundaries strictly below the
+    // value, identical CASE tree in the oracle), segment = r·100 +
+    // f·10 + m rolled up to counts + exact monetary sums. Everything
+    // integer; three small windows + two partial-aggregatable
+    // corpus passes total.
+    "q94_rfm" -> ((s, d) => {
+      val nowUs = 1706745600000000L // 2024-02-01T00:00:00Z
+      val per = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("last_t"),
+          count(lit(1)).as("f"),
+          sum(floor(coalesce(col("value"), lit(0.0)) * 100)
+            .cast(LongType)).as("m"))
+        .select(col("user_id"),
+          expr(s"($nowUs - last_t) div 86400000000").as("r"),
+          col("f"), col("m"))
+      def quartiles(dim: String): DataFrame = {
+        val w = Window.orderBy(col("v"))
+        per.select(col(dim).as("v")).groupBy("v").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .crossJoin(broadcast(per.agg(count(lit(1)).as("n"))))
+          .agg(
+            min(when(col("cum") >= expr("(n-1)*1 div 4 + 1"), col("v")))
+              .as(s"${dim}1"),
+            min(when(col("cum") >= expr("(n-1)*2 div 4 + 1"), col("v")))
+              .as(s"${dim}2"),
+            min(when(col("cum") >= expr("(n-1)*3 div 4 + 1"), col("v")))
+              .as(s"${dim}3"))
+      }
+      def score(dim: String): org.apache.spark.sql.Column =
+        (when(col(dim) > col(s"${dim}1"), 1L).otherwise(0L)
+          + when(col(dim) > col(s"${dim}2"), 1L).otherwise(0L)
+          + when(col(dim) > col(s"${dim}3"), 1L).otherwise(0L))
+      per
+        .crossJoin(broadcast(quartiles("r")))
+        .crossJoin(broadcast(quartiles("f")))
+        .crossJoin(broadcast(quartiles("m")))
+        .select(col("user_id"), col("m"),
+          (score("r") * 100L + score("f") * 10L + score("m")).as("segment"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_users"), sum(col("m")).as("m_sum"))
+        .orderBy("segment")
     })
   )
 
@@ -3050,6 +3102,48 @@ object Relational {
         |    / SQRT((CAST(ct AS DOUBLE) / nt)
         |      * (1.0 - CAST(ct AS DOUBLE) / nt)
         |      * (1.0 / n0 + 1.0 / n1)), 6) AS DOUBLE) AS z
-        |FROM arms, tot ORDER BY arm""".stripMargin
+        |FROM arms, tot ORDER BY arm""".stripMargin,
+
+    "q94_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    (1706745600000000 - MAX(epoch_us(ts))) // 86400000000 AS r,
+        |    COUNT(*) AS f,
+        |    CAST(SUM(CAST(FLOOR(COALESCE(value, 0.0) * 100) AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |n AS (SELECT COUNT(*) AS n FROM per),
+        |rq AS (SELECT MIN(CASE WHEN cum >= (n-1)*1 // 4 + 1 THEN v END) AS r1,
+        |         MIN(CASE WHEN cum >= (n-1)*2 // 4 + 1 THEN v END) AS r2,
+        |         MIN(CASE WHEN cum >= (n-1)*3 // 4 + 1 THEN v END) AS r3
+        |       FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM (
+        |         SELECT r AS v, COUNT(*) AS c FROM per GROUP BY 1)), n),
+        |fq AS (SELECT MIN(CASE WHEN cum >= (n-1)*1 // 4 + 1 THEN v END) AS f1,
+        |         MIN(CASE WHEN cum >= (n-1)*2 // 4 + 1 THEN v END) AS f2,
+        |         MIN(CASE WHEN cum >= (n-1)*3 // 4 + 1 THEN v END) AS f3
+        |       FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM (
+        |         SELECT f AS v, COUNT(*) AS c FROM per GROUP BY 1)), n),
+        |mq AS (SELECT MIN(CASE WHEN cum >= (n-1)*1 // 4 + 1 THEN v END) AS m1,
+        |         MIN(CASE WHEN cum >= (n-1)*2 // 4 + 1 THEN v END) AS m2,
+        |         MIN(CASE WHEN cum >= (n-1)*3 // 4 + 1 THEN v END) AS m3
+        |       FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM (
+        |         SELECT m AS v, COUNT(*) AS c FROM per GROUP BY 1)), n),
+        |seg AS (
+        |  SELECT user_id, m,
+        |    ((CASE WHEN r > r1 THEN 1 ELSE 0 END
+        |      + CASE WHEN r > r2 THEN 1 ELSE 0 END
+        |      + CASE WHEN r > r3 THEN 1 ELSE 0 END) * 100
+        |     + (CASE WHEN f > f1 THEN 1 ELSE 0 END
+        |      + CASE WHEN f > f2 THEN 1 ELSE 0 END
+        |      + CASE WHEN f > f3 THEN 1 ELSE 0 END) * 10
+        |     + (CASE WHEN m > m1 THEN 1 ELSE 0 END
+        |      + CASE WHEN m > m2 THEN 1 ELSE 0 END
+        |      + CASE WHEN m > m3 THEN 1 ELSE 0 END)) AS segment
+        |  FROM per, rq, fq, mq)
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(SUM(m) AS BIGINT) AS m_sum
+        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
   )
 }
