@@ -2152,6 +2152,50 @@ object Relational {
         .groupBy("segment")
         .agg(count(lit(1)).as("n_users"), sum(col("m")).as("m_sum"))
         .orderBy("segment")
+    }),
+
+    // Q95 DISTRIBUTION DRIFT — the data-quality monitoring verb a
+    // training pipeline runs between ingestion batches: per metric
+    // series, how far did the value distribution move between the
+    // first and second half of the month? The distance is the 1-D
+    // earth-mover's distance between the two value histograms — for
+    // sorted 1-D data EMD is the L1 norm of the CDF difference, which
+    // is EXACT INTEGER arithmetic on cross-scaled counts
+    // (Σ|cum(ca·NB − cb·NA)|·gap — no division, no log, unlike
+    // PSI/KL whose ln() can't cross engines); empty-bin plateaus are
+    // handled by gap-width multiplication (lead(bin) − bin), so the
+    // sparse histogram relation is exactly equivalent to the dense
+    // one. Scale: one partial-aggregatable (type, bin) count pass,
+    // windows over the ≤600-row-per-type histogram relation, the
+    // |types|-row totals broadcast — t4/q90's bounded-relation shape.
+    "q95_drift" -> ((s, d) => {
+      val splitUs = 1705363200000000L // 2024-01-16T00:00:00Z
+      val e = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) < splitUs).as("isA"),
+          least(lit(599L), greatest(lit(0L),
+            floor(col("value")).cast(LongType))).as("bin"))
+      val cnt = e.groupBy("event_type", "bin")
+        .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+      val tot = cnt.groupBy("event_type")
+        .agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val w = Window.partitionBy("event_type").orderBy("bin")
+      cnt.join(broadcast(tot), Seq("event_type"))
+        .withColumn("cum",
+          sum(col("ca") * col("nb") - col("cb") * col("na")).over(w))
+        .withColumn("nextb",
+          coalesce(lead(col("bin"), 1).over(w), lit(600L)))
+        .groupBy("event_type")
+        .agg(max("na").as("na"), max("nb").as("nb"),
+          sum(abs(col("cum")) * (col("nextb") - col("bin")))
+            .as("emd_scaled"))
+        .withColumn("drift",
+          round(col("emd_scaled").cast(DoubleType)
+            / (col("na").cast(DoubleType) * col("nb")) / 600.0, 6)
+            .cast(DoubleType))
+        .orderBy("event_type")
     })
   )
 
@@ -3144,6 +3188,32 @@ object Relational {
         |SELECT CAST(segment AS BIGINT) AS segment,
         |       CAST(COUNT(*) AS BIGINT) AS n_users,
         |       CAST(SUM(m) AS BIGINT) AS m_sum
-        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
+        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "q95_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) < 1705363200000000 AS isA,
+        |         LEAST(599, GREATEST(0, CAST(FLOOR(value) AS BIGINT))) AS bin
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT event_type, bin,
+        |        SUM(CASE WHEN isA THEN 1 ELSE 0 END) AS ca,
+        |        SUM(CASE WHEN isA THEN 0 ELSE 1 END) AS cb
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb
+        |      FROM c GROUP BY 1),
+        |x AS (SELECT c.event_type, bin,
+        |        SUM(ca * nb - cb * na) OVER (PARTITION BY c.event_type
+        |                                     ORDER BY bin) AS cum,
+        |        COALESCE(LEAD(bin, 1) OVER (PARTITION BY c.event_type
+        |                                    ORDER BY bin), 600) AS nextb,
+        |        na, nb
+        |      FROM c JOIN t USING (event_type))
+        |SELECT event_type, CAST(MAX(na) AS BIGINT) AS na,
+        |       CAST(MAX(nb) AS BIGINT) AS nb,
+        |       CAST(SUM(ABS(cum) * (nextb - bin)) AS BIGINT) AS emd_scaled,
+        |       CAST(ROUND(CAST(SUM(ABS(cum) * (nextb - bin)) AS DOUBLE)
+        |         / (CAST(MAX(na) AS DOUBLE) * MAX(nb)) / 600.0, 6)
+        |         AS DOUBLE) AS drift
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
