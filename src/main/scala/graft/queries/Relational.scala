@@ -2196,6 +2196,56 @@ object Relational {
             / (col("na").cast(DoubleType) * col("nb")) / 600.0, 6)
             .cast(DoubleType))
         .orderBy("event_type")
+    }),
+
+    // Q96 POSITION-BASED MULTI-TOUCH ATTRIBUTION — the U-shaped (40/
+    // 20/40) credit model on top of q80's first/last-touch: each
+    // purchase closes a JOURNEY (touches since the previous purchase),
+    // first and last touch get 4000 basis points each, middles share
+    // 2000 by EXACT largest-remainder apportionment (floor share + 1
+    // extra bp to the earliest `rem` middles — qx8's convention), so
+    // every conversion distributes exactly 10000 bp and the global
+    // invariant Σcredit = 10000·n_conv rides as a hash-checked audit
+    // column — apportionment exactness is proven, not claimed.
+    // Journey id = running count of prior purchases (one cumulative
+    // window), rank/size are per-(user, journey) windows, converting
+    // journeys are kept by an equi-semi-join against the purchase
+    // set, the rollup is partial-aggregatable — all user-partitioned,
+    // nothing corpus-global.
+    "q96_attribution" -> ((s, d) => {
+      val wU = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("event_type"))
+        .withColumn("jid", coalesce(sum(
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(wU), lit(0L)))
+      val convJourneys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("jid")).distinct()
+      val wJ = Window.partitionBy("user_id", "jid")
+        .orderBy(col("t"), col("event_id"))
+      val wK = Window.partitionBy("user_id", "jid")
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .join(convJourneys, Seq("user_id", "jid"), "left_semi")
+        .withColumn("r", row_number().over(wJ).cast(LongType))
+        .withColumn("k", count(lit(1)).over(wK))
+      val credited = touches.withColumn("credit",
+        when(col("k") === 1, 10000L)
+          .when(col("k") === 2, 5000L)
+          .when(col("r") === 1 || col("r") === col("k"), 4000L)
+          .otherwise(expr("2000 div (k - 2)")
+            + when(col("r") - 1 <= expr("2000 % (k - 2)"), 1L)
+              .otherwise(0L)))
+      val nConv = credited.select("user_id", "jid").distinct()
+        .agg(count(lit(1)).as("n_conv"))
+      val totBp = credited.agg(sum(col("credit")).as("total_bp"))
+      credited.groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("bp"))
+        .crossJoin(broadcast(nConv)).crossJoin(broadcast(totBp))
+        .orderBy("event_type")
     })
   )
 
@@ -3214,6 +3264,45 @@ object Relational {
         |       CAST(ROUND(CAST(SUM(ABS(cum) * (nextb - bin)) AS DOUBLE)
         |         / (CAST(MAX(na) AS DOUBLE) * MAX(nb)) / 600.0, 6)
         |         AS DOUBLE) AS drift
-        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q96_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |j AS (SELECT user_id, event_id, t, event_type,
+        |        COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |                          ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                         AND 1 PRECEDING), 0) AS jid
+        |      FROM e),
+        |cj AS (SELECT DISTINCT user_id, jid FROM j
+        |       WHERE event_type = 'purchase'),
+        |tc AS (SELECT j.user_id, j.jid, j.event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY j.user_id, j.jid
+        |                            ORDER BY t, event_id) AS r,
+        |         COUNT(*) OVER (PARTITION BY j.user_id, j.jid) AS k
+        |       FROM j JOIN cj ON cj.user_id = j.user_id AND cj.jid = j.jid
+        |       WHERE j.event_type <> 'purchase'),
+        |cr AS (SELECT event_type, user_id, jid,
+        |         CASE WHEN k = 1 THEN 10000
+        |              WHEN k = 2 THEN 5000
+        |              WHEN r = 1 OR r = k THEN 4000
+        |              ELSE 2000 // (k - 2)
+        |                + CASE WHEN r - 1 <= 2000 % (k - 2) THEN 1
+        |                       ELSE 0 END
+        |         END AS credit
+        |       FROM tc),
+        |nc AS (SELECT COUNT(*) AS n_conv FROM
+        |        (SELECT DISTINCT user_id, jid FROM cr)),
+        |tb AS (SELECT SUM(credit) AS total_bp FROM cr)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |       CAST(SUM(credit) AS BIGINT) AS bp,
+        |       CAST(n_conv AS BIGINT) AS n_conv,
+        |       CAST(total_bp AS BIGINT) AS total_bp
+        |FROM cr, nc, tb
+        |GROUP BY event_type, n_conv, total_bp
+        |ORDER BY event_type""".stripMargin
   )
 }
