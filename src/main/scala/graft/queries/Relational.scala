@@ -2246,6 +2246,49 @@ object Relational {
         .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("bp"))
         .crossJoin(broadcast(nConv)).crossJoin(broadcast(totBp))
         .orderBy("event_type")
+    }),
+
+    // Q97 GINI CONCENTRATION — the inequality audit (how concentrated
+    // is spend across users, per event type and overall): Gini = mean
+    // pairwise |difference| / (2·mean), computed EXACTLY from the
+    // value HISTOGRAM — over sorted distinct values v_i with counts
+    // c_i, Σ_pairs|v_i − v_j| = Σ_i c_i·(v_i·CLT_i − CSLT_i) with CLT/
+    // CSLT the cumulative count/sum of strictly smaller values — all
+    // int64, one IEEE division at the end (G = num/(n·S), means
+    // cancel). Per-user monetary is binned to 1000-cent resolution
+    // FIRST (the declared contract), so the windowed relation is
+    // bounded by the VALUE RANGE, not the user count — the q81-trap
+    // dodge that keeps this exact at any corpus size. One per-user
+    // partial agg + windows over ≤(types × ~5k)-row relations.
+    "q97_gini" -> ((s, d) => {
+      val base = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast(LongType).as("x"))
+      val typed = base.groupBy("event_type", "user_id")
+        .agg(sum(col("x")).as("m"))
+      val overall = base.groupBy("user_id").agg(sum(col("x")).as("m"))
+        .withColumn("event_type", lit("ALL"))
+        .select("event_type", "user_id", "m")
+      val per = typed.unionByName(overall)
+        .select(col("event_type"), expr("m div 1000").as("v"))
+      val dist = per.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      dist
+        .withColumn("clt", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("cslt",
+          coalesce(sum(col("v") * col("c")).over(w), lit(0L)))
+        .groupBy("event_type")
+        .agg(sum(col("c")).as("n_users"),
+          sum(col("v") * col("c")).as("s_binned"),
+          sum(col("c") * (col("v") * col("clt") - col("cslt")))
+            .as("num"))
+        .withColumn("gini",
+          round(col("num").cast(DoubleType)
+            / (col("n_users").cast(DoubleType) * col("s_binned")), 6)
+            .cast(DoubleType))
+        .orderBy("event_type")
     })
   )
 
@@ -3303,6 +3346,36 @@ object Relational {
         |       CAST(total_bp AS BIGINT) AS total_bp
         |FROM cr, nc, tb
         |GROUP BY event_type, n_conv, total_bp
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q97_gini" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type,
+        |         CAST(FLOOR(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |per AS (
+        |  SELECT event_type, SUM(x) // 1000 AS v
+        |  FROM base GROUP BY event_type, user_id
+        |  UNION ALL
+        |  SELECT 'ALL' AS event_type, SUM(x) // 1000 AS v
+        |  FROM base GROUP BY user_id),
+        |dist AS (SELECT event_type, v, COUNT(*) AS c
+        |         FROM per GROUP BY 1, 2),
+        |cu AS (SELECT event_type, v, c,
+        |         COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS clt,
+        |         COALESCE(SUM(v * c) OVER (PARTITION BY event_type
+        |           ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cslt
+        |       FROM dist)
+        |SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_users,
+        |       CAST(SUM(v * c) AS BIGINT) AS s_binned,
+        |       CAST(SUM(c * (v * clt - cslt)) AS BIGINT) AS num,
+        |       CAST(ROUND(CAST(SUM(c * (v * clt - cslt)) AS DOUBLE)
+        |         / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(v * c) AS BIGINT)), 6)
+        |         AS DOUBLE) AS gini
+        |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
