@@ -2289,6 +2289,48 @@ object Relational {
             / (col("n_users").cast(DoubleType) * col("s_binned")), 6)
             .cast(DoubleType))
         .orderBy("event_type")
+    }),
+
+    // Q98 CHANGEPOINT DETECTION — the single-changepoint scan
+    // statistic over each series' daily totals: for every candidate
+    // split k, score(k) = (S_k·n − k·S)² / (k·(n−k)·n) — the
+    // between-segment squared-mean-shift statistic (CUSUM family) —
+    // maximized over k. All inputs are exact integers (daily cent
+    // sums, cumulative S_k via one window); the score and the argmax
+    // ordering are ONE identical IEEE tree both engines (g08
+    // convention) with (day) as the deterministic tiebreak, and the
+    // exact integer numerator rides as an audit column. Scale: the
+    // candidate relation is the DAILY aggregate (≤31 rows per series
+    // here; O(days), never O(events)) — the corpus collapses in one
+    // partial-aggregatable pass, the scan statistic runs on metadata-
+    // scale data.
+    "q98_changepoint" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast(LongType)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val wAll = Window.partitionBy("event_type")
+      val scored = daily
+        .withColumn("k", row_number().over(w).cast(LongType))
+        .withColumn("sk", sum(col("x")).over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("x")).over(wAll))
+        .filter(col("k") < col("n"))
+        // diff stays exact int64; its square would overflow, so the
+        // score squares in double — one identical IEEE tree both sides
+        .withColumn("diff", col("sk") * col("n") - col("k") * col("s"))
+        .withColumn("score",
+          round(col("diff").cast(DoubleType) * col("diff").cast(DoubleType)
+            / (col("k").cast(DoubleType) * (col("n") - col("k")) * col("n")),
+            4).cast(DoubleType))
+      scored.groupBy("event_type")
+        .agg(max(struct(col("score"), col("day"), col("diff"), col("k")))
+          .as("m"))
+        .select(col("event_type"), col("m.day").as("split_day"),
+          col("m.k").as("k"), col("m.score").as("score"),
+          col("m.diff").as("diff"))
+        .orderBy("event_type")
     })
   )
 
@@ -3376,6 +3418,33 @@ object Relational {
         |       CAST(ROUND(CAST(SUM(c * (v * clt - cslt)) AS DOUBLE)
         |         / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(v * c) AS BIGINT)), 6)
         |         AS DOUBLE) AS gini
-        |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q98_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |c AS (SELECT event_type, day,
+        |        CAST(ROW_NUMBER() OVER win AS BIGINT) AS k,
+        |        SUM(x) OVER win AS sk,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |        SUM(x) OVER (PARTITION BY event_type) AS s
+        |      FROM daily
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY day)),
+        |sc AS (SELECT event_type, day, k,
+        |         CAST(sk * n - k * s AS BIGINT) AS diff,
+        |         CAST(ROUND(CAST(sk * n - k * s AS DOUBLE)
+        |             * CAST(sk * n - k * s AS DOUBLE)
+        |           / (CAST(k AS DOUBLE) * (n - k) * n), 4) AS DOUBLE)
+        |           AS score
+        |       FROM c WHERE k < n),
+        |r AS (SELECT event_type, day, k, diff, score, ROW_NUMBER() OVER (
+        |        PARTITION BY event_type
+        |        ORDER BY score DESC, day DESC, diff DESC, k DESC) AS rn
+        |      FROM sc)
+        |SELECT event_type, day AS split_day, k, score, diff
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
   )
 }
