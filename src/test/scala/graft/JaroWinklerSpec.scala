@@ -84,4 +84,43 @@ class JaroWinklerSpec extends AnyFunSuite {
     val r = fresh.sql("SELECT jaro_winkler('martha', 'marhta') AS s").collect()(0)
     assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-15)
   }
+
+  test("prefilter bound is sound: jw >= tau implies the length ratio bound") {
+    // the derivation JaroWinklerPrefilter injects: jw >= τ (τ > 0.8)
+    // ⟹ min_len ≥ (5τ−4)·max_len. Verify on random pairs for several
+    // thresholds — no qualifying pair may violate the bound.
+    val rnd = new scala.util.Random(41)
+    val alpha = "abcdef "
+    def word(max: Int) =
+      Seq.fill(1 + rnd.nextInt(max))(alpha(rnd.nextInt(alpha.length))).mkString
+    for (_ <- 1 to 20000; tau <- Seq(0.85, 0.9, 0.95)) {
+      val a = word(30); val b = word(30)
+      val jw = JaroWinklerSim.jw(UTF8String.fromString(a), UTF8String.fromString(b))
+      if (jw >= tau) {
+        val (lo, hi) = (math.min(a.length, b.length), math.max(a.length, b.length))
+        assert(lo >= (5.0 * tau - 4.0 - 1e-9) * hi,
+          s"bound violated: jw=$jw tau=$tau for (${a}, ${b})")
+      }
+    }
+  }
+
+  test("optimizer injects octet_length bounds into qd14's plan; idempotent; lossless") {
+    val df = SparkEntry.queries("qd14_jwdocs")(spark, TestSpark.Sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("octet_length"),
+      s"no injected length prefilter in optimized plan:\n$opt")
+    // idempotency: the fixed-point batch ran the rule to stability —
+    // exactly 4 bound comparisons (2 per jw conjunct side), not a
+    // re-added pile
+    val n = "octet_length\\(".r.findAllIn(opt).length
+    assert(n <= 8, s"rule not idempotent — $n octet_length occurrences:\n$opt")
+    // losslessness: same rows with the rule excluded
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.JaroWinklerPrefilter")
+    val without = SparkEntry.queries("qd14_jwdocs")(plain, TestSpark.Sf)
+      .collect().toSeq
+    assert(df.collect().toSeq == without,
+      "prefilter changed the result set")
+  }
 }
