@@ -2331,6 +2331,43 @@ object Relational {
           col("m.k").as("k"), col("m.score").as("score"),
           col("m.diff").as("diff"))
         .orderBy("event_type")
+    }),
+
+    // Q99 JOIN-CARDINALITY STATISTICS AUDIT — the ANALYZE-TABLE verb
+    // as data: per key-range bucket of the orders⋈customer key, the
+    // row counts each side's equi-width histogram would record (na,
+    // nb, distinct keys da/db), the CBO-style output estimate
+    // na·nb/max(da,db) (the uniform-frequency assumption, one IEEE
+    // tree), and the EXACT join cardinality Σ_key ca·cb — so the
+    // histogram estimator's bucket-level error is hash-checked data,
+    // not a planner internals claim. Shapes: two per-key partial
+    // aggregates (the stats scan), one key equi-join of the two COUNT
+    // relations (distinct-key cardinality, not corpus rows), bucket
+    // rollups partial-aggregate — this is literally the stats
+    // collection pass a CBO runs, expressed as a query.
+    "q99_joinstats" -> ((s, d) => {
+      val bw = 100L
+      val oa = t(s, d, "orders").groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("ca"))
+      val cb = t(s, d, "customer").groupBy(col("c_custkey").as("key"))
+        .agg(count(lit(1)).as("cb"))
+      val actual = oa.join(cb, Seq("key"))
+        .select(expr(s"key div $bw").as("bucket"),
+          (col("ca") * col("cb")).as("rows"))
+        .groupBy("bucket").agg(sum(col("rows")).as("actual"))
+      val statsA = oa.select(expr(s"key div $bw").as("bucket"), col("ca"))
+        .groupBy("bucket")
+        .agg(sum(col("ca")).as("na"), count(lit(1)).as("da"))
+      val statsB = cb.select(expr(s"key div $bw").as("bucket"), col("cb"))
+        .groupBy("bucket")
+        .agg(sum(col("cb")).as("nb"), count(lit(1)).as("db"))
+      statsA.join(statsB, Seq("bucket"))
+        .join(actual, Seq("bucket"), "left")
+        .select(col("bucket"), col("na"), col("da"), col("nb"), col("db"),
+          round(col("na").cast(DoubleType) * col("nb")
+            / greatest(col("da"), col("db")), 2).cast(DoubleType).as("est"),
+          coalesce(col("actual"), lit(0L)).as("actual"))
+        .orderBy("bucket")
     })
   )
 
@@ -3445,6 +3482,26 @@ object Relational {
         |        ORDER BY score DESC, day DESC, diff DESC, k DESC) AS rn
         |      FROM sc)
         |SELECT event_type, day AS split_day, k, score, diff
-        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q99_joinstats" ->
+      """WITH oa AS (SELECT o_custkey AS key, COUNT(*) AS ca
+        |            FROM orders GROUP BY 1),
+        |cbt AS (SELECT c_custkey AS key, COUNT(*) AS cb
+        |        FROM customer GROUP BY 1),
+        |act AS (SELECT oa.key // 100 AS bucket, SUM(ca * cb) AS actual
+        |        FROM oa JOIN cbt ON cbt.key = oa.key GROUP BY 1),
+        |sa AS (SELECT key // 100 AS bucket, SUM(ca) AS na,
+        |         COUNT(*) AS da FROM oa GROUP BY 1),
+        |sb AS (SELECT key // 100 AS bucket, SUM(cb) AS nb,
+        |         COUNT(*) AS db FROM cbt GROUP BY 1)
+        |SELECT sa.bucket, CAST(na AS BIGINT) AS na, CAST(da AS BIGINT) AS da,
+        |       CAST(nb AS BIGINT) AS nb, CAST(db AS BIGINT) AS db,
+        |       CAST(ROUND(CAST(na AS DOUBLE) * nb / GREATEST(da, db), 2)
+        |         AS DOUBLE) AS est,
+        |       CAST(COALESCE(actual, 0) AS BIGINT) AS actual
+        |FROM sa JOIN sb ON sb.bucket = sa.bucket
+        |        LEFT JOIN act ON act.bucket = sa.bucket
+        |ORDER BY sa.bucket""".stripMargin
   )
 }
