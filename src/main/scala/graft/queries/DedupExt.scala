@@ -1612,8 +1612,19 @@ object DedupExt {
       val p = graft.Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           split(col("text"), " ").getItem(0).as("tok1"), col("text"))
+      // The broadcast join + JW verify fuse into the PROBE side's scan
+      // stage, so its parallelism is the verify stage's parallelism —
+      // and bytes-based split sizing sees a few MB of text and gives
+      // ONE split for ~100k O(l²) kernel calls (measured: 9.0 s
+      // single-task vs 0.6 s re-partitioned). CPU-dense verify stages
+      // need parallelism set by compute, not bytes: an explicit fixed-
+      // width repartition on the block key (explicit numPartitions —
+      // AQE honors it, a bare repartition would be coalesced right
+      // back to 1 for the same byte-count reason).
       val a = p.select(col("doc_id").as("doc_a"), col("lang"),
         col("tok1"), col("text").as("ta"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("lang"), col("tok1"))
       val b = p.select(col("doc_id").as("doc_b"), col("lang"),
         col("tok1"), col("text").as("tb"))
       a.join(b, Seq("lang", "tok1"))

@@ -2368,6 +2368,39 @@ object Relational {
             / greatest(col("da"), col("db")), 2).cast(DoubleType).as("est"),
           coalesce(col("actual"), lit(0L)).as("actual"))
         .orderBy("bucket")
+    }),
+
+    // Q100 FEDERATED CROSS-FORMAT STAR JOIN — one plan spanning three
+    // storage formats: customer staged to CSV (header + declared
+    // schema: integer/decimal/string columns round-trip exactly as
+    // text), orders staged to ORC (typed, lossless), lineitem +
+    // nation read from the original parquet — then q05's star shape
+    // (broadcast dims, decimal-exact revenue) across all of them in a
+    // single query. The oracle reads ONLY the original parquet, so
+    // the hash match proves both stagings lossless AND the
+    // cross-format join correct. Catalyst treats every source as a
+    // relation: the same pushdown/broadcast/partial-agg machinery
+    // applies regardless of format — the point a lake migration
+    // actually cares about. Staging is a one-time fixture write
+    // (idempotent overwrite), the q46/q47/qm4 convention.
+    "q100_federated" -> ((s, d) => {
+      val dir = "target/graft-fed/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val cust = t(s, d, "customer")
+      cust.write.mode("overwrite").option("header", "true")
+        .csv(s"$dir/customer")
+      t(s, d, "orders").write.mode("overwrite").orc(s"$dir/orders")
+      val custCsv = s.read.option("header", "true").schema(cust.schema)
+        .csv(s"$dir/customer")
+      val ordersOrc = s.read.orc(s"$dir/orders")
+      custCsv.join(ordersOrc, col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(expr(
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))")), 4)
+            .cast(DoubleType).as("rev"))
+        .orderBy("n_name")
     })
   )
 
@@ -3502,6 +3535,19 @@ object Relational {
         |       CAST(COALESCE(actual, 0) AS BIGINT) AS actual
         |FROM sa JOIN sb ON sb.bucket = sa.bucket
         |        LEFT JOIN act ON act.bucket = sa.bucket
-        |ORDER BY sa.bucket""".stripMargin
+        |ORDER BY sa.bucket""".stripMargin,
+
+    // q100: the oracle reads ONLY the original parquet — the hash
+    // match proves the CSV/ORC stagings lossless and the federated
+    // join correct
+    "q100_federated" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))), 4) AS DOUBLE) AS rev
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }
