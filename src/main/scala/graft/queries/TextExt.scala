@@ -981,6 +981,45 @@ object TextExt {
         .orderBy("level", "lang", "source")
     }),
 
+    // Q101 L-DIVERSITY AUDIT — k-anonymity's required companion (q69
+    // guarantees group SIZE ≥ k; a size-10 class where all members
+    // share one sensitive value still leaks it): replay q69's
+    // generalization ladder to place every document in its published
+    // class, then check each class carries ≥ 3 distinct sensitive
+    // values (the document-size band stands in for the sensitive
+    // attribute). Class assignment is two BROADCAST left joins against
+    // the tiny level-0/level-1 key sets (the ladder walk costs
+    // O(groups)); the audit itself is one partial-aggregatable
+    // count + count-distinct per published class — the failing
+    // classes surface as `diverse = false` rows, hash-checked.
+    "q101_ldiv" -> ((s, d) => {
+      val k = 10L
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 100").as("sens"))
+      val g0 = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val k0 = g0.filter(col("n") >= k)
+        .select(col("lang"), col("source")).withColumn("in0", lit(true))
+      val g1 = g0.filter(col("n") < k)
+        .groupBy("lang").agg(sum(col("n")).as("n"))
+      val k1 = g1.filter(col("n") >= k)
+        .select(col("lang")).withColumn("in1", lit(true))
+      docs.join(broadcast(k0), Seq("lang", "source"), "left")
+        .join(broadcast(k1), Seq("lang"), "left")
+        .select(col("sens"),
+          when(col("in0") || col("in1"), col("lang")).otherwise(lit("*"))
+            .as("c_lang"),
+          when(col("in0"), col("source")).otherwise(lit("*"))
+            .as("c_source"),
+          when(col("in0"), 0L).when(col("in1"), 1L).otherwise(2L)
+            .as("level"))
+        .groupBy("level", "c_lang", "c_source")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("sens")).as("l"))
+        .withColumn("diverse", col("l") >= 3)
+        .orderBy("level", "c_lang", "c_source")
+    }),
+
     "qt15_normalize" -> ((s, d) => {
       graft.plans.RollHash31.register(s)
       t(s, d, "documents")
@@ -1742,6 +1781,30 @@ object TextExt {
         |SELECT * FROM pub0 UNION ALL SELECT * FROM pub1
         |UNION ALL SELECT * FROM pub2
         |ORDER BY level, lang, source""".stripMargin,
+
+    "q101_ldiv" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source, n_chars // 100 AS sens
+        |  FROM documents),
+        |g0 AS (SELECT lang, source, COUNT(*) AS n FROM docs GROUP BY 1, 2),
+        |k0 AS (SELECT lang, source FROM g0 WHERE n >= 10),
+        |g1 AS (SELECT lang, SUM(n) AS n FROM g0 WHERE n < 10 GROUP BY 1),
+        |k1 AS (SELECT lang FROM g1 WHERE n >= 10),
+        |cls AS (SELECT d.sens,
+        |          CASE WHEN k0.lang IS NOT NULL OR k1.lang IS NOT NULL
+        |               THEN d.lang ELSE '*' END AS c_lang,
+        |          CASE WHEN k0.lang IS NOT NULL THEN d.source
+        |               ELSE '*' END AS c_source,
+        |          CASE WHEN k0.lang IS NOT NULL THEN 0
+        |               WHEN k1.lang IS NOT NULL THEN 1 ELSE 2 END AS level
+        |        FROM docs d
+        |        LEFT JOIN k0 ON k0.lang = d.lang AND k0.source = d.source
+        |        LEFT JOIN k1 ON k1.lang = d.lang)
+        |SELECT CAST(level AS BIGINT) AS level, c_lang, c_source,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT sens) AS BIGINT) AS l,
+        |       COUNT(DISTINCT sens) >= 3 AS diverse
+        |FROM cls GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // qt18: boundaries, chunk slices, fingerprints, and the corpus dup
     // flag replayed with DuckDB list comprehensions (1-based inclusive
