@@ -1582,8 +1582,13 @@ object DedupExt {
         .select(col("doc_id"), col("lang"),
           split(col("text"), " ").getItem(0).as("tok1"),
           substring(col("text"), 1, 32).as("s"))
+      // qd14's lesson applies here too: the verify fuses into the
+      // broadcast-probe scan stage, so parallelism must come from an
+      // explicit fixed-width repartition, not byte-based splits
       val a = p.select(col("doc_id").as("doc_a"), col("lang"),
         col("tok1"), col("s").as("sa"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("lang"), col("tok1"))
       val b = p.select(col("doc_id").as("doc_b"), col("lang"),
         col("tok1"), col("s").as("sb"))
       a.join(b, Seq("lang", "tok1"))
