@@ -399,6 +399,50 @@ object StreamingQueries {
         .orderBy("event_type", "ws")
     }),
 
+    // S24 STREAM ENRICHMENT AGAINST AN SCD2 DIMENSION — the temporal
+    // lookup production pipelines run on every event: join the live
+    // stream to the slowly-changing dimension AS OF the event's own
+    // time (not the dimension's latest row). The dimension is q82's
+    // window build over the first half-month's changes (closed rows +
+    // the open row with NULL valid_to); each second-half event picks
+    // the version with valid_from ≤ t < valid_to — intervals partition
+    // time, so at most one row matches and the join is deterministic.
+    // Stream-static LEFT joins are stateless in Structured Streaming
+    // (the static side rebroadcasts per batch, no watermark needed);
+    // pre-dimension events left-join to NULL (version -1 sentinel so
+    // the column stays BIGINT). This batch form is the oracle gate;
+    // Streams.s24 is the same join over readStream, StreamingSpec
+    // pins streamed == batch.
+    "s24_scdenrich" -> ((s, d) => {
+      val splitUs = 1705363200000000L // 2024-01-16T00:00:00Z
+      val w = Window.partitionBy("d_user")
+        .orderBy(col("valid_from"), col("c_event"))
+      val changes = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .filter(unix_micros(col("ts")) < splitUs)
+        .select(col("user_id").as("d_user"), col("event_id").as("c_event"),
+          unix_micros(col("ts")).as("valid_from"),
+          floor(coalesce(col("value"), lit(0.0))).cast(LongType).as("attr"))
+      val dim = changes
+        .withColumn("version", row_number().over(w).cast(LongType))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .select("d_user", "version", "attr", "valid_from", "valid_to")
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .filter(unix_micros(col("ts")) >= splitUs)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"))
+      ev.join(dim,
+          ev("user_id") === dim("d_user")
+            && dim("valid_from") <= col("t")
+            && (dim("valid_to").isNull || col("t") < dim("valid_to")),
+          "left")
+        .select(col("event_id"), col("user_id"), col("t"),
+          coalesce(col("version"), lit(-1L)).as("version"),
+          col("attr"))
+        .orderBy("event_id")
+    }),
+
     // S23 streaming cardinality sketch — t3's in-flight twin: distinct
     // users per event type tracked continuously with a Datasketches
     // HLL aggregate (state = one bounded sketch per type, NEVER the
@@ -709,6 +753,32 @@ object StreamingQueries {
         |FROM r GROUP BY event_type, ws
         |ORDER BY event_type, ws""".stripMargin,
 
+    // s24: the as-of enrichment replayed — q82's window build over the
+    // first half, interval containment join for the second
+    "s24_scdenrich" ->
+      """WITH c AS (
+        |  SELECT user_id AS d_user, event_id AS c_event,
+        |         epoch_us(ts) AS valid_from,
+        |         CAST(FLOOR(COALESCE(value, 0.0)) AS BIGINT) AS attr
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND epoch_us(ts) < 1705363200000000),
+        |dim AS (SELECT d_user,
+        |          CAST(ROW_NUMBER() OVER win AS BIGINT) AS version, attr,
+        |          valid_from, LEAD(valid_from, 1) OVER win AS valid_to
+        |        FROM c
+        |        WINDOW win AS (PARTITION BY d_user
+        |                       ORDER BY valid_from, c_event)),
+        |ev AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |         AND epoch_us(ts) >= 1705363200000000)
+        |SELECT event_id, user_id, t,
+        |       COALESCE(version, -1) AS version, attr
+        |FROM ev LEFT JOIN dim
+        |  ON dim.d_user = ev.user_id AND dim.valid_from <= ev.t
+        | AND (dim.valid_to IS NULL OR ev.t < dim.valid_to)
+        |ORDER BY event_id""".stripMargin,
+
     // s23: exact distinct + each engine's own ±5% sketch verdict (t3)
     "s23_hllstream" ->
       """SELECT event_type,
@@ -968,6 +1038,38 @@ object Streams {
         col("vmin"), col("vmax"),
         col("f.x").as("vfirst"), col("l.x").as("vlast"))
     runToTable(spark, agg, "s22_stream", "complete")
+  }
+
+  /** S24 as streaming: the as-of SCD2 enrichment with the dimension as
+    * the STATIC side — a stateless stream-static left join (no
+    * watermark; the dimension snapshot rebroadcasts per micro-batch). */
+  def s24(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val splitUs = 1705363200000000L
+    val w = Window.partitionBy("d_user")
+      .orderBy(col("valid_from"), col("c_event"))
+    val dim = graft.Tables(spark, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .filter(unix_micros(col("ts")) < splitUs)
+      .select(col("user_id").as("d_user"), col("event_id").as("c_event"),
+        unix_micros(col("ts")).as("valid_from"),
+        floor(coalesce(col("value"), lit(0.0))).cast("long").as("attr"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .select("d_user", "version", "attr", "valid_from", "valid_to")
+    val ev = readEvents(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("t", unix_micros(col("ts")))
+      .filter(col("t") >= splitUs)
+      .select(col("event_id"), col("user_id"), col("t"))
+    val joined = ev.join(dim,
+        ev("user_id") === dim("d_user")
+          && dim("valid_from") <= col("t")
+          && (dim("valid_to").isNull || col("t") < dim("valid_to")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("t"),
+        coalesce(col("version"), lit(-1L)).as("version"), col("attr"))
+    runToTable(spark, joined, "s24_stream", "append")
   }
 
   /** S23 as streaming: continuous per-type distinct-user cardinality

@@ -27,6 +27,13 @@ class StreamingSpec extends AnyFunSuite {
       === rows(batch, "ws", "event_type", "n", "vmin", "vmax", "vfirst", "vlast"))
   }
 
+  test("s24 scd2 enrichment: streaming stream-static as-of join == batch") {
+    val batch = StreamingQueries.queries("s24_scdenrich")(spark, TestSpark.Sf)
+    val stream = Streams.s24(spark, TestSpark.Sf)
+    assert(rows(stream, "event_id", "user_id", "t", "version", "attr")
+      === rows(batch, "event_id", "user_id", "t", "version", "attr"))
+  }
+
   test("s23 hll cardinality: streamed sketch verdict == batch verdict") {
     val batch = StreamingQueries.queries("s23_hllstream")(spark, TestSpark.Sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
