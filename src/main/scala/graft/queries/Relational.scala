@@ -2401,6 +2401,132 @@ object Relational {
             "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))")), 4)
             .cast(DoubleType).as("rev"))
         .orderBy("n_name")
+    }),
+
+    // Q102 MARKET-BASKET ASSOCIATION RULES — the co-occurrence mining
+    // verb (Apriori's 2-itemset stage, the one that matters at scale):
+    // baskets = distinct parts per order, frequent items (support ≥ 20
+    // baskets) prune the pair space FIRST — the classic anti-monotone
+    // cut — then pairs are generated by an ORDER-keyed equi self-join
+    // (fan-out bounded by basket size ≤ ~13, never a corpus cross
+    // product), counted, and kept at c12 ≥ 3. support/confidence/lift
+    // are ONE identical IEEE tree over exact BIGINT counts (counts
+    // ride as audit columns); lift = c12·N/(ca·cb) with N = total
+    // baskets broadcast as a scalar. Scale: the frequent-item set is
+    // vocabulary-sized (≤ part count) and BROADCASTs onto the basket
+    // scan; every aggregate partial-aggregates; the pair keyspace
+    // grows with the catalog, not the corpus — AQE-skew-splittable.
+    "q102_basket" -> ((s, d) => {
+      val minSup = 20L; val minPair = 3L
+      val b = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val freq = b.groupBy("p").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minSup)
+      val fb = b.join(broadcast(freq.select("p")), Seq("p"), "left_semi")
+      val nBaskets = b.select("o").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val pairs = fb.as("a")
+        .join(fb.as("bb"), col("a.o") === col("bb.o")
+          && col("a.p") < col("bb.p"))
+        .groupBy(col("a.p").as("pa"), col("bb.p").as("pb"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= minPair)
+      pairs
+        .join(broadcast(freq.withColumnRenamed("p", "pa")
+          .withColumnRenamed("c", "ca")), Seq("pa"))
+        .join(broadcast(freq.withColumnRenamed("p", "pb")
+          .withColumnRenamed("c", "cb")), Seq("pb"))
+        .crossJoin(broadcast(nBaskets))
+        .select(col("pa"), col("pb"), col("c12"), col("ca"), col("cb"),
+          round(col("c12").cast(DoubleType) / col("n_baskets"), 6)
+            .cast(DoubleType).as("support"),
+          round(col("c12").cast(DoubleType) / col("ca"), 6)
+            .cast(DoubleType).as("conf"),
+          round(col("c12").cast(DoubleType) * col("n_baskets")
+            / (col("ca").cast(DoubleType) * col("cb")), 6)
+            .cast(DoubleType).as("lift"))
+        .orderBy("pa", "pb")
+    }),
+
+    // Q104 TRIANGLE COUNTING — the graph-topology audit on the
+    // co-purchase graph (parts sharing ≥ 2 baskets are an edge; the
+    // clustering signal recommender pipelines mine): edges ORIENT
+    // low-id → high-id so each triangle is counted EXACTLY once as
+    // (u < v < w), and the count is two equi-joins over the oriented
+    // edge relation — e1(u,v) ⋈ e2(v,w) ⋈ closing edge (u,w). Scale:
+    // orientation is the standard degree-bounding trick (every wedge
+    // enumerated once, join fan-out bounded by forward-degree); the
+    // edge relation itself is catalog-sized (pair keyspace), built by
+    // the same order-keyed self-join as q102 — the corpus never self-
+    // joins. Per-node triangle participation + the global count ride
+    // as exact BIGINT audit columns.
+    "q104_triangles" -> ((s, d) => {
+      val b = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = b.as("a")
+        .join(b.as("bb"), col("a.o") === col("bb.o")
+          && col("a.p") < col("bb.p"))
+        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+        .agg(count(lit(1)).as("w12"))
+        .filter(col("w12") >= 2L)
+        .select("u", "v")
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"), col("e3.u") === col("e1.u")
+          && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("u"), col("e1.v").as("v"),
+          col("e2.v").as("w"))
+      val perNode = tri.select(explode(array(col("u"), col("v"),
+          col("w"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      val total = tri.agg(count(lit(1)).as("total_tri"))
+      perNode.crossJoin(broadcast(total))
+        .orderBy("node")
+    }),
+
+    // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
+    // pipeline runs before fitting forecasts: for each event type's
+    // DAILY total (cents div 1000 — binning keeps every product far
+    // inside int64 at any realistic scale), the lag-k autocorrelation
+    // r_k = num_k / num_0 where num_k = Σ_t (n·x_t − S)(n·x_{t+k} − S)
+    // — the mean-centered cross product CROSS-SCALED by n so it stays
+    // EXACT INTEGER (no rational mean, the q95/q97 convention); the
+    // single IEEE division happens once per lag and num_k rides as an
+    // exact audit column. Scale: the corpus collapses to the daily
+    // aggregate in one partial-aggregatable pass; lags join the
+    // O(days)-row relation to itself on (type, day+k) — metadata-
+    // scale, never O(events).
+    "q105_acf" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast(LongType)
+            .as("day"))
+        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
+          .as("x"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val cd = daily.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("day"),
+          (col("n") * col("x") - col("s")).as("dx"), col("n"))
+      val lags = s.range(0, 8).select(col("id").as("lag"))
+      val num = cd.as("a")
+        .join(broadcast(lags), lit(true))
+        .join(cd.as("bb"), col("a.event_type") === col("bb.event_type")
+          && col("bb.day") === col("a.day") + col("lag"))
+        .groupBy(col("a.event_type").as("event_type"), col("lag"))
+        .agg(sum(col("a.dx") * col("bb.dx")).as("num"),
+          count(lit(1)).as("n_pairs"))
+      val base = num.filter(col("lag") === 0L)
+        .select(col("event_type"), col("num").as("num0"))
+      num.filter(col("lag") > 0L)
+        .join(broadcast(base), Seq("event_type"))
+        .select(col("event_type"), col("lag"), col("num"), col("n_pairs"),
+          round(col("num").cast(DoubleType) / col("num0"), 6)
+            .cast(DoubleType).as("acf"))
+        .orderBy("event_type", "lag")
     })
   )
 
@@ -3548,6 +3674,73 @@ object Relational {
         |JOIN orders ON o_custkey = c_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q102_basket" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |f AS (SELECT p, COUNT(*) AS c FROM b GROUP BY 1
+        |      HAVING COUNT(*) >= 20),
+        |nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM b),
+        |pr AS (SELECT a.p AS pa, c.p AS pb, COUNT(*) AS c12
+        |       FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+        |       WHERE a.p IN (SELECT p FROM f)
+        |         AND c.p IN (SELECT p FROM f)
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT pa, pb, CAST(c12 AS BIGINT) AS c12,
+        |       CAST(fa.c AS BIGINT) AS ca, CAST(fb.c AS BIGINT) AS cb,
+        |       CAST(ROUND(CAST(c12 AS DOUBLE) / n_baskets, 6) AS DOUBLE)
+        |         AS support,
+        |       CAST(ROUND(CAST(c12 AS DOUBLE) / fa.c, 6) AS DOUBLE)
+        |         AS conf,
+        |       CAST(ROUND(CAST(c12 AS DOUBLE) * n_baskets
+        |         / (CAST(fa.c AS DOUBLE) * fb.c), 6) AS DOUBLE) AS lift
+        |FROM pr JOIN f fa ON fa.p = pr.pa JOIN f fb ON fb.p = pr.pb
+        |CROSS JOIN nb
+        |ORDER BY pa, pb""".stripMargin,
+
+    "q104_triangles" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |e AS (SELECT a.p AS u, c.p AS v FROM b a
+        |      JOIN b c ON a.o = c.o AND a.p < c.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tri AS (SELECT e1.u, e1.v, e2.v AS w
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (SELECT node, COUNT(*) AS n_tri FROM (
+        |         SELECT u AS node FROM tri
+        |         UNION ALL SELECT v FROM tri
+        |         UNION ALL SELECT w FROM tri) GROUP BY 1)
+        |SELECT node, CAST(n_tri AS BIGINT) AS n_tri,
+        |       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS total_tri
+        |FROM pn ORDER BY node""".stripMargin,
+
+    "q105_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+        |           AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           // 1000 AS x
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s
+        |      FROM daily GROUP BY 1),
+        |cd AS (SELECT daily.event_type, day, n * x - s AS dx
+        |       FROM daily JOIN t USING (event_type)),
+        |lags AS (SELECT UNNEST(RANGE(0, 8)) AS lag),
+        |num AS (SELECT a.event_type, lag,
+        |          CAST(SUM(a.dx * b.dx) AS BIGINT) AS num,
+        |          CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |        FROM cd a CROSS JOIN lags
+        |        JOIN cd b ON b.event_type = a.event_type
+        |                 AND b.day = a.day + lag
+        |        GROUP BY 1, 2)
+        |SELECT num.event_type, lag, num, n_pairs,
+        |       CAST(ROUND(CAST(num AS DOUBLE) / num0, 6) AS DOUBLE) AS acf
+        |FROM num JOIN (SELECT event_type, num AS num0 FROM num
+        |               WHERE lag = 0) b0 USING (event_type)
+        |WHERE lag > 0 ORDER BY event_type, lag""".stripMargin
   )
 }
