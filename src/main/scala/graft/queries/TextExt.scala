@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1132,6 +1133,132 @@ object TextExt {
       import s.implicits._
       rows.toDF("tok", "n_exact", "ok")
         .orderBy(col("n_exact").desc, col("tok"))
+    }),
+
+    // Q103 T-CLOSENESS AUDIT — the third rung of the privacy ladder
+    // (q69 bounds class SIZE, q101 bounds distinct sensitive values;
+    // a class can pass both and still SKEW toward one value): each
+    // q69-published class's sensitive-value distribution must sit
+    // within EMD t of the GLOBAL distribution. The 1-D ordered EMD is
+    // EXACT INTEGER via q95's cross-scaling — per bin of the global
+    // grid, diff = cc·N − cg·nc, EMD_scaled = Σ|cum(diff)|·gap — and
+    // the normalized t = EMD_scaled/(N·nc·range) is ONE IEEE division,
+    // exact numerator riding as an audit column. Scale: ONE corpus
+    // aggregate produces (class, sens) counts; classes × global-bin
+    // grid is a METADATA-scale cross join (both broadcast-sized), the
+    // cum window runs over O(classes·bins) rows — never the corpus.
+    "q103_tclose" -> ((s, d) => {
+      val k = 10L
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 100").as("sens"))
+      val g0 = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val k0 = g0.filter(col("n") >= k)
+        .select(col("lang"), col("source")).withColumn("in0", lit(true))
+      val g1 = g0.filter(col("n") < k)
+        .groupBy("lang").agg(sum(col("n")).as("n"))
+      val k1 = g1.filter(col("n") >= k)
+        .select(col("lang")).withColumn("in1", lit(true))
+      val classed = docs.join(broadcast(k0), Seq("lang", "source"), "left")
+        .join(broadcast(k1), Seq("lang"), "left")
+        .select(col("sens"),
+          when(col("in0") || col("in1"), col("lang")).otherwise(lit("*"))
+            .as("c_lang"),
+          when(col("in0"), col("source")).otherwise(lit("*"))
+            .as("c_source"),
+          when(col("in0"), 0L).when(col("in1"), 1L).otherwise(2L)
+            .as("level"))
+      val cc = classed.groupBy("level", "c_lang", "c_source", "sens")
+        .agg(count(lit(1)).as("cc"))
+      val cls = cc.groupBy("level", "c_lang", "c_source")
+        .agg(sum(col("cc")).as("nc"))
+      val glob = classed.groupBy("sens").agg(count(lit(1)).as("cg"))
+      val tot = glob.agg(sum(col("cg")).as("nn"),
+        (max(col("sens")) - min(col("sens"))).as("range"))
+      val grid = cls.crossJoin(broadcast(glob)).crossJoin(broadcast(tot))
+        .join(cc, Seq("level", "c_lang", "c_source", "sens"), "left")
+        .select(col("level"), col("c_lang"), col("c_source"), col("nc"),
+          col("sens"), col("nn"), col("range"),
+          (coalesce(col("cc"), lit(0L)) * col("nn")
+            - col("cg") * col("nc")).as("diff"))
+      val w = Window.partitionBy("level", "c_lang", "c_source")
+        .orderBy("sens")
+      grid
+        .withColumn("cum", sum(col("diff")).over(w))
+        .withColumn("gap",
+          coalesce(lead(col("sens"), 1).over(w) - col("sens"), lit(0L)))
+        .groupBy("level", "c_lang", "c_source")
+        .agg(max(col("nc")).as("nc"),
+          sum(abs(col("cum")) * col("gap")).as("emd_scaled"),
+          max(col("nn")).as("nn"), max(col("range")).as("range"))
+        .select(col("level"), col("c_lang"), col("c_source"), col("nc"),
+          col("emd_scaled"),
+          round(col("emd_scaled").cast(DoubleType)
+            / (col("nn").cast(DoubleType) * col("nc") * col("range")), 6)
+            .cast(DoubleType).as("t"))
+        .withColumn("tclose", col("t") <= 0.2)
+        .orderBy("level", "c_lang", "c_source")
+    }),
+
+    // QT20 SIMPSON LEXICAL DIVERSITY — the no-log diversity index
+    // (Shannon entropy's ln() cannot cross engines — the qt9/qt14
+    // lesson — but Simpson's D = Σc(c−1)/(N(N−1)), the probability
+    // two random tokens match, is EXACT RATIONAL): per document over
+    // its token counts, plus the corpus-vocabulary rollup riding as
+    // doc_id −1. The exact numerator is an audit column; the single
+    // IEEE division rounds once (g08 convention). Scale: per-doc
+    // counts are one (doc, tok) partial-aggregatable explosion, the
+    // corpus row aggregates the VOCAB-sized token-count relation —
+    // the corpus never self-joins and nothing is driver-side.
+    "qt20_simpson" -> ((s, d) => {
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val perDoc = tk.groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tok"),
+          sum(col("c") * (col("c") - 1L)).as("num"))
+      val corpus = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_tok"),
+          sum(col("c") * (col("c") - 1L)).as("num"))
+        .select(lit(-1L).as("doc_id"), col("n_tok"), col("num"))
+      perDoc.unionByName(corpus)
+        .select(col("doc_id"), col("n_tok"), col("num"),
+          when(col("n_tok") >= 2L,
+            round(col("num").cast(DoubleType)
+              / (col("n_tok").cast(DoubleType) * (col("n_tok") - 1L)), 6)
+              .cast(DoubleType)).as("simpson"))
+        .orderBy("doc_id")
+    }),
+
+    // QX10 PER-SOURCE CAP SAMPLING — the domain-rebalance gate a
+    // crawl pipeline runs before training (no source may contribute
+    // more than C documents): membership = the C lowest LCG
+    // priorities per source (qt5's reproducible hash), selected by
+    // TWO-PHASE top-k — phase 1 takes the per-(source, doc_id%8 salt)
+    // top-C (bounded partitions, fully parallel), phase 2 re-ranks
+    // the ≤8·C survivors per source — the q81-trap dodge: a source's
+    // true top-C has ≤C members in ANY salt slice, so phase 1 is
+    // provably lossless, and no corpus-scale window ever pins a hot
+    // source partition. The oracle replays the straight single-window
+    // form, proving the two-phase plan result-identical.
+    "qx10_domaincap" -> ((s, d) => {
+      val cap = 15
+      val pr = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          ((lit(1103515245L) * (col("doc_id") % 2147483648L) + 12345L)
+            % 2147483648L).as("pr"))
+      val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(8L)))
+        .orderBy("pr", "doc_id")
+      val w2 = Window.partitionBy("source").orderBy("pr", "doc_id")
+      pr.withColumn("r1", row_number().over(w1))
+        .filter(col("r1") <= cap)
+        .withColumn("rk", row_number().over(w2).cast(LongType))
+        .filter(col("rk") <= cap)
+        .select("source", "doc_id", "pr", "rk")
+        .orderBy("source", "rk")
     })
   )
 
@@ -1882,6 +2009,88 @@ object TextExt {
       """SELECT tok, COUNT(*) AS n_exact, TRUE AS ok
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |WHERE strlen(tok) > 0
-        |GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 10""".stripMargin
+        |GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 10""".stripMargin,
+
+    "q103_tclose" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source, n_chars // 100 AS sens
+        |  FROM documents),
+        |g0 AS (SELECT lang, source, COUNT(*) AS n FROM docs GROUP BY 1, 2),
+        |k0 AS (SELECT lang, source FROM g0 WHERE n >= 10),
+        |g1 AS (SELECT lang, SUM(n) AS n FROM g0 WHERE n < 10 GROUP BY 1),
+        |k1 AS (SELECT lang FROM g1 WHERE n >= 10),
+        |cls AS (SELECT d.sens,
+        |          CASE WHEN k0.lang IS NOT NULL OR k1.lang IS NOT NULL
+        |               THEN d.lang ELSE '*' END AS c_lang,
+        |          CASE WHEN k0.lang IS NOT NULL THEN d.source
+        |               ELSE '*' END AS c_source,
+        |          CASE WHEN k0.lang IS NOT NULL THEN 0
+        |               WHEN k1.lang IS NOT NULL THEN 1 ELSE 2 END AS level
+        |        FROM docs d
+        |        LEFT JOIN k0 ON k0.lang = d.lang AND k0.source = d.source
+        |        LEFT JOIN k1 ON k1.lang = d.lang),
+        |cc AS (SELECT level, c_lang, c_source, sens, COUNT(*) AS cc
+        |       FROM cls GROUP BY 1, 2, 3, 4),
+        |cl AS (SELECT level, c_lang, c_source, SUM(cc) AS nc
+        |       FROM cc GROUP BY 1, 2, 3),
+        |gdist AS (SELECT sens, COUNT(*) AS cg FROM cls GROUP BY 1),
+        |tot AS (SELECT SUM(cg) AS nn, MAX(sens) - MIN(sens) AS rng
+        |        FROM gdist),
+        |grid AS (SELECT cl.level, cl.c_lang, cl.c_source, cl.nc,
+        |           g.sens, tot.nn, tot.rng,
+        |           COALESCE(cc.cc, 0) * tot.nn - g.cg * cl.nc AS diff
+        |         FROM cl CROSS JOIN gdist g CROSS JOIN tot
+        |         LEFT JOIN cc ON cc.level = cl.level
+        |           AND cc.c_lang = cl.c_lang AND cc.c_source = cl.c_source
+        |           AND cc.sens = g.sens),
+        |cu AS (SELECT level, c_lang, c_source, nc, nn, rng,
+        |         SUM(diff) OVER win AS cum,
+        |         COALESCE(LEAD(sens, 1) OVER win - sens, 0) AS gap
+        |       FROM grid
+        |       WINDOW win AS (PARTITION BY level, c_lang, c_source
+        |                      ORDER BY sens))
+        |SELECT CAST(level AS BIGINT) AS level, c_lang, c_source,
+        |       CAST(MAX(nc) AS BIGINT) AS nc,
+        |       CAST(SUM(ABS(cum) * gap) AS BIGINT) AS emd_scaled,
+        |       CAST(ROUND(CAST(SUM(ABS(cum) * gap) AS DOUBLE)
+        |         / (CAST(MAX(nn) AS DOUBLE) * MAX(nc) * MAX(rng)), 6)
+        |         AS DOUBLE) AS t,
+        |       CAST(ROUND(CAST(SUM(ABS(cum) * gap) AS DOUBLE)
+        |         / (CAST(MAX(nn) AS DOUBLE) * MAX(nc) * MAX(rng)), 6)
+        |         AS DOUBLE) <= 0.2 AS tclose
+        |FROM cu GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "qt20_simpson" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |tkf AS (SELECT doc_id, tok FROM tk WHERE strlen(tok) > 0),
+        |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |         CAST(SUM(c * (c - 1)) AS BIGINT) AS num
+        |       FROM (SELECT doc_id, tok, COUNT(*) AS c
+        |             FROM tkf GROUP BY 1, 2) GROUP BY 1),
+        |cp AS (SELECT CAST(-1 AS BIGINT) AS doc_id,
+        |         CAST(SUM(c) AS BIGINT) AS n_tok,
+        |         CAST(SUM(c * (c - 1)) AS BIGINT) AS num
+        |       FROM (SELECT tok, COUNT(*) AS c FROM tkf GROUP BY 1)),
+        |u AS (SELECT * FROM pd UNION ALL SELECT * FROM cp)
+        |SELECT doc_id, n_tok, num,
+        |       CASE WHEN n_tok >= 2 THEN
+        |         CAST(ROUND(CAST(num AS DOUBLE)
+        |           / (CAST(n_tok AS DOUBLE) * (n_tok - 1)), 6) AS DOUBLE)
+        |       END AS simpson
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "qx10_domaincap" ->
+      """WITH pr AS (
+        |  SELECT doc_id, source,
+        |         (1103515245 * (doc_id % 2147483648) + 12345)
+        |           % 2147483648 AS pr
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, pr,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY pr, doc_id) AS BIGINT) AS rk
+        |      FROM pr)
+        |SELECT source, doc_id, pr, rk FROM r WHERE rk <= 15
+        |ORDER BY source, rk""".stripMargin
   )
 }
