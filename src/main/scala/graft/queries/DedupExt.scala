@@ -1638,6 +1638,66 @@ object DedupExt {
         .select(col("doc_a"), col("doc_b"),
           expr("jaro_winkler(ta, tb)").as("jw"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // QD15 CONTAINMENT NEAR-DUP — the ASYMMETRIC member of the dedup
+    // family (Jaccard q28/qd3 misses a short doc quoted inside a long
+    // one; containment C(A→B) = |A∩B|/|A| ≥ 0.8 is the quote/excerpt
+    // detector training pipelines need): per-doc DISTINCT 3-token
+    // shingle fingerprint sets built ROW-LOCALLY (array_distinct
+    // before any shuffle — qd2's lesson), candidates by the PREFIX
+    // FILTER FOR OVERLAP (ppjoin family, public method): order each
+    // doc's shingles by global rarity (df asc, h asc); if B misses ALL
+    // of A's first na − ⌈0.8·na⌉ + 1 shingles in that order then
+    // |A∩B| ≤ ⌈0.8·na⌉ − 1 < 0.8·na — so joining only A's prefix rows
+    // against the full inverted index is provably lossless (the
+    // oracle replays the UNfiltered all-shared-shingle join, making
+    // the proof a hash-checked fact). Verify = exact sorted-array
+    // intersection on candidates only; keep is the exact rational
+    // 5·inter ≥ 4·na (no float threshold). Scale: the only corpus-
+    // cardinality exchanges are the (h)-keyed df aggregate + index
+    // join (AQE-skew-splittable, keyspace = shingle vocabulary) and
+    // one candidate-pair-bounded groupBy; per-doc rank windows are
+    // bounded by document length.
+    "qd15_containment" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val per = graft.Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), expr(
+          "array_sort(array_distinct(IF(size(tk) >= 3, " +
+            "transform(sequence(1, size(tk) - 2), " +
+            "k -> roll_hash31(array_join(slice(tk, k, 3), ' '))), " +
+            "array())))").as("fs"))
+        .filter(size(col("fs")) > 0)
+        .select(col("doc_id"), col("fs"),
+          size(col("fs")).cast(LongType).as("na"))
+      val pc = graft.operators.OpCaches.track(per)
+      val th = pc.select(col("doc_id"), col("na"),
+        explode(col("fs")).as("h"))
+      val df = th.groupBy("h").agg(count(lit(1)).as("hdf"))
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("hdf", "h")
+      val prefix = th.join(df, Seq("h"))
+        .withColumn("rk", row_number().over(wD))
+        .filter(col("rk") <= col("na") - expr("(4 * na + 4) div 5") + 1L)
+        .select(col("doc_id").as("a"), col("h"))
+      val cand = prefix
+        .join(th.select(col("doc_id").as("b"), col("h")), Seq("h"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("npfx"))
+        .select("a", "b")
+      cand
+        .join(pc.select(col("doc_id").as("a"), col("fs").as("fa"),
+          col("na")), Seq("a"))
+        .join(pc.select(col("doc_id").as("b"), col("fs").as("fb")),
+          Seq("b"))
+        .withColumn("inter",
+          size(array_intersect(col("fa"), col("fb"))).cast(LongType))
+        .filter(lit(5L) * col("inter") >= lit(4L) * col("na"))
+        .select(col("a"), col("b"), col("na"), col("inter"),
+          round(col("inter").cast(DoubleType) / col("na"), 6)
+            .cast(DoubleType).as("cont"))
+        .orderBy("a", "b")
     })
   )
 
@@ -2684,6 +2744,29 @@ object DedupExt {
         |FROM p a JOIN p b ON a.lang = b.lang AND a.tok1 = b.tok1
         |                 AND a.doc_id < b.doc_id
         |WHERE jaro_winkler_similarity(a.text, b.text) >= 0.9
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // qd15: the oracle replays the UNfiltered all-shared-shingle join
+    // (every qualifying pair shares ≥1 shingle since C ≥ 0.8 > 0), so
+    // the hash match proves the prefix filter lossless
+    "qd15_containment" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+         |    k -> array_to_string(string_split(text,' ')[k:k+2], ' '))) AS tok
+         |  FROM documents),
+         |th AS (SELECT DISTINCT doc_id, ${duckH("tok")} AS h FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS na FROM th GROUP BY 1),
+         |ints AS (SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS inter
+         |         FROM th ta JOIN th tb ON tb.h = ta.h
+         |           AND tb.doc_id != ta.doc_id
+         |         GROUP BY 1, 2)
+         |SELECT a, b, CAST(sa.na AS BIGINT) AS na,
+         |       CAST(inter AS BIGINT) AS inter,
+         |       CAST(ROUND(CAST(inter AS DOUBLE) / sa.na, 6) AS DOUBLE)
+         |         AS cont
+         |FROM ints JOIN sizes sa ON sa.doc_id = a
+         |WHERE 5 * inter >= 4 * sa.na
+         |ORDER BY a, b""".stripMargin
   )
 }
