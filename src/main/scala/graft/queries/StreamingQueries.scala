@@ -605,6 +605,34 @@ object StreamingQueries {
         .select(col("v_id"), col("p_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
         .orderBy("v_id", "p_id")
+    }),
+
+    // S25 STREAMING DAILY QUOTA GATE — the rate-limit verb an ingest
+    // pipeline runs in front of expensive downstream work: admit at
+    // most 3 events per user per UTC day in event-time order, drop the
+    // rest at the gate. Admission is PREFIX-DEPENDENT (a verdict needs
+    // only the count of same-user-same-day predecessors in the total
+    // (ts, event_id) order), so the streaming/QuotaState incremental
+    // fold — state = TWO LONGS per active user — equals this batch
+    // window build over a time-ordered feed (the s19/s20/s21
+    // convention; QuotaStreamSpec pins streamed == typed fold ==
+    // window build across a checkpointed restart). Scale: the batch
+    // form is one (user, day)-partitioned row_number window —
+    // partitions bounded by a user's daily event count, fully
+    // parallel; the stream holds O(active users) state with
+    // event-time-anchored eviction.
+    "s25_quotagate" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "day")
+        .orderBy(col("t"), col("event_id"))
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("day", expr("t div 86400000000"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= graft.streaming.QuotaState.Cap)
+        .select("user_id", "event_id", "day", "rk")
+        .orderBy("user_id", "day", "rk")
     })
   )
 
@@ -940,7 +968,19 @@ object StreamingQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'view') v
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
-        |ORDER BY v_id, p_id""".stripMargin
+        |ORDER BY v_id, p_id""".stripMargin,
+
+    "s25_quotagate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |r AS (SELECT user_id, event_id, day,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |          ORDER BY t, event_id) AS BIGINT) AS rk
+        |      FROM e)
+        |SELECT user_id, event_id, day, rk FROM r WHERE rk <= 3
+        |ORDER BY user_id, day, rk""".stripMargin
   )
 
   val oracle: Map[String, String] = oracleBase +
