@@ -2527,6 +2527,85 @@ object Relational {
           round(col("num").cast(DoubleType) / col("num0"), 6)
             .cast(DoubleType).as("acf"))
         .orderBy("event_type", "lag")
+    }),
+
+    // Q106 FULL-OUTER RECONCILIATION — the join type the §2B surface
+    // lacked a dedicated query for: the two-system reconciliation verb
+    // (which customers transact but never emit events, which event
+    // users never transact, which do both — the audit every CDC /
+    // migration pipeline runs). Both sides pre-aggregate to per-key
+    // counts FIRST (partial-aggregatable, so the full-outer join runs
+    // on key-cardinality relations, never raw corpus rows), then one
+    // shuffled full-outer equi-join; `side` classifies presence, and
+    // unmatched counts surface as NULL (not 0) — the join semantics
+    // are the point, hash-checked. Scale: both aggregates map-side
+    // combine; the join shuffles key-cardinality rows on the key —
+    // AQE-skew-splittable.
+    "q106_fullouter" -> ((s, d) => {
+      val a = t(s, d, "orders")
+        .filter(col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("n_orders"))
+      val b = t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id").as("key"))
+        .agg(count(lit(1)).as("n_events"))
+      a.join(b, Seq("key"), "full_outer")
+        .select(col("key"), col("n_orders"), col("n_events"),
+          when(col("n_orders").isNotNull && col("n_events").isNotNull,
+            lit("both"))
+            .when(col("n_orders").isNotNull, lit("orders_only"))
+            .otherwise(lit("events_only")).as("side"))
+        .orderBy("key")
+    }),
+
+    // Q107 MANN-WHITNEY U TEST — q93's nonparametric companion (the
+    // two-proportion z needs a rate; this ranks a skewed metric
+    // without distribution assumptions — the robust A/B readout):
+    // arms = user_id % 2 (q93's deterministic assignment), observation
+    // = per-(type, user) cent sum binned div 1000 (q97's resolution
+    // contract). U is computed from the VALUE HISTOGRAM, never a
+    // corpus rank: 2U = Σ_v c0(v)·(2·CLT1(v) + c1(v)) with CLT1 the
+    // cumulative arm-1 count of strictly smaller values — exact int64
+    // (the q81-trap dodge: ranking windows run over the bounded
+    // distinct-value relation). The tie-corrected normal
+    // approximation z = (2U − n0·n1) / (2·σ) with σ² = n0·n1/12·
+    // ((n+1) − Σ(t³−t)/(n·(n−1))) is ONE identical IEEE tree (sqrt is
+    // correctly rounded — g08 convention), exact 2U/tie sums riding
+    // as audit columns. Scale: one per-user partial agg + windows
+    // over ≤(types × distinct values) rows.
+    "q107_mannwhitney" -> ((s, d) => {
+      val obs = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
+          .as("v"))
+        .select(col("event_type"), col("v"),
+          pmod(col("user_id"), lit(2L)).as("arm"))
+      val hist = obs.groupBy("event_type", "v")
+        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("c1"))
+      val w = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("clt1", coalesce(sum(col("c1")).over(w), lit(0L)))
+        .groupBy("event_type")
+        .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+          sum(col("c0") * (lit(2L) * col("clt1") + col("c1"))).as("u2"),
+          sum((col("c0") + col("c1")) * (col("c0") + col("c1"))
+            * (col("c0") + col("c1")) - (col("c0") + col("c1")))
+            .as("ts3"))
+        .withColumn("n", col("n0") + col("n1"))
+        .withColumn("z",
+          round((col("u2") - col("n0") * col("n1")).cast(DoubleType)
+            / (lit(2.0) * sqrt(
+              col("n0").cast(DoubleType) * col("n1") / 12.0
+                * ((col("n") + lit(1L)).cast(DoubleType)
+                  - col("ts3").cast(DoubleType)
+                    / (col("n").cast(DoubleType) * (col("n") - lit(1L)))))),
+            6).cast(DoubleType))
+        .select("event_type", "n0", "n1", "u2", "ts3", "z")
+        .orderBy("event_type")
     })
   )
 
@@ -3741,6 +3820,54 @@ object Relational {
         |       CAST(ROUND(CAST(num AS DOUBLE) / num0, 6) AS DOUBLE) AS acf
         |FROM num JOIN (SELECT event_type, num AS num0 FROM num
         |               WHERE lag = 0) b0 USING (event_type)
-        |WHERE lag > 0 ORDER BY event_type, lag""".stripMargin
+        |WHERE lag > 0 ORDER BY event_type, lag""".stripMargin,
+
+    "q106_fullouter" ->
+      """WITH a AS (SELECT o_custkey AS key, COUNT(*) AS n_orders
+        |           FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |b AS (SELECT user_id AS key, COUNT(*) AS n_events
+        |      FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT key, CAST(n_orders AS BIGINT) AS n_orders,
+        |       CAST(n_events AS BIGINT) AS n_events,
+        |       CASE WHEN n_orders IS NOT NULL AND n_events IS NOT NULL
+        |            THEN 'both'
+        |            WHEN n_orders IS NOT NULL THEN 'orders_only'
+        |            ELSE 'events_only' END AS side
+        |FROM a FULL JOIN b USING (key)
+        |ORDER BY key""".stripMargin,
+
+    "q107_mannwhitney" ->
+      """WITH obs AS (
+        |  SELECT event_type, user_id % 2 AS arm,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           // 1000 AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY event_type, user_id),
+        |hist AS (SELECT event_type, v,
+        |           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS c0,
+        |           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS c1
+        |         FROM obs GROUP BY 1, 2),
+        |cu AS (SELECT event_type, v, c0, c1,
+        |         COALESCE(SUM(c1) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS clt1
+        |       FROM hist),
+        |agg AS (SELECT event_type,
+        |          CAST(SUM(c0) AS BIGINT) AS n0,
+        |          CAST(SUM(c1) AS BIGINT) AS n1,
+        |          CAST(SUM(c0 * (2 * clt1 + c1)) AS BIGINT) AS u2,
+        |          CAST(SUM((c0 + c1) * (c0 + c1) * (c0 + c1)
+        |            - (c0 + c1)) AS BIGINT) AS ts3
+        |        FROM cu GROUP BY 1)
+        |SELECT event_type, n0, n1, u2, ts3,
+        |       CAST(ROUND(CAST(u2 - n0 * n1 AS DOUBLE)
+        |         / (2.0 * SQRT(CAST(n0 AS DOUBLE) * n1 / 12.0
+        |           * (CAST(n0 + n1 + 1 AS DOUBLE)
+        |             - CAST(ts3 AS DOUBLE)
+        |               / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1))))), 6)
+        |         AS DOUBLE) AS z
+        |FROM agg ORDER BY event_type""".stripMargin
   )
 }
