@@ -2606,6 +2606,46 @@ object Relational {
             6).cast(DoubleType))
         .select("event_type", "n0", "n1", "u2", "ts3", "z")
         .orderBy("event_type")
+    }),
+
+    // Q108 CORRELATION MATRIX — q105's cross-series companion (ACF
+    // asks "does a series echo itself"; this asks "do two metrics move
+    // together" — the co-movement audit a metrics pipeline runs across
+    // its KPI set): Pearson r for every ordered pair of event types
+    // over their DAILY totals, from EXACT INTEGER sums only —
+    // r = (n·Σxy − Σx·Σy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) with the
+    // cents-div-1000 binning keeping every product far inside int64
+    // (q105's headroom contract); exact numerator/denominators ride as
+    // audit columns, r is ONE identical IEEE tree (correctly-rounded
+    // sqrt, g08 convention). Scale: the corpus collapses to O(days ×
+    // types) in one partial-aggregatable pass; the pair join runs on
+    // that metadata-scale relation keyed by day.
+    "q108_corrmatrix" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
+          .as("x"))
+      val a = daily.select(col("event_type").as("ta"), col("day"),
+        col("x").as("xa"))
+      val b = daily.select(col("event_type").as("tb"), col("day"),
+        col("x").as("xb"))
+      a.join(b, Seq("day")).filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+          sum(col("xa") * col("xa")).as("sxx"),
+          sum(col("xb") * col("xb")).as("syy"),
+          sum(col("xa") * col("xb")).as("sxy"))
+        .select(col("ta"), col("tb"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("dx"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("dy"))
+        .withColumn("r",
+          round(col("num").cast(DoubleType)
+            / (sqrt(col("dx").cast(DoubleType))
+              * sqrt(col("dy").cast(DoubleType))), 6).cast(DoubleType))
+        .orderBy("ta", "tb")
     })
   )
 
@@ -3868,6 +3908,33 @@ object Relational {
         |             - CAST(ts3 AS DOUBLE)
         |               / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1))))), 6)
         |         AS DOUBLE) AS z
-        |FROM agg ORDER BY event_type""".stripMargin
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    "q108_corrmatrix" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           // 1000 AS x
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |        CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(a.x) AS BIGINT) AS sx,
+        |        CAST(SUM(b.x) AS BIGINT) AS sy,
+        |        CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+        |        CAST(SUM(b.x * b.x) AS BIGINT) AS syy,
+        |        CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+        |      FROM daily a JOIN daily b ON b.day = a.day
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ta, tb, n,
+        |       n * sxy - sx * sy AS num,
+        |       n * sxx - sx * sx AS dx,
+        |       n * syy - sy * sy AS dy,
+        |       CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |           * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |         AS DOUBLE) AS r
+        |FROM p ORDER BY ta, tb""".stripMargin
   )
 }

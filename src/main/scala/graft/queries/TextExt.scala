@@ -1259,6 +1259,43 @@ object TextExt {
         .filter(col("rk") <= cap)
         .select("source", "doc_id", "pr", "rk")
         .orderBy("source", "rk")
+    }),
+
+    // QT21 HASHED LINEAR CLASSIFIER — quality/language filtering at
+    // 100 TB runs a cheap linear model over hashed token features
+    // (the fastText-style shape, public method); this is that
+    // INFERENCE PASS with weights trained FROM the data in the same
+    // query (qx8's thresholds-from-data convention, no float
+    // training): feature = roll_hash31(token) % 1024 buckets, weight
+    // w_b = (en count in b) − (non-en count in b) — the
+    // difference-of-centroids linear separator, EXACT INTEGER — and
+    // score(doc) = Σ c_b·w_b with prediction score > 0. The 1024-row
+    // weight table BROADCASTS onto the per-doc bucket counts; both
+    // corpus passes are partial-aggregatable token explosions; exact
+    // integer scores ride as the audit column, and the per-doc
+    // verdict against the true label is hash-checked data. Scale:
+    // nothing exceeds (docs × distinct buckets per doc) rows, the
+    // weight side is O(1024) regardless of corpus size.
+    "qt21_hashclf" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"), col("lang"),
+          pmod(expr("roll_hash31(tok)"), lit(1024L)).as("b"))
+      val wts = tk.groupBy("b")
+        .agg((sum(when(col("lang") === "en", 1L).otherwise(0L))
+          - sum(when(col("lang") =!= "en", 1L).otherwise(0L))).as("w"))
+      val cnt = tk.groupBy("doc_id", "lang", "b")
+        .agg(count(lit(1)).as("c"))
+      cnt.join(broadcast(wts), Seq("b"))
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("c") * col("w")).as("score"))
+        .select(col("doc_id"), col("lang"), col("score"),
+          (col("score") > 0L).as("pred_en"),
+          ((col("score") > 0L) === (col("lang") === "en")).as("correct"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2091,6 +2128,29 @@ object TextExt {
         |          ORDER BY pr, doc_id) AS BIGINT) AS rk
         |      FROM pr)
         |SELECT source, doc_id, pr, rk FROM r WHERE rk <= 15
-        |ORDER BY source, rk""".stripMargin
+        |ORDER BY source, rk""".stripMargin,
+
+    "qt21_hashclf" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(string_split(tok, ''),
+         |             ch -> CAST(unicode(ch) AS BIGINT))),
+         |           (acc, x) -> (acc * 31 + x) % $P) % 1024 AS b
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |  WHERE strlen(tok) > 0),
+         |wts AS (SELECT b,
+         |          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |            - SUM(CASE WHEN lang != 'en' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS w
+         |        FROM tk GROUP BY 1),
+         |cnt AS (SELECT doc_id, lang, b, COUNT(*) AS c
+         |        FROM tk GROUP BY 1, 2, 3)
+         |SELECT doc_id, lang, CAST(SUM(c * w) AS BIGINT) AS score,
+         |       SUM(c * w) > 0 AS pred_en,
+         |       (SUM(c * w) > 0) = (lang = 'en') AS correct
+         |FROM cnt JOIN wts USING (b)
+         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
   )
 }
