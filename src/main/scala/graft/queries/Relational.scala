@@ -2646,6 +2646,53 @@ object Relational {
             / (sqrt(col("dx").cast(DoubleType))
               * sqrt(col("dy").cast(DoubleType))), 6).cast(DoubleType))
         .orderBy("ta", "tb")
+    }),
+
+    // Q109 MAD OUTLIER FLAGGING — the robust-dispersion member of the
+    // stats family (q90 clamps at fixed percentiles, s21 z-scores
+    // against mean/variance — both of which outliers themselves
+    // corrupt; median absolute deviation is the estimator that
+    // doesn't): per event type over its daily totals, flag days where
+    // |x − median| > 3·MAD. EVERYTHING IS EXACT INTEGER via
+    // 2-scaling: med2 = x_lo + x_hi (the two middle order statistics —
+    // twice the median, no .5), d2 = |2x − med2| (twice the absolute
+    // deviation), mad4 = d2_lo + d2_hi (four times the MAD), and the
+    // flag is 2·d2 > 3·mad4 — no division, no float epsilon anywhere;
+    // med2/mad4 ride as audit columns. Scale: the corpus collapses to
+    // the daily aggregate in one partial-aggregatable pass; the
+    // order-statistic windows run per type over O(calendar days) rows
+    // — bounded by TIME, not corpus size (not the q81 trap).
+    "q109_mad" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("cast(floor(value * 100) as bigint)")).as("x"))
+      val wV = Window.partitionBy("event_type").orderBy("x", "day")
+      val wT = Window.partitionBy("event_type")
+      // med2 = x[(n+1) div 2] + x[(n+2) div 2] (1-based): twice the
+      // median for both parities
+      val med = daily
+        .withColumn("rk", row_number().over(wV).cast(LongType))
+        .withColumn("n", count(lit(1)).over(wT))
+        .filter(col("rk") === expr("(n + 1) div 2")
+          || col("rk") === expr("(n + 2) div 2"))
+        .groupBy("event_type")
+        .agg(expr("(sum(x) * 2) div count(1)").as("med2"))
+      val dev = daily.join(broadcast(med), Seq("event_type"))
+        .withColumn("d2", abs(lit(2L) * col("x") - col("med2")))
+      val wD = Window.partitionBy("event_type").orderBy("d2", "day")
+      val mad = dev
+        .withColumn("rk", row_number().over(wD).cast(LongType))
+        .withColumn("n", count(lit(1)).over(wT))
+        .filter(col("rk") === expr("(n + 1) div 2")
+          || col("rk") === expr("(n + 2) div 2"))
+        .groupBy("event_type")
+        .agg(expr("(sum(d2) * 2) div count(1)").as("mad4"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("x"),
+          col("med2"), col("mad4"),
+          (lit(2L) * col("d2") > lit(3L) * col("mad4")).as("outlier"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -3935,6 +3982,41 @@ object Relational {
         |         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
         |           * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
         |         AS DOUBLE) AS r
-        |FROM p ORDER BY ta, tb""".stripMargin
+        |FROM p ORDER BY ta, tb""".stripMargin,
+
+    "q109_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS x
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rv AS (SELECT event_type, day, x,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY x, day) AS BIGINT) AS rk,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |       FROM daily),
+        |med AS (SELECT event_type,
+        |          CAST((SUM(x) * 2) // COUNT(*) AS BIGINT) AS med2
+        |        FROM rv
+        |        WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+        |        GROUP BY 1),
+        |dev AS (SELECT d.event_type, d.day, d.x, m.med2,
+        |          ABS(2 * d.x - m.med2) AS d2
+        |        FROM daily d JOIN med m USING (event_type)),
+        |rd AS (SELECT event_type, day, x, med2, d2,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY d2, day) AS BIGINT) AS rk,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |       FROM dev),
+        |mad AS (SELECT event_type,
+        |          CAST((SUM(d2) * 2) // COUNT(*) AS BIGINT) AS mad4
+        |        FROM rd
+        |        WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+        |        GROUP BY 1)
+        |SELECT d.event_type, d.day, d.x, d.med2, m.mad4,
+        |       2 * d.d2 > 3 * m.mad4 AS outlier
+        |FROM dev d JOIN mad m USING (event_type)
+        |ORDER BY d.event_type, d.day""".stripMargin
   )
 }
