@@ -2693,8 +2693,54 @@ object Relational {
           col("med2"), col("mad4"),
           (lit(2L) * col("d2") > lit(3L) * col("mad4")).as("outlier"))
         .orderBy("event_type", "day")
+    }),
+
+    // Q110 BENFORD'S-LAW AUDIT — the fraud/data-quality screen
+    // auditors run on monetary columns (public method; first digits
+    // of natural data follow P(d) = log10(1+1/d), fabricated or
+    // synthetic data usually don't): leading digit extracted in pure
+    // INTEGER/STRING ops (first char of the cent total — no log10
+    // anywhere), the nine Benford probabilities are SHARED DECIMAL
+    // LITERALS (graft.queries.Relational.BenfordP — the same literal
+    // text parses to the same IEEE double in both engines), and each
+    // digit's chi-square contribution (o−e)²/e is a PER-ROW IEEE
+    // tree. Deliberately NO cross-row float total: a windowed double
+    // sum has engine-specific addition order (DuckDB's segment tree
+    // vs Spark's running fold) — the per-digit verdicts are the
+    // hash-checked deliverable. Scale: one partial-aggregatable digit
+    // count; the 9-row report joins a broadcast scalar.
+    "q110_benford" -> ((s, d) => {
+      val counts = t(s, d, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(substring(expr(
+          "cast(cast(floor(o_totalprice * 100) as bigint) as string)"),
+          1, 1).cast(LongType).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("o"))
+      val tot = counts.agg(sum(col("o")).as("n"))
+      val pCase = BenfordP.map { case (dg, p) =>
+        s"WHEN digit = $dg THEN CAST($p AS DOUBLE)"
+      }.mkString("CASE ", " ", " END")
+      counts.crossJoin(broadcast(tot))
+        .withColumn("e", expr(pCase) * col("n").cast(DoubleType))
+        .select(col("digit"), col("o"), col("n"),
+          round(col("e"), 4).cast(DoubleType).as("expected"),
+          round((col("o").cast(DoubleType) - col("e"))
+            * (col("o").cast(DoubleType) - col("e")) / col("e"), 4)
+            .cast(DoubleType).as("chi2"))
+        .orderBy("digit")
     })
   )
+
+  /** Benford first-digit probabilities log10(1+1/d) as SHARED decimal
+    * literals: the same text is interpolated into the Spark expression
+    * and the DuckDB oracle, so both engines parse the identical IEEE
+    * double (the cross-engine constant convention — no runtime log10). */
+  val BenfordP: Seq[(Int, String)] = Seq(
+    1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+    3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+    5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+    7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+    9 -> "0.04575749056067514")
 
   val oracle: Map[String, String] = Map(
     "q01_scan" ->
@@ -4017,6 +4063,26 @@ object Relational {
         |SELECT d.event_type, d.day, d.x, d.med2, m.mad4,
         |       2 * d.d2 > 3 * m.mad4 AS outlier
         |FROM dev d JOIN mad m USING (event_type)
-        |ORDER BY d.event_type, d.day""".stripMargin
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
+    "q110_benford" -> {
+      val pCase = BenfordP.map { case (dg, p) =>
+        s"WHEN digit = $dg THEN CAST($p AS DOUBLE)"
+      }.mkString("CASE ", " ", " END")
+      s"""WITH c AS (
+         |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100)
+         |           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |         COUNT(*) AS o
+         |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+         |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+         |x AS (SELECT digit, CAST(o AS BIGINT) AS o, n,
+         |        ($pCase) * CAST(n AS DOUBLE) AS e
+         |      FROM c CROSS JOIN t)
+         |SELECT digit, o, n,
+         |       CAST(ROUND(e, 4) AS DOUBLE) AS expected,
+         |       CAST(ROUND((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+         |         / e, 4) AS DOUBLE) AS chi2
+         |FROM x ORDER BY digit""".stripMargin
+    }
   )
 }

@@ -1296,6 +1296,74 @@ object TextExt {
           (col("score") > 0L).as("pred_en"),
           ((col("score") > 0L) === (col("lang") === "en")).as("correct"))
         .orderBy("doc_id")
+    }),
+
+    // QC6 SAFE STATISTICS RELEASE — the privacy ladder COMPOSED into
+    // the verb it exists for (the qc-family convention: pipelines
+    // hash-checked end-to-end): publish per-class document-length
+    // statistics where (1) classes come from q69's k-anonymity
+    // generalization ladder, (2) classes failing q101's l-diversity
+    // bar (< 3 distinct sensitive bands) are SUPPRESSED — NULL stats,
+    // the row itself still published so the suppression is auditable,
+    // (3) published means are WINSORIZED at the class's exact
+    // P10/P90 (q90/q32's histogram trick — ceil-rank order statistics
+    // from cumulative counts over the per-class distinct-value
+    // relation, no corpus sort), so no single outlier document leaks
+    // through a tail. Exact integers end to end (clamped sums, rank
+    // arithmetic); the only IEEE op is the final published mean.
+    // Scale: one corpus aggregate per relation (class stats, value
+    // histogram, clamped sums — all partial-aggregatable), windows
+    // over per-class DISTINCT-VALUE rows, bounds/stats broadcast back.
+    "qc6_saferelease" -> ((s, d) => {
+      val k = 10L
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), expr("n_chars div 100").as("sens"))
+      val g0 = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val k0 = g0.filter(col("n") >= k)
+        .select(col("lang"), col("source")).withColumn("in0", lit(true))
+      val g1 = g0.filter(col("n") < k)
+        .groupBy("lang").agg(sum(col("n")).as("n"))
+      val k1 = g1.filter(col("n") >= k)
+        .select(col("lang")).withColumn("in1", lit(true))
+      val classed = docs.join(broadcast(k0), Seq("lang", "source"), "left")
+        .join(broadcast(k1), Seq("lang"), "left")
+        .select(col("doc_id"), col("n_chars"), col("sens"),
+          when(col("in0") || col("in1"), col("lang")).otherwise(lit("*"))
+            .as("c_lang"),
+          when(col("in0"), col("source")).otherwise(lit("*"))
+            .as("c_source"),
+          when(col("in0"), 0L).when(col("in1"), 1L).otherwise(2L)
+            .as("level"))
+      val cls = Seq("level", "c_lang", "c_source")
+      val stats = classed.groupBy(cls.head, cls.tail: _*)
+        .agg(count(lit(1)).as("n"), count_distinct(col("sens")).as("l"))
+      val hist = classed.groupBy(col("level"), col("c_lang"),
+          col("c_source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wC = Window.partitionBy(cls.map(col): _*).orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bounds = hist.join(broadcast(stats), cls)
+        .withColumn("cum", sum(col("c")).over(wC))
+        .groupBy(cls.head, cls.tail: _*)
+        .agg(min(when(col("cum") >= expr("(n + 9) div 10"), col("v")))
+          .as("lo"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("v")))
+            .as("hi"))
+      val wsum = classed.join(broadcast(bounds), cls)
+        .select(col("level"), col("c_lang"), col("c_source"),
+          greatest(col("lo"), least(col("hi"), col("n_chars"))).as("cx"))
+        .groupBy(cls.head, cls.tail: _*)
+        .agg(sum(col("cx")).as("wsum"))
+      stats.join(bounds, cls).join(wsum, cls)
+        .withColumn("suppressed", col("l") < 3L)
+        .select(col("level"), col("c_lang"), col("c_source"),
+          col("n"), col("l"), col("suppressed"),
+          when(!col("suppressed"), col("wsum")).as("wsum"),
+          when(!col("suppressed"),
+            round(col("wsum").cast(DoubleType) / col("n"), 4)
+              .cast(DoubleType)).as("wmean"))
+        .orderBy("level", "c_lang", "c_source")
     })
   )
 
@@ -2151,6 +2219,56 @@ object TextExt {
          |       SUM(c * w) > 0 AS pred_en,
          |       (SUM(c * w) > 0) = (lang = 'en') AS correct
          |FROM cnt JOIN wts USING (b)
-         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
+    "qc6_saferelease" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source, n_chars, n_chars // 100 AS sens
+        |  FROM documents),
+        |g0 AS (SELECT lang, source, COUNT(*) AS n FROM docs GROUP BY 1, 2),
+        |k0 AS (SELECT lang, source FROM g0 WHERE n >= 10),
+        |g1 AS (SELECT lang, SUM(n) AS n FROM g0 WHERE n < 10 GROUP BY 1),
+        |k1 AS (SELECT lang FROM g1 WHERE n >= 10),
+        |cls AS (SELECT d.doc_id, d.n_chars, d.sens,
+        |          CASE WHEN k0.lang IS NOT NULL OR k1.lang IS NOT NULL
+        |               THEN d.lang ELSE '*' END AS c_lang,
+        |          CASE WHEN k0.lang IS NOT NULL THEN d.source
+        |               ELSE '*' END AS c_source,
+        |          CASE WHEN k0.lang IS NOT NULL THEN 0
+        |               WHEN k1.lang IS NOT NULL THEN 1 ELSE 2 END AS level
+        |        FROM docs d
+        |        LEFT JOIN k0 ON k0.lang = d.lang AND k0.source = d.source
+        |        LEFT JOIN k1 ON k1.lang = d.lang),
+        |st AS (SELECT level, c_lang, c_source, COUNT(*) AS n,
+        |         COUNT(DISTINCT sens) AS l
+        |       FROM cls GROUP BY 1, 2, 3),
+        |hist AS (SELECT level, c_lang, c_source, n_chars AS v,
+        |           COUNT(*) AS c
+        |         FROM cls GROUP BY 1, 2, 3, 4),
+        |cum AS (SELECT h.level, h.c_lang, h.c_source, h.v, st.n,
+        |          SUM(h.c) OVER (PARTITION BY h.level, h.c_lang,
+        |            h.c_source ORDER BY h.v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS cum
+        |        FROM hist h
+        |        JOIN st USING (level, c_lang, c_source)),
+        |b AS (SELECT level, c_lang, c_source,
+        |        MIN(CASE WHEN cum >= (n + 9) // 10 THEN v END) AS lo,
+        |        MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS hi
+        |      FROM cum GROUP BY 1, 2, 3),
+        |ws AS (SELECT c.level, c.c_lang, c.c_source,
+        |         CAST(SUM(GREATEST(b.lo, LEAST(b.hi, c.n_chars)))
+        |           AS BIGINT) AS wsum
+        |       FROM cls c JOIN b USING (level, c_lang, c_source)
+        |       GROUP BY 1, 2, 3)
+        |SELECT CAST(st.level AS BIGINT) AS level, st.c_lang, st.c_source,
+        |       CAST(st.n AS BIGINT) AS n, CAST(st.l AS BIGINT) AS l,
+        |       st.l < 3 AS suppressed,
+        |       CASE WHEN st.l >= 3 THEN ws.wsum END AS wsum,
+        |       CASE WHEN st.l >= 3 THEN
+        |         CAST(ROUND(CAST(ws.wsum AS DOUBLE) / st.n, 4) AS DOUBLE)
+        |       END AS wmean
+        |FROM st JOIN ws USING (level, c_lang, c_source)
+        |ORDER BY level, c_lang, c_source""".stripMargin
   )
 }
