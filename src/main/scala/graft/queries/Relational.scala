@@ -2728,6 +2728,29 @@ object Relational {
             * (col("o").cast(DoubleType) - col("e")) / col("e"), 4)
             .cast(DoubleType).as("chi2"))
         .orderBy("digit")
+    }),
+
+    // Q111 BAG-SEMANTICS SET OPS — q20 covers the DISTINCT set
+    // algebra; INTERSECT ALL / EXCEPT ALL are the MULTISET variants
+    // (per key, min(ca, cb) and max(ca − cb, 0) copies survive) that
+    // reconciliation actually needs — "how many copies differ", not
+    // "does the key appear". Dataset.intersectAll/exceptAll plan as
+    // aggregate-rewritten joins (no row-id tricks); the result bags
+    // are re-aggregated to (key, count) so multiplicity itself is the
+    // hash-checked deliverable. Scale: both inputs partial-aggregate
+    // before the count comparison — key-cardinality shuffles only.
+    "q111_setall" -> ((s, d) => {
+      val a = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_partkey")
+      val b = t(s, d, "lineitem").filter(col("l_quantity") > 30)
+        .select("l_partkey")
+      val ia = a.intersectAll(b).groupBy("l_partkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = a.exceptAll(b).groupBy("l_partkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.unionByName(ea)
+        .select("op", "l_partkey", "n")
+        .orderBy("op", "l_partkey")
     })
   )
 
@@ -4083,6 +4106,22 @@ object Relational {
          |       CAST(ROUND((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
          |         / e, 4) AS DOUBLE) AS chi2
          |FROM x ORDER BY digit""".stripMargin
-    }
+    },
+
+    "q111_setall" ->
+      """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 30),
+        |ia AS (SELECT 'intersect_all' AS op, l_partkey,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM (SELECT l_partkey FROM a
+        |             INTERSECT ALL SELECT l_partkey FROM b)
+        |       GROUP BY 2),
+        |ea AS (SELECT 'except_all' AS op, l_partkey,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM (SELECT l_partkey FROM a
+        |             EXCEPT ALL SELECT l_partkey FROM b)
+        |       GROUP BY 2)
+        |SELECT * FROM ia UNION ALL SELECT * FROM ea
+        |ORDER BY op, l_partkey""".stripMargin
   )
 }
