@@ -2751,6 +2751,77 @@ object Relational {
       ia.unionByName(ea)
         .select("op", "l_partkey", "n")
         .orderBy("op", "l_partkey")
+    }),
+
+    // Q112 CLAMPED RUNNING BALANCE — the inventory/credit process
+    // b_t = max(0, b_{t−1} + x_t) looks like a sequential fold no
+    // window can express (the clamp makes it non-associative), but the
+    // classic identity b_t = S_t − min(0, min_{k≤t} S_k) rewrites it
+    // as TWO plain cumulative windows (running sum + running min of
+    // that sum) — the declarative form of a "stateful" scan, fully
+    // parallel per user. Credits = click cents, debits = purchase
+    // cents, all EXACT INT64 in total (t, event_id) order; the raw
+    // running sum rides as the audit column. Scale: one user-
+    // partitioned window pass (q79/q85's shape), partitions bounded by
+    // a user's event count, partial shuffles only on user_id.
+    "q112_clampedbalance" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull
+          && col("value").isNotNull
+          && col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"),
+          when(col("event_type") === "click",
+            expr("cast(floor(value * 100) as bigint)"))
+            .otherwise(-expr("cast(floor(value * 100) as bigint)"))
+            .as("x"))
+        .withColumn("s", sum(col("x")).over(w))
+        .withColumn("m", min(col("s")).over(w))
+        .select(col("user_id"), col("event_id"), col("x"), col("s"),
+          (col("s") - least(lit(0L), col("m"))).as("balance"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Q113 INTERVAL-UNION COVERAGE — "how long was each user actually
+    // active": every event opens a 10-minute activity interval and
+    // overlaps must count ONCE, so pairwise overlap math (q43) is the
+    // wrong tool — this is the sweep-line union, declaratively: in
+    // per-user (start, event_id) order, a new CONNECTED RUN starts
+    // whenever an interval begins after the running max of prior ends
+    // (one cumulative-max window, exact micros), runs are numbered by
+    // the cumulative count of starts (q83's gaps-and-islands shape),
+    // and each run contributes max(end) − min(start). Scale: two
+    // user-partitioned windows + one (user, run) partial aggregate —
+    // partitions bounded by per-user event counts, nothing global.
+    "q113_coverage" -> ((s, d) => {
+      val W = 600000000L // 10 min in micros
+      val wPrev = Window.partitionBy("user_id")
+        .orderBy(col("st"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("user_id")
+        .orderBy(col("st"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + W)
+        .withColumn("pmax", max(col("en")).over(wPrev))
+        .withColumn("newrun",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("run", sum(col("newrun")).over(wRun))
+        .groupBy("user_id", "run")
+        .agg(min(col("st")).as("rs"), max(col("en")).as("re"),
+          count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_runs"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("re") - col("rs")).as("covered_us"))
+        .orderBy("user_id")
     })
   )
 
@@ -4122,6 +4193,51 @@ object Relational {
         |             EXCEPT ALL SELECT l_partkey FROM b)
         |       GROUP BY 2)
         |SELECT * FROM ia UNION ALL SELECT * FROM ea
-        |ORDER BY op, l_partkey""".stripMargin
+        |ORDER BY op, l_partkey""".stripMargin,
+
+    "q112_clampedbalance" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         CASE WHEN event_type = 'click'
+        |              THEN CAST(FLOOR(value * 100) AS BIGINT)
+        |              ELSE -CAST(FLOOR(value * 100) AS BIGINT) END AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND event_type IN ('click', 'purchase')),
+        |cs AS (SELECT user_id, event_id, t, x,
+        |         SUM(x) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |       FROM e),
+        |c AS (SELECT user_id, event_id, x, s,
+        |        MIN(s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |      FROM cs)
+        |SELECT user_id, event_id, x, CAST(s AS BIGINT) AS s,
+        |       CAST(s - LEAST(0, m) AS BIGINT) AS balance
+        |FROM c ORDER BY user_id, event_id""".stripMargin,
+
+    "q113_coverage" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |         epoch_us(ts) + 600000000 AS en
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT user_id, event_id, st, en,
+        |        MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS pmax
+        |      FROM e),
+        |r AS (SELECT user_id, event_id, st, en,
+        |        SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY st, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS run
+        |      FROM m),
+        |runs AS (SELECT user_id, run, MIN(st) AS rs, MAX(en) AS re,
+        |           COUNT(*) AS n_events
+        |         FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |       CAST(SUM(re - rs) AS BIGINT) AS covered_us
+        |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 }
