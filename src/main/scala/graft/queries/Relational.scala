@@ -2822,6 +2822,51 @@ object Relational {
           sum(col("n_events")).as("n_events"),
           sum(col("re") - col("rs")).as("covered_us"))
         .orderBy("user_id")
+    }),
+
+    // Q114 EXACT INTERPOLATED PERCENTILES — PERCENTILE_CONT semantics
+    // (q32 gives the DISC order statistic; BI surfaces interpolate):
+    // per event type over cent values, p ∈ {50, 90} at position
+    // (n−1)·p/100 = idx + frac, where idx = ((n−1)·p) div 100 and
+    // frac = ((n−1)·p) mod 100 hundredths — EXACT RATIONALS, no float
+    // position math. The two bracketing order statistics x_lo/x_hi
+    // are picked by q32's histogram trick (smallest value whose
+    // cumulative count reaches the rank — windows over the DISTINCT-
+    // value relation, never a corpus sort), ride as exact audit
+    // columns, and the single IEEE op is the final interpolation
+    // x_lo + frac·(x_hi − x_lo)/100. Scale: one partial-aggregatable
+    // (type, value) count + two bounded windows — the q32/q90 shape.
+    "q114_pctcont" -> ((s, d) => {
+      val hist = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("cast(floor(value * 100) as bigint)").as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+      val wC = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy("event_type")
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(wC))
+        .withColumn("n", sum(col("c")).over(wT))
+      val ps = s.range(0, 2).select(
+        when(col("id") === 0, 50L).otherwise(90L).as("p"))
+      cum.crossJoin(broadcast(ps))
+        .withColumn("idx", expr("((n - 1) * p) div 100"))
+        .withColumn("frac", expr("((n - 1) * p) % 100"))
+        .groupBy("event_type", "p")
+        .agg(max(col("n")).as("n"), max(col("frac")).as("frac"),
+          min(when(col("cum") >= col("idx") + 1L, col("v"))).as("xlo"),
+          min(when(col("cum") >= col("idx") + 2L, col("v"))).as("xhi"))
+        // the last position (idx+2 > n) has no upper bracket: frac is
+        // provably 0 there, so xhi falls back to xlo harmlessly
+        .withColumn("xhi", coalesce(col("xhi"), col("xlo")))
+        .withColumn("pct",
+          round(col("xlo").cast(DoubleType)
+            + col("frac").cast(DoubleType)
+              * (col("xhi") - col("xlo")).cast(DoubleType) / 100.0, 6)
+            .cast(DoubleType))
+        .select("event_type", "p", "n", "xlo", "xhi", "frac", "pct")
+        .orderBy("event_type", "p")
     })
   )
 
@@ -4238,6 +4283,34 @@ object Relational {
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
         |       CAST(SUM(n_events) AS BIGINT) AS n_events,
         |       CAST(SUM(re - rs) AS BIGINT) AS covered_us
-        |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin
+        |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q114_pctcont" ->
+      """WITH hist AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v,
+        |         COUNT(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v, c,
+        |          SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS cum,
+        |          SUM(c) OVER (PARTITION BY event_type) AS n
+        |        FROM hist),
+        |ps AS (SELECT UNNEST([CAST(50 AS BIGINT),
+        |                      CAST(90 AS BIGINT)]) AS p),
+        |g AS (SELECT event_type, p, CAST(MAX(n) AS BIGINT) AS n,
+        |        CAST(MAX(((n - 1) * p) % 100) AS BIGINT) AS frac,
+        |        MIN(CASE WHEN cum >= ((n - 1) * p) // 100 + 1
+        |                 THEN v END) AS xlo,
+        |        MIN(CASE WHEN cum >= ((n - 1) * p) // 100 + 2
+        |                 THEN v END) AS xhi0
+        |      FROM cum CROSS JOIN ps GROUP BY 1, 2)
+        |SELECT event_type, p, n, xlo,
+        |       COALESCE(xhi0, xlo) AS xhi, frac,
+        |       CAST(ROUND(CAST(xlo AS DOUBLE)
+        |         + CAST(frac AS DOUBLE)
+        |           * CAST(COALESCE(xhi0, xlo) - xlo AS DOUBLE) / 100.0, 6)
+        |         AS DOUBLE) AS pct
+        |FROM g ORDER BY event_type, p""".stripMargin
   )
 }

@@ -633,6 +633,46 @@ object StreamingQueries {
         .filter(col("rk") <= graft.streaming.QuotaState.Cap)
         .select("user_id", "event_id", "day", "rk")
         .orderBy("user_id", "day", "rk")
+    }),
+
+    // S26 STREAMING CLAMPED BALANCE — q112's in-flight twin: the
+    // current clamped balance per user, maintained as events arrive.
+    // The published relation is the FINAL state per user (count, raw
+    // sum, clamped balance at the last event) — what a balance store
+    // would serve; per-event emissions are the stream's feed and
+    // BalanceStreamSpec pins the full streamed feed == q112's window
+    // build row-for-row (plus final-state equality with this query)
+    // across a checkpointed restart. The batch form composes q112's
+    // two-window identity with the keep-LAST aggregate (max of a
+    // (t, event_id)-led struct — partial-aggregatable, no join-back).
+    // Scale: stream state = TWO LONGS per active user
+    // (streaming/BalanceState); batch = one user-partitioned window +
+    // one partial agg.
+    "s26_balancestream" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull
+          && col("value").isNotNull
+          && col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"),
+          when(col("event_type") === "click",
+            expr("cast(floor(value * 100) as bigint)"))
+            .otherwise(-expr("cast(floor(value * 100) as bigint)"))
+            .as("x"))
+        .withColumn("s", sum(col("x")).over(w))
+        .withColumn("m", min(col("s")).over(w))
+        .withColumn("balance", col("s") - least(lit(0L), col("m")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("t"), col("event_id"), col("s"),
+            col("balance"))).as("last"))
+        .select(col("user_id"), col("n_events"),
+          col("last.s").as("final_s"),
+          col("last.balance").as("balance"))
+        .orderBy("user_id")
     })
   )
 
@@ -980,7 +1020,35 @@ object StreamingQueries {
         |          ORDER BY t, event_id) AS BIGINT) AS rk
         |      FROM e)
         |SELECT user_id, event_id, day, rk FROM r WHERE rk <= 3
-        |ORDER BY user_id, day, rk""".stripMargin
+        |ORDER BY user_id, day, rk""".stripMargin,
+
+    "s26_balancestream" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         CASE WHEN event_type = 'click'
+        |              THEN CAST(FLOOR(value * 100) AS BIGINT)
+        |              ELSE -CAST(FLOOR(value * 100) AS BIGINT) END AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND event_type IN ('click', 'purchase')),
+        |cs AS (SELECT user_id, event_id, t, x,
+        |         SUM(x) OVER win AS s
+        |       FROM e
+        |       WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT user_id, event_id, t, s,
+        |        MIN(s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |      FROM cs),
+        |last AS (SELECT user_id, s, s - LEAST(0, m) AS balance,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id
+        |             ORDER BY t DESC, event_id DESC) AS rn,
+        |           COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |         FROM c)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(s AS BIGINT) AS final_s,
+        |       CAST(balance AS BIGINT) AS balance
+        |FROM last WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 
   val oracle: Map[String, String] = oracleBase +
