@@ -329,6 +329,54 @@ class PlanShapeSpec extends AnyFunSuite {
       s"qd13 block join degraded to a non-equi join:\n$pJw")
   }
 
+  test("round-8 continuation: session scale claims are plan properties") {
+    // q102/q104: the basket pair generation is an ORDER-keyed equi
+    // self-join — never a cartesian (the only nested-loop is the
+    // documented one-row-scalar crossJoin(broadcast) plumbing; q104's
+    // edge-closing joins are CORRECTLY shuffle joins — the edge
+    // relation is catalog-sized, not broadcastable at scale)
+    for (q <- Seq("q102_basket", "q104_triangles")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+    }
+    // q102's frequent-item prune specifically: the freq relation
+    // broadcasts (BHJ present, no SMJ anywhere in q102)
+    val pBask = plan("q102_basket")
+    assert(pBask.contains("BroadcastHashJoin"), pBask)
+    assert(!pBask.contains("SortMergeJoin"), s"q102 degraded to SMJ:\n$pBask")
+    // qd15: prefix and index sides meet in an equi-join on the shingle
+    // fingerprint — the containment join must never degrade to a
+    // non-equi form
+    val pCont = plan("qd15_containment")
+    assert(!pCont.contains("CartesianProduct") &&
+      !pCont.contains("BroadcastNestedLoopJoin"),
+      s"qd15 candidate join degraded:\n$pCont")
+    // qx10: every WindowExec is PARTITIONED (the two-phase dodge's whole
+    // point — no empty partition spec = no single-partition window)
+    val pCap = plan("qx10_domaincap")
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(pCap.toLowerCase).map(_.group(1)).toList
+    assert(winSpecs.nonEmpty, s"qx10 lost its windows:\n$pCap")
+    winSpecs.foreach { spec =>
+      assert(spec.contains("source"),
+        s"qx10 window lost its partition key (spec: $spec):\n$pCap")
+    }
+    // q112/q113: user-partitioned windows only — no global window, no join
+    for (q <- Seq("q112_clampedbalance", "q113_coverage")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      val specs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(p.toLowerCase).map(_.group(1)).toList
+      assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+        s"$q window not user-partitioned:\n$p")
+    }
+    // qt21: the 1024-row weight table broadcasts onto the bucket counts
+    val pClf = plan("qt21_hashclf")
+    assert(pClf.contains("BroadcastHashJoin"), pClf)
+    assert(!pClf.contains("SortMergeJoin"),
+      s"qt21 weight join degraded to SMJ:\n$pClf")
+  }
+
   test("q88/q89: single-pass partial aggregates — no window, no join (q89)") {
     // q89 M4 is ONE groupBy: exactly one shuffle exchange, no WindowExec
     val pM4 = plan("q89_m4")
