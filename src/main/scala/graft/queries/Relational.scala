@@ -2867,6 +2867,40 @@ object Relational {
             .cast(DoubleType))
         .select("event_type", "p", "n", "xlo", "xhi", "frac", "pct")
         .orderBy("event_type", "p")
+    }),
+
+    // Q115 SEASONAL ADJUSTMENT — the day-of-week deseasonalizer a
+    // metrics pipeline applies before comparing Mondays to Sundays
+    // (ratio-to-seasonal-mean, the classical decomposition's seasonal
+    // step): dow computed ARITHMETICALLY from the epoch-day index
+    // (day % 7 off the 2024-01-01 Monday anchor — pure integer, no
+    // engine calendar function whose 0-vs-1 base could diverge),
+    // seasonal index_d = (s_d/c_d)/(S/n), adjusted = x/index =
+    // x·c_d·S/(s_d·n) — exact int64 factors feeding ONE identical
+    // IEEE tree (g08 convention), the dow sums riding as audit
+    // columns. Scale: the corpus collapses to the daily aggregate
+    // once; dow/type rollups are 7-row relations broadcast back.
+    "q115_seasonality" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast(LongType)
+            .as("day"))
+        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
+          .as("x"))
+        .withColumn("dow", pmod(col("day"), lit(7L)))
+      val byDow = daily.groupBy("event_type", "dow")
+        .agg(sum(col("x")).as("sd"), count(lit(1)).as("cd"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      daily.join(broadcast(byDow), Seq("event_type", "dow"))
+        .join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("dow"), col("x"),
+          col("sd"), col("cd"),
+          round((col("x") * col("cd")).cast(DoubleType) * col("s")
+            / (col("sd").cast(DoubleType) * col("n")), 6)
+            .cast(DoubleType).as("adj"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -4311,6 +4345,30 @@ object Relational {
         |         + CAST(frac AS DOUBLE)
         |           * CAST(COALESCE(xhi0, xlo) - xlo AS DOUBLE) / 100.0, 6)
         |         AS DOUBLE) AS pct
-        |FROM g ORDER BY event_type, p""".stripMargin
+        |FROM g ORDER BY event_type, p""".stripMargin,
+
+    "q115_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+        |           AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           // 1000 AS x
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |dd AS (SELECT event_type, day, day % 7 AS dow, x FROM daily),
+        |bydow AS (SELECT event_type, dow, CAST(SUM(x) AS BIGINT) AS sd,
+        |            CAST(COUNT(*) AS BIGINT) AS cd
+        |          FROM dd GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS s,
+        |          CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM dd GROUP BY 1)
+        |SELECT dd.event_type, dd.day, dd.dow, dd.x, b.sd, b.cd,
+        |       CAST(ROUND(CAST(dd.x * b.cd AS DOUBLE) * t.s
+        |         / (CAST(b.sd AS DOUBLE) * t.n), 6) AS DOUBLE) AS adj
+        |FROM dd JOIN bydow b ON b.event_type = dd.event_type
+        |                    AND b.dow = dd.dow
+        |JOIN tot t ON t.event_type = dd.event_type
+        |ORDER BY dd.event_type, dd.day""".stripMargin
   )
 }

@@ -1364,6 +1364,39 @@ object TextExt {
             round(col("wsum").cast(DoubleType) / col("n"), 4)
               .cast(DoubleType)).as("wmean"))
         .orderBy("level", "c_lang", "c_source")
+    }),
+
+    // QT22 CONTAMINATION SCORE — the CONTINUOUS companion to qx1's
+    // binary membership gate (decontamination practice keeps a doc
+    // with one shared 3-gram but drops a verbatim eval copy; the
+    // decision needs the FRACTION): per non-eval doc, score = share
+    // of its distinct shingle fingerprints present in the eval set,
+    // with the action ladder decided on EXACT RATIONALS — drop at
+    // 5·hits ≥ 4·n (0.8), flag at 5·hits ≥ n (0.2), keep below — and
+    // zero-hit docs included via the left join (qx1 reports only
+    // hitters; a gate must rule on everyone). Scale: qx1's shape —
+    // the eval shingle set BROADCASTS (the corpus side never
+    // shuffles pre-aggregation), per-doc totals and hits are two
+    // partial-aggregatable counts.
+    "qt22_contamscore" -> ((s, d) => {
+      val sh = shingleHash3(s, d)
+      val ev = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
+      val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+      val tot = corpus.groupBy("doc_id")
+        .agg(count_distinct(col("h")).as("n_sh"))
+      val hits = corpus.join(broadcast(ev), Seq("h"))
+        .groupBy("doc_id").agg(count_distinct(col("h")).as("n_hits"))
+      tot.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("score",
+          round(col("n_hits").cast(DoubleType) / col("n_sh"), 6)
+            .cast(DoubleType))
+        .withColumn("action",
+          when(lit(5L) * col("n_hits") >= lit(4L) * col("n_sh"), "drop")
+            .when(lit(5L) * col("n_hits") >= col("n_sh"), "flag")
+            .otherwise("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2269,6 +2302,38 @@ object TextExt {
         |         CAST(ROUND(CAST(ws.wsum AS DOUBLE) / st.n, 4) AS DOUBLE)
         |       END AS wmean
         |FROM st JOIN ws USING (level, c_lang, c_source)
-        |ORDER BY level, c_lang, c_source""".stripMargin
+        |ORDER BY level, c_lang, c_source""".stripMargin,
+
+    "qt22_contamscore" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |           FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(tk) - 2, 0)),
+         |    k -> array_to_string(tk[k:k+2], ' ')))) AS s
+         |  FROM t),
+         |h AS (SELECT doc_id,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(string_split(s, ''),
+         |            ch -> CAST(unicode(ch) AS BIGINT))),
+         |          (acc, x) -> (acc * 31 + x) % $P) AS h
+         |      FROM sh),
+         |ev AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, h FROM h WHERE doc_id % 97 <> 0),
+         |tot AS (SELECT doc_id, COUNT(DISTINCT h) AS n_sh
+         |        FROM corpus GROUP BY 1),
+         |hits AS (SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_hits
+         |         FROM corpus c JOIN ev USING (h) GROUP BY 1)
+         |SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_sh,
+         |       CAST(COALESCE(hi.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(ROUND(CAST(COALESCE(hi.n_hits, 0) AS DOUBLE)
+         |         / t.n_sh, 6) AS DOUBLE) AS score,
+         |       CASE WHEN 5 * COALESCE(hi.n_hits, 0) >= 4 * t.n_sh
+         |            THEN 'drop'
+         |            WHEN 5 * COALESCE(hi.n_hits, 0) >= t.n_sh
+         |            THEN 'flag'
+         |            ELSE 'keep' END AS action
+         |FROM tot t LEFT JOIN hits hi USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 }
