@@ -1698,6 +1698,38 @@ object DedupExt {
           round(col("inter").cast(DoubleType) / col("na"), 6)
             .cast(DoubleType).as("cont"))
         .orderBy("a", "b")
+    }),
+
+    // QD16 CANONICAL REPRESENTATIVE SELECTION — the production step
+    // between qd5's clusters and a cleaned corpus: pairwise b-dropping
+    // over-deletes on chains, min-id keeping (qc2) keeps an ARBITRARY
+    // member — a real pipeline keeps the BEST one. Per duplicate
+    // cluster (qd4's embedding near-dup graph resolved by DupGroups'
+    // large-star/small-star components), the keeper is the member
+    // with the highest quality (document length as the declared
+    // quality signal; ties break to the smaller id via a negated-id
+    // struct max — ONE partial-aggregatable argmax, the keep-least
+    // idiom, no window over cluster keys, no join-back). The oracle
+    // replays the pair generation + a recursive-CTE component walk +
+    // the same argmax, so the cluster membership AND the keeper
+    // choice are both hash-checked. Scale: components is qd5's
+    // O(log n)-round machinery; the argmax is one groupBy over the
+    // component relation.
+    "qd16_canonical" -> ((s, d) => {
+      val comp = graft.operators.DupGroups.components(
+        embDupPairs(s, d).select("a", "b"))
+      val qual = t(s, d, "documents")
+        .select(col("doc_id").as("node"), col("n_chars"))
+      comp.join(qual, Seq("node"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars").as("qc"), (-col("node")).as("nn")))
+            .as("best"))
+        .select(col("grp"), col("n_members"),
+          (-col("best.nn")).as("keeper"),
+          col("best.qc").as("keep_chars"),
+          (col("n_members") - 1L).as("n_dropped"))
+        .orderBy("grp")
     })
   )
 
@@ -2767,6 +2799,29 @@ object DedupExt {
          |         AS cont
          |FROM ints JOIN sizes sa ON sa.doc_id = a
          |WHERE 5 * inter >= 4 * sa.na
-         |ORDER BY a, b""".stripMargin
+         |ORDER BY a, b""".stripMargin,
+
+    // qd16: qd5's recursive component walk + the argmax keeper choice
+    "qd16_canonical" ->
+      s"""WITH RECURSIVE $embDupCtes,
+        |e AS (SELECT a, b FROM cosd WHERE cosd >= 0.4),
+        |vtx AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |edges AS (SELECT a AS x, b AS y FROM e UNION SELECT b AS x, a AS y FROM e),
+        |walk AS (
+        |  SELECT node, node AS lbl FROM vtx
+        |  UNION
+        |  SELECT eg.y AS node, w.lbl AS lbl
+        |  FROM walk w JOIN edges eg ON eg.x = w.node AND w.lbl < eg.y
+        |),
+        |comp AS (SELECT node, MIN(lbl) AS grp FROM walk GROUP BY node),
+        |m AS (SELECT c.grp, c.node, d.n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY c.grp
+        |          ORDER BY d.n_chars DESC, c.node) AS rn,
+        |        COUNT(*) OVER (PARTITION BY c.grp) AS n_members
+        |      FROM comp c JOIN documents d ON d.doc_id = c.node)
+        |SELECT grp, CAST(n_members AS BIGINT) AS n_members,
+        |       node AS keeper, n_chars AS keep_chars,
+        |       CAST(n_members - 1 AS BIGINT) AS n_dropped
+        |FROM m WHERE rn = 1 ORDER BY grp""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Conv, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -2901,6 +2901,54 @@ object Relational {
             / (col("sd").cast(DoubleType) * col("n")), 6)
             .cast(DoubleType).as("adj"))
         .orderBy("event_type", "day")
+    }),
+
+    // Q116 SKYLINE (PARETO FRONTIER) — the multi-objective shortlist
+    // operator relational engines lack natively (public literature,
+    // Börzsönyi et al.): parts not dominated on (cheapest observed
+    // price, highest order popularity) — p dominates q iff price ≤,
+    // qty ≥, one strict. Computed in TWO PHASES exploiting skyline's
+    // UNION-COMPOSABILITY (skyline(S) = skyline(∪ skyline(S_i)) — a
+    // dominated point is dominated inside its own slice too, so local
+    // pruning is provably lossless): per-(partkey % 8) salted local
+    // skylines first (bounded partitions, fully parallel), then the
+    // global pass over the survivors — no corpus-wide partition-less
+    // window (the q81/qx10 dodge); the oracle replays the straight
+    // single-pass form, making losslessness a hash-checked fact.
+    // Dominance per phase via two RANGE-frame windows on the price
+    // order: maxq over strictly-cheaper rows + maxq among price ties
+    // — exact integers, no self-join, no NOT EXISTS quadratic.
+    // Scale: the per-part aggregate is partial-aggregatable and
+    // CATALOG-sized; windows only ever see salted slices or the
+    // pruned survivor set.
+    "q116_skyline" -> ((s, d) => {
+      def notDominated(df: DataFrame, part: Seq[Column]): DataFrame = {
+        val base = Window.orderBy(col("c"))
+        val (wLt, wEq) =
+          if (part.isEmpty)
+            (base.rangeBetween(Window.unboundedPreceding, -1),
+              base.rangeBetween(Window.currentRow, Window.currentRow))
+          else
+            (Window.partitionBy(part: _*).orderBy(col("c"))
+              .rangeBetween(Window.unboundedPreceding, -1),
+              Window.partitionBy(part: _*).orderBy(col("c"))
+                .rangeBetween(Window.currentRow, Window.currentRow))
+        df.withColumn("mlt", max(col("q")).over(wLt))
+          .withColumn("meq", max(col("q")).over(wEq))
+          .filter((col("mlt").isNull || col("mlt") < col("q"))
+            && col("meq") === col("q"))
+          .select("l_partkey", "c", "q")
+      }
+      val per = t(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(min(expr("cast(floor(l_extendedprice * 100) as bigint)"))
+          .as("c"),
+          countDistinct(col("l_orderkey")).as("q"))
+      val local = notDominated(
+        per.withColumn("salt", pmod(col("l_partkey"), lit(8L))),
+        Seq(col("salt")))
+      notDominated(local, Seq.empty)
+        .orderBy("c", "l_partkey")
     })
   )
 
@@ -4369,6 +4417,24 @@ object Relational {
         |FROM dd JOIN bydow b ON b.event_type = dd.event_type
         |                    AND b.dow = dd.dow
         |JOIN tot t ON t.event_type = dd.event_type
-        |ORDER BY dd.event_type, dd.day""".stripMargin
+        |ORDER BY dd.event_type, dd.day""".stripMargin,
+
+    // q116: the oracle is the straight SINGLE-PASS skyline — the hash
+    // match proves the salted two-phase pruning lossless
+    "q116_skyline" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |         MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS c,
+        |         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT l_partkey, c, q,
+        |        MAX(q) OVER (ORDER BY c RANGE BETWEEN UNBOUNDED PRECEDING
+        |                     AND 1 PRECEDING) AS mlt,
+        |        MAX(q) OVER (ORDER BY c RANGE BETWEEN CURRENT ROW
+        |                     AND CURRENT ROW) AS meq
+        |      FROM per)
+        |SELECT l_partkey, c, q FROM w
+        |WHERE (mlt IS NULL OR mlt < q) AND meq = q
+        |ORDER BY c, l_partkey""".stripMargin
   )
 }
