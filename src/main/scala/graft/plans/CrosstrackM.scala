@@ -83,6 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => BinnedRangeJoinRule)
     ext.injectOptimizerRule(_ => MatViewRewrite)
     ext.injectOptimizerRule(_ => JaroWinklerPrefilter)
+    ext.injectOptimizerRule(_ => SaltedTopKRule)
     ext.injectFunction((CrosstrackM.ident, CrosstrackM.info, CrosstrackM(_)))
     ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
     ext.injectFunction((RollHash31.ident, RollHash31.info, RollHash31.builder))

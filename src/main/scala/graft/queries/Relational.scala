@@ -2949,6 +2949,35 @@ object Relational {
         Seq(col("salt")))
       notDominated(local, Seq.empty)
         .orderBy("c", "l_partkey")
+    }),
+
+    // Q117 PLANNER-SALTED TOP-K — the FIFTH injected optimizer rule
+    // (plans/SaltedTopKRule) exercised through the oracle gate: the
+    // query below is written the NAIVE way — row_number over
+    // partitionBy(event_type) with only ~5 partition keys, exactly the
+    // hot-partition shape round 7's q81 was flagged for — and the
+    // session opts into the rewrite, which injects a (event_type,
+    // murmur3(order-keys) % 8)-sliced pre-phase keeping each slice's
+    // top 3 before the real window runs over ≤ 24 survivors per type.
+    // The oracle replays the straight single-window form, so the hash
+    // match proves the planner rewrite result-identical; the
+    // pigeonhole soundness is property-tested in SaltedTopKSpec and
+    // TwoPhaseTopKPropSpec, and the plan snapshot pins the injected
+    // __graft_salt_rn window. Order is TOTAL (m desc, user_id) — the
+    // regime where the rewrite is exactly result-preserving.
+    "q117_topkrule" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set(graft.plans.SaltedTopKRule.ConfKey, "8")
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("m").desc, col("user_id"))
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy("event_type", "user_id")
+        .agg(sum(expr("cast(floor(value * 100) as bigint)")).as("m"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3L)
+        .select("event_type", "rk", "user_id", "m")
+        .orderBy("event_type", "rk")
     })
   )
 
@@ -4435,6 +4464,22 @@ object Relational {
         |      FROM per)
         |SELECT l_partkey, c, q FROM w
         |WHERE (mlt IS NULL OR mlt < q) AND meq = q
-        |ORDER BY c, l_partkey""".stripMargin
+        |ORDER BY c, l_partkey""".stripMargin,
+
+    // q117: the oracle is the straight single-window top-k — the hash
+    // match proves the planner's salted rewrite result-identical
+    "q117_topkrule" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS m
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, m,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY m DESC, user_id) AS BIGINT) AS rk
+        |      FROM per)
+        |SELECT event_type, rk, user_id, m FROM r WHERE rk <= 3
+        |ORDER BY event_type, rk""".stripMargin
   )
 }
