@@ -2978,6 +2978,50 @@ object Relational {
         .filter(col("rk") <= 3L)
         .select("event_type", "rk", "user_id", "m")
         .orderBy("event_type", "rk")
+    }),
+
+    // QC7 POINT-IN-TIME TRAINING SET — the feature-store verb that
+    // decides whether a model is trainable at all: for every label
+    // event (purchase), features computed STRICTLY BEFORE the label's
+    // own time — the leakage-free "as-of" contract (a frame that
+    // includes the label row, or a same-timestamp later event, trains
+    // on the future). Features: lifetime prior event count, prior
+    // clicks in the trailing 7 days (a RANGE frame [t−7d, t−1] on the
+    // MICROS value — defined on VALUE, so same-micro peers are
+    // excluded identically in both engines, no tie knife-edge),
+    // lifetime prior spend, and micros since the previous event (−1
+    // sentinel). All EXACT INT64; no float anywhere. Scale: ONE
+    // user-partitioned window pass over the event log (q79/q85's
+    // shape) — features for every label in a single scan, no
+    // per-label join, no point-in-time lookup table.
+    "qc7_trainingset" -> ((s, d) => {
+      val wP = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val w7 = Window.partitionBy("user_id").orderBy(col("t"))
+        .rangeBetween(-604800000000L, -1L)
+      val wL = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id"))
+      val e = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"),
+          expr("cast(floor(coalesce(value, 0.0) * 100) as bigint)")
+            .as("cents"))
+      e.withColumn("f_events", count(lit(1)).over(wP))
+        .withColumn("f_clicks7d",
+          coalesce(sum(when(col("event_type") === "click", 1L)
+            .otherwise(0L)).over(w7), lit(0L)))
+        .withColumn("f_spend",
+          coalesce(sum(when(col("event_type") === "purchase",
+            col("cents")).otherwise(0L)).over(wP), lit(0L)))
+        .withColumn("f_gap",
+          coalesce(col("t") - lag(col("t"), 1).over(wL), lit(-1L)))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("cents").as("label_cents"), col("f_events"),
+          col("f_clicks7d"), col("f_spend"), col("f_gap"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -4480,6 +4524,34 @@ object Relational {
         |          ORDER BY m DESC, user_id) AS BIGINT) AS rk
         |      FROM per)
         |SELECT event_type, rk, user_id, m FROM r WHERE rk <= 3
-        |ORDER BY event_type, rk""".stripMargin
+        |ORDER BY event_type, rk""".stripMargin,
+
+    "qc7_trainingset" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+        |         CAST(FLOOR(COALESCE(value, 0.0) * 100) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, event_id, event_type, cents,
+        |        COUNT(*) OVER wp AS f_events,
+        |        COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1
+        |          ELSE 0 END) OVER w7, 0) AS f_clicks7d,
+        |        COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |          THEN cents ELSE 0 END) OVER wp, 0) AS f_spend,
+        |        COALESCE(t - LAG(t, 1) OVER wl, -1) AS f_gap
+        |      FROM e
+        |      WINDOW wp AS (PARTITION BY user_id ORDER BY t, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |             w7 AS (PARTITION BY user_id ORDER BY t
+        |               RANGE BETWEEN 604800000000 PRECEDING
+        |                         AND 1 PRECEDING),
+        |             wl AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, event_id, cents AS label_cents,
+        |       CAST(f_events AS BIGINT) AS f_events,
+        |       CAST(f_clicks7d AS BIGINT) AS f_clicks7d,
+        |       CAST(f_spend AS BIGINT) AS f_spend,
+        |       CAST(f_gap AS BIGINT) AS f_gap
+        |FROM f WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }
