@@ -43,6 +43,17 @@ object TextExt {
     * currency shared by qx1 (exact gate) and qx5 (Bloom gate). Row-local
     * shingling (array_distinct BEFORE the explode) + the cross-engine
     * rolling hash; one scan, no shuffle. */
+  /** Next power of two ≥ n as a pure integer CASE ladder (up to 2^20)
+    * — the SAME text is interpolated into the Spark expression and the
+    * DuckDB oracle, so both engines bucket identically with no float
+    * log2/pow knife-edge at the boundaries (qx12). */
+  private[graft] def Pow2Case(c: String): String = {
+    val branches = (0 to 20)
+      .map(i => s"WHEN $c <= ${1L << i} THEN ${1L << i}")
+      .mkString(" ")
+    s"(CASE $branches ELSE -1 END)"
+  }
+
   private def shingleHash3(s: SparkSession, d: String): DataFrame = {
     graft.plans.RollHash31.register(s)
     t(s, d, "documents")
@@ -1397,6 +1408,78 @@ object TextExt {
             .when(lit(5L) * col("n_hits") >= col("n_sh"), "flag")
             .otherwise("keep"))
         .orderBy("doc_id")
+    }),
+
+    // QX11 CLASS-BALANCING UPSAMPLE — the minority-class replication
+    // step an imbalanced training mix needs (qx8 rebalances by
+    // SAMPLING DOWN with temperature; sometimes the answer is copies):
+    // every language is brought to the majority count T by EXACT
+    // integer apportionment — each doc gets T div k copies, and the
+    // T mod k remainder copies go to the lowest-LCG-rank docs (qx8's
+    // largest-remainder convention, reproducible). The replication is
+    // explode(sequence(1, copies)) — row-local, no shuffle — and the
+    // audit aggregates per language: n_out must equal T exactly
+    // (hash-checked invariant, not a claim) and the order-free
+    // checksum Σ doc_id·copy binds the exact multiset of emitted
+    // copies. Scale: one |langs|-row broadcast of counts/targets;
+    // per-doc copy counts are row-local; the explode fan-out is the
+    // OUTPUT size — the irreducible cost of upsampling itself.
+    "qx11_upsample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          ((lit(1103515245L) * (col("doc_id") % 2147483648L) + 12345L)
+            % 2147483648L).as("pr"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("k"))
+      val target = counts.agg(max(col("k")).as("t"))
+      val wL = Window.partitionBy("lang").orderBy("pr", "doc_id")
+      docs
+        .withColumn("rk", row_number().over(wL).cast(LongType))
+        .join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(target))
+        .withColumn("copies",
+          expr("t div k") + when(col("rk") <= expr("t % k"), 1L)
+            .otherwise(0L))
+        .select(col("lang"), col("doc_id"), col("t"),
+          explode(expr("sequence(1, copies)")).as("copy"))
+        .groupBy("lang")
+        .agg(max(col("t")).as("n_target"),
+          count(lit(1)).as("n_out"),
+          count_distinct(col("doc_id")).as("n_orig"),
+          sum(col("doc_id") * col("copy")).as("checksum"))
+        .withColumn("exact", col("n_out") === col("n_target"))
+        .orderBy("lang")
+    }),
+
+    // QX12 SEQUENCE-LENGTH BUCKETING AUDIT — the padding-efficiency
+    // report that decides a training batcher's bucket boundaries
+    // (pad-to-longest inside a power-of-two length bucket vs
+    // pad-to-global-max): per bucket (tokens rounded UP to the next
+    // power of two via the SHARED integer CASE ladder [[Pow2Case]] —
+    // float log2/pow would be a last-ulp knife-edge exactly AT the
+    // powers of two, so neither engine computes one), doc count, real
+    // token sum, padded token sum (count·bucket_cap), and the waste
+    // fraction as one IEEE division over exact int64 sums. The
+    // global pad-to-max row rides as bucket 0 for comparison — the
+    // quantified argument FOR bucketing, hash-checked. Scale: one
+    // row-local length pass + a |buckets|-row aggregate; nothing
+    // joins, nothing shuffles but the tiny rollup.
+    "qx12_lengthbuckets" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("cap", expr(Pow2Case("n_tok")))
+      val buckets = base.groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("real_tok"))
+        .withColumn("padded_tok", col("n_docs") * col("cap"))
+      val global = base.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("real_tok"), max(col("n_tok")).as("mx"))
+        .select(lit(0L).as("cap"), col("n_docs"), col("real_tok"),
+          (col("n_docs") * col("mx")).as("padded_tok"))
+      buckets.unionByName(global)
+        .withColumn("waste",
+          round((col("padded_tok") - col("real_tok")).cast(DoubleType)
+            / col("padded_tok"), 6).cast(DoubleType))
+        .orderBy("cap")
     })
   )
 
@@ -2334,6 +2417,53 @@ object TextExt {
          |            THEN 'flag'
          |            ELSE 'keep' END AS action
          |FROM tot t LEFT JOIN hits hi USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "qx11_upsample" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |         (1103515245 * (doc_id % 2147483648) + 12345)
+        |           % 2147483648 AS pr
+        |  FROM documents),
+        |c AS (SELECT lang, COUNT(*) AS k FROM docs GROUP BY 1),
+        |tg AS (SELECT MAX(k) AS t FROM c),
+        |r AS (SELECT d.lang, d.doc_id, c.k, tg.t,
+        |        ROW_NUMBER() OVER (PARTITION BY d.lang
+        |          ORDER BY d.pr, d.doc_id) AS rk
+        |      FROM docs d JOIN c USING (lang) CROSS JOIN tg),
+        |rep AS (SELECT lang, doc_id, t,
+        |          unnest(generate_series(1, CAST(t // k
+        |            + CASE WHEN rk <= t % k THEN 1 ELSE 0 END
+        |            AS BIGINT))) AS copy
+        |        FROM r)
+        |SELECT lang, CAST(MAX(t) AS BIGINT) AS n_target,
+        |       CAST(COUNT(*) AS BIGINT) AS n_out,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_orig,
+        |       CAST(SUM(doc_id * copy) AS BIGINT) AS checksum,
+        |       COUNT(*) = MAX(t) AS exact
+        |FROM rep GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "qx12_lengthbuckets" -> {
+      val pc = Pow2Case("n_tok")
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |           AS n_tok
+         |  FROM documents),
+         |b AS (SELECT $pc AS cap, COUNT(*) AS n_docs,
+         |        SUM(n_tok) AS real_tok
+         |      FROM base GROUP BY 1),
+         |bb AS (SELECT cap, n_docs, real_tok, n_docs * cap AS padded_tok
+         |       FROM b),
+         |g AS (SELECT CAST(0 AS BIGINT) AS cap, COUNT(*) AS n_docs,
+         |        SUM(n_tok) AS real_tok, COUNT(*) * MAX(n_tok) AS padded_tok
+         |      FROM base),
+         |u AS (SELECT * FROM bb UNION ALL SELECT * FROM g)
+         |SELECT cap, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(real_tok AS BIGINT) AS real_tok,
+         |       CAST(padded_tok AS BIGINT) AS padded_tok,
+         |       CAST(ROUND(CAST(padded_tok - real_tok AS DOUBLE)
+         |         / padded_tok, 6) AS DOUBLE) AS waste
+         |FROM u ORDER BY cap""".stripMargin
+    }
   )
 }
