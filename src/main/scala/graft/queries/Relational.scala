@@ -3022,6 +3022,40 @@ object Relational {
           col("cents").as("label_cents"), col("f_events"),
           col("f_clicks7d"), col("f_spend"), col("f_gap"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // Q118 TOP JOURNEY PATHS — q91's whole-path companion (the
+    // transition matrix says WHICH step follows which; product teams
+    // ask WHAT WHOLE JOURNEYS happen): per (user, day) session, the
+    // full event-type sequence in (t, event_id) order as one path
+    // string, then the paths occurring ≥ 5 times with their share of
+    // all sessions. The sequence is assembled ROW-GROUP-LOCALLY —
+    // sort_array over a collected (t, event_id, type) struct array
+    // (session size is bounded by a user's daily events, so the
+    // collect is a bounded buffer, never a corpus sort), and the path
+    // rollup partial-aggregates on the path string. Share = one IEEE
+    // division over exact counts. Scale: sessions × bounded size;
+    // the only corpus exchanges are the session groupBy and the
+    // path-keyed count.
+    "q118_toppaths" -> ((s, d) => {
+      val sess = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          struct(unix_micros(col("ts")).as("t"), col("event_id"),
+            col("event_type").as("et")).as("ev"))
+        .groupBy("user_id", "day")
+        .agg(expr(
+          "array_join(transform(sort_array(collect_list(ev)), x -> x.et), '>')")
+          .as("path"))
+      val n = sess.agg(count(lit(1)).as("n_sessions"))
+      sess.groupBy("path").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5L)
+        .crossJoin(broadcast(n))
+        .select(col("path"), col("cnt"), col("n_sessions"),
+          round(col("cnt").cast(DoubleType) / col("n_sessions"), 6)
+            .cast(DoubleType).as("share"))
+        .orderBy(col("cnt").desc, col("path"))
     })
   )
 
@@ -4552,6 +4586,25 @@ object Relational {
         |       CAST(f_spend AS BIGINT) AS f_spend,
         |       CAST(f_gap AS BIGINT) AS f_gap
         |FROM f WHERE event_type = 'purchase'
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q118_toppaths" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         epoch_us(ts) AS t, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |sess AS (
+        |  SELECT user_id, day,
+        |         string_agg(event_type, '>' ORDER BY t, event_id) AS path
+        |  FROM e GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n_sessions FROM sess),
+        |p AS (SELECT path, COUNT(*) AS cnt FROM sess GROUP BY 1
+        |      HAVING COUNT(*) >= 5)
+        |SELECT path, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(n_sessions AS BIGINT) AS n_sessions,
+        |       CAST(ROUND(CAST(cnt AS DOUBLE) / n_sessions, 6) AS DOUBLE)
+        |         AS share
+        |FROM p CROSS JOIN n
+        |ORDER BY cnt DESC, path""".stripMargin
   )
 }
