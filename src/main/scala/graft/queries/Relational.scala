@@ -3056,6 +3056,37 @@ object Relational {
           round(col("cnt").cast(DoubleType) / col("n_sessions"), 6)
             .cast(DoubleType).as("share"))
         .orderBy(col("cnt").desc, col("path"))
+    }),
+
+    // Q119 MAP-TYPE SURFACE — the MapType function family exercised
+    // END-TO-END through the oracle gate (arrays/JSON/VARIANT are
+    // covered by q24/q25/q52; maps were the remaining complex-type
+    // gap): per user, the event-type histogram is materialized AS A
+    // MAP (map_from_entries over the grouped counts), thresholded
+    // with map_filter (a lambda over map entries), sized with
+    // map_keys, then exploded BACK to rows — so the map construction,
+    // the higher-order map lambda, and the entry explosion are all in
+    // the executed plan, while the emitted relation is plain columns
+    // the oracle replays with a HAVING (the map ops must be
+    // result-invisible, like q77's bucketing or s14's bins). Scale:
+    // one partial-aggregatable (user, type) count; the map lives
+    // row-locally per user — bounded by the type vocabulary, never a
+    // corpus-wide structure.
+    "q119_maptype" -> ((s, d) => {
+      val m = t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(expr("map_from_entries(sort_array(collect_list(" +
+          "struct(event_type, c))))").as("hist"))
+        .withColumn("hist2", expr("map_filter(hist, (k, v) -> v >= 2)"))
+        .withColumn("n_types", size(expr("map_keys(hist)")).cast(LongType))
+      m.select(col("user_id"), col("n_types"),
+          explode(expr("map_entries(hist2)")).as("e"))
+        .select(col("user_id"), col("n_types"),
+          col("e.key").as("event_type"), col("e.value").as("cnt"))
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -4605,6 +4636,20 @@ object Relational {
         |       CAST(ROUND(CAST(cnt AS DOUBLE) / n_sessions, 6) AS DOUBLE)
         |         AS share
         |FROM p CROSS JOIN n
-        |ORDER BY cnt DESC, path""".stripMargin
+        |ORDER BY cnt DESC, path""".stripMargin,
+
+    // q119: the oracle never builds a map — the map construction,
+    // map_filter lambda, and entry explosion must be result-invisible
+    "q119_maptype" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |nt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types
+        |       FROM c GROUP BY 1)
+        |SELECT c.user_id, nt.n_types, c.event_type,
+        |       CAST(c.cnt AS BIGINT) AS cnt
+        |FROM c JOIN nt USING (user_id)
+        |WHERE c.cnt >= 2
+        |ORDER BY c.user_id, c.event_type""".stripMargin
   )
 }
