@@ -288,6 +288,52 @@ object TextExt {
     // row-local crossJoin pass + a partial-aggregatable argmin groupBy
     // — the corpus never self-joins (qs2's small-pairwise-relation
     // lesson: array kernels win here).
+    // Q120 EXACT CLUSTER MEDOIDS — the serving/clustering verb k-means
+    // (qs4) cannot give: the centroid is a synthetic mean vector, but
+    // a cache key, an exemplar document, or a routing prototype must
+    // be a REAL member — the medoid, argmin_x Σ_y d²(x, y) within the
+    // cluster. Assignment replays the deterministic coarse codebook
+    // (vec_id % 50 sample, exact int64 L2 argmin with (d², cid) tie
+    // order — qe5's regime); the medoid itself is the documented
+    // bounded quadratic: a CLUSTER-KEYED self-join (never corpus-wide
+    // — pair count is Σ|cluster|², AQE-skew-splittable), int64 dot
+    // kernels, one (cid, member) partial aggregate, one per-cluster
+    // argmin. Magnitude: Σ_y d² ≤ members·64·(2·10⁷)² ≈ 1.3e18 —
+    // inside int64 with the fixed-point scale. All exact integers;
+    // medoid identity and its exact sum are the hash-checked output.
+    "q120_medoid" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val emb = t(s, d, "embeddings")
+        .filter(size(col("embedding")) === 64)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))")
+          .as("ei"))
+      val c1 = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("ei").as("ce"))
+      val asg = emb.crossJoin(broadcast(c1))
+        .withColumn("d2", expr(
+          "dot_long(ei, ei) - 2 * dot_long(ei, ce) + dot_long(ce, ce)"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"),
+          any_value(col("ei")).as("ei"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("ei"))
+      val a = asg.select(col("cid"), col("vec_id").as("va"),
+        col("ei").as("ea"))
+      val b = asg.select(col("cid"), col("vec_id").as("vb"),
+        col("ei").as("eb"))
+      a.join(b, Seq("cid"))
+        .withColumn("d2", expr(
+          "dot_long(ea, ea) - 2 * dot_long(ea, eb) + dot_long(eb, eb)"))
+        .groupBy("cid", "va")
+        .agg(sum(col("d2")).as("sd2"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          min(struct(col("sd2"), col("va"))).as("m"))
+        .select(col("cid"), col("m.va").as("medoid"),
+          col("n_members"), col("m.sd2").as("sum_d2"))
+        .orderBy("cid")
+    }),
+
     "qe5_residualquant" -> ((s, d) => {
       graft.plans.DotLong.register(s)
       val emb = t(s, d, "embeddings")
@@ -1737,6 +1783,34 @@ object TextExt {
 
     // qe5: the two-stage assignment replayed with ROW_NUMBER argmins —
     // identical (d², cid) tie order, exact integer arithmetic throughout
+    "q120_medoid" ->
+      """WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i,
+        |         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS xi
+        |       FROM embeddings, idx
+        |       WHERE len(embedding) = 64 AND i <= len(embedding)),
+        |c1 AS (SELECT vec_id AS cid, i, xi AS ci FROM ex WHERE vec_id % 50 = 0),
+        |d1 AS (SELECT e.vec_id, c.cid,
+        |         SUM((e.xi - c.ci) * (e.xi - c.ci)) AS d2
+        |       FROM ex e JOIN c1 c ON c.i = e.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |         PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1),
+        |asg AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+        |pd AS (SELECT x.cid, x.vec_id AS va,
+        |         CAST(SUM((ea.xi - eb.xi) * (ea.xi - eb.xi)) AS BIGINT)
+        |           AS sd2
+        |       FROM asg x JOIN asg y ON y.cid = x.cid
+        |       JOIN ex ea ON ea.vec_id = x.vec_id
+        |       JOIN ex eb ON eb.vec_id = y.vec_id AND eb.i = ea.i
+        |       GROUP BY 1, 2),
+        |m AS (SELECT cid, va, sd2, ROW_NUMBER() OVER (
+        |        PARTITION BY cid ORDER BY sd2, va) AS rn,
+        |        COUNT(*) OVER (PARTITION BY cid) AS n_members
+        |      FROM pd)
+        |SELECT cid, va AS medoid, CAST(n_members AS BIGINT) AS n_members,
+        |       sd2 AS sum_d2
+        |FROM m WHERE rn = 1 ORDER BY cid""".stripMargin,
+
     "qe5_residualquant" ->
       """WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
         |ex AS (SELECT vec_id, i,
