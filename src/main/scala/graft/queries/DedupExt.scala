@@ -1062,6 +1062,77 @@ object DedupExt {
         .orderBy("q")
     }),
 
+    // QS14 ANN PROBE-COUNT SWEEP — the TUNING CURVE behind every
+    // banded-LSH deployment decision (qs5 reports recall at the full
+    // 4 bands; an operator has to pick how many to pay for): for each
+    // probe budget P ∈ 1..4, candidates come from only the first P
+    // band keys, and the sweep reports candidate volume (the COST
+    // axis, exact counts) next to recall@3 against the exact top-3
+    // (the QUALITY axis) — the whole trade-off as one hash-checked
+    // relation, qd9/qs5's audit-as-data convention. Scale: the probe
+    // relation is (probes × bands × P) rows — broadcast; the index
+    // side is the same banded equi-join as qs1 evaluated once per
+    // budget over bounded probe rows; the brute yardstick is the
+    // deliberately-bounded 1% sample pass.
+    "qs14_annsweep" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val pv = graft.operators.OpCaches.track(perVec(exQ(s, d)))
+      val bands = vecBands(pv)
+      val emb = graft.operators.OpCaches.track(embQ(s, d))
+      val qe = broadcast(emb.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q"), col("ei").as("qe")))
+      val ps = s.range(1, 5).select(col("id").as("p"))
+      val probes = bands.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q"), col("k"), col("key"),
+          col("n2").as("qn2"))
+        .crossJoin(ps).filter(col("k") < col("p"))
+      val cand = bands.join(broadcast(probes), Seq("k", "key"))
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("p"), col("q"), col("vec_id"), col("n2"), col("qn2"))
+        .distinct()
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy("p", "q").orderBy(col("score").desc, col("vec_id"))
+      val approx3 = cand.join(emb, Seq("vec_id")).join(qe, Seq("q"))
+        .withColumn("dot", expr(dotL("ei", "qe")))
+        .select(col("p"), col("q"), col("vec_id"),
+          round(col("dot").cast(DoubleType)
+            / (sqrt(col("qn2").cast(DoubleType))
+              * sqrt(col("n2").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .withColumn("rk", row_number().over(wP))
+        .where(col("rk") <= 3).select("p", "q", "vec_id")
+        .withColumn("hit", lit(1L))
+      val wQ = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy(col("score").desc, col("vec_id"))
+      val probeN = pv.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q"), col("n2").as("qn2"))
+      val brute3 = pv.select(col("vec_id"), col("n2"))
+        .crossJoin(broadcast(probeN))
+        .filter(col("vec_id") =!= col("q"))
+        .join(emb, Seq("vec_id")).join(qe, Seq("q"))
+        .withColumn("dot", expr(dotL("ei", "qe")))
+        .select(col("q"), col("vec_id"),
+          round(col("dot").cast(DoubleType)
+            / (sqrt(col("qn2").cast(DoubleType))
+              * sqrt(col("n2").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .withColumn("rk", row_number().over(wQ))
+        .where(col("rk") <= 3).select("q", "vec_id")
+        .crossJoin(broadcast(ps.select(col("p").as("p"))))
+      val nCand = cand.groupBy("p").agg(count(lit(1)).as("n_cand"))
+      brute3
+        .join(approx3, Seq("p", "q", "vec_id"), "left")
+        .groupBy("p")
+        .agg(count_distinct(col("q")).as("n_probes"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .join(broadcast(nCand), Seq("p"))
+        .select(col("p"), col("n_probes"), col("n_cand"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType)
+            / (lit(3.0) * col("n_probes")), 4).cast(DoubleType)
+            .as("recall3"))
+        .orderBy("p")
+    }),
+
     // qs4 k-means clustering (2 Lloyd iterations, the IVF TRAINING step
     // qs2's sampled centroids approximate): deterministic init from the
     // vec_id % 50 sample, then assign → update → assign → update →
@@ -2414,6 +2485,64 @@ object DedupExt {
         |    / 3, 4) AS DOUBLE) AS recall3
         |FROM br LEFT JOIN ar ON ar.q = br.q AND ar.vec_id = br.vec_id
         |GROUP BY br.q ORDER BY br.q""".stripMargin,
+
+    // qs14: qs5's replay with the probe-budget dimension — candidates
+    // restricted to band keys k < p, grouped per budget
+    "qs14_annsweep" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |proj AS (SELECT vec_id, j,
+        |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
+        |             - 1073741824) * xi) AS proj
+        |         FROM ex, generate_series(0, 63) t(j) GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, j // 16 AS k,
+        |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
+        |       FROM proj GROUP BY 1, 2),
+        |ps AS (SELECT unnest(generate_series(1, 4)) AS p),
+        |probes AS (SELECT p, vec_id AS q, k, key
+        |           FROM bk CROSS JOIN ps
+        |           WHERE vec_id % 100 = 7 AND k < p),
+        |cand AS (SELECT DISTINCT p.p, p.q, b.vec_id
+        |         FROM bk b JOIN probes p ON b.k = p.k AND b.key = p.key
+        |         WHERE b.vec_id <> p.q),
+        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |adots AS (SELECT c.p, c.q, c.vec_id, SUM(v.xi * u.xi) AS dot
+        |          FROM cand c JOIN ex v ON v.vec_id = c.vec_id
+        |                      JOIN ex u ON u.vec_id = c.q AND u.i = v.i
+        |          GROUP BY 1, 2, 3),
+        |asc_ AS (SELECT d.p, d.q, d.vec_id,
+        |          CAST(ROUND(CAST(dot AS DOUBLE)
+        |            / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+        |        FROM adots d JOIN norms vn ON vn.vec_id = d.vec_id
+        |                     JOIN norms qn ON qn.vec_id = d.q),
+        |ar AS (SELECT p, q, vec_id FROM (
+        |         SELECT p, q, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY p, q ORDER BY score DESC, vec_id) AS rk
+        |         FROM asc_) WHERE rk <= 3),
+        |bdots AS (SELECT u.vec_id AS q, v.vec_id, SUM(v.xi * u.xi) AS dot
+        |          FROM ex u JOIN ex v ON u.i = v.i
+        |            AND u.vec_id % 100 = 7 AND v.vec_id <> u.vec_id
+        |          GROUP BY 1, 2),
+        |bsc AS (SELECT d.q, d.vec_id,
+        |          CAST(ROUND(CAST(dot AS DOUBLE)
+        |            / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+        |        FROM bdots d JOIN norms vn ON vn.vec_id = d.vec_id
+        |                     JOIN norms qn ON qn.vec_id = d.q),
+        |br AS (SELECT q, vec_id FROM (
+        |         SELECT q, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS rk
+        |         FROM bsc) WHERE rk <= 3),
+        |brp AS (SELECT ps.p, br.q, br.vec_id FROM br CROSS JOIN ps),
+        |nc AS (SELECT p, COUNT(*) AS n_cand FROM cand GROUP BY 1)
+        |SELECT brp.p, CAST(COUNT(DISTINCT brp.q) AS BIGINT) AS n_probes,
+        |  CAST(nc.n_cand AS BIGINT) AS n_cand,
+        |  CAST(SUM(CASE WHEN ar.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN ar.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / (3.0 * COUNT(DISTINCT brp.q)), 4) AS DOUBLE) AS recall3
+        |FROM brp LEFT JOIN ar ON ar.p = brp.p AND ar.q = brp.q AND ar.vec_id = brp.vec_id
+        |JOIN nc ON nc.p = brp.p
+        |GROUP BY brp.p, nc.n_cand ORDER BY brp.p""".stripMargin,
 
     // qd6: qs2's assignment CTEs + within-cell pair cosines + the
     // qd5-style recursive-CTE component walk (decreasing labels only) +
