@@ -3087,6 +3087,100 @@ object Relational {
         .select(col("user_id"), col("n_types"),
           col("e.key").as("event_type"), col("e.value").as("cnt"))
         .orderBy("user_id", "event_type")
+    }),
+
+    // Q121 DETERMINISTIC DATA GENERATION — the synthetic-corpus verb
+    // Spark itself is routinely used for (test fixtures, load
+    // harnesses, privacy-safe stand-ins), expressed as a query:
+    // spark.range drives 100k rows, every column derives from the row
+    // id through the repo's LCG (uniform bucket, category, a
+    // triangular-ish sum of two uniforms — all EXACT integer
+    // transforms, no float RNG), and the emitted relation is the
+    // per-category audit: counts, exact value sums, and the
+    // order-free checksum Σ id·v that binds the full generated table
+    // without shipping it. The oracle regenerates from
+    // generate_series with the same LCG — two engines, one corpus,
+    // byte-identical. Scale: range is the canonical parallel source
+    // (splits, no input IO); everything after is one
+    // partial-aggregatable rollup.
+    "q121_datagen" -> ((s, d) => {
+      val n = 100000L
+      val lcg1 = "((1103515245 * (id % 2147483648) + 12345) % 2147483648)"
+      val lcg2 = s"((1103515245 * ($lcg1 % 2147483648) + 12345) % 2147483648)"
+      s.range(n)
+        .withColumn("cat", expr(s"$lcg1 % 7"))
+        .withColumn("v", expr(s"($lcg1 div 7) % 1000 + ($lcg2 div 11) % 1000"))
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+          sum(col("id") * col("v")).as("checksum"))
+        .orderBy("cat")
+    }),
+
+    // Q122 PREFIX-SUM RANGE SERVING — the pre-aggregated index
+    // pattern that answers COUNT/SUM over an arbitrary time range in
+    // O(1) lookups instead of a scan (how a serving layer answers
+    // "events between t1 and t2" against 100 TB without touching it):
+    // the event log collapses ONCE into the per-day cumulative table
+    // (one aggregate + one bounded cumulative window over O(days)
+    // rows), then 16 deterministic query ranges are answered by TWO
+    // broadcast lookups each — cum[end] − cum[start−1] — and the
+    // DIRECT recount of each range rides as the hash-checked witness
+    // that the index answers exactly (the audit pays the scan so the
+    // serving path doesn't have to). Scale: the index build is one
+    // partial-aggregatable pass; each additional query costs two
+    // O(days)-relation lookups, zero corpus IO.
+    "q122_rangecount" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(datediff(to_date(col("ts")), lit("2024-01-01"))
+          .cast(LongType).as("day"))
+        .agg(count(lit(1)).as("c"),
+          sum(expr("cast(floor(coalesce(value, 0.0) * 100) as bigint)"))
+            .as("s"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily
+        .withColumn("cc", sum(col("c")).over(w))
+        .withColumn("cs", sum(col("s")).over(w))
+        .select("day", "cc", "cs")
+      val ranges = s.range(0, 16)
+        .select(col("id").as("qid"),
+          (col("id") % 8L).as("lo"),
+          (col("id") % 8L + col("id") % 5L + 3L).as("hi"))
+      val byEnd = ranges.join(broadcast(cum),
+          col("day") <= col("hi"))
+        .groupBy("qid", "lo", "hi")
+        .agg(max(struct(col("day"), col("cc"), col("cs"))).as("e"))
+      val byStart = ranges.join(broadcast(cum),
+          col("day") < col("lo"))
+        .groupBy("qid")
+        .agg(max(struct(col("day"), col("cc"), col("cs"))).as("st"))
+      val served = byEnd.join(byStart, Seq("qid"), "left")
+        .select(col("qid"), col("lo"), col("hi"),
+          (col("e.cc") - coalesce(col("st.cc"), lit(0L))).as("idx_count"),
+          (col("e.cs") - coalesce(col("st.cs"), lit(0L))).as("idx_sum"))
+      val direct = t(s, d, "events")
+        .filter(col("ts").isNotNull)
+        .select(datediff(to_date(col("ts")), lit("2024-01-01"))
+          .cast(LongType).as("day"),
+          expr("cast(floor(coalesce(value, 0.0) * 100) as bigint)")
+            .as("v"))
+        .join(broadcast(ranges),
+          col("day") >= col("lo") && col("day") <= col("hi"))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("direct_count"),
+          sum(col("v")).as("direct_sum"))
+      served.join(direct, Seq("qid"), "left")
+        .select(col("qid"), col("lo"), col("hi"),
+          col("idx_count"), col("idx_sum"),
+          coalesce(col("direct_count"), lit(0L)).as("direct_count"),
+          coalesce(col("direct_sum"), lit(0L)).as("direct_sum"),
+          (col("idx_count") === coalesce(col("direct_count"), lit(0L)) &&
+            col("idx_sum") === coalesce(col("direct_sum"), lit(0L)))
+            .as("agree"))
+        .orderBy("qid")
     })
   )
 
@@ -4650,6 +4744,76 @@ object Relational {
         |       CAST(c.cnt AS BIGINT) AS cnt
         |FROM c JOIN nt USING (user_id)
         |WHERE c.cnt >= 2
-        |ORDER BY c.user_id, c.event_type""".stripMargin
+        |ORDER BY c.user_id, c.event_type""".stripMargin,
+
+    "q121_datagen" ->
+      """WITH g AS (SELECT unnest(generate_series(CAST(0 AS BIGINT),
+        |             CAST(99999 AS BIGINT))) AS id),
+        |r AS (SELECT id,
+        |        ((1103515245 * (id % 2147483648) + 12345) % 2147483648)
+        |          AS l1
+        |      FROM g),
+        |v AS (SELECT id, l1 % 7 AS cat,
+        |        (l1 // 7) % 1000
+        |          + (((1103515245 * (l1 % 2147483648) + 12345)
+        |             % 2147483648) // 11) % 1000 AS v
+        |      FROM r)
+        |SELECT cat, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(v) AS BIGINT) AS sum_v,
+        |       CAST(MIN(v) AS BIGINT) AS min_v,
+        |       CAST(MAX(v) AS BIGINT) AS max_v,
+        |       CAST(SUM(id * v) AS BIGINT) AS checksum
+        |FROM v GROUP BY cat ORDER BY cat""".stripMargin,
+
+    "q122_rangecount" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+        |           AS day,
+        |         COUNT(*) AS c,
+        |         SUM(CAST(FLOOR(COALESCE(value, 0.0) * 100) AS BIGINT))
+        |           AS s
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT day,
+        |          SUM(c) OVER (ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS cc,
+        |          SUM(s) OVER (ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS cs
+        |        FROM daily),
+        |ranges AS (SELECT id AS qid, id % 8 AS lo,
+        |             id % 8 + id % 5 + 3 AS hi
+        |           FROM (SELECT unnest(generate_series(CAST(0 AS BIGINT),
+        |             CAST(15 AS BIGINT))) AS id)),
+        |be AS (SELECT r.qid, r.lo, r.hi,
+        |         arg_max(c.cc, c.day) AS ecc, arg_max(c.cs, c.day) AS ecs
+        |       FROM ranges r JOIN cum c ON c.day <= r.hi
+        |       GROUP BY 1, 2, 3),
+        |bs AS (SELECT r.qid, arg_max(c.cc, c.day) AS scc,
+        |         arg_max(c.cs, c.day) AS scs
+        |       FROM ranges r JOIN cum c ON c.day < r.lo
+        |       GROUP BY 1),
+        |served AS (SELECT be.qid, be.lo, be.hi,
+        |             CAST(be.ecc - COALESCE(bs.scc, 0) AS BIGINT)
+        |               AS idx_count,
+        |             CAST(be.ecs - COALESCE(bs.scs, 0) AS BIGINT)
+        |               AS idx_sum
+        |           FROM be LEFT JOIN bs ON bs.qid = be.qid),
+        |direct AS (SELECT r.qid, COUNT(*) AS dc,
+        |             SUM(CAST(FLOOR(COALESCE(e.value, 0.0) * 100)
+        |               AS BIGINT)) AS ds
+        |           FROM events e
+        |           JOIN ranges r
+        |             ON CAST(CAST(e.ts AS DATE) - DATE '2024-01-01'
+        |                  AS BIGINT) BETWEEN r.lo AND r.hi
+        |           WHERE e.ts IS NOT NULL
+        |           GROUP BY 1)
+        |SELECT s.qid, s.lo, s.hi, s.idx_count, s.idx_sum,
+        |       CAST(COALESCE(d.dc, 0) AS BIGINT) AS direct_count,
+        |       CAST(COALESCE(d.ds, 0) AS BIGINT) AS direct_sum,
+        |       s.idx_count = COALESCE(d.dc, 0)
+        |         AND s.idx_sum = COALESCE(d.ds, 0) AS agree
+        |FROM served s LEFT JOIN direct d ON d.qid = s.qid
+        |ORDER BY s.qid""".stripMargin
   )
 }
