@@ -410,6 +410,40 @@ object DedupExt {
         .orderBy("a", "b")
     }),
 
+    // QD17 DEDUP THRESHOLD SENSITIVITY — the aggressiveness curve an
+    // operator reads before picking a near-dup cutoff (τ = 0.8 drops
+    // how much less than 0.7? — the decision qs14 answers for ANN
+    // probes, answered here for the Jaccard knife): over qd3's banded
+    // verified pair set (J ≥ 1/2, its floor), count the pairs still
+    // qualifying at each τ ∈ {0.5 … 0.9} — the qualification test is
+    // the EXACT RATIONAL (100+t)·inter ≥ t·(na+nb) (q28's single-
+    // occurrence algebra, no float J), so every point on the curve is
+    // exact; the τ=0.5 share rides as one IEEE division. Scale: the
+    // pair relation is candidate-bounded (qd3's contract); the sweep
+    // is a 5-row broadcast cross join + one partial-aggregatable
+    // rollup — the curve costs one verify pass, not five.
+    "qd17_threshsweep" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          "IF(size(tk) >= 4, transform(sequence(1, size(tk) - 3), k -> array_join(slice(tk, k, 4), ' ')), array())"))
+          .as("tok"))
+      val pairs = graft.operators.BitmaskJaccard
+        .bandedPairsCompact(sh, 1, 2)
+      val ts = s.range(5, 10).select((col("id") * 10L).as("t"))
+      val base = pairs.agg(count(lit(1)).as("n_base"))
+      pairs.crossJoin(broadcast(ts))
+        .filter((lit(100L) + col("t")) * col("inter")
+          >= col("t") * (col("na") + col("nb")))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("inter")).as("sum_inter"))
+        .crossJoin(broadcast(base))
+        .select(col("t"), col("n_pairs"), col("sum_inter"), col("n_base"),
+          round(col("n_pairs").cast(DoubleType) / col("n_base"), 6)
+            .cast(DoubleType).as("share"))
+        .orderBy("t")
+    }),
+
     // qd4 embedding near-dup: 64-hyperplane sign sketch → 4×16-bit bands →
     // exact fixed-point cosine ≥ 0.4 on candidates
     "qd4_embdup" -> ((s, d) =>
@@ -2485,6 +2519,46 @@ object DedupExt {
         |    / 3, 4) AS DOUBLE) AS recall3
         |FROM br LEFT JOIN ar ON ar.q = br.q AND ar.vec_id = br.vec_id
         |GROUP BY br.q ORDER BY br.q""".stripMargin,
+
+    // qd17: qd3's CTEs + the τ dimension; the t=50 row must equal
+    // qd3's pair count exactly
+    "qd17_threshsweep" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, sh AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, greatest(len(string_split(text,' ')) - 3, 0)),
+         |      k -> array_to_string(string_split(text,' ')[k:k+3], ' '))) AS sh
+         |    FROM documents)
+         |),
+         |th AS (SELECT DISTINCT doc_id, ${duckH("tok")} AS h FROM sh),
+         |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
+         |           FROM generate_series(0, 15) t(i)),
+         |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
+         |          FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM th GROUP BY 1),
+         |ints AS (SELECT c.a, c.b, COUNT(*) AS inter
+         |         FROM cand c JOIN th ta ON ta.doc_id = c.a
+         |                     JOIN th tb ON tb.doc_id = c.b AND tb.h = ta.h
+         |         GROUP BY 1, 2),
+         |pairs AS (SELECT a, b, inter, sa.nt AS na, sb.nt AS nb
+         |          FROM ints JOIN sizes sa ON sa.doc_id = a
+         |                    JOIN sizes sb ON sb.doc_id = b
+         |          WHERE 2*inter >= sa.nt + sb.nt - inter),
+         |ts AS (SELECT unnest(generate_series(CAST(5 AS BIGINT),
+         |         CAST(9 AS BIGINT))) * 10 AS t),
+         |base AS (SELECT COUNT(*) AS n_base FROM pairs)
+         |SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(inter) AS BIGINT) AS sum_inter,
+         |       CAST(n_base AS BIGINT) AS n_base,
+         |       CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / n_base, 6) AS DOUBLE)
+         |         AS share
+         |FROM pairs CROSS JOIN ts CROSS JOIN base
+         |WHERE (100 + t) * inter >= t * (na + nb)
+         |GROUP BY t, n_base ORDER BY t""".stripMargin,
 
     // qs14: qs5's replay with the probe-budget dimension — candidates
     // restricted to band keys k < p, grouped per budget
