@@ -288,6 +288,34 @@ object TextExt {
     // row-local crossJoin pass + a partial-aggregatable argmin groupBy
     // — the corpus never self-joins (qs2's small-pairwise-relation
     // lesson: array kernels win here).
+    // QT23 ZIPF RANK-FREQUENCY AUDIT — the corpus-health check behind
+    // tokenizer and vocab decisions (natural text has r·f ≈ const;
+    // synthetic, templated, or scraped-boilerplate corpora don't —
+    // and a log-log regression would need ln(), which cannot cross
+    // engines): the top-50 tokens by exact count with rank·freq as
+    // the EXACT INTEGER constancy signal, plus each token's share of
+    // the corpus as one rounded IEEE division. Scale: one partial-
+    // aggregatable token count; the top-k is TakeOrdered over the
+    // vocab-sized relation (never a corpus sort), and the rank window
+    // runs over exactly 50 rows.
+    "qt23_zipf" -> ((s, d) => {
+      val counts = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val tot = counts.agg(sum(col("freq")).as("n_tok"))
+      val top = counts.orderBy(col("freq").desc, col("tok")).limit(50)
+      val w = Window.orderBy(col("freq").desc, col("tok"))
+      top
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("tok"), col("freq"),
+          (col("rank") * col("freq")).as("rf"),
+          round(col("freq").cast(DoubleType) / col("n_tok"), 6)
+            .cast(DoubleType).as("share"))
+        .orderBy("rank")
+    }),
+
     // Q120 EXACT CLUSTER MEDOIDS — the serving/clustering verb k-means
     // (qs4) cannot give: the centroid is a synthetic mean vector, but
     // a cache key, an exemplar document, or a routing prototype must
@@ -1783,6 +1811,21 @@ object TextExt {
 
     // qe5: the two-stage assignment replayed with ROW_NUMBER argmins —
     // identical (d², cid) tie order, exact integer arithmetic throughout
+    "qt23_zipf" ->
+      """WITH c AS (SELECT tok, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE strlen(tok) > 0 GROUP BY tok),
+        |tot AS (SELECT SUM(freq) AS n_tok FROM c),
+        |top AS (SELECT tok, freq,
+        |          CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok)
+        |            AS BIGINT) AS rank
+        |        FROM c ORDER BY freq DESC, tok LIMIT 50)
+        |SELECT rank, tok, CAST(freq AS BIGINT) AS freq,
+        |       CAST(rank * freq AS BIGINT) AS rf,
+        |       CAST(ROUND(CAST(freq AS DOUBLE) / n_tok, 6) AS DOUBLE)
+        |         AS share
+        |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin,
+
     "q120_medoid" ->
       """WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
         |ex AS (SELECT vec_id, i,
