@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{BalanceState, BalEvent, QuotaEvent, QuotaState}
+
+/** The streaming==batch claims for the round-8 state operators rest on
+  * one algebraic property: folding a user's series in ANY time-split
+  * batching (each batch internally unsorted — the fold sorts) equals
+  * the single-batch fold. The restart specs exercise one median split;
+  * this property test exercises many random split points and random
+  * within-batch shuffles, so the carry logic (day rollover, running
+  * min/sum) can't quietly depend on the particular split the fixture
+  * happens to produce. */
+class FoldSplitPropSpec extends AnyFunSuite {
+
+  private def ts(us: Long) = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  test("QuotaState: any time-split batching == one batch, many seeds") {
+    val rnd = new scala.util.Random(99L)
+    for (trial <- 1 to 50) {
+      val n = 5 + rnd.nextInt(60)
+      // events across ~4 days with duplicates-in-time possible
+      val evs = (1 to n).map { i =>
+        QuotaEvent(7L, i.toLong,
+          ts(rnd.nextInt(4 * 86400) * 1000000L + rnd.nextInt(1000)))
+      }
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val (oneShot, _) = QuotaState.foldBatch(7L, None, rnd.shuffle(evs))
+      // split the TIME-SORTED feed at 0-3 random points, shuffle within
+      val cuts = Seq.fill(rnd.nextInt(4))(rnd.nextInt(n + 1)).sorted.distinct
+      val bounds = (0 +: cuts :+ n).distinct.sorted
+      var st: Option[graft.streaming.QuotaCount] = None
+      var out = Vector.empty[graft.streaming.QuotaAdmit]
+      bounds.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) {
+          val (hits, s2) =
+            QuotaState.foldBatch(7L, st, rnd.shuffle(sorted.slice(a, b)))
+          out ++= hits; st = Some(s2)
+        }
+      }
+      assert(out == oneShot, s"trial $trial: split fold diverged")
+    }
+  }
+
+  test("BalanceState: any time-split batching == one batch, many seeds") {
+    val rnd = new scala.util.Random(123L)
+    for (trial <- 1 to 50) {
+      val n = 5 + rnd.nextInt(60)
+      val evs = (1 to n).map { i =>
+        BalEvent(9L, i.toLong,
+          ts(rnd.nextInt(4 * 86400) * 1000000L),
+          if (rnd.nextBoolean()) "click" else "purchase",
+          Some(rnd.nextInt(500) / 100.0))
+      }
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val (oneShot, endSt) = BalanceState.foldBatch(9L, None, rnd.shuffle(evs))
+      val cuts = Seq.fill(rnd.nextInt(4))(rnd.nextInt(n + 1)).sorted.distinct
+      val bounds = (0 +: cuts :+ n).distinct.sorted
+      var st: Option[graft.streaming.BalMoments] = None
+      var out = Vector.empty[graft.streaming.BalRow]
+      bounds.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) {
+          val (rows, s2) =
+            BalanceState.foldBatch(9L, st, rnd.shuffle(sorted.slice(a, b)))
+          out ++= rows; st = Some(s2)
+        }
+      }
+      assert(out == oneShot, s"trial $trial: split fold diverged")
+      assert(st.contains(endSt), s"trial $trial: end state diverged")
+      // the identity itself: every balance is the clamped fold
+      var bal = 0L
+      sorted.zip(oneShot).foreach { case (e, r) =>
+        val cents = math.floor(e.value.get * 100.0).toLong
+        val x = if (e.event_type == "click") cents else -cents
+        bal = math.max(0L, bal + x)
+        assert(r.balance == bal,
+          s"trial $trial: identity broke at event ${e.event_id}")
+      }
+    }
+  }
+}
