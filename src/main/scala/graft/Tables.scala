@@ -66,4 +66,16 @@ object Conv {
   def r4(c: Column): Column = round(c, 4).cast(DoubleType)
 
   def r6(c: Column): Column = round(c, 6).cast(DoubleType)
+
+  /** Exact integer FLOOR division (Math.floorDiv semantics) in pure
+    * long arithmetic: Spark's `div` truncates toward zero, DuckDB's `//`
+    * and the streaming folds' Math.floorDiv floor — they differ on
+    * negative numerators (pre-1970 epoch micros). pmod(n, d) is always
+    * in [0, d) for d > 0, so (n - pmod(n, d)) is the largest multiple
+    * of d <= n; integer `div` of that exact multiple is then the floor
+    * quotient with no IEEE rounding anywhere (valid for ALL longs). */
+  def floorDiv(n: Column, d: Long): Column = {
+    require(d > 0, s"floorDiv divisor must be positive, got $d")
+    call_function("div", n - pmod(n, lit(d)), lit(d))
+  }
 }

@@ -571,7 +571,14 @@ object DedupExt {
           col("dp48").cast(DoubleType)
             + sqrt(col("s2").cast(DoubleType) * col("qs2").cast(DoubleType))
             >= lit(0.35)
-            * sqrt(col("n2").cast(DoubleType) * col("qn2").cast(DoubleType)))
+            * sqrt(col("n2").cast(DoubleType) * col("qn2").cast(DoubleType))
+            // relative-epsilon slack (JaroWinklerPrefilter's convention):
+            // the Cauchy–Schwarz bound is mathematically >=, but sqrt
+            // rounding in IEEE doubles could otherwise shave a true hit
+            // sitting exactly on the cos=0.35 boundary. Shrinking the
+            // RHS by 1e-9× makes the prune only ever MORE permissive —
+            // extra survivors are removed by the exact integer verify.
+            * lit(1.0 - 1e-9))
       val nAll = cand.agg(count(lit(1)).as("n_all"))
       val survivors = cand.filter(col("keep"))
       val nExact = survivors.agg(count(lit(1)).as("n_exact"))
@@ -2363,7 +2370,7 @@ object DedupExt {
         |aud AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
         |          CAST(SUM(CASE WHEN CAST(dp48 AS DOUBLE)
         |              + SQRT(CAST(s2 AS DOUBLE) * CAST(qs2 AS DOUBLE))
-        |              >= 0.35 * SQRT(CAST(n2 AS DOUBLE) * CAST(qn2 AS DOUBLE))
+        |              >= 0.35 * SQRT(CAST(n2 AS DOUBLE) * CAST(qn2 AS DOUBLE)) * (1.0 - 1e-9)
         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
         |        FROM j)
         |SELECT vec_id, CAST(ROUND(CAST(dot AS DOUBLE)

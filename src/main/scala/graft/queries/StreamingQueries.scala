@@ -628,7 +628,7 @@ object StreamingQueries {
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("t"))
-        .withColumn("day", expr("t div 86400000000"))
+        .withColumn("day", Conv.floorDiv(col("t"), 86400000000L))
         .withColumn("rk", row_number().over(w).cast(LongType))
         .filter(col("rk") <= graft.streaming.QuotaState.Cap)
         .select("user_id", "event_id", "day", "rk")
@@ -806,7 +806,7 @@ object StreamingQueries {
     "s22_m4stream" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) AS t, event_id, value AS x,
-        |         to_timestamp((epoch_us(ts) // 21600000000) * 21600) AS ws
+        |         make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS ws
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
         |r AS (SELECT event_type, ws, t, event_id, x,
         |        ROW_NUMBER() OVER (PARTITION BY event_type, ws

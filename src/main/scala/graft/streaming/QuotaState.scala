@@ -54,7 +54,16 @@ object QuotaState {
     sorted.foreach { e =>
       val d = dayOf(e.ts)
       // the time-ordered feed contract makes d monotone per user; on a
-      // new day the counter resets
+      // new day the counter resets. A REGRESSION (event from an earlier
+      // day than the stored state) means the feed violated the contract
+      // — resetting would silently reopen the user's quota and lose the
+      // current day's count, so fail loudly instead (QuotaStreamSpec
+      // pins this guard).
+      if (st.day != Long.MinValue && d < st.day)
+        throw new IllegalStateException(
+          s"QuotaState: out-of-order feed — user $uid event ${e.event_id} " +
+            s"is on day $d but state already advanced to day ${st.day}; " +
+            "the quota gate requires a time-ordered feed")
       if (d != st.day) st = QuotaCount(d, 0L)
       if (st.n < Cap) {
         out :+= QuotaAdmit(uid, e.event_id, d, st.n + 1)

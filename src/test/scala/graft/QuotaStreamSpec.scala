@@ -90,4 +90,19 @@ class QuotaStreamSpec extends AnyFunSuite {
     val (a3, _) = QuotaState.foldBatch(8L, None, Seq(e(21, 50), e(20, 40)))
     assert(a3.map(_.event_id) == Seq(20L, 21L))
   }
+
+  test("fold contract: a cross-batch day REGRESSION fails loudly, never reopens the quota") {
+    import java.sql.Timestamp
+    def e(id: Long, sec: Long) = QuotaEvent(7L, id, new Timestamp(sec * 1000L))
+    // state advanced to day 1; a late event from day 0 arrives in a
+    // later micro-batch — silently resetting would reopen day 0's quota
+    val st = QuotaCount(1L, 3L)
+    val ex = intercept[IllegalStateException] {
+      QuotaState.foldBatch(7L, Some(st), Seq(e(99, 100)))
+    }
+    assert(ex.getMessage.contains("out-of-order"))
+    // forward-day events still fold normally from that state
+    val (a, st2) = QuotaState.foldBatch(7L, Some(st), Seq(e(100, 2 * 86400 + 5)))
+    assert(a.map(_.event_id) == Seq(100L) && st2 == QuotaCount(2L, 1L))
+  }
 }

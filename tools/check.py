@@ -63,18 +63,24 @@ def main(sf_dir, out_dir):
         if len(sc) != len(oc):
             print(f"FAIL {name}: rows spark={len(sc)} oracle={len(oc)}"); n_fail += 1; continue
         if sc == oc:
-            # type-level diff warning (driver may or may not care)
+            # Type-strict gate: the driver compares schemas (r08 failed s22 on
+            # TIMESTAMPTZ-vs-TIMESTAMP while values matched), so the local gate
+            # must too. Both sides are DESCRIBE'd through DuckDB so the type
+            # strings are directly comparable.
             otypes = {}
             try:
                 od = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
                 otypes = {r[0]: r[1] for r in od}
-            except Exception:
-                pass
+            except Exception as e:
+                print(f"FAIL {name}: oracle DESCRIBE error: {e}"); n_fail += 1; continue
             stypes = {r[0]: r[1] for r in sdesc}
             tdiff = {c: (stypes.get(c), otypes.get(c)) for c in scols
-                     if otypes and stypes.get(c) != otypes.get(c)}
-            extra = f"  [type-diff {tdiff}]" if tdiff else ""
-            print(f"PASS {name} ({len(sc)} rows){extra}"); n_pass += 1
+                     if stypes.get(c) != otypes.get(c)}
+            if tdiff:
+                print(f"FAIL {name}: value-match but TYPE mismatch {tdiff}")
+                n_fail += 1
+                continue
+            print(f"PASS {name} ({len(sc)} rows)"); n_pass += 1
         elif sorted(map(tuple, sc)) == sorted(map(tuple, oc)):
             print(f"WARN {name}: same multiset, different ORDER"); n_fail += 1
         else:
