@@ -2423,7 +2423,13 @@ object Relational {
         .distinct()
       val freq = b.groupBy("p").agg(count(lit(1)).as("c"))
         .filter(col("c") >= minSup)
-      val fb = b.join(broadcast(freq.select("p")), Seq("p"), "left_semi")
+      // basket-size guard (BasketCap): pair generation is quadratic in
+      // basket size, so the projection side is capped to each basket's
+      // 64 smallest frequent parts — never binds on ≤7-part TPC-H
+      // baskets, bounds the hot-basket fan-out at scale. The oracle
+      // declares the identical bound (QUALIFY row_number).
+      val fb = graft.operators.BasketCap.capParts(
+        b.join(broadcast(freq.select("p")), Seq("p"), "left_semi"), "o", "p")
       val nBaskets = b.select("o").distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val pairs = fb.as("a")
@@ -2462,9 +2468,13 @@ object Relational {
     // joins. Per-node triangle participation + the global count ride
     // as exact BIGINT audit columns.
     "q104_triangles" -> ((s, d) => {
-      val b = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+      // basket-size guard (BasketCap, q102's convention): the order→part
+      // pair projection is capped per basket so one hot basket can't go
+      // quadratic; the oracle declares the identical bound.
+      val b = graft.operators.BasketCap.capParts(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(), "o", "p")
       val e = b.as("a")
         .join(b.as("bb"), col("a.o") === col("bb.o")
           && col("a.p") < col("bb.p"))
@@ -3041,7 +3051,7 @@ object Relational {
       val sess = t(s, d, "events")
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id"),
-          expr("unix_micros(ts) div 86400000000").as("day"),
+          Conv.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"),
           struct(unix_micros(col("ts")).as("t"), col("event_id"),
             col("event_type").as("et")).as("ev"))
         .groupBy("user_id", "day")
@@ -4347,10 +4357,10 @@ object Relational {
         |f AS (SELECT p, COUNT(*) AS c FROM b GROUP BY 1
         |      HAVING COUNT(*) >= 20),
         |nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM b),
+        |fb AS (SELECT o, p FROM b WHERE p IN (SELECT p FROM f)
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) <= 64),
         |pr AS (SELECT a.p AS pa, c.p AS pb, COUNT(*) AS c12
-        |       FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
-        |       WHERE a.p IN (SELECT p FROM f)
-        |         AND c.p IN (SELECT p FROM f)
+        |       FROM fb a JOIN fb c ON a.o = c.o AND a.p < c.p
         |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
         |SELECT pa, pb, CAST(c12 AS BIGINT) AS c12,
         |       CAST(fa.c AS BIGINT) AS ca, CAST(fb.c AS BIGINT) AS cb,
@@ -4365,8 +4375,10 @@ object Relational {
         |ORDER BY pa, pb""".stripMargin,
 
     "q104_triangles" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |           FROM lineitem),
+      """WITH b0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |b AS (SELECT o, p FROM b0
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) <= 64),
         |e AS (SELECT a.p AS u, c.p AS v FROM b a
         |      JOIN b c ON a.o = c.o AND a.p < c.p
         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
