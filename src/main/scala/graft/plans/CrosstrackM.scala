@@ -87,6 +87,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((CrosstrackM.ident, CrosstrackM.info, CrosstrackM(_)))
     ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
     ext.injectFunction((RollHash31.ident, RollHash31.info, RollHash31.builder))
+    ext.injectFunction((ShingleSetHash31.ident, ShingleSetHash31.info,
+      ShingleSetHash31.builder))
     ext.injectFunction((IntersectSortedCount.ident, IntersectSortedCount.info,
       IntersectSortedCount.builder))
     ext.injectFunction((FirstCommonSorted.ident, FirstCommonSorted.info,

@@ -1772,14 +1772,16 @@ object DedupExt {
     // one candidate-pair-bounded groupBy; per-doc rank windows are
     // bounded by document length.
     "qd15_containment" -> ((s, d) => {
-      graft.plans.RollHash31.register(s)
+      graft.plans.ShingleSetHash31.register(s)
+      graft.plans.IntersectSortedCount.register(s)
+      // native one-pass shingle-set kernel (ShingleSetHash31): hash-
+      // identical to the declarative roll_hash31-over-windows form the
+      // oracle replays (ShingleSetSpec pins the equivalence on the
+      // fixture), but each char hashes once and the lambda/allocation
+      // churn of the interpreted HOF is gone
       val per = graft.Tables(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), expr(
-          "array_sort(array_distinct(IF(size(tk) >= 3, " +
-            "transform(sequence(1, size(tk) - 2), " +
-            "k -> roll_hash31(array_join(slice(tk, k, 3), ' '))), " +
-            "array())))").as("fs"))
+        .select(col("doc_id"),
+          expr("shingle_set_hash31(split(text, ' '), 3)").as("fs"))
         .filter(size(col("fs")) > 0)
         .select(col("doc_id"), col("fs"),
           size(col("fs")).cast(LongType).as("na"))
@@ -1804,7 +1806,10 @@ object DedupExt {
         .join(pc.select(col("doc_id").as("b"), col("fs").as("fb")),
           Seq("b"))
         .withColumn("inter",
-          size(array_intersect(col("fa"), col("fb"))).cast(LongType))
+          // fs is sorted+distinct by construction: the codegen'd
+          // two-pointer merge replaces array_intersect's per-pair
+          // hash-set allocation
+          expr("intersect_sorted_count(fa, fb)"))
         .filter(lit(5L) * col("inter") >= lit(4L) * col("na"))
         .select(col("a"), col("b"), col("na"), col("inter"),
           round(col("inter").cast(DoubleType) / col("na"), 6)

@@ -31,6 +31,48 @@ class PerfLabSpec extends AnyFunSuite {
     time("q68 AQE on again")(run())
   }
 
+  test("qd15: stage decomposition") {
+    assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    graft.plans.RollHash31.register(spark)
+    def per = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), expr(
+        "array_sort(array_distinct(IF(size(tk) >= 3, " +
+          "transform(sequence(1, size(tk) - 2), " +
+          "k -> roll_hash31(array_join(slice(tk, k, 3), ' '))), " +
+          "array())))").as("fs"))
+      .filter(size(col("fs")) > 0)
+      .select(col("doc_id"), col("fs"),
+        size(col("fs")).cast(LongType).as("na"))
+    time("qd15 per-doc shingles only")(per.count())
+    def candCount(): Long = {
+      val pc = graft.operators.OpCaches.track(per)
+      val th = pc.select(col("doc_id"), col("na"), explode(col("fs")).as("h"))
+      val df = th.groupBy("h").agg(count(lit(1)).as("hdf"))
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("hdf", "h")
+      val prefix = th.join(df, Seq("h"))
+        .withColumn("rk", row_number().over(wD))
+        .filter(col("rk") <= col("na") - expr("(4 * na + 4) div 5") + 1L)
+        .select(col("doc_id").as("a"), col("h"))
+      val n = prefix
+        .join(th.select(col("doc_id").as("b"), col("h")), Seq("h"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("npfx"))
+        .count()
+      graft.operators.OpCaches.releaseAll()
+      n
+    }
+    time("qd15 through cand")(info(s"cand=${candCount()}"))
+    def full(): Unit = {
+      SparkEntry.queries("qd15_containment")(spark, sf).collect()
+      graft.operators.OpCaches.releaseAll()
+    }
+    time("qd15 full")(full())
+  }
+
   test("qt9/qt14: duplicated tokenize pass") {
     assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
     def run(q: String): Unit = {
