@@ -240,17 +240,13 @@ object GeoQueries {
     "g08_polyjoin" -> ((s, d) => {
       import s.implicits._
       val edges = g08Edges.toDF("rid", "xi", "yi", "xj", "yj")
-      val pts = housePoints(s, geoDir(d)).select(col("hn_id"), col("px"), col("py"))
-      pts.crossJoin(broadcast(edges))
-        .withColumn("c",
-          when(((col("yi") > col("py")) =!= (col("yj") > col("py"))) &&
-            col("px") < col("xi") + (col("xj") - col("xi"))
-              * (col("py") - col("yi")) / (col("yj") - col("yi")), 1L)
-            .otherwise(0L))
-        .groupBy("hn_id", "px", "py", "rid").agg(sum(col("c")).as("nc"))
-        .groupBy("hn_id", "px", "py")
-        .agg(min(when(col("nc") % 2 === 1, col("rid"))).as("r0"))
-        .withColumn("region", coalesce(col("r0"), lit(0)).cast(LongType))
+      val pts = housePoints(s, geoDir(d))
+        .select(col("hn_id").as("id"), col("px"), col("py"))
+      // broadcast strategy — right while edges are O(polygons)-small;
+      // PolyJoin.gridAssign is the partitioned fallback for data-sized
+      // polygon sets (PolyJoinSpec pins path equality + the
+      // no-broadcast plan shape)
+      PolyJoin.broadcastAssign(pts, edges)
         .groupBy("region")
         .agg(count(lit(1)).as("n"),
           round(sum(col("px").cast(DecimalType(28, 14))), 6)
@@ -278,7 +274,8 @@ object GeoQueries {
     4 -> Seq((-74.012, 40.744), (-74.002, 40.754), (-73.992, 40.744),
       (-74.002, 40.734)))
 
-  private[geo] val g08Edges: Seq[(Int, Double, Double, Double, Double)] =
+  /** exposed for PolyJoinSpec */
+  private[graft] val g08Edges: Seq[(Int, Double, Double, Double, Double)] =
     g08Polys.flatMap { case (rid, vs) =>
       vs.indices.map { i =>
         val (xi, yi) = vs(i); val (xj, yj) = vs((i + 1) % vs.size)
