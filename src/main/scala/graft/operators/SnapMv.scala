@@ -97,6 +97,9 @@ object SnapMv {
            spec: MvSpec): State = {
     val f = fs(spark, mvDir)
     var st = state(spark, mvDir)
+    require(!f.exists(cdcMarker(mvDir)),
+      s"MV at $mvDir is a CDC summary — continue it with syncCdc " +
+        "(different summary schema)")
     val latest = SnapTable.latestVersion(spark, tableDir)
     while (st.syncedVersion < latest) {
       val v = st.syncedVersion + 1
@@ -148,5 +151,131 @@ object SnapMv {
   def destroy(spark: SparkSession, mvDir: String): Unit = {
     val f = fs(spark, mvDir)
     f.delete(new Path(mvDir), true)
+  }
+
+  // ───────────────────────── CDC-consuming sync ─────────────────────────
+  //
+  // `sync` above refuses any version that removed files (append-only
+  // contract). `syncCdc` is the changelog-consuming refresh (verdict-r8
+  // item 9): UPDATE/DELETE/OVERWRITE versions fold in as RETRACTIONS.
+  //
+  // The delta for version v is still pure manifest arithmetic — rows of
+  // `files(v) \ files(v-1)` enter with sign +1, rows of
+  // `files(v-1) \ files(v)` with sign −1. A copy-on-write rewrite
+  // (q72/q64: file F replaced by F′ = F minus deleted plus updated rows)
+  // needs NO row-level reconciliation: every row F and F′ share
+  // contributes +x and −x to the same group and cancels EXACTLY in the
+  // aggregate domain, which is also why the measures are restricted to
+  // COUNT and EXACT-typed SUMs (decimal/integral — IEEE doubles don't
+  // cancel associatively; MIN/MAX are not retractable at all and stay
+  // with the append-only `sync` or a rebuild, the standard IVM
+  // restriction). NULL-measure exactness: each sum carries a non-null
+  // counter `_nn_i`, and the published `_sum_i` is NULL iff `_nn_i` = 0
+  // — so a group whose surviving rows are all NULL reads NULL, exactly
+  // like a full recompute (a bare running sum could not distinguish
+  // "all NULL" from "sums to 0").
+  //
+  // Crash-safety is unchanged: generation write + pointer swap over
+  // immutable manifest deltas — a replayed fold rebuilds the identical
+  // generation. A `_cdc` marker pins the MV's schema kind so one
+  // directory can never mix the two fold disciplines.
+
+  private def cdcMarker(dir: String) = new Path(s"$dir/_cdc")
+
+  private def requireExactSumTypes(agg: DataFrame, spec: MvSpec): Unit =
+    spec.sums.indices.foreach { i =>
+      val t = agg.schema(s"_s_$i").dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+          || t == org.apache.spark.sql.types.LongType
+          || t == org.apache.spark.sql.types.IntegerType,
+        s"syncCdc sum $i has inexact type ${t.simpleString}: retraction " +
+          "needs exact cancellation — cast the measure to DECIMAL first")
+    }
+
+  /** Signed partial aggregate in the CDC-internal schema:
+    * (group, _cnt, _s_i running exact sum, _nn_i non-null count). */
+  private def signedAgg(df: DataFrame, spec: MvSpec, sign: Int): DataFrame = {
+    val aggCols =
+      Seq(count(lit(1)).as("_c")) ++
+        spec.sums.zipWithIndex.flatMap { case (c, i) =>
+          Seq(sum(c).as(s"_rs_$i"), count(c).as(s"_rn_$i"))
+        }
+    val p = df.groupBy(spec.groupCols.map(df(_)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    def signed(c: Column): Column = if (sign >= 0) c else negate(c)
+    p.select((spec.groupCols.map(p(_)) :+ signed(col("_c")).as("_cnt")) ++
+      spec.sums.indices.flatMap { i =>
+        val zero = lit(0).cast(p.schema(s"_rs_$i").dataType)
+        Seq(signed(coalesce(col(s"_rs_$i"), zero)).as(s"_s_$i"),
+          signed(col(s"_rn_$i")).as(s"_nn_$i"))
+      }: _*)
+  }
+
+  /** Fold every not-yet-synced version — appends AND copy-on-write
+    * update/delete/overwrite versions — into a retraction-capable
+    * summary. Measures: COUNT + exact-typed SUMs only (see block
+    * comment). Idempotent for the same reasons as `sync`. */
+  def syncCdc(spark: SparkSession, tableDir: String, mvDir: String,
+              spec: MvSpec): State = {
+    require(spec.mins.isEmpty && spec.maxs.isEmpty,
+      "syncCdc folds retractable measures only (COUNT/SUM) — MIN/MAX " +
+        "need the append-only sync or a rebuild")
+    val f = fs(spark, mvDir)
+    var st = state(spark, mvDir)
+    require(st.generation == 0 || f.exists(cdcMarker(mvDir)),
+      s"MV at $mvDir was built by the append-only sync — a CDC fold " +
+        "cannot continue it (different summary schema)")
+    val latest = SnapTable.latestVersion(spark, tableDir)
+    while (st.syncedVersion < latest) {
+      val v = st.syncedVersion + 1
+      val prev: Set[String] =
+        if (v == 1) Set.empty
+        else SnapTable.files(spark, tableDir, v - 1).toSet
+      val cur = SnapTable.files(spark, tableDir, v)
+      val removed = (prev -- cur.toSet).toSeq.sorted
+      val added = cur.filterNot(prev)
+      def readFiles(rel: Seq[String]): DataFrame =
+        spark.read.parquet(rel.map(r => SnapTable.resolvePath(tableDir, r)): _*)
+      val prevGen: DataFrame =
+        if (st.generation == 0)
+          signedAgg(SnapTable.read(spark, tableDir, v).limit(0), spec, 1)
+        else spark.read.parquet(s"$mvDir/gen-${st.generation}")
+      requireExactSumTypes(prevGen, spec)
+      val parts = prevGen +:
+        (Seq(added -> 1, removed -> -1).collect {
+          case (rel, sign) if rel.nonEmpty => signedAgg(readFiles(rel), spec, sign)
+        })
+      val merged = parts.reduce(_.unionByName(_))
+      val folded = merged.groupBy(spec.groupCols.map(merged(_)): _*)
+        .agg(
+          sum(col("_cnt")).cast("long").as("_cnt"),
+          spec.sums.indices.flatMap { i =>
+            Seq(sum(col(s"_s_$i")).cast(prevGen.schema(s"_s_$i").dataType)
+                .as(s"_s_$i"),
+              sum(col(s"_nn_$i")).cast("long").as(s"_nn_$i"))
+          }: _*)
+        .filter(col("_cnt") =!= 0L)
+      val gen = st.generation + 1
+      folded.write.mode("overwrite").parquet(s"$mvDir/gen-$gen")
+      if (!f.exists(cdcMarker(mvDir))) {
+        val out = f.create(cdcMarker(mvDir), true)
+        try out.write("cdc".getBytes("UTF-8")) finally out.close()
+      }
+      st = State(gen, v)
+      swapPointer(f, mvDir, st)
+    }
+    st
+  }
+
+  /** User-facing view of a CDC summary: `_sum_i` is NULL iff the
+    * group's surviving rows are all NULL on that measure — exactly the
+    * full-recompute semantics. */
+  def readCdc(spark: SparkSession, mvDir: String, spec: MvSpec): DataFrame = {
+    val f = fs(spark, mvDir)
+    require(f.exists(cdcMarker(mvDir)), s"MV at $mvDir is not a CDC summary")
+    val g = read(spark, mvDir)
+    g.select((spec.groupCols.map(g(_)) :+ col("_cnt")) ++
+      spec.sums.indices.map(i =>
+        when(col(s"_nn_$i") > 0L, col(s"_s_$i")).as(s"_sum_$i")): _*)
   }
 }

@@ -673,6 +673,52 @@ object StreamingQueries {
           col("last.s").as("final_s"),
           col("last.balance").as("balance"))
         .orderBy("user_id")
+    }),
+
+    // S27 CHANGELOG-CONSUMING MV REFRESH — the retraction verb s18's
+    // append-only MV refuses (and MvStreamSpec pins that refusal): a
+    // replica summary maintained THROUGH copy-on-write UPDATE and
+    // DELETE versions of the base SnapTable. The delta is still pure
+    // manifest arithmetic — new files fold +, removed files fold − —
+    // and COW rewrite overlap cancels exactly in the aggregate domain
+    // (SnapMv.syncCdc's contract: COUNT + exact-typed SUMs; per-sum
+    // non-null counters make NULL groups read exactly like a
+    // recompute). The emitted (mv_gen, synced) = (4, 4) pins that four
+    // versions folded INCREMENTALLY, one generation each, never a
+    // rebuild; the oracle recomputes the final state from the raw
+    // table, so "incremental fold ≡ recompute" is hash-checked data.
+    // CdcMvSpec adds restart-equality (half the versions, a fresh
+    // fold, the rest) and the sync/syncCdc cross-guards. Scale: each
+    // refresh costs O(changed files + summary), never a base pass —
+    // the Delta/Iceberg CDF-consumer shape.
+    "s27_cdcmv" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tdir = "target/graft-cdcmv-tbl/" + tag
+      val mdir = "target/graft-cdcmv-mv/" + tag
+      graft.operators.SnapTable.destroy(s, tdir)
+      graft.operators.SnapMv.destroy(s, mdir)
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val spec = graft.operators.SnapMv.MvSpec(
+        groupCols = Seq("event_type"), sums = Seq(Conv.dec6(col("value"))))
+      graft.operators.SnapTable.commit(s, tdir,
+        e.filter(col("event_id") % 2 === 0),
+        append = true, meta = Map("batchId" -> "0"))
+      graft.operators.SnapMv.syncCdc(s, tdir, mdir, spec)
+      graft.operators.SnapTable.commit(s, tdir,
+        e.filter(col("event_id") % 2 === 1),
+        append = true, meta = Map("batchId" -> "1"))
+      graft.operators.SnapTable.update(s, tdir,
+        col("event_id") % 7 === 0,
+        Map("value" -> (col("value") + lit(100.0d))))
+      graft.operators.SnapTable.delete(s, tdir, col("event_id") % 5 === 0)
+      val st = graft.operators.SnapMv.syncCdc(s, tdir, mdir, spec)
+      graft.operators.SnapMv.readCdc(s, mdir, spec)
+        .select(col("event_type"), col("_cnt").as("n"),
+          Conv.r4(col("_sum_0")).as("sum_v"),
+          lit(st.generation.toLong).as("mv_gen"),
+          lit(st.syncedVersion.toLong).as("synced"))
+        .orderBy("event_type")
     })
   )
 
@@ -1048,7 +1094,23 @@ object StreamingQueries {
         |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
         |       CAST(s AS BIGINT) AS final_s,
         |       CAST(balance AS BIGINT) AS balance
-        |FROM last WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |FROM last WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // s27: full recompute of the mutated table's final state — the
+    // hash match proves the incremental retraction fold exact; the
+    // (mv_gen, synced) = (4, 4) literals pin the per-version
+    // incremental path as data
+    "s27_cdcmv" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 7 = 0 THEN value + 100 ELSE value END
+        |           AS value
+        |  FROM events WHERE event_id % 5 <> 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |         AS sum_v,
+        |       CAST(4 AS BIGINT) AS mv_gen, CAST(4 AS BIGINT) AS synced
+        |FROM base GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   val oracle: Map[String, String] = oracleBase +
