@@ -1554,6 +1554,47 @@ object TextExt {
           round((col("padded_tok") - col("real_tok")).cast(DoubleType)
             / col("padded_tok"), 6).cast(DoubleType))
         .orderBy("cap")
+    }),
+
+    // QX13 WEIGHTED PRIORITY SAMPLING — the size-biased sample a mixing
+    // pipeline draws when big documents should be proportionally more
+    // likely (qt5/qx10 are UNIFORM-rank; weighting is the missing
+    // verb). Priority sampling (Duffield–Lund–Thorup, public method):
+    // item priority q_i = w_i/u_i with u_i uniform, keep the top k,
+    // threshold τ = the (k+1)-th priority; each kept item's
+    // subset-sum estimate is max(w_i, τ) — unbiased for any subset.
+    // Determinism: u_i = LCG(doc_id)+1 ∈ [1, 2^31] (the qt5 generator)
+    // and the priority is the FIXED-POINT integer floor(w·2^31/u) —
+    // exact int64 arithmetic (w < 2^32 by contract), so the top-k
+    // order, τ, and membership are bit-identical in both engines; the
+    // one IEEE op is the final estimate display. Scale: top-(k+1) is a
+    // TakeOrderedAndProject — per-partition partial top-k, no global
+    // sort, no shuffle beyond k+1 rows per partition; weights ride the
+    // scan.
+    "qx13_prioritysample" -> ((s, d) => {
+      val k = 100
+      val pri = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").as("w"),
+          ((lit(1103515245L) * (col("doc_id") % 2147483648L) + 12345L)
+            % 2147483648L + 1L).as("u"))
+        .withColumn("priority", expr("(w * 2147483648) div u"))
+      val top = pri
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(k + 1)
+      val wTop = org.apache.spark.sql.expressions.Window
+        .orderBy(col("priority").desc, col("doc_id"))
+      val ranked = top.withColumn("rn", row_number().over(wTop))
+      val tau = ranked.filter(col("rn") === k + 1)
+        .select(col("priority").as("tau"))
+      val wtot = pri.agg(sum(col("w")).as("w_total"))
+      ranked.filter(col("rn") <= k)
+        .crossJoin(broadcast(tau)).crossJoin(broadcast(wtot))
+        .select(col("doc_id"), col("w"), col("priority"), col("tau"),
+          round(greatest(col("w").cast(DoubleType),
+            col("tau").cast(DoubleType) / lit(2147483648.0)), 6)
+            .cast(DoubleType).as("est"),
+          col("w_total"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2581,6 +2622,29 @@ object TextExt {
          |       CAST(ROUND(CAST(padded_tok - real_tok AS DOUBLE)
          |         / padded_tok, 6) AS DOUBLE) AS waste
          |FROM u ORDER BY cap""".stripMargin
-    }
+    },
+
+    // qx13: identical fixed-point priority arithmetic; // floors like
+    // Spark's div on these nonnegative values
+    "qx13_prioritysample" ->
+      """WITH pri AS (
+        |  SELECT doc_id, n_chars AS w,
+        |         (1103515245 * (doc_id % 2147483648) + 12345)
+        |           % 2147483648 + 1 AS u
+        |  FROM documents),
+        |p2 AS (SELECT doc_id, w, (w * 2147483648) // u AS priority
+        |       FROM pri),
+        |r AS (SELECT doc_id, w, priority,
+        |        ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn
+        |      FROM p2),
+        |tau AS (SELECT priority AS tau FROM r WHERE rn = 101),
+        |wt AS (SELECT SUM(w) AS w_total FROM p2)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w,
+        |       CAST(priority AS BIGINT) AS priority,
+        |       CAST(tau AS BIGINT) AS tau,
+        |       CAST(ROUND(GREATEST(CAST(w AS DOUBLE),
+        |         CAST(tau AS DOUBLE) / 2147483648.0), 6) AS DOUBLE) AS est,
+        |       CAST(w_total AS BIGINT) AS w_total
+        |FROM r, tau, wt WHERE rn <= 100 ORDER BY doc_id""".stripMargin
   )
 }
