@@ -84,6 +84,25 @@ object GeoQueries {
         col("distance_m"))
         .orderBy("house_number_id")),
 
+    // S28 STREAMING GEO INGEST — the reference pipeline run as a
+    // stream: house numbers arrive through the graft-ndjson DSv2
+    // micro-batch source and each batch matches against the STATIC
+    // street-segment grid (stream-static: points are independent, so
+    // per-batch matchPoints ≡ the global batch join — no state, no
+    // watermark; exactly-once rides the source's offset log). The batch
+    // form below IS g02's pipeline and the oracle is g02's SQL — the
+    // shared oracle is the claim (qs7/qs9's convention): a user can
+    // swap the reference's batch ETL for streaming ingest and get the
+    // identical relation. GeoStreamSpec pins streamed == batch
+    // row-for-row across a checkpointed restart with the fixture split
+    // into two micro-batches.
+    "s28_geostream" -> ((s, d) =>
+      inferred(s, geoDir(d)).select(
+        SpacetimeEtl.fullId("building-inspector", col("hn_id")).as("house_number_id"),
+        SpacetimeEtl.fullId("nyc-streets", col("sid")).as("street_id"),
+        col("distance_m"))
+        .orderBy("house_number_id")),
+
     // G03 transform fan-out (R17/R18 incl. the N5 mutation-aliasing:
     // the matched log's data_str is the MERGED struct). Matched and error
     // branches fan out in ONE conditional explode — the grid join runs
@@ -480,6 +499,9 @@ object GeoQueries {
     * preserve the camelCase column names the path-derived naming
     * produces. */
   val oracle: Map[String, String] = oracleFor(FixtureDir) +
+    // s28: g02's oracle verbatim — "streaming ingest ≡ the reference
+    // batch pipeline" IS the contract, so they share one oracle
+    ("s28_geostream" -> oracleFor(FixtureDir)("g02_nearest")) +
     ("g05_manifest" -> {
       val req = Seq("sheetId", "layerId", "mapId", "number", "borough")
       val ints = Seq("sheetId", "layerId", "mapId")
