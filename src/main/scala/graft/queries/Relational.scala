@@ -178,6 +178,30 @@ object Relational {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Q124 DISTRIBUTION-RANK WINDOW FAMILY — the four window functions
+    // q16/q35/q38 leave out: percent_rank, cume_dist (both defined on
+    // exact integer rank/count RATIOS — emitted rounded through one
+    // identical IEEE division), nth_value with an explicit frame, and
+    // first/last_value with the full-partition frame (last_value's
+    // default current-row frame is the classic footgun — the explicit
+    // unbounded frame is the semantics users mean). Same shape and
+    // scale story as q16: one per-customer window pass, partitions
+    // bounded by per-customer order counts.
+    "q124_rankstats" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(percent_rank().over(w), 6).cast(DoubleType).as("pr"),
+          round(cume_dist().over(w), 6).cast(DoubleType).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_ok"),
+          first(col("o_orderkey")).over(full).as("top_ok"),
+          last(col("o_orderkey")).over(full).as("bottom_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Q17 running frame + lag. Window order must be total within the
     // partition or the running sum is nondeterministic: (l_linenumber,
     // l_extendedprice) is unique within an order in this data.
@@ -3293,6 +3317,21 @@ object Relational {
       "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5 ORDER BY o_custkey",
     "q16_rank" ->
       "SELECT o_orderkey, o_custkey, ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_custkey, rn",
+    "q124_rankstats" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pr,
+        |  CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cd,
+        |  NTH_VALUE(o_orderkey, 2) OVER wf AS second_ok,
+        |  FIRST_VALUE(o_orderkey) OVER wf AS top_ok,
+        |  LAST_VALUE(o_orderkey) OVER wf AS bottom_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q17_frames" ->
       "SELECT l_orderkey, l_linenumber, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) OVER w,4) AS DOUBLE) AS run, LAG(l_linenumber,1) OVER w AS prev FROM lineitem WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY l_orderkey, l_linenumber, run, prev NULLS FIRST LIMIT 1000",
     "q18_topk" ->
