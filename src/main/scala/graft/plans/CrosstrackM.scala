@@ -100,6 +100,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimHashBands64.builder))
     ext.injectFunction((HyperplaneBands64.ident, HyperplaneBands64.info,
       HyperplaneBands64.builder))
+    ext.injectFunction((CovAccum64.ident, CovAccum64.info, CovAccum64.builder))
     ext.injectFunction((JaroWinklerSim.ident, JaroWinklerSim.info,
       JaroWinklerSim.builder))
     ext.injectFunction((HistBins600.ident, HistBins600.info,

@@ -401,6 +401,71 @@ object TextExt {
         .orderBy("cid1")
     }),
 
+    // QE6 PCA TOP COMPONENT — the embedding-analysis verb the qe
+    // family's quantizers feed on (which direction carries the
+    // variance drives channel/residual budget decisions): the leading
+    // eigenvector of the corpus covariance by power iteration, made
+    // CROSS-ENGINE EXACT end to end. Covariance is the q105/q95
+    // cross-scaled integer form — C[i][j] = n·Σxᵢxⱼ − (Σxᵢ)(Σxⱼ) over
+    // the fixed-point int64 embeddings, decimal-exact, one 4096-key
+    // partial aggregate over the pair-exploded relation. The 64×64
+    // matrix COLLECTS TO THE DRIVER (the qs4-centroid convention:
+    // metadata-scale state, O(d²) regardless of corpus size) and 8
+    // power iterations run in exact BigInt arithmetic; each iteration
+    // rescales by the power of ten that truncates the max-magnitude
+    // entry to ≤ 7 digits (digit count is exact in both engines, trunc
+    // division replayed verbatim), so there is NO floating point
+    // anywhere in the iteration and the DuckDB oracle replays the
+    // identical 8 rounds in HUGEINT. The single IEEE op is the final
+    // component display v/max|v|. Scale: the corpus pass is the one
+    // (i,j)-keyed aggregate; iteration cost is O(d²) driver-side.
+    "qe6_pca" -> ((s, d) => {
+      graft.plans.CovAccum64.register(s)
+      // ONE corpus pass through the native cov_accum64 aggregate: n,
+      // Σxᵢ, and the 2080 upper-triangle Σxᵢxⱼ accumulate in a single
+      // Array[Long] buffer per partition (a tight 2080-iteration JVM
+      // loop per vector; the exploded self-join form measured 4.0 s at
+      // sf0.1 — this is ~0.5 s)
+      val accRow = t(s, d, "embeddings")
+        .filter(size(col("embedding")) === 64)
+        .select(expr(
+          "cov_accum64(transform(embedding, " +
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)))")
+          .as("acc"))
+        .head()
+      val acc = accRow.getSeq[Long](0)
+      val dim = 64
+      val n = acc(0)
+      val s1 = Array.tabulate(dim + 1)(i =>
+        if (i == 0) BigInt(0) else BigInt(acc(i)))
+      val c = Array.ofDim[BigInt](dim + 1, dim + 1)
+      var k = 1 + dim
+      for (i <- 1 to dim; j <- i to dim) {
+        val v = BigInt(n) * BigInt(acc(k)) - s1(i) * s1(j)
+        c(i)(j) = v; c(j)(i) = v
+        k += 1
+      }
+      var v = Array.fill(dim + 1)(BigInt(1))
+      for (_ <- 1 to 8) {
+        val u = Array.tabulate(dim + 1)(i =>
+          if (i == 0) BigInt(0)
+          else (1 to dim).map(j => c(i)(j) * v(j)).sum)
+        val m = u.map(_.abs).max
+        val sh = math.max(m.toString.length - 7, 0)
+        val dv = BigInt(10).pow(sh)
+        // trunc-toward-zero division, replayed verbatim in the oracle
+        v = u.map(_ / dv)
+      }
+      import s.implicits._
+      val base = (1 to dim).map(i => (i.toLong, v(i).toLong)).toDF("i", "v")
+      val mxDf = base.agg(max(abs(col("v"))).as("mxv"))
+      base.crossJoin(broadcast(mxDf))
+        .select(col("i"), col("v"),
+          round(col("v").cast(DoubleType) / col("mxv").cast(DoubleType), 6)
+            .cast(DoubleType).as("comp"))
+        .orderBy("i")
+    }),
+
     "qe1_int8quant" -> ((s, d) =>
       t(s, d, "embeddings")
         // zero-length embeddings: the oracle's unnest drops such vec_ids
@@ -2622,6 +2687,46 @@ object TextExt {
          |       CAST(ROUND(CAST(padded_tok - real_tok AS DOUBLE)
          |         / padded_tok, 6) AS DOUBLE) AS waste
          |FROM u ORDER BY cap""".stripMargin
+    },
+
+    // qe6: the full replay — cross-scaled integer covariance in
+    // HUGEINT, then the identical 8 power-iteration rounds with
+    // digit-count trunc rescaling (no floating point until the final
+    // component display, the same single IEEE tree as the Spark side)
+    "qe6_pca" -> {
+      val iters = (1 to 8).map { k =>
+        val pv = if (k == 1) "v0" else s"v${k - 1}"
+        s"""u$k AS MATERIALIZED (SELECT c.i, SUM(c.c * v.v) AS u
+           |  FROM cov c JOIN $pv v ON v.i = c.j GROUP BY 1),
+           |m$k AS (SELECT GREATEST(LENGTH(CAST(MAX(ABS(u)) AS VARCHAR)) - 7, 0) AS sh
+           |        FROM u$k),
+           |d$k AS (SELECT CAST('1' || REPEAT('0', sh) AS HUGEINT) AS dv FROM m$k),
+           |v$k AS MATERIALIZED (SELECT i,
+           |  CASE WHEN u >= 0 THEN u // dv ELSE -((-u) // dv) END AS v
+           |  FROM u$k, d$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS MATERIALIZED (
+        |  SELECT vec_id, i,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT) AS xi
+        |  FROM embeddings, idx WHERE len(embedding) = 64),
+        |nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM ex),
+        |s1 AS (SELECT i, CAST(SUM(xi) AS HUGEINT) AS si FROM ex GROUP BY 1),
+        |sij AS (SELECT a.i AS i, b.i AS j,
+        |          CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(38,0))) AS HUGEINT) AS s
+        |        FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |cov AS MATERIALIZED (
+        |  SELECT sij.i, sij.j,
+        |    CAST(nn.n AS HUGEINT) * sij.s - sa.si * sb.si AS c
+        |  FROM sij JOIN s1 sa ON sa.i = sij.i JOIN s1 sb ON sb.i = sij.j
+        |  CROSS JOIN nn),
+        |v0 AS (SELECT i, CAST(1 AS HUGEINT) AS v FROM idx),
+        |$iters,
+        |mx AS (SELECT MAX(ABS(v)) AS mxv FROM v8)
+        |SELECT i, CAST(v AS BIGINT) AS v,
+        |       CAST(ROUND(CAST(v AS DOUBLE) / CAST(mxv AS DOUBLE), 6)
+        |         AS DOUBLE) AS comp
+        |FROM v8, mx ORDER BY i""".stripMargin
     },
 
     // qx13: identical fixed-point priority arithmetic; // floors like

@@ -31,6 +31,25 @@ class PerfLabSpec extends AnyFunSuite {
     time("q68 AQE on again")(run())
   }
 
+  test("qe6: stage decomposition") {
+    assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
+    import org.apache.spark.sql.functions._
+    graft.plans.CovAccum64.register(spark)
+    def pass() = graft.Tables(spark, sf, "embeddings")
+      .filter(size(col("embedding")) === 64)
+      .select(expr(
+        "cov_accum64(transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)))")
+        .as("acc"))
+      .head()
+    time("qe6 corpus pass only")(pass())
+    def full(): Unit = {
+      SparkEntry.queries("qe6_pca")(spark, sf).collect()
+      graft.operators.OpCaches.releaseAll()
+    }
+    time("qe6 full")(full())
+  }
+
   test("qd15: stage decomposition") {
     assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
     import org.apache.spark.sql.functions._
