@@ -623,6 +623,54 @@ object Relational {
         .orderBy("day")
     }),
 
+    // Q125 LINEAR-INTERPOLATION GAP FILL — q45 carries the LAST value
+    // forward (the step-function read); interpolation is the other fill
+    // a metrics pipeline needs (rates, gauges). Per event type and
+    // missing calendar day: value = (pv·(nd−d) + nv·(d−pd)) / (nd−pd)
+    // between the bracketing observed days — the numerator and
+    // denominator are EXACT INT64 (daily totals in cents, day indexes
+    // as integers; both ride as audit columns), the one IEEE division
+    // is the display. Bracketing rows come from last(..., ignoreNulls)
+    // / first(..., ignoreNulls) windows over the per-type calendar
+    // spine — one window pass each way, partitions bounded by the date
+    // range. Edge days with no bracket on one side stay NULL (a fill
+    // must not invent data past the observed range).
+    "q125_interp" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull
+          && col("event_type") === "purchase" && col("value") > 250)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast(LongType)
+            .as("day"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val daily = e.groupBy("event_type", "day")
+        .agg(sum(col("cents")).as("v"))
+      val cal = daily.groupBy("event_type")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1)")).as("day"))
+      val wB = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obs = when(col("v").isNotNull, struct(col("day"), col("v")))
+      cal.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("p", last(obs, ignoreNulls = true).over(wB))
+        .withColumn("nx", first(obs, ignoreNulls = true).over(wF))
+        .withColumn("num",
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("p.v") * (col("nx.day") - col("day"))
+              + col("nx.v") * (col("day") - col("p.day"))))
+        .withColumn("den",
+          when(col("v").isNotNull, lit(1L))
+            .otherwise(col("nx.day") - col("p.day")))
+        .select(col("event_type"), col("day"),
+          col("v").as("observed"), col("num"), col("den"),
+          round(col("num").cast(DoubleType) / col("den"), 6)
+            .cast(DoubleType).as("filled"))
+        .orderBy("event_type", "day")
+    }),
+
     // Q46 CSV SOURCE round-trip + malformed-record capture AS DATA. The
     // corpus writes to CSV (header, default quoting), a deterministic
     // corrupt fixture file joins the directory, and the read-back
@@ -3492,6 +3540,45 @@ object Relational {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v_ff
         |FROM cal c LEFT JOIN daily USING (day)
         |ORDER BY day""".stripMargin,
+
+    "q125_interp" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+        |         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type = 'purchase' AND value > 250),
+        |daily AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS v
+        |          FROM e GROUP BY 1, 2),
+        |cal AS (SELECT event_type, UNNEST(RANGE(mn, mx + 1)) AS day
+        |        FROM (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+        |              FROM daily GROUP BY 1)),
+        |j AS (SELECT c.event_type, c.day, d.v FROM cal c
+        |      LEFT JOIN daily d ON d.event_type = c.event_type
+        |                       AND d.day = c.day),
+        |b AS (SELECT event_type, day, v,
+        |        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |          OVER wb AS pd,
+        |        last_value(v IGNORE NULLS) OVER wb AS pv,
+        |        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |          OVER wf AS nd,
+        |        first_value(v IGNORE NULLS) OVER wf AS nv
+        |      FROM j
+        |      WINDOW wb AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wf AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |r AS (SELECT event_type, day, v AS observed,
+        |        CASE WHEN v IS NOT NULL THEN v
+        |             ELSE pv * (nd - day) + nv * (day - pd) END AS num,
+        |        CASE WHEN v IS NOT NULL THEN CAST(1 AS BIGINT)
+        |             ELSE nd - pd END AS den
+        |      FROM b)
+        |SELECT event_type, day, observed,
+        |       CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+        |       CAST(ROUND(CAST(num AS DOUBLE) / den, 6) AS DOUBLE) AS filled
+        |FROM r ORDER BY event_type, day""".stripMargin,
 
     // the oracle never sees the CSV: it recomputes the expected rows
     // from parquet, so a hash match proves the CSV round trip (write →
