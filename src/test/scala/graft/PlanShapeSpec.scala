@@ -389,6 +389,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pBi.contains("Window"), s"q88 grew a window:\n$pBi")
   }
 
+  test("round-9 additions: scale claims are plan properties") {
+    // qx13: weighted top-(k+1) is a partial top-k, never a global sort
+    val pPs = plan("qx13_prioritysample")
+    assert(pPs.contains("TakeOrderedAndProject"), pPs)
+    assert(!pPs.contains("SortMergeJoin"), pPs)
+    // qe6's corpus pass (it runs during query construction, so the
+    // RETURNED plan is the tiny local display relation — pin the
+    // covariance sub-plan directly): the ONE-buffer imperative
+    // aggregate (ObjectHashAggregate), no self-join, no explode
+    graft.plans.CovAccum64.register(spark)
+    val pPca = Tables(spark, TestSpark.Sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")) === 64)
+      .selectExpr("cov_accum64(transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))) AS acc")
+      .queryExecution.executedPlan.toString
+    assert(pPca.contains("ObjectHashAggregate"),
+      s"qe6 covariance lost the imperative-aggregate path:\n$pPca")
+    assert(!pPca.contains("Join") && !pPca.contains("Generate"),
+      s"qe6 covariance grew a join/explode:\n$pPca")
+    // q102/q104: the basket cap's per-basket window is present (the
+    // declared fan-out bound — losing it silently would reopen the
+    // quadratic)
+    assert(plan("q102_basket").contains("Window"), "q102 lost the basket cap")
+    assert(plan("q104_triangles").contains("Window"), "q104 lost the basket cap")
+    // q125: two window passes, no cartesian
+    val pIn = plan("q125_interp")
+    assert(pIn.contains("Window") && !pIn.contains("Cartesian"), pIn)
+  }
+
   test("asof: one shuffle on the key, no re-aggregation join") {
     val events = Tables(spark, TestSpark.Sf, "events")
       .selectExpr("event_id", "user_id AS o_custkey", "ts")
