@@ -719,6 +719,51 @@ object StreamingQueries {
           lit(st.generation.toLong).as("mv_gen"),
           lit(st.syncedVersion.toLong).as("synced"))
         .orderBy("event_type")
+    }),
+
+    // S29 STREAMING WEIGHTED SAMPLE — qx13's priority sample maintained
+    // AS DOCUMENTS ARRIVE: the bounded-state reservoir an ingest
+    // pipeline keeps so "a size-biased sample of everything so far" is
+    // always on hand without a corpus pass. State = the top-(k+1)
+    // priorities, O(k) per partial buffer (q36's TopKAgg — typed
+    // Aggregator, map-side partial top-k, one k-row merge), and because
+    // priorities are the DETERMINISTIC fixed-point integers of qx13,
+    // top-k membership is batching-order-independent — so the streamed
+    // reservoir equals this batch form equals qx13, and all three share
+    // ONE oracle (the qs7/qs9 shared-oracle convention).
+    // SampleStreamSpec pins streamed == batch across a checkpointed
+    // restart. doc_id zero-pads to 12 digits so the aggregate's string
+    // tiebreak is numeric order.
+    "s29_streamsample" -> ((s, d) => {
+      import s.implicits._
+      val pri = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").as("w"),
+          ((lit(1103515245L) * (col("doc_id") % 2147483648L) + 12345L)
+            % 2147483648L + 1L).as("u"))
+        .withColumn("priority", expr("(w * 2147483648) div u"))
+      val kv = pri
+        .select(lpad(col("doc_id").cast("string"), 12, "0").as("key"),
+          col("priority").as("value"))
+        .as[graft.functions.KV]
+      val top = kv.groupByKey(_ => true)
+        .agg(new graft.functions.TopKAgg(101).toColumn.name("top"))
+        .flatMap { case (_, seq) =>
+          seq.zipWithIndex.map { case (e, i) =>
+            (e.key.toLong, e.value, (i + 1).toLong) }
+        }
+        .toDF("doc_id", "priority", "rn")
+      val tau = top.filter(col("rn") === 101)
+        .select(col("priority").as("tau"))
+      val wtot = pri.agg(sum(col("w")).as("w_total"))
+      top.filter(col("rn") <= 100)
+        .join(pri.select(col("doc_id"), col("w")), Seq("doc_id"))
+        .crossJoin(broadcast(tau)).crossJoin(broadcast(wtot))
+        .select(col("doc_id"), col("w"), col("priority"), col("tau"),
+          round(greatest(col("w").cast(DoubleType),
+            col("tau").cast(DoubleType) / lit(2147483648.0)), 6)
+            .cast(DoubleType).as("est"),
+          col("w_total"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1114,6 +1159,10 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = oracleBase +
+    // s29: qx13's oracle VERBATIM — streamed reservoir ≡ batch top-k ≡
+    // the one-pass sample is the contract, one oracle enforces it
+    ("s29_streamsample" ->
+      graft.queries.TextExt.oracle("qx13_prioritysample")) +
     // s17: the composed pipeline's oracle reuses s12's two-batch
     // verdict replay verbatim as a CTE, keeps the accepted ('new')
     // docs — the published snapshot's exact membership — and
