@@ -2110,6 +2110,7 @@ object Relational {
         .groupBy("user_id")
         .agg(max(unix_micros(col("ts"))).as("mx"),
           min(unix_micros(col("ts"))).as("mn"))
+        // truncating div == floor here: mx >= mn by construction
         .select(col("user_id"), expr("(mx - mn) div 86400000000").as("days"))
       val dist = life.groupBy("days").agg(count(lit(1)).as("c"))
       val nu = life.agg(count(lit(1)).as("n_users"))
@@ -2196,6 +2197,7 @@ object Relational {
           sum(floor(coalesce(col("value"), lit(0.0)) * 100)
             .cast(LongType)).as("m"))
         .select(col("user_id"),
+          // truncating div == floor here: the anchor postdates every ts
           expr(s"($nowUs - last_t) div 86400000000").as("r"),
           col("f"), col("m"))
       def quartiles(dim: String): DataFrame = {

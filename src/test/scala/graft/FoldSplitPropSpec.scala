@@ -85,4 +85,74 @@ class FoldSplitPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Micros-exact ordering key (matches the folds' own sort —
+    * Timestamp.getTime truncates sub-ms and would mis-split). */
+  private def usOf(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  /** Generic split-fold harness for the remaining state operators
+    * (s19/s20/s21 — their restart specs exercise ONE median split;
+    * this exercises many random splits + within-batch shuffles). */
+  private def checkSplitFold[E, S, O](label: String, seed: Long,
+      gen: (scala.util.Random, Int) => E,
+      sortKey: E => (Long, Long),
+      fold: (Option[S], Seq[E]) => (Seq[O], S)): Unit = {
+    val rnd = new scala.util.Random(seed)
+    for (trial <- 1 to 50) {
+      val n = 5 + rnd.nextInt(60)
+      val evs = (1 to n).map(i => gen(rnd, i))
+      val sorted = evs.sortBy(sortKey)
+      val (oneShot, endSt) = fold(None, rnd.shuffle(evs))
+      val cuts = Seq.fill(rnd.nextInt(4))(rnd.nextInt(n + 1)).sorted.distinct
+      val bounds = (0 +: cuts :+ n).distinct.sorted
+      var st: Option[S] = None
+      var out = Vector.empty[O]
+      bounds.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) {
+          val (rows, s2) = fold(st, rnd.shuffle(sorted.slice(a, b)))
+          out ++= rows; st = Some(s2)
+        }
+      }
+      assert(out == oneShot, s"$label trial $trial: split fold diverged")
+      assert(st.contains(endSt), s"$label trial $trial: end state diverged")
+    }
+  }
+
+  test("FunnelState: any time-split batching == one batch, many seeds") {
+    import graft.streaming.{FunnelEvent, FunnelState}
+    checkSplitFold[FunnelEvent, graft.streaming.FunnelProgress,
+        graft.streaming.Conversion]("funnel", 7L,
+      (rnd, i) => FunnelEvent(3L,
+        Seq("view", "click", "purchase", "other")(rnd.nextInt(4)),
+        ts(rnd.nextInt(4 * 86400) * 1000000L + rnd.nextInt(1000)), i.toLong),
+      e => (usOf(e.ts), e.event_id),
+      (st, evs) => FunnelState.foldBatch(3L, st, evs))
+  }
+
+  test("Scd2State: any time-split batching == one batch, many seeds") {
+    import graft.streaming.{Scd2Event, Scd2State}
+    checkSplitFold[Scd2Event, graft.streaming.Scd2Open,
+        graft.streaming.Scd2Closed]("scd2", 11L,
+      (rnd, i) => Scd2Event(4L, i.toLong,
+        ts(rnd.nextInt(4 * 86400) * 1000000L + rnd.nextInt(1000)),
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(900) / 10.0)),
+      e => (usOf(e.ts), e.event_id),
+      (st, evs) => {
+        val (rows, s2) = Scd2State.foldBatch(4L, st, evs)
+        (rows, s2.getOrElse(
+          graft.streaming.Scd2Open(-1L, None, Long.MinValue)))
+      })
+  }
+
+  test("AnomState: any time-split batching == one batch, many seeds") {
+    import graft.streaming.{AnomEvent, AnomState}
+    checkSplitFold[AnomEvent, graft.streaming.AnomMoments,
+        graft.streaming.AnomHit]("anom", 13L,
+      (rnd, i) => AnomEvent(5L, i.toLong,
+        ts(rnd.nextInt(4 * 86400) * 1000000L + rnd.nextInt(1000)),
+        if (rnd.nextInt(7) == 0) None else Some(rnd.nextInt(300) / 100.0)),
+      e => (usOf(e.ts), e.event_id),
+      (st, evs) => AnomState.foldBatch(5L, st, evs))
+  }
 }
