@@ -764,7 +764,20 @@ object StreamingQueries {
             .cast(DoubleType).as("est"),
           col("w_total"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // S30 STREAMING EWMA — q79's truncated exponentially-weighted
+    // average as an in-flight per-user feature (streaming/EwmaState):
+    // the THIRD state shape in the s-family — a BOUNDED RING of the
+    // last 7 values, the carry any finite-window online feature
+    // (rolling mean, bounded lag features) needs, next to the scalar
+    // sums (s19/s21/s25/s26) and the open-row carry (s20). The batch
+    // form IS q79's window build and shares its oracle verbatim;
+    // EwmaStreamSpec pins the full streamed feed == the batch fold ==
+    // the window build across a checkpointed restart, and
+    // FoldSplitPropSpec pins any-split equality.
+    "s30_ewmastream" -> ((s, d) =>
+      graft.queries.Relational.queries("q79_ewma")(s, d))
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1163,6 +1176,9 @@ object StreamingQueries {
     // the one-pass sample is the contract, one oracle enforces it
     ("s29_streamsample" ->
       graft.queries.TextExt.oracle("qx13_prioritysample")) +
+    // s30: q79's oracle verbatim — streamed ring fold ≡ the batch
+    // window build is the contract
+    ("s30_ewmastream" -> graft.queries.Relational.oracle("q79_ewma")) +
     // s17: the composed pipeline's oracle reuses s12's two-batch
     // verdict replay verbatim as a CTE, keeps the accepted ('new')
     // docs — the published snapshot's exact membership — and

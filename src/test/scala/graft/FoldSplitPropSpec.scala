@@ -145,6 +145,17 @@ class FoldSplitPropSpec extends AnyFunSuite {
       })
   }
 
+  test("EwmaState: any time-split batching == one batch, many seeds") {
+    import graft.streaming.{EwmaEvent, EwmaState}
+    checkSplitFold[EwmaEvent, graft.streaming.EwmaRing,
+        graft.streaming.EwmaOut]("ewma", 17L,
+      (rnd, i) => EwmaEvent(6L, i.toLong,
+        ts(rnd.nextInt(4 * 86400) * 1000000L + rnd.nextInt(1000)),
+        if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(400) / 10.0)),
+      e => (usOf(e.ts), e.event_id),
+      (st, evs) => EwmaState.foldBatch(6L, st, evs))
+  }
+
   test("AnomState: any time-split batching == one batch, many seeds") {
     import graft.streaming.{AnomEvent, AnomState}
     checkSplitFold[AnomEvent, graft.streaming.AnomMoments,
