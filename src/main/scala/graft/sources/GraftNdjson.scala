@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => VMax, Min => VMin}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -248,7 +248,8 @@ final class NdjsonScan(full: StructType, required: StructType,
       permissive, corruptCol)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new NdjsonMicroBatchStream(path, full, required, pushedFilters, splitBytes)
+    new NdjsonMicroBatchStream(path, full, required, pushedFilters, splitBytes,
+      opts.get("maxfilespertrigger").map(_.toInt).getOrElse(0))
 }
 
 /** Streaming offset: how many files (in lexicographic name order) have
@@ -269,7 +270,10 @@ final case class NdjsonOffset(n: Int) extends Offset {
   * slice. */
 final class NdjsonMicroBatchStream(path: String, full: StructType,
                                    required: StructType, filters: Array[Filter],
-                                   splitBytes: Long) extends MicroBatchStream {
+                                   splitBytes: Long,
+                                   maxFilesPerTrigger: Int = 0)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def fs = new Path(path).getFileSystem(new Configuration())
 
@@ -287,6 +291,36 @@ final class NdjsonMicroBatchStream(path: String, full: StructType,
 
   override def initialOffset(): Offset = NdjsonOffset(0)
   override def latestOffset(): Offset = NdjsonOffset(listFiles().size)
+
+  // ── admission control (maxFilesPerTrigger) ─────────────────────────
+  // Real streaming sources rate-limit ingestion so one catch-up burst
+  // cannot produce an unbounded micro-batch; with the option set the
+  // engine calls the two-arg latestOffset and each trigger admits at
+  // most N new files (NdjsonSourceSpec pins the batch count).
+  // SupportsTriggerAvailableNow is implemented DIRECTLY (capture the
+  // file count at query start, drain up to it in rate-limited batches)
+  // — without it Spark wraps the stream and the wrapper bypasses the
+  // source's own read limit, collapsing AvailableNow to one burst.
+  private var availableAtStart: Int = -1
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableAtStart = listFiles().size
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[NdjsonOffset].n
+    val total =
+      if (availableAtStart >= 0) availableAtStart else listFiles().size
+    limit match {
+      case m: ReadMaxFiles => NdjsonOffset(math.min(total, s + m.maxFiles()))
+      case _               => NdjsonOffset(total)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = NdjsonOffset(listFiles().size)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NdjsonOffset].n

@@ -167,6 +167,35 @@ class NdjsonSourceSpec extends AnyFunSuite {
     assert(ids() == Seq("a1", "a2"))
   }
 
+  test("admission control: maxFilesPerTrigger bounds each micro-batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndjson-adm")
+    val inDir = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    (0 to 2).foreach { i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(inDir, f"part-$i%05d.ndjson"),
+        s"""{"id":"a$i","type":"st:Address","validSince":"1880"}\n""".getBytes("UTF-8"))
+    }
+    def batchSizes(opts: Map[String, String]): Seq[Long] = {
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val reader = spark.readStream.format("graft-ndjson").schema(scalarSchema)
+      val q = opts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+        .load(inDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          sizes.synchronized { sizes += b.count() }; ()
+        }
+        .option("checkpointLocation", s"$tmp/cp-${opts.hashCode}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sizes.toSeq
+    }
+    // rate-limited: one file (= one row) per micro-batch, three batches
+    assert(batchSizes(Map("maxFilesPerTrigger" -> "1")) == Seq(1L, 1L, 1L))
+    // unlimited: the catch-up burst lands as one batch
+    assert(batchSizes(Map.empty) == Seq(3L))
+  }
+
   test("COUNT/MIN/MAX push into the source; partials merge exactly") {
     // pure count: pushed (and served by newline counting, no parse)
     val c = viaSource(scalarSchema, "splitBytes" -> "4096")
