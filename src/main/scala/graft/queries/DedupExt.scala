@@ -1847,6 +1847,163 @@ object DedupExt {
           col("best.qc").as("keep_chars"),
           (col("n_members") - 1L).as("n_dropped"))
         .orderBy("grp")
+    }),
+
+    // QD18 SORTED-NEIGHBORHOOD DEDUP (the Hernández–Stolfo SNM) — the
+    // third candidate-generation verb next to banding (qd1/qd3) and
+    // key-equality blocking (qd13): sort the corpus by a domain sort
+    // key and take only pairs within a fixed window w=4 of the sorted
+    // order, catching near-pairs that equality blocking misses (keys
+    // that AGREE approximately sort adjacently without being equal).
+    // Declared contract: sort key = first 12 chars of the consonant
+    // skeleton (lowercased text, vowels+spaces removed — the classic
+    // SNM phonetic-ish key); passes are blocked by (lang, first 2 key
+    // chars) — multi-pass blocked SNM, the form that scales: the block
+    // keyspace grows with the corpus, the within-block sort is the only
+    // per-block cost (Catalyst plans it as one hash exchange + sort),
+    // and candidates are emitted ROW-LOCALLY from w-1 = 3 window leads
+    // — no pair join, no distinct exchange (leads enumerate ordered
+    // rank pairs, so each unordered pair appears exactly once; jw is
+    // symmetric, so least/greatest normalization is safe). Candidate
+    // volume is O(n·w) by construction — the bound banding can only
+    // approximate. Verify = native codegen jaro_winkler ≥ 0.82 on the
+    // 32-char prefix (qd13's proven bit-identical kernel). At 100 TB a
+    // third key char is the declared knob bounding block size.
+    "qd18_sortedneighborhood" -> ((s, d) => {
+      graft.plans.JaroWinklerSim.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 32).as("sp"),
+          substring(translate(lower(col("text")), "aeiou ", ""), 1, 12)
+            .as("skey"))
+        .withColumn("blk", substring(col("skey"), 1, 2))
+      val w = Window.partitionBy(col("lang"), col("blk"))
+        .orderBy(col("skey"), col("doc_id"))
+      p.select(col("doc_id"), col("sp"),
+          array((1 to 3).map(k => struct(
+            lead(col("doc_id"), k).over(w).as("nid"),
+            lead(col("sp"), k).over(w).as("nsp"))): _*).as("nbrs"))
+        .select(col("doc_id"), col("sp"), explode(col("nbrs")).as("nb"))
+        .filter(col("nb.nid").isNotNull)
+        .select(
+          least(col("doc_id"), col("nb.nid")).as("doc_a"),
+          greatest(col("doc_id"), col("nb.nid")).as("doc_b"),
+          expr("jaro_winkler(sp, nb.nsp)").as("jw"))
+        .filter(col("jw") >= 0.82)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // QD19 FELLEGI–SUNTER PROBABILISTIC LINKAGE SCORE — the decision
+    // layer of record linkage: field comparisons combined into one
+    // log-likelihood-ratio score with per-field agreement/disagreement
+    // weights (w_agree = log2(m/u), w_dis = log2((1-m)/(1-u)) for
+    // declared match/unmatch probabilities), then match / possible
+    // tiers by threshold. The weights are FIXED INTEGER MILLI-UNITS
+    // (declared below), so the score is exact int64 arithmetic and the
+    // tier cut is hash-stable — no float logs at query time. Fields:
+    //   f1 first-token equality        +2800 / −900
+    //   f2 jaro_winkler(32-prefix)≥0.9 +4100 / −1300
+    //   f3 |Δ n_chars| ≤ 20            +1100 / −700
+    //   f4 source equality              +600 / −1500
+    // Tiers: score ≥ 5200 → match; 0 ≤ score < 5200 → possible;
+    // negative scores are non-links and are not emitted. Candidate
+    // generation = blocking on (lang, 4-char consonant skeleton) —
+    // DELIBERATELY independent of all four scored fields so agreement
+    // is informative; an equi-join whose keyspace grows with the
+    // corpus (qd13's scale shape), explicit compute-sized repartition
+    // for the O(l²) JW verify per the qd14 lesson.
+    "qd19_fslinkage" -> ((s, d) => {
+      graft.plans.JaroWinklerSim.register(s)
+      val p = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          split(col("text"), " ").getItem(0).as("tok1"),
+          substring(col("text"), 1, 32).as("sp"),
+          substring(translate(lower(col("text")), "aeiou ", ""), 1, 4)
+            .as("blk"))
+      val a = p.select(col("doc_id").as("doc_a"), col("lang"), col("blk"),
+          col("source").as("src_a"), col("n_chars").as("nc_a"),
+          col("tok1").as("tok_a"), col("sp").as("sp_a"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("lang"), col("blk"))
+      val b = p.select(col("doc_id").as("doc_b"), col("lang"), col("blk"),
+        col("source").as("src_b"), col("n_chars").as("nc_b"),
+        col("tok1").as("tok_b"), col("sp").as("sp_b"))
+      a.join(b, Seq("lang", "blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("score",
+          when(col("tok_a") === col("tok_b"), 2800L).otherwise(-900L)
+            + when(expr("jaro_winkler(sp_a, sp_b)") >= 0.9, 4100L)
+              .otherwise(-1300L)
+            + when(abs(col("nc_a") - col("nc_b")) <= 20L, 1100L)
+              .otherwise(-700L)
+            + when(col("src_a") === col("src_b"), 600L).otherwise(-1500L))
+        .filter(col("score") >= 0L)
+        .select(col("doc_a"), col("doc_b"), col("score"),
+          when(col("score") >= 5200L, lit("match")).otherwise(lit("possible"))
+            .as("tier"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // QS15 MMR DIVERSIFIED TOP-K (maximal marginal relevance,
+    // Carbonell–Goldstein) — the retrieval verb AFTER similarity
+    // search: plain top-k returns near-duplicates of each other; MMR
+    // greedily picks argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s), so
+    // each pick is relevant AND novel vs what's already chosen.
+    // Declared contract: candidates = exact fixed-point-cosine top-8
+    // for query vec 0 (at 100 TB the qs1 banded index feeds this
+    // stage; the MMR fold starts from a DECLARED candidate set so the
+    // oracle replays it exactly); λ = 0.7, k = 4, greedy selection
+    // UNROLLED (MMR is inherently sequential — the unrolled stages are
+    // the honest form, and every stage operates on the 8-row cached
+    // candidate relation: broadcast-tiny, no shuffle grows with the
+    // corpus). All scores are round-6 doubles computed from the shared
+    // int64 fixed-point kernels, ties broken by vec_id — bit-identical
+    // cross-engine, so the greedy argmax choices are hash-checked data.
+    "qs15_mmr" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val emb = embQ(s, d).withColumn("n2", expr(dotL("ei", "ei")))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("ei").as("qe"), col("n2").as("qn2"))
+      val cand = graft.operators.OpCaches.track(
+        emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), col("ei"), col("n2"),
+            round(expr(dotL("ei", "qe")).cast(DoubleType)
+              / (sqrt(col("n2").cast(DoubleType))
+                * sqrt(col("qn2").cast(DoubleType))), 6)
+              .cast(DoubleType).as("rel"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(8))
+      val ca = cand.select(col("vec_id").as("va"), col("ei").as("ea"),
+        col("n2").as("na"))
+      val cb = cand.select(col("vec_id").as("vb"), col("ei").as("eb"),
+        col("n2").as("nb"))
+      val sims = graft.operators.OpCaches.track(
+        ca.join(cb, col("va") =!= col("vb"))
+          .select(col("va"), col("vb"),
+            round(expr(dotL("ea", "eb")).cast(DoubleType)
+              / (sqrt(col("na").cast(DoubleType))
+                * sqrt(col("nb").cast(DoubleType))), 6)
+              .cast(DoubleType).as("sim")))
+      val c2 = cand.select(col("vec_id"), col("rel"))
+      var sel: DataFrame = c2.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(lit(1L).as("rank"), col("vec_id"),
+          round(lit(0.7) * col("rel"), 6).cast(DoubleType).as("mmr"))
+      for (k <- 2 to 4) {
+        val next = c2
+          .join(sel.select(col("vec_id").as("sid")),
+            col("vec_id") === col("sid"), "left_anti")
+          .join(sims, col("vec_id") === col("va"))
+          .join(sel.select(col("vec_id").as("vb2")), col("vb") === col("vb2"))
+          .groupBy(col("vec_id"), col("rel"))
+          .agg(max(col("sim")).as("pen"))
+          .select(col("vec_id"),
+            round(lit(0.7) * col("rel") - lit(0.3) * col("pen"), 6)
+              .cast(DoubleType).as("mmr"))
+          .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+          .select(lit(k.toLong).as("rank"), col("vec_id"), col("mmr"))
+        sel = sel.unionByName(next)
+      }
+      sel.orderBy("rank")
     })
   )
 
@@ -3037,6 +3194,116 @@ object DedupExt {
         |SELECT grp, CAST(n_members AS BIGINT) AS n_members,
         |       node AS keeper, n_chars AS keep_chars,
         |       CAST(n_members - 1 AS BIGINT) AS n_dropped
-        |FROM m WHERE rn = 1 ORDER BY grp""".stripMargin
+        |FROM m WHERE rn = 1 ORDER BY grp""".stripMargin,
+
+    // qd18: the oracle replays blocked-SNM candidate generation (the
+    // w=4 sorted window over the consonant-skeleton key within
+    // (lang, 2-char block)) via rank self-join — candidate recall is
+    // part of the declared contract, exactly like qd3's banding
+    "qd18_sortedneighborhood" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, substr(text, 1, 32) AS sp,
+        |         substr(translate(lower(text), 'aeiou ', ''), 1, 12) AS skey
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, sp, skey, substr(skey, 1, 2) AS blk,
+        |        ROW_NUMBER() OVER (PARTITION BY lang, substr(skey, 1, 2)
+        |                           ORDER BY skey, doc_id) AS rn
+        |      FROM p),
+        |cand AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.sp AS sa, b.sp AS sb
+        |  FROM r a JOIN r b ON a.lang = b.lang AND a.blk = b.blk
+        |                   AND b.rn > a.rn AND b.rn <= a.rn + 3)
+        |SELECT LEAST(ia, ib) AS doc_a, GREATEST(ia, ib) AS doc_b,
+        |       jaro_winkler_similarity(sa, sb) AS jw
+        |FROM cand
+        |WHERE jaro_winkler_similarity(sa, sb) >= 0.82
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // qd19: the oracle replays the skeleton blocking and the integer
+    // milli-weight Fellegi–Sunter fold exactly
+    "qd19_fslinkage" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         split_part(text, ' ', 1) AS tok1,
+        |         substr(text, 1, 32) AS sp,
+        |         substr(translate(lower(text), 'aeiou ', ''), 1, 4) AS blk
+        |  FROM documents),
+        |sc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    (CASE WHEN a.tok1 = b.tok1 THEN 2800 ELSE -900 END
+        |     + CASE WHEN jaro_winkler_similarity(a.sp, b.sp) >= 0.9
+        |            THEN 4100 ELSE -1300 END
+        |     + CASE WHEN abs(a.n_chars - b.n_chars) <= 20
+        |            THEN 1100 ELSE -700 END
+        |     + CASE WHEN a.source = b.source THEN 600 ELSE -1500 END)
+        |      AS score
+        |  FROM p a JOIN p b ON a.lang = b.lang AND a.blk = b.blk
+        |                   AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(score AS BIGINT) AS score,
+        |       CASE WHEN score >= 5200 THEN 'match' ELSE 'possible' END AS tier
+        |FROM sc WHERE score >= 0
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // qs15: brute-force top-8 candidates + the greedy MMR fold unrolled
+    // to 4 stages (argmax per stage as ORDER BY ... LIMIT 1) — the
+    // selection SEQUENCE itself is hash-checked
+    "qs15_mmr" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, idx WHERE i <= len(embedding)),
+        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT v.vec_id, SUM(v.xi * q.xi) AS dot
+        |         FROM ex v JOIN ex q ON q.vec_id = 0 AND q.i = v.i
+        |         WHERE v.vec_id <> 0 GROUP BY 1),
+        |rel AS (SELECT d.vec_id, CAST(ROUND(CAST(dot AS DOUBLE)
+        |          / (SQRT(CAST(nv.n2 AS DOUBLE)) * SQRT(CAST(nq.n2 AS DOUBLE))), 6)
+        |          AS DOUBLE) AS rel
+        |        FROM dots d JOIN norms nv ON nv.vec_id = d.vec_id
+        |                    JOIN norms nq ON nq.vec_id = 0),
+        |cand AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 8),
+        |psims AS (SELECT a.vec_id AS va, b.vec_id AS vb, SUM(xa.xi * xb.xi) AS dot
+        |          FROM cand a JOIN cand b ON b.vec_id <> a.vec_id
+        |          JOIN ex xa ON xa.vec_id = a.vec_id
+        |          JOIN ex xb ON xb.vec_id = b.vec_id AND xb.i = xa.i
+        |          GROUP BY 1, 2),
+        |sims AS (SELECT va, vb, CAST(ROUND(CAST(dot AS DOUBLE)
+        |           / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+        |           AS DOUBLE) AS sim
+        |         FROM psims JOIN norms na ON na.vec_id = va
+        |                    JOIN norms nb ON nb.vec_id = vb),
+        |s1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+        |         CAST(ROUND(0.7*rel, 6) AS DOUBLE) AS mmr
+        |       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+        |p2 AS (SELECT c.vec_id,
+        |         CAST(ROUND(0.7*c.rel - 0.3*MAX(s.sim), 6) AS DOUBLE) AS mmr
+        |       FROM cand c JOIN sims s ON s.va = c.vec_id
+        |         AND s.vb IN (SELECT vec_id FROM s1)
+        |       WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+        |       GROUP BY c.vec_id, c.rel),
+        |s2 AS (SELECT CAST(2 AS BIGINT) AS rank, vec_id, mmr
+        |       FROM p2 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+        |p3 AS (SELECT c.vec_id,
+        |         CAST(ROUND(0.7*c.rel - 0.3*MAX(s.sim), 6) AS DOUBLE) AS mmr
+        |       FROM cand c JOIN sims s ON s.va = c.vec_id
+        |         AND s.vb IN (SELECT vec_id FROM sel2)
+        |       WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+        |       GROUP BY c.vec_id, c.rel),
+        |s3 AS (SELECT CAST(3 AS BIGINT) AS rank, vec_id, mmr
+        |       FROM p3 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+        |p4 AS (SELECT c.vec_id,
+        |         CAST(ROUND(0.7*c.rel - 0.3*MAX(s.sim), 6) AS DOUBLE) AS mmr
+        |       FROM cand c JOIN sims s ON s.va = c.vec_id
+        |         AND s.vb IN (SELECT vec_id FROM sel3)
+        |       WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+        |       GROUP BY c.vec_id, c.rel),
+        |s4 AS (SELECT CAST(4 AS BIGINT) AS rank, vec_id, mmr
+        |       FROM p4 ORDER BY mmr DESC, vec_id LIMIT 1)
+        |SELECT rank, vec_id, mmr FROM s1
+        |UNION ALL SELECT rank, vec_id, mmr FROM s2
+        |UNION ALL SELECT rank, vec_id, mmr FROM s3
+        |UNION ALL SELECT rank, vec_id, mmr FROM s4
+        |ORDER BY rank""".stripMargin
   )
 }

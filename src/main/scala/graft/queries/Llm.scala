@@ -231,6 +231,46 @@ object Llm {
             col("bin").cast("long") * 100)).as("p99c"))
         .join(nDays, Seq("event_type"))
         .orderBy("event_type")
+    }),
+
+    // T5 COUNT-MIN SKETCH — the frequency member of the mergeable-
+    // summary family (t1/t3 HLL: distinct counts; t4 histogram: value
+    // distribution; t5: point frequencies), as a native
+    // `TypedImperativeAggregate` (plans/CmsSketch: one 4×256 int64
+    // counter buffer, O(4) per row — the SimHashBands64 codegen-size
+    // lesson again). Per-source sketches are built in ONE partial-
+    // aggregatable pass over exploded tokens; the GLOBAL sketch is
+    // elementwise addition of the per-source rows — the persistable-
+    // summary rollup, never a second raw pass. Probes: the true top-10
+    // tokens' estimates read 4 cells each off the global matrix;
+    // est ≥ true count always (CM's one-sided guarantee), and `over`
+    // = est − c makes the collision mass hash-checked data, not a
+    // claim. The oracle replays cells, rollup, and min-read exactly.
+    "t5_cms" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      graft.plans.CmsSketch4x256.register(s)
+      val toks = graft.operators.OpCaches.track(
+        t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .withColumn("h", expr("roll_hash31(token)")))
+      val perSrc = toks.groupBy("source").agg(expr("cms4x256(h)").as("sk"))
+      val global = perSrc
+        .select(posexplode(col("sk")).as(Seq("i", "cnt")))
+        .groupBy("i").agg(sum(col("cnt")).as("cnt"))
+      val top = toks.groupBy("token", "h").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token")).limit(10)
+      top
+        .select(col("token"), col("c"), col("h"),
+          explode(expr("transform(sequence(0, 3), j -> CAST(j AS BIGINT) * 256" +
+            " + ((CAST(1000003 AS BIGINT) * j + 12345) * h" +
+            " + (CAST(777767 AS BIGINT) * j + 13)) % 1000000007 % 256)"))
+            .as("i"))
+        .join(broadcast(global), Seq("i"))
+        .groupBy(col("token"), col("c"))
+        .agg(min(col("cnt")).as("est"))
+        .select(col("token"), col("c"), col("est"),
+          (col("est") - col("c")).as("over"))
+        .orderBy(col("c").desc, col("token"))
     })
   )
 
@@ -317,6 +357,37 @@ object Llm {
         |    AS BIGINT) AS p99c,
         |  MAX(n_days) AS n_days
         |FROM cu JOIN nd USING (event_type)
-        |GROUP BY cu.event_type ORDER BY cu.event_type""".stripMargin
+        |GROUP BY cu.event_type ORDER BY cu.event_type""".stripMargin,
+
+    // t5: the oracle replays the sketch cells from RAW token
+    // occurrences (the per-source → global rollup is elementwise
+    // addition, so raw-built global cells are identical by
+    // construction) and the 4-cell min read per probe
+    "t5_cms" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |th AS (SELECT token,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(token, ''),
+        |             ch -> CAST(unicode(ch) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |       FROM toks),
+        |cells AS (SELECT j,
+        |            (((1000003*j + 12345) * h + (777767*j + 13))
+        |              % 1000000007) % 256 AS cell,
+        |            COUNT(*) AS cnt
+        |          FROM th, generate_series(0, 3) t(j) GROUP BY 1, 2),
+        |top AS (SELECT token, h, COUNT(*) AS c FROM th
+        |        GROUP BY 1, 2 ORDER BY c DESC, token LIMIT 10),
+        |est AS (SELECT t.token, t.c, MIN(ce.cnt) AS est
+        |        FROM top t
+        |        CROSS JOIN generate_series(0, 3) g(j)
+        |        JOIN cells ce ON ce.j = g.j
+        |          AND ce.cell = (((1000003*g.j + 12345) * t.h
+        |            + (777767*g.j + 13)) % 1000000007) % 256
+        |        GROUP BY 1, 2)
+        |SELECT token, c, CAST(est AS BIGINT) AS est,
+        |       CAST(est - c AS BIGINT) AS over
+        |FROM est ORDER BY c DESC, token""".stripMargin
   )
 }

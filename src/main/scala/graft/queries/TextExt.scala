@@ -640,6 +640,40 @@ object TextExt {
         .orderBy("doc_id")
     }),
 
+    // QM6 IMAGE-HEADER METADATA EXTRACTION — the multimodal kernel the
+    // qm1–qm5 plumbing was built for: byte-level parsing of a BINARY
+    // image column WITHOUT any codec library. Deterministic PNG-shaped
+    // blobs (8-byte signature + IHDR: 4-byte big-endian width/height +
+    // depth/color/compression/filter/interlace — no CRC/IDAT, the
+    // documented codec stub boundary) are CONSTRUCTED from doc fields
+    // (width = 64 + n_chars%1000, height = 64 + 37·doc_id%800), then
+    // PARSED BACK purely with binary slicing + big-endian conv() — the
+    // exact shape EXIF/IHDR extraction takes at 100 TB: row-local, one
+    // scan, no shuffle, runs inside whole-stage codegen. The oracle
+    // recomputes every output from the SOURCE fields, so the hash match
+    // proves the encode→slice→decode round trip end to end.
+    "qm6_imagemeta" -> ((s, d) => {
+      val blobs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), unhex(concat(
+          lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+          lpad(hex(lit(64L) + col("n_chars") % 1000L), 8, "0"),
+          lpad(hex(lit(64L) + (col("doc_id") * 37L) % 800L), 8, "0"),
+          lit("0806000000"))).as("img"))
+      blobs
+        .withColumn("hx", hex(col("img")))
+        .select(col("doc_id"),
+          conv(substring(col("hx"), 33, 8), 16, 10).cast(LongType)
+            .as("width"),
+          conv(substring(col("hx"), 41, 8), 16, 10).cast(LongType)
+            .as("height"),
+          length(col("img")).cast(LongType).as("n_bytes"),
+          when(substring(col("hx"), 1, 16) === "89504E470D0A1A0A", 1L)
+            .otherwise(0L).as("sig_ok"),
+          decode(unhex(substring(col("hx"), 25, 8)), "UTF-8").as("ctype"))
+        .withColumn("pixels", col("width") * col("height"))
+        .orderBy("doc_id")
+    }),
+
     // qt10 document chunking: fixed 64-token windows with stride 48
     // (16-token overlap) — the pre-tokenization splitting step that
     // turns long documents into training-sized sequences. One scan, the
@@ -1660,7 +1694,37 @@ object TextExt {
             .cast(DoubleType).as("est"),
           col("w_total"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // QT24 READABILITY SCORE (Flesch reading ease, declared proxies) —
+    // the classic quality signal next to qt2's ratio gates: flesch =
+    // 206.835 − 1.015·(tokens/sentence) − 84.6·(syllables/token).
+    // Corpus texts carry no sentence punctuation, so the sentence unit
+    // is the DECLARED proxy n_sent = ceil(n_tok/16), and syllables are
+    // the standard vowel-group heuristic: runs of [aeiouy]+ (runs
+    // cannot cross a space; vowel-free tokens contribute 0 — part of
+    // the declared contract, like qt2's stopword list). Easy/medium/
+    // hard grades cut ON THE ROUNDED score so the tier is hash-stable.
+    // Scale: one scan, row-local arithmetic, no shuffle at all except
+    // the presentation sort — the ideal 100 TB shape.
+    "qt24_readability" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          size(expr("regexp_extract_all(text, '[aeiouy]+', 0)"))
+            .cast(LongType).as("n_syll"))
+        .withColumn("n_sent", expr("CAST((n_tok + 15) DIV 16 AS BIGINT)"))
+        .withColumn("flesch", round(lit(206.835)
+          - lit(1.015) * (col("n_tok").cast(DoubleType)
+            / col("n_sent").cast(DoubleType))
+          - lit(84.6) * (col("n_syll").cast(DoubleType)
+            / col("n_tok").cast(DoubleType)), 4).cast(DoubleType))
+        .select(col("doc_id"), col("n_tok"), col("n_sent"), col("n_syll"),
+          col("flesch"),
+          when(col("flesch") >= 60d, lit("easy"))
+            .when(col("flesch") >= 30d, lit("medium"))
+            .otherwise(lit("hard")).as("grade"))
+        .orderBy("doc_id"))
   )
 
   /** qm2: the typed multimodal feature path (Media.features —
@@ -2750,6 +2814,43 @@ object TextExt {
         |       CAST(ROUND(GREATEST(CAST(w AS DOUBLE),
         |         CAST(tau AS DOUBLE) / 2147483648.0), 6) AS DOUBLE) AS est,
         |       CAST(w_total AS BIGINT) AS w_total
-        |FROM r, tau, wt WHERE rn <= 100 ORDER BY doc_id""".stripMargin
+        |FROM r, tau, wt WHERE rn <= 100 ORDER BY doc_id""".stripMargin,
+
+    // qt24: the oracle replays the declared sentence proxy and the
+    // vowel-run syllable heuristic; the tier cuts on the rounded score
+    "qt24_readability" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syll
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok, n_syll,
+        |        CAST((n_tok + 15) // 16 AS BIGINT) AS n_sent FROM b),
+        |f AS (SELECT doc_id, n_tok, n_sent, n_syll,
+        |        CAST(ROUND(206.835
+        |          - 1.015 * (CAST(n_tok AS DOUBLE) / CAST(n_sent AS DOUBLE))
+        |          - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_tok AS DOUBLE)), 4)
+        |          AS DOUBLE) AS flesch
+        |      FROM c)
+        |SELECT doc_id, n_tok, n_sent, n_syll, flesch,
+        |       CASE WHEN flesch >= 60 THEN 'easy'
+        |            WHEN flesch >= 30 THEN 'medium'
+        |            ELSE 'hard' END AS grade
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // qm6: the oracle recomputes every field from the SOURCE columns
+    // the blobs were built from — the hash match proves the Spark
+    // side's encode→binary-slice→big-endian-decode round trip
+    "qm6_imagemeta" ->
+      """SELECT doc_id,
+        |  CAST(64 + n_chars % 1000 AS BIGINT) AS width,
+        |  CAST(64 + (doc_id * 37) % 800 AS BIGINT) AS height,
+        |  CAST(29 AS BIGINT) AS n_bytes,
+        |  CAST(1 AS BIGINT) AS sig_ok,
+        |  'IHDR' AS ctype,
+        |  CAST((64 + n_chars % 1000) * (64 + (doc_id * 37) % 800) AS BIGINT)
+        |    AS pixels
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin
   )
 }
