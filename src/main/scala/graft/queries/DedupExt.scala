@@ -2056,7 +2056,7 @@ object DedupExt {
        |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
        |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
        |          FROM sig GROUP BY 1, 2),
-       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
@@ -2075,7 +2075,7 @@ object DedupExt {
     * projections → 4×16-bit band keys, mirroring perVec/vecBands. */
   private val embDupCtes =
     s"""idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-       |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+       |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
        |       FROM embeddings, idx WHERE i <= len(embedding)),
        |proj AS (SELECT vec_id, j,
        |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
@@ -2084,10 +2084,10 @@ object DedupExt {
        |bk AS (SELECT vec_id, j // 16 AS k,
        |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
        |       FROM proj GROUP BY 1, 2),
-       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
        |         FROM bk x JOIN bk y
        |           ON x.k = y.k AND x.key = y.key AND x.vec_id < y.vec_id),
-       |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+       |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
        |dots AS (SELECT c.a, c.b, SUM(u.xi * v.xi) AS dot
        |         FROM cand c JOIN ex u ON u.vec_id = c.a
        |                     JOIN ex v ON v.vec_id = c.b AND v.i = u.i
@@ -2103,7 +2103,7 @@ object DedupExt {
     * persisted ANN index must reproduce the inline recompute exactly). */
   private val oracleQs3 =
     s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-      |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+      |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
       |       FROM embeddings, idx WHERE i <= len(embedding)),
       |proj AS (SELECT vec_id, j,
       |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
@@ -2113,10 +2113,10 @@ object DedupExt {
       |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
       |       FROM proj GROUP BY 1, 2),
       |probes AS (SELECT vec_id AS q, k, key FROM bk WHERE vec_id % 100 = 7),
-      |cand AS (SELECT DISTINCT p.q, b.vec_id
+      |cand AS MATERIALIZED (SELECT DISTINCT p.q, b.vec_id
       |         FROM bk b JOIN probes p ON b.k = p.k AND b.key = p.key
       |         WHERE b.vec_id <> p.q),
-      |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+      |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
       |dots AS (SELECT c.q, c.vec_id, SUM(v.xi * u.xi) AS dot
       |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
       |                     JOIN ex u ON u.vec_id = c.q AND u.i = v.i
@@ -2136,7 +2136,7 @@ object DedupExt {
        |ifp AS (SELECT doc_id, ${duckH("text")} AS fp FROM inc),
        |xfp AS (SELECT DISTINCT ${duckH("text")} AS fp
        |        FROM documents WHERE doc_id % 10 <> 7),
-       |ex AS (SELECT DISTINCT i.doc_id FROM ifp i JOIN xfp x USING (fp)),
+       |ex AS MATERIALIZED (SELECT DISTINCT i.doc_id FROM ifp i JOIN xfp x USING (fp)),
        |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |th AS (SELECT DISTINCT doc_id, ${duckH("tok")} AS h FROM toks),
        |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
@@ -2144,7 +2144,7 @@ object DedupExt {
        |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
        |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
        |          FROM sig GROUP BY 1, 2),
-       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.key = y.key
        |          AND x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7),
@@ -2174,7 +2174,7 @@ object DedupExt {
          |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
          |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
          |          FROM sig GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |         FROM bands x JOIN bands y
          |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
          |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
@@ -2196,7 +2196,7 @@ object DedupExt {
          |bk AS (SELECT doc_id, j // 16 AS k,
          |         CAST(SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
          |       FROM bits GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |         FROM bk x JOIN bk y
          |           ON x.k = y.k AND x.key = y.key AND x.doc_id < y.doc_id),
          |hds AS (SELECT c.a, c.b, SUM(bit_count(xor(ka.key, kb.key))) AS hd
@@ -2220,7 +2220,7 @@ object DedupExt {
          |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
          |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
          |          FROM sig GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |         FROM bands x JOIN bands y
          |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
          |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM th GROUP BY 1),
@@ -2337,7 +2337,7 @@ object DedupExt {
         |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
         |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
         |          FROM sig GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |         FROM bands x JOIN bands y
         |           ON x.band = y.band AND x.key = y.key
         |          AND x.doc_id % 3 <> 0 AND y.doc_id % 3 = 0),
@@ -2382,7 +2382,7 @@ object DedupExt {
     // divisible)
     "qs4_kmeans" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-         |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+         |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
          |       FROM embeddings, idx WHERE i <= len(embedding)),
          |cent0 AS (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
          |norm0 AS (SELECT cid, SUM(cx*cx) AS n2c FROM cent0 GROUP BY 1),
@@ -2447,7 +2447,7 @@ object DedupExt {
 
     "qs1_ann" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
         |proj AS (SELECT vec_id, j,
         |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
@@ -2456,10 +2456,10 @@ object DedupExt {
         |bk AS (SELECT vec_id, j // 16 AS k,
         |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
         |       FROM proj GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT b.vec_id
+        |cand AS MATERIALIZED (SELECT DISTINCT b.vec_id
         |         FROM bk b JOIN bk q ON q.vec_id = 0 AND b.k = q.k AND b.key = q.key
         |         WHERE b.vec_id <> 0),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |dots AS (SELECT c.vec_id, SUM(v.xi * q.xi) AS dot
         |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
         |                     JOIN ex q ON q.vec_id = 0 AND q.i = v.i
@@ -2475,7 +2475,7 @@ object DedupExt {
     // along as scalar subqueries
     "qs12_multiprobe" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
         |proj AS (SELECT vec_id, j,
         |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
@@ -2489,13 +2489,13 @@ object DedupExt {
         |            CASE WHEN p = 0 THEN key
         |                 ELSE xor(key, CAST(1 AS BIGINT) << (p - 1)) END AS key
         |          FROM pk, generate_series(0, 16) t(p)),
-        |cand AS (SELECT DISTINCT b.vec_id
+        |cand AS MATERIALIZED (SELECT DISTINCT b.vec_id
         |         FROM bk b JOIN probe q ON b.k = q.k AND b.key = q.key
         |         WHERE b.vec_id <> 0),
         |cand1 AS (SELECT DISTINCT b.vec_id
         |          FROM bk b JOIN pk q ON b.k = q.k AND b.key = q.key
         |          WHERE b.vec_id <> 0),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |dots AS (SELECT c.vec_id, SUM(v.xi * q.xi) AS dot
         |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
         |                     JOIN ex q ON q.vec_id = 0 AND q.i = v.i
@@ -2516,7 +2516,7 @@ object DedupExt {
     // expression tree.
     "qs13_radius" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
         |agg AS (SELECT vec_id, SUM(xi*xi) AS n2,
         |          SUM(CASE WHEN i > 48 THEN xi*xi ELSE 0 END) AS s2
@@ -2558,7 +2558,7 @@ object DedupExt {
     // against the (possibly grown) index, exact cosine ≥ 0.4 → dup
     "s15_anningest" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
         |proj AS (SELECT vec_id, j,
         |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
@@ -2567,7 +2567,7 @@ object DedupExt {
         |bk AS (SELECT vec_id, j // 16 AS k,
         |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
         |       FROM proj GROUP BY 1, 2),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |candA AS (SELECT DISTINCT x.vec_id AS q, y.vec_id AS v
         |          FROM bk x JOIN bk y ON x.k = y.k AND x.key = y.key
         |          WHERE x.vec_id % 10 = 3 AND y.vec_id % 10 NOT IN (3, 7)),
@@ -2628,7 +2628,7 @@ object DedupExt {
         |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
         |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
         |          FROM sig GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |         FROM bands x JOIN bands y
         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
         |hit AS (SELECT e.a, e.b FROM exact e JOIN cand c ON c.a = e.a AND c.b = e.b)
@@ -2642,7 +2642,7 @@ object DedupExt {
     // exact top-3 against the banded top-3
     "qs5_annrecall" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
         |proj AS (SELECT vec_id, j,
         |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
@@ -2652,10 +2652,10 @@ object DedupExt {
         |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
         |       FROM proj GROUP BY 1, 2),
         |probes AS (SELECT vec_id AS q, k, key FROM bk WHERE vec_id % 100 = 7),
-        |cand AS (SELECT DISTINCT p.q, b.vec_id
+        |cand AS MATERIALIZED (SELECT DISTINCT p.q, b.vec_id
         |         FROM bk b JOIN probes p ON b.k = p.k AND b.key = p.key
         |         WHERE b.vec_id <> p.q),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |adots AS (SELECT c.q, c.vec_id, SUM(v.xi * u.xi) AS dot
         |          FROM cand c JOIN ex v ON v.vec_id = c.vec_id
         |                      JOIN ex u ON u.vec_id = c.q AND u.i = v.i
@@ -2705,7 +2705,7 @@ object DedupExt {
          |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
          |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
          |          FROM sig GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |         FROM bands x JOIN bands y
          |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
          |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM th GROUP BY 1),
@@ -2733,7 +2733,7 @@ object DedupExt {
     // restricted to band keys k < p, grouped per budget
     "qs14_annsweep" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
         |proj AS (SELECT vec_id, j,
         |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
@@ -2746,10 +2746,10 @@ object DedupExt {
         |probes AS (SELECT p, vec_id AS q, k, key
         |           FROM bk CROSS JOIN ps
         |           WHERE vec_id % 100 = 7 AND k < p),
-        |cand AS (SELECT DISTINCT p.p, p.q, b.vec_id
+        |cand AS MATERIALIZED (SELECT DISTINCT p.p, p.q, b.vec_id
         |         FROM bk b JOIN probes p ON b.k = p.k AND b.key = p.key
         |         WHERE b.vec_id <> p.q),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |adots AS (SELECT c.p, c.q, c.vec_id, SUM(v.xi * u.xi) AS dot
         |          FROM cand c JOIN ex v ON v.vec_id = c.vec_id
         |                      JOIN ex u ON u.vec_id = c.q AND u.i = v.i
@@ -2792,9 +2792,9 @@ object DedupExt {
     // the per-vector keep/drop verdict
     "qd6_semdedup" ->
       s"""WITH RECURSIVE idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-         |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+         |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
          |       FROM embeddings, idx WHERE i <= len(embedding)),
-         |cex AS (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
+         |cex AS MATERIALIZED (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
          |cnorm AS (SELECT cid, SUM(cx*cx) AS n2c FROM cex GROUP BY 1),
          |adot AS (SELECT e.vec_id, c.cid, SUM(e.xi * c.cx) AS dot
          |         FROM ex e JOIN cex c USING (i) GROUP BY 1, 2),
@@ -2803,7 +2803,7 @@ object DedupExt {
          |assign AS (SELECT vec_id, cid FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn
          |  FROM ascore) WHERE rn = 1),
-         |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+         |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
          |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
          |          FROM assign x JOIN assign y
          |            ON x.cid = y.cid AND x.vec_id < y.vec_id),
@@ -2836,9 +2836,9 @@ object DedupExt {
     // orders
     "qs6_ivfpq" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
-        |cex AS (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
+        |cex AS MATERIALIZED (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
         |cnorm AS (SELECT cid, SUM(cx*cx) AS n2c FROM cex GROUP BY 1),
         |adot AS (SELECT e.vec_id, c.cid, SUM(e.xi * c.cx) AS dot
         |         FROM ex e JOIN cex c USING (i) GROUP BY 1, 2),
@@ -2848,7 +2848,7 @@ object DedupExt {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn
         |  FROM ascore) WHERE rn = 1),
         |probe AS (SELECT cid FROM ascore WHERE vec_id = 0 ORDER BY sc DESC, cid LIMIT 2),
-        |cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+        |cand AS MATERIALIZED (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
         |         WHERE a.vec_id <> 0),
         |cexq AS (SELECT vec_id, i,
         |           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * (127.0 / mx)) AS BIGINT) AS qi
@@ -2856,7 +2856,7 @@ object DedupExt {
         |                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
         |               FROM embeddings WHERE len(embedding) > 0), idx
         |         WHERE i <= len(embedding)),
-        |qnorms AS (SELECT vec_id, SUM(qi*qi) AS cn2 FROM cexq GROUP BY 1),
+        |qnorms AS MATERIALIZED (SELECT vec_id, SUM(qi*qi) AS cn2 FROM cexq GROUP BY 1),
         |adots AS (SELECT c.vec_id, SUM(v.qi * q.qi) AS adcdot
         |          FROM cand c JOIN cexq v ON v.vec_id = c.vec_id
         |                      JOIN cexq q ON q.vec_id = 0 AND q.i = v.i
@@ -2866,7 +2866,7 @@ object DedupExt {
         |           FROM adots d JOIN qnorms vn ON vn.vec_id = d.vec_id
         |                        JOIN qnorms qn ON qn.vec_id = 0
         |           ORDER BY adc DESC, d.vec_id LIMIT 20),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |dots AS (SELECT c.vec_id, c.adc, SUM(v.xi * q.xi) AS dot
         |         FROM ashort c JOIN ex v ON v.vec_id = c.vec_id
         |                       JOIN ex q ON q.vec_id = 0 AND q.i = v.i
@@ -2883,7 +2883,7 @@ object DedupExt {
     // integer, so both engines agree bit for bit
     "qs8_pq" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
         |sv AS (SELECT vec_id, (i-1) // 8 AS sub, (i-1) % 8 AS jj, xi FROM ex),
         |cb AS (SELECT vec_id AS cb, sub, jj, xi AS ci FROM sv WHERE vec_id < 16),
@@ -2901,7 +2901,7 @@ object DedupExt {
         |        FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
         |        WHERE k.vec_id <> 0 GROUP BY 1),
         |short AS (SELECT vec_id, adcdot FROM adc ORDER BY adcdot DESC, vec_id LIMIT 20),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |dots AS (SELECT s.vec_id, s.adcdot, SUM(v.xi * q.xi) AS dot
         |         FROM short s JOIN ex v ON v.vec_id = s.vec_id
         |                      JOIN ex q ON q.vec_id = 0 AND q.i = v.i
@@ -2914,9 +2914,9 @@ object DedupExt {
 
     "qs2_ivf" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
-        |cex AS (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
+        |cex AS MATERIALIZED (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
         |cnorm AS (SELECT cid, SUM(cx*cx) AS n2c FROM cex GROUP BY 1),
         |adot AS (SELECT e.vec_id, c.cid, SUM(e.xi * c.cx) AS dot
         |         FROM ex e JOIN cex c USING (i) GROUP BY 1, 2),
@@ -2926,9 +2926,9 @@ object DedupExt {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn
         |  FROM ascore) WHERE rn = 1),
         |probe AS (SELECT cid FROM ascore WHERE vec_id = 0 ORDER BY sc DESC, cid LIMIT 2),
-        |cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+        |cand AS MATERIALIZED (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
         |         WHERE a.vec_id <> 0),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |dots AS (SELECT c.vec_id, SUM(v.xi * q.xi) AS dot
         |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
         |                     JOIN ex q ON q.vec_id = 0 AND q.i = v.i
@@ -2943,9 +2943,9 @@ object DedupExt {
     // intersect the lang='en' doc-id set before the exact re-rank
     "qs10_filteredann" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
-        |cex AS (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
+        |cex AS MATERIALIZED (SELECT vec_id AS cid, i, xi AS cx FROM ex WHERE vec_id % 50 = 1),
         |cnorm AS (SELECT cid, SUM(cx*cx) AS n2c FROM cex GROUP BY 1),
         |adot AS (SELECT e.vec_id, c.cid, SUM(e.xi * c.cx) AS dot
         |         FROM ex e JOIN cex c USING (i) GROUP BY 1, 2),
@@ -2956,10 +2956,10 @@ object DedupExt {
         |  FROM ascore) WHERE rn = 1),
         |probe AS (SELECT cid FROM ascore WHERE vec_id = 0 ORDER BY sc DESC, cid LIMIT 2),
         |allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
-        |cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+        |cand AS MATERIALIZED (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
         |         WHERE a.vec_id <> 0
         |           AND a.vec_id IN (SELECT vec_id FROM allowed)),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |dots AS (SELECT c.vec_id, SUM(v.xi * q.xi) AS dot
         |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
         |                     JOIN ex q ON q.vec_id = 0 AND q.i = v.i
@@ -2975,9 +2975,9 @@ object DedupExt {
     // inside a rank partition)
     "qe2_matryoshka" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2,
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2,
         |            SUM(CASE WHEN i <= 16 THEN xi*xi ELSE 0 END) AS n2t
         |          FROM ex GROUP BY 1),
         |pdots AS (SELECT q.vec_id AS q, v.vec_id,
@@ -3008,7 +3008,7 @@ object DedupExt {
     // 1-based index)
     "qe3_binaryquant" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
         |sk AS (SELECT vec_id,
         |         CAST(SUM(CASE WHEN xi > 0 THEN
@@ -3016,7 +3016,7 @@ object DedupExt {
         |                  ELSE CAST(1 AS BIGINT) << CAST(i - 1 AS INT) END
         |           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sk
         |       FROM ex GROUP BY 1),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |dots AS (SELECT u.vec_id AS q, v.vec_id, SUM(v.xi * u.xi) AS dot
         |         FROM ex u JOIN ex v ON u.i = v.i
         |           AND u.vec_id % 100 = 7 AND v.vec_id <> u.vec_id
@@ -3078,9 +3078,9 @@ object DedupExt {
         |           (ORDER BY tscore DESC, doc_id) AS BIGINT) AS t_rk FROM ts)
         |       WHERE t_rk <= 50),
         |idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |qn AS (SELECT n2 AS qn2 FROM norms WHERE vec_id = 7),
         |vd AS (SELECT v.vec_id, SUM(v.xi * u.xi) AS dot
         |       FROM ex v JOIN ex u ON u.i = v.i AND u.vec_id = 7
@@ -3110,7 +3110,7 @@ object DedupExt {
         |         substr(text, 1, 8) AS g1, substr(text, 9, 8) AS g2,
         |         substr(text, 17, 8) AS g3
         |  FROM documents WHERE length(text) >= 24),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
         |  FROM p a JOIN p b ON a.g1 = b.g1 AND a.doc_id < b.doc_id
         |  UNION ALL
@@ -3209,7 +3209,7 @@ object DedupExt {
         |        ROW_NUMBER() OVER (PARTITION BY lang, substr(skey, 1, 2)
         |                           ORDER BY skey, doc_id) AS rn
         |      FROM p),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.sp AS sa, b.sp AS sb
         |  FROM r a JOIN r b ON a.lang = b.lang AND a.blk = b.blk
         |                   AND b.rn > a.rn AND b.rn <= a.rn + 3)
@@ -3249,9 +3249,9 @@ object DedupExt {
     // selection SEQUENCE itself is hash-checked
     "qs15_mmr" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
-        |ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
         |       FROM embeddings, idx WHERE i <= len(embedding)),
-        |norms AS (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
         |dots AS (SELECT v.vec_id, SUM(v.xi * q.xi) AS dot
         |         FROM ex v JOIN ex q ON q.vec_id = 0 AND q.i = v.i
         |         WHERE v.vec_id <> 0 GROUP BY 1),
@@ -3260,18 +3260,18 @@ object DedupExt {
         |          AS DOUBLE) AS rel
         |        FROM dots d JOIN norms nv ON nv.vec_id = d.vec_id
         |                    JOIN norms nq ON nq.vec_id = 0),
-        |cand AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 8),
-        |psims AS (SELECT a.vec_id AS va, b.vec_id AS vb, SUM(xa.xi * xb.xi) AS dot
+        |cand AS MATERIALIZED (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 8),
+        |psims AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb, SUM(xa.xi * xb.xi) AS dot
         |          FROM cand a JOIN cand b ON b.vec_id <> a.vec_id
         |          JOIN ex xa ON xa.vec_id = a.vec_id
         |          JOIN ex xb ON xb.vec_id = b.vec_id AND xb.i = xa.i
         |          GROUP BY 1, 2),
-        |sims AS (SELECT va, vb, CAST(ROUND(CAST(dot AS DOUBLE)
+        |sims AS MATERIALIZED (SELECT va, vb, CAST(ROUND(CAST(dot AS DOUBLE)
         |           / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
         |           AS DOUBLE) AS sim
         |         FROM psims JOIN norms na ON na.vec_id = va
         |                    JOIN norms nb ON nb.vec_id = vb),
-        |s1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+        |s1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS rank, vec_id,
         |         CAST(ROUND(0.7*rel, 6) AS DOUBLE) AS mmr
         |       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
         |p2 AS (SELECT c.vec_id,
@@ -3280,18 +3280,18 @@ object DedupExt {
         |         AND s.vb IN (SELECT vec_id FROM s1)
         |       WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
         |       GROUP BY c.vec_id, c.rel),
-        |s2 AS (SELECT CAST(2 AS BIGINT) AS rank, vec_id, mmr
+        |s2 AS MATERIALIZED (SELECT CAST(2 AS BIGINT) AS rank, vec_id, mmr
         |       FROM p2 ORDER BY mmr DESC, vec_id LIMIT 1),
-        |sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+        |sel2 AS MATERIALIZED (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
         |p3 AS (SELECT c.vec_id,
         |         CAST(ROUND(0.7*c.rel - 0.3*MAX(s.sim), 6) AS DOUBLE) AS mmr
         |       FROM cand c JOIN sims s ON s.va = c.vec_id
         |         AND s.vb IN (SELECT vec_id FROM sel2)
         |       WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
         |       GROUP BY c.vec_id, c.rel),
-        |s3 AS (SELECT CAST(3 AS BIGINT) AS rank, vec_id, mmr
+        |s3 AS MATERIALIZED (SELECT CAST(3 AS BIGINT) AS rank, vec_id, mmr
         |       FROM p3 ORDER BY mmr DESC, vec_id LIMIT 1),
-        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+        |sel3 AS MATERIALIZED (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
         |p4 AS (SELECT c.vec_id,
         |         CAST(ROUND(0.7*c.rel - 0.3*MAX(s.sim), 6) AS DOUBLE) AS mmr
         |       FROM cand c JOIN sims s ON s.va = c.vec_id

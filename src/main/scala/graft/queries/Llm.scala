@@ -250,29 +250,44 @@ object Llm {
       graft.plans.RollHash31.register(s)
       graft.plans.CmsSketch4x256.register(s)
       val toks = graft.operators.OpCaches.track(
-        t(s, d, "documents")
-          .select(col("source"), explode(split(col("text"), " ")).as("token"))
-          .withColumn("h", expr("roll_hash31(token)")))
-      val perSrc = toks.groupBy("source").agg(expr("cms4x256(h)").as("sk"))
-      val global = perSrc
-        .select(posexplode(col("sk")).as(Seq("i", "cnt")))
-        .groupBy("i").agg(sum(col("cnt")).as("cnt"))
-      val top = toks.groupBy("token", "h").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("token")).limit(10)
-      top
-        .select(col("token"), col("c"), col("h"),
-          explode(expr("transform(sequence(0, 3), j -> CAST(j AS BIGINT) * 256" +
-            " + ((CAST(1000003 AS BIGINT) * j + 12345) * h" +
-            " + (CAST(777767 AS BIGINT) * j + 13)) % 1000000007 % 256)"))
-            .as("i"))
-        .join(broadcast(global), Seq("i"))
-        .groupBy(col("token"), col("c"))
-        .agg(min(col("cnt")).as("est"))
-        .select(col("token"), col("c"), col("est"),
-          (col("est") - col("c")).as("over"))
-        .orderBy(col("c").desc, col("token"))
+        cmsTokens(t(s, d, "documents")))
+      cmsEstimates(toks,
+        toks.groupBy("source").agg(expr("cms4x256(h)").as("sk")))
     })
   )
+
+  /** t5's token relation: (source, token, h) with the corpus's
+    * replayable rolling hash — shared with the s31 streamed fold.
+    * Callers register roll_hash31 first. */
+  def cmsTokens(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("h", expr("roll_hash31(token)"))
+
+  /** t5's probe read path over an arbitrary per-source sketch relation
+    * (source, sk: array<long>[1024]) — shared by the batch build and
+    * the s31 streamed fold, so "streamed sketch ≡ batch sketch" is
+    * asserted through the IDENTICAL estimator. Global sketch =
+    * elementwise sum of the per-source rows; probes = the true top-10
+    * tokens (audit columns by contract), est = 4-cell min read. */
+  def cmsEstimates(toks: DataFrame, perSrc: DataFrame): DataFrame = {
+    val global = perSrc
+      .select(posexplode(col("sk")).as(Seq("i", "cnt")))
+      .groupBy("i").agg(sum(col("cnt")).as("cnt"))
+    val top = toks.groupBy("token", "h").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(10)
+    top
+      .select(col("token"), col("c"), col("h"),
+        explode(expr("transform(sequence(0, 3), j -> CAST(j AS BIGINT) * 256" +
+          " + ((CAST(1000003 AS BIGINT) * j + 12345) * h" +
+          " + (CAST(777767 AS BIGINT) * j + 13)) % 1000000007 % 256)"))
+          .as("i"))
+      .join(broadcast(global), Seq("i"))
+      .groupBy(col("token"), col("c"))
+      .agg(min(col("cnt")).as("est"))
+      .select(col("token"), col("c"), col("est"),
+        (col("est") - col("c")).as("over"))
+      .orderBy(col("c").desc, col("token"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q26_tokens" ->

@@ -777,7 +777,23 @@ object StreamingQueries {
     // the window build across a checkpointed restart, and
     // FoldSplitPropSpec pins any-split equality.
     "s30_ewmastream" -> ((s, d) =>
-      graft.queries.Relational.queries("q79_ewma")(s, d))
+      graft.queries.Relational.queries("q79_ewma")(s, d)),
+
+    // S31 STREAMING COUNT-MIN MAINTENANCE — t5's sketch maintained AS
+    // DOCUMENTS ARRIVE (Streams.s31): each micro-batch builds its own
+    // per-source 4×256 matrices (one partial-aggregatable pass over
+    // the batch's tokens) and FOLDS them into a persisted sketch table
+    // by elementwise addition — the CMS merge, commutative/associative,
+    // so fold(batches) ≡ one global build for ANY batch split (the
+    // property CmsSketchSpec pins; CmsStreamSpec asserts it across a
+    // checkpointed restart through t5's identical estimator read
+    // path). State is |sources| × 1024 longs — BOUNDED, never token
+    // rows: the online heavy-hitter shape. Generations are keyed by
+    // batchId, so a replayed batch overwrites its own generation
+    // deterministically (idempotent, the s16 exactly-once convention).
+    // The batch form IS t5 and shares its oracle verbatim.
+    "s31_cmsstream" -> ((s, d) =>
+      graft.queries.Llm.queries("t5_cms")(s, d))
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1179,6 +1195,9 @@ object StreamingQueries {
     // s30: q79's oracle verbatim — streamed ring fold ≡ the batch
     // window build is the contract
     ("s30_ewmastream" -> graft.queries.Relational.oracle("q79_ewma")) +
+    // s31: t5's oracle verbatim — streamed elementwise-addition fold ≡
+    // the batch sketch build is the contract
+    ("s31_cmsstream" -> graft.queries.Llm.oracle("t5_cms")) +
     // s17: the composed pipeline's oracle reuses s12's two-batch
     // verdict replay verbatim as a CTE, keeps the accepted ('new')
     // docs — the published snapshot's exact membership — and
@@ -1859,5 +1878,64 @@ object Streams {
       .select(col("v_id"), col("p_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
     runToTable(spark, joined, "s14_stream", "append")
+  }
+
+  /** S31 as streaming: Count-Min maintenance. Each micro-batch builds
+    * per-source 4×256 matrices from its own tokens and folds them into
+    * the persisted sketch by elementwise zip_with addition (the CMS
+    * merge). Generations are keyed by batchId: batch N reads gen=N
+    * (absent for the first) and overwrites gen=N+1 — a crash-replayed
+    * batch rewrites its own generation deterministically from the
+    * still-intact predecessor, so the fold is idempotent without a
+    * commit log. Bounded state: |sources| sketch rows, never tokens. */
+  def s31(spark: SparkSession, inDir: String, sketchDir: String,
+          checkpoint: String): Unit = {
+    graft.plans.RollHash31.register(spark)
+    graft.plans.CmsSketch4x256.register(spark)
+    val raw = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val zeros = "array_repeat(CAST(0 AS BIGINT), 1024)"
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = graft.queries.Llm.cmsTokens(batch)
+          .groupBy("source").agg(expr("cms4x256(h)").as("sk"))
+        val prev = new java.io.File(s"$sketchDir/gen=$batchId")
+        val merged =
+          if (prev.exists) spark.read.parquet(prev.getPath)
+            .select(col("source"), col("sk").as("a"))
+            .join(bs.select(col("source"), col("sk").as("b")),
+              Seq("source"), "full_outer")
+            .select(col("source"),
+              expr(s"zip_with(coalesce(a, $zeros), coalesce(b, $zeros)," +
+                " (x, y) -> x + y)").as("sk"))
+          else bs
+        merged.write.mode("overwrite").parquet(s"$sketchDir/gen=${batchId + 1}")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The streamed sketch read back through t5's IDENTICAL estimator:
+    * latest generation's per-source rows → global sum → top-10 probes
+    * against the batch corpus at `dir`. */
+  def s31Result(spark: SparkSession, dir: String,
+                sketchDir: String): DataFrame = {
+    graft.plans.RollHash31.register(spark)
+    graft.plans.CmsSketch4x256.register(spark)
+    val gens = Option(new java.io.File(sketchDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+    require(gens.nonEmpty, s"no sketch generations under $sketchDir")
+    val perSrc = spark.read.parquet(s"$sketchDir/gen=${gens.max}")
+    graft.queries.Llm.cmsEstimates(
+      graft.queries.Llm.cmsTokens(Tables(spark, dir, "documents")), perSrc)
   }
 }
