@@ -112,6 +112,13 @@ object CmsSketch4x256 {
     ((((1000003L * j + 12345L) * hh + (777767L * j + 13L)) % P) % Width).toInt
   }
 
+  private[plans] val ident =
+    org.apache.spark.sql.catalyst.FunctionIdentifier("cms4x256")
+  private[plans] val info =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[CmsSketch4x256].getName, "cms4x256")
+  private[plans] def builder: Seq[Expression] => Expression = build
+
   private def build(args: Seq[Expression]): Expression = {
     require(args.length == 1,
       s"cms4x256 expects 1 argument, got ${args.length}")

@@ -84,6 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => MatViewRewrite)
     ext.injectOptimizerRule(_ => JaroWinklerPrefilter)
     ext.injectOptimizerRule(_ => SaltedTopKRule)
+    ext.injectOptimizerRule(_ => FkJoinElimRule)
     ext.injectFunction((CrosstrackM.ident, CrosstrackM.info, CrosstrackM(_)))
     ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
     ext.injectFunction((RollHash31.ident, RollHash31.info, RollHash31.builder))
@@ -105,5 +106,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       JaroWinklerSim.builder))
     ext.injectFunction((HistBins600.ident, HistBins600.info,
       HistBins600.builder))
+    ext.injectFunction((CmsSketch4x256.ident, CmsSketch4x256.info,
+      CmsSketch4x256.builder))
   }
 }

@@ -671,6 +671,33 @@ object Relational {
         .orderBy("event_type", "day")
     }),
 
+    // Q126 FK JOIN ELIMINATION — the SIXTH injected optimizer rule
+    // (plans/FkJoinElimRule): the query JOINS orders but reads only
+    // lineitem columns — the shape every BI semantic layer generates
+    // (join all modeled dimensions, read few). Under the DECLARED
+    // foreign key l_orderkey=o_orderkey (referential integrity + pk
+    // uniqueness — the data's actual invariant), an inner join whose
+    // dim side is column-dead is the identity on the fact side, so the
+    // rule rewrites it to π(σ_{fk IS NOT NULL}(lineitem)) — the whole
+    // orders shuffle/broadcast disappears FROM THE PLAN (JoinElimSpec
+    // pins join-free optimized plans + every scope guard; the plan
+    // fingerprint pins it per round). The oracle replays the JOIN form
+    // verbatim, so the hash match proves the elimination lossless on
+    // the data — by measurement, not trust. At 100 TB this removes one
+    // dimension exchange per generated query, by plan, not by data.
+    "q126_joinelim" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set(graft.plans.FkJoinElimRule.ConfKey,
+        "l_orderkey=o_orderkey")
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders").select(col("o_orderkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Q46 CSV SOURCE round-trip + malformed-record capture AS DATA. The
     // corpus writes to CSV (header, default quoting), a deterministic
     // corrupt fixture file joins the directory, and the read-back
@@ -3581,6 +3608,15 @@ object Relational {
         |       CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
         |       CAST(ROUND(CAST(num AS DOUBLE) / den, 6) AS DOUBLE) AS filled
         |FROM r ORDER BY event_type, day""".stripMargin,
+
+    // q126: the oracle replays the JOIN form verbatim — the hash match
+    // proves the rule's join elimination lossless on the data
+    "q126_joinelim" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4)
+        |         AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the oracle never sees the CSV: it recomputes the expected rows
     // from parquet, so a hash match proves the CSV round trip (write →
