@@ -2652,6 +2652,58 @@ object Relational {
         .orderBy("node")
     }),
 
+    // Q127 LABEL-PROPAGATION COMMUNITIES — the community-detection verb
+    // next to q123's cores, q68's ranks, and qd5's components
+    // (components answer "connected at all"; LPA answers "densely
+    // interconnected"): over the SAME capped co-purchase graph, labels
+    // start as node ids and each of 5 SYNCHRONOUS rounds reassigns
+    // every node the MODE of its neighbors' labels, ties broken by
+    // smallest label — the deterministic variant of Raghavan et al.'s
+    // LPA (async LPA is order-dependent; synchronous rounds + a total
+    // tie-break make every round a pure function of the previous one,
+    // so both engines replay identical rounds and the final labeling
+    // is hash-checked data; 5 rounds is the DECLARED budget, not a
+    // convergence claim — sync LPA can 2-cycle, and a fixed budget is
+    // what a production job runs anyway). Each round is one equi-join
+    // + two partial-aggregatable groupBys, frontier localCheckpoint'd
+    // per round (the q123 lineage-blowup lesson; cluster analogue =
+    // reliable checkpoint). Scale: state is one (node, label) row per
+    // node; shuffle keys are node ids — never all-pairs.
+    "q127_lpa" -> ((s, d) => {
+      val b = graft.operators.BasketCap.capParts(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(), "o", "p")
+      val e = b.as("a")
+        .join(b.as("bb"), col("a.o") === col("bb.o")
+          && col("a.p") < col("bb.p"))
+        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+        .agg(count(lit(1)).as("w12"))
+        .filter(col("w12") >= 2L)
+        .select("u", "v")
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .transform(graft.operators.OpCaches.track)
+      var lbl = sym.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 5) {
+        val prev = lbl
+        lbl = sym
+          .join(prev.select(col("node").as("v"), col("lbl")), Seq("v"))
+          .groupBy(col("u").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("node")
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("b"))
+          .select(col("node"), (-col("b.nl")).as("lbl"))
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
+      val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("csize"))
+      lbl.join(sizes, Seq("lbl"))
+        .select(col("node"), col("lbl"), col("csize"))
+        .orderBy("node")
+    }),
+
     // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
     // pipeline runs before fitting forecasts: for each event type's
     // DAILY total (cents div 1000 — binning keeps every product far
@@ -4644,6 +4696,38 @@ object Relational {
         |                    = (SELECT COUNT(*) FROM a11)
         |            THEN 1 ELSE 0 END AS BIGINT) AS converged
         |FROM a12 ORDER BY node""".stripMargin
+    },
+
+    // q127: the identical 5 synchronous mode-label rounds unrolled as
+    // materialized CTEs (the q123 inlining lesson); ROW_NUMBER over
+    // (COUNT(*) DESC, lbl) replays the deterministic tie-break
+    "q127_lpa" -> {
+      val rounds = (1 to 5).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""l$i AS MATERIALIZED (
+           |  SELECT node, lbl FROM (
+           |    SELECT s.u AS node, x.lbl AS lbl,
+           |           ROW_NUMBER() OVER (PARTITION BY s.u
+           |             ORDER BY COUNT(*) DESC, x.lbl) AS rn
+           |    FROM sym s JOIN $prev x ON x.node = s.v
+           |    GROUP BY s.u, x.lbl)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |b AS (SELECT o, p FROM b0
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) <= 64),
+        |e AS (SELECT a.p AS u, c.p AS v FROM b a
+        |      JOIN b c ON a.o = c.o AND a.p < c.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS MATERIALIZED (SELECT u, v FROM e
+        |                     UNION ALL SELECT v AS u, u AS v FROM e),
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+        |$rounds,
+        |sz AS (SELECT lbl, COUNT(*) AS csize FROM l5 GROUP BY 1)
+        |SELECT n.node, n.lbl, CAST(sz.csize AS BIGINT) AS csize
+        |FROM l5 n JOIN sz USING (lbl)
+        |ORDER BY n.node""".stripMargin
     },
 
     "q105_acf" ->

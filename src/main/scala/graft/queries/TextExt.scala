@@ -1696,6 +1696,43 @@ object TextExt {
         .orderBy("doc_id")
     }),
 
+    // QX14 DIFFERENTIALLY-PRIVATE COUNT RELEASE — the noise MECHANISM
+    // the privacy ladder (q69 k-anon, q101 l-div, q103 t-close, qc6
+    // suppression) stops short of: per-language doc counts released
+    // through the discrete Laplace (two-sided geometric) mechanism,
+    // ε = 1, sensitivity 1 — Ghosh–Roughgarden–Sundararajan's
+    // universally-optimal count mechanism. NO transcendentals at query
+    // time (cross-engine exp/ln is a bit-identity knife-edge): the
+    // noise CDF is DECLARED as 16 integer thresholds (floor(cdf·2³¹)
+    // of e^{-|k|} weights truncated at ±8 and renormalized — the
+    // BenfordP shared-literal convention), so noise = −8 + #{cuts ≤ u}
+    // is pure integer comparison. The uniform u is the test contract's
+    // LCG seeded by the group's rolling hash — DETERMINISM IS THE TEST
+    // HARNESS, not the privacy claim: production swaps the LCG for a
+    // CSPRNG and the mechanism/accounting are unchanged. Released =
+    // n + noise (unclamped, honest) + the DP-safe post-processed
+    // max(0, ·). One partial-aggregatable count per group — O(groups).
+    "qx14_dpcount" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val cuts = Seq(332969L, 1238074L, 3698404L, 10386276L, 28565796L,
+        77982853L, 212312343L, 577457755L, 1570025892L, 1935171304L,
+        2069500794L, 2118917851L, 2137097371L, 2143785243L, 2146245573L,
+        2147150678L)
+      t(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("u",
+          (lit(1103515245L) * expr("roll_hash31(lang)") + 12345L)
+            % 2147483648L)
+        .withColumn("noise",
+          lit(-8L) + expr(s"CAST(size(filter(array(${cuts.mkString("L,")}L)," +
+            " c -> u >= c)) AS BIGINT)"))
+        .select(col("lang"), col("n"), col("u"), col("noise"),
+          (col("n") + col("noise")).as("released"),
+          greatest(col("n") + col("noise"), lit(0L)).as("published"),
+          lit(1.0).as("eps"))
+        .orderBy("lang")
+    }),
+
     // QT24 READABILITY SCORE (Flesch reading ease, declared proxies) —
     // the classic quality signal next to qt2's ratio gates: flesch =
     // 206.835 − 1.015·(tokens/sentence) − 84.6·(syllables/token).
@@ -2815,6 +2852,31 @@ object TextExt {
         |         CAST(tau AS DOUBLE) / 2147483648.0), 6) AS DOUBLE) AS est,
         |       CAST(w_total AS BIGINT) AS w_total
         |FROM r, tau, wt WHERE rn <= 100 ORDER BY doc_id""".stripMargin,
+
+    // qx14: the oracle replays the declared 16-threshold noise CDF,
+    // the LCG draw, and the release arithmetic exactly
+    "qx14_dpcount" ->
+      """WITH g AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |h AS (SELECT lang, n,
+        |        (1103515245 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(lang, ''),
+        |            ch -> CAST(unicode(ch) AS BIGINT))),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007)
+        |         + 12345) % 2147483648 AS u
+        |      FROM g),
+        |z AS (SELECT lang, n, u,
+        |        -8 + len(list_filter([332969, 1238074, 3698404, 10386276,
+        |          28565796, 77982853, 212312343, 577457755, 1570025892,
+        |          1935171304, 2069500794, 2118917851, 2137097371,
+        |          2143785243, 2146245573, 2147150678], c -> u >= c))
+        |          AS noise
+        |      FROM h)
+        |SELECT lang, CAST(n AS BIGINT) AS n, CAST(u AS BIGINT) AS u,
+        |       CAST(noise AS BIGINT) AS noise,
+        |       CAST(n + noise AS BIGINT) AS released,
+        |       CAST(GREATEST(n + noise, 0) AS BIGINT) AS published,
+        |       CAST(1.0 AS DOUBLE) AS eps
+        |FROM z ORDER BY lang""".stripMargin,
 
     // qt24: the oracle replays the declared sentence proxy and the
     // vowel-run syllable heuristic; the tier cuts on the rounded score
