@@ -2704,6 +2704,107 @@ object Relational {
         .orderBy("node")
     }),
 
+    // Q128 KOLMOGOROV–SMIRNOV TWO-SAMPLE TEST — q107's distribution-
+    // SHAPE companion (Mann-Whitney asks "is one arm shifted"; KS asks
+    // "do the arms follow the same distribution AT ALL" — the
+    // supremum-of-ECDF-gap readout an experiment pipeline needs when a
+    // treatment changes variance or tails without moving the median):
+    // the same deterministic arms and per-user binned observations as
+    // q107, with the ECDF gap computed on the VALUE HISTOGRAM (the
+    // q81-trap dodge — windows run over the bounded distinct-value
+    // relation, never a corpus rank). The supremum is kept EXACT:
+    // D·n0·n1 = max_v |cum0(v)·n1 − cum1(v)·n0| is pure int64
+    // (cum ≤ per-arm users, so products sit at users² — far inside
+    // headroom at any realistic scale) and rides as the audit column;
+    // D and the scaled statistic λ = D·√(n0·n1/(n0+n1)) (the input to
+    // the asymptotic K(λ) tail, left to the caller — exp() is not
+    // correctly rounded cross-engine, sqrt is) are ONE identical IEEE
+    // tree each (g08 convention). Precondition (documented per the s25
+    // floor-div advisory): `div` truncates toward zero while DuckDB's
+    // `//` floors, so the binning relies on events.value ≥ 0 (the
+    // generator's contract; per-user sums are then nonnegative and the
+    // two semantics coincide — StatsTestsSpec asserts the bound).
+    // Scale: one per-user partial agg +
+    // windows over ≤(types × distinct binned values) rows.
+    "q128_kstest" -> ((s, d) => {
+      val obs = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
+          .as("v"))
+        .select(col("event_type"), col("v"),
+          pmod(col("user_id"), lit(2L)).as("arm"))
+      val hist = obs.groupBy("event_type", "v")
+        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("c1"))
+      val wC = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wN = Window.partitionBy("event_type")
+      hist
+        .withColumn("cum0", sum(col("c0")).over(wC))
+        .withColumn("cum1", sum(col("c1")).over(wC))
+        .withColumn("n0", sum(col("c0")).over(wN))
+        .withColumn("n1", sum(col("c1")).over(wN))
+        .groupBy("event_type")
+        .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+          max(abs(col("cum0") * col("n1") - col("cum1") * col("n0")))
+            .as("d_num"))
+        .select(col("event_type"), col("n0"), col("n1"), col("d_num"),
+          round(col("d_num").cast(DoubleType)
+            / (col("n0").cast(DoubleType) * col("n1")), 6)
+            .cast(DoubleType).as("d"),
+          round(col("d_num").cast(DoubleType)
+            / (col("n0").cast(DoubleType) * col("n1"))
+            * sqrt(col("n0").cast(DoubleType) * col("n1")
+              / (col("n0") + col("n1")).cast(DoubleType)), 6)
+            .cast(DoubleType).as("lambda"))
+        .orderBy("event_type")
+    }),
+
+    // Q129 CHI-SQUARE INDEPENDENCE TEST — the categorical sibling of
+    // q107/q128 (those compare a NUMERIC metric across arms; this asks
+    // whether two categorical dimensions are associated at all — the
+    // first screening audit on any segmentation): the order
+    // priority × status contingency table, with every deviation kept
+    // exact: dev = N·n_ij − r_i·c_j is int64 (headroom contract:
+    // |dev| ≤ N·max(n_ij, E_ij) — exact while N < ~3e9 orders, and dev
+    // fits a double exactly below 2^53, both documented bounds, the
+    // q105 convention). The per-cell χ² contribution is FIXED-POINT:
+    // contrib6 = ⌊dev²/(N·r·c)·10⁶ + ½⌋ — one identical IEEE tree per
+    // cell ending in an exact int64, so the table total is an ORDER-
+    // FREE integer sum (never a float accumulation across cells), and
+    // χ² = Σcontrib6/10⁶ is a single division. Scale: the corpus
+    // collapses to the (priorities × statuses) cell relation in one
+    // partial-aggregatable pass; marginals broadcast back onto it; the
+    // global window runs over ≤15 rows.
+    "q129_chisq" -> ((s, d) => {
+      val cells = t(s, d, "orders")
+        .filter(col("o_orderpriority").isNotNull
+          && col("o_orderstatus").isNotNull)
+        .groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n"))
+      val rowt = cells.groupBy("pri").agg(sum("n").as("rt"))
+      val colt = cells.groupBy("st").agg(sum("n").as("ct"))
+      val tot = cells.agg(sum("n").as("nn"))
+      val wAll = Window.partitionBy()
+      cells
+        .join(broadcast(rowt), Seq("pri"))
+        .join(broadcast(colt), Seq("st"))
+        .crossJoin(broadcast(tot))
+        .withColumn("dev", col("nn") * col("n") - col("rt") * col("ct"))
+        .withColumn("contrib6",
+          floor(col("dev").cast(DoubleType) * col("dev")
+            / (col("nn").cast(DoubleType) * col("rt") * col("ct"))
+            * lit(1000000.0) + lit(0.5)).cast(LongType))
+        .withColumn("chi2",
+          (sum(col("contrib6")).over(wAll).cast(DoubleType)
+            / lit(1000000.0)).cast(DoubleType))
+        .select(col("pri"), col("st"), col("n"), col("rt"), col("ct"),
+          col("dev"), col("contrib6"), col("chi2"))
+        .orderBy("pri", "st")
+    }),
+
     // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
     // pipeline runs before fitting forecasts: for each event type's
     // DAILY total (cents div 1000 — binning keeps every product far
@@ -4729,6 +4830,69 @@ object Relational {
         |FROM l5 n JOIN sz USING (lbl)
         |ORDER BY n.node""".stripMargin
     },
+
+    "q128_kstest" ->
+      """WITH obs AS (
+        |  SELECT event_type, user_id % 2 AS arm,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           // 1000 AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY event_type, user_id),
+        |hist AS (SELECT event_type, v,
+        |           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS c0,
+        |           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS c1
+        |         FROM obs GROUP BY 1, 2),
+        |cu AS (SELECT event_type, c0, c1,
+        |         SUM(c0) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum0,
+        |         SUM(c1) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum1,
+        |         SUM(c0) OVER (PARTITION BY event_type) AS n0,
+        |         SUM(c1) OVER (PARTITION BY event_type) AS n1
+        |       FROM hist),
+        |agg AS (SELECT event_type, CAST(MAX(n0) AS BIGINT) AS n0,
+        |          CAST(MAX(n1) AS BIGINT) AS n1,
+        |          CAST(MAX(ABS(cum0 * n1 - cum1 * n0)) AS BIGINT)
+        |            AS d_num
+        |        FROM cu GROUP BY 1)
+        |SELECT event_type, n0, n1, d_num,
+        |       CAST(ROUND(CAST(d_num AS DOUBLE)
+        |         / (CAST(n0 AS DOUBLE) * n1), 6) AS DOUBLE) AS d,
+        |       CAST(ROUND(CAST(d_num AS DOUBLE)
+        |         / (CAST(n0 AS DOUBLE) * n1)
+        |         * SQRT(CAST(n0 AS DOUBLE) * n1
+        |           / CAST(n0 + n1 AS DOUBLE)), 6) AS DOUBLE) AS lambda
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    "q129_chisq" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT pri, CAST(SUM(n) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT st, CAST(SUM(n) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+        |x AS (SELECT pri, st, n, rt.rt, ct.ct, tot.nn,
+        |        nn * n - rt.rt * ct.ct AS dev
+        |      FROM cells JOIN rt USING (pri) JOIN ct USING (st)
+        |      CROSS JOIN tot),
+        |y AS (SELECT pri, st, n, rt, ct, dev,
+        |        CAST(FLOOR(CAST(dev AS DOUBLE) * dev
+        |          / (CAST(nn AS DOUBLE) * rt * ct)
+        |          * 1000000 + 0.5) AS BIGINT) AS contrib6
+        |      FROM x)
+        |SELECT pri, st, n, rt, ct, dev, contrib6,
+        |       CAST(CAST(SUM(contrib6) OVER () AS DOUBLE) / 1000000
+        |         AS DOUBLE) AS chi2
+        |FROM y ORDER BY pri, st""".stripMargin,
 
     "q105_acf" ->
       """WITH daily AS (
