@@ -2805,6 +2805,109 @@ object Relational {
         .orderBy("pri", "st")
     }),
 
+    // Q130 JACKKNIFE RATIO-METRIC VARIANCE — the readout q93/q107/q128
+    // stop short of: those test per-USER observations; most production
+    // metrics are RATIOS of two sums (revenue per active user-day)
+    // whose variance no per-row formula gives. The standard infra
+    // answer is the delete-one-stratum jackknife (Quenouille/Tukey;
+    // strata = days): θ_(i) = (S_num−num_i)/(S_den−den_i), variance =
+    // (k−1)/k · Σ(θ_(i)−θ̄)². Exactness: per-stratum num (cents) and
+    // den (distinct user-days) are exact int64; each θ_(i) lands on a
+    // FIXED 1e-6 grid by pure integer floor division (both operands
+    // positive — value ≥ 0 contract, so `div` ≡ `//`); deviations
+    // center on the integer floor-mean m = Σt6 div k and correct with
+    // the exact displacement identity Σ(x−x̄)² = Σ(x−m)² − r²/k
+    // (r = Σt6 mod k < k), keeping ssd an ORDER-FREE int64 sum.
+    // Headroom contract (documented, q105 convention): t6 ≈ θ·10⁶
+    // needs S_num·10⁶ < 2⁶³ (metric total < ~$9·10¹⁰ per type) and
+    // leave-one-out deviations are O(per-stratum swing / k), so ssd
+    // sits orders below overflow for any real metric. The single IEEE
+    // tree (variance, then its sqrt) is written identically in both
+    // engines; GREATEST(·,0) guards the r²/k rounding residue when
+    // the true spread is 0. Scale: one partial-aggregatable
+    // (type, day) pass — distinct users per stratum partial-aggs as a
+    // two-level hash — then windows over the ≤(types·days) relation.
+    "q130_jackknife" -> ((s, d) => {
+      val strat = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull
+          && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          Conv.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+        .agg(sum(expr("cast(floor(value * 100) as bigint)")).as("num"),
+          count_distinct(col("user_id")).as("den"))
+      val w = Window.partitionBy("event_type")
+      val loo = strat
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("s_num", sum(col("num")).over(w))
+        .withColumn("s_den", sum(col("den")).over(w))
+        .withColumn("t6", expr(
+          "((s_num - num) * 1000000) div (s_den - den)"))
+        .withColumn("sum_t6", sum(col("t6")).over(w))
+        .withColumn("m", expr("sum_t6 div k"))
+        .withColumn("r", col("sum_t6") - expr("sum_t6 div k") * col("k"))
+      val vexp = (col("k") - 1).cast(DoubleType) / col("k") *
+        (greatest(col("ssd").cast(DoubleType)
+          - col("r").cast(DoubleType) * col("r") / col("k"), lit(0.0))
+          / lit(1000000000000.0))
+      loo.groupBy("event_type")
+        .agg(max("k").as("k"), max("s_num").as("s_num"),
+          max("s_den").as("s_den"), max("sum_t6").as("sum_t6"),
+          max("r").as("r"),
+          sum((col("t6") - col("m")) * (col("t6") - col("m"))).as("ssd"))
+        .select(col("event_type"), col("k"), col("s_num"), col("s_den"),
+          col("sum_t6"), col("r"), col("ssd"),
+          r6(col("s_num").cast(DoubleType) / col("s_den")).as("theta"),
+          r6(vexp).as("var_jk"),
+          r6(sqrt(vexp)).as("se_jk"))
+        .orderBy("event_type")
+    }),
+
+    // Q131 DEGREE ASSORTATIVITY — the graph-family STRUCTURE audit
+    // next to q123's cores and q127's communities (those find dense
+    // regions; this asks WHO connects to whom — do high-degree hubs
+    // attach to hubs (assortative, r>0) or to leaves (disassortative,
+    // r<0), the first diagnostic run before choosing a partitioning or
+    // sampling strategy for any graph workload): Newman's r = Pearson
+    // correlation of endpoint degrees over the DIRECTED (symmetrized)
+    // edge list of the same capped co-purchase graph as q123/q127.
+    // Exactness (q108's convention): Σx, Σx², Σxy over int64 degrees
+    // are exact order-free sums; on the symmetric list Σdeg_u = Σdeg_v
+    // and Σdeg_u² = Σdeg_v², so r = (m·Σxy − (Σx)²)/(m·Σx² − (Σx)²)
+    // with EXACT int64 numerator/denominator riding as audit columns
+    // and ONE IEEE division at display. Headroom (documented): needs
+    // m·Σxy < 2⁶³ — degrees are basket-capped (≤64 parts/order), so
+    // Σxy ≤ m·deg_max² stays far inside range for any m the graph
+    // family already handles. Scale: degree is one partial-agg pass,
+    // the decoration is two node-keyed equi-joins — never all-pairs.
+    "q131_assort" -> ((s, d) => {
+      val b = graft.operators.BasketCap.capParts(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(), "o", "p")
+      val e = b.as("a")
+        .join(b.as("bb"), col("a.o") === col("bb.o")
+          && col("a.p") < col("bb.p"))
+        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+        .agg(count(lit(1)).as("w12"))
+        .filter(col("w12") >= 2L)
+        .select("u", "v")
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      sym
+        .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+        .agg(count(lit(1)).as("m"), sum(col("du")).as("sx"),
+          sum(col("du") * col("du")).as("sxx"),
+          sum(col("du") * col("dv")).as("sxy"))
+        .select(col("m"), col("sx"), col("sxx"), col("sxy"),
+          (col("m") * col("sxy") - col("sx") * col("sx")).as("num"),
+          (col("m") * col("sxx") - col("sx") * col("sx")).as("den"),
+          r6((col("m") * col("sxy") - col("sx") * col("sx"))
+            .cast(DoubleType)
+            / (col("m") * col("sxx") - col("sx") * col("sx")))
+            .as("r"))
+    }),
+
     // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
     // pipeline runs before fitting forecasts: for each event type's
     // DAILY total (cents div 1000 — binning keeps every product far
@@ -4893,6 +4996,81 @@ object Relational {
         |       CAST(CAST(SUM(contrib6) OVER () AS DOUBLE) / 1000000
         |         AS DOUBLE) AS chi2
         |FROM y ORDER BY pri, st""".stripMargin,
+
+    "q130_jackknife" ->
+      """WITH strat AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS num,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS den
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |loo AS (
+        |  SELECT event_type, num, den,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS k,
+        |         CAST(SUM(num) OVER w AS BIGINT) AS s_num,
+        |         CAST(SUM(den) OVER w AS BIGINT) AS s_den
+        |  FROM strat WINDOW w AS (PARTITION BY event_type)),
+        |tt AS (
+        |  SELECT event_type, k, s_num, s_den,
+        |         ((s_num - num) * 1000000) // (s_den - den) AS t6
+        |  FROM loo),
+        |u AS (
+        |  SELECT event_type, k, s_num, s_den, t6,
+        |         CAST(SUM(t6) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS sum_t6
+        |  FROM tt),
+        |v AS (
+        |  SELECT event_type, k, s_num, s_den, t6, sum_t6,
+        |         sum_t6 // k AS m,
+        |         sum_t6 - (sum_t6 // k) * k AS r
+        |  FROM u),
+        |g AS (
+        |  SELECT event_type, MAX(k) AS k, MAX(s_num) AS s_num,
+        |         MAX(s_den) AS s_den, MAX(sum_t6) AS sum_t6,
+        |         MAX(r) AS r,
+        |         CAST(SUM((t6 - m) * (t6 - m)) AS BIGINT) AS ssd
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, k, s_num, s_den, sum_t6, r, ssd,
+        |       CAST(ROUND(CAST(s_num AS DOUBLE) / s_den, 6) AS DOUBLE)
+        |         AS theta,
+        |       CAST(ROUND(CAST(k - 1 AS DOUBLE) / k
+        |         * (GREATEST(CAST(ssd AS DOUBLE)
+        |             - CAST(r AS DOUBLE) * r / k, 0.0)
+        |           / 1000000000000.0), 6) AS DOUBLE) AS var_jk,
+        |       CAST(ROUND(SQRT(CAST(k - 1 AS DOUBLE) / k
+        |         * (GREATEST(CAST(ssd AS DOUBLE)
+        |             - CAST(r AS DOUBLE) * r / k, 0.0)
+        |           / 1000000000000.0)), 6) AS DOUBLE) AS se_jk
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q131_assort" ->
+      """WITH b0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |b AS (SELECT o, p FROM b0
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) <= 64),
+        |e AS (SELECT a.p AS u, c.p AS v FROM b a
+        |      JOIN b c ON a.o = c.o AND a.p < c.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS MATERIALIZED (SELECT u, v FROM e
+        |                     UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |             CAST(SUM(du.deg) AS BIGINT) AS sx,
+        |             CAST(SUM(du.deg * du.deg) AS BIGINT) AS sxx,
+        |             CAST(SUM(du.deg * dv.deg) AS BIGINT) AS sxy
+        |      FROM sym JOIN deg du ON sym.u = du.u
+        |               JOIN deg dv ON sym.v = dv.u)
+        |SELECT m, sx, sxx, sxy,
+        |       m * sxy - sx * sx AS num,
+        |       m * sxx - sx * sx AS den,
+        |       CAST(ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+        |         / (m * sxx - sx * sx), 6) AS DOUBLE) AS r
+        |FROM s""".stripMargin,
 
     "q105_acf" ->
       """WITH daily AS (
