@@ -2908,6 +2908,64 @@ object Relational {
             .as("r"))
     }),
 
+    // Q132 THEIL–SEN ROBUST SLOPE — the trend estimator the time-series
+    // family (q105 ACF, q115 seasonality, q98 changepoint) reads AFTER
+    // detecting structure: OLS slope is corrupted by the same outlier
+    // days q109's MAD flags, so production trend monitors use the
+    // median of pairwise slopes (Theil 1950/Sen 1968; 29% breakdown
+    // point). Exactness: daily totals y are exact int64 cents; each
+    // pairwise slope lands on a FIXED 1e-6 grid via true FLOOR division
+    // s6 = ⌊dy·10⁶/dt⌋ in pure int arithmetic — dy can be NEGATIVE and
+    // BOTH engines' integer division truncates toward zero (Spark
+    // `div`, DuckDB `//` — measured: -7//2 = -3), so each side floors
+    // EXPLICITLY via the pmod identity (num − pmod(num, dt)) / dt
+    // (Conv.floorDiv's form with a column divisor). The median uses q109's 2-SCALING: med2 =
+    // s6_lo + s6_hi (the two middle order statistics; odd n_pairs hits
+    // the same row twice) — exact int64 audit, ONE IEEE division at
+    // display. Headroom (documented): dy·10⁶ < 2⁶³ needs daily swings
+    // under ~$9·10¹⁰ per type. Scale: the corpus collapses to the daily
+    // relation in one partial-aggregatable pass; the pair join and the
+    // rank window run over O(calendar days²) ≈ 4k rows per type —
+    // bounded by TIME, not corpus size (not the q81 trap).
+    "q132_theilsen" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"),
+          Conv.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+        .agg(sum(expr("cast(floor(value * 100) as bigint)")).as("y"))
+      val nd = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"))
+      val a = daily.select(col("event_type"), col("day").as("di"),
+        col("y").as("yi"))
+      val b = daily.select(col("event_type"), col("day").as("dj"),
+        col("y").as("yj"))
+      val slopes = a.join(b, Seq("event_type"))
+        .filter(col("di") < col("dj"))
+        .select(col("event_type"),
+          ((col("yj") - col("yi")) * lit(1000000L)).as("num"),
+          (col("dj") - col("di")).as("dt"))
+        .select(col("event_type"),
+          expr("(num - pmod(num, dt)) div dt").as("s6"))
+      val w = Window.partitionBy("event_type").orderBy("s6")
+      val cw = Window.partitionBy("event_type")
+      slopes
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("np", count(lit(1)).over(cw))
+        .filter(col("rn") === expr("(np + 1) div 2")
+          || col("rn") === expr("np div 2 + 1"))
+        .groupBy("event_type")
+        .agg(max(col("np")).as("n_pairs"),
+          sum(when(col("rn") === expr("(np + 1) div 2"), col("s6"))
+            .otherwise(0L)
+            + when(col("rn") === expr("np div 2 + 1"), col("s6"))
+            .otherwise(0L)).as("med2"))
+        .join(nd, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("med2"),
+          r6(col("med2").cast(DoubleType) / lit(2000000.0)).as("slope"))
+        .orderBy("event_type")
+    }),
+
     // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
     // pipeline runs before fitting forecasts: for each event type's
     // DAILY total (cents div 1000 — binning keeps every product far
@@ -4996,6 +5054,43 @@ object Relational {
         |       CAST(CAST(SUM(contrib6) OVER () AS DOUBLE) / 1000000
         |         AS DOUBLE) AS chi2
         |FROM y ORDER BY pri, st""".stripMargin,
+
+    // q132: the pair join and rank picks replayed verbatim; `//` is
+    // DuckDB floor division, matching the Spark side's pmod floor form
+    "q132_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |       FROM daily GROUP BY 1),
+        |pr AS (SELECT a.event_type, (b.y - a.y) * 1000000 AS num,
+        |              b.day - a.day AS dt
+        |       FROM daily a JOIN daily b
+        |         ON a.event_type = b.event_type AND a.day < b.day),
+        |sl AS (SELECT event_type,
+        |              (num - ((num % dt) + dt) % dt) // dt AS s6
+        |       FROM pr),
+        |r AS (SELECT event_type, s6,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |               ORDER BY s6) AS BIGINT) AS rn,
+        |             CAST(COUNT(*) OVER (PARTITION BY event_type)
+        |               AS BIGINT) AS np
+        |      FROM sl),
+        |m AS (SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+        |             CAST(SUM(CASE WHEN rn = (np + 1) // 2
+        |                           THEN s6 ELSE 0 END
+        |               + CASE WHEN rn = np // 2 + 1
+        |                 THEN s6 ELSE 0 END) AS BIGINT) AS med2
+        |      FROM r
+        |      WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+        |      GROUP BY 1)
+        |SELECT m.event_type, nd.n_days, m.n_pairs, m.med2,
+        |       CAST(ROUND(CAST(m.med2 AS DOUBLE) / 2000000.0, 6)
+        |         AS DOUBLE) AS slope
+        |FROM m JOIN nd USING (event_type) ORDER BY event_type""".stripMargin,
 
     "q130_jackknife" ->
       """WITH strat AS (

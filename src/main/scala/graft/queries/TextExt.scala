@@ -1733,6 +1733,79 @@ object TextExt {
         .orderBy("lang")
     }),
 
+    // QX15 POISSON BOOTSTRAP MEDIAN CI — the uncertainty verb for the
+    // statistics q130's jackknife can't serve (the jackknife handles
+    // smooth ratio metrics; the MEDIAN's delete-one variance estimate
+    // is inconsistent — resampling is the standard answer): per event
+    // type, an ~80% CI for the median via the POISSON bootstrap — the
+    // distributed form (each row draws an independent Poisson(1)
+    // weight per replicate; no global resample pass, the shape Google's
+    // large-scale pipelines published): B=32 replicates in ONE corpus
+    // scan. NO transcendentals at query time: the Poisson(1) CDF is 6
+    // DECLARED integer thresholds (floor(cdf·2³¹), truncated at w=6 —
+    // the qx14 shared-literal convention), weight = #{cuts ≤ u}, and
+    // u = LCG(event_id·32 + b) is the TEST CONTRACT's generator
+    // (production swaps a CSPRNG; estimator unchanged). All medians
+    // are exact int64 on the cents grid via the q32 weighted-histogram
+    // trick (cum ≥ (n+1) div 2 — never a corpus sort); the CI is the
+    // 4th/29th order statistics of the 32 replicate medians. Scale:
+    // the 32× explode partial-aggregates IMMEDIATELY to the
+    // (type, replicate, value) histogram — types·32·|grid| rows, not
+    // 32× corpus rows, past the first exchange; windows run on the
+    // histogram relation only.
+    "qx15_bootstrap" -> ((s, d) => {
+      val cuts = Seq(790015084L, 1580030168L, 1975037710L, 2106706891L,
+        2139624186L, 2146207645L)
+      val base = t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_id").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          expr("cast(floor(value * 100) as bigint)").as("v"))
+      val wcum = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wtot = Window.partitionBy("event_type")
+      val point = base.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wcum))
+        .withColumn("n", sum("c").over(wtot))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("event_type").agg(min("v").as("med"), max("n").as("n"))
+      val grouped = base
+        .select(col("event_type"), col("v"), explode(expr(
+          "transform(sequence(0, 31), b -> named_struct(" +
+            "'b', CAST(b AS BIGINT), " +
+            "'u', (1103515245 * ((event_id * 32 + b) % 2147483648) " +
+            "+ 12345) % 2147483648))")).as("r"))
+        .select(col("event_type"), col("r.b").as("b"), col("v"),
+          expr(s"CAST(size(filter(array(${cuts.mkString("L,")}L), " +
+            "c -> r.u >= c)) AS BIGINT)").as("w"))
+        .filter(col("w") > 0L)
+        .groupBy("event_type", "b", "v").agg(sum("w").as("c"))
+      val wcumB = Window.partitionBy("event_type", "b").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wtotB = Window.partitionBy("event_type", "b")
+      val meds = grouped
+        .withColumn("cum", sum("c").over(wcumB))
+        .withColumn("nb", sum("c").over(wtotB))
+        .filter(col("cum") >= expr("(nb + 1) div 2"))
+        .groupBy("event_type", "b").agg(min("v").as("bmed"))
+      val wr = Window.partitionBy("event_type").orderBy("bmed", "b")
+      val ci = meds.withColumn("rn", row_number().over(wr))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_reps"),
+          min(when(col("rn") === 4, col("bmed"))).as("lo"),
+          min(when(col("rn") === 29, col("bmed"))).as("hi"))
+      point.join(ci, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("n_reps"), col("med"),
+          col("lo"), col("hi"),
+          round(col("med").cast(DoubleType) / 100.0, 6)
+            .cast(DoubleType).as("med_d"),
+          round(col("lo").cast(DoubleType) / 100.0, 6)
+            .cast(DoubleType).as("lo_d"),
+          round(col("hi").cast(DoubleType) / 100.0, 6)
+            .cast(DoubleType).as("hi_d"))
+        .orderBy("event_type")
+    }),
+
     // QT24 READABILITY SCORE (Flesch reading ease, declared proxies) —
     // the classic quality signal next to qt2's ratio gates: flesch =
     // 206.835 − 1.015·(tokens/sentence) − 84.6·(syllables/token).
@@ -1761,7 +1834,76 @@ object TextExt {
           when(col("flesch") >= 60d, lit("easy"))
             .when(col("flesch") >= 30d, lit("medium"))
             .otherwise(lit("hard")).as("grade"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // QT25 BPE MERGE TRAINING — the tokenizer-TRAINING loop the token
+    // counting (qt3) and chunking (qt10/qt18) verbs consume the output
+    // of: learn the first K=6 byte-pair-encoding merges (Sennrich et
+    // al.'s subword algorithm) from the corpus itself. The 100 TB shape
+    // is the one real trainers use: the corpus collapses to the
+    // (word, count) VOCAB in ONE partial-aggregatable pass, and every
+    // training round runs over the vocab relation only — pair counting
+    // re-weights by the word count, so the corpus is never re-scanned.
+    // Determinism: pair counts are exact int64; the merge pick is the
+    // total order (count DESC, left, right) via one min(struct) agg;
+    // the merge APPLY is greedy left-to-right — encoded as plain
+    // string replace over a double-space-separated symbol string
+    // ("␠␠a␠␠b␠␠..."): the pattern "␠L␠␠R␠" consumes one space of each
+    // flanking separator, so the leftover space lets the NEXT
+    // occurrence match (abab → two merges) while overlapping
+    // occurrences can't double-fire (aaa → one merge) and a symbol
+    // whose PREFIX is R can never false-match — both engines' replace()
+    // is the same left-to-right non-rescanning scan, so the fold is
+    // bit-identical. Vocab lineage is localCheckpoint-truncated per
+    // round (the q123 lesson; each round reads it twice). Precondition
+    // (documented): tokens are ^[a-z]+$ — the guard filter makes the
+    // separator injective. K=6 is the DECLARED budget (the loop shape
+    // is the operator; production runs the same loop 30k times).
+    "qt25_bpe" -> ((s, d) => {
+      val vocab0 = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("sq", concat(lit("  "),
+          expr("regexp_replace(w, '(.)', '$1  ')")))
+      var vocab = vocab0.localCheckpoint(true)
+      var steps = List.empty[DataFrame]
+      for (step <- 1 to 6) {
+        val prev = vocab
+        val best = vocab
+          .select(col("cnt"),
+            expr("filter(split(sq, '  '), x -> x != '')").as("a"))
+          .filter(size(col("a")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), " +
+              "(x, y) -> named_struct('l', x, 'r', y))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("pcnt"))
+          .agg(min(struct((-col("pcnt")).as("nc"), col("l"), col("r")))
+            .as("b"))
+          .select(col("b.l").as("ml"), col("b.r").as("mr"),
+            (-col("b.nc")).as("mcnt"))
+          // 1-row relations consumed both this round and at final union
+          // time — eager-checkpoint so prev.unpersist() can't orphan them
+          .localCheckpoint(true)
+        vocab = vocab.crossJoin(broadcast(best))
+          .withColumn("sq", expr(
+            "replace(sq, ' ' || ml || '  ' || mr || ' ', " +
+              "' ' || ml || mr || ' ')"))
+          .select("w", "cnt", "sq")
+          .localCheckpoint(true)
+        prev.unpersist()
+        val stat = vocab.agg(sum(col("cnt") *
+          expr("size(filter(split(sq, '  '), x -> x != ''))"))
+          .cast(LongType).as("tot_syms"))
+          .localCheckpoint(true)
+        steps = steps :+ best.crossJoin(broadcast(stat))
+          .select(lit(step.toLong).as("step"), col("ml").as("l"),
+            col("mr").as("r"), concat(col("ml"), col("mr")).as("merged"),
+            col("mcnt").as("pcnt"), col("tot_syms"))
+      }
+      steps.reduce(_ unionByName _).orderBy("step")
+    })
   )
 
   /** qm2: the typed multimodal feature path (Media.features —
@@ -2878,6 +3020,60 @@ object TextExt {
         |       CAST(1.0 AS DOUBLE) AS eps
         |FROM z ORDER BY lang""".stripMargin,
 
+    // qx15: the oracle replays the LCG draws, the declared Poisson
+    // thresholds, and both weighted-histogram median picks verbatim
+    "qx15_bootstrap" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id,
+        |         CAST(FLOOR(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |ph AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM base GROUP BY 1, 2),
+        |pc AS (SELECT event_type, v,
+        |         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |       FROM ph),
+        |pt AS (SELECT event_type, MIN(v) AS med, MAX(n) AS n FROM pc
+        |       WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |reps AS (
+        |  SELECT event_type, v, CAST(b AS BIGINT) AS b,
+        |         (1103515245 * ((event_id * 32 + b) % 2147483648)
+        |          + 12345) % 2147483648 AS u
+        |  FROM base, generate_series(0, 31) g(b)),
+        |wts AS (SELECT event_type, b, v,
+        |          CAST(len(list_filter([790015084, 1580030168, 1975037710,
+        |            2106706891, 2139624186, 2146207645], c -> u >= c))
+        |            AS BIGINT) AS w
+        |        FROM reps),
+        |gh AS (SELECT event_type, b, v, CAST(SUM(w) AS BIGINT) AS c
+        |       FROM wts WHERE w > 0 GROUP BY 1, 2, 3),
+        |gc AS (SELECT event_type, b, v,
+        |         CAST(SUM(c) OVER (PARTITION BY event_type, b ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER (PARTITION BY event_type, b)
+        |           AS BIGINT) AS nb
+        |       FROM gh),
+        |bm AS (SELECT event_type, b, MIN(v) AS bmed FROM gc
+        |       WHERE cum >= (nb + 1) // 2 GROUP BY 1, 2),
+        |rk AS (SELECT event_type, bmed,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY bmed, b) AS BIGINT) AS rn
+        |       FROM bm),
+        |ci AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_reps,
+        |         MIN(CASE WHEN rn = 4 THEN bmed END) AS lo,
+        |         MIN(CASE WHEN rn = 29 THEN bmed END) AS hi
+        |       FROM rk GROUP BY 1)
+        |SELECT pt.event_type, pt.n, ci.n_reps, pt.med, ci.lo, ci.hi,
+        |       CAST(ROUND(CAST(pt.med AS DOUBLE) / 100.0, 6) AS DOUBLE)
+        |         AS med_d,
+        |       CAST(ROUND(CAST(ci.lo AS DOUBLE) / 100.0, 6) AS DOUBLE)
+        |         AS lo_d,
+        |       CAST(ROUND(CAST(ci.hi AS DOUBLE) / 100.0, 6) AS DOUBLE)
+        |         AS hi_d
+        |FROM pt JOIN ci USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     // qt24: the oracle replays the declared sentence proxy and the
     // vowel-run syllable heuristic; the tier cuts on the rounded score
     "qt24_readability" ->
@@ -2903,6 +3099,44 @@ object TextExt {
     // qm6: the oracle recomputes every field from the SOURCE columns
     // the blobs were built from — the hash match proves the Spark
     // side's encode→binary-slice→big-endian-decode round trip
+    // qt25: the identical 6 training rounds unrolled as materialized
+    // CTEs (the q123 inlining lesson); ORDER BY pcnt DESC, l, r LIMIT 1
+    // replays the min(struct) merge pick, replace() replays the greedy
+    // left-to-right merge apply on the same double-space encoding
+    "qt25_bpe" -> {
+      val rounds = (1 to 6).map { i =>
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        s"""m$i AS MATERIALIZED (
+           |  SELECT a[k] AS l, a[k+1] AS r, CAST(SUM(cnt) AS BIGINT) AS pcnt
+           |  FROM (SELECT cnt, a, unnest(generate_series(1, len(a) - 1)) AS k
+           |        FROM (SELECT cnt,
+           |                list_filter(string_split(sq, '  '), x -> x <> '') AS a
+           |              FROM $prev)
+           |        WHERE len(a) >= 2)
+           |  GROUP BY 1, 2 ORDER BY pcnt DESC, l, r LIMIT 1),
+           |v$i AS MATERIALIZED (
+           |  SELECT w, cnt,
+           |         replace(sq, ' ' || m.l || '  ' || m.r || ' ',
+           |                 ' ' || m.l || m.r || ' ') AS sq
+           |  FROM $prev, m$i m),
+           |t$i AS (SELECT CAST(SUM(cnt *
+           |          len(list_filter(string_split(sq, '  '), x -> x <> '')))
+           |          AS BIGINT) AS tot_syms FROM v$i)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 6).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS step, m.l, m.r, m.l || m.r AS merged,
+           |       m.pcnt, t.tot_syms FROM m$i m, t$i t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v0 AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$$')
+        |  GROUP BY w),
+        |$rounds
+        |SELECT * FROM ($out) ORDER BY step""".stripMargin
+    },
+
     "qm6_imagemeta" ->
       """SELECT doc_id,
         |  CAST(64 + n_chars % 1000 AS BIGINT) AS width,
