@@ -68,9 +68,13 @@ object Conv {
   def r6(c: Column): Column = round(c, 6).cast(DoubleType)
 
   /** Exact integer FLOOR division (Math.floorDiv semantics) in pure
-    * long arithmetic: Spark's `div` truncates toward zero, DuckDB's `//`
-    * and the streaming folds' Math.floorDiv floor — they differ on
-    * negative numerators (pre-1970 epoch micros). pmod(n, d) is always
+    * long arithmetic: Spark's `div` AND DuckDB's integer `//` BOTH
+    * truncate toward zero (measured: -7 // 2 = -3 in DuckDB), while the
+    * streaming folds' Math.floorDiv floors — so on negative numerators
+    * (pre-1970 epoch micros) a bare `div`/`//` pair agrees with itself
+    * but diverges from the stateful folds; an oracle replaying a
+    * negative-numerator floor must use this same pmod identity inline
+    * (q132 does). pmod(n, d) is always
     * in [0, d) for d > 0, so (n - pmod(n, d)) is the largest multiple
     * of d <= n; integer `div` of that exact multiple is then the floor
     * quotient with no IEEE rounding anywhere (valid for ALL longs). */

@@ -2966,6 +2966,65 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Q133 MULTI-SOURCE BFS HOP DISTANCE — the reachability verb the
+    // graph family still lacked (qd5 asks "connected at all", q123
+    // "how dense", q127 "which community", q131 "who attaches to
+    // whom"; this asks HOW FAR — the distance-to-nearest-hub readout
+    // behind coverage analyses and landmark-based embeddings): hop
+    // distance from a DECLARED seed set (node % 97 = 0 — deterministic,
+    // data-independent) over the same capped co-purchase graph, R=4
+    // synchronous frontier rounds (the declared budget, q127's
+    // convention). Classic distributed BFS: each round expands the
+    // LAST frontier only (one edge equi-join), anti-joins the visited
+    // set so every node is labeled exactly once with its FIRST (= min)
+    // hop count — order-independent, so the labeling is hash-checked
+    // data. Frontier and visited are lineage-truncated per round
+    // (localCheckpoint, the q123 lesson — visited is referenced twice
+    // per round). Unreached-within-R nodes are absent from the output
+    // by definition; n_nodes/n_reached ride as broadcast audit columns
+    // so the coverage fraction is hash-checked too. Scale: O(E) per
+    // round, frontier shrinks monotonically past the expansion peak,
+    // no driver-side graph state.
+    "q133_bfshop" -> ((s, d) => {
+      val b = graft.operators.BasketCap.capParts(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(), "o", "p")
+      val e = b.as("a")
+        .join(b.as("bb"), col("a.o") === col("bb.o")
+          && col("a.p") < col("bb.p"))
+        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+        .agg(count(lit(1)).as("w12"))
+        .filter(col("w12") >= 2L)
+        .select("u", "v")
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .transform(graft.operators.OpCaches.track)
+      var visited = sym.select(col("u").as("node")).distinct()
+        .filter(col("node") % 97 === 0L)
+        .withColumn("dist", lit(0L))
+        .localCheckpoint(true)
+      var frontier = visited
+      for (r <- 1 to 4) {
+        val prevVisited = visited
+        val prevFrontier = frontier
+        val nxt = sym
+          .join(frontier.select(col("node").as("u")), Seq("u"), "left_semi")
+          .select(col("v").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .withColumn("dist", lit(r.toLong))
+          .localCheckpoint(true)
+        visited = visited.unionByName(nxt).localCheckpoint(true)
+        prevVisited.unpersist()
+        if (r > 1) prevFrontier.unpersist()
+        frontier = nxt
+      }
+      val tot = sym.select(col("u").as("node")).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val reach = visited.agg(count(lit(1)).as("n_reached"))
+      visited.crossJoin(broadcast(tot)).crossJoin(broadcast(reach))
+        .orderBy("node")
+    }),
+
     // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
     // pipeline runs before fitting forecasts: for each event type's
     // DAILY total (cents div 1000 — binning keeps every product far
@@ -5055,8 +5114,43 @@ object Relational {
         |         AS DOUBLE) AS chi2
         |FROM y ORDER BY pri, st""".stripMargin,
 
-    // q132: the pair join and rank picks replayed verbatim; `//` is
-    // DuckDB floor division, matching the Spark side's pmod floor form
+    // q133: the identical 4 frontier rounds unrolled as materialized
+    // CTEs (the q123 inlining lesson); NOT IN replays the anti-join
+    "q133_bfshop" -> {
+      val rounds = (1 to 4).map { i =>
+        val pf = if (i == 1) "v0" else s"f${i - 1}"
+        val pa = if (i == 1) "v0" else s"a${i - 1}"
+        s"""f$i AS MATERIALIZED (
+           |  SELECT DISTINCT s.v AS node, CAST($i AS BIGINT) AS dist
+           |  FROM sym s JOIN $pf x ON s.u = x.node
+           |  WHERE s.v NOT IN (SELECT node FROM $pa)),
+           |a$i AS MATERIALIZED (
+           |  SELECT node, dist FROM $pa
+           |  UNION ALL SELECT node, dist FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |b AS (SELECT o, p FROM b0
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) <= 64),
+        |e AS (SELECT a.p AS u, c.p AS v FROM b a
+        |      JOIN b c ON a.o = c.o AND a.p < c.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS MATERIALIZED (SELECT u, v FROM e
+        |                     UNION ALL SELECT v AS u, u AS v FROM e),
+        |v0 AS MATERIALIZED (SELECT DISTINCT u AS node,
+        |                           CAST(0 AS BIGINT) AS dist
+        |                    FROM sym WHERE u % 97 = 0),
+        |$rounds
+        |SELECT node, dist,
+        |       CAST((SELECT COUNT(DISTINCT u) FROM sym) AS BIGINT)
+        |         AS n_nodes,
+        |       CAST((SELECT COUNT(*) FROM a4) AS BIGINT) AS n_reached
+        |FROM a4 ORDER BY node""".stripMargin
+    },
+
+    // q132: the pair join and rank picks replayed verbatim; DuckDB `//`
+    // TRUNCATES on integers, so the slope floors via the same explicit
+    // pmod identity the Spark side uses
     "q132_theilsen" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -674,6 +674,80 @@ object TextExt {
         .orderBy("doc_id")
     }),
 
+    // QM7 AUDIO-FRAME FEATURE EXTRACTION — the audio sibling of qm6's
+    // image-header parse, and one step PAST the codec boundary: PCM
+    // needs no codec library, so the FEATURES themselves are real, not
+    // stubbed. Deterministic WAV-shaped blobs (canonical 44-byte
+    // RIFF/WAVE PCM header — all multi-byte fields LITTLE-ENDIAN, the
+    // axis qm6's big-endian PNG parse doesn't exercise — plus 64 int16
+    // LE samples s_i = ((doc_id·131 + i·17) mod 65536) − 32768) are
+    // CONSTRUCTED from doc fields, then parsed back purely with hex
+    // slicing + byte-pair reversal + conv(): sample rate / channels /
+    // bit depth / data size read from the header bytes, samples decoded
+    // two's-complement, and per-16-sample frames reduced to the two
+    // classic audio features — ENERGY Σs² (exact int64; max 64·32768²
+    // ≈ 2³⁶, no overflow) and ZERO CROSSINGS (sign-change count). The
+    // oracle recomputes everything from the SOURCE formula, so the
+    // hash match proves the encode→LE-parse→feature round trip. Scale:
+    // row-local, one scan, whole-stage codegen, no shuffle before the
+    // presentation sort — the per-blob shape a 100 TB audio crawl's
+    // feature pass takes (real corpora swap the sample formula for the
+    // decoded PCM page; the parse/feature plumbing is unchanged).
+    "qm7_audioenergy" -> ((s, d) => {
+      val headerHex = "52494646" + "A4000000" + "57415645" +
+        "666D7420" + "10000000" + "0100" + "0100" + "803E0000" +
+        "007D0000" + "0200" + "1000" + "64617461" + "80000000"
+      val blobs = t(s, d, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), unhex(concat(lit(headerHex),
+          expr("concat_ws('', transform(sequence(0, 63), i -> " +
+            "substr(lpad(hex(((doc_id * 131 + i * 17) % 65536 + 32768) " +
+            "% 65536), 4, '0'), 3, 2) || " +
+            "substr(lpad(hex(((doc_id * 131 + i * 17) % 65536 + 32768) " +
+            "% 65536), 4, '0'), 1, 2)))"))).as("wav"))
+      blobs
+        .withColumn("hx", hex(col("wav")))
+        .withColumn("sig_ok",
+          when(expr("substr(hx, 1, 8)") === "52494646"
+            && expr("substr(hx, 17, 8)") === "57415645", 1L)
+            .otherwise(0L))
+        .withColumn("sr", expr(
+          "CAST(conv(substr(hx, 55, 2) || substr(hx, 53, 2) || " +
+            "substr(hx, 51, 2) || substr(hx, 49, 2), 16, 10) AS BIGINT)"))
+        .withColumn("ch", expr(
+          "CAST(conv(substr(hx, 47, 2) || substr(hx, 45, 2), 16, 10) " +
+            "AS BIGINT)"))
+        .withColumn("bits", expr(
+          "CAST(conv(substr(hx, 71, 2) || substr(hx, 69, 2), 16, 10) " +
+            "AS BIGINT)"))
+        .withColumn("n_samples", expr(
+          "CAST(conv(substr(hx, 87, 2) || substr(hx, 85, 2) || " +
+            "substr(hx, 83, 2) || substr(hx, 81, 2), 16, 10) AS BIGINT) " +
+            "div (bits div 8)"))
+        .withColumn("sm", expr(
+          "transform(sequence(0, CAST(n_samples - 1 AS INT)), i -> " +
+            "CAST(IF(CAST(conv(substr(hx, 91 + 4 * i, 2) || " +
+            "substr(hx, 89 + 4 * i, 2), 16, 10) AS BIGINT) >= 32768, " +
+            "CAST(conv(substr(hx, 91 + 4 * i, 2) || " +
+            "substr(hx, 89 + 4 * i, 2), 16, 10) AS BIGINT) - 65536, " +
+            "CAST(conv(substr(hx, 91 + 4 * i, 2) || " +
+            "substr(hx, 89 + 4 * i, 2), 16, 10) AS BIGINT)) AS BIGINT))"))
+        .select(col("doc_id"), col("sig_ok"), col("sr"), col("ch"),
+          col("bits"), col("n_samples"),
+          explode(expr(
+            "transform(sequence(0, CAST(n_samples div 16 - 1 AS INT)), " +
+              "f -> named_struct(" +
+              "'frame', CAST(f AS BIGINT), " +
+              "'energy', aggregate(slice(sm, f * 16 + 1, 16), 0L, " +
+              "(a, x) -> a + x * x), " +
+              "'zc', aggregate(sequence(f * 16, f * 16 + 14), 0L, " +
+              "(a, j) -> a + IF(sm[j] * sm[j + 1] < 0, 1L, 0L))))"))
+            .as("fr"))
+        .select(col("doc_id"), col("sig_ok"), col("sr"), col("ch"),
+          col("bits"), col("n_samples"), col("fr.frame").as("frame"),
+          col("fr.energy").as("energy"), col("fr.zc").as("zc"))
+        .orderBy("doc_id", "frame")
+    }),
+
     // qt10 document chunking: fixed 64-token windows with stride 48
     // (16-token overlap) — the pre-tokenization splitting step that
     // turns long documents into training-sized sequences. One scan, the
@@ -3095,6 +3169,29 @@ object TextExt {
         |            WHEN flesch >= 30 THEN 'medium'
         |            ELSE 'hard' END AS grade
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // qm7: the oracle recomputes samples and features from the SOURCE
+    // formula (the encode is its own decode: repr r = (m+32768)%65536
+    // round-trips to s = m − 32768), so the hash match proves the
+    // Spark side's LE header parse + two's-complement sample decode
+    "qm7_audioenergy" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+        |sm AS (SELECT doc_id, CAST(b AS BIGINT) AS i,
+        |         ((doc_id * 131 + b * 17) % 65536) - 32768 AS s
+        |       FROM ids, generate_series(0, 63) g(b)),
+        |p AS (SELECT doc_id, i, s,
+        |        LEAD(s) OVER (PARTITION BY doc_id ORDER BY i) AS sn
+        |      FROM sm),
+        |fr AS (SELECT doc_id, i // 16 AS frame,
+        |         CAST(SUM(s * s) AS BIGINT) AS energy,
+        |         CAST(SUM(CASE WHEN i % 16 < 15 AND s * sn < 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        |       FROM p GROUP BY 1, 2)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS sig_ok,
+        |       CAST(16000 AS BIGINT) AS sr, CAST(1 AS BIGINT) AS ch,
+        |       CAST(16 AS BIGINT) AS bits, CAST(64 AS BIGINT) AS n_samples,
+        |       frame, energy, zc
+        |FROM fr ORDER BY doc_id, frame""".stripMargin,
 
     // qm6: the oracle recomputes every field from the SOURCE columns
     // the blobs were built from — the hash match proves the Spark
