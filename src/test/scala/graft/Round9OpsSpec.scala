@@ -1,0 +1,286 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side brute-force oracles for the round-9 additions (q130
+  * jackknife, q131 assortativity, q132 Theil–Sen, q133 BFS, qt25 BPE,
+  * qx15 bootstrap, qm7 audio): each statistic is recomputed from the
+  * raw sf0.001 parquet with plain Scala collections — INDEPENDENT
+  * implementations (e.g. qt25's merge is an explicit index scan here
+  * vs the query's string-replace encoding) — and the distributed plans
+  * must reproduce the integer audit columns bit-for-bit and the
+  * rounded doubles to the declared grid. */
+class Round9OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** micros that survive Timestamp's milli truncation (verify gotcha);
+    * raw parquet reads of events.ts can surface TIMESTAMP_NTZ →
+    * LocalDateTime (identity with TIMESTAMP under the pinned UTC
+    * session tz), so accept both. */
+  private def micros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    case l: java.time.LocalDateTime =>
+      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        l.getNano / 1000
+    case other => sys.error(s"unexpected ts type: $other")
+  }
+
+  /** the capped co-purchase graph q123/q127/q131/q133 share:
+    * distinct (order, part), top-64 parts per order by partkey, pairs
+    * seen together >= 2 times, symmetrized. Returns the directed
+    * (symmetric) edge list. */
+  private def copurchaseEdges(): Seq[(Long, Long)] = {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val capped = rows.groupBy(_._1).toSeq.flatMap { case (o, g) =>
+      g.map(_._2).sorted.take(64).map(p => (o, p))
+    }
+    val pairCnt = capped.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+      // .toSeq BEFORE collect: collecting 2-tuples out of a Map would
+      // rebuild a Map and silently dedup edges by their first endpoint
+    }.groupBy(identity).toSeq.collect { case (k, v) if v.size >= 2 => k }
+    pairCnt ++ pairCnt.map { case (u, v) => (v, u) }
+  }
+
+  test("q130 jackknife matches a driver-side brute force") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "user_id", "value", "ts").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3))
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Math.floorDiv(micros(r.get(3)), 86400000000L)))
+
+    val strat = rows.groupBy(r => (r._1, r._4)).map { case ((et, day), g) =>
+      (et, day, g.map(r => math.floor(r._3 * 100).toLong).sum,
+        g.map(_._2).distinct.size.toLong)
+    }.toSeq
+
+    val expected = strat.groupBy(_._1).map { case (et, g) =>
+      val k = g.size.toLong
+      val sNum = g.map(_._3).sum
+      val sDen = g.map(_._4).sum
+      val t6 = g.map(s => ((sNum - s._3) * 1000000L) / (sDen - s._4))
+      val sumT6 = t6.sum
+      val m = sumT6 / k
+      val r = sumT6 - m * k
+      val ssd = t6.map(x => (x - m) * (x - m)).sum
+      val vexp = (k - 1).toDouble / k *
+        (math.max(ssd.toDouble - r.toDouble * r / k, 0.0) / 1e12)
+      et -> ((k, sNum, sDen, sumT6, r, ssd, sNum.toDouble / sDen, vexp))
+    }
+
+    val got = SparkEntry.queries("q130_jackknife")(spark, TestSpark.Sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (k, sn, sd, st6, rr, ssd, theta, vexp) = expected(r.getString(0))
+      assert(r.getLong(1) == k && r.getLong(2) == sn && r.getLong(3) == sd)
+      assert(r.getLong(4) == st6 && r.getLong(5) == rr && r.getLong(6) == ssd)
+      assert(math.abs(r.getDouble(7) - theta) <= 5e-7)
+      assert(math.abs(r.getDouble(8) - vexp) <= 5e-7)
+      assert(math.abs(r.getDouble(9) - math.sqrt(vexp)) <= 5e-7)
+    }
+  }
+
+  test("q131 assortativity matches a driver-side brute force") {
+    val sym = copurchaseEdges()
+    val deg = sym.groupBy(_._1).map { case (u, g) => u -> g.size.toLong }
+    val m = sym.size.toLong
+    val sx = sym.map(e => deg(e._1)).sum
+    val sxx = sym.map(e => deg(e._1) * deg(e._1)).sum
+    val sxy = sym.map(e => deg(e._1) * deg(e._2)).sum
+    // symmetric edge list: endpoint degree moments agree on both ends
+    assert(sym.map(e => deg(e._2)).sum == sx)
+
+    val got = SparkEntry.queries("q131_assort")(spark, TestSpark.Sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == m && r.getLong(1) == sx)
+    assert(r.getLong(2) == sxx && r.getLong(3) == sxy)
+    assert(r.getLong(4) == m * sxy - sx * sx)
+    assert(r.getLong(5) == m * sxx - sx * sx)
+    val rr = (m * sxy - sx * sx).toDouble / (m * sxx - sx * sx)
+    assert(math.abs(r.getDouble(6) - rr) <= 5e-7)
+    assert(rr >= -1.0 && rr <= 1.0)
+  }
+
+  test("q132 Theil-Sen matches a driver-side brute force (floorDiv on negatives)") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "value", "ts").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong,
+        Math.floorDiv(micros(r.get(2)), 86400000000L)))
+
+    val daily = rows.groupBy(r => (r._1, r._3)).map { case ((et, d), g) =>
+      (et, d, g.map(_._2).sum)
+    }.toSeq
+
+    val expected = daily.groupBy(_._1).map { case (et, g) =>
+      val ds = g.sortBy(_._2)
+      val slopes = (for {
+        i <- ds.indices; j <- (i + 1) until ds.length
+      } yield Math.floorDiv((ds(j)._3 - ds(i)._3) * 1000000L,
+        ds(j)._2 - ds(i)._2)).sorted
+      val np = slopes.length.toLong
+      val lo = ((np + 1) / 2).toInt
+      val hi = (np / 2 + 1).toInt
+      val med2 = slopes(lo - 1) + slopes(hi - 1)
+      // at least one negative pairwise slope exercises the floor path
+      et -> ((ds.length.toLong, np, med2, slopes.exists(_ < 0)))
+    }
+    assert(expected.values.exists(_._4),
+      "fixture has no negative slope — the floor-division path is untested")
+
+    val got = SparkEntry.queries("q132_theilsen")(spark, TestSpark.Sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nd, np, med2, _) = expected(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == np)
+      assert(r.getLong(3) == med2,
+        s"${r.getString(0)}: med2 ${r.getLong(3)} != $med2")
+      assert(math.abs(r.getDouble(4) - med2.toDouble / 2e6) <= 5e-7)
+    }
+  }
+
+  test("q133 BFS hop distance matches a driver-side BFS") {
+    val sym = copurchaseEdges()
+    val nodes = sym.map(_._1).distinct
+    val adj = sym.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).toSet }
+    var dist = nodes.filter(_ % 97 == 0).map(_ -> 0L).toMap
+    var frontier = dist.keySet
+    for (r <- 1 to 4) {
+      val nxt = frontier.flatMap(adj.getOrElse(_, Set.empty[Long]))
+        .diff(dist.keySet)
+      dist = dist ++ nxt.map(_ -> r.toLong)
+      frontier = nxt
+    }
+
+    val got = SparkEntry.queries("q133_bfshop")(spark, TestSpark.Sf).collect()
+    assert(got.length == dist.size)
+    got.foreach { r =>
+      assert(dist(r.getLong(0)) == r.getLong(1),
+        s"node ${r.getLong(0)}: dist ${r.getLong(1)} != ${dist(r.getLong(0))}")
+      assert(r.getLong(2) == nodes.size.toLong)
+      assert(r.getLong(3) == dist.size.toLong)
+    }
+    // the budget must actually expand: some node sits at full depth
+    assert(got.exists(_.getLong(1) == 4L) || dist.size == nodes.size)
+  }
+
+  test("qt25 BPE: string-replace merge == explicit greedy scan, 6 rounds") {
+    val words = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+      .filter(_.matches("^[a-z]+$"))
+    var vocab: Seq[(Vector[String], Long)] = words.groupBy(identity).toSeq
+      .map { case (w, g) => (w.map(_.toString).toVector, g.length.toLong) }
+
+    def mergeGreedy(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+
+    val expected = (1 to 6).map { step =>
+      val pairs = vocab.flatMap { case (syms, cnt) =>
+        syms.sliding(2).collect { case Vector(a, b) => ((a, b), cnt) }
+      }.groupBy(_._1).map { case (p, g) => (p, g.map(_._2).sum) }
+      val ((l, r), pcnt) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+      vocab = vocab.map { case (syms, cnt) => (mergeGreedy(syms, l, r), cnt) }
+      val totSyms = vocab.map { case (syms, cnt) => syms.length * cnt }.sum
+      (step.toLong, l, r, l + r, pcnt, totSyms)
+    }
+
+    val got = SparkEntry.queries("qt25_bpe")(spark, TestSpark.Sf).collect()
+    assert(got.length == 6)
+    got.zip(expected).foreach { case (row, (step, l, r, merged, pcnt, tot)) =>
+      assert(row.getLong(0) == step)
+      assert(row.getString(1) == l && row.getString(2) == r,
+        s"step $step: merge (${row.getString(1)},${row.getString(2)}) != ($l,$r)")
+      assert(row.getString(3) == merged)
+      assert(row.getLong(4) == pcnt, s"step $step: pcnt")
+      assert(row.getLong(5) == tot, s"step $step: tot_syms")
+    }
+    // conservation: each merge removes exactly pcnt symbols
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(5) - b.getLong(5) == b.getLong(4))
+    }
+  }
+
+  test("qx15 bootstrap matches a driver-side replay of the LCG draws") {
+    val cuts = Seq(790015084L, 1580030168L, 1975037710L, 2106706891L,
+      2139624186L, 2146207645L)
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "event_id", "value").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100).toLong))
+
+    def lowerMedian(weighted: Seq[(Long, Long)]): Long = { // (v, w) sorted
+      val n = weighted.map(_._2).sum
+      val target = (n + 1) / 2
+      var cum = 0L
+      weighted.foreach { case (v, w) =>
+        cum += w; if (cum >= target) return v
+      }
+      sys.error("empty histogram")
+    }
+
+    val expected = rows.groupBy(_._1).map { case (et, g) =>
+      val point = lowerMedian(
+        g.groupBy(_._3).toSeq.map { case (v, h) => (v, h.size.toLong) }
+          .sortBy(_._1))
+      val bmeds = (0L until 32L).map { b =>
+        val wts = g.map { r =>
+          val u = (1103515245L * ((r._2 * 32 + b) % 2147483648L) + 12345L) %
+            2147483648L
+          (r._3, cuts.count(u >= _).toLong)
+        }.filter(_._2 > 0)
+        b -> lowerMedian(wts.groupBy(_._1).toSeq
+          .map { case (v, h) => (v, h.map(_._2).sum) }.sortBy(_._1))
+      }
+      val sortedMeds = bmeds.sortBy { case (b, m) => (m, b) }.map(_._2)
+      et -> ((g.length.toLong, point, sortedMeds(3), sortedMeds(28)))
+    }
+
+    val got = SparkEntry.queries("qx15_bootstrap")(spark, TestSpark.Sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, med, lo, hi) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == 32L)
+      assert(r.getLong(3) == med, s"${r.getString(0)}: point median")
+      assert(r.getLong(4) == lo && r.getLong(5) == hi,
+        s"${r.getString(0)}: CI (${r.getLong(4)},${r.getLong(5)}) != ($lo,$hi)")
+      assert(lo <= med && med <= hi)
+    }
+  }
+
+  test("qm7 audio features match the sample formula; header fields parse") {
+    val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 7 == 0)
+
+    val got = SparkEntry.queries("qm7_audioenergy")(spark, TestSpark.Sf).collect()
+    assert(got.length == ids.length * 4)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val samples = (0 until 64).map(i =>
+        ((id * 131 + i * 17) % 65536) - 32768)
+      assert(r.getLong(1) == 1L) // RIFF + WAVE magic parsed from bytes
+      assert(r.getLong(2) == 16000L && r.getLong(3) == 1L)
+      assert(r.getLong(4) == 16L && r.getLong(5) == 64L)
+      val f = r.getLong(6).toInt
+      val frame = samples.slice(f * 16, f * 16 + 16)
+      assert(r.getLong(7) == frame.map(s => s * s).sum)
+      val zc = (0 until 15).count(i => frame(i) * frame(i + 1) < 0)
+      assert(r.getLong(8) == zc.toLong)
+    }
+  }
+}
