@@ -675,6 +675,53 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // S32 STREAMING INTERVAL-UNION COVERAGE — q113's in-flight twin
+    // (the s26/q112 pairing, one verb over): per-user "active time"
+    // served LIVE as events arrive. The stream carries only the sweep
+    // state itself — closed-run totals + the OPEN run's (start, max
+    // end), five longs per user (streaming/CoverageState) — because a
+    // time-ordered feed means an arriving interval either extends the
+    // open run or closes it; no window identity needed. The published
+    // relation adds what only a live store serves: the open run's
+    // bounds ("active since X, covered until Y"), which q113's closed
+    // aggregate never exposes. Batch form below = q113's two windows +
+    // run aggregate, with the last run picked by a (run, rs, re)-led
+    // struct max (partial-aggregatable, no join-back — the s26 keep-
+    // last shape); CoverageStreamSpec pins the streamed per-event feed
+    // == a declarative three-window live-coverage build row-for-row,
+    // final states == this relation, across a checkpointed restart.
+    "s32_coveragestream" -> ((s, d) => {
+      val W = graft.streaming.CoverageState.W
+      val wPrev = Window.partitionBy("user_id")
+        .orderBy(col("st"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("user_id")
+        .orderBy(col("st"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + W)
+        .withColumn("pmax", max(col("en")).over(wPrev))
+        .withColumn("newrun",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("run", sum(col("newrun")).over(wRun))
+        .groupBy("user_id", "run")
+        .agg(min(col("st")).as("rs"), max(col("en")).as("re"),
+          count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_runs"),
+          sum(col("n")).as("n_events"),
+          sum(col("re") - col("rs")).as("covered_us"),
+          max(struct(col("run"), col("rs"), col("re"))).as("last"))
+        .select(col("user_id"), col("n_runs"), col("n_events"),
+          col("covered_us"),
+          col("last.rs").as("open_rs"), col("last.re").as("open_re"))
+        .orderBy("user_id")
+    }),
+
     // S27 CHANGELOG-CONSUMING MV REFRESH — the retraction verb s18's
     // append-only MV refuses (and MvStreamSpec pins that refusal): a
     // replica summary maintained THROUGH copy-on-write UPDATE and
@@ -1169,6 +1216,33 @@ object StreamingQueries {
         |       CAST(s AS BIGINT) AS final_s,
         |       CAST(balance AS BIGINT) AS balance
         |FROM last WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // s32: q113's sweep replayed + arg_max picks the open (last) run
+    "s32_coveragestream" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |         epoch_us(ts) + 600000000 AS en
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT user_id, event_id, st, en,
+        |        MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM e),
+        |r AS (SELECT user_id, event_id, st, en,
+        |        CAST(SUM(CASE WHEN pmax IS NULL OR st > pmax
+        |                 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY st, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS run
+        |      FROM m),
+        |g AS (SELECT user_id, run, MIN(st) AS rs, MAX(en) AS re,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |       CAST(SUM(n) AS BIGINT) AS n_events,
+        |       CAST(SUM(re - rs) AS BIGINT) AS covered_us,
+        |       CAST(ARG_MAX(rs, run) AS BIGINT) AS open_rs,
+        |       CAST(ARG_MAX(re, run) AS BIGINT) AS open_re
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // s27: full recompute of the mutated table's final state — the
     // hash match proves the incremental retraction fold exact; the

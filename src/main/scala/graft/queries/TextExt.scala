@@ -1933,52 +1933,99 @@ object TextExt {
     // (documented): tokens are ^[a-z]+$ — the guard filter makes the
     // separator injective. K=6 is the DECLARED budget (the loop shape
     // is the operator; production runs the same loop 30k times).
-    "qt25_bpe" -> ((s, d) => {
-      val vocab0 = t(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
+    "qt25_bpe" -> ((s, d) =>
+      bpeTrain(t(s, d, "documents"))._2.reduce(_ unionByName _)
+        .orderBy("step")),
+
+    // QC8 BPE TOKEN BUDGET — the composition qt25's training loop
+    // exists for: a mixture planner (qx3/qx4) budgets in TOKENS THE
+    // TOKENIZER WILL ACTUALLY PRODUCE, not whitespace words — so apply
+    // the learned merges corpus-wide and count resulting symbols per
+    // (lang, source) domain. The 100 TB shape is the key move: the
+    // merges were learned ON THE VOCAB, and applying them to the
+    // corpus is a broadcast join of word → post-merge symbol count
+    // against a per-domain word-count relation — the corpus is scanned
+    // ONCE (partial-aggregatable (lang, source, word) pass) and never
+    // re-tokenized per occurrence. tokens_per_word and the mixture
+    // share are ONE IEEE division each at display (g08 convention);
+    // counts are exact int64 end to end.
+    "qc8_tokenbudget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val wsyms = bpeTrain(docs)._1
+        .select(col("w"),
+          expr("size(filter(split(sq, '  '), x -> x != ''))")
+            .cast(LongType).as("n_syms"))
+      val words = docs
+        .select(col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .withColumn("sq", concat(lit("  "),
-          expr("regexp_replace(w, '(.)', '$1  ')")))
-      var vocab = vocab0.localCheckpoint(true)
-      var steps = List.empty[DataFrame]
-      for (step <- 1 to 6) {
-        val prev = vocab
-        val best = vocab
-          .select(col("cnt"),
-            expr("filter(split(sq, '  '), x -> x != '')").as("a"))
-          .filter(size(col("a")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), " +
-              "(x, y) -> named_struct('l', x, 'r', y))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("cnt")).as("pcnt"))
-          .agg(min(struct((-col("pcnt")).as("nc"), col("l"), col("r")))
-            .as("b"))
-          .select(col("b.l").as("ml"), col("b.r").as("mr"),
-            (-col("b.nc")).as("mcnt"))
-          // 1-row relations consumed both this round and at final union
-          // time — eager-checkpoint so prev.unpersist() can't orphan them
-          .localCheckpoint(true)
-        vocab = vocab.crossJoin(broadcast(best))
-          .withColumn("sq", expr(
-            "replace(sq, ' ' || ml || '  ' || mr || ' ', " +
-              "' ' || ml || mr || ' ')"))
-          .select("w", "cnt", "sq")
-          .localCheckpoint(true)
-        prev.unpersist()
-        val stat = vocab.agg(sum(col("cnt") *
-          expr("size(filter(split(sq, '  '), x -> x != ''))"))
-          .cast(LongType).as("tot_syms"))
-          .localCheckpoint(true)
-        steps = steps :+ best.crossJoin(broadcast(stat))
-          .select(lit(step.toLong).as("step"), col("ml").as("l"),
-            col("mr").as("r"), concat(col("ml"), col("mr")).as("merged"),
-            col("mcnt").as("pcnt"), col("tot_syms"))
-      }
-      steps.reduce(_ unionByName _).orderBy("step")
+        .groupBy("lang", "source", "w").agg(count(lit(1)).as("occ"))
+      val dom = words.join(broadcast(wsyms), Seq("w"))
+        .groupBy("lang", "source")
+        .agg(sum(col("occ")).as("n_words"),
+          sum(col("occ") * col("n_syms")).as("bpe_tokens"))
+      val tot = dom.agg(sum(col("bpe_tokens")).as("tot"))
+      dom.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_words"),
+          col("bpe_tokens"),
+          graft.Conv.r6(col("bpe_tokens").cast(DoubleType) / col("n_words"))
+            .as("tokens_per_word"),
+          graft.Conv.r6(col("bpe_tokens").cast(DoubleType) * 100.0 / col("tot"))
+            .as("share_pct"))
+        .orderBy("lang", "source")
     })
   )
+
+  /** The qt25 BPE training loop, shared with qc8: 6 rounds of pair
+    * counting + argmax merge over the (word, count) vocab (see the
+    * qt25 entry for the full semantics). Returns the final vocab
+    * (w, cnt, sq) and the per-step merge rows. */
+  private def bpeTrain(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, List[org.apache.spark.sql.DataFrame]) = {
+    val vocab0 = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("sq", concat(lit("  "),
+        expr("regexp_replace(w, '(.)', '$1  ')")))
+    var vocab = vocab0.localCheckpoint(true)
+    var steps = List.empty[org.apache.spark.sql.DataFrame]
+    for (step <- 1 to 6) {
+      val prev = vocab
+      val best = vocab
+        .select(col("cnt"),
+          expr("filter(split(sq, '  '), x -> x != '')").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), " +
+            "(x, y) -> named_struct('l', x, 'r', y))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pcnt"))
+        .agg(min(struct((-col("pcnt")).as("nc"), col("l"), col("r")))
+          .as("b"))
+        .select(col("b.l").as("ml"), col("b.r").as("mr"),
+          (-col("b.nc")).as("mcnt"))
+        // 1-row relations consumed both this round and at final union
+        // time — eager-checkpoint so prev.unpersist() can't orphan them
+        .localCheckpoint(true)
+      vocab = vocab.crossJoin(broadcast(best))
+        .withColumn("sq", expr(
+          "replace(sq, ' ' || ml || '  ' || mr || ' ', " +
+            "' ' || ml || mr || ' ')"))
+        .select("w", "cnt", "sq")
+        .localCheckpoint(true)
+      prev.unpersist()
+      val stat = vocab.agg(sum(col("cnt") *
+        expr("size(filter(split(sq, '  '), x -> x != ''))"))
+        .cast(LongType).as("tot_syms"))
+        .localCheckpoint(true)
+      steps = steps :+ best.crossJoin(broadcast(stat))
+        .select(lit(step.toLong).as("step"), col("ml").as("l"),
+          col("mr").as("r"), concat(col("ml"), col("mr")).as("merged"),
+          col("mcnt").as("pcnt"), col("tot_syms"))
+    }
+    (vocab, steps)
+  }
 
   /** qm2: the typed multimodal feature path (Media.features —
     * per-partition batched decode over Dataset[MediaRecord]) through the
@@ -2059,6 +2106,39 @@ object TextExt {
           "'fp', roll_hash31(concat_ws(' ', " +
           "slice(tk, starts[k-1], ends[k-1] - starts[k-1] + 1)))))")).as("c"))
       .select(col("doc_id"), col("c.k"), col("c.nt"), col("c.fp"))
+
+  /** The qt25/qc8 shared oracle prefix: the 6 BPE training rounds
+    * unrolled as materialized CTEs (v0 vocab, m_i merge pick, v_i
+    * post-merge vocab, t_i symbol total); ORDER BY pcnt DESC, l, r
+    * LIMIT 1 replays the min(struct) pick, replace() the greedy apply. */
+  private val bpeOracleCtes: String = {
+    val rounds = (1 to 6).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""m$i AS MATERIALIZED (
+         |  SELECT a[k] AS l, a[k+1] AS r, CAST(SUM(cnt) AS BIGINT) AS pcnt
+         |  FROM (SELECT cnt, a, unnest(generate_series(1, len(a) - 1)) AS k
+         |        FROM (SELECT cnt,
+         |                list_filter(string_split(sq, '  '), x -> x <> '') AS a
+         |              FROM $prev)
+         |        WHERE len(a) >= 2)
+         |  GROUP BY 1, 2 ORDER BY pcnt DESC, l, r LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT w, cnt,
+         |         replace(sq, ' ' || m.l || '  ' || m.r || ' ',
+         |                 ' ' || m.l || m.r || ' ') AS sq
+         |  FROM $prev, m$i m),
+         |t$i AS (SELECT CAST(SUM(cnt *
+         |          len(list_filter(string_split(sq, '  '), x -> x <> '')))
+         |          AS BIGINT) AS tot_syms FROM v$i)""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS MATERIALIZED (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]+$$')
+      |  GROUP BY w),
+      |$rounds""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "qt1_langid" -> {
@@ -3201,38 +3281,38 @@ object TextExt {
     // replays the min(struct) merge pick, replace() replays the greedy
     // left-to-right merge apply on the same double-space encoding
     "qt25_bpe" -> {
-      val rounds = (1 to 6).map { i =>
-        val prev = if (i == 1) "v0" else s"v${i - 1}"
-        s"""m$i AS MATERIALIZED (
-           |  SELECT a[k] AS l, a[k+1] AS r, CAST(SUM(cnt) AS BIGINT) AS pcnt
-           |  FROM (SELECT cnt, a, unnest(generate_series(1, len(a) - 1)) AS k
-           |        FROM (SELECT cnt,
-           |                list_filter(string_split(sq, '  '), x -> x <> '') AS a
-           |              FROM $prev)
-           |        WHERE len(a) >= 2)
-           |  GROUP BY 1, 2 ORDER BY pcnt DESC, l, r LIMIT 1),
-           |v$i AS MATERIALIZED (
-           |  SELECT w, cnt,
-           |         replace(sq, ' ' || m.l || '  ' || m.r || ' ',
-           |                 ' ' || m.l || m.r || ' ') AS sq
-           |  FROM $prev, m$i m),
-           |t$i AS (SELECT CAST(SUM(cnt *
-           |          len(list_filter(string_split(sq, '  '), x -> x <> '')))
-           |          AS BIGINT) AS tot_syms FROM v$i)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to 6).map { i =>
         s"""SELECT CAST($i AS BIGINT) AS step, m.l, m.r, m.l || m.r AS merged,
            |       m.pcnt, t.tot_syms FROM m$i m, t$i t""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH v0 AS MATERIALIZED (
-        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
-        |         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE regexp_matches(w, '^[a-z]+$$')
-        |  GROUP BY w),
-        |$rounds
+      s"""WITH $bpeOracleCtes
         |SELECT * FROM ($out) ORDER BY step""".stripMargin
     },
+
+    // qc8: the full qt25 training replay feeds the final vocab's
+    // word → symbol-count map, joined back to per-domain word counts
+    "qc8_tokenbudget" ->
+      s"""WITH $bpeOracleCtes,
+        |ws AS (SELECT w,
+        |         CAST(len(list_filter(string_split(sq, '  '),
+        |           x -> x <> '')) AS BIGINT) AS n_syms
+        |       FROM v6),
+        |dw AS (SELECT lang, source, w, CAST(COUNT(*) AS BIGINT) AS occ
+        |       FROM (SELECT lang, source,
+        |               unnest(string_split(text, ' ')) AS w
+        |             FROM documents)
+        |       WHERE regexp_matches(w, '^[a-z]+$$')
+        |       GROUP BY 1, 2, 3),
+        |dom AS (SELECT lang, source, CAST(SUM(occ) AS BIGINT) AS n_words,
+        |          CAST(SUM(occ * n_syms) AS BIGINT) AS bpe_tokens
+        |        FROM dw JOIN ws USING (w) GROUP BY 1, 2),
+        |tt AS (SELECT CAST(SUM(bpe_tokens) AS BIGINT) AS tot FROM dom)
+        |SELECT lang, source, n_words, bpe_tokens,
+        |       CAST(ROUND(CAST(bpe_tokens AS DOUBLE) / n_words, 6)
+        |         AS DOUBLE) AS tokens_per_word,
+        |       CAST(ROUND(CAST(bpe_tokens AS DOUBLE) * 100.0 / tot, 6)
+        |         AS DOUBLE) AS share_pct
+        |FROM dom, tt ORDER BY lang, source""".stripMargin,
 
     "qm6_imagemeta" ->
       """SELECT doc_id,
