@@ -3025,6 +3025,103 @@ object Relational {
         .orderBy("node")
     }),
 
+    // Q134 KENDALL'S TAU-B — the RANK-correlation companion to q108's
+    // Pearson matrix (Pearson asks "linear together?"; Kendall asks
+    // "do they even move in the same DIRECTION?" — robust to any
+    // monotone transform, the pre-modeling association screen): for
+    // each event-type pair over shared days, concordant/discordant/
+    // tied day-pair counts, all EXACT INT64 from the pairwise
+    // formulation (C, D, n1 = pairs tied in x, n2 = tied in y,
+    // n0 = n(n−1)/2; tau-b = (C−D)/(√(n0−n1)·√(n0−n2)) — ONE identical
+    // IEEE tree at display, every operand an exact audit column).
+    // Scale: the corpus collapses to the daily relation in one
+    // partial-aggregatable pass; the day-pair self-join runs over
+    // O(calendar days²) rows per type pair — bounded by TIME, not
+    // corpus size (q132's argument).
+    "q134_kendall" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"),
+          Conv.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
+          .as("x"))
+      val a = daily.select(col("event_type").as("ta"), col("day"),
+        col("x").as("xa"))
+      val b = daily.select(col("event_type").as("tb"), col("day"),
+        col("x").as("xb"))
+      val joint = a.join(b, Seq("day")).filter(col("ta") < col("tb"))
+        .select(col("ta"), col("tb"), col("day"), col("xa"), col("xb"))
+      val p = joint.as("p1")
+        .join(joint.as("p2"),
+          col("p1.ta") === col("p2.ta") && col("p1.tb") === col("p2.tb")
+            && col("p1.day") < col("p2.day"))
+        .select(col("p1.ta").as("ta"), col("p1.tb").as("tb"),
+          (col("p1.xa") - col("p2.xa")).as("dx"),
+          (col("p1.xb") - col("p2.xb")).as("dy"))
+      p.groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n0"),
+          sum(when((col("dx") > 0 && col("dy") > 0)
+            || (col("dx") < 0 && col("dy") < 0), 1L).otherwise(0L))
+            .as("nc"),
+          sum(when((col("dx") > 0 && col("dy") < 0)
+            || (col("dx") < 0 && col("dy") > 0), 1L).otherwise(0L))
+            .as("nd"),
+          sum(when(col("dx") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("dy") === 0, 1L).otherwise(0L)).as("n2"))
+        .select(col("ta"), col("tb"), col("n0"), col("nc"), col("nd"),
+          col("n1"), col("n2"),
+          r6((col("nc") - col("nd")).cast(DoubleType)
+            / (sqrt((col("n0") - col("n1")).cast(DoubleType))
+              * sqrt((col("n0") - col("n2")).cast(DoubleType))))
+            .as("tau_b"))
+        .orderBy("ta", "tb")
+    }),
+
+    // Q135 SKETCH-BASED JOIN-CARDINALITY ESTIMATE — the optimizer-
+    // statistics verb behind every join-order decision at 100 TB:
+    // |A ⋈_k B| without running the join. The CMS inner product
+    // (AGMS/Count-Min estimate, Alon–Matias–Szegedy lineage) is
+    // one-sidedly SOUND — est_j = Σ_cell cA[j]·cB[j] ≥ Σ_k nA(k)·nB(k)
+    // for every row j (colliding keys only add mass), and est = min_j
+    // tightens it — so "est ≥ true" rides as hash-checked data, along
+    // with the exact true cardinality computed the expensive way for
+    // the audit. Both sides' sketches come from t5's 4×256 native
+    // one-buffer aggregate (one partial-aggregatable pass per
+    // relation, 8 KB each); at planning time only the 8 KB sketches
+    // meet — never the relations. Headroom (documented): inner
+    // products need nA·nB < 2⁶³. The demo splits lineitem on quantity
+    // and asks the self-equi-join size on partkey — the classic
+    // many-to-many estimate a cost model needs before choosing
+    // broadcast vs shuffle.
+    "q135_joincard" -> ((s, d) => {
+      graft.plans.CmsSketch4x256.register(s)
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey").as("k"), col("l_quantity"))
+      val a = li.filter(col("l_quantity") <= 25).select("k")
+      val b = li.filter(col("l_quantity") > 25).select("k")
+      val ska = a.agg(expr("cms4x256(k)").as("ska"),
+        count(lit(1)).as("n_a"))
+      val skb = b.agg(expr("cms4x256(k)").as("skb"),
+        count(lit(1)).as("n_b"))
+      val truth = a.groupBy("k").agg(count(lit(1)).as("ca"))
+        .join(b.groupBy("k").agg(count(lit(1)).as("cb")), Seq("k"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+          .as("true_card"))
+      ska.crossJoin(broadcast(skb)).crossJoin(broadcast(truth))
+        .withColumn("ests", expr(
+          "transform(sequence(0, 3), j -> aggregate(zip_with(" +
+            "slice(ska, j * 256 + 1, 256), slice(skb, j * 256 + 1, 256), " +
+            "(x, y) -> x * y), 0L, (acc, v) -> acc + v))"))
+        .select(col("n_a"), col("n_b"), col("true_card"),
+          element_at(col("ests"), 1).as("e0"),
+          element_at(col("ests"), 2).as("e1"),
+          element_at(col("ests"), 3).as("e2"),
+          element_at(col("ests"), 4).as("e3"),
+          array_min(col("ests")).as("est"))
+        .withColumn("over", col("est") - col("true_card"))
+        .withColumn("sound", when(col("over") >= 0L, 1L).otherwise(0L))
+    }),
+
     // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
     // pipeline runs before fitting forecasts: for each event type's
     // DAILY total (cents div 1000 — binning keeps every product far
@@ -5113,6 +5210,81 @@ object Relational {
         |       CAST(CAST(SUM(contrib6) OVER () AS DOUBLE) / 1000000
         |         AS DOUBLE) AS chi2
         |FROM y ORDER BY pri, st""".stripMargin,
+
+    // q134: the pairwise tau-b formulation replayed verbatim; every
+    // count exact int64, the one IEEE tree identical to the Spark side
+    "q134_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+        |           AS BIGINT) // 1000 AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+        |             a.x AS xa, b.x AS xb
+        |      FROM daily a JOIN daily b
+        |        ON a.day = b.day AND a.event_type < b.event_type),
+        |p AS (SELECT p1.ta, p1.tb, p1.xa - p2.xa AS dx,
+        |             p1.xb - p2.xb AS dy
+        |      FROM j p1 JOIN j p2
+        |        ON p1.ta = p2.ta AND p1.tb = p2.tb AND p1.day < p2.day),
+        |g AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n0,
+        |        CAST(SUM(CASE WHEN (dx > 0 AND dy > 0)
+        |                        OR (dx < 0 AND dy < 0)
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |        CAST(SUM(CASE WHEN (dx > 0 AND dy < 0)
+        |                        OR (dx < 0 AND dy > 0)
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |        CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n1,
+        |        CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n2
+        |      FROM p GROUP BY 1, 2)
+        |SELECT ta, tb, n0, nc, nd, n1, n2,
+        |       CAST(ROUND(CAST(nc - nd AS DOUBLE)
+        |         / (SQRT(CAST(n0 - n1 AS DOUBLE))
+        |           * SQRT(CAST(n0 - n2 AS DOUBLE))), 6) AS DOUBLE)
+        |         AS tau_b
+        |FROM g ORDER BY ta, tb""".stripMargin,
+
+    // q135: both sketches and the exact join size replayed; the join
+    // on (row, cell) only meets cells present in both sketches —
+    // absent cells contribute zero to the inner product either way
+    "q135_joincard" ->
+      """WITH a AS (SELECT l_partkey AS k FROM lineitem
+        |           WHERE l_quantity <= 25),
+        |b AS (SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 25),
+        |ca AS (SELECT j,
+        |         (((1000003*j + 12345) * k + (777767*j + 13))
+        |           % 1000000007) % 256 AS cell,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM a, generate_series(0, 3) g(j) GROUP BY 1, 2),
+        |cb AS (SELECT j,
+        |         (((1000003*j + 12345) * k + (777767*j + 13))
+        |           % 1000000007) % 256 AS cell,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM b, generate_series(0, 3) g(j) GROUP BY 1, 2),
+        |ip AS (SELECT ca.j, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS e
+        |       FROM ca JOIN cb ON ca.j = cb.j AND ca.cell = cb.cell
+        |       GROUP BY 1),
+        |tc AS (SELECT COALESCE(CAST(SUM(ga.c * gb.c) AS BIGINT), 0)
+        |         AS true_card
+        |       FROM (SELECT k, COUNT(*) AS c FROM a GROUP BY 1) ga
+        |       JOIN (SELECT k, COUNT(*) AS c FROM b GROUP BY 1) gb
+        |         USING (k)),
+        |n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+        |             (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b)
+        |SELECT n.n_a, n.n_b, tc.true_card,
+        |       CAST(MAX(CASE WHEN j = 0 THEN e END) AS BIGINT) AS e0,
+        |       CAST(MAX(CASE WHEN j = 1 THEN e END) AS BIGINT) AS e1,
+        |       CAST(MAX(CASE WHEN j = 2 THEN e END) AS BIGINT) AS e2,
+        |       CAST(MAX(CASE WHEN j = 3 THEN e END) AS BIGINT) AS e3,
+        |       CAST(MIN(e) AS BIGINT) AS est,
+        |       CAST(MIN(e) - tc.true_card AS BIGINT) AS over,
+        |       CAST(CASE WHEN MIN(e) >= tc.true_card THEN 1 ELSE 0 END
+        |         AS BIGINT) AS sound
+        |FROM ip, tc, n
+        |GROUP BY n.n_a, n.n_b, tc.true_card""".stripMargin,
 
     // q133: the identical 4 frontier rounds unrolled as materialized
     // CTEs (the q123 inlining lesson); NOT IN replays the anti-join

@@ -1807,6 +1807,46 @@ object TextExt {
         .orderBy("lang")
     }),
 
+    // QX16 DIFFERENTIALLY-PRIVATE SUM RELEASE — the second DP primitive
+    // (qx14 releases counts; sums need a BOUNDED per-record
+    // contribution first, which is where real pipelines go wrong):
+    // per-language character totals with each document CLIPPED to
+    // C = 500 chars (the declared sensitivity bound — clipping is part
+    // of the mechanism, so raw and clipped totals both ride as audit),
+    // then noise = C · z where z is qx14's unit discrete-Laplace draw
+    // (the standard sensitivity-scaled release: the mechanism lives on
+    // the C-grid, ε = 1 for |Δ| ≤ C). Same no-transcendentals contract:
+    // z = −8 + #{cuts ≤ u} from the DECLARED 16 thresholds, u from the
+    // TEST contract's LCG (a distinct stream from qx14's — 2·h + 1 —
+    // so count and sum releases never share a draw); production swaps
+    // a CSPRNG, mechanism/accounting unchanged. One partial-
+    // aggregatable pass (clip is row-local), O(groups) everything else.
+    "qx16_dpsum" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val cuts = Seq(332969L, 1238074L, 3698404L, 10386276L, 28565796L,
+        77982853L, 212312343L, 577457755L, 1570025892L, 1935171304L,
+        2069500794L, 2118917851L, 2137097371L, 2143785243L, 2146245573L,
+        2147150678L)
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("raw_sum"),
+          sum(least(col("n_chars"), lit(500L))).as("clipped_sum"))
+        .withColumn("u",
+          (lit(1103515245L) * (expr("roll_hash31(lang)") * 2L + 1L)
+            + 12345L) % 2147483648L)
+        .withColumn("z",
+          lit(-8L) + expr(s"CAST(size(filter(array(${cuts.mkString("L,")}L)," +
+            " c -> u >= c)) AS BIGINT)"))
+        .select(col("lang"), col("n"), col("raw_sum"), col("clipped_sum"),
+          col("u"), col("z"),
+          (col("clipped_sum") + lit(500L) * col("z")).as("released"),
+          greatest(col("clipped_sum") + lit(500L) * col("z"), lit(0L))
+            .as("published"),
+          lit(1.0).as("eps"), lit(500L).as("clip"))
+        .orderBy("lang")
+    }),
+
     // QX15 POISSON BOOTSTRAP MEDIAN CI — the uncertainty verb for the
     // statistics q130's jackknife can't serve (the jackknife handles
     // smooth ratio metrics; the MEDIAN's delete-one variance estimate
@@ -1936,6 +1976,44 @@ object TextExt {
     "qt25_bpe" -> ((s, d) =>
       bpeTrain(t(s, d, "documents"))._2.reduce(_ unionByName _)
         .orderBy("step")),
+
+    // QT26 VOCABULARY GROWTH (Heaps-law table) — the corpus-SCALING
+    // readout data teams consult before extrapolating: as sources are
+    // ingested in a declared order, how fast does the vocabulary grow
+    // vs raw token count (sublinear growth = Heaps' law; a LINEAR
+    // segment flags a machine-generated / high-entropy source). The
+    // classic trick makes "distinct words per prefix" one-pass instead
+    // of per-prefix re-scans: each word contributes to the vocabulary
+    // curve exactly at its FIRST source (min source-rank per word —
+    // partial-aggregatable), so the curve is a cumulative sum over the
+    // O(sources) relation. Ranks come from a window over the TINY
+    // distinct-source relation (broadcast back); the corpus is scanned
+    // once. Exact int64 counts; vocab/tokens ratio is the one IEEE
+    // division at display.
+    "qt26_vocabgrowth" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+      val wRank = Window.orderBy("source")
+      val ranks = t(s, d, "documents").select(col("source")).distinct()
+        .withColumn("rank", dense_rank().over(wRank).cast(LongType))
+      val tr = toks.join(broadcast(ranks), Seq("source"))
+      val newPerRank = tr.groupBy("w").agg(min(col("rank")).as("rank"))
+        .groupBy("rank").agg(count(lit(1)).as("n_new"))
+      val tokPerRank = tr.groupBy("rank", "source")
+        .agg(count(lit(1)).as("n_tok"))
+      val wCum = Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokPerRank.join(newPerRank, Seq("rank"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("vocab", sum(col("n_new")).over(wCum))
+        .withColumn("tokens", sum(col("n_tok")).over(wCum))
+        .select(col("rank"), col("source"), col("n_tok"), col("n_new"),
+          col("vocab"), col("tokens"),
+          graft.Conv.r6(col("vocab").cast(DoubleType) / col("tokens"))
+            .as("vocab_ratio"))
+        .orderBy("rank")
+    }),
 
     // QC8 BPE TOKEN BUDGET — the composition qt25's training loop
     // exists for: a mixture planner (qx3/qx4) budgets in TOKENS THE
@@ -3172,6 +3250,67 @@ object TextExt {
         |       CAST(n + noise AS BIGINT) AS released,
         |       CAST(GREATEST(n + noise, 0) AS BIGINT) AS published,
         |       CAST(1.0 AS DOUBLE) AS eps
+        |FROM z ORDER BY lang""".stripMargin,
+
+    // qt26: first-occurrence trick replayed — DENSE_RANK over sources,
+    // MIN rank per word, cumulative sums over the source relation
+    "qt26_vocabgrowth" ->
+      """WITH ranks AS (
+        |  SELECT source, CAST(DENSE_RANK() OVER (ORDER BY source)
+        |    AS BIGINT) AS rank
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |toks AS (SELECT r.rank, t.source, t.w
+        |         FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |               FROM documents) t
+        |         JOIN ranks r USING (source)
+        |         WHERE regexp_matches(w, '^[a-z]+$$')),
+        |npr AS (SELECT rank, CAST(COUNT(*) AS BIGINT) AS n_new
+        |        FROM (SELECT w, MIN(rank) AS rank FROM toks GROUP BY 1)
+        |        GROUP BY 1),
+        |tpr AS (SELECT rank, source, CAST(COUNT(*) AS BIGINT) AS n_tok
+        |        FROM toks GROUP BY 1, 2),
+        |c AS (SELECT t.rank, t.source, t.n_tok,
+        |        COALESCE(n.n_new, 0) AS n_new
+        |      FROM tpr t LEFT JOIN npr n USING (rank))
+        |SELECT rank, source, n_tok, CAST(n_new AS BIGINT) AS n_new,
+        |       CAST(SUM(n_new) OVER (ORDER BY rank
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab,
+        |       CAST(SUM(n_tok) OVER (ORDER BY rank
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens,
+        |       CAST(ROUND(CAST(SUM(n_new) OVER (ORDER BY rank
+        |           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         / CAST(SUM(n_tok) OVER (ORDER BY rank
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT), 6) AS DOUBLE)
+        |         AS vocab_ratio
+        |FROM c ORDER BY rank""".stripMargin,
+
+    // qx16: clip + sensitivity-scaled noise replayed on the distinct
+    // LCG stream (2h + 1)
+    "qx16_dpsum" ->
+      """WITH g AS (SELECT lang, COUNT(*) AS n,
+        |             CAST(SUM(n_chars) AS BIGINT) AS raw_sum,
+        |             CAST(SUM(LEAST(n_chars, 500)) AS BIGINT)
+        |               AS clipped_sum
+        |           FROM documents GROUP BY 1),
+        |h AS (SELECT lang, n, raw_sum, clipped_sum,
+        |        (1103515245 * (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(lang, ''),
+        |            ch -> CAST(unicode(ch) AS BIGINT))),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007) * 2 + 1)
+        |         + 12345) % 2147483648 AS u
+        |      FROM g),
+        |z AS (SELECT lang, n, raw_sum, clipped_sum, u,
+        |        -8 + len(list_filter([332969, 1238074, 3698404, 10386276,
+        |          28565796, 77982853, 212312343, 577457755, 1570025892,
+        |          1935171304, 2069500794, 2118917851, 2137097371,
+        |          2143785243, 2146245573, 2147150678], c -> u >= c)) AS z
+        |      FROM h)
+        |SELECT lang, CAST(n AS BIGINT) AS n, raw_sum, clipped_sum,
+        |       CAST(u AS BIGINT) AS u, CAST(z AS BIGINT) AS z,
+        |       CAST(clipped_sum + 500 * z AS BIGINT) AS released,
+        |       CAST(GREATEST(clipped_sum + 500 * z, 0) AS BIGINT)
+        |         AS published,
+        |       CAST(1.0 AS DOUBLE) AS eps, CAST(500 AS BIGINT) AS clip
         |FROM z ORDER BY lang""".stripMargin,
 
     // qx15: the oracle replays the LCG draws, the declared Poisson

@@ -156,6 +156,17 @@ class FoldSplitPropSpec extends AnyFunSuite {
       (st, evs) => EwmaState.foldBatch(6L, st, evs))
   }
 
+  test("CoverageState: any time-split batching == one batch, many seeds") {
+    import graft.streaming.{CovEvent, CoverageState}
+    checkSplitFold[CovEvent, graft.streaming.CovState,
+        graft.streaming.CovRow]("coverage", 23L,
+      (rnd, i) => CovEvent(8L, i.toLong,
+        // spread across ~6 interval-widths so runs both extend and close
+        ts(rnd.nextInt(6 * 600) * 1000000L + rnd.nextInt(1000))),
+      e => (usOf(e.ts), e.event_id),
+      (st, evs) => CoverageState.foldBatch(8L, st, evs))
+  }
+
   test("AnomState: any time-split batching == one batch, many seeds") {
     import graft.streaming.{AnomEvent, AnomState}
     checkSplitFold[AnomEvent, graft.streaming.AnomMoments,

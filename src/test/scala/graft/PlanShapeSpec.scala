@@ -419,6 +419,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pIn.contains("Window") && !pIn.contains("Cartesian"), pIn)
   }
 
+  test("round-9 batch additions: scale claims are plan properties") {
+    // qc8: the word -> symbol-count map is BROADCAST against the
+    // per-domain counts — the corpus-side relation never sort-merges
+    val pQc8 = plan("qc8_tokenbudget")
+    assert(pQc8.contains("BroadcastHashJoin"), pQc8)
+    assert(!pQc8.contains("SortMergeJoin"), s"qc8 vocab join degraded:\n$pQc8")
+    // q135: only the two 8 KB sketches meet — no join of the relations
+    // themselves beyond the exact-audit branch; never a cartesian of
+    // row data (the crossJoins are 1-row broadcasts)
+    val pJc = plan("q135_joincard")
+    assert(pJc.contains("ObjectHashAggregate"),
+      s"q135 lost the one-buffer sketch aggregate:\n$pJc")
+    assert(!pJc.contains("SortMergeJoin"), pJc)
+    // qt26: ranks broadcast back; the corpus pass never sort-merges
+    val pVg = plan("qt26_vocabgrowth")
+    assert(pVg.contains("BroadcastHashJoin"), pVg)
+    assert(!pVg.contains("SortMergeJoin"), pVg)
+    // qx15: the 32x explode collapses into hash aggregates (map-side
+    // partials), never a sort-based aggregate on the exploded rows
+    val pBs = plan("qx15_bootstrap")
+    assert(pBs.contains("Generate"), pBs)
+    assert(!pBs.contains("CartesianProduct"), pBs)
+    // q132/q134: the pair joins are equi-joins on the type key over
+    // the collapsed daily relation — no cartesian anywhere
+    assert(!plan("q132_theilsen").contains("Cartesian"), "q132 cartesian")
+    assert(!plan("q134_kendall").contains("Cartesian"), "q134 cartesian")
+  }
+
   test("asof: one shuffle on the key, no re-aggregation join") {
     val events = Tables(spark, TestSpark.Sf, "events")
       .selectExpr("event_id", "user_id AS o_custkey", "ts")

@@ -263,6 +263,150 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q134 Kendall tau-b matches a driver-side brute force") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "value", "ts").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong,
+        Math.floorDiv(micros(r.get(2)), 86400000000L)))
+    val daily = rows.groupBy(r => (r._1, r._3)).map { case ((et, d), g) =>
+      ((et, d), g.map(_._2).sum / 1000L)
+    }
+    val types = daily.keys.map(_._1).toSeq.distinct.sorted
+
+    val expected = (for {
+      ta <- types; tb <- types if ta < tb
+    } yield {
+      val shared = daily.keys.collect {
+        case (t, d) if t == ta && daily.contains((tb, d)) => d
+      }.toSeq.sorted
+      val pts = shared.map(d => (daily((ta, d)), daily((tb, d))))
+      var (nc, nd, n1, n2) = (0L, 0L, 0L, 0L)
+      for (i <- pts.indices; j <- (i + 1) until pts.length) {
+        val dx = pts(i)._1 - pts(j)._1
+        val dy = pts(i)._2 - pts(j)._2
+        if (dx == 0) n1 += 1
+        if (dy == 0) n2 += 1
+        if (dx > 0 && dy > 0 || dx < 0 && dy < 0) nc += 1
+        if (dx > 0 && dy < 0 || dx < 0 && dy > 0) nd += 1
+      }
+      val n0 = pts.length.toLong * (pts.length - 1) / 2
+      (ta, tb) -> ((n0, nc, nd, n1, n2))
+    }).toMap
+
+    val got = SparkEntry.queries("q134_kendall")(spark, TestSpark.Sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n0, nc, nd, n1, n2) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == n0 && r.getLong(3) == nc && r.getLong(4) == nd)
+      assert(r.getLong(5) == n1 && r.getLong(6) == n2)
+      val tau = (nc - nd).toDouble /
+        (math.sqrt((n0 - n1).toDouble) * math.sqrt((n0 - n2).toDouble))
+      assert(math.abs(r.getDouble(7) - tau) <= 5e-7)
+      assert(tau >= -1.0 && tau <= 1.0)
+    }
+  }
+
+  test("q135 join-cardinality estimate: exact replay AND one-sided soundness") {
+    val li = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+    import org.apache.spark.sql.functions.col
+    def keys(pred: org.apache.spark.sql.Column) =
+      li.filter(pred).select("l_partkey").collect().map(_.getLong(0))
+    val a = keys(col("l_quantity") <= 25)
+    val b = keys(col("l_quantity") > 25)
+    val ca = a.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val cb = b.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val trueCard = ca.collect {
+      case (k, n) if cb.contains(k) => n * cb(k)
+    }.sum
+
+    def cell(j: Long, k: Long): Long =
+      (((1000003L * j + 12345L) * k + (777767L * j + 13L)) % 1000000007L) % 256L
+    def sketch(ks: Array[Long]): Array[Array[Long]] = {
+      val m = Array.fill(4)(Array.fill(256)(0L))
+      ks.foreach(k => (0 until 4).foreach(j => m(j)(cell(j, k).toInt) += 1))
+      m
+    }
+    val (sa, sb) = (sketch(a), sketch(b))
+    val ests = (0 until 4).map(j =>
+      (0 until 256).map(c => sa(j)(c) * sb(j)(c)).sum)
+
+    val got = SparkEntry.queries("q135_joincard")(spark, TestSpark.Sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == a.length.toLong && r.getLong(1) == b.length.toLong)
+    assert(r.getLong(2) == trueCard)
+    (0 until 4).foreach(j => assert(r.getLong(3 + j) == ests(j), s"e$j"))
+    assert(r.getLong(7) == ests.min)
+    // CM inner-product one-sidedness: every row's estimate >= truth
+    ests.foreach(e => assert(e >= trueCard))
+    assert(r.getLong(9) == 1L)
+  }
+
+  test("qx16 DP sum: clip arithmetic and the sensitivity-scaled release") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val P = 1000000007L
+    def rollHash(s: String): Long =
+      s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % P)
+    val cuts = Seq(332969L, 1238074L, 3698404L, 10386276L, 28565796L,
+      77982853L, 212312343L, 577457755L, 1570025892L, 1935171304L,
+      2069500794L, 2118917851L, 2137097371L, 2143785243L, 2146245573L,
+      2147150678L)
+    val expected = docs.groupBy(_._1).map { case (lang, g) =>
+      val raw = g.map(_._2).sum
+      val clipped = g.map(r => math.min(r._2, 500L)).sum
+      val u = (1103515245L * (rollHash(lang) * 2 + 1) + 12345L) % 2147483648L
+      val z = -8L + cuts.count(u >= _)
+      lang -> ((g.length.toLong, raw, clipped, u, z))
+    }
+    val got = SparkEntry.queries("qx16_dpsum")(spark, TestSpark.Sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, raw, clipped, u, z) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == raw
+        && r.getLong(3) == clipped)
+      assert(r.getLong(4) == u && r.getLong(5) == z)
+      assert(z >= -8L && z <= 8L)
+      assert(r.getLong(6) == clipped + 500L * z)
+      assert(r.getLong(7) == math.max(0L, clipped + 500L * z))
+      assert(clipped <= raw)
+    }
+  }
+
+  test("qt26 vocabulary growth: first-occurrence curve matches brute force") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ")
+        .filter(_.matches("^[a-z]+$")).map(w => (r.getString(0), w)))
+    val sources = rows.map(_._1).distinct.sorted
+    val rank = sources.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    val firstRank = rows.groupBy(_._2).map { case (w, g) =>
+      w -> g.map(r => rank(r._1)).min
+    }
+    val nNew = firstRank.values.groupBy(identity)
+      .map { case (r, g) => r -> g.size.toLong }
+    val nTok = rows.groupBy(r => rank(r._1))
+      .map { case (r, g) => r -> g.size.toLong }
+
+    val got = SparkEntry.queries("qt26_vocabgrowth")(spark, TestSpark.Sf)
+      .collect()
+    assert(got.length == sources.length)
+    var (vocab, tokens) = (0L, 0L)
+    got.foreach { r =>
+      val rk = r.getLong(0)
+      vocab += nNew.getOrElse(rk, 0L)
+      tokens += nTok(rk)
+      assert(r.getString(1) == sources(rk.toInt - 1))
+      assert(r.getLong(2) == nTok(rk) && r.getLong(3) == nNew.getOrElse(rk, 0L))
+      assert(r.getLong(4) == vocab && r.getLong(5) == tokens)
+    }
+    // the curve ends at the whole corpus vocabulary, by construction
+    assert(vocab == firstRank.size.toLong)
+    assert(tokens == rows.length.toLong)
+  }
+
   test("qm7 audio features match the sample formula; header fields parse") {
     val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).filter(_ % 7 == 0)
