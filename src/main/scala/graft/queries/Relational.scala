@@ -3096,30 +3096,8 @@ object Relational {
     "q135_joincard" -> ((s, d) => {
       graft.plans.CmsSketch4x256.register(s)
       val li = t(s, d, "lineitem")
-        .select(col("l_partkey").as("k"), col("l_quantity"))
-      val a = li.filter(col("l_quantity") <= 25).select("k")
-      val b = li.filter(col("l_quantity") > 25).select("k")
-      val ska = a.agg(expr("cms4x256(k)").as("ska"),
-        count(lit(1)).as("n_a"))
-      val skb = b.agg(expr("cms4x256(k)").as("skb"),
-        count(lit(1)).as("n_b"))
-      val truth = a.groupBy("k").agg(count(lit(1)).as("ca"))
-        .join(b.groupBy("k").agg(count(lit(1)).as("cb")), Seq("k"))
-        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
-          .as("true_card"))
-      ska.crossJoin(broadcast(skb)).crossJoin(broadcast(truth))
-        .withColumn("ests", expr(
-          "transform(sequence(0, 3), j -> aggregate(zip_with(" +
-            "slice(ska, j * 256 + 1, 256), slice(skb, j * 256 + 1, 256), " +
-            "(x, y) -> x * y), 0L, (acc, v) -> acc + v))"))
-        .select(col("n_a"), col("n_b"), col("true_card"),
-          element_at(col("ests"), 1).as("e0"),
-          element_at(col("ests"), 2).as("e1"),
-          element_at(col("ests"), 3).as("e2"),
-          element_at(col("ests"), 4).as("e3"),
-          array_min(col("ests")).as("est"))
-        .withColumn("over", col("est") - col("true_card"))
-        .withColumn("sound", when(col("over") >= 0L, 1L).otherwise(0L))
+        .select(col("l_partkey"), col("l_quantity"))
+      cardEstimate(cardSketches(li), li)
     }),
 
     // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
@@ -3830,6 +3808,50 @@ object Relational {
     5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
     7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
     9 -> "0.04575749056067514")
+
+  /** q135's per-side CMS build: one partial-aggregatable pass over the
+    * (partkey, quantity) relation → two 8 KB sketch rows + side counts.
+    * Shared with the s33 streamed fold (sketches and counts both merge
+    * by elementwise/scalar addition, so per-batch folds compose).
+    * Callers register cms4x256 first. */
+  def cardSketches(li: DataFrame): DataFrame =
+    li.select(when(col("l_quantity") <= 25, lit("a")).otherwise(lit("b"))
+        .as("side"), col("l_partkey").as("k"))
+      .groupBy("side")
+      .agg(expr("cms4x256(k)").as("sk"), count(lit(1)).as("n"))
+
+  /** q135's estimator read path over an arbitrary per-side sketch
+    * relation (side ∈ {a, b}, sk, n) — shared by the batch build and
+    * the s33 streamed fold, so "streamed sketches ≡ batch sketches" is
+    * asserted through the IDENTICAL estimator. The exact join size is
+    * recomputed from `li` as the audit (the expensive way — at serving
+    * time only the sketches are consulted). */
+  def cardEstimate(perSide: DataFrame, li: DataFrame): DataFrame = {
+    val a = li.filter(col("l_quantity") <= 25)
+      .select(col("l_partkey").as("k"))
+    val b = li.filter(col("l_quantity") > 25)
+      .select(col("l_partkey").as("k"))
+    val ska = perSide.filter(col("side") === "a")
+      .select(col("sk").as("ska"), col("n").as("n_a"))
+    val skb = perSide.filter(col("side") === "b")
+      .select(col("sk").as("skb"), col("n").as("n_b"))
+    val truth = a.groupBy("k").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy("k").agg(count(lit(1)).as("cb")), Seq("k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_card"))
+    ska.crossJoin(broadcast(skb)).crossJoin(broadcast(truth))
+      .withColumn("ests", expr(
+        "transform(sequence(0, 3), j -> aggregate(zip_with(" +
+          "slice(ska, j * 256 + 1, 256), slice(skb, j * 256 + 1, 256), " +
+          "(x, y) -> x * y), 0L, (acc, v) -> acc + v))"))
+      .select(col("n_a"), col("n_b"), col("true_card"),
+        element_at(col("ests"), 1).as("e0"),
+        element_at(col("ests"), 2).as("e1"),
+        element_at(col("ests"), 3).as("e2"),
+        element_at(col("ests"), 4).as("e3"),
+        array_min(col("ests")).as("est"))
+      .withColumn("over", col("est") - col("true_card"))
+      .withColumn("sound", when(col("over") >= 0L, 1L).otherwise(0L))
+  }
 
   val oracle: Map[String, String] = Map(
     "q01_scan" ->

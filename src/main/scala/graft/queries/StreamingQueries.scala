@@ -840,7 +840,23 @@ object StreamingQueries {
     // deterministically (idempotent, the s16 exactly-once convention).
     // The batch form IS t5 and shares its oracle verbatim.
     "s31_cmsstream" -> ((s, d) =>
-      graft.queries.Llm.queries("t5_cms")(s, d))
+      graft.queries.Llm.queries("t5_cms")(s, d)),
+
+    // S33 STREAMING JOIN-CARDINALITY STATISTICS — q135's optimizer
+    // statistics maintained AS ROWS ARRIVE (Streams.s33): each
+    // micro-batch builds its own per-side CMS + count (one partial-
+    // aggregatable pass) and folds them into the persisted stats table
+    // by elementwise/scalar addition — both merges commutative/
+    // associative, so fold(batches) ≡ the one-pass build for ANY batch
+    // split (CardStreamSpec asserts it across a checkpointed restart
+    // through q135's identical estimator read path). This is how a
+    // 100 TB engine actually keeps planner statistics fresh: the
+    // ingest stream updates two 8 KB sketches; the cost model reads
+    // sketches, never data. Generations keyed by batchId (idempotent
+    // replay, the s16/s31 convention). Batch form IS q135 and shares
+    // its oracle verbatim.
+    "s33_cardstream" -> ((s, d) =>
+      graft.queries.Relational.queries("q135_joincard")(s, d))
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1272,6 +1288,9 @@ object StreamingQueries {
     // s31: t5's oracle verbatim — streamed elementwise-addition fold ≡
     // the batch sketch build is the contract
     ("s31_cmsstream" -> graft.queries.Llm.oracle("t5_cms")) +
+    // s33: q135's oracle verbatim — streamed per-side sketch fold ≡
+    // the batch sketch build is the contract
+    ("s33_cardstream" -> graft.queries.Relational.oracle("q135_joincard")) +
     // s17: the composed pipeline's oracle reuses s12's two-batch
     // verdict replay verbatim as a CTE, keeps the accepted ('new')
     // docs — the published snapshot's exact membership — and
@@ -1994,6 +2013,65 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .start()
     q.awaitTermination()
+  }
+
+  /** S33 as streaming: join-cardinality statistics maintenance. Each
+    * micro-batch builds its per-side CMS + row count from its own
+    * lineitem rows and folds both into the persisted stats table —
+    * sketches by elementwise addition, counts by scalar addition (both
+    * commutative/associative, so any batch split folds to the same
+    * stats). Generations keyed by batchId: a crash-replayed batch
+    * overwrites its own generation deterministically from the
+    * still-intact predecessor (idempotent, the s16/s31 convention).
+    * Bounded state: two (sketch, count) rows — never data rows. */
+  def s33(spark: SparkSession, inDir: String, statsDir: String,
+          checkpoint: String): Unit = {
+    graft.plans.CmsSketch4x256.register(spark)
+    val raw = StructType(Seq(
+      StructField("l_partkey", LongType),
+      StructField("l_quantity", DoubleType)))
+    val stream = spark.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val zeros = "array_repeat(CAST(0 AS BIGINT), 1024)"
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = graft.queries.Relational.cardSketches(batch)
+        val prev = new java.io.File(s"$statsDir/gen=$batchId")
+        val merged =
+          if (prev.exists) spark.read.parquet(prev.getPath)
+            .select(col("side"), col("sk").as("a"), col("n").as("na"))
+            .join(bs.select(col("side"), col("sk").as("b"),
+              col("n").as("nb")), Seq("side"), "full_outer")
+            .select(col("side"),
+              expr(s"zip_with(coalesce(a, $zeros), coalesce(b, $zeros)," +
+                " (x, y) -> x + y)").as("sk"),
+              (coalesce(col("na"), lit(0L))
+                + coalesce(col("nb"), lit(0L))).as("n"))
+          else bs
+        merged.write.mode("overwrite").parquet(s"$statsDir/gen=${batchId + 1}")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The streamed stats read back through q135's IDENTICAL estimator:
+    * latest generation's per-side rows → inner-product estimate, with
+    * the exact audit recomputed against the batch table at `dir`. */
+  def s33Result(spark: SparkSession, dir: String,
+                statsDir: String): DataFrame = {
+    graft.plans.CmsSketch4x256.register(spark)
+    val gens = Option(new java.io.File(statsDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+    require(gens.nonEmpty, s"no stats generations under $statsDir")
+    val perSide = spark.read.parquet(s"$statsDir/gen=${gens.max}")
+    graft.queries.Relational.cardEstimate(perSide,
+      Tables(spark, dir, "lineitem").select(col("l_partkey"),
+        col("l_quantity")))
   }
 
   /** The streamed sketch read back through t5's IDENTICAL estimator:
