@@ -3100,6 +3100,53 @@ object Relational {
       cardEstimate(cardSketches(li), li)
     }),
 
+    // Q136 QUANTILE FEATURE BINNING — the ML feature-prep verb (Spark
+    // MLlib's QuantileDiscretizer, done EXACTLY): per event type, cut
+    // the value distribution at its exact quartiles and report each
+    // bucket's population and actual range — the binning step every
+    // tabular training pipeline runs before tree models or embedding
+    // lookups. Boundaries are exact order statistics on the cents grid
+    // via q32's histogram trick (windows over the distinct-value
+    // relation, never a corpus sort); ties at a boundary go LOW
+    // (bucket = 1 + Σ (v > q_k) — pure integer comparisons, no float
+    // knife-edge). Scale: two corpus passes by construction (exact
+    // global quantiles can't be assigned in the same pass that
+    // discovers them): one partial-aggregatable histogram pass, then
+    // the 4-row boundary relation BROADCAST back for the row-local
+    // bucket assignment + one partial agg.
+    "q136_quantilebin" -> ((s, d) => {
+      val base = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("cast(floor(value * 100) as bigint)").as("v"))
+      val hist = base.groupBy("event_type", "v")
+        .agg(count(lit(1)).as("c"))
+      val wC = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy("event_type")
+      val bounds = hist
+        .withColumn("cum", sum(col("c")).over(wC))
+        .withColumn("n", sum(col("c")).over(wT))
+        .groupBy("event_type")
+        .agg(
+          min(when(col("cum") >= expr("(n-1)*25 div 100 + 1"), col("v")))
+            .as("b1"),
+          min(when(col("cum") >= expr("(n-1)*50 div 100 + 1"), col("v")))
+            .as("b2"),
+          min(when(col("cum") >= expr("(n-1)*75 div 100 + 1"), col("v")))
+            .as("b3"))
+      base.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("bucket",
+          lit(1L) + when(col("v") > col("b1"), 1L).otherwise(0L)
+            + when(col("v") > col("b2"), 1L).otherwise(0L)
+            + when(col("v") > col("b3"), 1L).otherwise(0L))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"),
+          max(col("v")).as("v_max"), max(col("b1")).as("b1"),
+          max(col("b2")).as("b2"), max(col("b3")).as("b3"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
     // pipeline runs before fitting forecasts: for each event type's
     // DAILY total (cents div 1000 — binning keeps every product far
@@ -5307,6 +5354,39 @@ object Relational {
         |         AS BIGINT) AS sound
         |FROM ip, tc, n
         |GROUP BY n.n_a, n.n_b, tc.true_card""".stripMargin,
+
+    // q136: boundaries via the same histogram-rank picks, ties-go-low
+    // bucket assignment replayed as integer comparisons
+    "q136_quantilebin" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM base GROUP BY 1, 2),
+        |cc AS (SELECT event_type, v,
+        |         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS n
+        |       FROM h),
+        |bo AS (SELECT event_type,
+        |         MIN(CASE WHEN cum >= (n-1)*25 // 100 + 1 THEN v END)
+        |           AS b1,
+        |         MIN(CASE WHEN cum >= (n-1)*50 // 100 + 1 THEN v END)
+        |           AS b2,
+        |         MIN(CASE WHEN cum >= (n-1)*75 // 100 + 1 THEN v END)
+        |           AS b3
+        |       FROM cc GROUP BY 1)
+        |SELECT b.event_type,
+        |       CAST(1 + (CASE WHEN v > b1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v > b2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v > b3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(v) AS v_min, MAX(v) AS v_max,
+        |       MAX(b1) AS b1, MAX(b2) AS b2, MAX(b3) AS b3
+        |FROM base b JOIN bo USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q133: the identical 4 frontier rounds unrolled as materialized
     // CTEs (the q123 inlining lesson); NOT IN replays the anti-join

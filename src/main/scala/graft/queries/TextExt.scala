@@ -748,6 +748,65 @@ object TextExt {
         .orderBy("doc_id", "frame")
     }),
 
+    // QM8 CONTAINER-FORMAT BOX WALK — the third multimodal parsing
+    // axis: qm6 reads FIXED offsets (flat header), qm7 adds
+    // little-endian decode; real media containers (MP4/ISO-BMFF's
+    // size-type boxes) need VARIABLE offsets — each box's position is
+    // computed from the previously PARSED sizes, which is exactly how
+    // a fixed-depth container scan vectorizes (unrolled offset
+    // expressions, no per-row loop). Deterministic 3-box blobs
+    // ([4-byte BE size incl. 8-byte header][4-char type][payload],
+    // payload lengths varying per doc via declared formulas, payload
+    // bytes (i·7 + doc_id + 13·box) mod 256) are constructed from doc
+    // fields, then parsed back reading size1 FROM BYTES to locate
+    // box2, and so on; each payload's rolling-hash fingerprint over
+    // its hex image is emitted, plus a total-size conservation flag
+    // (Σ parsed sizes == blob length). The oracle recomputes every
+    // field from the source formulas — the hash match proves the
+    // walk. Row-local, one scan, codegen, no shuffle.
+    "qm8_boxparse" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      def payHex(p: String, b: Int): String =
+        s"concat_ws('', transform(sequence(0, CAST($p AS INT) - 1), " +
+          s"i -> lpad(hex((i * 7 + doc_id + ${13 * b}) % 256), 2, '0')))"
+      val blobs = t(s, d, "documents").filter(col("doc_id") % 11 === 0)
+        .withColumn("p1", (col("doc_id") % 8) + 4L)
+        .withColumn("p2", (col("n_chars") % 8) + 4L)
+        .withColumn("p3", ((col("doc_id") * 3L) % 8) + 8L)
+        .select(col("doc_id"), unhex(concat(
+          expr("lpad(hex(p1 + 8), 8, '0')"), lit("66747970"),
+          expr(payHex("p1", 1)),
+          expr("lpad(hex(p2 + 8), 8, '0')"), lit("6D657461"),
+          expr(payHex("p2", 2)),
+          expr("lpad(hex(p3 + 8), 8, '0')"), lit("64617461"),
+          expr(payHex("p3", 3)))).as("blob"))
+      blobs
+        .withColumn("hx", hex(col("blob")))
+        // the walk: each offset is an expression over PARSED sizes
+        .withColumn("s1", expr("CAST(conv(substr(hx, 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("s2", expr(
+          "CAST(conv(substr(hx, CAST(s1 * 2 + 1 AS INT), 8), 16, 10) AS BIGINT)"))
+        .withColumn("s3", expr(
+          "CAST(conv(substr(hx, CAST((s1 + s2) * 2 + 1 AS INT), 8), 16, 10) AS BIGINT)"))
+        .withColumn("total_ok",
+          when(col("s1") + col("s2") + col("s3")
+            === length(col("blob")).cast(LongType), 1L).otherwise(0L))
+        .select(col("doc_id"), col("total_ok"), explode(expr(
+          "transform(array(" +
+            "named_struct('idx', 1L, 'off', 0L, 'sz', s1), " +
+            "named_struct('idx', 2L, 'off', s1, 'sz', s2), " +
+            "named_struct('idx', 3L, 'off', s1 + s2, 'sz', s3)), " +
+            "bx -> named_struct(" +
+            "'idx', bx.idx, 'bsize', bx.sz, " +
+            "'btype', decode(unhex(substr(hx, CAST(bx.off * 2 + 9 AS INT), 8)), 'UTF-8'), " +
+            "'fp', roll_hash31(substr(hx, CAST(bx.off * 2 + 17 AS INT), " +
+            "CAST((bx.sz - 8) * 2 AS INT)))))")).as("b"))
+        .select(col("doc_id"), col("b.idx").as("idx"),
+          col("b.btype").as("btype"), col("b.bsize").as("bsize"),
+          col("b.fp").as("fp"), col("total_ok"))
+        .orderBy("doc_id", "idx")
+    }),
+
     // qt10 document chunking: fixed 64-token windows with stride 48
     // (16-token overlap) — the pre-tokenization splitting step that
     // turns long documents into training-sized sequences. One scan, the
@@ -3388,6 +3447,33 @@ object TextExt {
         |            WHEN flesch >= 30 THEN 'medium'
         |            ELSE 'hard' END AS grade
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // qm8: every box field recomputed from the source formulas (sizes,
+    // types, payload bytes → hex image → rolling hash) — the hash
+    // match proves the size-chained offset walk read the right bytes
+    "qm8_boxparse" ->
+      """WITH ids AS (SELECT doc_id, n_chars FROM documents
+        |             WHERE doc_id % 11 = 0),
+        |bx AS (SELECT doc_id, n_chars, CAST(idx AS BIGINT) AS idx,
+        |         CASE idx WHEN 1 THEN 'ftyp' WHEN 2 THEN 'meta'
+        |              ELSE 'data' END AS btype,
+        |         CASE idx WHEN 1 THEN doc_id % 8 + 4
+        |                  WHEN 2 THEN n_chars % 8 + 4
+        |                  ELSE (doc_id * 3) % 8 + 8 END AS p
+        |       FROM ids, (VALUES (1), (2), (3)) t(idx)),
+        |f AS (SELECT doc_id, idx, btype, CAST(p + 8 AS BIGINT) AS bsize,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(
+        |            array_to_string(list_transform(
+        |              generate_series(0, CAST(p AS BIGINT) - 1),
+        |              i -> lpad(hex((i * 7 + doc_id + 13 * idx) % 256),
+        |                        2, '0')), ''), ''),
+        |            ch -> CAST(unicode(ch) AS BIGINT))),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |      FROM bx)
+        |SELECT doc_id, idx, btype, bsize, CAST(fp AS BIGINT) AS fp,
+        |       CAST(1 AS BIGINT) AS total_ok
+        |FROM f ORDER BY doc_id, idx""".stripMargin,
 
     // qm7: the oracle recomputes samples and features from the SOURCE
     // formula (the encode is its own decode: repr r = (m+32768)%65536

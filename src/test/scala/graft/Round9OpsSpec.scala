@@ -407,6 +407,69 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(tokens == rows.length.toLong)
   }
 
+  test("q136 quantile bins match a driver-side brute force (ties go low)") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "value").collect()
+      .filter(r => !r.isNullAt(1))
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong))
+
+    val expected = rows.groupBy(_._1).flatMap { case (et, g) =>
+      val vs = g.map(_._2).sorted
+      val n = vs.length.toLong
+      // smallest value whose cumulative count reaches the rank ==
+      // the rank-th element of the sorted multiset
+      def q(pct: Long) = vs((((n - 1) * pct / 100) + 1 - 1).toInt)
+      val (b1, b2, b3) = (q(25), q(50), q(75))
+      g.map(_._2).groupBy(v =>
+        1L + (if (v > b1) 1 else 0) + (if (v > b2) 1 else 0)
+          + (if (v > b3) 1 else 0))
+        .map { case (bk, vs2) =>
+          (et, bk) -> ((vs2.length.toLong, vs2.min, vs2.max, b1, b2, b3))
+        }
+    }
+
+    val got = SparkEntry.queries("q136_quantilebin")(spark, TestSpark.Sf)
+      .collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, lo, hi, b1, b2, b3) = expected((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == n && r.getLong(3) == lo && r.getLong(4) == hi)
+      assert(r.getLong(5) == b1 && r.getLong(6) == b2 && r.getLong(7) == b3)
+    }
+    // every type splits into at least 2 buckets on this fixture
+    val perType = got.groupBy(_.getString(0)).map(_._2.length)
+    assert(perType.forall(_ >= 2))
+  }
+
+  test("qm8 box walk matches the source formulas; size chain conserves") {
+    val P = 1000000007L
+    def rollHash(s: String): Long =
+      s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % P)
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._1 % 11 == 0)
+
+    val got = SparkEntry.queries("qm8_boxparse")(spark, TestSpark.Sf)
+      .collect()
+    assert(got.length == docs.length * 3)
+    val byDoc = docs.toMap
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val idx = r.getLong(1).toInt
+      val p = idx match {
+        case 1 => id % 8 + 4
+        case 2 => byDoc(id) % 8 + 4
+        case 3 => (id * 3) % 8 + 8
+      }
+      assert(r.getString(2) == Seq("ftyp", "meta", "data")(idx - 1))
+      assert(r.getLong(3) == p + 8, s"doc $id box $idx size")
+      val hexImg = (0L until p).map(i =>
+        f"${(i * 7 + id + 13 * idx) % 256}%02X").mkString
+      assert(r.getLong(4) == rollHash(hexImg), s"doc $id box $idx fp")
+      assert(r.getLong(5) == 1L, s"doc $id size chain broke")
+    }
+  }
+
   test("qm7 audio features match the sample formula; header fields parse") {
     val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).filter(_ % 7 == 0)
