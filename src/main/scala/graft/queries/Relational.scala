@@ -3147,6 +3147,56 @@ object Relational {
         .orderBy("event_type", "bucket")
     }),
 
+    // Q137 PERSONALIZED PAGERANK — the recsys relevance verb that
+    // completes the graph family's question ladder (q68 ranks globally;
+    // q133 gives hop DISTANCE from the hub seeds; this gives graded
+    // RELEVANCE to the same seeds — "related parts for this hub set",
+    // the candidate generator behind item-to-item recommendations):
+    // 3 power-iteration rounds where the 15% teleport mass returns to
+    // the SEED SET only (node % 97 = 0, q133's declared seeds), not
+    // uniformly. Determinism is q68's integer fixed-point convention —
+    // ranks in 1e-6 units, per-edge spread rank div deg, damping
+    // (85·Σ) div 100, all nonneg so truncation ≡ floor in both
+    // engines; the final top-25 is a total (rank DESC, node) order.
+    // Scale: q68's shape — the degree-decorated edge relation is
+    // cached REPARTITIONED+SORTED on the join key so every round joins
+    // with no exchange on the edge side; one narrow rank shuffle + one
+    // dst-keyed partial aggregate per round.
+    "q137_ppr" -> ((s, d) => {
+      val b = graft.operators.BasketCap.capParts(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(), "o", "p")
+      val e = b.as("a")
+        .join(b.as("bb"), col("a.o") === col("bb.o")
+          && col("a.p") < col("bb.p"))
+        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+        .agg(count(lit(1)).as("w12"))
+        .filter(col("w12") >= 2L)
+        .select("u", "v")
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      val edgesD = sym.join(deg, "u")
+        .select(col("u"), col("v"), col("deg"))
+        .repartition(col("u")).sortWithinPartitions("u")
+        .transform(graft.operators.OpCaches.track)
+      var r = edgesD.select(col("u").as("node")).distinct()
+        .select(col("node"),
+          when(col("node") % 97 === 0L, lit(1000000L)).otherwise(lit(0L))
+            .as("rank"))
+      for (_ <- 1 to 3) {
+        r = edgesD.join(r, col("u") === col("node"))
+          .select(col("v"), expr("rank div deg").as("c"))
+          .groupBy(col("v"))
+          .agg(sum(col("c")).as("sc"))
+          .select(col("v").as("node"),
+            (when(col("v") % 97 === 0L, lit(150000L)).otherwise(lit(0L))
+              + expr("(85 * sc) div 100")).as("rank"))
+      }
+      r.filter(col("rank") > 0L)
+        .orderBy(col("rank").desc, col("node")).limit(25)
+    }),
+
     // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
     // pipeline runs before fitting forecasts: for each event type's
     // DAILY total (cents div 1000 — binning keeps every product far
@@ -5354,6 +5404,41 @@ object Relational {
         |         AS BIGINT) AS sound
         |FROM ip, tc, n
         |GROUP BY n.n_a, n.n_b, tc.true_card""".stripMargin,
+
+    // q137: the 3 seeded power-iteration rounds unrolled (q123 CTE
+    // convention); all arithmetic nonneg integer so // replays div
+    "q137_ppr" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = s"r${i - 1}"
+        s"""r$i AS MATERIALIZED (
+           |  SELECT s.v AS node,
+           |         CAST(CASE WHEN s.v % 97 = 0 THEN 150000 ELSE 0 END
+           |           + (85 * SUM(x.rank // d.deg)) // 100 AS BIGINT)
+           |           AS rank
+           |  FROM sym s JOIN $prev x ON x.node = s.u
+           |             JOIN dg d ON d.u = s.u
+           |  GROUP BY s.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |b AS (SELECT o, p FROM b0
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) <= 64),
+        |e AS (SELECT a.p AS u, c.p AS v FROM b a
+        |      JOIN b c ON a.o = c.o AND a.p < c.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS MATERIALIZED (SELECT u, v FROM e
+        |                     UNION ALL SELECT v AS u, u AS v FROM e),
+        |dg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+        |                    FROM sym GROUP BY 1),
+        |r0 AS MATERIALIZED (
+        |  SELECT DISTINCT u AS node,
+        |         CAST(CASE WHEN u % 97 = 0 THEN 1000000 ELSE 0 END
+        |           AS BIGINT) AS rank
+        |  FROM sym),
+        |$rounds
+        |SELECT node, rank FROM r3 WHERE rank > 0
+        |ORDER BY rank DESC, node LIMIT 25""".stripMargin
+    },
 
     // q136: boundaries via the same histogram-rank picks, ties-go-low
     // bucket assignment replayed as integer comparisons

@@ -170,6 +170,33 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.exists(_.getLong(1) == 4L) || dist.size == nodes.size)
   }
 
+  test("q137 personalized PageRank matches a driver-side power iteration") {
+    val sym = copurchaseEdges()
+    val deg = sym.groupBy(_._1).map { case (u, g) => u -> g.size.toLong }
+    val nodes = sym.map(_._1).distinct
+    val inN = sym.groupBy(_._2).map { case (v, g) => v -> g.map(_._1) }
+    var rank = nodes.map(n =>
+      n -> (if (n % 97 == 0) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      rank = nodes.map { v =>
+        val sc = inN.getOrElse(v, Seq.empty)
+          .map(u => rank(u) / deg(u)).sum
+        v -> ((if (v % 97 == 0) 150000L else 0L) + 85L * sc / 100L)
+      }.toMap
+    }
+    val top = rank.toSeq.filter(_._2 > 0)
+      .sortBy { case (n, r) => (-r, n) }.take(25)
+
+    val got = SparkEntry.queries("q137_ppr")(spark, TestSpark.Sf).collect()
+    assert(got.length == 25)
+    got.zip(top).foreach { case (r, (n, rk)) =>
+      assert(r.getLong(0) == n && r.getLong(1) == rk,
+        s"(${r.getLong(0)},${r.getLong(1)}) != ($n,$rk)")
+    }
+    // seeds hold teleport mass: at least one seed ranks in the top-25
+    assert(top.exists(_._1 % 97 == 0))
+  }
+
   test("qt25 BPE: string-replace merge == explicit greedy scan, 6 rounds") {
     val words = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select("text").collect()
