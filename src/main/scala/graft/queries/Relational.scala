@@ -3197,6 +3197,57 @@ object Relational {
         .orderBy(col("rank").desc, col("node")).limit(25)
     }),
 
+    // Q138 MANN–KENDALL TREND TEST — the SIGNIFICANCE layer for q132's
+    // slope estimate (Theil–Sen says how steep; Mann–Kendall says
+    // whether a monotone trend exists at all — the standard pairing in
+    // every environmental/ops monitoring stack): per event type over
+    // its daily totals, S = Σ_{i<j} sign(x_j − x_i) with the tie-
+    // corrected variance 18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)
+    // (2t_g+5) — S, both variance terms, and the continuity-corrected
+    // numerator (S−1 / S+1 / 0) all EXACT INT64 audit columns; z =
+    // num/√(var18/18) is ONE identical IEEE tree at display. Scale:
+    // corpus → daily relation in one partial-aggregatable pass; the
+    // sign pairs and tie groups run over O(days²) / O(distinct values)
+    // per type — TIME-bounded (q132's argument).
+    "q138_mannkendall" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"),
+          Conv.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+        .agg(sum(expr("cast(floor(value * 100) as bigint)")).as("x"))
+      val a = daily.select(col("event_type"), col("day").as("di"),
+        col("x").as("xi"))
+      val b = daily.select(col("event_type"), col("day").as("dj"),
+        col("x").as("xj"))
+      val sRel = a.join(b, Seq("event_type"))
+        .filter(col("di") < col("dj"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("xj") > col("xi"), 1L)
+            .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s"))
+      val nRel = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy("event_type", "x")
+        .agg(count(lit(1)).as("tg"))
+        .groupBy("event_type")
+        .agg(sum(col("tg") * (col("tg") - 1) * (lit(2L) * col("tg") + 5L))
+          .as("tie18"))
+      sRel.join(nRel, Seq("event_type")).join(ties, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("n0"), col("s"),
+          (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5L)
+            - col("tie18")).as("var18"),
+          when(col("s") > 0, col("s") - 1)
+            .when(col("s") < 0, col("s") + 1).otherwise(lit(0L))
+            .as("num"))
+        .withColumn("z", r6(col("num").cast(DoubleType)
+          / sqrt(col("var18").cast(DoubleType) / lit(18.0))))
+        .withColumn("trend",
+          when(col("z") >= 1.96, lit("up"))
+            .when(col("z") <= -1.96, lit("down"))
+            .otherwise(lit("none")))
+        .orderBy("event_type")
+    }),
+
     // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
     // pipeline runs before fitting forecasts: for each event type's
     // DAILY total (cents div 1000 — binning keeps every product far
@@ -5439,6 +5490,50 @@ object Relational {
         |SELECT node, rank FROM r3 WHERE rank > 0
         |ORDER BY rank DESC, node LIMIT 25""".stripMargin
     },
+
+    // q138: S, the tie-corrected variance terms, and the continuity
+    // numerator replayed as exact integers; one shared IEEE tree for z
+    "q138_mannkendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS x
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sr AS (SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n0,
+        |         CAST(SUM(CASE WHEN b.x > a.x THEN 1
+        |                       WHEN b.x < a.x THEN -1 ELSE 0 END)
+        |           AS BIGINT) AS s
+        |       FROM daily a JOIN daily b
+        |         ON a.event_type = b.event_type AND a.day < b.day
+        |       GROUP BY 1),
+        |nr AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM daily GROUP BY 1),
+        |ti AS (SELECT event_type,
+        |         CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
+        |           AS tie18
+        |       FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS tg
+        |             FROM daily GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |g AS (SELECT sr.event_type, nr.n, sr.n0, sr.s,
+        |        CAST(nr.n * (nr.n - 1) * (2 * nr.n + 5) - ti.tie18
+        |          AS BIGINT) AS var18,
+        |        CAST(CASE WHEN sr.s > 0 THEN sr.s - 1
+        |                  WHEN sr.s < 0 THEN sr.s + 1
+        |                  ELSE 0 END AS BIGINT) AS num
+        |      FROM sr JOIN nr USING (event_type)
+        |              JOIN ti USING (event_type))
+        |SELECT event_type, n, n0, s, var18, num,
+        |       CAST(ROUND(CAST(num AS DOUBLE)
+        |         / SQRT(CAST(var18 AS DOUBLE) / 18.0), 6) AS DOUBLE) AS z,
+        |       CASE WHEN CAST(ROUND(CAST(num AS DOUBLE)
+        |              / SQRT(CAST(var18 AS DOUBLE) / 18.0), 6) AS DOUBLE)
+        |              >= 1.96 THEN 'up'
+        |            WHEN CAST(ROUND(CAST(num AS DOUBLE)
+        |              / SQRT(CAST(var18 AS DOUBLE) / 18.0), 6) AS DOUBLE)
+        |              <= -1.96 THEN 'down'
+        |            ELSE 'none' END AS trend
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // q136: boundaries via the same histogram-rank picks, ties-go-low
     // bucket assignment replayed as integer comparisons

@@ -145,6 +145,45 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q138 Mann-Kendall matches a driver-side brute force") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "value", "ts").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong,
+        Math.floorDiv(micros(r.get(2)), 86400000000L)))
+    val daily = rows.groupBy(r => (r._1, r._3)).map { case ((et, d), g) =>
+      (et, d, g.map(_._2).sum)
+    }.toSeq
+
+    val expected = daily.groupBy(_._1).map { case (et, g) =>
+      val ds = g.sortBy(_._2).map(_._3)
+      val n = ds.length.toLong
+      var s = 0L
+      for (i <- ds.indices; j <- (i + 1) until ds.length)
+        s += java.lang.Long.signum(ds(j) - ds(i))
+      val tie18 = ds.groupBy(identity).values
+        .map(_.length.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tie18
+      val num = if (s > 0) s - 1 else if (s < 0) s + 1 else 0L
+      et -> ((n, n * (n - 1) / 2, s, var18, num))
+    }
+
+    val got = SparkEntry.queries("q138_mannkendall")(spark, TestSpark.Sf)
+      .collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, n0, s, var18, num) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == n0)
+      assert(r.getLong(3) == s, s"${r.getString(0)}: S")
+      assert(r.getLong(4) == var18 && r.getLong(5) == num)
+      val z = num.toDouble / math.sqrt(var18.toDouble / 18.0)
+      assert(math.abs(r.getDouble(6) - z) <= 5e-7)
+      val trend = if (r.getDouble(6) >= 1.96) "up"
+        else if (r.getDouble(6) <= -1.96) "down" else "none"
+      assert(r.getString(7) == trend)
+    }
+  }
+
   test("q133 BFS hop distance matches a driver-side BFS") {
     val sym = copurchaseEdges()
     val nodes = sym.map(_._1).distinct
