@@ -1866,6 +1866,61 @@ object TextExt {
         .orderBy("lang")
     }),
 
+    // QE7 JOHNSON–LINDENSTRAUSS PROJECTION — the dimensionality-
+    // REDUCTION member of the embedding family (qe1–qe5 compress
+    // precision; qe6 finds structure; this cuts DIMENSION with a
+    // distance guarantee — the cheap first stage before ANN indexing
+    // when 64 dims is already too many): project 64 → 16 through a
+    // DETERMINISTIC ±1 matrix (s_ij = sign of an LCG draw on (i,j) —
+    // the Achlioptas construction, which needs no Gaussians) and audit
+    // the JL promise on declared pairs (vec_id % 50 = 0 with its
+    // successor): E[‖ya−yb‖²] = k·‖xa−xb‖², so ratio = d2p/(16·d2o)
+    // should sit near 1. EXACTNESS: coords on the 1e-6 grid (floats
+    // cast to DOUBLE first, both engines identical), projections are
+    // ±sums of int64 (|y| ≤ 64·|xi|max ≈ 3.4e7), squared distances
+    // exact int64 (d2p ≤ 16·(2·3.4e7)² ≈ 7e16 < 2⁶³ — headroom
+    // documented); the ratio is ONE IEEE tree at display. Scale: the
+    // projection is row-local (one corpus pass, no shuffle) — exactly
+    // how a 100 TB embedding store runs it; only the tiny declared
+    // audit-pair relation joins.
+    "qe7_jlproject" -> ((s, d) => {
+      val proj = t(s, d, "embeddings")
+        .filter(size(col("embedding")) === 64)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("xi"))
+        .select(col("vec_id"), col("xi"),
+          expr("transform(sequence(0, 15), j -> " +
+            "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + " +
+            "IF((CAST(1103515245 AS BIGINT) * (i * 16 + j) + 12345) " +
+            "% 2147483648 >= 1073741824, xi[i], -xi[i])))").as("y"))
+      val a = proj.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("va"), col("xi").as("xa"),
+          col("y").as("ya"))
+      val b = proj
+        .select((col("vec_id") - 1).as("va"), col("xi").as("xb"),
+          col("y").as("yb"))
+      a.join(b, Seq("va"))
+        .select(col("va"), (col("va") + 1).as("vb"),
+          expr("aggregate(zip_with(xa, xb, (p, q) -> (p - q) * (p - q)), " +
+            "0L, (acc, v) -> acc + v)").as("d2o"),
+          expr("aggregate(zip_with(ya, yb, (p, q) -> (p - q) * (p - q)), " +
+            "0L, (acc, v) -> acc + v)").as("d2p"))
+        .filter(col("d2o") > 0L)
+        .withColumn("ratio", graft.Conv.r6(col("d2p").cast(DoubleType)
+          / lit(16.0) / col("d2o")))
+        // per-pair ratios scatter χ²-like at the declared small k=16;
+        // the UNBIASEDNESS readout is the cross-pair mean ≈ 1 — an
+        // exact-decimal average of the rounded ratios (order-free)
+        .transform { pairs =>
+          val m = pairs.agg(graft.Conv.r6(
+            avg(col("ratio").cast(DecimalType(18, 6)))).as("mean_ratio"))
+          pairs.crossJoin(broadcast(m))
+        }
+        .orderBy("va")
+    }),
+
     // QX16 DIFFERENTIALLY-PRIVATE SUM RELEASE — the second DP primitive
     // (qx14 releases counts; sums need a BOUNDED per-record
     // contribution first, which is where real pipelines go wrong):
@@ -3348,6 +3403,47 @@ object TextExt {
         |           ROWS UNBOUNDED PRECEDING) AS BIGINT), 6) AS DOUBLE)
         |         AS vocab_ratio
         |FROM c ORDER BY rank""".stripMargin,
+
+    // qe7: the ±1 matrix, projections, and both squared distances
+    // replayed (DuckDB lists are 1-indexed: xi[i+1] mirrors Spark's
+    // 0-based xi[i])
+    "qe7_jlproject" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+        |             AS BIGINT)) AS xi
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |p AS (SELECT vec_id, xi,
+        |        list_transform(generate_series(0, 15), j ->
+        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(generate_series(0, 63), i ->
+        |              CASE WHEN (1103515245 * (i * 16 + j) + 12345)
+        |                     % 2147483648 >= 1073741824
+        |                   THEN xi[i + 1] ELSE -xi[i + 1] END)),
+        |            (acc, v) -> acc + v)) AS y
+        |      FROM e),
+        |pr AS (SELECT a.vec_id AS va, a.vec_id + 1 AS vb,
+        |              a.xi AS xa, b.xi AS xb, a.y AS ya, b.y AS yb
+        |       FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+        |       WHERE a.vec_id % 50 = 0),
+        |d AS (SELECT va, vb,
+        |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(generate_series(1, 64),
+        |            i -> (xa[i] - xb[i]) * (xa[i] - xb[i]))),
+        |          (acc, v) -> acc + v) AS BIGINT) AS d2o,
+        |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(generate_series(1, 16),
+        |            j -> (ya[j] - yb[j]) * (ya[j] - yb[j]))),
+        |          (acc, v) -> acc + v) AS BIGINT) AS d2p
+        |      FROM pr),
+        |r AS (SELECT va, vb, d2o, d2p,
+        |        CAST(ROUND(CAST(d2p AS DOUBLE) / 16.0 / d2o, 6) AS DOUBLE)
+        |          AS ratio
+        |      FROM d WHERE d2o > 0),
+        |m AS (SELECT CAST(ROUND(CAST(AVG(CAST(ratio AS DECIMAL(18,6)))
+        |        AS DOUBLE), 6) AS DOUBLE) AS mean_ratio FROM r)
+        |SELECT va, vb, d2o, d2p, ratio, mean_ratio
+        |FROM r, m ORDER BY va""".stripMargin,
 
     // qx16: clip + sensitivity-scaled noise replayed on the distinct
     // LCG stream (2h + 1)

@@ -536,6 +536,45 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("qe7 JL projection matches a driver-side replay; mean ratio near 1") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .filter(_.getSeq[Float](1).length == 64)
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong))
+      .toMap
+    def sign(i: Int, j: Int): Long =
+      if ((1103515245L * (i * 16 + j) + 12345L) % 2147483648L >= 1073741824L)
+        1L else -1L
+    def proj(xi: Seq[Long]): Seq[Long] =
+      (0 until 16).map(j => (0 until 64).map(i => sign(i, j) * xi(i)).sum)
+
+    val expected = rows.keys.filter(v => v % 50 == 0 && rows.contains(v + 1))
+      .toSeq.sorted.map { va =>
+        val (xa, xb) = (rows(va), rows(va + 1))
+        val d2o = xa.zip(xb).map { case (p, q) => (p - q) * (p - q) }.sum
+        val (ya, yb) = (proj(xa), proj(xb))
+        val d2p = ya.zip(yb).map { case (p, q) => (p - q) * (p - q) }.sum
+        (va, d2o, d2p)
+      }.filter(_._2 > 0)
+
+    val got = SparkEntry.queries("qe7_jlproject")(spark, TestSpark.Sf)
+      .collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (va, d2o, d2p)) =>
+      assert(r.getLong(0) == va && r.getLong(1) == va + 1)
+      assert(r.getLong(2) == d2o, s"pair $va: d2o")
+      assert(r.getLong(3) == d2p, s"pair $va: d2p")
+      val ratio = d2p.toDouble / 16.0 / d2o
+      assert(math.abs(r.getDouble(4) - ratio) <= 5e-7)
+    }
+    // unbiasedness: the cross-pair mean ratio sits near 1 (k=16 keeps
+    // per-pair scatter wide by design; the mean is the JL readout)
+    val mean = got.head.getDouble(5)
+    assert(got.forall(_.getDouble(5) == mean))
+    assert(mean > 0.5 && mean < 2.0, s"mean ratio $mean")
+  }
+
   test("qm7 audio features match the sample formula; header fields parse") {
     val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).filter(_ % 7 == 0)
