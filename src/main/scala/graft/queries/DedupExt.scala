@@ -304,7 +304,62 @@ object DedupExt {
       .filter(col("cosd") >= 0.4)
   }
 
+  /** qd20's declared simplified-Soundex key as a SHARED expression
+    * string — the same text parses in Spark SQL and DuckDB (translate/
+    * replace/substr/rpad/|| are common dialect), so the blocking key is
+    * cross-engine identical by construction. Classes are the classic
+    * Soundex digit map; runs of equal digits collapse via 5 fixpoint
+    * replace passes per digit (left-to-right non-rescanning replace
+    * halves a run per pass — covers runs up to 2^5); vowels/h/w (class
+    * 0) drop AFTER the collapse (declared deviation: like h/w, vowels
+    * do not separate equal codes); key = first letter + first 3
+    * surviving digits after the head's own code, zero-padded. */
+  private def sdxExpr(c: String): String = {
+    val digits =
+      s"translate($c, 'abcdefghijklmnopqrstuvwxyz', '01230120022455012623010202')"
+    val collapsed = (0 to 6).foldLeft(digits) { (acc, dd) =>
+      (1 to 5).foldLeft(acc)((a, _) => s"replace($a, '$dd$dd', '$dd')")
+    }
+    s"substr($c, 1, 1) || rpad(substr(replace($collapsed, '0', ''), 2, 3), 3, '0')"
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // QD20 PHONETIC (SOUNDEX) BLOCKING — the FOURTH candidate-
+    // generation verb of the linkage family (banding qd1/qd3, key
+    // equality qd13, sorted neighborhood qd18): names that SOUND alike
+    // land in one block even when they neither share a key nor sort
+    // adjacently — the classic census/record-linkage blocking key.
+    // The simplified-Soundex key is ONE shared expression string (see
+    // sdxExpr) evaluated by both engines — translate + a fixpoint
+    // replace chain + rpad, all codegen-friendly scalar ops, row-local.
+    // Blocks are COARSER than qd13's exact-token blocks (that is the
+    // point — higher recall), so the verify pays more candidates; the
+    // verify is qd13's bit-identical native jaro_winkler kernel with
+    // qd14's compute-sized repartition. Scale: blocked equi-join only,
+    // never all-pairs; block sizes bounded by the phonetic keyspace
+    // growing with the corpus.
+    "qd20_soundexblock" -> ((s, d) => {
+      graft.plans.JaroWinklerSim.register(s)
+      val p = graft.Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").getItem(0).as("tok1"),
+          substring(col("text"), 1, 32).as("s"))
+        .filter(col("tok1").rlike("^[a-z]+$"))
+        .withColumn("sdx", expr(sdxExpr("tok1")))
+      val a = p.select(col("doc_id").as("doc_a"), col("lang"),
+        col("sdx"), col("s").as("sa"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("lang"), col("sdx"))
+      val b = p.select(col("doc_id").as("doc_b"), col("lang"),
+        col("sdx"), col("s").as("sb"))
+      a.join(b, Seq("lang", "sdx"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sdx"),
+          expr("jaro_winkler(sa, sb)").as("jw"))
+        .filter(col("jw") >= 0.85)
+        .orderBy("doc_a", "doc_b")
+    }),
     // qd1 MinHash(16) + LSH(4 bands × 4 rows) + exact-Jaccard(≥0.8)
     // verify. The 16 minhashes are 16 min-columns in ONE groupBy(doc_id)
     // (no params crossJoin, no (doc,i) shuffle — 16× less volume); band
@@ -3124,6 +3179,26 @@ object DedupExt {
         |SELECT doc_a, doc_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(sa, sb) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // qd20: the SAME sdxExpr text evaluates in DuckDB (shared-literal
+    // convention), so the blocking key is identical by construction;
+    // verify replays through DuckDB's jaro_winkler_similarity (bit-
+    // identical to the native kernel, the qd13 contract)
+    "qd20_soundexblock" -> {
+      val sdx = sdxExpr("tok1")
+      s"""WITH p AS (
+        |  SELECT doc_id, lang, split_part(text, ' ', 1) AS tok1,
+        |         substr(text, 1, 32) AS s
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang, s, $sdx AS sdx FROM p
+        |      WHERE regexp_matches(tok1, '^[a-z]+$$'))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sdx,
+        |       jaro_winkler_similarity(a.s, b.s) AS jw
+        |FROM q a JOIN q b ON a.lang = b.lang AND a.sdx = b.sdx
+        |                 AND a.doc_id < b.doc_id
+        |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.85
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "qd13_jarowink" ->
       """WITH p AS (

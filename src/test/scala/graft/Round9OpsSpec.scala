@@ -575,6 +575,54 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(mean > 0.5 && mean < 2.0, s"mean ratio $mean")
   }
 
+  test("qd20 phonetic blocks CONTAIN qd13's exact-token pairs; key matches reference Soundex fold") {
+    // containment: equal first tokens hash to equal phonetic keys, so
+    // every exact-token-blocked pair must reappear under the coarser
+    // phonetic blocking (higher recall is the operator's point)
+    val exact = SparkEntry.queries("qd13_jarowink")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val phon = SparkEntry.queries("qd20_soundexblock")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(phon),
+      s"missing exact pairs: ${exact.diff(phon).take(5)}")
+    assert(phon.size >= exact.size)
+
+    // the declared key against an independent reference fold
+    val classes = "01230120022455012623010202"
+    def sdx(w: String): String = {
+      val digits = w.map(ch => classes(ch - 'a'))
+      val collapsed = digits.foldLeft(new StringBuilder) { (sb, ch) =>
+        if (sb.nonEmpty && sb.last == ch) sb else sb.append(ch)
+      }.toString
+      val nz = collapsed.filter(_ != '0')
+      w.head + nz.drop(1).take(3).padTo(3, '0')
+    }
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").head))
+      .filter(_._2.matches("^[a-z]+$")).toMap
+    val gotKeys = SparkEntry.queries("qd20_soundexblock")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(gotKeys.nonEmpty)
+    gotKeys.foreach { case (docA, key) =>
+      assert(key == sdx(docs(docA)),
+        s"doc $docA (${docs(docA)}): $key != ${sdx(docs(docA))}")
+    }
+
+    // the coarser blocks DO generate extra candidates (the recall
+    // point) — counted driver-side; the jw >= 0.85 verify then decides
+    val langOf = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def pairs[K](key: Long => K): Long =
+      docs.keys.toSeq.groupBy(id => (langOf(id), key(id)))
+        .values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val candExact = pairs(id => docs(id))
+    val candPhon = pairs(id => sdx(docs(id)))
+    assert(candPhon > candExact,
+      s"phonetic blocking generated no extra candidates ($candPhon vs $candExact)")
+  }
+
   test("qm7 audio features match the sample formula; header fields parse") {
     val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).filter(_ % 7 == 0)
