@@ -3248,6 +3248,68 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Q139 DECILE LIFT / GAINS TABLE — the model-evaluation readout
+    // every targeting pipeline prints (q93 tests ONE split; this ranks
+    // the whole population by a score and asks how concentrated the
+    // positives are at the top — the table a campaign's cutoff is
+    // chosen from): score = per-user click cents, label = purchased;
+    // deciles are VALUE-BUCKETED via q136's histogram-rank boundaries
+    // (ties stay together — the honest large-scale form; a row_number
+    // ntile would global-sort the corpus, the q81 trap), decile 1 =
+    // top scores; per decile n/pos and cumulative gains are exact
+    // int64, lift's numerator/denominator (cum_pos·tot_n, cum_n·
+    // tot_pos) ride as exact audit columns, rates/lift are one IEEE
+    // division each. Scale: one partial-aggregatable user fold, rank
+    // windows over the DISTINCT-score relation, boundaries broadcast
+    // back, final windows over ≤10 rows.
+    "q139_liftgains" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click",
+          expr("cast(floor(coalesce(value, 0) * 100) as bigint)"))
+          .otherwise(0L)).as("score"),
+          // label = "power purchaser" (>= 16 purchases, the declared
+          // cut — every user here purchases SOMETIME, so an any-
+          // purchase label would be degenerate all-ones)
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+        .select(col("user_id"), col("score"),
+          when(col("np") >= 16L, 1L).otherwise(0L).as("label"))
+      val wC = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wN = Window.partitionBy()
+      val ranks = 1 to 9
+      val hist = users.groupBy("score").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wC))
+        .withColumn("n", sum(col("c")).over(wN))
+      val bAgg = ranks.map(k =>
+        min(when(col("cum") >= expr(s"(n - 1) * ${k * 10} div 100 + 1"),
+          col("score"))).as(s"b$k"))
+      val bounds = hist.agg(bAgg.head, bAgg.tail: _*)
+      val bucketAsc = ranks.map(k =>
+        when(col("score") > col(s"b$k"), 1L).otherwise(0L))
+        .reduce(_ + _) + lit(1L)
+      val wCum = Window.orderBy("dec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      users.crossJoin(broadcast(bounds))
+        .withColumn("dec", lit(11L) - bucketAsc)
+        .groupBy("dec")
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+        .withColumn("cum_n", sum(col("n")).over(wCum))
+        .withColumn("cum_pos", sum(col("pos")).over(wCum))
+        .withColumn("tot_n", sum(col("n")).over(wN))
+        .withColumn("tot_pos", sum(col("pos")).over(wN))
+        .select(col("dec"), col("n"), col("pos"), col("cum_n"),
+          col("cum_pos"),
+          (col("cum_pos") * col("tot_n")).as("lift_num"),
+          (col("cum_n") * col("tot_pos")).as("lift_den"),
+          r6(col("pos").cast(DoubleType) / col("n")).as("rate"),
+          r6((col("cum_pos") * col("tot_n")).cast(DoubleType)
+            / (col("cum_n") * col("tot_pos"))).as("lift"))
+        .orderBy("dec")
+    }),
+
     // Q105 AUTOCORRELATION AUDIT — the seasonality detector a metrics
     // pipeline runs before fitting forecasts: for each event type's
     // DAILY total (cents div 1000 — binning keeps every product far
@@ -5534,6 +5596,67 @@ object Relational {
         |              <= -1.96 THEN 'down'
         |            ELSE 'none' END AS trend
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q139: the user fold, histogram boundaries, ties-together decile
+    // assignment, and exact gains arithmetic replayed verbatim
+    "q139_liftgains" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CASE WHEN event_type = 'click'
+        |           THEN CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS score,
+        |         CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+        |           THEN 1 ELSE 0 END) >= 16 THEN 1 ELSE 0 END AS BIGINT)
+        |           AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |h AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM u
+        |      GROUP BY 1),
+        |cc AS (SELECT score,
+        |         CAST(SUM(c) OVER (ORDER BY score
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER () AS BIGINT) AS n
+        |       FROM h),
+        |bo AS (SELECT
+        |         MIN(CASE WHEN cum >= (n-1)*10 // 100 + 1 THEN score END) AS b1,
+        |         MIN(CASE WHEN cum >= (n-1)*20 // 100 + 1 THEN score END) AS b2,
+        |         MIN(CASE WHEN cum >= (n-1)*30 // 100 + 1 THEN score END) AS b3,
+        |         MIN(CASE WHEN cum >= (n-1)*40 // 100 + 1 THEN score END) AS b4,
+        |         MIN(CASE WHEN cum >= (n-1)*50 // 100 + 1 THEN score END) AS b5,
+        |         MIN(CASE WHEN cum >= (n-1)*60 // 100 + 1 THEN score END) AS b6,
+        |         MIN(CASE WHEN cum >= (n-1)*70 // 100 + 1 THEN score END) AS b7,
+        |         MIN(CASE WHEN cum >= (n-1)*80 // 100 + 1 THEN score END) AS b8,
+        |         MIN(CASE WHEN cum >= (n-1)*90 // 100 + 1 THEN score END) AS b9
+        |       FROM cc),
+        |d AS (SELECT CAST(11 - (1
+        |         + (CASE WHEN score > b1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN score > b2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN score > b3 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN score > b4 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN score > b5 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN score > b6 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN score > b7 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN score > b8 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN score > b9 THEN 1 ELSE 0 END)) AS BIGINT)
+        |         AS dec, label
+        |      FROM u, bo),
+        |g AS (SELECT dec, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(label) AS BIGINT) AS pos
+        |      FROM d GROUP BY 1),
+        |w AS (SELECT dec, n, pos,
+        |        CAST(SUM(n) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS cum_n,
+        |        CAST(SUM(pos) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS cum_pos,
+        |        CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+        |        CAST(SUM(pos) OVER () AS BIGINT) AS tot_pos
+        |      FROM g)
+        |SELECT dec, n, pos, cum_n, cum_pos,
+        |       CAST(cum_pos * tot_n AS BIGINT) AS lift_num,
+        |       CAST(cum_n * tot_pos AS BIGINT) AS lift_den,
+        |       CAST(ROUND(CAST(pos AS DOUBLE) / n, 6) AS DOUBLE) AS rate,
+        |       CAST(ROUND(CAST(cum_pos * tot_n AS DOUBLE)
+        |         / (cum_n * tot_pos), 6) AS DOUBLE) AS lift
+        |FROM w ORDER BY dec""".stripMargin,
 
     // q136: boundaries via the same histogram-rank picks, ties-go-low
     // bucket assignment replayed as integer comparisons

@@ -1921,6 +1921,44 @@ object TextExt {
         .orderBy("va")
     }),
 
+    // QX17 MIXTURE RATE PLANNER — the PLANNING half of the mixture
+    // story (qx3 EXECUTES a doc-level downsample; qc8 BUDGETS tokens;
+    // this emits the per-domain sampling RATES a 100 TB ingest job is
+    // configured with before anything runs): given qx3's declared
+    // target weights (en:de:zh:fr:es = 4:2:2:1:1) and the per-language
+    // token counts, the downsample-only feasible point is K =
+    // min_s ⌊n_s/w_s⌋ (qx3's convention), quota_s = w_s·K, and
+    // rate_s = quota_s/n_s on a FIXED 1e-6 grid by integer floor
+    // division — exact int64 end to end, so the plan itself is
+    // hash-checked data; achieved shares are one IEEE division each.
+    // Scale: one partial-aggregatable token-count pass, then O(langs).
+    "qx17_mixplan" -> ((s, d) => {
+      val w = Seq("en" -> 4L, "de" -> 2L, "zh" -> 2L, "fr" -> 1L,
+        "es" -> 1L)
+      val wCol = w.foldRight(lit(null).cast(LongType): Column) {
+        case ((l, wt), els) => when(col("lang") === l, lit(wt)).otherwise(els)
+      }
+      val cur = t(s, d, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("nt"))
+        .groupBy("lang").agg(sum(col("nt")).as("n_tok"))
+        .withColumn("w", wCol)
+        .filter(col("w").isNotNull)
+      val k = cur.agg(min(expr("n_tok div w")).as("k"))
+      val planned = cur.crossJoin(broadcast(k))
+        .withColumn("quota", col("w") * col("k"))
+        .withColumn("rate6", expr("(quota * 1000000) div n_tok"))
+      val tot = planned.agg(sum(col("quota")).as("mix_total"))
+      planned.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_tok"), col("w"), col("k"),
+          col("quota"), col("rate6"),
+          graft.Conv.r6(col("rate6").cast(DoubleType) / 1000000.0)
+            .as("rate"),
+          graft.Conv.r6(col("quota").cast(DoubleType) * 100.0
+            / col("mix_total")).as("share_pct"))
+        .orderBy("lang")
+    }),
+
     // QX16 DIFFERENTIALLY-PRIVATE SUM RELEASE — the second DP primitive
     // (qx14 releases counts; sums need a BOUNDED per-record
     // contribution first, which is where real pipelines go wrong):
@@ -3444,6 +3482,31 @@ object TextExt {
         |        AS DOUBLE), 6) AS DOUBLE) AS mean_ratio FROM r)
         |SELECT va, vb, d2o, d2p, ratio, mean_ratio
         |FROM r, m ORDER BY va""".stripMargin,
+
+    // qx17: the feasible point, quotas, and fixed-point rates replayed
+    // in exact integer arithmetic
+    "qx17_mixplan" ->
+      """WITH cur AS (
+        |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |           AS n_tok,
+        |         CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2
+        |              WHEN 'zh' THEN 2 WHEN 'fr' THEN 1
+        |              WHEN 'es' THEN 1 END AS w
+        |  FROM documents GROUP BY lang),
+        |f AS (SELECT lang, n_tok, CAST(w AS BIGINT) AS w FROM cur
+        |      WHERE w IS NOT NULL),
+        |k AS (SELECT CAST(MIN(n_tok // w) AS BIGINT) AS k FROM f),
+        |p AS (SELECT lang, n_tok, w, k.k, w * k.k AS quota,
+        |             (w * k.k * 1000000) // n_tok AS rate6
+        |      FROM f, k),
+        |t AS (SELECT CAST(SUM(quota) AS BIGINT) AS mix_total FROM p)
+        |SELECT lang, n_tok, w, k, CAST(quota AS BIGINT) AS quota,
+        |       CAST(rate6 AS BIGINT) AS rate6,
+        |       CAST(ROUND(CAST(rate6 AS DOUBLE) / 1000000.0, 6) AS DOUBLE)
+        |         AS rate,
+        |       CAST(ROUND(CAST(quota AS DOUBLE) * 100.0 / mix_total, 6)
+        |         AS DOUBLE) AS share_pct
+        |FROM p, t ORDER BY lang""".stripMargin,
 
     // qx16: clip + sensitivity-scaled noise replayed on the distinct
     // LCG stream (2h + 1)

@@ -623,6 +623,60 @@ class Round9OpsSpec extends AnyFunSuite {
       s"phonetic blocking generated no extra candidates ($candPhon vs $candExact)")
   }
 
+  test("qx17 mix plan and q139 gains table match driver-side replays") {
+    // qx17: feasible point / quotas / fixed-point rates
+    val toks = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").length.toLong))
+    val w = Map("en" -> 4L, "de" -> 2L, "zh" -> 2L, "fr" -> 1L, "es" -> 1L)
+    val nTok = toks.groupBy(_._1).map { case (l, g) => l -> g.map(_._2).sum }
+      .filter { case (l, _) => w.contains(l) }
+    val k = nTok.map { case (l, n) => n / w(l) }.min
+    val gotPlan = SparkEntry.queries("qx17_mixplan")(spark, TestSpark.Sf)
+      .collect()
+    assert(gotPlan.length == nTok.size)
+    gotPlan.foreach { r =>
+      val l = r.getString(0)
+      assert(r.getLong(1) == nTok(l) && r.getLong(2) == w(l))
+      assert(r.getLong(3) == k)
+      assert(r.getLong(4) == w(l) * k)
+      assert(r.getLong(5) == w(l) * k * 1000000L / nTok(l))
+      assert(r.getLong(5) <= 1000000L) // downsample-only: rate <= 1
+    }
+
+    // q139: decile populations, cumulative gains, exact lift operands
+    val users = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("user_id", "event_type", "value").collect()
+      .filter(r => !r.isNullAt(0))
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+      .groupBy(_._1).map { case (_, g) =>
+        val score = g.filter(_._2 == "click")
+          .map(e => math.floor(e._3 * 100).toLong).sum
+        val label = if (g.count(_._2 == "purchase") >= 16) 1L else 0L
+        (score, label)
+      }.toSeq
+    val n = users.length.toLong
+    val sorted = users.map(_._1).sorted
+    val bounds = (1 to 9).map(kk => sorted((((n - 1) * kk * 10 / 100) + 1 - 1).toInt))
+    val byDec = users.groupBy { case (sc, _) =>
+      11L - (1L + bounds.count(sc > _))
+    }
+    val got = SparkEntry.queries("q139_liftgains")(spark, TestSpark.Sf)
+      .collect()
+    assert(got.length == byDec.size)
+    var (cumN, cumPos) = (0L, 0L)
+    val totPos = users.map(_._2).sum
+    got.foreach { r =>
+      val g = byDec(r.getLong(0))
+      cumN += g.size; cumPos += g.map(_._2).sum
+      assert(r.getLong(1) == g.size.toLong && r.getLong(2) == g.map(_._2).sum)
+      assert(r.getLong(3) == cumN && r.getLong(4) == cumPos)
+      assert(r.getLong(5) == cumPos * n && r.getLong(6) == cumN * totPos)
+    }
+    assert(cumN == n && cumPos == totPos) // the table covers everyone
+  }
+
   test("qm7 audio features match the sample formula; header fields parse") {
     val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).filter(_ % 7 == 0)
