@@ -1122,6 +1122,65 @@ object TextExt {
         .limit(200)
     }),
 
+    // QT27 QUALITY-PRUNING THRESHOLD CURVE — the decision artifact the
+    // qt12 LM score exists to feed: before pruning a corpus on a
+    // quality score, teams print the SURVIVAL CURVE (docs and — the
+    // budget that actually matters — TOKENS retained at each candidate
+    // threshold) and pick the knee. Eight DECLARED thresholds (0.030 …
+    // 0.037, shared decimal literals both engines parse to identical
+    // IEEE doubles) sweep the qt12 score in ONE pass: per-doc scores
+    // (exact-decimal bigram-probability sums, rounded once — the cut
+    // compares the ROUNDED score, hash-stable) explode against the
+    // 8-row threshold array and partial-aggregate immediately. Docs
+    // without bigrams (< 2 tokens) are excluded by construction
+    // (declared, matching qt12's population). Scale: qt12's two
+    // corpus-cardinality aggregates + one 8× explode that collapses
+    // in the same stage — no new shuffle class.
+    "qt27_prunecurve" -> ((s, d) => {
+      val bi = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          "IF(size(tk) >= 2, transform(sequence(1, size(tk) - 1), " +
+            "k -> named_struct('w1', tk[k-1], 'w2', tk[k])), array())"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val lmp = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .join(uni, Seq("w1"))
+        .select(col("w1"), col("w2"),
+          expr("CAST(ROUND(CAST(c12 AS DOUBLE) / c1, 8) AS DECIMAL(12,8))")
+            .as("p"))
+      val ds = bi.join(lmp, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bi"), sum(col("p")).as("sp"))
+        .select(col("doc_id"),
+          round(col("sp").cast(DoubleType) / col("n_bi"), 6)
+            .cast(DoubleType).as("score"))
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      val thr = Seq("0.030", "0.031", "0.032", "0.033", "0.034",
+        "0.035", "0.036", "0.037")
+      ds.join(toks, Seq("doc_id"))
+        .select(col("score"), col("n_tok"),
+          explode(expr(s"array(${thr.map(_ + "D").mkString(", ")})"))
+            .as("tau"))
+        .groupBy("tau")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= col("tau"), 1L).otherwise(0L))
+            .as("kept_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("score") >= col("tau"), col("n_tok"))
+            .otherwise(0L)).as("kept_tokens"))
+        .select(col("tau"), col("n_docs"), col("kept_docs"),
+          col("n_tokens"), col("kept_tokens"),
+          graft.Conv.r6(col("kept_docs").cast(DoubleType) * 100.0
+            / col("n_docs")).as("pct_docs"),
+          graft.Conv.r6(col("kept_tokens").cast(DoubleType) * 100.0
+            / col("n_tokens")).as("pct_tokens"))
+        .orderBy("tau")
+    }),
+
     // qt13 span-level dedup REMOVAL (round 6 — the production
     // counterpart of qd8's flagging, the ExactSubstr step): drop every
     // token covered by an 8-token window whose hash occurs in ≥ 2
@@ -2854,6 +2913,41 @@ object TextExt {
         |SELECT doc_id, n_bi,
         |  CAST(ROUND(CAST(sp AS DOUBLE) / n_bi, 6) AS DOUBLE) AS score
         |FROM sc ORDER BY score, doc_id LIMIT 200""".stripMargin,
+
+    // qt27: qt12's score pipeline replayed whole-corpus, swept against
+    // the same eight shared threshold literals; the cut compares the
+    // ROUNDED score on both sides
+    "qt27_prunecurve" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+        |                k -> struct_pack(w1 := tk[k], w2 := tk[k+1]))) AS b
+        |  FROM t),
+        |b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |uni AS (SELECT w1, COUNT(*) AS c1 FROM b2 GROUP BY 1),
+        |lmp AS (SELECT w1, w2,
+        |          CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(c1), 8) AS DECIMAL(12,8)) AS p
+        |        FROM b2 JOIN uni USING (w1) GROUP BY w1, w2),
+        |sc AS (SELECT doc_id,
+        |         CAST(ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS score
+        |       FROM b2 JOIN lmp USING (w1, w2) GROUP BY 1),
+        |nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |       FROM documents),
+        |sw AS (SELECT score, n_tok, CAST(tau AS DOUBLE) AS tau
+        |       FROM sc JOIN nt USING (doc_id),
+        |            (VALUES (0.030), (0.031), (0.032), (0.033), (0.034),
+        |                    (0.035), (0.036), (0.037)) v(tau))
+        |SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN score >= tau THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS kept_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN score >= tau THEN n_tok ELSE 0 END)
+        |         AS BIGINT) AS kept_tokens,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN score >= tau THEN 1 ELSE 0 END)
+        |         AS DOUBLE) * 100.0 / COUNT(*), 6) AS DOUBLE) AS pct_docs,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN score >= tau THEN n_tok ELSE 0 END)
+        |         AS DOUBLE) * 100.0 / SUM(n_tok), 6) AS DOUBLE) AS pct_tokens
+        |FROM sw GROUP BY tau ORDER BY tau""".stripMargin,
 
     "qt9_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
