@@ -377,6 +377,39 @@ object DedupExt {
         .orderBy("a", "b")
     }),
 
+    // QD21 CROSS-SOURCE DUPLICATE FLOW — the PROVENANCE readout on top
+    // of qd1's verified near-dup pairs: which sources mirror which
+    // (the matrix a crawl team reads before dropping mirror domains —
+    // within-source duplication is re-posting; cross-source mass is
+    // syndication/scraping). Pure composition: the same fused banded
+    // pipeline qd1 hash-checks, decorated with each endpoint's source
+    // (two id-keyed joins), normalized to an unordered source pair via
+    // least/greatest so direction never depends on doc-id order, one
+    // partial-aggregatable count + a broadcast total for shares.
+    // Scale: adds only the two narrow source joins to qd1's plan.
+    "qd21_dupflow" -> ((s, d) => {
+      val pairs = graft.operators.BitmaskJaccard
+        .bandedPairsFused(toks(s, d), 8, 10, broadcastMasks = true)
+        .select("a", "b")
+      val src = graft.Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+      val flows = pairs
+        .join(src.select(col("doc_id").as("a"), col("source").as("sa")),
+          Seq("a"))
+        .join(src.select(col("doc_id").as("b"), col("source").as("sb")),
+          Seq("b"))
+        .select(least(col("sa"), col("sb")).as("s1"),
+          greatest(col("sa"), col("sb")).as("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_pairs"))
+      val tot = flows.agg(sum(col("n_pairs")).as("tot"))
+      flows.crossJoin(broadcast(tot))
+        .select(col("s1"), col("s2"), col("n_pairs"),
+          when(col("s1") =!= col("s2"), 1L).otherwise(0L).as("cross_src"),
+          graft.Conv.r6(col("n_pairs").cast(org.apache.spark.sql.types.DoubleType)
+            * 100.0 / col("tot")).as("share_pct"))
+        .orderBy("s1", "s2")
+    }),
+
     // qd2 SimHash(64-bit) near-dup, hd ≤ 3; 4 16-bit bands = exact recall
     // (3 flips cannot touch all 4 bands) with a 2^16-value keyspace per
     // band, so bucket sizes shrink as the corpus grows instead of the
@@ -2241,6 +2274,43 @@ object DedupExt {
          |FROM ints JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          |WHERE 10*inter >= 8*(sa.nt + sb.nt - inter)
          |ORDER BY a, b""".stripMargin,
+
+    // qd21: qd1's full verified-pair chain as a CTE, decorated with
+    // sources and normalized to unordered pairs
+    "qd21_dupflow" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${duckH("tok")} AS h FROM toks),
+         |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
+         |           FROM generate_series(0, 15) t(i)),
+         |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
+         |          FROM sig GROUP BY 1, 2),
+         |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
+         |ints AS (SELECT c.a, c.b, COUNT(*) AS inter
+         |         FROM cand c JOIN toks ta ON ta.doc_id = c.a
+         |                     JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+         |         GROUP BY 1, 2),
+         |pairs AS (SELECT a, b
+         |          FROM ints JOIN sizes sa ON sa.doc_id = a
+         |                    JOIN sizes sb ON sb.doc_id = b
+         |          WHERE 10*inter >= 8*(sa.nt + sb.nt - inter)),
+         |src AS (SELECT doc_id, source FROM documents),
+         |fl AS (SELECT LEAST(x.source, y.source) AS s1,
+         |              GREATEST(x.source, y.source) AS s2
+         |       FROM pairs p JOIN src x ON x.doc_id = p.a
+         |                    JOIN src y ON y.doc_id = p.b),
+         |g AS (SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |      FROM fl GROUP BY 1, 2),
+         |tt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot FROM g)
+         |SELECT s1, s2, n_pairs,
+         |       CAST(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS cross_src,
+         |       CAST(ROUND(CAST(n_pairs AS DOUBLE) * 100.0 / tot, 6)
+         |         AS DOUBLE) AS share_pct
+         |FROM g, tt ORDER BY s1, s2""".stripMargin,
 
     "qd2_simhash" ->
       s"""WITH $toksCte,
