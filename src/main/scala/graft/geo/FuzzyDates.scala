@@ -14,21 +14,57 @@ import java.time.LocalDate
   *   "1854-06-17" → [1854-06-17, 1854-06-17]
   *   null / unparseable → None (temporal predicate fails, mirroring the
   *   reference's NaN comparisons — N4).
+  *
+  * Round-10 extension (r9 verdict item 4): full ISO DATETIME precision.
+  * The reference feeds `fuzzyDates.convert(s)[k]` straight into
+  * `new Date(...)` (`/root/reference/addresses.js:67-74`), so any
+  * Date-parseable ISO instant is accepted input; a full datetime is a
+  * PRECISE instant, not a period — both endpoints are that instant:
+  *
+  *   "1861-03-04T12:30:00"      → [instant, instant]   (ms precision)
+  *   "1861-03-04T12:30"         → seconds default to :00
+  *   "1861-03-04T12:30:00.250Z" → optional millis + optional Z, UTC
+  *
+  * All instants are UTC (the engine-wide convention — date-only forms
+  * already bind 00:00 UTC; a trailing `Z` is accepted and redundant).
   */
 object FuzzyDates {
   private val Y   = "^(\\d{4})$".r
   private val YM  = "^(\\d{4})-(\\d{2})$".r
   private val YMD = "^(\\d{4})-(\\d{2})-(\\d{2})$".r
+  private val DT  =
+    "^(\\d{4})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2})(?::(\\d{2})(?:\\.(\\d{1,3}))?)?Z?$".r
 
   private val MsPerDay = 86400000L
 
   private def ms(d: LocalDate): Long = d.toEpochDay * MsPerDay
 
   /** Earliest possible instant (epoch ms) of the fuzzy date, or None. */
-  def minMs(s: String): Option[Long] = period(s).map { case (a, _) => ms(a) }
+  def minMs(s: String): Option[Long] =
+    instantMs(s).orElse(period(s).map { case (a, _) => ms(a) })
 
-  /** Latest covered day at 00:00 UTC (epoch ms) of the fuzzy date, or None. */
-  def maxMs(s: String): Option[Long] = period(s).map { case (_, b) => ms(b) }
+  /** Latest covered instant (epoch ms) of the fuzzy date, or None: the
+    * last day at 00:00 UTC for partial dates (the reference's
+    * `new Date(convert(s)[1])` yields exactly that), the instant itself
+    * for full datetimes. */
+  def maxMs(s: String): Option[Long] =
+    instantMs(s).orElse(period(s).map { case (_, b) => ms(b) })
+
+  /** Full ISO datetime → exact UTC instant in epoch ms, or None if the
+    * string is not datetime-shaped (partial dates fall to [[period]]). */
+  def instantMs(s: String): Option[Long] = s match {
+    case null => None
+    case DT(y, mo, d, h, mi, se, fr) if h.toInt <= 23
+        && mi.toInt <= 59 && (se == null || se.toInt <= 59) =>
+      try {
+        val day = LocalDate.of(y.toInt, mo.toInt, d.toInt)
+        val secs = if (se == null) 0L else se.toLong
+        val millis = if (fr == null) 0L else fr.padTo(3, '0').toLong
+        Some(ms(day) + h.toLong * 3600000L + mi.toLong * 60000L
+          + secs * 1000L + millis)
+      } catch { case _: java.time.DateTimeException => None }
+    case _ => None
+  }
 
   /** The [first day, last day] period a fuzzy date string denotes. */
   def period(s: String): Option[(LocalDate, LocalDate)] = s match {

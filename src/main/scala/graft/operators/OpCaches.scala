@@ -94,6 +94,17 @@ object OpCaches {
     df
   }
 
+  /** Register an already-materialized relation (a `localCheckpoint`)
+    * for scope-time release WITHOUT adding a cache layer on top — the
+    * checkpoint blocks are the storage; release() unpersists them.
+    * Used by the iterative operators whose per-round snapshots must
+    * outlive the loop (the final union still reads them) but not the
+    * query. */
+  def trackMaterialized(df: DataFrame): DataFrame = {
+    current.get.add(df)
+    df
+  }
+
   /** Run `body` (an operator plan build) with a fresh scope active on
     * this thread; returns the result together with the scope owning
     * every handle tracked during the build. Nestable — the inner scope

@@ -136,6 +136,64 @@ class PerfLabSpec extends AnyFunSuite {
     time("qt14_bm25 again")(run("qt14_bm25"))
   }
 
+  test("r10 weak-set warm floors (waiver record measurement)") {
+    assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
+    // same materialization protocol as Bench (toRdd keeps the final sort)
+    def run(q: String): Unit = {
+      SparkEntry.queries(q)(spark, sf).queryExecution.toRdd.count()
+      graft.operators.OpCaches.releaseAll()
+      spark.catalog.clearCache()
+    }
+    val weak = Seq("q50_recursive", "qt25_bpe", "qc8_tokenbudget",
+      "q137_ppr", "q123_kcore", "q133_bfshop", "q131_assort",
+      "q68_pagerank", "q127_lpa", "qx15_bootstrap")
+    weak.foreach(q => run(q)) // one warm lap so no query pays JVM warmup
+    weak.foreach(q => time(q)(run(q)))
+  }
+
+  test("graph family: capped-basket edge build — window+self-join vs collect_set+HOF pairs") {
+    assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
+    import org.apache.spark.sql.functions._
+    // variant A: the shipped shape (distinct -> window cap -> self-join
+    // on o -> groupBy(u,v))
+    def viaJoin(): Long = {
+      val b = graft.operators.BasketCap.capParts(
+        graft.Tables(spark, sf, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(), "o", "p")
+      val e = b.as("a")
+        .join(b.as("bb"), col("a.o") === col("bb.o")
+          && col("a.p") < col("bb.p"))
+        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+        .agg(count(lit(1)).as("w12"))
+        .filter(col("w12") >= 2L)
+        .select("u", "v")
+      e.count()
+    }
+    // variant B: one partial-aggregatable collect_set shuffle + in-row
+    // HOF pair generation (no window, no self-join)
+    def viaHof(): Long = {
+      val baskets = graft.Tables(spark, sf, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .groupBy("o")
+        .agg(expr("slice(array_sort(collect_set(p)), 1, 64)").as("ps"))
+      val e = baskets
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+            "y -> named_struct('u', x, 'v', y))))")).as("pr"))
+        .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
+        .agg(count(lit(1)).as("w12"))
+        .filter(col("w12") >= 2L)
+        .select("u", "v")
+      e.count()
+    }
+    val a = time("edges via window+join")(viaJoin())
+    val b = time("edges via collect_set+HOF")(viaHof())
+    val a2 = time("edges via window+join again")(viaJoin())
+    info(s"A=$a B=$b A2=$a2")
+  }
+
   test("q76 morton: HOF vs codegen expression") {
     assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
     import org.apache.spark.sql.functions._

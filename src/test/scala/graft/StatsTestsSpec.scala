@@ -8,8 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * distributed plans to reproduce them exactly (the integer audit
   * columns bit-for-bit, the rounded doubles to the declared 1e-6 grid).
   * Also pins q128's documented data precondition — every per-user
-  * binned sum is nonnegative, so Spark's truncating `div` and the
-  * oracle's flooring `//` coincide. */
+  * binned sum is nonnegative. (Both engines' integer division
+  * truncates toward zero — measured, see the q132 note — so the
+  * precondition exists to keep truncation equal to the FLOOR the bin
+  * semantics intend, not to bridge an engine divergence.) */
 class StatsTestsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
