@@ -208,6 +208,79 @@ object GenGeoFixtures {
       houses += nextHouse(f"hb$i%02d", "st:Address", s, u, Array(px, py))
     }
 
+    // ---- round-10 datetime-precision rows (r9 verdict item 4) ----------
+    // The fuzzy-date grammar now accepts full ISO datetimes; these rows
+    // make g01–g03 EXERCISE that precision: compatibility boundaries that
+    // flip on a single millisecond, so a parser that silently truncated
+    // to day precision would hash-mismatch. Appended AFTER the legacy
+    // generation with a separate Random(43) (legacy rnd-42 stream — and
+    // therefore every previously committed row — stays bit-identical) in
+    // an isolated region ~6 km north of the legacy bbox (no legacy house
+    // is within 60 m of these segments and vice versa).
+    val rnd43 = new Random(43)
+    val dtLat = 40.8200
+    val dtLon = -74.0080
+    val dtDLon = 300.0 / mPerDegLon(dtLat)
+    val dtLatB = dtLat + 200.0 / MPerDegLat
+    // s054: datetime-precision validity (seconds + millis); s055: the
+    // date-only control 200 m north
+    val s054 = Street("s054", "Datetime Street", "1861-03-04T12:30:00",
+      "1875-09-01T06:00:00.500", Array(Array(dtLon, dtLat), Array(dtLon + dtDLon, dtLat)))
+    val s055 = Street("s055", "Datetime Control", "1858", "1890",
+      Array(Array(dtLon, dtLatB), Array(dtLon + dtDLon, dtLatB)))
+    streets += s054; streets += s055
+    val dtSegs: Seq[Seg] = Seq(s054, s055).flatMap { st =>
+      st.coords.sliding(2).zipWithIndex.map { case (Array(a, b), ord) =>
+        Seg(st.id, st.name, ord, a(0), a(1), b(0), b(1),
+          FuzzyDates.minMs(st.since), FuzzyDates.maxMs(st.until))
+      }
+    }
+    val dtValid = dateValid ++ dtSegs
+    def dtMarginsOk(px: Double, py: Double): Boolean = dtValid.forall { g =>
+      val d = Geo.crosstrackM(px, py, g.x1, g.y1, g.x2, g.y2)
+      d >= 60 || abs(d - floor(d) - 0.5) > 2e-3
+    }
+    def placeNear(g: Seg): Array[Double] = {
+      var r = offsetFrom(rnd43, g)
+      while (!(dtMarginsOk(r._1, r._2)
+        && Geo.roundM(Geo.crosstrackM(r._1, r._2, g.x1, g.y1, g.x2, g.y2)) < 25))
+        r = offsetFrom(rnd43, g)
+      Array(r._1, r._2)
+    }
+    def fmtInstant(ms: Long): String = {
+      val i = java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+      f"${i.getYear}%04d-${i.getMonthValue}%02d-${i.getDayOfMonth}%02d" +
+        f"T${i.getHour}%02d:${i.getMinute}%02d:${i.getSecond}%02d" +
+        f".${i.getNano / 1000000}%03d"
+    }
+    val segA = dtSegs.head           // s054
+    val segB = dtSegs.last           // s055
+    val sinceBound = segA.sinceMin.get - FuzzyDates.ThresholdMs
+    val untilBound = segA.untilMax.get + FuzzyDates.ThresholdMs
+    // since-side boundary: exactly AT the threshold passes, 1 ms before
+    // it fails (the conjunct is segSince − T <= houseSince); a
+    // day-precision parse would floor both to the same midnight and
+    // could not tell them apart
+    houses += nextHouse("hd01", "st:Address", fmtInstant(sinceBound),
+      "1870", placeNear(segA))
+    houses += nextHouse("hd02", "st:Address", fmtInstant(sinceBound - 1L),
+      "1870", placeNear(segA))
+    // until-side boundary: the segment's .500 millis participate —
+    // exactly AT segUntilMax + T passes, 1 ms past fails
+    houses += nextHouse("hd03", "st:Address", "1862",
+      fmtInstant(untilBound), placeNear(segA))
+    houses += nextHouse("hd04", "st:Address", "1862",
+      fmtInstant(untilBound + 1L), placeNear(segA))
+    // seconds-precision datetimes well inside range (plain matches):
+    // against the datetime segment and against the date-only control
+    houses += nextHouse("hd05", "st:Address", "1862-07-01T23:59:59",
+      "1871-01-15T08:45:30.250", placeNear(segA))
+    houses += nextHouse("hd06", "st:Address", "1863-02-11T00:00:01",
+      "1872", placeNear(segB))
+    // minute-precision form (seconds default :00) + a Z-suffixed instant
+    houses += nextHouse("hd07", "st:Address", "1864-05-20T10:15",
+      "1870-08-08T20:00:00Z", placeNear(segB))
+
     // ---- NDJSON --------------------------------------------------------
     writeLines(outDir.resolve("streets.ndjson"), streets.toSeq.map(streetJson))
     writeLines(outDir.resolve("house_numbers.ndjson"), houses.toSeq.map(houseJson))
@@ -221,8 +294,8 @@ object GenGeoFixtures {
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
     writeSingle(spark,
-      allSegs.map(g => (g.streetId, g.name, g.ord, g.x1, g.y1, g.x2, g.y2,
-        g.sinceMin, g.untilMax))
+      (allSegs ++ dtSegs).map(g => (g.streetId, g.name, g.ord, g.x1, g.y1,
+        g.x2, g.y2, g.sinceMin, g.untilMax))
         .toDF("street_id", "street_name", "seg_ord", "x1", "y1", "x2", "y2",
           "since_min_ms", "until_max_ms"),
       outDir.resolve("street_segments.parquet"))

@@ -32,6 +32,29 @@ class FuzzyDatesSpec extends AnyFunSuite {
     assert(FuzzyDates.ThresholdMs === 5475L * day)
   }
 
+  test("ISO datetimes denote a precise instant (round-10 grammar)") {
+    // 1970-01-02T03:04:05.678 = 1d + 3h 4m 5.678s, UTC
+    val t = day + 3L * 3600000 + 4L * 60000 + 5678L
+    assert(FuzzyDates.minMs("1970-01-02T03:04:05.678") === Some(t))
+    assert(FuzzyDates.maxMs("1970-01-02T03:04:05.678") === Some(t))
+    // optional Z, optional fraction, optional seconds
+    assert(FuzzyDates.minMs("1970-01-02T03:04:05Z") === Some(t - 678L))
+    assert(FuzzyDates.minMs("1970-01-02T03:04") === Some(t - 5678L))
+    // short fractions are left-aligned (".2" = 200 ms, not 2 ms)
+    assert(FuzzyDates.minMs("1970-01-02T00:00:00.2") === Some(day + 200L))
+    assert(FuzzyDates.minMs("1970-01-02T00:00:00.25") === Some(day + 250L))
+    // datetime min == max (an instant, not a period)
+    for (s <- Seq("1861-03-04T12:30:00", "1875-09-01T06:00:00.500"))
+      assert(FuzzyDates.minMs(s) === FuzzyDates.maxMs(s), s"for '$s'")
+  }
+
+  test("malformed datetimes → None") {
+    for (s <- Seq("1970-01-02T24:00:00", "1970-01-02T03:60:00",
+        "1970-01-02T03:04:60", "1970-02-30T01:02:03", "1970-01-02T0304",
+        "1970-01-02T03:04:05.1234", "1970-01-02 03:04:05"))
+      assert(FuzzyDates.minMs(s).isEmpty && FuzzyDates.maxMs(s).isEmpty, s"for '$s'")
+  }
+
   test("property: min <= max for all parseable dates (seeded sweep)") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 500) {
