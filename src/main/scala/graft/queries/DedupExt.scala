@@ -410,6 +410,70 @@ object DedupExt {
         .orderBy("s1", "s2")
     }),
 
+    // QD22 EXACTSUBSTR SPAN DEDUP (round 10 — the r9 verdict's item 5):
+    // the ARBITRARY-LENGTH repeated-substring remover of Lee et al.'s
+    // "Deduplicating Training Data Makes Language Models Better"
+    // (ExactSubstr), the granularity qd8/qt13's fixed 8-token window
+    // stats approximate. The suffix-array construction re-expressed as
+    // DataFrame algebra over rolling-hash chains, exact on the POSITION
+    // SET: a position lies inside some corpus-repeated span of length
+    // ≥ L iff it lies inside some duplicated L-window (⇐ a duplicated
+    // window IS a repeated length-L span; ⇒ any repeated span of length
+    // ≥ L has an L-subwindow covering the position, and a substring of
+    // a repeated span repeats). So the union of duplicated L-window
+    // intervals [k, k+L−1] equals ExactSubstr's removal-position set,
+    // and merging overlapping/adjacent intervals (gaps-and-islands per
+    // doc) yields the MAXIMAL removal REGIONS — what the suffix-array
+    // implementation cuts after merging its overlapping matches —
+    // without ever building a global sorted suffix structure
+    // (fingerprint-collision caveat is the repo-wide declared hash
+    // contract). Output: one row per
+    // maximal span with token extent and the REMOVAL-CONTENT
+    // fingerprint (rolling hash of the exact removed text, the audit
+    // that pins WHAT would be cut). Scale: one corpus-window shuffle
+    // for the occurrence count + one join back — qd8's AQE-skew-
+    // splittable aggregate+join shape, never a window over the hash;
+    // the per-doc island window partitions on doc_id (corpus-
+    // cardinality key, bounded per-partition rows). L = 8 matches
+    // qd8's declared window so the two operators compose.
+    "qd22_exactsubstr" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val win = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(1L, CAST(size(tk) - 7 AS BIGINT))")).as("k"))
+        .select(col("doc_id"), col("k"),
+          expr("roll_hash31(array_join(slice(tk, CAST(k AS INT), 8), ' '))")
+            .as("h"))
+        .transform(graft.operators.OpCaches.track)
+      val occ = win.groupBy("h").agg(count(lit(1)).as("nocc"))
+        .filter(col("nocc") >= 2)
+      val dup = win.join(occ.select("h"), Seq("h")).select("doc_id", "k")
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("k")
+      val wRun = wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val spans = dup
+        .withColumn("prevk", lag(col("k"), 1).over(wOrd))
+        .withColumn("ni", when(col("prevk").isNull
+          || col("k") > col("prevk") + 8L, 1L).otherwise(0L))
+        .withColumn("island", sum(col("ni")).over(wRun))
+        .groupBy("doc_id", "island")
+        .agg(min(col("k")).as("start_tok"),
+          (max(col("k")) + 7L).as("end_tok"))
+      val toksRel = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      spans.join(toksRel, Seq("doc_id"))
+        .select(col("doc_id"), col("island").as("span_id"),
+          col("start_tok"), col("end_tok"),
+          (col("end_tok") - col("start_tok") + 1L).as("n_tok"),
+          expr("roll_hash31(array_join(slice(tk, CAST(start_tok AS INT), " +
+            "CAST(end_tok - start_tok + 1 AS INT)), ' '))").as("span_fp"))
+        .orderBy("doc_id", "span_id")
+    }),
+
     // qd2 SimHash(64-bit) near-dup, hd ≤ 3; 4 16-bit bands = exact recall
     // (3 flips cannot touch all 4 bands) with a 2^16-value keyspace per
     // band, so bucket sizes shrink as the corpus grows instead of the
@@ -2311,6 +2375,42 @@ object DedupExt {
          |       CAST(ROUND(CAST(n_pairs AS DOUBLE) * 100.0 / tot, 6)
          |         AS DOUBLE) AS share_pct
          |FROM g, tt ORDER BY s1, s2""".stripMargin,
+
+    // qd22: the same duplicated-window position set + gaps-and-islands
+    // merge; DuckDB's correlated generate_series limitation is worked
+    // around with unnest(list_transform(...)) emitting {k, window-text}
+    // structs (the qd8 pattern extended to carry the position)
+    "qd22_exactsubstr" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CAST((u).k AS BIGINT) AS k,
+         |         ${duckH("(u).s")} AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(string_split(text, ' ')) - 7),
+         |      k -> {'k': k,
+         |             's': array_to_string(string_split(text, ' ')[k:k+7], ' ')})) AS u
+         |    FROM documents WHERE len(string_split(text, ' ')) >= 8)),
+         |occ AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+         |dup AS (SELECT doc_id, k FROM w WHERE h IN (SELECT h FROM occ)),
+         |isl AS (SELECT doc_id, k,
+         |         CASE WHEN lag(k) OVER (PARTITION BY doc_id ORDER BY k)
+         |                IS NULL
+         |              OR k > lag(k) OVER (PARTITION BY doc_id
+         |                ORDER BY k) + 8
+         |              THEN 1 ELSE 0 END AS ni FROM dup),
+         |isl2 AS (SELECT doc_id, k,
+         |           SUM(ni) OVER (PARTITION BY doc_id ORDER BY k) AS island
+         |         FROM isl),
+         |sp AS (SELECT doc_id, island, MIN(k) AS start_tok,
+         |         MAX(k) + 7 AS end_tok
+         |       FROM isl2 GROUP BY 1, 2)
+         |SELECT s.doc_id, CAST(s.island AS BIGINT) AS span_id,
+         |       CAST(s.start_tok AS BIGINT) AS start_tok,
+         |       CAST(s.end_tok AS BIGINT) AS end_tok,
+         |       CAST(s.end_tok - s.start_tok + 1 AS BIGINT) AS n_tok,
+         |       ${duckH("array_to_string(string_split(d.text, ' ')" +
+                   "[s.start_tok:s.end_tok], ' ')")} AS span_fp
+         |FROM sp s JOIN documents d USING (doc_id)
+         |ORDER BY doc_id, span_id""".stripMargin,
 
     "qd2_simhash" ->
       s"""WITH $toksCte,

@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side brute-force oracles for the round-10 additions (and the
+  * two round-9 queries the r9 verdict flagged as missing them): qd21's
+  * cross-source duplicate flow matrix, qt27's quality-pruning threshold
+  * curve, qd22's ExactSubstr maximal spans — each recomputed from the
+  * raw sf0.001 parquet with plain Scala collections, independent of the
+  * DataFrame formulations (explicit loops and sets here vs bitmask
+  * kernels / window functions there). */
+class Round10OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val P = 1000000007L
+
+  /** The repo-wide cross-engine rolling hash: fold acc*31 + codepoint
+    * mod 1e9+7 over the string's codepoints. */
+  private def rollHash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def docs(): Array[(Long, String, String)] =
+    spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("qd22 ExactSubstr spans match a driver-side brute force") {
+    val L = 8
+    val ds = docs().map(d => (d._1, d._2.split(" ")))
+    // global window occurrence counts
+    val occ = scala.collection.mutable.Map.empty[Long, Int]
+    for ((_, tk) <- ds if tk.length >= L;
+         k <- 0 to tk.length - L) {
+      val h = rollHash(tk.slice(k, k + L).mkString(" "))
+      occ(h) = occ.getOrElse(h, 0) + 1
+    }
+    // per doc: duplicated-window starts -> merged maximal islands
+    val want = ds.toSeq.flatMap { case (id, tk) =>
+      val dups = (0 to tk.length - L).filter { k =>
+        tk.length >= L && occ(rollHash(tk.slice(k, k + L).mkString(" "))) >= 2
+      }
+      // islands: split where the next start exceeds prev + L
+      val islands = dups.foldLeft(List.empty[List[Int]]) {
+        case (acc, k) if acc.nonEmpty && k <= acc.head.head + L =>
+          (k :: acc.head) :: acc.tail
+        case (acc, k) => List(k) :: acc
+      }.reverse.map(_.reverse)
+      islands.zipWithIndex.map { case (ks, i) =>
+        val start = ks.min + 1 // 1-based token index, matching the query
+        val end = ks.max + L   // ks.max is 0-based; end = max + L - 1 + 1
+        (id, (i + 1).toLong, start.toLong, end.toLong,
+          (end - start + 1).toLong,
+          rollHash(tk.slice(start - 1, end).mkString(" ")))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("qd22_exactsubstr")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    graft.operators.OpCaches.releaseAll()
+    assert(got.nonEmpty, "fixture produced no spans — gate is vacuous")
+    assert(got === want)
+  }
+
+  test("qd21 duplicate-flow matrix matches a brute-force MinHash-LSH replay") {
+    val ds = docs()
+    val tokSets = ds.map(d => (d._1, d._2.split(" ").toSet)).toMap
+    val srcs = ds.map(d => (d._1, d._3)).toMap
+    // 16 minhashes over the distinct-token rolling hashes
+    val sigs = tokSets.map { case (id, ts) =>
+      val hs = ts.map(rollHash)
+      id -> (0 until 16).map { j =>
+        val a = 1000003L * j + 12345L
+        val b = 777767L * j + 13L
+        hs.map(h => (a * h + b) % P).min
+      }
+    }
+    val ids = ds.map(_._1).sorted
+    val pairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      // candidate: some 4-row band agrees
+      if (0 until 4).exists(bd =>
+        (0 until 4).forall(r => sigs(a)(4 * bd + r) == sigs(b)(4 * bd + r)))
+      // verify: exact Jaccard >= 8/10 in the single-occurrence int form
+      inter = (tokSets(a) & tokSets(b)).size.toLong
+      if 18L * inter >= 8L * (tokSets(a).size + tokSets(b).size)
+    } yield (a, b)
+    val flows = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (srcs(a), srcs(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSeq
+    val tot = flows.map(_._3).sum
+    val want = flows.map { case (s1, s2, n) =>
+      (s1, s2, n, if (s1 != s2) 1L else 0L, r6(n.toDouble * 100.0 / tot))
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("qd21_dupflow")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    graft.operators.OpCaches.releaseAll()
+    assert(got.nonEmpty && tot > 0L, "no duplicate pairs — gate is vacuous")
+    assert(got === want)
+  }
+
+  test("qt27 pruning curve matches a brute-force bigram-LM replay") {
+    val ds = docs().map(d => (d._1, d._2.split(" ")))
+    val bigrams = ds.flatMap { case (id, tk) =>
+      if (tk.length < 2) Seq.empty
+      else (1 until tk.length).map(k => (id, tk(k - 1), tk(k)))
+    }
+    val c1 = bigrams.groupBy(_._2).map { case (w, g) => w -> g.length.toLong }
+    val c12 = bigrams.groupBy(b => (b._2, b._3))
+      .map { case (k, g) => k -> g.length.toLong }
+    // p rounded to the declared 1e-8 decimal grid, summed EXACTLY
+    val p = c12.map { case ((w1, w2), c) =>
+      (w1, w2) -> BigDecimal(c).bigDecimal
+        .divide(java.math.BigDecimal.valueOf(c1(w1)), 8,
+          java.math.RoundingMode.HALF_UP)
+    }
+    val scores = ds.flatMap { case (id, tk) =>
+      if (tk.length < 2) None
+      else {
+        val ps = (1 until tk.length).map(k => p((tk(k - 1), tk(k))))
+        val sp = ps.map(BigDecimal(_)).sum
+        Some(id -> r6(sp.toDouble / ps.length))
+      }
+    }.toMap
+    val nTok = ds.map { case (id, tk) => id -> tk.length.toLong }.toMap
+    val taus = Seq(0.030, 0.031, 0.032, 0.033, 0.034, 0.035, 0.036, 0.037)
+    val want = taus.map { tau =>
+      val all = scores.keys.toSeq
+      val kept = all.filter(id => scores(id) >= tau)
+      val nt = all.map(nTok).sum
+      val kt = kept.map(nTok).sum
+      (tau, all.size.toLong, kept.size.toLong, nt, kt,
+        r6(kept.size.toDouble * 100.0 / all.size),
+        r6(kt.toDouble * 100.0 / nt))
+    }
+    val got = SparkEntry.queries("qt27_prunecurve")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    graft.operators.OpCaches.releaseAll()
+    assert(got.map(_._3).exists(k => k > 0 && k < got.head._2),
+      "curve never moves — gate is vacuous")
+    assert(got === want)
+  }
+}
