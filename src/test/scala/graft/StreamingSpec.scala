@@ -206,6 +206,50 @@ class StreamingSpec extends AnyFunSuite {
       "fixture exercises only one branch of the outer join")
   }
 
+  test("s34 full-outer interval join: matched == batch; null rows exactly each side's watermark-closed region") {
+    import org.apache.spark.sql.functions._
+    val batch = StreamingQueries.queries("s34_fullouter")(spark, TestSpark.Sf)
+    val stream = Streams.s34(spark, TestSpark.Sf)
+    val matched = col("v_id").isNotNull && col("p_id").isNotNull
+    assert(rows(stream.filter(matched), "v_id", "p_id", "gap_us")
+      === rows(batch.filter(matched), "v_id", "p_id", "gap_us"))
+    // final global watermark = min over both inputs (max event time −
+    // 30 min, ms-truncated), the s13 derivation
+    val perType = Tables(spark, TestSpark.Sf, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wmMs = math.min(perType("view"), perType("purchase")) / 1000L - 30L * 60 * 1000
+    // view side: window closes at v_ts + 10 min; purchase side: at p_ts
+    val vHorizonUs = (wmMs - 10L * 60 * 1000) * 1000L
+    val pHorizonUs = wmMs * 1000L
+    val eTs = Tables(spark, TestSpark.Sf, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    // unmatched views
+    val streamNullV = rows(stream.filter(col("p_id").isNull
+      && unix_micros(col("v_ts")) < vHorizonUs), "v_id")
+    assert(rows(stream.filter(col("p_id").isNull), "v_id") === streamNullV,
+      "an unmatched view emitted INSIDE the open horizon")
+    val batchNullVClosed = rows(batch.filter(col("p_id").isNull)
+      .join(eTs.withColumnRenamed("event_id", "v_id"), "v_id")
+      .filter(col("us") < vHorizonUs), "v_id")
+    assert(streamNullV === batchNullVClosed)
+    // unmatched purchases (the new side)
+    val streamNullP = rows(stream.filter(col("v_id").isNull
+      && unix_micros(col("p_ts")) < pHorizonUs), "p_id")
+    assert(rows(stream.filter(col("v_id").isNull), "p_id") === streamNullP,
+      "an orphan purchase emitted INSIDE the open horizon")
+    val batchNullPClosed = rows(batch.filter(col("v_id").isNull)
+      .join(eTs.withColumnRenamed("event_id", "p_id"), "p_id")
+      .filter(col("us") < pHorizonUs), "p_id")
+    assert(streamNullP === batchNullPClosed)
+    // the fixture must exercise all three branches
+    assert(batch.filter(matched).count() > 0
+      && batch.filter(col("p_id").isNull).count() > 0
+      && batch.filter(col("v_id").isNull).count() > 0,
+      "fixture does not exercise every branch of the full outer join")
+  }
+
   test("s14 no-key interval join: bin-sharded stream-stream join == batch join") {
     import org.apache.spark.sql.functions._
     val batch = StreamingQueries.queries("s14_nokeyjoin")(spark, TestSpark.Sf)
