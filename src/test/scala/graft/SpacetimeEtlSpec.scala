@@ -17,7 +17,7 @@ class SpacetimeEtlSpec extends AnyFunSuite {
     val total = inferred.count()
     val matched = inferred.where("streetId IS NOT NULL").count()
     val errors = inferred.where("error IS NOT NULL").count()
-    assert(total === 305) // valid st:Address points in the fixture
+    assert(total === 312) // valid st:Address points in the fixture (r10: +7 datetime rows)
     assert(matched + errors === total)
     assert(matched > 200 && errors > 30) // fixture mix per FIXTURES.md §3
     // matched rows carry the reference's inferred.ndjson fields
@@ -73,7 +73,7 @@ class SpacetimeEtlSpec extends AnyFunSuite {
     SpacetimeEtl.runPipeline(spark, s"$dir/streets.ndjson",
       s"$dir/house_numbers.ndjson", out)
     val inferredBack = spark.read.json(s"$out/inferred")
-    assert(inferredBack.count() === 305)
+    assert(inferredBack.count() === 312)
     val logs = spark.read.text(s"$out/records/type=log")
     assert(logs.count() > 0)
   }
