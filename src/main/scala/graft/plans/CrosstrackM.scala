@@ -108,5 +108,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HistBins600.builder))
     ext.injectFunction((CmsSketch4x256.ident, CmsSketch4x256.info,
       CmsSketch4x256.builder))
+    ext.injectFunction((BottomK256.ident, BottomK256.info,
+      BottomK256.builder))
   }
 }

@@ -253,6 +253,95 @@ object Llm {
         cmsTokens(t(s, d, "documents")))
       cmsEstimates(toks,
         toks.groupBy("source").agg(expr("cms4x256(h)").as("sk")))
+    }),
+
+    // T6 BOTTOM-K ("THETA") SKETCH SET ALGEBRA (round 10): the member
+    // of the sketch family t1–t5 cannot express — SET OPERATIONS on
+    // approximate distinct sets. HLL (t1/t3) unions but cannot
+    // intersect; the k-minimum-values sketch (Bar-Yossef et al.; the
+    // theta-sketch family) supports union AND intersection: keep the
+    // k = 256 smallest values of a uniform hash per group, merge two
+    // groups' sketches by union-and-trim, estimate |A∪B| from the kth
+    // smallest merged value ((k−1)·P / v_k) and |A∩B| via the overlap
+    // fraction INSIDE the merged bottom-k. Domain: part-supplier
+    // assignment populations per return status — "how much do the
+    // populations behind A/N/R overlap" without ever joining raw data.
+    // Exactness regime: the sketch itself is DETERMINISTIC (k smallest
+    // distinct values is a set function — merge order, partial splits,
+    // shuffle order cannot change it), the hash is the LCG scramble
+    // h = (1103515245·e + 12345) mod P (a BIJECTION on [0, P), so
+    // distinct elements ↔ distinct hashes and ranks are pseudo-random
+    // — the KMV uniformity requirement), v_k/ji/n_bk are int64 audit
+    // columns, and each estimate is ONE declared IEEE tree over exact
+    // int64 operands (255·P and ji·255·P both < 2⁵³, so the doubles
+    // are exact before the single division). Exact distinct counts and
+    // the exact intersection ride as audit columns — the estimator's
+    // error is hash-checked DATA (t5's `over` convention). Untrimmed
+    // edge (n_bk < k ⇒ both sketches complete ⇒ sketch IS the set):
+    // estimates degenerate to the exact values by CASE, both engines.
+    // Scale: the native bottom_k256 aggregate carries O(k) state per
+    // group through partial aggregation (a 10¹⁰-doc source ships 2 KB
+    // per map task); the pair algebra runs over one row per group
+    // pair, never raw data. The exact-audit join is the only
+    // corpus-cardinality shuffle, and it exists only for the honesty
+    // columns.
+    "t6_theta" -> ((s, d) => {
+      graft.plans.BottomK256.register(s)
+      val P = 1000000007L
+      val el = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("src"),
+          ((lit(1103515245L) * (col("l_partkey") * 100000L
+            + col("l_suppkey")) + 12345L) % P).as("h"))
+      // duplicate-tolerant: the TreeSet dedups internally, so the raw
+      // relation feeds the aggregate with no pre-distinct shuffle.
+      // nd deliberately does NOT ride this aggregate: count_distinct
+      // next to another agg plans an Expand (every input row doubled);
+      // the exact audit already needs the cached distinct relation, so
+      // nd is a cheap rollup of it instead (A/B at sf0.1 driver
+      // config: 4.5 s with the fused count_distinct -> 1.9 s split)
+      val sk = el.groupBy("src")
+        .agg(expr("bottom_k256(h)").as("bk"))
+        .transform(graft.operators.OpCaches.track)
+      // exact-audit side (r10 A/B'd at sf0.1 driver config): cached
+      // distinct + h-keyed self-join reads 2.5 s; the one-shuffle
+      // collect_set-per-hash variant (per-hash source sets, nd and
+      // intersections as rollups) measured 2.8–2.9 s — the wide cached
+      // set rows cost more than the second shuffle saves. Note the
+      // audit columns ARE the bulk of the query's cost: the sketch
+      // path a 100 TB deployment runs alone is the one partial-agg
+      // `sk` pass + the 3-row pair algebra.
+      val dd = el.distinct().transform(graft.operators.OpCaches.track)
+      val nd = dd.groupBy("src").agg(count(lit(1)).as("nd"))
+      val inter = dd.as("p").join(dd.as("q"),
+          col("p.h") === col("q.h") && col("p.src") < col("q.src"))
+        .groupBy(col("p.src").as("s1"), col("q.src").as("s2"))
+        .agg(count(lit(1)).as("n_inter"))
+      val skn = sk.join(nd, Seq("src"))
+      skn.as("x").join(skn.as("y"), col("x.src") < col("y.src"))
+        .select(col("x.src").as("s1"), col("y.src").as("s2"),
+          col("x.nd").as("nd1"), col("y.nd").as("nd2"),
+          col("x.bk").as("ba"), col("y.bk").as("bb"))
+        .withColumn("u",
+          expr("slice(array_sort(array_distinct(concat(ba, bb))), 1, 256)"))
+        .withColumn("n_bk", size(col("u")).cast(LongType))
+        .withColumn("v_k", expr("element_at(u, CAST(size(u) AS INT))"))
+        .withColumn("ji", expr(
+          "CAST(size(filter(u, v -> array_contains(ba, v)" +
+            " AND array_contains(bb, v))) AS BIGINT)"))
+        .join(inter, Seq("s1", "s2"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .select(col("s1"), col("s2"), col("nd1"), col("nd2"),
+          col("n_inter"),
+          (col("nd1") + col("nd2") - col("n_inter")).as("n_union"),
+          col("n_bk"), col("v_k"), col("ji"),
+          r6(when(col("n_bk") < 256L, col("n_bk").cast(DoubleType))
+            .otherwise(lit(255.0) * 1000000007L / col("v_k")))
+            .as("est_union"),
+          r6(when(col("n_bk") < 256L, col("ji").cast(DoubleType))
+            .otherwise((col("ji") * 255L * 1000000007L).cast(DoubleType)
+              / col("v_k") / 256.0)).as("est_inter"),
+          r6(col("ji").cast(DoubleType) / col("n_bk")).as("est_jacc"))
+        .orderBy("s1", "s2")
     })
   )
 
@@ -403,6 +492,48 @@ object Llm {
         |        GROUP BY 1, 2)
         |SELECT token, c, CAST(est AS BIGINT) AS est,
         |       CAST(est - c AS BIGINT) AS over
-        |FROM est ORDER BY c DESC, token""".stripMargin
+        |FROM est ORDER BY c DESC, token""".stripMargin,
+
+    // t6: the oracle rebuilds the bottom-k sketch from scratch with
+    // ORDER BY/LIMIT semantics (list(DISTINCT h ORDER BY h)[1:256]) —
+    // determinism of "k smallest distinct" is what makes the native
+    // aggregate hash-checkable at all — and replays the same merged-
+    // bottom-k estimators as single identical IEEE trees
+    "t6_theta" ->
+      """WITH el AS (SELECT l_returnflag AS src,
+        |       (1103515245 * (l_partkey * 100000 + l_suppkey) + 12345)
+        |         % 1000000007 AS h
+        |     FROM lineitem),
+        |dd AS (SELECT DISTINCT src, h FROM el),
+        |sk AS (SELECT src, (list(DISTINCT h ORDER BY h))[1:256] AS bk,
+        |         CAST(COUNT(DISTINCT h) AS BIGINT) AS nd
+        |       FROM el GROUP BY src),
+        |inter AS (SELECT p.src AS s1, q.src AS s2,
+        |            CAST(COUNT(*) AS BIGINT) AS n_inter
+        |          FROM dd p JOIN dd q ON p.h = q.h AND p.src < q.src
+        |          GROUP BY 1, 2),
+        |pr AS (SELECT x.src AS s1, y.src AS s2, x.nd AS nd1, y.nd AS nd2,
+        |         x.bk AS ba, y.bk AS bb,
+        |         (list_sort(list_distinct(list_concat(x.bk, y.bk))))[1:256]
+        |           AS u
+        |       FROM sk x JOIN sk y ON x.src < y.src),
+        |f AS (SELECT s1, s2, nd1, nd2, ba, bb, u,
+        |        CAST(len(u) AS BIGINT) AS n_bk,
+        |        u[len(u)] AS v_k,
+        |        CAST(len(list_filter(u, v -> list_contains(ba, v)
+        |          AND list_contains(bb, v))) AS BIGINT) AS ji
+        |      FROM pr)
+        |SELECT f.s1, f.s2, nd1, nd2, COALESCE(n_inter, 0) AS n_inter,
+        |       nd1 + nd2 - COALESCE(n_inter, 0) AS n_union, n_bk, v_k, ji,
+        |       CAST(ROUND(CASE WHEN n_bk < 256 THEN CAST(n_bk AS DOUBLE)
+        |         ELSE CAST(255 AS DOUBLE) * 1000000007 / v_k END, 6)
+        |         AS DOUBLE) AS est_union,
+        |       CAST(ROUND(CASE WHEN n_bk < 256 THEN CAST(ji AS DOUBLE)
+        |         ELSE CAST(ji * 255 * 1000000007 AS DOUBLE) / v_k / 256.0
+        |         END, 6) AS DOUBLE) AS est_inter,
+        |       CAST(ROUND(CAST(ji AS DOUBLE) / n_bk, 6) AS DOUBLE)
+        |         AS est_jacc
+        |FROM f LEFT JOIN inter ON f.s1 = inter.s1 AND f.s2 = inter.s2
+        |ORDER BY f.s1, f.s2""".stripMargin
   )
 }

@@ -865,6 +865,108 @@ object TextExt {
       feats.toDF().orderBy("doc_id")
     }),
 
+    // QM10 PERCEPTUAL AHASH NEAR-DUP OVER DECODED PIXELS (round 10):
+    // qm9's real decoder composed with the qm5 dedup idiom — image
+    // near-duplicate detection computed from DECODED pixel values, the
+    // step qm5's byte-level pHash stub could not take. Corpus: every
+    // 10-id block's two sampled docs share a BASE image (block-
+    // structured levels from a per-base pattern, so block means are
+    // well-separated — aHash on noise is a coin flip, on structure a
+    // signature) and differ only in per-doc texture terms — real
+    // near-dups by construction, while cross-base patterns differ in
+    // ~32/64 bits. Pipeline per doc (all on the executor, one
+    // mapPartitions stage): formula pixels → REAL BMP encode (odd
+    // widths, mixed top-down) → independent decode → 8×8 block-mean
+    // aHash from the decoded bytes, with the above-global-mean bit
+    // decided by exact integer cross-multiplication (blocksum·n ≥
+    // total·npix — no division, both engines identical); then the qm5
+    // LSH shape: 4×16-bit bands (BIGINT-MSB-safe), first-matching-band
+    // pair emission, exact Hamming ≤ 6 verify via xor+popcount on the
+    // riding keys. The oracle replays the aHash from the pixel FORMULA
+    // — a decode-layout bug shifts block sums and breaks the band
+    // keys. Scale: signature build is row-local; the only corpus
+    // exchange is the band self-join keyed on a 2¹⁶-value space per
+    // band that shrinks buckets as the corpus grows.
+    "qm10_ahashdup" -> ((s, d) => {
+      import s.implicits._
+      val sk = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val base = id - id % 10
+            val bigh = (base * 2654435761L) / 1024
+            val c1 = (bigh % 8).toInt
+            val c2 = 1 + ((bigh / 8) % 7).toInt
+            val c3 = 1 + ((bigh / 64) % 7).toInt
+            val w = 16 + ((base / 10) % 7).toInt
+            val h = 8 + ((base / 10) % 5).toInt
+            val rgb = new Array[Byte](3 * w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val bx = x * 8 / w; val by = y * 8 / h
+                val lvl = (c1 + c2 * bx + c3 * by + bx * by) % 8
+                val p = 3 * (y * w + x)
+                rgb(p) = (lvl * 32 + ((7L * x + 13L * y + id) % 32)).toByte
+                rgb(p + 1) = (lvl * 32 + ((3L * x + 5L * y + id) % 16)).toByte
+                rgb(p + 2) = (lvl * 32 + ((x.toLong * y + id) % 16)).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val bytes = graft.multimodal.Bmp.encode24(w, h, rgb,
+              topDown = id % 3 == 0)
+            val img = graft.multimodal.Bmp.decode24(bytes)
+            val bs = new Array[Long](64)
+            val np = new Array[Long](64)
+            var total = 0L
+            y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < img.width) {
+                val p = 3 * (y * img.width + x)
+                val lum = (img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) +
+                  (img.rgb(p + 2) & 0xff)
+                val bi = (y * 8 / img.height) * 8 + x * 8 / img.width
+                bs(bi) += lum; np(bi) += 1; total += lum
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.width.toLong * img.height
+            val ks = new Array[Long](4)
+            var i = 0
+            while (i < 64) {
+              if (np(i) > 0 && bs(i) * n >= total * np(i))
+                ks(i / 16) |= 1L << (i % 16)
+              i += 1
+            }
+            (id, ks(0), ks(1), ks(2), ks(3))
+          }
+        }
+        .toDF("doc_id", "k0", "k1", "k2", "k3")
+        .transform(graft.operators.OpCaches.track)
+      val bands = sk.select(col("doc_id"),
+        col("k0"), col("k1"), col("k2"), col("k3"),
+        posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
+          .as(Seq("band", "key")))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key")
+            && col("x.doc_id") < col("y.doc_id")
+            && (col("x.band") === 0 || col("x.k0") =!= col("y.k0"))
+            && (col("x.band") <= 1 || col("x.k1") =!= col("y.k1"))
+            && (col("x.band") <= 2 || col("x.k2") =!= col("y.k2")))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          (bit_count(col("x.k0").bitwiseXOR(col("y.k0")))
+            + bit_count(col("x.k1").bitwiseXOR(col("y.k1")))
+            + bit_count(col("x.k2").bitwiseXOR(col("y.k2")))
+            + bit_count(col("x.k3").bitwiseXOR(col("y.k3"))))
+            .cast(LongType).as("hd"))
+        .filter(col("hd") <= 6)
+        .orderBy("a", "b")
+    }),
+
     // qt10 document chunking: fixed 64-token windows with stride 48
     // (16-token overlap) — the pre-tokenization splitting step that
     // turns long documents into training-sized sequences. One scan, the
@@ -3845,6 +3947,61 @@ object TextExt {
         |         AS n_bytes,
         |       sum_r, sum_g, sum_b, wsum
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // qm10: the oracle replays the 8×8 block-mean aHash from the pixel
+    // FORMULA (lum = r+g+b = lvl·96 + the three texture terms) and the
+    // same banded LSH + Hamming verify; the Spark side must reach the
+    // same band keys through the real encode→decode round trip
+    "qm10_ahashdup" ->
+      """WITH ids AS (SELECT doc_id, doc_id - doc_id % 10 AS base
+        |             FROM documents WHERE doc_id % 5 = 0),
+        |cfg AS (SELECT doc_id, (base * 2654435761) // 1024 AS bigh,
+        |          16 + (base // 10) % 7 AS w, 8 + (base // 10) % 5 AS h
+        |        FROM ids),
+        |px AS (SELECT doc_id, w, h,
+        |         ((y * 8) // h) * 8 + (x * 8) // w AS bi,
+        |         ((bigh % 8) + (1 + (bigh // 8) % 7) * ((x * 8) // w)
+        |           + (1 + (bigh // 64) % 7) * ((y * 8) // h)
+        |           + ((x * 8) // w) * ((y * 8) // h)) % 8 * 96
+        |           + (7 * x + 13 * y + doc_id) % 32
+        |           + (3 * x + 5 * y + doc_id) % 16
+        |           + (x * y + doc_id) % 16 AS lum
+        |       FROM cfg, generate_series(0, 21) gx(x),
+        |            generate_series(0, 11) gy(y)
+        |       WHERE x < w AND y < h),
+        |blk AS (SELECT doc_id, bi, SUM(lum) AS bsum, COUNT(*) AS npix
+        |        FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(lum) AS total, COUNT(*) AS n
+        |        FROM px GROUP BY 1),
+        |bits AS (SELECT b.doc_id, b.bi,
+        |           CASE WHEN b.bsum * t.n >= t.total * b.npix
+        |             THEN 1 ELSE 0 END AS bit
+        |         FROM blk b JOIN tot t USING (doc_id)),
+        |keys AS (SELECT doc_id,
+        |           CAST(SUM(CASE WHEN bi // 16 = 0
+        |             THEN bit << (bi % 16) ELSE 0 END) AS BIGINT) AS k0,
+        |           CAST(SUM(CASE WHEN bi // 16 = 1
+        |             THEN bit << (bi % 16) ELSE 0 END) AS BIGINT) AS k1,
+        |           CAST(SUM(CASE WHEN bi // 16 = 2
+        |             THEN bit << (bi % 16) ELSE 0 END) AS BIGINT) AS k2,
+        |           CAST(SUM(CASE WHEN bi // 16 = 3
+        |             THEN bit << (bi % 16) ELSE 0 END) AS BIGINT) AS k3
+        |         FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, k0, k1, k2, k3, j AS band,
+        |            CASE j WHEN 0 THEN k0 WHEN 1 THEN k1
+        |                 WHEN 2 THEN k2 ELSE k3 END AS key
+        |          FROM keys, generate_series(0, 3) g(j)),
+        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |         bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
+        |           + bit_count(xor(x.k2, y.k2))
+        |           + bit_count(xor(x.k3, y.k3)) AS hd
+        |       FROM bands x JOIN bands y ON x.band = y.band
+        |         AND x.key = y.key AND x.doc_id < y.doc_id
+        |         AND (x.band = 0 OR x.k0 <> y.k0)
+        |         AND (x.band <= 1 OR x.k1 <> y.k1)
+        |         AND (x.band <= 2 OR x.k2 <> y.k2))
+        |SELECT a, b, CAST(hd AS BIGINT) AS hd FROM pr
+        |WHERE hd <= 6 ORDER BY a, b""".stripMargin,
 
     // qm7: the oracle recomputes samples and features from the SOURCE
     // formula (the encode is its own decode: repr r = (m+32768)%65536

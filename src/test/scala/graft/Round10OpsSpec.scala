@@ -111,6 +111,106 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("t6 theta sketch algebra matches a brute-force KMV replay; partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val BIG = 1000000007L
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .select("l_returnflag", "l_partkey", "l_suppkey").collect()
+      .map(r => (r.getString(0),
+        (1103515245L * (r.getLong(1) * 100000L + r.getLong(2)) + 12345L) % BIG))
+    val sets = rows.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSet }
+    val K = 256
+    def bottomK(s: Set[Long]): Vector[Long] = s.toVector.sorted.take(K)
+    val srcs = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      (s1, s2) = (srcs(i), srcs(j))
+      (sa, sb) = (sets(s1), sets(s2))
+      (ba, bb) = (bottomK(sa), bottomK(sb))
+      u = (ba ++ bb).distinct.sorted.take(K)
+      nBk = u.length.toLong
+      vk = u.last
+      ji = u.count(v => ba.contains(v) && bb.contains(v)).toLong
+      nInter = (sa & sb).size.toLong
+    } yield {
+      def rr(v: Double) = r6(v)
+      val estU = if (nBk < K) nBk.toDouble else 255.0 * BIG / vk
+      val estI = if (nBk < K) ji.toDouble
+        else (ji * 255L * BIG).toDouble / vk / 256.0
+      (s1, s2, sa.size.toLong, sb.size.toLong, nInter,
+        sa.size + sb.size - nInter, nBk, vk, ji,
+        rr(estU), rr(estI), rr(ji.toDouble / nBk))
+    }).sortBy(t => (t._1, t._2))
+    def run() = SparkEntry.queries("t6_theta")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getDouble(9), r.getDouble(10), r.getDouble(11))).toSeq
+    val got = run()
+    graft.operators.OpCaches.releaseAll()
+    assert(got === want)
+    assert(got.exists(_._7 === 256L),
+      "no sketch trimmed at sf0.001 — the estimator path is vacuous")
+    // the native aggregate must be partition-invariant (merge is a
+    // pure set function): same result under a different partitioning
+    graft.plans.BottomK256.register(spark)
+    val el = Tables(spark, TestSpark.Sf, "lineitem")
+      .select(col("l_returnflag").as("src"),
+        ((lit(1103515245L) * (col("l_partkey") * 100000L + col("l_suppkey"))
+          + 12345L) % BIG).as("h"))
+    val a = el.repartition(13).groupBy("src")
+      .agg(expr("bottom_k256(h)").as("bk")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val b = el.repartition(1).groupBy("src")
+      .agg(expr("bottom_k256(h)").as("bk")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+    assert(a.values.forall(v => v == v.sorted && v.distinct == v))
+  }
+
+  test("qm10 aHash near-dup matches a brute-force pixel replay") {
+    // signatures recomputed from the pixel formula WITHOUT the BMP
+    // round trip (the independence the gate needs: query-side hashes
+    // come from decoded bytes, these from arithmetic)
+    def sig(id: Long): Array[Long] = {
+      val base = id - id % 10
+      val bigh = (base * 2654435761L) / 1024
+      val c1 = (bigh % 8).toInt
+      val c2 = 1 + ((bigh / 8) % 7).toInt
+      val c3 = 1 + ((bigh / 64) % 7).toInt
+      val w = 16 + ((base / 10) % 7).toInt
+      val h = 8 + ((base / 10) % 5).toInt
+      val bs = new Array[Long](64); val np = new Array[Long](64)
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val bx = x * 8 / w; val by = y * 8 / h
+        val lvl = (c1 + c2 * bx + c3 * by + bx * by) % 8
+        val lum = 3 * lvl * 32 + ((7L * x + 13L * y + id) % 32) +
+          ((3L * x + 5L * y + id) % 16) + ((x.toLong * y + id) % 16)
+        bs(by * 8 + bx) += lum; np(by * 8 + bx) += 1; total += lum
+      }
+      val n = w.toLong * h
+      val ks = new Array[Long](4)
+      for (i <- 0 until 64 if bs(i) * n >= total * np(i))
+        ks(i / 16) |= 1L << (i % 16)
+      ks
+    }
+    val ids = docs().map(_._1).filter(_ % 5 == 0).sorted
+    val sigs = ids.map(id => id -> sig(id)).toMap
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if (0 until 4).exists(k => sigs(a)(k) == sigs(b)(k))
+      hd = (0 until 4).map(k =>
+        java.lang.Long.bitCount(sigs(a)(k) ^ sigs(b)(k))).sum.toLong
+      if hd <= 6
+    } yield (a, b, hd)).sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("qm10_ahashdup")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.operators.OpCaches.releaseAll()
+    assert(got.nonEmpty, "no near-dup pairs — gate is vacuous")
+    assert(got === want)
+  }
+
   test("qt27 pruning curve matches a brute-force bigram-LM replay") {
     val ds = docs().map(d => (d._1, d._2.split(" ")))
     val bigrams = ds.flatMap { case (id, tk) =>
