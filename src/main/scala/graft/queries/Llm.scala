@@ -287,11 +287,6 @@ object Llm {
     // columns.
     "t6_theta" -> ((s, d) => {
       graft.plans.BottomK256.register(s)
-      val P = 1000000007L
-      val el = t(s, d, "lineitem")
-        .select(col("l_returnflag").as("src"),
-          ((lit(1103515245L) * (col("l_partkey") * 100000L
-            + col("l_suppkey")) + 12345L) % P).as("h"))
       // duplicate-tolerant: the TreeSet dedups internally, so the raw
       // relation feeds the aggregate with no pre-distinct shuffle.
       // nd deliberately does NOT ride this aggregate: count_distinct
@@ -299,9 +294,29 @@ object Llm {
       // the exact audit already needs the cached distinct relation, so
       // nd is a cheap rollup of it instead (A/B at sf0.1 driver
       // config: 4.5 s with the fused count_distinct -> 1.9 s split)
+      val el = thetaElements(t(s, d, "lineitem"))
       val sk = el.groupBy("src")
         .agg(expr("bottom_k256(h)").as("bk"))
         .transform(graft.operators.OpCaches.track)
+      thetaAlgebra(sk, el)
+    })
+  )
+
+  /** t6's element relation: (src, h) — the bijective LCG scramble of
+    * the part-supplier pair per return status. Shared with the s35
+    * streamed fold; callers register bottom_k256 themselves. */
+  def thetaElements(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_returnflag").as("src"),
+      ((lit(1103515245L) * (col("l_partkey") * 100000L
+        + col("l_suppkey")) + 12345L) % 1000000007L).as("h"))
+
+  /** t6's pair algebra + exact audit over an ARBITRARY per-group
+    * sketch relation (src, bk: sorted array<long> ≤ 256) — shared by
+    * the batch build and the s35 streamed union-and-trim fold, so
+    * "streamed sketch ≡ batch sketch" is asserted through the
+    * IDENTICAL estimator read (the s31/s33 convention). `el` is the
+    * raw element relation the exact-audit columns recompute from. */
+  def thetaAlgebra(sk: DataFrame, el: DataFrame): DataFrame = {
       // exact-audit side (r10 A/B'd at sf0.1 driver config): cached
       // distinct + h-keyed self-join reads 2.5 s; the one-shuffle
       // collect_set-per-hash variant (per-hash source sets, nd and
@@ -342,8 +357,7 @@ object Llm {
               / col("v_k") / 256.0)).as("est_inter"),
           r6(col("ji").cast(DoubleType) / col("n_bk")).as("est_jacc"))
         .orderBy("s1", "s2")
-    })
-  )
+  }
 
   /** t5's token relation: (source, token, h) with the corpus's
     * replayable rolling hash — shared with the s31 streamed fold.

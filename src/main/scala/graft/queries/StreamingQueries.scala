@@ -887,7 +887,23 @@ object StreamingQueries {
     // replay, the s16/s31 convention). Batch form IS q135 and shares
     // its oracle verbatim.
     "s33_cardstream" -> ((s, d) =>
-      graft.queries.Relational.queries("q135_joincard")(s, d))
+      graft.queries.Relational.queries("q135_joincard")(s, d)),
+
+    // S35 STREAMING THETA-SKETCH MAINTENANCE (round 10) — t6's
+    // bottom-k set-algebra sketches maintained AS ROWS ARRIVE
+    // (Streams.s35): each micro-batch builds its own per-group
+    // bottom-256 sketch in one partial-aggregatable pass and folds it
+    // into the persisted sketch table by UNION-AND-TRIM — the KMV
+    // merge, idempotent/commutative/associative (bottomK(bottomK(A) ∪
+    // bottomK(B)) = bottomK(A ∪ B)), so fold(batches) ≡ the one-pass
+    // build for ANY batch split — the property ThetaStreamSpec pins
+    // through t6's identical pair-algebra read across a checkpointed
+    // restart. State is |groups| × ≤256 longs, BOUNDED — the online
+    // audience-overlap shape. Generations keyed by batchId
+    // (idempotent crash replay, the s16/s31/s33 convention). The
+    // batch form IS t6 and shares its oracle verbatim.
+    "s35_thetastream" -> ((s, d) =>
+      graft.queries.Llm.queries("t6_theta")(s, d))
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1333,6 +1349,9 @@ object StreamingQueries {
     // s33: q135's oracle verbatim — streamed per-side sketch fold ≡
     // the batch sketch build is the contract
     ("s33_cardstream" -> graft.queries.Relational.oracle("q135_joincard")) +
+    // s35: t6's oracle verbatim — streamed union-and-trim fold ≡ the
+    // batch bottom-k build is the contract
+    ("s35_thetastream" -> graft.queries.Llm.oracle("t6_theta")) +
     // s17: the composed pipeline's oracle reuses s12's two-batch
     // verdict replay verbatim as a CTE, keeps the accepted ('new')
     // docs — the published snapshot's exact membership — and
@@ -2121,6 +2140,68 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .start()
     q.awaitTermination()
+  }
+
+  /** S35 as streaming: theta-sketch (bottom-k) maintenance. Each
+    * micro-batch builds its own per-group bottom-256 sketch (one
+    * partial-aggregatable pass over the batch's elements) and folds it
+    * into the persisted sketch table by UNION-AND-TRIM — the KMV merge
+    * (bottomK(bottomK(A) ∪ bottomK(B)) = bottomK(A ∪ B): idempotent,
+    * commutative, associative, so fold(batches) ≡ the one-pass build
+    * for ANY batch split). Generations keyed by batchId (idempotent
+    * crash replay, the s16/s31/s33 convention). Bounded state:
+    * |groups| × ≤256 longs, never element rows — the online
+    * audience-overlap shape. */
+  def s35(spark: SparkSession, inDir: String, sketchDir: String,
+          checkpoint: String): Unit = {
+    graft.plans.BottomK256.register(spark)
+    val raw = StructType(Seq(
+      StructField("l_returnflag", StringType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType)))
+    val stream = spark.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val empty = "CAST(array() AS ARRAY<BIGINT>)"
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = graft.queries.Llm.thetaElements(batch)
+          .groupBy("src").agg(expr("bottom_k256(h)").as("bk"))
+        val prev = new java.io.File(s"$sketchDir/gen=$batchId")
+        val merged =
+          if (prev.exists) spark.read.parquet(prev.getPath)
+            .select(col("src"), col("bk").as("a"))
+            .join(bs.select(col("src"), col("bk").as("b")),
+              Seq("src"), "full_outer")
+            .select(col("src"),
+              expr(s"slice(array_sort(array_distinct(concat(" +
+                s"coalesce(a, $empty), coalesce(b, $empty)))), 1, 256)")
+                .as("bk"))
+          else bs
+        merged.write.mode("overwrite").parquet(s"$sketchDir/gen=${batchId + 1}")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The streamed theta sketches read back through t6's IDENTICAL pair
+    * algebra: latest generation's per-group sketch rows → union/
+    * intersection/Jaccard estimates, exact audit recomputed against
+    * the batch table at `dir`. */
+  def s35Result(spark: SparkSession, dir: String,
+                sketchDir: String): DataFrame = {
+    graft.plans.BottomK256.register(spark)
+    val gens = Option(new java.io.File(sketchDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+    require(gens.nonEmpty, s"no sketch generations under $sketchDir")
+    val perSrc = spark.read.parquet(s"$sketchDir/gen=${gens.max}")
+    graft.queries.Llm.thetaAlgebra(perSrc,
+      graft.queries.Llm.thetaElements(Tables(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))))
   }
 
   /** The streamed stats read back through q135's IDENTICAL estimator:
