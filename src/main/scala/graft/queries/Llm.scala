@@ -299,6 +299,56 @@ object Llm {
         .agg(expr("bottom_k256(h)").as("bk"))
         .transform(graft.operators.OpCaches.track)
       thetaAlgebra(sk, el)
+    }),
+
+    // T7 THETA-SKETCH TEMPORAL ROLLUP (round 10): the persistable-
+    // summary argument t4 makes for histograms, made for DISTINCT SETS
+    // — store one bottom-k sketch row per (group, month); ANY coarser
+    // rollup (quarter, year, global) is union-and-trim of sketch rows,
+    // never a second pass over raw data. The query computes the
+    // monthly sketches, folds them to a global per-group sketch with
+    // row-local array algebra (flatten(collect_list) → distinct → sort
+    // → trim: bounded input, ≤ months × 256 longs per group), builds
+    // the DIRECT global sketch from raw, and emits merged == direct as
+    // a hash-checked DATA column — KMV mergeability (bottomK(∪ᵢ
+    // bottomK(Mᵢ)) = bottomK(∪ᵢ Mᵢ)) proven per group by the gate, not
+    // claimed. The KMV distinct estimate rides next to the exact
+    // count (t5's honesty convention). Scale: two partial-aggregatable
+    // passes (monthly + direct audit) + one exact-distinct audit pass;
+    // the rollup itself touches only sketch rows — at 100 TB that is
+    // the entire point.
+    "t7_thetarollup" -> ((s, d) => {
+      graft.plans.BottomK256.register(s)
+      // thetaElements' scramble, with the month key riding (the helper
+      // projects the date column away)
+      val el = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("src"),
+          (year(col("l_shipdate")) * 100
+            + month(col("l_shipdate"))).cast(LongType).as("mo"),
+          ((lit(1103515245L) * (col("l_partkey") * 100000L
+            + col("l_suppkey")) + 12345L) % 1000000007L).as("h"))
+      val monthly = el.groupBy("src", "mo")
+        .agg(expr("bottom_k256(h)").as("bk"))
+      val mg = monthly.groupBy("src")
+        .agg(count(lit(1)).as("n_months"),
+          expr("slice(array_sort(array_distinct(" +
+            "flatten(collect_list(bk)))), 1, 256)").as("mk"))
+      val direct = el.groupBy("src").agg(expr("bottom_k256(h)").as("dk"))
+      val exact = el.select("src", "h").distinct()
+        .groupBy("src").agg(count(lit(1)).as("nd"))
+      mg.join(direct, Seq("src")).join(exact, Seq("src"))
+        .select(col("src"), col("n_months"),
+          size(col("mk")).cast(LongType).as("n_bk"),
+          expr("element_at(mk, CAST(size(mk) AS INT))").as("v_k"),
+          when(col("mk") === col("dk"), 1L).otherwise(0L)
+            .as("merged_eq_direct"),
+          col("nd"),
+          r6(when(size(col("mk")) < 256,
+            size(col("mk")).cast(DoubleType))
+            .otherwise(lit(255.0) * 1000000007L
+              / expr("element_at(mk, CAST(size(mk) AS INT))")))
+            .as("est_distinct"))
+        .orderBy("src")
     })
   )
 
@@ -507,6 +557,37 @@ object Llm {
         |SELECT token, c, CAST(est AS BIGINT) AS est,
         |       CAST(est - c AS BIGINT) AS over
         |FROM est ORDER BY c DESC, token""".stripMargin,
+
+    // t7: the oracle replays monthly sketches, the union-and-trim
+    // rollup, the direct build, and the equality verdict — KMV
+    // mergeability checked per group as data
+    "t7_thetarollup" ->
+      """WITH el AS (SELECT l_returnflag AS src,
+        |       year(l_shipdate) * 100 + month(l_shipdate) AS mo,
+        |       (1103515245 * (l_partkey * 100000 + l_suppkey) + 12345)
+        |         % 1000000007 AS h
+        |     FROM lineitem),
+        |monthly AS (SELECT src, mo,
+        |              (list(DISTINCT h ORDER BY h))[1:256] AS bk
+        |            FROM el GROUP BY 1, 2),
+        |mg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_months,
+        |         (list_sort(list_distinct(flatten(list(bk)))))[1:256]
+        |           AS mk
+        |       FROM monthly GROUP BY 1),
+        |direct AS (SELECT src, (list(DISTINCT h ORDER BY h))[1:256] AS dk
+        |           FROM el GROUP BY 1),
+        |exact AS (SELECT src, CAST(COUNT(DISTINCT h) AS BIGINT) AS nd
+        |          FROM el GROUP BY 1)
+        |SELECT m.src AS src, n_months, CAST(len(mk) AS BIGINT) AS n_bk,
+        |       mk[len(mk)] AS v_k,
+        |       CAST(CASE WHEN mk = dk THEN 1 ELSE 0 END AS BIGINT)
+        |         AS merged_eq_direct, nd,
+        |       CAST(ROUND(CASE WHEN len(mk) < 256
+        |         THEN CAST(len(mk) AS DOUBLE)
+        |         ELSE CAST(255 AS DOUBLE) * 1000000007 / mk[len(mk)]
+        |         END, 6) AS DOUBLE) AS est_distinct
+        |FROM mg m JOIN direct USING (src) JOIN exact USING (src)
+        |ORDER BY src""".stripMargin,
 
     // t6: the oracle rebuilds the bottom-k sketch from scratch with
     // ORDER BY/LIMIT semantics (list(DISTINCT h ORDER BY h)[1:256]) —

@@ -211,6 +211,25 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("t7 rollup: KMV mergeability holds per group and the trim is non-vacuous") {
+    val got = SparkEntry.queries("t7_thetarollup")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    graft.operators.OpCaches.releaseAll()
+    assert(got.nonEmpty)
+    // merged == direct must hold for EVERY group — mergeability is the
+    // operator's contract, asserted as data
+    assert(got.forall(_._5 === 1L), s"rollup diverged from direct: $got")
+    // the union-and-trim path must actually trim (groups larger than k)
+    assert(got.exists(r => r._3 === 256L && r._6 > 256L),
+      "no group exceeded k — the merge path is vacuous")
+    // KMV estimate sanity: within 25% of exact at k=256 (the estimator
+    // has ~1/sqrt(k) ≈ 6% std error; 25% is a 4-sigma guard, not a
+    // tolerance gate — exactness is the oracle's job)
+    assert(got.filter(_._3 === 256L).forall(r =>
+      math.abs(r._7 - r._6) <= 0.25 * r._6), s"estimate off: $got")
+  }
+
   test("qt27 pruning curve matches a brute-force bigram-LM replay") {
     val ds = docs().map(d => (d._1, d._2.split(" ")))
     val bigrams = ds.flatMap { case (id, tk) =>
