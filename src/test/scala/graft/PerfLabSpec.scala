@@ -151,6 +151,29 @@ class PerfLabSpec extends AnyFunSuite {
     weak.foreach(q => time(q)(run(q)))
   }
 
+  test("t6/t7 stage decomposition: sketch-only path vs exact-audit columns") {
+    assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
+    import org.apache.spark.sql.functions._
+    graft.plans.BottomK256.register(spark)
+    def el = graft.queries.Llm.thetaElements(
+      graft.Tables(spark, sf, "lineitem"))
+    // the path a 100 TB deployment actually runs: ONE partial-agg pass
+    def sketchOnly(): Unit = {
+      el.groupBy("src").agg(expr("bottom_k256(h)").as("bk")).collect()
+      spark.catalog.clearCache()
+    }
+    // the shipped query = sketch + exact-audit distinct + self-join
+    def full(): Unit = {
+      SparkEntry.queries("t6_theta")(spark, sf)
+        .queryExecution.toRdd.count()
+      graft.operators.OpCaches.releaseAll()
+      spark.catalog.clearCache()
+    }
+    time("t6 sketch-only pass")(sketchOnly())
+    time("t6 full (with audit)")(full())
+    time("t6 sketch-only again")(sketchOnly())
+  }
+
   test("graph family: capped-basket edge build — window+self-join vs collect_set+HOF pairs") {
     assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
     import org.apache.spark.sql.functions._
