@@ -967,6 +967,97 @@ object TextExt {
         .orderBy("a", "b")
     }),
 
+    // QM11 AUDIO FINGERPRINT NEAR-DUP OVER DECODED PCM (round 10):
+    // the audio modality raised to qm9/qm10's standard — near-dup
+    // detection from DECODED sample values through a REAL RIFF/WAVE
+    // PCM16 codec (multimodal/Wav: canonical encoder + an independent
+    // chunk-WALKING decoder, so layout bugs can't cancel). The
+    // fingerprint is the classic Haitsma–Kalker energy-difference
+    // shape: 528 samples → 65 overlapping 16-sample frames (stride 8)
+    // → int64 frame energies → 64 sign-of-delta bits (bit f =
+    // E[f+1] > E[f]) — robust to the per-doc perturbation by
+    // construction because the block-structured amplitude envelope
+    // dominates adjacent-frame energy steps. Corpus: every 14-id
+    // block's two sampled docs share a BASE envelope (per-(base,
+    // block) hashed amplitudes — a bounded-phase pattern would
+    // collide, qm10's lesson) and differ in a small additive
+    // perturbation — near-dups by construction (~99% of same-base
+    // pairs within Hamming 6; cross-base median 32/64 bits). Then the
+    // qm5/qm10 LSH shape: 4×16-bit bands, first-matching-band
+    // emission, exact Hamming ≤ 6 xor+popcount verify. The oracle
+    // replays the fingerprint from the SAMPLE FORMULA — a decoder
+    // that mis-signs int16, drops the chunk walk, or misaligns LE
+    // pairs shifts energies and breaks the band keys. Scale: encode +
+    // decode + fingerprint are row-local in ONE mapPartitions stage;
+    // the only corpus exchange is the band self-join.
+    "qm11_audiodup" -> ((s, d) => {
+      import s.implicits._
+      val sk = t(s, d, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val base = id - id % 14
+            val n = 528
+            val samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              val blk = i / 16
+              val amp = 1 + (((base + 1) * (blk + 3) * 2654435761L
+                / 1024) % 8)
+              val tone = (i * 1231L + base * 37L) % 256 - 128
+              val pert = (id % 14) * (i % 2)
+              val v = amp * tone + pert
+              samples(i) = math.max(-32768L, math.min(32767L, v)).toShort
+              i += 1
+            }
+            val bytes = graft.multimodal.Wav.encode16(16000, samples)
+            val au = graft.multimodal.Wav.decode16(bytes)
+            // fingerprint from the DECODED samples
+            val nf = (au.samples.length - 16) / 8 + 1
+            val e = new Array[Long](nf)
+            var f = 0
+            while (f < nf) {
+              var j = 0
+              var acc = 0L
+              while (j < 16) {
+                val v = au.samples(f * 8 + j).toLong
+                acc += v * v
+                j += 1
+              }
+              e(f) = acc
+              f += 1
+            }
+            val ks = new Array[Long](4)
+            f = 0
+            while (f < nf - 1) {
+              if (e(f + 1) > e(f)) ks(f / 16) |= 1L << (f % 16)
+              f += 1
+            }
+            (id, ks(0), ks(1), ks(2), ks(3))
+          }
+        }
+        .toDF("doc_id", "k0", "k1", "k2", "k3")
+        .transform(graft.operators.OpCaches.track)
+      val bands = sk.select(col("doc_id"),
+        col("k0"), col("k1"), col("k2"), col("k3"),
+        posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
+          .as(Seq("band", "key")))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key")
+            && col("x.doc_id") < col("y.doc_id")
+            && (col("x.band") === 0 || col("x.k0") =!= col("y.k0"))
+            && (col("x.band") <= 1 || col("x.k1") =!= col("y.k1"))
+            && (col("x.band") <= 2 || col("x.k2") =!= col("y.k2")))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          (bit_count(col("x.k0").bitwiseXOR(col("y.k0")))
+            + bit_count(col("x.k1").bitwiseXOR(col("y.k1")))
+            + bit_count(col("x.k2").bitwiseXOR(col("y.k2")))
+            + bit_count(col("x.k3").bitwiseXOR(col("y.k3"))))
+            .cast(LongType).as("hd"))
+        .filter(col("hd") <= 6)
+        .orderBy("a", "b")
+    }),
+
     // qt10 document chunking: fixed 64-token windows with stride 48
     // (16-token overlap) — the pre-tokenization splitting step that
     // turns long documents into training-sized sequences. One scan, the
@@ -3947,6 +4038,54 @@ object TextExt {
         |         AS n_bytes,
         |       sum_r, sum_g, sum_b, wsum
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // qm11: the oracle replays the Haitsma–Kalker energy-delta
+    // fingerprint from the SAMPLE formula (each sample joins its ≤2
+    // overlapping frames; LEAD over frame index gives the delta sign)
+    // — the Spark side must reach the same band keys through the real
+    // WAV encode→chunk-walk-decode round trip
+    "qm11_audiodup" ->
+      """WITH ids AS (SELECT doc_id, doc_id - doc_id % 14 AS base
+        |             FROM documents WHERE doc_id % 7 = 0),
+        |sm AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |         (1 + ((base + 1) * (i // 16 + 3) * 2654435761
+        |           // 1024) % 8)
+        |           * ((i * 1231 + base * 37) % 256 - 128)
+        |           + (doc_id % 14) * (i % 2) AS s
+        |       FROM ids, generate_series(0, 527) g(i)),
+        |fr AS (SELECT doc_id, f, CAST(SUM(s * s) AS BIGINT) AS e
+        |       FROM sm, generate_series(0, 64) t(f)
+        |       WHERE i >= f * 8 AND i < f * 8 + 16
+        |       GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, f,
+        |           CASE WHEN LEAD(e) OVER (PARTITION BY doc_id
+        |             ORDER BY f) > e THEN 1 ELSE 0 END AS bit
+        |         FROM fr QUALIFY f < 64),
+        |keys AS (SELECT doc_id,
+        |           CAST(SUM(CASE WHEN f // 16 = 0
+        |             THEN bit << (f % 16) ELSE 0 END) AS BIGINT) AS k0,
+        |           CAST(SUM(CASE WHEN f // 16 = 1
+        |             THEN bit << (f % 16) ELSE 0 END) AS BIGINT) AS k1,
+        |           CAST(SUM(CASE WHEN f // 16 = 2
+        |             THEN bit << (f % 16) ELSE 0 END) AS BIGINT) AS k2,
+        |           CAST(SUM(CASE WHEN f // 16 = 3
+        |             THEN bit << (f % 16) ELSE 0 END) AS BIGINT) AS k3
+        |         FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, k0, k1, k2, k3, j AS band,
+        |            CASE j WHEN 0 THEN k0 WHEN 1 THEN k1
+        |                 WHEN 2 THEN k2 ELSE k3 END AS key
+        |          FROM keys, generate_series(0, 3) g(j)),
+        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |         bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
+        |           + bit_count(xor(x.k2, y.k2))
+        |           + bit_count(xor(x.k3, y.k3)) AS hd
+        |       FROM bands x JOIN bands y ON x.band = y.band
+        |         AND x.key = y.key AND x.doc_id < y.doc_id
+        |         AND (x.band = 0 OR x.k0 <> y.k0)
+        |         AND (x.band <= 1 OR x.k1 <> y.k1)
+        |         AND (x.band <= 2 OR x.k2 <> y.k2))
+        |SELECT a, b, CAST(hd AS BIGINT) AS hd FROM pr
+        |WHERE hd <= 6 ORDER BY a, b""".stripMargin,
 
     // qm10: the oracle replays the 8×8 block-mean aHash from the pixel
     // FORMULA (lum = r+g+b = lvl·96 + the three texture terms) and the

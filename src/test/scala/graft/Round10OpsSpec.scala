@@ -230,6 +230,43 @@ class Round10OpsSpec extends AnyFunSuite {
       math.abs(r._7 - r._6) <= 0.25 * r._6), s"estimate off: $got")
   }
 
+  test("qm11 audio fingerprint near-dup matches a brute-force sample replay") {
+    // fingerprints from the sample ARITHMETIC, no WAV round trip (the
+    // independence the gate needs)
+    def sig(id: Long): Array[Long] = {
+      val base = id - id % 14
+      val n = 528
+      val s = Array.tabulate(n) { i =>
+        val blk = i / 16
+        val amp = 1 + (((base + 1) * (blk + 3) * 2654435761L / 1024) % 8)
+        val tone = (i * 1231L + base * 37L) % 256 - 128
+        amp * tone + (id % 14) * (i % 2)
+      }
+      val nf = (n - 16) / 8 + 1
+      val e = Array.tabulate(nf)(f =>
+        (0 until 16).map(j => s(f * 8 + j) * s(f * 8 + j)).sum)
+      val ks = new Array[Long](4)
+      for (f <- 0 until nf - 1 if e(f + 1) > e(f))
+        ks(f / 16) |= 1L << (f % 16)
+      ks
+    }
+    val ids = docs().map(_._1).filter(_ % 7 == 0).sorted
+    val sigs = ids.map(id => id -> sig(id)).toMap
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if (0 until 4).exists(k => sigs(a)(k) == sigs(b)(k))
+      hd = (0 until 4).map(k =>
+        java.lang.Long.bitCount(sigs(a)(k) ^ sigs(b)(k))).sum.toLong
+      if hd <= 6
+    } yield (a, b, hd)).sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("qm11_audiodup")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.operators.OpCaches.releaseAll()
+    assert(got.nonEmpty, "no near-dup pairs — gate is vacuous")
+    assert(got === want)
+  }
+
   test("qt27 pruning curve matches a brute-force bigram-LM replay") {
     val ds = docs().map(d => (d._1, d._2.split(" ")))
     val bigrams = ds.flatMap { case (id, tk) =>
