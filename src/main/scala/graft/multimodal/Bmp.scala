@@ -104,12 +104,19 @@ object Bmp {
     val topDown = rawHeight < 0
     val height = if (topDown) -rawHeight else rawHeight
     if (width <= 0 || height <= 0) fail(s"bad dims ${width}x$rawHeight")
+    // overflow guard BEFORE any arithmetic on the untrusted dims: a
+    // header can claim width near 2^31 and make `3*width` wrap —
+    // the file-length bound below would then pass on garbage. The
+    // file itself caps the real dims (3 bytes/pixel), so this bound
+    // rejects nothing decodable.
+    if (width.toLong * height > bytes.length.toLong)
+      fail(s"dims ${width}x$height exceed file size")
     if (get16(26) != 1) fail("planes != 1")
     val bpp = get16(28)
     if (bpp != 24) fail(s"bpp $bpp unsupported (24 only)")
     if (get32(30) != 0) fail("compressed BMP unsupported")
     val rowBytes = (3 * width + 3) / 4 * 4
-    if (pixelOff.toLong + rowBytes.toLong * height > bytes.length)
+    if (pixelOff < 0 || pixelOff.toLong + rowBytes.toLong * height > bytes.length)
       fail("pixel array runs past end of file")
     val rgb = new Array[Byte](3 * width * height)
     var y = 0

@@ -75,7 +75,9 @@ object Wav {
     while (off + 8 <= bytes.length) {
       val id = tag(off)
       val size = get32(off + 4)
-      if (size < 0 || off + 8 + size > bytes.length)
+      // LONG arithmetic: a claimed size near 2^31 would wrap
+      // `off + 8 + size` negative and slip past an int comparison
+      if (size < 0 || off.toLong + 8L + size > bytes.length)
         fail(s"chunk '$id' runs past end of file")
       if (id == "fmt ") {
         if (size < 16) fail(s"fmt chunk $size B unsupported")

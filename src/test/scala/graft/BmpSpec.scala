@@ -67,6 +67,18 @@ class BmpSpec extends AnyFunSuite {
     assert(Bmp.decode24(up).rgb.sameElements(Bmp.decode24(down).rgb))
   }
 
+  test("rejects overflow-adversarial headers (claimed dims wrap int arithmetic)") {
+    // width near 2^31: 3*width wraps negative; the decoder must reject
+    // via the pre-arithmetic dims-vs-file-size bound, not crash or
+    // read garbage
+    val evil = Bmp.encode24(2, 2, new Array[Byte](12))
+    evil(18) = -1; evil(19) = -1; evil(20) = -1; evil(21) = 0x7f // width = 2^31-1
+    assertThrows[IllegalArgumentException](Bmp.decode24(evil))
+    val evil2 = Bmp.encode24(2, 2, new Array[Byte](12))
+    evil2(10) = -1; evil2(11) = -1; evil2(12) = -1; evil2(13) = 0x7f // huge offset
+    assertThrows[IllegalArgumentException](Bmp.decode24(evil2))
+  }
+
   test("rejects non-BMP and unsupported variants") {
     def bad(f: Array[Byte] => Unit, mut: Array[Byte]): Unit =
       assertThrows[IllegalArgumentException](f(mut))

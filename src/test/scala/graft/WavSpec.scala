@@ -54,6 +54,14 @@ class WavSpec extends AnyFunSuite {
     }
   }
 
+  test("rejects overflow-adversarial chunk sizes (int wrap cannot slip the bound)") {
+    // claimed data size near 2^31: off + 8 + size wraps negative in
+    // int arithmetic; the long-arithmetic bound must reject it
+    val evil = golden.clone()
+    evil(40) = -8; evil(41) = -1; evil(42) = -1; evil(43) = 0x7f
+    assertThrows[IllegalArgumentException](Wav.decode16(evil))
+  }
+
   test("rejects non-WAV and unsupported variants") {
     def bad(mut: Array[Byte]): Unit =
       assertThrows[IllegalArgumentException](Wav.decode16(mut))
