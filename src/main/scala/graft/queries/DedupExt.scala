@@ -2156,6 +2156,135 @@ object DedupExt {
         sel = sel.unionByName(next)
       }
       sel.orderBy("rank")
+    }),
+
+    // QS16 SCALAR-QUANTIZED (SQ8) SEARCH WITH EXACT RE-RANK — the
+    // missing member of the compression-search family: qs8/qs6 search
+    // over PQ codes, qe1/qe4 measure int8 quantization error; this one
+    // SERVES from the int8 index the way a FAISS SQ8 index does — scan
+    // the 4×-smaller quantized vectors, rank candidates by the
+    // quantized-dot proxy, then re-rank only the top-20 against the
+    // full-precision relation. Arithmetic is exact end-to-end: qi =
+    // floor(x·127/mx) (qe1's per-vector formula, int8 range), the
+    // index-side scale rides as the fixed-point integer mxi =
+    // floor(mx·1e6), and the proxy dotq·mxi is a pure int64 product
+    // (|dotq| ≤ 64·127² ≈ 1.0e6, mxi < 2³⁰ ⇒ product < 2⁵⁰) — so the
+    // candidate ranking, tie-broken by vec_id, is bit-identical
+    // cross-engine (the probe's own scale is constant per probe and
+    // drops out of its ranking). Re-rank = the shared FP=1e7 fixed-
+    // point cosine kernel (dot_long), rounded-6 BEFORE ranking so the
+    // final top-5 order is hash-checked data. Scale: the probe batch
+    // (1% sample) is broadcast; the scan side is the quantized
+    // relation — the declared SQ trade is exactly this full-index scan
+    // at 1/4 the bytes (for sublinear probes, qs1's banded index or
+    // qs2's IVF feed the same re-rank); the re-rank joins touch only
+    // 20 rows per probe.
+    "qs16_sq8" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.DotLong.register(s)
+      val q8 = graft.operators.OpCaches.track(
+        t(s, d, "embeddings").filter(size(col("embedding")) > 0)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xs"))
+          .select(col("vec_id"), col("xs"),
+            expr("array_max(transform(xs, x -> abs(x)))").as("mx"))
+          .select(col("vec_id"),
+            expr("transform(xs, x -> CAST(floor(x * (127.0 / mx)) AS BIGINT))")
+              .as("q8"),
+            expr("CAST(floor(mx * 1000000.0D) AS BIGINT)").as("mxi")))
+      val probes = q8.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("pid"), col("q8").as("pq"))
+      val top20 = q8.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("pid"))
+        .withColumn("proxy", expr(dotL("q8", "pq")) * col("mxi"))
+        .withColumn("rn", row_number().over(Window.partitionBy("pid")
+          .orderBy(col("proxy").desc, col("vec_id"))))
+        .filter(col("rn") <= 20)
+        .select("pid", "vec_id")
+      val emb = embQ(s, d)
+      val pe = emb.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("pid"), col("ei").as("qe"),
+          expr(dotL("ei", "ei")).as("qn2"))
+      top20.join(emb, Seq("vec_id"))
+        .withColumn("n2", expr(dotL("ei", "ei")))
+        .join(broadcast(pe), Seq("pid"))
+        .select(col("pid"), col("vec_id"),
+          round(expr(dotL("ei", "qe")).cast(DoubleType)
+            / (sqrt(col("qn2").cast(DoubleType))
+              * sqrt(col("n2").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .withColumn("rn", row_number().over(Window.partitionBy("pid")
+          .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rn") <= 5).drop("rn")
+        .orderBy(col("pid"), col("score").desc, col("vec_id"))
+    }),
+
+    // QD23 ONE-PERMUTATION HASHING (OPH) MINHASH — the production
+    // MinHash variant (Li/Owen/Zhang 2012; densification Shrivastava &
+    // Li 2014, both public methods): qd1 evaluates 16 independent
+    // affine permutations per fingerprint (16 multiply-mods per
+    // element); OPH gets all 16 signature slots from ONE pass by
+    // BINNING the fingerprint set — slot i = min(h div 16 : h ≡ i mod
+    // 16), so each element is touched once (the 16× signature-build
+    // saving is the whole point at corpus scale, where signature
+    // construction dominates the LSH stage). Empty bins (short docs)
+    // are DENSIFIED by borrowing from the nearest non-empty bin to the
+    // right (cyclically), offset by j·10⁹ per rotation step so a
+    // borrowed slot only collides with an identically-borrowed slot —
+    // without densification empty bins would LSH-match each other and
+    // every short doc would pair with every other. Banding/emission is
+    // qd1's contract: 4 bands × 4 slots, band key = the mod-P ordered
+    // fold of the slots, first-matching-band pair-unique emission (no
+    // distinct exchange), dictionary-free sorted-merge verify (native
+    // intersect_sorted_count) at exact integer J ≥ 0.5 (3·inter ≥
+    // na+nb). Scale: signature build is row-local array arithmetic on
+    // the shingle set (one scan, no shuffle); the only corpus exchange
+    // is the band self-join, keyed on a mod-P (≈2³⁰) keyspace.
+    "qd23_oph" -> ((s, d) => {
+      graft.plans.ShingleSetHash31.register(s)
+      graft.plans.IntersectSortedCount.register(s)
+      val sh = graft.operators.OpCaches.track(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            expr("shingle_set_hash31(split(text, ' '), 4)").as("hs"))
+          .filter(size(col("hs")) > 0))
+      // 16 OPH slots: bins[i] = min(h div 16 : h % 16 = i) — min h in a
+      // bin shares the residue, so (min h) div 16 == min(h div 16);
+      // densified slot i borrows bins[(i+j) % 16] + j*1e9 at the first
+      // non-empty j (hs non-empty ⇒ some bin is non-empty)
+      val sig = sh.select(col("doc_id"), expr(
+        """transform(sequence(0, 15), i ->
+          |  element_at(filter(transform(sequence(0, 15), j ->
+          |    array_min(filter(hs, h -> h % 16 = (i + j) % 16)) div 16
+          |      + j * 1000000000L),
+          |    x -> x IS NOT NULL), 1))""".stripMargin).as("ds"))
+      val keyed = sig.select(col("doc_id"), expr(
+        s"""transform(sequence(0, 3), k ->
+           |  aggregate(slice(ds, CAST(k * 4 + 1 AS INT), 4), 0L,
+           |    (acc, x) -> (acc * 31 + x) % ${P}L))""".stripMargin).as("ks"))
+        .select(col("doc_id"),
+          col("ks").getItem(0).as("key0"), col("ks").getItem(1).as("key1"),
+          col("ks").getItem(2).as("key2"), col("ks").getItem(3).as("key3"))
+      val bands = keyed.select(col("doc_id"),
+        col("key0"), col("key1"), col("key2"), col("key3"),
+        posexplode(array(col("key0"), col("key1"), col("key2"), col("key3")))
+          .as(Seq("band", "key")))
+      val pairs = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key")
+            && col("x.doc_id") < col("y.doc_id")
+            && (col("x.band") === 0 || col("x.key0") =!= col("y.key0"))
+            && (col("x.band") <= 1 || col("x.key1") =!= col("y.key1"))
+            && (col("x.band") <= 2 || col("x.key2") =!= col("y.key2")))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      pairs
+        .join(sh.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
+        .join(sh.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
+        .select(col("a"), col("b"),
+          size(col("ha")).cast(LongType).as("na"),
+          size(col("hb")).cast(LongType).as("nb"),
+          expr("intersect_sorted_count(ha, hb)").as("inter"))
+        .filter(lit(3L) * col("inter") >= col("na") + col("nb"))
+        .orderBy("a", "b")
     })
   )
 
@@ -3549,6 +3678,104 @@ object DedupExt {
         |UNION ALL SELECT rank, vec_id, mmr FROM s2
         |UNION ALL SELECT rank, vec_id, mmr FROM s3
         |UNION ALL SELECT rank, vec_id, mmr FROM s4
-        |ORDER BY rank""".stripMargin
+        |ORDER BY rank""".stripMargin,
+
+    // qs16: int8 quantization + proxy ranking + exact re-rank replayed
+    // with the qs1 expansion pattern; ranks via QUALIFY row_number
+    "qs16_sq8" ->
+      s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        |      FROM embeddings WHERE len(embedding) > 0),
+        |mxs AS (SELECT vec_id, xs,
+        |          list_max(list_transform(xs, x -> abs(x))) AS mx
+        |        FROM e),
+        |q8 AS MATERIALIZED (SELECT vec_id, i,
+        |        CAST(FLOOR(xs[i] * (127.0 / mx)) AS BIGINT) AS qi,
+        |        CAST(FLOOR(mx * 1000000.0) AS BIGINT) AS mxi
+        |      FROM mxs, idx WHERE i <= len(xs)),
+        |ex AS MATERIALIZED (SELECT vec_id, i,
+        |        CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |      FROM embeddings, idx WHERE i <= len(embedding)),
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+        |qd AS (SELECT p.vec_id AS pid, v.vec_id,
+        |         SUM(p.qi * v.qi) * MAX(v.mxi) AS proxy
+        |       FROM q8 p JOIN q8 v ON v.i = p.i AND v.vec_id <> p.vec_id
+        |       WHERE p.vec_id % 100 = 7
+        |       GROUP BY 1, 2),
+        |top20 AS (SELECT pid, vec_id FROM qd
+        |          QUALIFY row_number() OVER (PARTITION BY pid
+        |            ORDER BY proxy DESC, vec_id) <= 20),
+        |rr AS (SELECT t.pid, t.vec_id, SUM(q.xi * v.xi) AS dot
+        |       FROM top20 t JOIN ex v ON v.vec_id = t.vec_id
+        |                    JOIN ex q ON q.vec_id = t.pid AND q.i = v.i
+        |       GROUP BY 1, 2),
+        |scored AS (SELECT r.pid, r.vec_id,
+        |             CAST(ROUND(CAST(dot AS DOUBLE)
+        |               / (SQRT(CAST(qn.n2 AS DOUBLE))
+        |                  * SQRT(CAST(vn.n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+        |           FROM rr r JOIN norms vn ON vn.vec_id = r.vec_id
+        |                     JOIN norms qn ON qn.vec_id = r.pid)
+        |SELECT pid, vec_id, score FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY pid
+        |  ORDER BY score DESC, vec_id) <= 5
+        |ORDER BY pid, score DESC, vec_id""".stripMargin,
+
+    // qd23: OPH bins/densification replayed relationally (bin mins →
+    // per-(doc, slot) first non-empty rotation via QUALIFY), band keys
+    // via the ordered list_reduce fold, first-matching-band emission,
+    // exact-set verify — the same chain as the Spark side, element-wise
+    "qd23_oph" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, sh AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, greatest(len(string_split(text,' ')) - 3, 0)),
+         |      k -> array_to_string(string_split(text,' ')[k:k+3], ' '))) AS sh
+         |    FROM documents)
+         |),
+         |th AS MATERIALIZED (SELECT DISTINCT doc_id, ${duckH("tok")} AS h FROM sh),
+         |bins AS MATERIALIZED (SELECT doc_id, h % 16 AS bin, MIN(h) // 16 AS v
+         |        FROM th GROUP BY 1, 2),
+         |dl AS (SELECT doc_id FROM bins GROUP BY 1),
+         |dens AS MATERIALIZED (
+         |  SELECT c.doc_id, c.i, c.v + c.j * 1000000000 AS dv
+         |  FROM (SELECT d.doc_id, i.i, j.j, b.v
+         |        FROM dl d
+         |        CROSS JOIN generate_series(0, 15) i(i)
+         |        CROSS JOIN generate_series(0, 15) j(j)
+         |        JOIN bins b ON b.doc_id = d.doc_id
+         |          AND b.bin = (i.i + j.j) % 16) c
+         |  QUALIFY row_number() OVER (PARTITION BY c.doc_id, c.i
+         |    ORDER BY c.j) = 1),
+         |keys AS (SELECT doc_id, i // 4 AS band,
+         |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list(dv ORDER BY i)),
+         |             (acc, x) -> (acc * 31 + x) % $P) AS key
+         |         FROM dens GROUP BY 1, 2),
+         |kp AS (SELECT doc_id,
+         |         MAX(CASE WHEN band = 0 THEN key END) AS key0,
+         |         MAX(CASE WHEN band = 1 THEN key END) AS key1,
+         |         MAX(CASE WHEN band = 2 THEN key END) AS key2
+         |       FROM keys GROUP BY 1),
+         |keyt AS (SELECT k.doc_id, k.band, k.key, p.key0, p.key1, p.key2
+         |         FROM keys k JOIN kp p ON p.doc_id = k.doc_id),
+         |pairs AS MATERIALIZED (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM keyt x JOIN keyt y ON y.band = x.band AND y.key = x.key
+         |    AND x.doc_id < y.doc_id
+         |    AND (x.band = 0 OR x.key0 != y.key0)
+         |    AND (x.band <= 1 OR x.key1 != y.key1)
+         |    AND (x.band <= 2 OR x.key2 != y.key2)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY 1),
+         |ints AS (SELECT p.a, p.b, COUNT(*) AS inter
+         |         FROM pairs p JOIN th ta ON ta.doc_id = p.a
+         |                      JOIN th tb ON tb.doc_id = p.b AND tb.h = ta.h
+         |         GROUP BY 1, 2)
+         |SELECT i.a, i.b, CAST(sa.n AS BIGINT) AS na,
+         |       CAST(sb.n AS BIGINT) AS nb, CAST(i.inter AS BIGINT) AS inter
+         |FROM ints i JOIN sizes sa ON sa.doc_id = i.a
+         |            JOIN sizes sb ON sb.doc_id = i.b
+         |WHERE 3 * i.inter >= sa.n + sb.n
+         |ORDER BY i.a, i.b""".stripMargin
   )
 }

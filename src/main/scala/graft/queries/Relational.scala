@@ -4053,6 +4053,54 @@ object Relational {
             col("idx_sum") === coalesce(col("direct_sum"), lit(0L)))
             .as("agree"))
         .orderBy("qid")
+    }),
+
+    // Q140 XML SOURCE round-trip: the remaining file format of the
+    // source family (parquet/NDJSON/CSV/ORC/binaryFile/DSv2 — XML is
+    // the enterprise-interchange one, built into Spark 4 as the `xml`
+    // data source). A slice of orders rewrites as XML (<order> row
+    // tags; timestamps pinned to an explicit micros format on BOTH
+    // write and read so the default millis-truncating pattern can't
+    // silently round), reads back with a DECLARED schema (no inference
+    // pass — one read, not two), and aggregates in the exact-decimal
+    // regime with min/max date columns pinning timestamp fidelity
+    // across the text boundary. Hash-match against the parquet-sourced
+    // oracle pins type round-tripping: BIGINT keys, DOUBLE measures
+    // (Java shortest-round-trip toString → parseDouble is lossless),
+    // STRING enums, TIMESTAMP micros. Scale: XML files read in
+    // parallel (one task per split; the row-tag framing is what makes
+    // the format splittable), filter + pruning happen post-parse —
+    // the declared cost of a text format vs parquet, which is exactly
+    // why the engine's lake formats are columnar and XML is an ingest
+    // boundary only.
+    "q140_xml" -> ((s, d) => {
+      val dir = "target/graft-xml/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+      t(s, d, "orders").filter(col("o_orderkey") % 10 < 3)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite")
+        .option("rowTag", "order").option("timestampFormat", tsFmt)
+        .xml(dir)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderpriority", StringType)))
+      s.read.schema(schema).option("rowTag", "order")
+        .option("timestampFormat", tsFmt).xml(dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(Conv.dec6(col("o_totalprice"))).as("s0"),
+          min(col("o_orderdate")).as("d_min"),
+          max(col("o_orderdate")).as("d_max"))
+        .select(col("o_orderstatus"), col("n"),
+          round(col("s0"), 2).cast(DoubleType).as("total"),
+          col("d_min"), col("d_max"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -6319,6 +6367,19 @@ object Relational {
         |       s.idx_count = COALESCE(d.dc, 0)
         |         AND s.idx_sum = COALESCE(d.ds, 0) AS agree
         |FROM served s LEFT JOIN direct d ON d.qid = s.qid
-        |ORDER BY s.qid""".stripMargin
+        |ORDER BY s.qid""".stripMargin,
+
+    // q140: the oracle reads the SAME rows from parquet — a hash match
+    // therefore pins the XML write→read round-trip as lossless.
+    "q140_xml" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+        |    AS DOUBLE) AS total,
+        |  MIN(o_orderdate) AS d_min, MAX(o_orderdate) AS d_max
+        |FROM orders
+        |WHERE o_orderkey % 10 < 3
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -2529,6 +2529,56 @@ object TextExt {
           graft.Conv.r6(col("bpe_tokens").cast(DoubleType) * 100.0 / col("tot"))
             .as("share_pct"))
         .orderBy("lang", "source")
+    }),
+
+    // QT28 RAKE KEYPHRASE EXTRACTION (Rose et al. 2010, public method)
+    // — the per-document keyphrase verb of the text family (qt9/qt14
+    // rank TERMS corpus-wide; a curation/labeling pipeline also wants
+    // each doc's multi-word phrases). Candidate phrases = maximal runs
+    // of non-stopword tokens (the qt2 stopword list is the delimiter
+    // set); word degree(w) = Σ over w's occurrences of its phrase's
+    // length (co-occurrence count including self — RAKE's degree);
+    // phrase score = Σ degree(w) over the phrase's word OCCURRENCES.
+    // The degree-only scoring (not degree/freq) keeps every score an
+    // exact int64, so the per-doc top-3 by (score DESC, phrase ASC) is
+    // hash-checked data, not a float ranking. Scale: one posexplode
+    // scan; phrase ids from a per-doc running stopword count (window
+    // bounded by doc length); degree is a (doc, word)-keyed partial
+    // agg joined back on the same key; every shuffle key carries
+    // doc_id, so parallelism grows with the corpus and no global
+    // structure exists.
+    "qt28_rake" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val stopList = stopwords.map("'" + _ + "'").mkString(", ")
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("is_stop",
+          expr(s"CAST(array_contains(array($stopList), w) AS INT)"))
+      val wPos = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val occ = graft.operators.OpCaches.track(
+        tok.withColumn("pid", sum(col("is_stop")).over(wPos))
+          .filter(col("is_stop") === 0 && col("w") =!= "")
+          .select("doc_id", "pid", "pos", "w"))
+      val plen = occ.groupBy("doc_id", "pid")
+        .agg(count(lit(1)).as("plen"))
+      val deg = occ.join(plen, Seq("doc_id", "pid"))
+        .groupBy("doc_id", "w")
+        .agg(sum(col("plen")).as("degree"))
+      val phr = occ.join(deg, Seq("doc_id", "w"))
+        .groupBy("doc_id", "pid")
+        .agg(count(lit(1)).cast(LongType).as("n_words"),
+          sum(col("degree")).as("score"),
+          expr("array_join(transform(array_sort(" +
+            "collect_list(named_struct('pos', pos, 'w', w))), " +
+            "e -> e.w), ' ')").as("phrase"))
+      phr.withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("phrase"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+          col("phrase"), col("n_words"), col("score"))
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -4216,6 +4266,48 @@ object TextExt {
         |  CAST((64 + n_chars % 1000) * (64 + (doc_id * 37) % 800) AS BIGINT)
         |    AS pixels
         |FROM documents WHERE doc_id % 5 = 0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // qt28: the RAKE chain replayed relationally — running stopword
+    // count → phrase ids → degree join → ordered string_agg phrases
+    "qt28_rake" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |            FROM documents),
+        |tokl AS (SELECT doc_id, unnest(list_transform(
+        |           generate_series(1, len(tk)),
+        |           i -> struct_pack(pos := i, w := tk[i]))) AS u
+        |         FROM tk),
+        |tok AS (SELECT doc_id, u.pos AS pos, u.w AS w,
+        |          CASE WHEN u.w IN ('the', 'a', 'of', 'and')
+        |               THEN 1 ELSE 0 END AS st
+        |        FROM tokl),
+        |occ AS MATERIALIZED (
+        |  SELECT doc_id, pos, w, pid FROM (
+        |    SELECT doc_id, pos, w, st,
+        |      SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+        |    FROM tok)
+        |  WHERE st = 0 AND w != ''),
+        |plen AS (SELECT doc_id, pid, COUNT(*) AS plen
+        |         FROM occ GROUP BY 1, 2),
+        |deg AS (SELECT o.doc_id, o.w, SUM(p.plen) AS degree
+        |        FROM occ o JOIN plen p
+        |          ON p.doc_id = o.doc_id AND p.pid = o.pid
+        |        GROUP BY 1, 2),
+        |phr AS (SELECT o.doc_id, o.pid, COUNT(*) AS n_words,
+        |          SUM(d.degree) AS score,
+        |          string_agg(o.w, ' ' ORDER BY o.pos) AS phrase
+        |        FROM occ o JOIN deg d
+        |          ON d.doc_id = o.doc_id AND d.w = o.w
+        |        GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, phrase) AS BIGINT) AS rank,
+        |  phrase, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(score AS BIGINT) AS score
+        |FROM phr
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, phrase) <= 3
+        |ORDER BY doc_id, rank""".stripMargin
   )
 }

@@ -309,4 +309,76 @@ class Round10OpsSpec extends AnyFunSuite {
       "curve never moves — gate is vacuous")
     assert(got === want)
   }
+
+  test("qd23 OPH pairs match a brute-force bin/densify/band replay") {
+    val ds = docs().map { case (id, text, _) =>
+      val tk = text.split(" ")
+      val hs = (if (tk.length >= 4)
+        (0 to tk.length - 4).map(k => rollHash(tk.slice(k, k + 4).mkString(" ")))
+      else Seq.empty[Long]).distinct.sorted
+      (id, hs)
+    }.filter(_._2.nonEmpty)
+    // OPH: 16 bins, slot = min(h div 16 : h % 16 = i), densify rightward
+    def sig(hs: Seq[Long]): Array[Long] = {
+      val bins = Array.fill[Option[Long]](16)(None)
+      hs.foreach { h =>
+        val b = (h % 16).toInt
+        val v = h / 16
+        if (bins(b).forall(_ > v)) bins(b) = Some(v)
+      }
+      Array.tabulate(16) { i =>
+        val j = (0 until 16).find(j => bins((i + j) % 16).isDefined).get
+        bins((i + j) % 16).get + j.toLong * 1000000000L
+      }
+    }
+    def keys(ds16: Array[Long]): Array[Long] =
+      Array.tabulate(4) { k =>
+        (0 until 4).foldLeft(0L)((acc, x) => (acc * 31 + ds16(k * 4 + x)) % P)
+      }
+    val withKeys = ds.map { case (id, hs) => (id, hs.toSet, keys(sig(hs))) }
+    val want = (for {
+      (a, ha, ka) <- withKeys; (b, hb, kb) <- withKeys if a < b
+      // first matching band only (pair-unique emission)
+      k <- (0 until 4).find(k => ka(k) == kb(k)).toSeq
+      inter = (ha intersect hb).size.toLong
+      if 3 * inter >= ha.size + hb.size
+    } yield (a, b, ha.size.toLong, hb.size.toLong, inter)).sortBy(p => (p._1, p._2))
+    val got = SparkEntry.queries("qd23_oph")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    graft.operators.OpCaches.releaseAll()
+    assert(want.nonEmpty, "no OPH pairs at sf0.001 — gate is vacuous")
+    assert(got === want)
+  }
+
+  test("qt28 RAKE top-3 phrases match a brute-force per-doc replay") {
+    val stop = Set("the", "a", "of", "and")
+    val want = docs().toSeq.flatMap { case (id, text, _) =>
+      val tk = text.split(" ", -1)
+      // phrase id = running stopword count; keep non-stop non-empty
+      var pid = 0L
+      val occ = tk.toSeq.map { w =>
+        if (stop(w)) { pid += 1; (pid, w, true) } else (pid, w, false)
+      }.filter(o => !o._3 && o._2.nonEmpty).map(o => (o._1, o._2))
+      if (occ.isEmpty) Seq.empty
+      else {
+        val plen = occ.groupBy(_._1).map { case (p, os) => p -> os.size.toLong }
+        val deg = occ.groupBy(_._2).map { case (w, os) =>
+          w -> os.map(o => plen(o._1)).sum
+        }
+        val phrases = occ.groupBy(_._1).toSeq.map { case (p, os) =>
+          (os.map(_._2).mkString(" "), os.size.toLong, os.map(o => deg(o._2)).sum)
+        }
+        phrases.sortBy(ph => (-ph._3, ph._1)).take(3).zipWithIndex.map {
+          case ((phrase, nw, score), i) => (id, i + 1L, phrase, nw, score)
+        }
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("qt28_rake")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(want.nonEmpty && want.exists(_._4 > 1),
+      "no multi-word phrase at sf0.001 — gate is vacuous")
+    assert(got === want)
+  }
 }
