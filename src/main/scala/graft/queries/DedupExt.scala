@@ -783,6 +783,58 @@ object DedupExt {
         .orderBy("q", "rk")
     }),
 
+    // QS17 HARD-NEGATIVE MINING (round 10) — the contrastive-training
+    // verb the ANN family serves but no query exposed: retrieval/
+    // embedding training wants, per anchor, negatives that are HARD
+    // (similar enough to teach the margin) but not POSITIVES in
+    // disguise (near-duplicates of the anchor) — the band between the
+    // corpus's random-similarity floor and the POSITIVE cutoff, here
+    // 0.05 ≤ cos < 0.40 with 0.40 exactly qd4's near-dup threshold
+    // (a candidate qd4 would call a duplicate is a positive, not a
+    // negative). Same scale shape as qs3: the probe batch's band keys
+    // equi-join the banded index (never a corpus scan), exact
+    // fixed-point re-rank on candidates only; band MEMBERSHIP is
+    // decided in exact integer arithmetic (dot > 0 ∧ 400·dot² ≥
+    // n2·qn2 ⟺ cos ≥ 0.05; 25·dot² < 4·n2·qn2 ⟺ cos < 0.4 —
+    // HUGEINT in DuckDB, widened DECIMAL in Spark, both exact), so no
+    // float knife-edge can flip a negative in or out;
+    // the kept top-3 per anchor (score DESC, vec_id) is hash-checked
+    // data. The upper exclusion is the part exact-top-k serving gets
+    // wrong for this use: a near-dup at cos 0.99 is the BEST top-k hit
+    // and the WORST training negative.
+    "qs17_hardneg" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val pv = graft.operators.OpCaches.track(perVec(exQ(s, d)))
+      val bands = vecBands(pv)
+      val probes = bands.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q"), col("k"), col("key"),
+          col("n2").as("qn2"))
+      val cand = bands.join(broadcast(probes), Seq("k", "key"))
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"), col("n2"), col("qn2"))
+        .distinct()
+      val emb = embQ(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy(col("score").desc, col("vec_id"))
+      cand.join(emb, Seq("vec_id"))
+        .join(broadcast(emb.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("q"), col("ei").as("qe"))), Seq("q"))
+        .withColumn("dot", expr(dotL("ei", "qe")))
+        .filter(col("dot") > 0 && expr(
+          "400 * CAST(dot AS DECIMAL(20,0)) * CAST(dot AS DECIMAL(20,0))" +
+            " >= CAST(n2 AS DECIMAL(20,0)) * CAST(qn2 AS DECIMAL(20,0))")
+          && expr(
+          "25 * CAST(dot AS DECIMAL(20,0)) * CAST(dot AS DECIMAL(20,0))" +
+            " < 4 * CAST(n2 AS DECIMAL(20,0)) * CAST(qn2 AS DECIMAL(20,0))"))
+        .select(col("q"), col("vec_id"),
+          round(col("dot").cast(DoubleType)
+            / (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("n2").cast(DoubleType))), 6)
+            .cast(DoubleType).as("score"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= 3)
+        .orderBy("q", "rk")
+    }),
+
     // qs7 the qs3 probe batch against the PERSISTED ANN index — the
     // serving half of the round-6 index lifecycle (qd10 is the dedup
     // half): hyperplane band relation + quantized vectors written once
@@ -2412,6 +2464,45 @@ object DedupExt {
       |      FROM sc)
       |SELECT q, vec_id, score, rk FROM r WHERE rk <= 3 ORDER BY q, rk""".stripMargin
 
+  // qs17: oracleQs3's banded candidate replay with the hard-negative
+  // band decided in exact integers (SUM(BIGINT) is HUGEINT in DuckDB,
+  // so dot*dot / n2*qn2 products never overflow) BEFORE the float
+  // score exists — the 0.30 ≤ cos < 0.70 membership is integer data
+  private val oracleQs17 =
+    s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+      |ex AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+      |       FROM embeddings, idx WHERE i <= len(embedding)),
+      |proj AS (SELECT vec_id, j,
+      |           SUM((((1103515245 * CAST(64*j + (i-1) AS BIGINT) + 12345) % 2147483648)
+      |             - 1073741824) * xi) AS proj
+      |         FROM ex, generate_series(0, 63) t(j) GROUP BY 1, 2),
+      |bk AS (SELECT vec_id, j // 16 AS k,
+      |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (j % 16) ELSE 0 END) AS BIGINT) AS key
+      |       FROM proj GROUP BY 1, 2),
+      |probes AS (SELECT vec_id AS q, k, key FROM bk WHERE vec_id % 100 = 7),
+      |cand AS MATERIALIZED (SELECT DISTINCT p.q, b.vec_id
+      |         FROM bk b JOIN probes p ON b.k = p.k AND b.key = p.key
+      |         WHERE b.vec_id <> p.q),
+      |norms AS MATERIALIZED (SELECT vec_id, SUM(xi*xi) AS n2 FROM ex GROUP BY 1),
+      |dots AS (SELECT c.q, c.vec_id, SUM(v.xi * u.xi) AS dot
+      |         FROM cand c JOIN ex v ON v.vec_id = c.vec_id
+      |                     JOIN ex u ON u.vec_id = c.q AND u.i = v.i
+      |         GROUP BY 1, 2),
+      |hard AS (SELECT d.q, d.vec_id, d.dot, vn.n2, qn.n2 AS qn2
+      |         FROM dots d JOIN norms vn ON vn.vec_id = d.vec_id
+      |                     JOIN norms qn ON qn.vec_id = d.q
+      |         WHERE d.dot > 0
+      |           AND 400 * d.dot * d.dot >= vn.n2 * qn.n2
+      |           AND 25 * d.dot * d.dot < 4 * vn.n2 * qn.n2),
+      |sc AS (SELECT q, vec_id,
+      |         CAST(ROUND(CAST(dot AS DOUBLE)
+      |           / (SQRT(CAST(qn2 AS DOUBLE)) * SQRT(CAST(n2 AS DOUBLE))), 6) AS DOUBLE) AS score
+      |       FROM hard),
+      |r AS (SELECT q, vec_id, score,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS BIGINT) AS rk
+      |      FROM sc)
+      |SELECT q, vec_id, score, rk FROM r WHERE rk <= 3 ORDER BY q, rk""".stripMargin
+
   private val oracleQd7 =
     s"""WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
        |ifp AS (SELECT doc_id, ${duckH("text")} AS fp FROM inc),
@@ -2897,6 +2988,7 @@ object DedupExt {
         |ORDER BY vec_id""".stripMargin,
 
     "qs3_annbatch" -> oracleQs3,
+    "qs17_hardneg" -> oracleQs17,
 
     // qs7: the SAME oracle SQL as qs3 — the persisted-index probe path
     // must be indistinguishable from the inline recompute (that IS the

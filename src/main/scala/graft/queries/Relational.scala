@@ -4101,6 +4101,192 @@ object Relational {
           round(col("s0"), 2).cast(DoubleType).as("total"),
           col("d_min"), col("d_max"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Q141 SPEARMAN'S RHO — the third classical correlation, closing
+    // the association family (q108 Pearson asks "linear together?",
+    // q134 Kendall asks "concordant direction?"; Spearman asks "MONOTONE
+    // together?" — Pearson applied to RANKS, the screen that survives
+    // any monotone transform yet keeps Pearson's familiar scale): for
+    // every event-type pair over shared days, rank each side's daily
+    // total WITHIN the pair with average-rank tie handling kept EXACT
+    // by 2-scaling — a tied block at positions [l+1, l+t] has average
+    // rank l+(t+1)/2, so TWICE it is the integer 2l+t+1 = 2·rank()+t−1
+    // (rank() and the per-value tie count t are both windows over the
+    // bounded joint relation). Pearson is scale-invariant, so rho on
+    // the doubled ranks equals rho on the ranks: num = n·Σrxry−Σrx·Σry
+    // and the two dens are exact int64 audit columns; rho is ONE
+    // identical IEEE tree (sqrt correctly rounded — g08 convention),
+    // NULL-guarded identically in both engines where a side is
+    // constant (den = 0). Headroom (q105 convention): doubled ranks
+    // ≤ 2n, so n·Σrxry ≤ 4n⁴ — inside int64 for n < ~38 k shared days
+    // (a century of dailies is 36 k). Scale: the corpus collapses to
+    // the daily relation in one partial-aggregatable pass; ranking
+    // windows and the pair join run over O(types² × days) rows —
+    // bounded by TIME, not corpus size (q134's argument).
+    "q141_spearman" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"),
+          Conv.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
+          .as("x"))
+      val a = daily.select(col("event_type").as("ta"), col("day"),
+        col("x").as("xa"))
+      val b = daily.select(col("event_type").as("tb"), col("day"),
+        col("x").as("xb"))
+      val joint = a.join(b, Seq("day")).filter(col("ta") < col("tb"))
+      val wxr = Window.partitionBy("ta", "tb").orderBy("xa")
+      val wxt = Window.partitionBy("ta", "tb", "xa")
+      val wyr = Window.partitionBy("ta", "tb").orderBy("xb")
+      val wyt = Window.partitionBy("ta", "tb", "xb")
+      joint
+        .withColumn("rx", lit(2L) * rank().over(wxr)
+          + count(lit(1)).over(wxt) - lit(1L))
+        .withColumn("ry", lit(2L) * rank().over(wyr)
+          + count(lit(1)).over(wyt) - lit(1L))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"))
+        .select(col("ta"), col("tb"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("denx"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
+        .withColumn("rho",
+          when(col("denx") === 0L || col("deny") === 0L,
+            lit(null).cast(DoubleType))
+            .otherwise(round(col("num").cast(DoubleType)
+              / (sqrt(col("denx").cast(DoubleType))
+                * sqrt(col("deny").cast(DoubleType))), 6)
+              .cast(DoubleType)))
+        .orderBy("ta", "tb")
+    }),
+
+    // Q142 CLIFF'S DELTA — the EFFECT-SIZE readout the A/B family
+    // stops short of (q93 says "significant?", q107/q128 say "shifted/
+    // different shape?" — none says HOW BIG; delta = P(X>Y) − P(X<Y)
+    // is the ordinal effect size that needs no variance assumptions):
+    // per event type between the two deterministic arms, computed from
+    // the VALUE HISTOGRAM exactly like q107 (the q81-trap dodge) —
+    // gt = Σ_v c0(v)·(arm-1 count strictly below v) and lt = Σ_v
+    // c0(v)·(arm-1 count strictly above v) via two complementary
+    // cumulative windows over the bounded distinct-value relation;
+    // num = gt − lt is exact int64 and delta = num/(n0·n1) ONE
+    // division rounded 6. The Romano magnitude LABEL (negligible <
+    // 0.147 ≤ small < 0.33 ≤ medium < 0.474 ≤ large) is decided in
+    // EXACT INTEGERS — 1000·|num| vs 147/330/474 · n0·n1 — so the
+    // classification is hash-checked data, not a float threshold.
+    // Scale: one per-user partial agg, then windows over ≤(types ×
+    // distinct values) rows (q107's shape verbatim).
+    "q142_cliffs" -> ((s, d) => {
+      val obs = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
+          .as("v"))
+        .select(col("event_type"), col("v"),
+          pmod(col("user_id"), lit(2L)).as("arm"))
+      val hist = obs.groupBy("event_type", "v")
+        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("c1"))
+      val wlt = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wgt = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(1, Window.unboundedFollowing)
+      hist
+        .withColumn("clt1", coalesce(sum(col("c1")).over(wlt), lit(0L)))
+        .withColumn("cgt1", coalesce(sum(col("c1")).over(wgt), lit(0L)))
+        .groupBy("event_type")
+        .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+          sum(col("c0") * col("clt1")).as("gt"),
+          sum(col("c0") * col("cgt1")).as("lt"))
+        .withColumn("num", col("gt") - col("lt"))
+        .withColumn("delta",
+          when(col("n0") * col("n1") === 0L, lit(null).cast(DoubleType))
+            .otherwise(round(col("num").cast(DoubleType)
+              / (col("n0") * col("n1")).cast(DoubleType), 6)
+              .cast(DoubleType)))
+        .withColumn("magnitude",
+          when(col("n0") * col("n1") === 0L, lit("undefined"))
+            .when(lit(1000L) * abs(col("num"))
+              < lit(147L) * col("n0") * col("n1"), lit("negligible"))
+            .when(lit(1000L) * abs(col("num"))
+              < lit(330L) * col("n0") * col("n1"), lit("small"))
+            .when(lit(1000L) * abs(col("num"))
+              < lit(474L) * col("n0") * col("n1"), lit("medium"))
+            .otherwise(lit("large")))
+        .select("event_type", "n0", "n1", "gt", "lt", "num", "delta",
+          "magnitude")
+        .orderBy("event_type")
+    }),
+
+    // Q143 WILCOXON SIGNED-RANK TEST — the PAIRED member the test
+    // family lacked (q93/q107/q128/q142 all compare independent arms;
+    // the before/after readout needs each subject as its own control):
+    // pairs = per (type, user) the EVEN-day vs ODD-day cent sums (a
+    // deterministic within-user split), difference binned div 1000
+    // (both engines truncate toward zero — the q132-measured fact — and
+    // the SAME binned d feeds both sign and rank, so no cross-engine
+    // boundary), zero differences dropped (the classical convention).
+    // Ranks of |d| with average-rank ties kept EXACT by q141's
+    // 2-scaling, computed from the |d| HISTOGRAM (the q81-trap dodge):
+    // r2(a) = 2·(count strictly below) + (count equal) + 1 via one
+    // cumulative window over the bounded distinct-|d| relation;
+    // w2p = Σ_a posCount(a)·r2(a) = 2·W⁺ exact int64, tie sum
+    // ts3 = Σ(t³−t) rides as the audit column. z = (w2p − n(n+1)/2) /
+    // (2·√(n(n+1)(2n+1)/24 − ts3/48)) is ONE identical IEEE tree
+    // (correctly-rounded sqrt — g08 convention); all-tied inputs keep
+    // the variance positive (it degenerates to n(n+1)²/16), and the
+    // ≤0 guard is written identically anyway. Headroom (q105
+    // convention): n(n+1)(2n+1) and ts3 need ~2n³ < 2⁶³ → n < 1.4e6
+    // pairs per type — far above distinct users per event type at any
+    // deployment that still wants a p-value. Scale: one (type, user,
+    // parity)-conditional partial agg, then windows over ≤(types ×
+    // distinct |d|) rows.
+    "q143_wilcoxon" -> ((s, d) => {
+      val dayCol =
+        Conv.floorDiv(unix_micros(col("ts")), 86400000000L)
+      val pairs = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull
+          && col("ts").isNotNull)
+        .withColumn("par", pmod(dayCol, lit(2L)))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(when(col("par") === 0L,
+            expr("cast(floor(value * 100) as bigint)")).otherwise(0L))
+            .as("x"),
+          sum(when(col("par") === 1L,
+            expr("cast(floor(value * 100) as bigint)")).otherwise(0L))
+            .as("y"))
+        .withColumn("dd", expr("(x - y) div 1000"))
+        .filter(col("dd") =!= 0L)
+      val hist = pairs
+        .groupBy(col("event_type"), abs(col("dd")).as("a"))
+        .agg(count(lit(1)).as("ct"),
+          sum(when(col("dd") > 0L, 1L).otherwise(0L)).as("cp"))
+      val w = Window.partitionBy("event_type").orderBy("a")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("cl", coalesce(sum(col("ct")).over(w), lit(0L)))
+        .groupBy("event_type")
+        .agg(sum(col("ct")).as("n"),
+          sum(col("cp") * (lit(2L) * col("cl") + col("ct") + lit(1L)))
+            .as("w2p"),
+          sum(col("ct") * col("ct") * col("ct") - col("ct")).as("ts3"))
+        .withColumn("variance",
+          (col("n") * (col("n") + lit(1L)) * (lit(2L) * col("n")
+            + lit(1L))).cast(DoubleType) / lit(24.0)
+            - col("ts3").cast(DoubleType) / lit(48.0))
+        .withColumn("z",
+          when(col("variance") <= 0.0, lit(null).cast(DoubleType))
+            .otherwise(round(
+              (col("w2p") - expr("n * (n + 1) div 2"))
+                .cast(DoubleType) / (lit(2.0) * sqrt(col("variance"))),
+              6).cast(DoubleType)))
+        .select("event_type", "n", "w2p", "ts3", "z")
+        .orderBy("event_type")
     })
   )
 
@@ -6380,6 +6566,134 @@ object Relational {
         |WHERE o_orderkey % 10 < 3
         |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // q141: identical doubled-rank arithmetic (2·RANK() + tie count −
+    // 1 is the exact integer 2× average rank); rho's IEEE tree and the
+    // den=0 NULL guard are written identically on both sides
+    "q141_spearman" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           // 1000 AS x
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+        |        a.x AS xa, b.x AS xb
+        |      FROM daily a JOIN daily b ON b.day = a.day
+        |        AND a.event_type < b.event_type),
+        |r AS (SELECT ta, tb,
+        |        2 * RANK() OVER (PARTITION BY ta, tb ORDER BY xa)
+        |          + COUNT(*) OVER (PARTITION BY ta, tb, xa) - 1 AS rx,
+        |        2 * RANK() OVER (PARTITION BY ta, tb ORDER BY xb)
+        |          + COUNT(*) OVER (PARTITION BY ta, tb, xb) - 1 AS ry
+        |      FROM j),
+        |agg AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(rx) AS BIGINT) AS sx,
+        |          CAST(SUM(ry) AS BIGINT) AS sy,
+        |          CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+        |          CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+        |          CAST(SUM(ry * ry) AS BIGINT) AS syy
+        |        FROM r GROUP BY 1, 2)
+        |SELECT ta, tb, n,
+        |       n * sxy - sx * sy AS num,
+        |       n * sxx - sx * sx AS denx,
+        |       n * syy - sy * sy AS deny,
+        |       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |         THEN NULL
+        |         ELSE CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |           / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |             * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |           AS DOUBLE) END AS rho
+        |FROM agg ORDER BY ta, tb""".stripMargin,
+
+    // q142: the two complementary cumulative windows and the exact
+    // integer Romano-threshold comparisons are replayed verbatim
+    "q142_cliffs" ->
+      """WITH obs AS (
+        |  SELECT event_type, user_id % 2 AS arm,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           // 1000 AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY event_type, user_id),
+        |hist AS (SELECT event_type, v,
+        |           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS c0,
+        |           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS c1
+        |         FROM obs GROUP BY 1, 2),
+        |cu AS (SELECT event_type, c0, c1,
+        |         COALESCE(SUM(c1) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS clt1,
+        |         COALESCE(SUM(c1) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |           AS cgt1
+        |       FROM hist),
+        |agg AS (SELECT event_type,
+        |          CAST(SUM(c0) AS BIGINT) AS n0,
+        |          CAST(SUM(c1) AS BIGINT) AS n1,
+        |          CAST(SUM(c0 * clt1) AS BIGINT) AS gt,
+        |          CAST(SUM(c0 * cgt1) AS BIGINT) AS lt
+        |        FROM cu GROUP BY 1)
+        |SELECT event_type, n0, n1, gt, lt, gt - lt AS num,
+        |       CASE WHEN n0 * n1 = 0 THEN NULL
+        |         ELSE CAST(ROUND(CAST(gt - lt AS DOUBLE)
+        |           / CAST(n0 * n1 AS DOUBLE), 6) AS DOUBLE) END AS delta,
+        |       CASE WHEN n0 * n1 = 0 THEN 'undefined'
+        |         WHEN 1000 * ABS(gt - lt) < 147 * n0 * n1
+        |           THEN 'negligible'
+        |         WHEN 1000 * ABS(gt - lt) < 330 * n0 * n1 THEN 'small'
+        |         WHEN 1000 * ABS(gt - lt) < 474 * n0 * n1 THEN 'medium'
+        |         ELSE 'large' END AS magnitude
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // q143: identical even/odd-day pairing, truncating (x−y)//1000
+    // binning (both engines truncate toward zero — q132's measured
+    // fact, and here the numerator CAN be negative, so truncation
+    // rather than floor is the shared contract), q141's doubled-rank
+    // arithmetic from the |d| histogram, and one identical IEEE tree
+    "q143_wilcoxon" ->
+      """WITH pairs AS (
+        |  SELECT event_type,
+        |    (CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+        |       THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+        |       AS BIGINT)
+        |     - CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1
+        |       THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+        |       AS BIGINT)) AS xy
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY event_type, user_id),
+        |d AS (SELECT event_type,
+        |        CAST(xy // 1000 AS BIGINT) AS dd
+        |      FROM pairs WHERE CAST(xy // 1000 AS BIGINT) <> 0),
+        |hist AS (SELECT event_type, ABS(dd) AS a,
+        |           CAST(COUNT(*) AS BIGINT) AS ct,
+        |           CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS cp
+        |         FROM d GROUP BY 1, 2),
+        |cu AS (SELECT event_type, ct, cp,
+        |         COALESCE(SUM(ct) OVER (PARTITION BY event_type
+        |           ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND 1 PRECEDING), 0) AS cl
+        |       FROM hist),
+        |agg AS (SELECT event_type,
+        |          CAST(SUM(ct) AS BIGINT) AS n,
+        |          CAST(SUM(cp * (2 * cl + ct + 1)) AS BIGINT) AS w2p,
+        |          CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS ts3
+        |        FROM cu GROUP BY 1)
+        |SELECT event_type, n, w2p, ts3,
+        |       CASE WHEN CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE)
+        |           / 24.0 - CAST(ts3 AS DOUBLE) / 48.0 <= 0.0 THEN NULL
+        |         ELSE CAST(ROUND(
+        |           CAST(w2p - (n * (n + 1) // 2) AS DOUBLE)
+        |           / (2.0 * SQRT(CAST(n * (n + 1) * (2 * n + 1)
+        |               AS DOUBLE) / 24.0
+        |             - CAST(ts3 AS DOUBLE) / 48.0)), 6) AS DOUBLE)
+        |         END AS z
+        |FROM agg ORDER BY event_type""".stripMargin
   )
 }

@@ -381,4 +381,190 @@ class Round10OpsSpec extends AnyFunSuite {
       "no multi-word phrase at sf0.001 — gate is vacuous")
     assert(got === want)
   }
+
+  /** events → the shared (event_type, day, x) daily relation (cents sum
+    * div 1000) the q108/q134/q141 correlation family aggregates over. */
+  private def daily(): Map[(String, Long), Long] = {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "ts", "value").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map { r =>
+        // events.ts is TIMESTAMP_NTZ (LocalDateTime in Row); the engine
+        // runs with session timeZone UTC, so unix_micros reads it as UTC
+        val ldt = r.getAs[java.time.LocalDateTime](1)
+        val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+        (r.getString(0), Math.floorDiv(us, 86400000000L),
+          math.floor(r.getDouble(2) * 100).toLong)
+      }
+    rows.groupBy(t => (t._1, t._2))
+      .map { case (k, vs) => k -> vs.map(_._3).sum / 1000L }
+  }
+
+  test("q141 Spearman matches a brute-force doubled-rank replay") {
+    val dl = daily()
+    val types = dl.keySet.map(_._1).toSeq.sorted
+    def r2s(xs: Seq[Long]): Seq[Long] =
+      xs.map(x => 2L * xs.count(_ < x) + xs.count(_ == x) + 1L)
+    val want = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+      ta = types(i); tb = types(j)
+      days = dl.keySet.filter(_._1 == ta).map(_._2)
+        .intersect(dl.keySet.filter(_._1 == tb).map(_._2)).toSeq.sorted
+      if days.nonEmpty
+    } yield {
+      val xa = days.map(dy => dl((ta, dy)))
+      val xb = days.map(dy => dl((tb, dy)))
+      val (rx, ry) = (r2s(xa), r2s(xb))
+      val n = days.length.toLong
+      val (sx, sy) = (rx.sum, ry.sum)
+      val sxy = rx.zip(ry).map { case (u, v) => u * v }.sum
+      val sxx = rx.map(u => u * u).sum
+      val syy = ry.map(u => u * u).sum
+      val num = n * sxy - sx * sy
+      val (denx, deny) = (n * sxx - sx * sx, n * syy - sy * sy)
+      val rho =
+        if (denx == 0L || deny == 0L) None
+        else Some(r6(num.toDouble
+          / (math.sqrt(denx.toDouble) * math.sqrt(deny.toDouble))))
+      (ta, tb, n, num, denx, deny, rho)
+    }).sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q141_spearman")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+    assert(want.nonEmpty && want.exists(_._7.isDefined),
+      "no pair with non-degenerate ranks at sf0.001 — gate is vacuous")
+    assert(got === want)
+  }
+
+  test("q142 Cliff's delta matches a brute-force all-pairs replay") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "user_id", "value").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100).toLong))
+    val want = rows.groupBy(_._1).toSeq.map { case (ty, rs) =>
+      val byUser = rs.groupBy(_._2)
+        .map { case (u, vs) => (u, vs.map(_._3).sum / 1000L) }
+      val a0 = byUser.collect {
+        case (u, v) if ((u % 2) + 2) % 2 == 0 => v }.toSeq
+      val a1 = byUser.collect {
+        case (u, v) if ((u % 2) + 2) % 2 == 1 => v }.toSeq
+      // all-pairs dominance counts — the histogram-window formulation's
+      // definitional form (quadratic here, fine at sf0.001)
+      val gt = a0.map(x => a1.count(_ < x).toLong).sum
+      val lt = a0.map(x => a1.count(_ > x).toLong).sum
+      val (n0, n1) = (a0.length.toLong, a1.length.toLong)
+      val num = gt - lt
+      val delta =
+        if (n0 * n1 == 0L) None else Some(r6(num.toDouble / (n0 * n1)))
+      val mag =
+        if (n0 * n1 == 0L) "undefined"
+        else if (1000L * math.abs(num) < 147L * n0 * n1) "negligible"
+        else if (1000L * math.abs(num) < 330L * n0 * n1) "small"
+        else if (1000L * math.abs(num) < 474L * n0 * n1) "medium"
+        else "large"
+      (ty, n0, n1, gt, lt, num, delta, mag)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q142_cliffs")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        r.getString(7))).toSeq
+    assert(want.nonEmpty && want.exists(t => t._4 + t._5 > 0),
+      "no cross-arm comparisons at sf0.001 — gate is vacuous")
+    assert(got === want)
+  }
+
+  test("q143 Wilcoxon matches a brute-force signed-rank replay") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "user_id", "ts", "value").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3))
+      .map { r =>
+        val ldt = r.getAs[java.time.LocalDateTime](2)
+        val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+        (r.getString(0), r.getLong(1),
+          Math.floorDiv(us, 86400000000L) % 2L,
+          math.floor(r.getDouble(3) * 100).toLong)
+      }
+    val want = rows.groupBy(_._1).toSeq.map { case (ty, rs) =>
+      val ds = rs.groupBy(_._2).toSeq.map { case (_, es) =>
+        val x = es.filter(_._3 == 0L).map(_._4).sum
+        val y = es.filter(_._3 == 1L).map(_._4).sum
+        (x - y) / 1000L // Scala / truncates toward zero like div
+      }.filter(_ != 0L)
+      val as = ds.map(math.abs)
+      val n = ds.length.toLong
+      // doubled average rank of |d|, summed over positive d
+      val w2p = ds.filter(_ > 0L).map { dd =>
+        val a = math.abs(dd)
+        2L * as.count(_ < a) + as.count(_ == a) + 1L
+      }.sum
+      val ts3 = as.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+      val variance = n * (n + 1L) * (2L * n + 1L) / 24.0 - ts3 / 48.0
+      val z =
+        if (variance <= 0.0) None
+        else Some(r6((w2p - n * (n + 1L) / 2L).toDouble
+          / (2.0 * math.sqrt(variance))))
+      (ty, n, w2p, ts3, z)
+    }.filter(_._2 > 0L).sortBy(_._1)
+    val got = SparkEntry.queries("q143_wilcoxon")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(want.nonEmpty && want.exists(_._3 > 0L),
+      "no positive differences at sf0.001 — gate is vacuous")
+    assert(got === want)
+  }
+
+  test("qs17 hard negatives match a brute-force hyperplane/band replay") {
+    val vecs = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(v =>
+          math.floor(v.toDouble * 1e7).toLong)))
+    // 64 hyperplane signs -> 4 x 16-bit band keys (the qd4/qs1 sketch)
+    def bandKeys(x: Array[Long]): Array[Long] = {
+      val keys = new Array[Long](4)
+      for (j <- 0 until 64) {
+        var p = 0L
+        for (i <- x.indices) {
+          val c = (1103515245L * (64L * j + i) + 12345L) % 2147483648L -
+            1073741824L
+          p += c * x(i)
+        }
+        if (p > 0) keys(j / 16) |= 1L << (j % 16)
+      }
+      keys
+    }
+    val sk = vecs.map { case (id, x) => (id, x, bandKeys(x)) }
+    val probes = sk.filter(_._1 % 100 == 7)
+    val want = probes.toSeq.flatMap { case (q, qe, qk) =>
+      val qn2 = qe.map(v => v * v).sum
+      val cands = sk.filter { case (id, _, k) =>
+        id != q && k.indices.exists(b => k(b) == qk(b))
+      }
+      val hard = cands.flatMap { case (id, x, _) =>
+        val dot = x.zip(qe).map { case (u, v) => u * v }.sum
+        val n2 = x.map(v => v * v).sum
+        val d2 = BigInt(dot) * BigInt(dot)
+        val nn = BigInt(n2) * BigInt(qn2)
+        if (dot > 0 && d2 * 400 >= nn && d2 * 25 < nn * 4)
+          Some((id, r6(dot.toDouble
+            / (math.sqrt(qn2.toDouble) * math.sqrt(n2.toDouble)))))
+        else None
+      }
+      hard.sortBy { case (id, sc) => (-sc, id) }.take(3).zipWithIndex
+        .map { case ((id, sc), i) => (q, id, sc, i + 1L) }
+    }.sortBy(t => (t._1, t._4))
+    val got = SparkEntry.queries("qs17_hardneg")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    graft.operators.OpCaches.releaseAll()
+    assert(want.nonEmpty, "no hard negatives at sf0.001 — gate is vacuous")
+    assert(got === want)
+  }
 }
