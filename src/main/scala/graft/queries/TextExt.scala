@@ -967,6 +967,68 @@ object TextExt {
         .orderBy("a", "b")
     }),
 
+    // QM12 REAL PNG DECODE (round 10) — the multimodal decode boundary
+    // pushed past qm9's uncompressed BMP to a COMPRESSED container:
+    // per sampled doc the executor builds formula pixels, encodes them
+    // as a real PNG (zlib DEFLATE via java.util.zip, chunked with
+    // CRC-32; filter type y % 5 so every image exercises ALL FIVE
+    // scanline filters — a decoder handling only filter 0 cannot
+    // pass; even ids split the zlib stream across two+ IDAT chunks, so
+    // concatenation is exercised too), then DECODES with the
+    // independent chunk-walking decoder (multimodal/Png.decode:
+    // signature + per-chunk CRC validation, IDAT concatenation,
+    // Inflater, per-row UN-filtering incl. the Paeth predictor) and
+    // emits INT64 features from the DECODED pixels. The oracle replays
+    // the features from the pixel FORMULA — any unfilter/predictor/
+    // inflate-plumbing bug lands in the position-sensitive wsum.
+    // Deliberately NO compressed-size column: the deflate byte stream
+    // is not a cross-engine constant, only the decoded pixels are.
+    // Scale shape: encode+decode+reduce row-local in ONE mapPartitions
+    // stage — payload bytes never shuffle, only the fixed-width
+    // feature row leaves the executor.
+    "qm12_pngdecode" -> ((s, d) => {
+      import s.implicits._
+      val feats = t(s, d, "documents").filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 12 + (id % 9).toInt
+            val h = 6 + (id % 7).toInt
+            val rgb = new Array[Byte](3 * w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = 3 * (y * w + x)
+                rgb(p) = ((5L * id + 11L * x + 3L * y) % 256).toByte
+                rgb(p + 1) = ((x.toLong * x + 2L * y + id) % 256).toByte
+                rgb(p + 2) = ((7L * x + y.toLong * y + 3L * id) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val bytes = graft.multimodal.Png.encode(w, h, rgb,
+              filterOf = r => r % 5,
+              idatSplit = if (id % 2 == 0) 64 else 0)
+            val img = graft.multimodal.Png.decode(bytes)
+            var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+            var i = 0
+            val n = img.width * img.height
+            while (i < n) {
+              val r = img.rgb(3 * i) & 0xff
+              val g = img.rgb(3 * i + 1) & 0xff
+              val b = img.rgb(3 * i + 2) & 0xff
+              sr += r; sg += g; sb += b
+              ws += (r * 65536L + g * 256L + b) * (i % 101 + 1)
+              i += 1
+            }
+            graft.multimodal.PngFeat(id, img.width.toLong,
+              img.height.toLong, n.toLong, sr, sg, sb, ws)
+          }
+        }
+      feats.toDF().orderBy("doc_id")
+    }),
+
     // QM11 AUDIO FINGERPRINT NEAR-DUP OVER DECODED PCM (round 10):
     // the audio modality raised to qm9/qm10's standard — near-dup
     // detection from DECODED sample values through a REAL RIFF/WAVE
@@ -4086,6 +4148,36 @@ object TextExt {
         |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
         |       CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT)
         |         AS n_bytes,
+        |       sum_r, sum_g, sum_b, wsum
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // qm12: the oracle replays the per-pixel features from the SOURCE
+    // pixel formula — the Spark side must reach the same numbers
+    // through a REAL PNG encode→decode round trip (deflate + all five
+    // scanline filters + IDAT splitting), so the position-sensitive
+    // wsum pins the un-filter/Paeth/inflate plumbing; n_px (not a
+    // compressed size — deflate bytes aren't a cross-engine constant)
+    // pins the dims parse (w ≤ 20, h ≤ 12 ⇒ constant-bound series)
+    "qm12_pngdecode" ->
+      """WITH ids AS (SELECT doc_id, 12 + doc_id % 9 AS w,
+        |                    6 + doc_id % 7 AS h
+        |             FROM documents WHERE doc_id % 6 = 0),
+        |px AS (SELECT doc_id, w, h, CAST(y * w + x AS BIGINT) AS i,
+        |         (5 * doc_id + 11 * x + 3 * y) % 256 AS r,
+        |         (x * x + 2 * y + doc_id) % 256 AS g,
+        |         (7 * x + y * y + 3 * doc_id) % 256 AS b
+        |       FROM ids, generate_series(0, 19) gx(x),
+        |            generate_series(0, 11) gy(y)
+        |       WHERE x < w AND y < h),
+        |f AS (SELECT doc_id, w, h,
+        |        CAST(SUM(r) AS BIGINT) AS sum_r,
+        |        CAST(SUM(g) AS BIGINT) AS sum_g,
+        |        CAST(SUM(b) AS BIGINT) AS sum_b,
+        |        CAST(SUM((r * 65536 + g * 256 + b) * (i % 101 + 1))
+        |          AS BIGINT) AS wsum
+        |      FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |       CAST(w * h AS BIGINT) AS n_px,
         |       sum_r, sum_g, sum_b, wsum
         |FROM f ORDER BY doc_id""".stripMargin,
 
