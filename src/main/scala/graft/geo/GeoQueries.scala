@@ -164,6 +164,22 @@ object GeoQueries {
           s"$FixtureDir/addresses_payload.ndjson")
         .orderBy("id")),
 
+    // G09 NESTED-SCHEMA manifest validation (round 10 — the r9
+    // verdict's residual 2): the general JSON-Schema features the
+    // framework accepts beyond g05's flat trio — nested object schemas
+    // (recursive required/properties/additionalProperties, errors
+    // carrying dotted paths, child checks gated on the parent actually
+    // BEING an object so a scalar parent reports once at its own
+    // path), enum membership, and minimum/maximum numeric bounds —
+    // exercised over a 3-level fixture (contact → address → geo).
+    // Same scale shape as g05: driver-side manifest parse, one
+    // row-local text scan.
+    "g09_manifest2" -> ((s, _) =>
+      DatasetManifest.flatten(s,
+          s"$FixtureDir/contacts.manifest.json",
+          s"$FixtureDir/contacts_payload.ndjson")
+        .orderBy("id")),
+
     // G06 property-graph TRAVERSAL over the ETL's relation edges — the
     // Space/Time data model is a graph (SURVEY §1.1b: objects + typed
     // edges), and the canonical consumer question is a 2-hop
@@ -529,6 +545,65 @@ object GeoQueries {
          |  FROM raw)
          |SELECT id, "data_sheetId", "data_layerId", "data_mapId", "data_number",
          |  "data_borough", CAST(len(errl) AS BIGINT) AS n_errors,
+         |  coalesce(array_to_string(errl, ';'), '') AS errs
+         |FROM v ORDER BY id""".stripMargin
+    }) +
+    // g09: the nested-schema validation replayed level by level —
+    // json_type(...) = 'OBJECT' is DuckDB's side of the declared
+    // "object iff keys enumerable" contract (json_object_keys on the
+    // Spark side); child checks guard on the parent being an object
+    ("g09_manifest2" -> {
+      def j(p: String) = s"json_extract_string(line, '$$.data.$p')"
+      val aObj = s"json_type(line, '$$.data.address') = 'OBJECT'"
+      val gObj = s"json_type(line, '$$.data.address.geo') = 'OBJECT'"
+      val scalarChecks = Seq(
+        s"CASE WHEN ${j("name")} IS NULL THEN 'missing:name' END",
+        s"CASE WHEN ${j("age")} IS NULL THEN 'missing:age' END",
+        s"CASE WHEN ${j("status")} IS NULL THEN 'missing:status' END",
+        s"CASE WHEN ${j("address")} IS NULL THEN 'missing:address' END",
+        s"CASE WHEN ${j("age")} IS NOT NULL AND TRY_CAST(${j("age")} AS BIGINT) IS NULL THEN 'type:age' END",
+        s"CASE WHEN TRY_CAST(${j("age")} AS BIGINT) < 0 THEN 'min:age' END",
+        s"CASE WHEN TRY_CAST(${j("age")} AS BIGINT) > 150 THEN 'max:age' END",
+        s"CASE WHEN ${j("score")} IS NOT NULL AND TRY_CAST(${j("score")} AS DOUBLE) IS NULL THEN 'type:score' END",
+        s"CASE WHEN TRY_CAST(${j("score")} AS DOUBLE) < 0 THEN 'min:score' END",
+        s"CASE WHEN TRY_CAST(${j("score")} AS DOUBLE) > 1 THEN 'max:score' END",
+        s"CASE WHEN ${j("status")} IS NOT NULL AND ${j("status")} NOT IN ('active', 'dormant', 'closed') THEN 'enum:status' END",
+        s"CASE WHEN ${j("address")} IS NOT NULL AND NOT $aObj THEN 'type:address' END",
+        s"CASE WHEN $aObj AND ${j("address.city")} IS NULL THEN 'missing:address.city' END",
+        s"CASE WHEN $aObj AND ${j("address.zip")} IS NULL THEN 'missing:address.zip' END",
+        s"CASE WHEN $aObj AND ${j("address.geo")} IS NOT NULL AND NOT $gObj THEN 'type:address.geo' END",
+        s"CASE WHEN $aObj AND $gObj AND ${j("address.geo.lat")} IS NULL THEN 'missing:address.geo.lat' END",
+        s"CASE WHEN $aObj AND $gObj AND ${j("address.geo.lon")} IS NULL THEN 'missing:address.geo.lon' END",
+        s"CASE WHEN $aObj AND $gObj AND ${j("address.geo.lat")} IS NOT NULL AND TRY_CAST(${j("address.geo.lat")} AS DOUBLE) IS NULL THEN 'type:address.geo.lat' END",
+        s"CASE WHEN $aObj AND $gObj AND TRY_CAST(${j("address.geo.lat")} AS DOUBLE) < -90 THEN 'min:address.geo.lat' END",
+        s"CASE WHEN $aObj AND $gObj AND TRY_CAST(${j("address.geo.lat")} AS DOUBLE) > 90 THEN 'max:address.geo.lat' END",
+        s"CASE WHEN $aObj AND $gObj AND ${j("address.geo.lon")} IS NOT NULL AND TRY_CAST(${j("address.geo.lon")} AS DOUBLE) IS NULL THEN 'type:address.geo.lon' END",
+        s"CASE WHEN $aObj AND $gObj AND TRY_CAST(${j("address.geo.lon")} AS DOUBLE) < -180 THEN 'min:address.geo.lon' END",
+        s"CASE WHEN $aObj AND $gObj AND TRY_CAST(${j("address.geo.lon")} AS DOUBLE) > 180 THEN 'max:address.geo.lon' END")
+      s"""WITH raw AS (SELECT json AS line
+         |  FROM read_ndjson_objects('$FixtureDir/contacts_payload.ndjson')),
+         |v AS (SELECT
+         |    json_extract_string(line, '$$.id') AS id,
+         |    ${j("name")} AS "data_name",
+         |    TRY_CAST(${j("age")} AS BIGINT) AS "data_age",
+         |    TRY_CAST(${j("score")} AS DOUBLE) AS "data_score",
+         |    ${j("status")} AS "data_status",
+         |    ${j("address.city")} AS "data_address_city",
+         |    TRY_CAST(${j("address.geo.lat")} AS DOUBLE) AS "data_address_geo_lat",
+         |    list_sort(list_concat(list_concat(
+         |      list_filter([${scalarChecks.mkString(",\n         ")}], x -> x IS NOT NULL),
+         |      list_transform(
+         |        list_filter(coalesce(json_keys(line, '$$.data'), []),
+         |          k -> NOT list_contains(['address', 'age', 'name', 'score', 'status'], k)),
+         |        k -> 'extra:' || k)),
+         |      CASE WHEN $aObj THEN list_transform(
+         |        list_filter(coalesce(json_keys(line, '$$.data.address'), []),
+         |          k -> NOT list_contains(['city', 'geo', 'zip'], k)),
+         |        k -> 'extra:address.' || k) ELSE [] END)) AS errl
+         |  FROM raw)
+         |SELECT id, "data_name", "data_age", "data_score", "data_status",
+         |  "data_address_city", "data_address_geo_lat",
+         |  CAST(len(errl) AS BIGINT) AS n_errors,
          |  coalesce(array_to_string(errl, ';'), '') AS errs
          |FROM v ORDER BY id""".stripMargin
     })
