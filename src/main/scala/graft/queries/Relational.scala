@@ -4287,6 +4287,108 @@ object Relational {
               6).cast(DoubleType)))
         .select("event_type", "n", "w2p", "ts3", "z")
         .orderBy("event_type")
+    }),
+
+    // Q144 WELCH'S T-TEST — the parametric MEAN comparison the test
+    // family routed around (q93 compares proportions, q107/q128/q142
+    // are rank/shape/effect nonparametrics; when the metric is roughly
+    // normal the t-test is the higher-power readout, and Welch's
+    // unequal-variance form is the one that never needed the pooled
+    // assumption): per event type between the deterministic arms, the
+    // per-user binned observations (q107's resolution contract)
+    // collapse to SIX EXACT INT64 sums — n, Σv, Σv² per arm, riding as
+    // audit columns — and t plus the Welch–Satterthwaite df are each
+    // ONE identical IEEE tree over them (sample variance via
+    // (Σv² − (Σv)²/n)/(n−1) written identically; correctly-rounded
+    // /, sqrt — g08 convention). Guards (identical both sides): each
+    // arm needs n ≥ 2, and a zero variance sum yields NULL t/df.
+    // Headroom (q105 convention): Σv² at cents-div-1000 resolution
+    // needs per-user sums < ~3e6 units for a billion users — the
+    // documented binning keeps v small precisely for this. Scale: one
+    // per-(type, user) partial agg, then ONE tiny per-type conditional
+    // aggregation — no windows at all, the cheapest member of the
+    // family.
+    "q144_welch" -> ((s, d) => {
+      val obs = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
+          .as("v"))
+        .select(col("event_type"), col("v"),
+          pmod(col("user_id"), lit(2L)).as("arm"))
+      val agg = obs.groupBy("event_type")
+        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0L, col("v")).otherwise(0L)).as("s0"),
+          sum(when(col("arm") === 0L, col("v") * col("v")).otherwise(0L))
+            .as("q0"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1L, col("v")).otherwise(0L)).as("s1"),
+          sum(when(col("arm") === 1L, col("v") * col("v")).otherwise(0L))
+            .as("q1"))
+      val v0 = ((col("q0").cast(DoubleType)
+        - col("s0").cast(DoubleType) * col("s0") / col("n0"))
+        / (col("n0") - lit(1L)))
+      val v1 = ((col("q1").cast(DoubleType)
+        - col("s1").cast(DoubleType) * col("s1") / col("n1"))
+        / (col("n1") - lit(1L)))
+      val se0 = v0 / col("n0")
+      val se1 = v1 / col("n1")
+      agg
+        .withColumn("tstat",
+          when(col("n0") < 2L || col("n1") < 2L
+            || se0 + se1 <= 0.0, lit(null).cast(DoubleType))
+            .otherwise(round(
+              (col("s0").cast(DoubleType) / col("n0")
+                - col("s1").cast(DoubleType) / col("n1"))
+                / sqrt(se0 + se1), 6).cast(DoubleType)))
+        .withColumn("df",
+          when(col("n0") < 2L || col("n1") < 2L
+            || se0 + se1 <= 0.0, lit(null).cast(DoubleType))
+            .otherwise(round(
+              (se0 + se1) * (se0 + se1)
+                / (se0 * se0 / (col("n0") - lit(1L))
+                  + se1 * se1 / (col("n1") - lit(1L))), 6)
+              .cast(DoubleType)))
+        .select("event_type", "n0", "s0", "q0", "n1", "s1", "q1",
+          "tstat", "df")
+        .orderBy("event_type")
+    }),
+
+    // Q145 GZIP-COMPRESSED NDJSON ROUND TRIP — the COMPRESSION
+    // dimension of the source family (q140 closed the format list;
+    // training corpora overwhelmingly ship as *.json.gz/*.jsonl.gz):
+    // a lineitem slice rewrites as gzip NDJSON (32 shuffle partitions
+    // → 32 .json.gz files) and reads back under a DECLARED schema,
+    // with the aggregate hash-pinning type fidelity across the
+    // text+deflate boundary (BIGINT, DOUBLE via Java
+    // shortest-round-trip toString, STRING). The 100 TB design point
+    // is the WRITE side: gzip is NOT splittable, so read parallelism
+    // equals file count — the writer's many-medium-files layout (never
+    // one giant .gz) is what keeps the read parallel, exactly how
+    // crawl corpora are shipped; per-file decompression stays
+    // row-local in the scan stage.
+    "q145_gzip" -> ((s, d) => {
+      val dir = "target/graft-gzip/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 4)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_returnflag")
+        .write.mode("overwrite").option("compression", "gzip").json(dir)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_linenumber", LongType),
+        StructField("l_extendedprice", DoubleType),
+        StructField("l_returnflag", StringType)))
+      s.read.schema(schema).json(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(Conv.dec6(col("l_extendedprice"))).as("s0"),
+          min(col("l_orderkey")).as("k_min"),
+          max(col("l_orderkey")).as("k_max"),
+          sum(col("l_linenumber")).as("ln_sum"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("s0"), 2).cast(DoubleType).as("total"),
+          col("k_min"), col("k_max"), col("ln_sum"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -6694,6 +6796,63 @@ object Relational {
         |               AS DOUBLE) / 24.0
         |             - CAST(ts3 AS DOUBLE) / 48.0)), 6) AS DOUBLE)
         |         END AS z
-        |FROM agg ORDER BY event_type""".stripMargin
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // q144: the six exact sums replayed, t and the Welch–Satterthwaite
+    // df as the identical IEEE trees (variance via (q − s²/n)/(n−1),
+    // standard errors v/n, written in the same operation order)
+    "q144_welch" ->
+      """WITH obs AS (
+        |  SELECT event_type, user_id % 2 AS arm,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           // 1000 AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY event_type, user_id),
+        |agg AS (SELECT event_type,
+        |          CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n0,
+        |          CAST(SUM(CASE WHEN arm = 0 THEN v ELSE 0 END)
+        |            AS BIGINT) AS s0,
+        |          CAST(SUM(CASE WHEN arm = 0 THEN v * v ELSE 0 END)
+        |            AS BIGINT) AS q0,
+        |          CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n1,
+        |          CAST(SUM(CASE WHEN arm = 1 THEN v ELSE 0 END)
+        |            AS BIGINT) AS s1,
+        |          CAST(SUM(CASE WHEN arm = 1 THEN v * v ELSE 0 END)
+        |            AS BIGINT) AS q1
+        |        FROM obs GROUP BY 1),
+        |se AS (SELECT event_type, n0, s0, q0, n1, s1, q1,
+        |         (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
+        |           / (n0 - 1) / n0 AS se0,
+        |         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+        |           / (n1 - 1) / n1 AS se1
+        |       FROM agg)
+        |SELECT event_type, n0, s0, q0, n1, s1, q1,
+        |       CASE WHEN n0 < 2 OR n1 < 2 OR se0 + se1 <= 0.0 THEN NULL
+        |         ELSE CAST(ROUND(
+        |           (CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)
+        |             / SQRT(se0 + se1), 6) AS DOUBLE) END AS tstat,
+        |       CASE WHEN n0 < 2 OR n1 < 2 OR se0 + se1 <= 0.0 THEN NULL
+        |         ELSE CAST(ROUND(
+        |           (se0 + se1) * (se0 + se1)
+        |             / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)),
+        |           6) AS DOUBLE) END AS df
+        |FROM se ORDER BY event_type""".stripMargin,
+
+    // q145: the oracle models the END STATE from the source table (the
+    // q46–q49 write-path convention — DuckDB never pays the gzip round
+    // trip); doubles survive the text boundary via shortest-round-trip
+    // repr, so the exact-decimal total matches
+    "q145_gzip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+        |    AS DOUBLE) AS total,
+        |  MIN(l_orderkey) AS k_min, MAX(l_orderkey) AS k_max,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS ln_sum
+        |FROM lineitem
+        |WHERE l_orderkey % 10 = 4
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -567,4 +567,71 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(want.nonEmpty, "no hard negatives at sf0.001 — gate is vacuous")
     assert(got === want)
   }
+
+  test("q144 Welch t/df match a brute-force replay over the exact sums") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "user_id", "value").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100).toLong))
+    val want = rows.groupBy(_._1).toSeq.map { case (ty, rs) =>
+      val vs = rs.groupBy(_._2).toSeq.map { case (u, es) =>
+        (((u % 2) + 2) % 2, es.map(_._3).sum / 1000L)
+      }
+      val a0 = vs.filter(_._1 == 0L).map(_._2)
+      val a1 = vs.filter(_._1 == 1L).map(_._2)
+      val (n0, s0, q0) = (a0.length.toLong, a0.sum, a0.map(v => v * v).sum)
+      val (n1, s1, q1) = (a1.length.toLong, a1.sum, a1.map(v => v * v).sum)
+      val se0 = (q0.toDouble - s0.toDouble * s0 / n0) / (n0 - 1L) / n0
+      val se1 = (q1.toDouble - s1.toDouble * s1 / n1) / (n1 - 1L) / n1
+      val ok = n0 >= 2L && n1 >= 2L && se0 + se1 > 0.0
+      val tstat = if (!ok) None
+        else Some(r6((s0.toDouble / n0 - s1.toDouble / n1)
+          / math.sqrt(se0 + se1)))
+      val df = if (!ok) None
+        else Some(r6((se0 + se1) * (se0 + se1)
+          / (se0 * se0 / (n0 - 1L) + se1 * se1 / (n1 - 1L))))
+      (ty, n0, s0, q0, n1, s1, q1, tstat, df)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q144_welch")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)),
+        if (r.isNullAt(8)) None else Some(r.getDouble(8)))).toSeq
+    assert(want.nonEmpty && want.exists(_._8.isDefined),
+      "no computable t at sf0.001 — gate is vacuous")
+    assert(got === want)
+  }
+
+  test("q145 gzip round trip: compressed files on disk, values intact") {
+    val got = SparkEntry.queries("q145_gzip")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // brute force from the parquet source (the oracle's end-state view)
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .selectExpr("l_orderkey", "cast(l_linenumber as bigint)",
+        "l_extendedprice", "l_returnflag").collect()
+      .filter(r => r.getLong(0) % 10 == 4)
+      .map(r => (r.getString(3), r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val want = rows.groupBy(_._1).toSeq.map { case (fl, rs) =>
+      (fl, rs.size.toLong,
+        rs.map(_._4).sum.setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        rs.map(_._2).min, rs.map(_._2).max, rs.map(_._3).sum)
+    }.sortBy(_._1)
+    assert(want.nonEmpty)
+    assert(got === want)
+    // the files on disk must actually BE gzip members (magic 1f 8b)
+    val dir = new java.io.File("target/graft-gzip/" +
+      TestSpark.Sf.replaceAll("[^A-Za-z0-9]", "_"))
+    val gz = dir.listFiles().filter(_.getName.endsWith(".json.gz"))
+    assert(gz.nonEmpty, "no .json.gz outputs written")
+    val head = new Array[Byte](2)
+    val in = new java.io.FileInputStream(gz.head)
+    try { in.read(head) } finally in.close()
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b,
+      "output file is not gzip-framed")
+  }
 }
