@@ -2301,22 +2301,43 @@ object DedupExt {
             expr("shingle_set_hash31(split(text, ' '), 4)").as("hs"))
           .filter(size(col("hs")) > 0))
       // 16 OPH slots: bins[i] = min(h div 16 : h % 16 = i) — min h in a
-      // bin shares the residue, so (min h) div 16 == min(h div 16);
-      // densified slot i borrows bins[(i+j) % 16] + j*1e9 at the first
-      // non-empty j (hs non-empty ⇒ some bin is non-empty)
-      val sig = sh.select(col("doc_id"), expr(
+      // bin shares the residue, so (min h) div 16 == min(h div 16).
+      // The bin minima come from ONE explode + groupBy with 16
+      // codegen'd conditional-min buffers — the r10 perf fix: the
+      // original row-local form filtered the whole shingle array 16×16
+      // times per doc in INTERPRETED HOF lambdas (O(256·|hs|) lambda
+      // evals — the repo's documented per-row-reduction trap),
+      // measured 43 s at sf0.1 vs ~3 s for this shape. Densification
+      // (slot i borrows bins[(i+j) % 16] + j·1e9 at the first
+      // non-empty j; hs non-empty ⇒ some bin is non-empty) then runs
+      // on the 16-ELEMENT bins array only — 256 lambda evals per doc
+      // on tiny arrays, not per shingle.
+      val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      val binAggs = (0 until 16).map(i =>
+        min(when(col("h") % 16L === i.toLong, expr("h div 16")))
+          .as(s"b$i"))
+      val bins = ex.groupBy("doc_id")
+        .agg(binAggs.head, binAggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until 16).map(i => col(s"b$i")): _*).as("bins"))
+      val sig = bins.select(col("doc_id"), expr(
         """transform(sequence(0, 15), i ->
           |  element_at(filter(transform(sequence(0, 15), j ->
-          |    array_min(filter(hs, h -> h % 16 = (i + j) % 16)) div 16
+          |    element_at(bins, CAST((i + j) % 16 + 1 AS INT))
           |      + j * 1000000000L),
           |    x -> x IS NOT NULL), 1))""".stripMargin).as("ds"))
-      val keyed = sig.select(col("doc_id"), expr(
-        s"""transform(sequence(0, 3), k ->
-           |  aggregate(slice(ds, CAST(k * 4 + 1 AS INT), 4), 0L,
-           |    (acc, x) -> (acc * 31 + x) % ${P}L))""".stripMargin).as("ks"))
+      // cached: the band relation feeds BOTH sides of the self-join —
+      // the one cache pattern that has consistently won (bandedPairs
+      // lesson); without it the signature lineage runs twice
+      val keyed = graft.operators.OpCaches.track(
+        sig.select(col("doc_id"), expr(
+          s"""transform(sequence(0, 3), k ->
+             |  aggregate(slice(ds, CAST(k * 4 + 1 AS INT), 4), 0L,
+             |    (acc, x) -> (acc * 31 + x) % ${P}L))""".stripMargin)
+          .as("ks"))
         .select(col("doc_id"),
           col("ks").getItem(0).as("key0"), col("ks").getItem(1).as("key1"),
-          col("ks").getItem(2).as("key2"), col("ks").getItem(3).as("key3"))
+          col("ks").getItem(2).as("key2"), col("ks").getItem(3).as("key3")))
       val bands = keyed.select(col("doc_id"),
         col("key0"), col("key1"), col("key2"), col("key3"),
         posexplode(array(col("key0"), col("key1"), col("key2"), col("key3")))
