@@ -4308,51 +4308,8 @@ object Relational {
     // per-(type, user) partial agg, then ONE tiny per-type conditional
     // aggregation — no windows at all, the cheapest member of the
     // family.
-    "q144_welch" -> ((s, d) => {
-      val obs = t(s, d, "events")
-        .filter(col("user_id").isNotNull && col("value").isNotNull)
-        .groupBy(col("event_type"), col("user_id"))
-        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
-          .as("v"))
-        .select(col("event_type"), col("v"),
-          pmod(col("user_id"), lit(2L)).as("arm"))
-      val agg = obs.groupBy("event_type")
-        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
-          sum(when(col("arm") === 0L, col("v")).otherwise(0L)).as("s0"),
-          sum(when(col("arm") === 0L, col("v") * col("v")).otherwise(0L))
-            .as("q0"),
-          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("arm") === 1L, col("v")).otherwise(0L)).as("s1"),
-          sum(when(col("arm") === 1L, col("v") * col("v")).otherwise(0L))
-            .as("q1"))
-      val v0 = ((col("q0").cast(DoubleType)
-        - col("s0").cast(DoubleType) * col("s0") / col("n0"))
-        / (col("n0") - lit(1L)))
-      val v1 = ((col("q1").cast(DoubleType)
-        - col("s1").cast(DoubleType) * col("s1") / col("n1"))
-        / (col("n1") - lit(1L)))
-      val se0 = v0 / col("n0")
-      val se1 = v1 / col("n1")
-      agg
-        .withColumn("tstat",
-          when(col("n0") < 2L || col("n1") < 2L
-            || se0 + se1 <= 0.0, lit(null).cast(DoubleType))
-            .otherwise(round(
-              (col("s0").cast(DoubleType) / col("n0")
-                - col("s1").cast(DoubleType) / col("n1"))
-                / sqrt(se0 + se1), 6).cast(DoubleType)))
-        .withColumn("df",
-          when(col("n0") < 2L || col("n1") < 2L
-            || se0 + se1 <= 0.0, lit(null).cast(DoubleType))
-            .otherwise(round(
-              (se0 + se1) * (se0 + se1)
-                / (se0 * se0 / (col("n0") - lit(1L))
-                  + se1 * se1 / (col("n1") - lit(1L))), 6)
-              .cast(DoubleType)))
-        .select("event_type", "n0", "s0", "q0", "n1", "s1", "q1",
-          "tstat", "df")
-        .orderBy("event_type")
-    }),
+    "q144_welch" -> ((s, d) =>
+      welchStats(userCents(t(s, d, "events")))),
 
     // Q145 GZIP-COMPRESSED NDJSON ROUND TRIP — the COMPRESSION
     // dimension of the source family (q140 closed the format list;
@@ -4391,6 +4348,63 @@ object Relational {
         .orderBy("l_returnflag")
     })
   )
+
+  /** q144's streaming-MERGEABLE state: per-(type, user) raw cent
+    * totals (plain sums — per-batch partials fold by addition; the
+    * div-1000 binning and the arm assignment are deliberately deferred
+    * to the READ path because v = (Σcents) div 1000 is nonlinear in
+    * the partials). Shared by the q144 batch build and the s36
+    * streamed fold. */
+  def userCents(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(expr("sum(cast(floor(value * 100) as bigint))").as("cents"))
+
+  /** q144's estimator read path over an arbitrary per-user cent
+    * relation — shared by the batch build and the s36 streamed fold,
+    * so "streamed sums ≡ batch sums" is asserted through the
+    * IDENTICAL t/df expression trees. */
+  def welchStats(uc: DataFrame): DataFrame = {
+    val obs = uc.select(col("event_type"),
+      expr("cents div 1000").as("v"),
+      pmod(col("user_id"), lit(2L)).as("arm"))
+    val agg = obs.groupBy("event_type")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0L, col("v")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 0L, col("v") * col("v")).otherwise(0L))
+          .as("q0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1L, col("v")).otherwise(0L)).as("s1"),
+        sum(when(col("arm") === 1L, col("v") * col("v")).otherwise(0L))
+          .as("q1"))
+    val v0 = ((col("q0").cast(DoubleType)
+      - col("s0").cast(DoubleType) * col("s0") / col("n0"))
+      / (col("n0") - lit(1L)))
+    val v1 = ((col("q1").cast(DoubleType)
+      - col("s1").cast(DoubleType) * col("s1") / col("n1"))
+      / (col("n1") - lit(1L)))
+    val se0 = v0 / col("n0")
+    val se1 = v1 / col("n1")
+    agg
+      .withColumn("tstat",
+        when(col("n0") < 2L || col("n1") < 2L
+          || se0 + se1 <= 0.0, lit(null).cast(DoubleType))
+          .otherwise(round(
+            (col("s0").cast(DoubleType) / col("n0")
+              - col("s1").cast(DoubleType) / col("n1"))
+              / sqrt(se0 + se1), 6).cast(DoubleType)))
+      .withColumn("df",
+        when(col("n0") < 2L || col("n1") < 2L
+          || se0 + se1 <= 0.0, lit(null).cast(DoubleType))
+          .otherwise(round(
+            (se0 + se1) * (se0 + se1)
+              / (se0 * se0 / (col("n0") - lit(1L))
+                + se1 * se1 / (col("n1") - lit(1L))), 6)
+            .cast(DoubleType)))
+      .select("event_type", "n0", "s0", "q0", "n1", "s1", "q1",
+        "tstat", "df")
+      .orderBy("event_type")
+  }
 
   /** Benford first-digit probabilities log10(1+1/d) as SHARED decimal
     * literals: the same text is interpolated into the Spark expression

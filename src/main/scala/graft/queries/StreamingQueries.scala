@@ -903,7 +903,27 @@ object StreamingQueries {
     // (idempotent crash replay, the s16/s31/s33 convention). The
     // batch form IS t6 and shares its oracle verbatim.
     "s35_thetastream" -> ((s, d) =>
-      graft.queries.Llm.queries("t6_theta")(s, d))
+      graft.queries.Llm.queries("t6_theta")(s, d)),
+
+    // S36 STREAMING A/B MONITOR (round 10) — q144's Welch t-test
+    // maintained AS EVENTS ARRIVE (Streams.s36): the six per-type test
+    // sums are NOT batch-mergeable (Σv² is nonlinear in a user's
+    // partial cent sums when one user spans micro-batches), so the
+    // fold maintains the per-(type, user) raw CENT TOTALS — plain
+    // additions, exactly mergeable for ANY batch split — and the t/df
+    // read path (Relational.welchStats, the IDENTICAL expression trees
+    // the batch form uses) derives the statistic from the latest
+    // generation on demand. This is how a live experiment dashboard
+    // actually works at scale: ingest updates one long per active
+    // (metric, user); the test statistic is computed from the compact
+    // state table, never from event history. State is O(types ×
+    // users) longs; generations keyed by batchId (idempotent crash
+    // replay, the s16/s31/s33 convention). WelchStreamSpec pins
+    // streamed fold == batch build across a checkpointed restart with
+    // users deliberately SPLIT across batches. The batch form IS q144
+    // and shares its oracle verbatim.
+    "s36_welchstream" -> ((s, d) =>
+      graft.queries.Relational.queries("q144_welch")(s, d))
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1352,6 +1372,7 @@ object StreamingQueries {
     // s35: t6's oracle verbatim — streamed union-and-trim fold ≡ the
     // batch bottom-k build is the contract
     ("s35_thetastream" -> graft.queries.Llm.oracle("t6_theta")) +
+    ("s36_welchstream" -> graft.queries.Relational.oracle("q144_welch")) +
     // s17: the composed pipeline's oracle reuses s12's two-batch
     // verdict replay verbatim as a CTE, keeps the accepted ('new')
     // docs — the published snapshot's exact membership — and
@@ -2219,6 +2240,60 @@ object Streams {
     graft.queries.Relational.cardEstimate(perSide,
       Tables(spark, dir, "lineitem").select(col("l_partkey"),
         col("l_quantity")))
+  }
+
+  /** S36 as streaming: Welch A/B state maintenance. Each micro-batch
+    * partial-aggregates its own per-(type, user) cent totals and folds
+    * them into the persisted state table by plain addition over a
+    * full-outer key join — exact for ANY split of a user's events
+    * across batches (the six TEST sums are nonlinear in these
+    * partials, which is exactly why the per-user cents are the state,
+    * not the test sums). Generations keyed by batchId (idempotent
+    * crash replay, the s16/s31/s33 convention). State is one long per
+    * active (type, user), never event rows. */
+  def s36(spark: SparkSession, inDir: String, sumsDir: String,
+          checkpoint: String): Unit = {
+    val raw = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = graft.queries.Relational.userCents(batch)
+        val prev = new java.io.File(s"$sumsDir/gen=$batchId")
+        val merged =
+          if (prev.exists) spark.read.parquet(prev.getPath)
+            .select(col("event_type"), col("user_id"),
+              col("cents").as("a"))
+            .join(bs.select(col("event_type"), col("user_id"),
+              col("cents").as("b")),
+              Seq("event_type", "user_id"), "full_outer")
+            .select(col("event_type"), col("user_id"),
+              (coalesce(col("a"), lit(0L))
+                + coalesce(col("b"), lit(0L))).as("cents"))
+          else bs
+        merged.write.mode("overwrite").parquet(s"$sumsDir/gen=${batchId + 1}")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The streamed per-user cents read back through q144's IDENTICAL
+    * t/df expression trees (Relational.welchStats): latest
+    * generation's state table → the per-type test rows. */
+  def s36Result(spark: SparkSession, sumsDir: String): DataFrame = {
+    val gens = Option(new java.io.File(sumsDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+    require(gens.nonEmpty, s"no state generations under $sumsDir")
+    graft.queries.Relational.welchStats(
+      spark.read.parquet(s"$sumsDir/gen=${gens.max}"))
   }
 
   /** The streamed sketch read back through t5's IDENTICAL estimator:
