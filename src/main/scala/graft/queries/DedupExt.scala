@@ -142,6 +142,62 @@ object DedupExt {
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
 
+  /** OPH 16-slot band keys from a per-doc DISTINCT hash relation
+    * (doc_id, h): bins[i] = min(h div 16 : h % 16 = i) — min h in a
+    * bin shares the residue, so (min h) div 16 == min(h div 16). The
+    * bin minima come from ONE groupBy with 16 codegen'd
+    * conditional-min buffers — the r10 perf fix: the original
+    * row-local form filtered the whole hash array 16×16 times per doc
+    * in INTERPRETED HOF lambdas (O(256·|hs|) lambda evals — the repo's
+    * documented per-row-reduction trap), measured 43 s at sf0.1 vs
+    * ~1.5 s for this shape. Densification (slot i borrows
+    * bins[(i+j) % 16] + j·1e9 at the first non-empty j; a non-empty
+    * hash set ⇒ some bin is non-empty) then runs on the 16-ELEMENT
+    * bins array only — 256 lambda evals per doc on tiny arrays, not
+    * per element. Shared by qd23 (shingle domain) and qd24 (token
+    * domain); the CALLER caches the result if it feeds a self-join. */
+  private def ophKeys(th: DataFrame): DataFrame = {
+    val binAggs = (0 until 16).map(i =>
+      min(when(col("h") % 16L === i.toLong, expr("h div 16")))
+        .as(s"b$i"))
+    val bins = th.groupBy("doc_id")
+      .agg(binAggs.head, binAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(i => col(s"b$i")): _*).as("bins"))
+    val sig = bins.select(col("doc_id"), expr(
+      """transform(sequence(0, 15), i ->
+        |  element_at(filter(transform(sequence(0, 15), j ->
+        |    element_at(bins, CAST((i + j) % 16 + 1 AS INT))
+        |      + j * 1000000000L),
+        |    x -> x IS NOT NULL), 1))""".stripMargin).as("ds"))
+    sig.select(col("doc_id"), expr(
+      s"""transform(sequence(0, 3), k ->
+         |  aggregate(slice(ds, CAST(k * 4 + 1 AS INT), 4), 0L,
+         |    (acc, x) -> (acc * 31 + x) % ${P}L))""".stripMargin)
+      .as("ks"))
+      .select(col("doc_id"),
+        col("ks").getItem(0).as("key0"), col("ks").getItem(1).as("key1"),
+        col("ks").getItem(2).as("key2"), col("ks").getItem(3).as("key3"))
+  }
+
+  /** First-matching-band pair-unique candidate emission over an OPH
+    * key relation (doc_id, key0..key3) — qd1's LSH emission contract:
+    * each pair appears exactly once, at its first matching band, so no
+    * distinct exchange is ever paid. */
+  private def ophCandidates(keyed: DataFrame): DataFrame = {
+    val bands = keyed.select(col("doc_id"),
+      col("key0"), col("key1"), col("key2"), col("key3"),
+      posexplode(array(col("key0"), col("key1"), col("key2"), col("key3")))
+        .as(Seq("band", "key")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id")
+          && (col("x.band") === 0 || col("x.key0") =!= col("y.key0"))
+          && (col("x.band") <= 1 || col("x.key1") =!= col("y.key1"))
+          && (col("x.band") <= 2 || col("x.key2") =!= col("y.key2")))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+  }
+
   /** Exploded, fixed-point-quantized embeddings: (vec_id, i0, xi). */
   private def exQ(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
@@ -2300,55 +2356,13 @@ object DedupExt {
           .select(col("doc_id"),
             expr("shingle_set_hash31(split(text, ' '), 4)").as("hs"))
           .filter(size(col("hs")) > 0))
-      // 16 OPH slots: bins[i] = min(h div 16 : h % 16 = i) — min h in a
-      // bin shares the residue, so (min h) div 16 == min(h div 16).
-      // The bin minima come from ONE explode + groupBy with 16
-      // codegen'd conditional-min buffers — the r10 perf fix: the
-      // original row-local form filtered the whole shingle array 16×16
-      // times per doc in INTERPRETED HOF lambdas (O(256·|hs|) lambda
-      // evals — the repo's documented per-row-reduction trap),
-      // measured 43 s at sf0.1 vs ~3 s for this shape. Densification
-      // (slot i borrows bins[(i+j) % 16] + j·1e9 at the first
-      // non-empty j; hs non-empty ⇒ some bin is non-empty) then runs
-      // on the 16-ELEMENT bins array only — 256 lambda evals per doc
-      // on tiny arrays, not per shingle.
-      val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-      val binAggs = (0 until 16).map(i =>
-        min(when(col("h") % 16L === i.toLong, expr("h div 16")))
-          .as(s"b$i"))
-      val bins = ex.groupBy("doc_id")
-        .agg(binAggs.head, binAggs.tail: _*)
-        .select(col("doc_id"),
-          array((0 until 16).map(i => col(s"b$i")): _*).as("bins"))
-      val sig = bins.select(col("doc_id"), expr(
-        """transform(sequence(0, 15), i ->
-          |  element_at(filter(transform(sequence(0, 15), j ->
-          |    element_at(bins, CAST((i + j) % 16 + 1 AS INT))
-          |      + j * 1000000000L),
-          |    x -> x IS NOT NULL), 1))""".stripMargin).as("ds"))
-      // cached: the band relation feeds BOTH sides of the self-join —
-      // the one cache pattern that has consistently won (bandedPairs
-      // lesson); without it the signature lineage runs twice
-      val keyed = graft.operators.OpCaches.track(
-        sig.select(col("doc_id"), expr(
-          s"""transform(sequence(0, 3), k ->
-             |  aggregate(slice(ds, CAST(k * 4 + 1 AS INT), 4), 0L,
-             |    (acc, x) -> (acc * 31 + x) % ${P}L))""".stripMargin)
-          .as("ks"))
-        .select(col("doc_id"),
-          col("ks").getItem(0).as("key0"), col("ks").getItem(1).as("key1"),
-          col("ks").getItem(2).as("key2"), col("ks").getItem(3).as("key3")))
-      val bands = keyed.select(col("doc_id"),
-        col("key0"), col("key1"), col("key2"), col("key3"),
-        posexplode(array(col("key0"), col("key1"), col("key2"), col("key3")))
-          .as(Seq("band", "key")))
-      val pairs = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key")
-            && col("x.doc_id") < col("y.doc_id")
-            && (col("x.band") === 0 || col("x.key0") =!= col("y.key0"))
-            && (col("x.band") <= 1 || col("x.key1") =!= col("y.key1"))
-            && (col("x.band") <= 2 || col("x.key2") =!= col("y.key2")))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      // cached: the band-key relation feeds BOTH sides of the
+      // self-join — the one cache pattern that has consistently won
+      // (bandedPairs lesson); without it the signature lineage runs
+      // twice
+      val keyed = graft.operators.OpCaches.track(ophKeys(
+        sh.select(col("doc_id"), explode(col("hs")).as("h"))))
+      val pairs = ophCandidates(keyed)
       pairs
         .join(sh.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
         .join(sh.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
@@ -2358,6 +2372,59 @@ object DedupExt {
           expr("intersect_sorted_count(ha, hb)").as("inter"))
         .filter(lit(3L) * col("inter") >= col("na") + col("nb"))
         .orderBy("a", "b")
+    }),
+
+    // QD24 BLOCKING-STRATEGY EVALUATION — the deployment question the
+    // candidate-generation family raises but no query answers side by
+    // side: before switching the LSH stage to the 16×-cheaper OPH
+    // signatures (qd23's selling point), an operator wants BOTH
+    // strategies' recall AND precision against the same exact truth in
+    // one matrix. Domain = qd9's: token sets, exact truth = the
+    // prefix-filter J ≥ 0.8 pair set (exact recall by construction,
+    // hash-checked in qd9); strategies = classic 16-hash/4-band
+    // MinHash (qd1's kernel) vs OPH 16-slot/4-band (qd23's kernel over
+    // TOKEN hashes). Per strategy: candidate count, hits (exact ∩
+    // candidates — the qd9 identity, so no second verify pass),
+    // recall, precision — all four counts exact int64, the two rates
+    // one guarded IEEE division each. Scale: each strategy pays its
+    // own signature pass + one band self-join (both
+    // corpus-cardinality-keyed); the exact side is the prefix-filter
+    // kernel, not all-pairs.
+    "qd24_blockeval" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val tk = toks(s, d)
+      // deliberately UNCACHED (qd9's fifth negative held in the A/B
+      // here too: caching the exact pair set + a tagged candidate
+      // union read 12.1/18.6 s back-to-back vs ~11 s for the
+      // recompute shapes); each consumer below re-executes the pruned
+      // exact pipeline instead of paying the materialization
+      val exact = graft.operators.BitmaskJaccard
+        .prefixPairsFused(tk, 8, 10).select("a", "b")
+      val mh = graft.operators.BitmaskJaccard.bandedCandidates(tk, 16, 4)
+      val keyed = graft.operators.OpCaches.track(ophKeys(
+        tk.select(col("doc_id"), expr("roll_hash31(tok)").as("h"))))
+      val oph = ophCandidates(keyed)
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      // one pass per strategy: candidate count and exact-hit count in
+      // the SAME aggregation via a membership marker — each banding
+      // pipeline and each exact-join execution happens exactly once
+      def strat(name: String, cand: DataFrame): DataFrame =
+        cand.join(exact.withColumn("ex", lit(1L)), Seq("a", "b"),
+            "left_outer")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(coalesce(col("ex"), lit(0L))).as("n_hit"))
+          .select(lit(name).as("strategy"), col("n_cand"), col("n_hit"))
+      strat("minhash16x4", mh).unionByName(strat("oph16x4", oph))
+        .crossJoin(broadcast(ne))
+        .select(col("strategy"), col("n_exact"), col("n_cand"),
+          col("n_hit"),
+          when(col("n_exact") === 0L, lit(null).cast(DoubleType))
+            .otherwise(round(col("n_hit").cast(DoubleType)
+              / col("n_exact"), 4).cast(DoubleType)).as("recall"),
+          when(col("n_cand") === 0L, lit(null).cast(DoubleType))
+            .otherwise(round(col("n_hit").cast(DoubleType)
+              / col("n_cand"), 4).cast(DoubleType)).as("prec"))
+        .orderBy("strategy")
     })
   )
 
@@ -3889,6 +3956,70 @@ object DedupExt {
          |FROM ints i JOIN sizes sa ON sa.doc_id = i.a
          |            JOIN sizes sb ON sb.doc_id = i.b
          |WHERE 3 * i.inter >= sa.n + sb.n
-         |ORDER BY i.a, i.b""".stripMargin
+         |ORDER BY i.a, i.b""".stripMargin,
+
+    // qd24: qd9's exact truth (all-shared-token join + J >= 0.8) and
+    // MinHash banding, plus qd23's OPH bins/densify/keys replayed over
+    // TOKEN hashes; candidate sets as DISTINCT pairs (set-equal to the
+    // Spark side's first-matching-band pair-unique emission)
+    "qd24_blockeval" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
+        |ip AS (SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS inter
+        |       FROM toks t1 JOIN toks t2 ON t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+        |       GROUP BY 1, 2),
+        |exact AS MATERIALIZED (SELECT a, b FROM ip JOIN sizes sa ON sa.doc_id = a
+        |                          JOIN sizes sb ON sb.doc_id = b
+        |          WHERE 10*inter >= 8*(sa.nt + sb.nt - inter)),
+        |th AS MATERIALIZED (SELECT doc_id, ${duckH("tok")} AS h FROM toks),
+        |params AS (SELECT i, 1000003*i + 12345 AS a, 777767*i + 13 AS b
+        |           FROM generate_series(0, 15) t(i)),
+        |sig AS (SELECT doc_id, i, MIN((a*h + b) % $P) AS mh FROM th, params GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS key
+        |          FROM sig GROUP BY 1, 2),
+        |mcand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |bins AS MATERIALIZED (SELECT doc_id, h % 16 AS bin, MIN(h) // 16 AS v
+        |        FROM th GROUP BY 1, 2),
+        |dl AS (SELECT doc_id FROM bins GROUP BY 1),
+        |dens AS MATERIALIZED (
+        |  SELECT c.doc_id, c.i, c.v + c.j * 1000000000 AS dv
+        |  FROM (SELECT d.doc_id, i.i, j.j, b.v
+        |        FROM dl d
+        |        CROSS JOIN generate_series(0, 15) i(i)
+        |        CROSS JOIN generate_series(0, 15) j(j)
+        |        JOIN bins b ON b.doc_id = d.doc_id
+        |          AND b.bin = (i.i + j.j) % 16) c
+        |  QUALIFY row_number() OVER (PARTITION BY c.doc_id, c.i
+        |    ORDER BY c.j) = 1),
+        |okeys AS (SELECT doc_id, i // 4 AS band,
+        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list(dv ORDER BY i)),
+        |             (acc, x) -> (acc * 31 + x) % $P) AS key
+        |         FROM dens GROUP BY 1, 2),
+        |ocand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM okeys x JOIN okeys y
+        |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |sel AS (
+        |  SELECT 'minhash16x4' AS strategy,
+        |    CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+        |    CAST((SELECT COUNT(*) FROM mcand) AS BIGINT) AS n_cand,
+        |    CAST((SELECT COUNT(*) FROM exact e JOIN mcand c
+        |      ON c.a = e.a AND c.b = e.b) AS BIGINT) AS n_hit
+        |  UNION ALL
+        |  SELECT 'oph16x4',
+        |    CAST((SELECT COUNT(*) FROM exact) AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM ocand) AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM exact e JOIN ocand c
+        |      ON c.a = e.a AND c.b = e.b) AS BIGINT))
+        |SELECT strategy, n_exact, n_cand, n_hit,
+        |  CASE WHEN n_exact = 0 THEN NULL
+        |    ELSE CAST(ROUND(CAST(n_hit AS DOUBLE) / n_exact, 4)
+        |      AS DOUBLE) END AS recall,
+        |  CASE WHEN n_cand = 0 THEN NULL
+        |    ELSE CAST(ROUND(CAST(n_hit AS DOUBLE) / n_cand, 4)
+        |      AS DOUBLE) END AS prec
+        |FROM sel ORDER BY strategy""".stripMargin
   )
 }

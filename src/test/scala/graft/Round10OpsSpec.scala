@@ -603,6 +603,67 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("qd24 blocking matrix matches a brute-force two-strategy replay") {
+    val ds = docs().map(d => (d._1, d._2.split(" ").toSet))
+    val hs = ds.map { case (id, ts) => (id, ts.map(rollHash)) }
+    // exact truth: all-pairs J >= 0.8 over token-hash sets
+    val exact = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      (a, ha) = hs(i); (b, hb) = hs(j)
+      inter = (ha intersect hb).size
+      if 10L * inter >= 8L * (ha.size + hb.size - inter)
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    // classic MinHash 16 hashes / 4 bands
+    def sig(h: Set[Long]): IndexedSeq[Long] = (0 until 16).map { i =>
+      val (pa, pb) = (1000003L * i + 12345L, 777767L * i + 13L)
+      h.map(x => (pa * x + pb) % P).min
+    }
+    val msig = hs.map { case (id, h) => (id, sig(h)) }
+    def bandPairs[K](keys: Seq[(Long, IndexedSeq[K])]): Set[(Long, Long)] =
+      (for {
+        i <- keys.indices; j <- (i + 1) until keys.length
+        if keys(i)._2.indices.exists(b => keys(i)._2(b) == keys(j)._2(b))
+      } yield (math.min(keys(i)._1, keys(j)._1),
+        math.max(keys(i)._1, keys(j)._1))).toSet
+    val mcand = bandPairs(msig.map { case (id, sg) =>
+      (id, (0 until 4).map(b => sg.slice(4 * b, 4 * b + 4).toList)) }.toSeq)
+    // OPH 16 slots / 4 bands with cyclic densification
+    val okeys = hs.map { case (id, h) =>
+      val bins = (0 until 16).map(i =>
+        h.filter(_ % 16 == i).map(_ / 16) match {
+          case s if s.isEmpty => None
+          case s => Some(s.min)
+        })
+      val ds16 = (0 until 16).map { i =>
+        val j = (0 until 16).find(j => bins((i + j) % 16).isDefined).get
+        bins((i + j) % 16).get + j * 1000000000L
+      }
+      (id, (0 until 4).map(b => ds16.slice(4 * b, 4 * b + 4)
+        .foldLeft(0L)((acc, x) => (acc * 31 + x) % P)))
+    }
+    val ocand = bandPairs(okeys.toSeq)
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(
+      ("minhash16x4", exact.size.toLong, mcand.size.toLong,
+        (exact intersect mcand).size.toLong),
+      ("oph16x4", exact.size.toLong, ocand.size.toLong,
+        (exact intersect ocand).size.toLong))
+      .map { case (n, ne, nc, nh) =>
+        (n, ne, nc, nh,
+          if (ne == 0) None else Some(r4(nh.toDouble / ne)),
+          if (nc == 0) None else Some(r4(nh.toDouble / nc)))
+      }
+    val got = SparkEntry.queries("qd24_blockeval")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSeq
+    graft.operators.OpCaches.releaseAll()
+    assert(want.head._2 > 0, "no exact pairs at sf0.001 — gate is vacuous")
+    assert(got === want)
+  }
+
   test("q145 gzip round trip: compressed files on disk, values intact") {
     val got = SparkEntry.queries("q145_gzip")(spark, TestSpark.Sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
