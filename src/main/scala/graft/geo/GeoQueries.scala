@@ -180,6 +180,27 @@ object GeoQueries {
           s"$FixtureDir/contacts_payload.ndjson")
         .orderBy("id")),
 
+    // G10 K-NEAREST STREETS (round 10) — the candidate-LIST form of
+    // g02's top-1: per house the 3 closest distinct streets inside the
+    // 25 m / 15 y envelope under the total (distance, street) order —
+    // what a manual-review or disambiguation consumer reads when the
+    // single best match is not trusted. Same grid candidate join; a
+    // partial-aggregatable per-(house, street) min runs BEFORE the
+    // per-house window, so the window sees streets-within-25 m rows
+    // only. Matched houses only (the empty list IS the unmatched
+    // signal; g02 carries the left-outer form).
+    "g10_knn" -> ((s, d) => {
+      val dir = geoDir(d)
+      SpacetimeEtl.knnStreets(s, segments(s, dir), housePoints(s, dir))
+        .select(
+          SpacetimeEtl.fullId("building-inspector", col("hn_id"))
+            .as("house_number_id"),
+          SpacetimeEtl.fullId("nyc-streets", col("street_id"))
+            .as("street_id"),
+          col("distance_m"), col("rn"))
+        .orderBy("house_number_id", "rn")
+    }),
+
     // G06 property-graph TRAVERSAL over the ETL's relation edges — the
     // Space/Time data model is a graph (SURVEY §1.1b: objects + typed
     // edges), and the canonical consumer question is a 2-hop
@@ -394,6 +415,21 @@ object GeoQueries {
          |       'nyc-streets/' || b.sid AS street_id, b.distance_m
          |FROM hp LEFT JOIN best b USING (hn_id)
          |ORDER BY house_number_id""".stripMargin,
+
+    // g10: bestCte's candidate chain, reduced per (house, street)
+    // instead of argmin — min distance per street, top-3 streets per
+    // house under the (distance, sid) total order
+    "g10_knn" ->
+      s"""${bestCte(dir)},
+         |pstreet AS (SELECT hn_id, sid, MIN(distance_m) AS distance_m
+         |            FROM near GROUP BY 1, 2),
+         |kk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY hn_id
+         |         ORDER BY distance_m, sid) AS rn FROM pstreet)
+         |SELECT 'building-inspector/' || hn_id AS house_number_id,
+         |       'nyc-streets/' || sid AS street_id, distance_m,
+         |       CAST(rn AS BIGINT) AS rn
+         |FROM kk WHERE rn <= 3
+         |ORDER BY house_number_id, rn""".stripMargin,
 
     "g04_density" ->
       s"""SELECT CAST(floor(px / 0.0005) AS BIGINT) AS cx,

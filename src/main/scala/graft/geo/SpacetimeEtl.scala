@@ -127,9 +127,16 @@ object SpacetimeEtl {
     * aggregate groups on hn_id alone and rides the rest of the payload
     * through any_value, so duplicate hn_id rows would collapse to ONE
     * output row; callers with non-unique ids must dedupe first. */
-  def matchPoints(spark: SparkSession, segs: DataFrame, pts0: DataFrame,
-                  maxDistanceM: Long = MaxDistanceM,
-                  slackMs: Long = SlackMs): DataFrame = {
+  /** The grid-join candidate relation BEFORE any per-point reduction:
+    * every point row left-joined to its cell's temporally-valid
+    * segments with the rounded crosstrack distance (NULL for invalid /
+    * cell-empty candidates). Shared by matchPoints (top-1 argmin) and
+    * knnStreets (top-k list) — one candidate generator, two
+    * reductions. */
+  def candidateDistances(spark: SparkSession, segs: DataFrame,
+                         pts0: DataFrame,
+                         maxDistanceM: Long = MaxDistanceM,
+                         slackMs: Long = SlackMs): DataFrame = {
     val margin = maxDistanceM * 1.1
     val segCells = segs
       .withColumn("mlat", lit(margin / MPerDegLat))
@@ -157,9 +164,15 @@ object SpacetimeEtl {
     val valid = col("street_id").isNotNull &&
       col("seg_since") - slackMs <= col("pt_since") &&
       col("seg_until") + slackMs >= col("pt_until")
-    val cand = pts.join(segCells, Seq("cx", "cy"), "left")
+    pts.join(segCells, Seq("cx", "cy"), "left")
       .withColumn("distance_m", when(valid,
         floor(expr("crosstrack_m(px, py, x1, y1, x2, y2)") + 0.5).cast(LongType)))
+  }
+
+  def matchPoints(spark: SparkSession, segs: DataFrame, pts0: DataFrame,
+                  maxDistanceM: Long = MaxDistanceM,
+                  slackMs: Long = SlackMs): DataFrame = {
+    val cand = candidateDistances(spark, segs, pts0, maxDistanceM, slackMs)
     // group by the id ONLY — the rest of the point payload is constant
     // per id and rides through any_value. min_by's struct buffer forces a
     // SortAggregate either way, but with the single-column key the
@@ -187,6 +200,32 @@ object SpacetimeEtl {
     matchPoints(spark, segs, pts0, maxDistanceM, slackMs)
       .where(col("sid").isNotNull)
       .select(col("hn_id"), col("sid"), col("sname"), col("distance_m"))
+
+  /** k-nearest STREETS per point — the candidate-LIST form of R12's
+    * top-1 (what a manual-review / disambiguation UI consumes when the
+    * best match alone is not trusted): per (point, street) the MIN
+    * segment distance inside the threshold, then the k closest streets
+    * per point under the total (distance_m, street_id) order. Matched
+    * points only (an empty candidate list IS the unmatched signal —
+    * matchPoints carries the left-outer form). Scale: the same grid
+    * candidate join, then a partial-aggregatable (hn_id, street_id)
+    * min BEFORE the window, so the per-point window runs over
+    * streets-within-25 m rows (a handful), never raw segment
+    * candidates. */
+  def knnStreets(spark: SparkSession, segs: DataFrame, pts0: DataFrame,
+                 k: Int = 3, maxDistanceM: Long = MaxDistanceM,
+                 slackMs: Long = SlackMs): DataFrame = {
+    val cand = candidateDistances(spark, segs, pts0, maxDistanceM, slackMs)
+    val perStreet = cand
+      .filter(col("distance_m") < maxDistanceM) // NULL distance → filtered
+      .groupBy(col("hn_id"), col("street_id"))
+      .agg(min(col("distance_m")).as("distance_m"))
+    val w = Window.partitionBy("hn_id")
+      .orderBy(col("distance_m"), col("street_id"))
+    perStreet
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= k)
+  }
 
   private def errMsg =
     lit(s"Can't find street within $MaxDistanceM meters and 15 years")
