@@ -63,4 +63,27 @@ object AsOfJoin {
       .select((Seq(col(key), col(tsC).as(leftTs)) ++ probeExtra.map(col)
         :+ col(out)): _*)
   }
+
+  /** As-of join with a STALENESS TOLERANCE (the `merge_asof(...,
+    * tolerance=...)` member of the family): the latest right row at or
+    * before the probe that is also no older than `toleranceUs`
+    * microseconds; older-only matches surface as NULL, exactly like
+    * no-match. Implementation is the tolerance POST-PREDICATE on the
+    * single as-of result — provably equivalent to a bounded-range max
+    * (the as-of pick is the NEWEST candidate; if it is too old, every
+    * other candidate is older still), so the one-shuffle union-window
+    * plan is reused verbatim and the bound costs zero extra exchanges. */
+  def latestWithin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, out: String,
+                   toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, s"negative tolerance $toleranceUs")
+    latestAtOrBefore(left, right, key, leftTs, rightTs, out)
+      .withColumn(out, when(
+        // NTZ-tolerant: under the engine's pinned UTC session tz the
+        // TIMESTAMP cast is an identity on TIMESTAMP columns and the
+        // wall-clock reading on TIMESTAMP_NTZ ones
+        unix_micros(col(leftTs).cast("timestamp"))
+          - unix_micros(col(out).cast("timestamp")) <= toleranceUs,
+        col(out)))
+  }
 }

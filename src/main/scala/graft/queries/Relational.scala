@@ -4311,6 +4311,39 @@ object Relational {
     "q144_welch" -> ((s, d) =>
       welchStats(userCents(t(s, d, "events")))),
 
+    // Q146 TOLERANCE-BOUNDED AS-OF JOIN — the `merge_asof(tolerance=)`
+    // member the as-of family lacked (q10/q37 answer "the latest order
+    // before this event, however old"; a feature pipeline joining
+    // reference data almost always wants "— but only if it is FRESH":
+    // a week-old price is a bug, not a feature). Implemented through
+    // the AsOfJoin OPERATOR's latestWithin: the tolerance is a
+    // post-predicate on the single as-of pick — provably equivalent to
+    // the bounded-range max (the pick is the newest candidate; if it
+    // is too old, every other is older), so the one-shuffle
+    // union-window plan is reused verbatim and the bound costs zero
+    // extra exchanges. gap_us (exact micros staleness, NULL on
+    // no-fresh-match) rides as the audit column the freshness SLA
+    // reads. The declared horizon is 8500 days: the fixture's
+    // synthetic clocks put orders in 1995–2001 and events in 2024
+    // (staleness 8.2k–8.8k days), so this is the band where the bound
+    // actually partitions matches from too-stale — a 7-day bound would
+    // be vacuously all-NULL, an unbounded one IS q10. Scale: q37's —
+    // one shuffle on the key, no decorrelated re-aggregation.
+    "q146_asoftol" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("user_id").as("k"), col("ts"))
+      val o = t(s, d, "orders")
+        .select(col("o_custkey").as("k"), col("o_orderdate"))
+      graft.operators.AsOfJoin.latestWithin(e, o, "k", "ts",
+          "o_orderdate", "last_order", 8500L * 86400000000L)
+        .select(col("event_id"), col("last_order"),
+          when(col("last_order").isNotNull,
+            unix_micros(col("ts").cast("timestamp"))
+              - unix_micros(col("last_order").cast("timestamp")))
+            .as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // Q145 GZIP-COMPRESSED NDJSON ROUND TRIP — the COMPRESSION
     // dimension of the source family (q140 closed the format list;
     // training corpora overwhelmingly ship as *.json.gz/*.jsonl.gz):
@@ -6853,6 +6886,21 @@ object Relational {
         |             / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)),
         |           6) AS DOUBLE) END AS df
         |FROM se ORDER BY event_type""".stripMargin,
+
+    // q146: bounded-range correlated max + the identical gap
+    // arithmetic; the 8500-day horizon is 734400000000000 µs both sides
+    "q146_asoftol" ->
+      """WITH m AS (
+        |  SELECT event_id, ts,
+        |    (SELECT MAX(o_orderdate) FROM orders
+        |     WHERE o_custkey = user_id AND o_orderdate <= ts
+        |       AND epoch_us(ts) - epoch_us(o_orderdate)
+        |         <= 734400000000000) AS last_order
+        |  FROM events)
+        |SELECT event_id, last_order,
+        |  CASE WHEN last_order IS NULL THEN NULL
+        |    ELSE epoch_us(ts) - epoch_us(last_order) END AS gap_us
+        |FROM m ORDER BY event_id""".stripMargin,
 
     // q145: the oracle models the END STATE from the source table (the
     // q46–q49 write-path convention — DuckDB never pays the gzip round

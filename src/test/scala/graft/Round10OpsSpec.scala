@@ -664,6 +664,40 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("q146 tolerance as-of matches a brute-force bounded-range max") {
+    val tolUs = 8500L * 86400000000L
+    def us(ldt: java.time.LocalDateTime): Long =
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+    val orders = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
+      .select("o_custkey", "o_orderdate").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), us(r.getAs[java.time.LocalDateTime](1))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val want = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_id", "user_id", "ts").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val t = if (r.isNullAt(2)) None
+          else Some(us(r.getAs[java.time.LocalDateTime](2)))
+        val best = for {
+          tv <- t
+          u <- if (r.isNullAt(1)) None else Some(r.getLong(1))
+          os <- orders.get(u)
+          b <- os.filter(o => o <= tv && tv - o <= tolUs).lastOption
+        } yield (b, tv - b)
+        (id, best.map(_._1), best.map(_._2))
+      }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q146_asoftol")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None
+        else Some(us(r.getAs[java.time.LocalDateTime](1))),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(want.exists(_._2.isDefined) && want.exists(_._2.isEmpty),
+      "tolerance never partitions at sf0.001 — gate is vacuous")
+    assert(got === want)
+  }
+
   test("q145 gzip round trip: compressed files on disk, values intact") {
     val got = SparkEntry.queries("q145_gzip")(spark, TestSpark.Sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
