@@ -2374,6 +2374,56 @@ object DedupExt {
         .orderBy("a", "b")
     }),
 
+    // QE8 EMBEDDING-CORPUS AUDIT — the pre-indexing QA verb every
+    // vector pipeline runs before building an ANN index (the qe family
+    // compresses and projects; nothing yet ANSWERED "is this corpus
+    // even sane?"): one hash-checked row with vector count, distinct
+    // dimensionalities (a mixed-dim corpus breaks every kernel
+    // downstream), zero-norm count (unsearchable vectors), EXACT
+    // duplicate count (grouping on the quantized int64 arrays
+    // themselves — byte-identical vectors inflate ANN results and leak
+    // compute; count − distinct needs no pairwise work), and the
+    // norm² distribution p10/p50/p90 on a DECLARED 1e7 grid (q32's
+    // histogram-rank trick over the gridded values — the grid bounds
+    // the distinct-value relation the quantile windows run over, the
+    // q81-trap dodge; at the fixed-point 1e7 scale a unit-norm corpus
+    // sits near 1e14, so the 1e7 grid resolves ~1e-7 relative norm
+    // spread). The healthy-corpus case (zeros everywhere, tight
+    // quantiles) is exactly what the audit is FOR — the fixture's
+    // all-healthy row is the contract, not a vacuity. Scale: two
+    // partial-aggregatable corpus passes (per-vector reduce, then the
+    // distinct-array count) + windows over the bounded grid histogram.
+    "qe8_vecaudit" -> ((s, d) => {
+      graft.plans.DotLong.register(s)
+      val v = embQ(s, d).select(col("vec_id"), col("ei"),
+        expr(dotL("ei", "ei")).as("n2"),
+        size(col("ei")).cast(LongType).as("dim"))
+      val hist = v.groupBy(expr("n2 div 10000000").as("g"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("g")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val qs = hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .agg(
+          min(when(col("cum") >= expr("(n-1)*1 div 10 + 1"), col("g")))
+            .as("p10_g"),
+          min(when(col("cum") >= expr("(n-1)*5 div 10 + 1"), col("g")))
+            .as("p50_g"),
+          min(when(col("cum") >= expr("(n-1)*9 div 10 + 1"), col("g")))
+            .as("p90_g"))
+      v.agg(count(lit(1)).as("n_vectors"),
+          count_distinct(col("dim")).as("n_dims"),
+          sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          (count(lit(1)) - count_distinct(col("ei"))).as("n_dup"))
+        .crossJoin(broadcast(qs))
+    }),
+
     // QD24 BLOCKING-STRATEGY EVALUATION — the deployment question the
     // candidate-generation family raises but no query answers side by
     // side: before switching the LSH stage to the 16×-cheaper OPH
@@ -3957,6 +4007,37 @@ object DedupExt {
          |            JOIN sizes sb ON sb.doc_id = i.b
          |WHERE 3 * i.inter >= sa.n + sb.n
          |ORDER BY i.a, i.b""".stripMargin,
+
+    // qe8: per-vector reduce over the same 1e7 quantization, dup-exact
+    // via COUNT − COUNT(DISTINCT list), the 1e7-grid histogram ranks
+    "qe8_vecaudit" ->
+      s"""WITH ex AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $FPDuck) AS BIGINT) AS xi
+        |       FROM embeddings, generate_series(1, 64) t(i)
+        |       WHERE i <= len(embedding)),
+        |nv AS MATERIALIZED (SELECT vec_id, CAST(SUM(xi*xi) AS BIGINT) AS n2
+        |       FROM ex GROUP BY 1),
+        |ql AS (SELECT vec_id, list(xi ORDER BY i) AS q FROM ex GROUP BY 1),
+        |hist AS (SELECT n2 // 10000000 AS g, CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM nv GROUP BY 1),
+        |cum AS (SELECT g,
+        |          SUM(c) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+        |            PRECEDING AND CURRENT ROW) AS cum,
+        |          SUM(c) OVER () AS n
+        |        FROM hist)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nv) AS n_vectors,
+        |  (SELECT CAST(COUNT(DISTINCT len(embedding)) AS BIGINT)
+        |     FROM embeddings) AS n_dims,
+        |  (SELECT CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END)
+        |     AS BIGINT) FROM nv) AS n_zero,
+        |  (SELECT CAST(COUNT(*) - COUNT(DISTINCT q) AS BIGINT) FROM ql)
+        |    AS n_dup,
+        |  (SELECT MIN(CASE WHEN cum >= (n-1)*1//10 + 1 THEN g END)
+        |     FROM cum) AS p10_g,
+        |  (SELECT MIN(CASE WHEN cum >= (n-1)*5//10 + 1 THEN g END)
+        |     FROM cum) AS p50_g,
+        |  (SELECT MIN(CASE WHEN cum >= (n-1)*9//10 + 1 THEN g END)
+        |     FROM cum) AS p90_g""".stripMargin,
 
     // qd24: qd9's exact truth (all-shared-token join + J >= 0.8) and
     // MinHash banding, plus qd23's OPH bins/densify/keys replayed over

@@ -664,6 +664,30 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("qe8 embedding audit matches a brute-force corpus replay") {
+    val vecs = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray.map(v =>
+        math.floor(v.toDouble * 1e7).toLong))
+    val n2s = vecs.map(_.map(v => v * v).sum)
+    val gs = n2s.map(_ / 10000000L).sorted
+    def q(p: Int): Long = {
+      // smallest gridded value whose cumulative count reaches the rank
+      val rank = (gs.length - 1) * p / 10 + 1
+      gs(rank - 1)
+    }
+    val want = (vecs.length.toLong,
+      vecs.map(_.length).distinct.length.toLong,
+      n2s.count(_ == 0L).toLong,
+      (vecs.length - vecs.map(_.toSeq).distinct.length).toLong,
+      q(1), q(5), q(9))
+    val got = SparkEntry.queries("qe8_vecaudit")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).head
+    assert(got === want)
+    assert(want._1 > 0L && want._5 <= want._7, "degenerate audit row")
+  }
+
   test("q146 tolerance as-of matches a brute-force bounded-range max") {
     val tolUs = 8500L * 86400000000L
     def us(ldt: java.time.LocalDateTime): Long =
