@@ -4379,6 +4379,86 @@ object Relational {
           round(col("s0"), 2).cast(DoubleType).as("total"),
           col("k_min"), col("k_max"), col("ln_sum"))
         .orderBy("l_returnflag")
+    }),
+
+    // Q147 ONE-WAY ANOVA (F-TEST) — the K-group member the comparison
+    // family lacked: every test so far (q93/q107/q128/q142/q143/q144)
+    // compares exactly TWO arms, but a rollout ships 4 variants and
+    // asks ONE question first — "do the arm means differ at all?" —
+    // before any pairwise drill-down (running C(4,2) Welch tests
+    // instead inflates the false-positive rate; the omnibus F is the
+    // gate). Per event type across the four deterministic arms
+    // (user_id % 4), the per-user binned observations (q107's
+    // resolution contract) collapse to TWELVE exact int64 sums — n, Σv,
+    // Σv² per arm, all audit columns — and F is ONE identical IEEE
+    // tree over them: between-group SS from the four (mean_k − grand)²
+    // terms in fixed left-assoc order, within-group SS via the q144
+    // variance identity per arm, F = (ssb/3)/(ssw/(N−4)) with df1 = 3
+    // and df2 = N − 4 riding as exact columns. Guards (identical both
+    // sides): every arm needs n_k ≥ 2, and ssw ≤ 0 yields NULL F.
+    // Headroom: q144's — binned v keeps Σv² inside int64 for ~1e9
+    // users/arm. Scale: one per-(type, user) partial agg + one tiny
+    // per-type conditional aggregation — no windows, no joins; the
+    // arm pivot is a fixed-width conditional sum, so the K-group test
+    // costs exactly what the 2-group test costs.
+    "q147_anova" -> ((s, d) =>
+      anovaStats(userCents(t(s, d, "events")))),
+
+    // Q148 KRUSKAL–WALLIS H — the nonparametric twin of q147 (q107 is
+    // the 2-arm rank test; when the metric is skewed/ordinal the
+    // omnibus across K arms is Kruskal–Wallis, the rank ANOVA): pooled
+    // per-type ranks with average-tie handling kept EXACT by q141's
+    // 2-scaling (2·rank̄ of a tied block = 2·cl + ct + 1, integer),
+    // per-arm 2-scaled rank sums w2_k = Σ ct_k·(2cl + ct + 1) and the
+    // tie sum ts3 = Σ(t³ − t) ride as exact int64 audit columns
+    // (division by 4 deferred into the float tree so no integer
+    // truncation is hidden), H = [12·Σ(w2_k²/4)/n_k / (N(N+1)) −
+    // 3(N+1)] / (1 − ts3/(N³−N)) as ONE identical IEEE tree. Guards:
+    // any empty arm or full tie (correction ≤ 0) → NULL. Computed from
+    // the VALUE HISTOGRAM (q142's move — never a per-observation
+    // global sort): windows run over ≤ distinct binned values per
+    // type, bounded by the value domain, not the corpus. Headroom:
+    // w2_k ≤ 2N·n_k keeps w2_k² in the float tree, not int64.
+    "q148_kruskal" -> ((s, d) => {
+      val obs = userCents(t(s, d, "events"))
+        .select(col("event_type"), expr("cents div 1000").as("v"),
+          pmod(col("user_id"), lit(4L)).as("arm"))
+      val hist = obs.groupBy("event_type", "v")
+        .agg(count(lit(1)).as("ct"),
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("arm") === 2L, 1L).otherwise(0L)).as("c2"),
+          sum(when(col("arm") === 3L, 1L).otherwise(0L)).as("c3"))
+      val w = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r2 = col("cl") * 2L + col("ct") + 1L
+      val agg = hist
+        .withColumn("cl", coalesce(sum(col("ct")).over(w), lit(0L)))
+        .groupBy("event_type")
+        .agg(sum(col("ct")).as("n"),
+          sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+          sum(col("c2")).as("n2"), sum(col("c3")).as("n3"),
+          sum(col("c0") * r2).as("w20"), sum(col("c1") * r2).as("w21"),
+          sum(col("c2") * r2).as("w22"), sum(col("c3") * r2).as("w23"),
+          sum(col("ct") * col("ct") * col("ct") - col("ct")).as("ts3"))
+      val nd = col("n").cast(DoubleType)
+      def term(wc: String, nc: String) =
+        col(wc).cast(DoubleType) * col(wc) / col(nc)
+      val sumr = term("w20", "n0") + term("w21", "n1") +
+        term("w22", "n2") + term("w23", "n3")
+      val corr = lit(1.0) -
+        col("ts3").cast(DoubleType) / (nd * nd * nd - nd)
+      agg.withColumn("h",
+          when(col("n0") < 1L || col("n1") < 1L || col("n2") < 1L
+            || col("n3") < 1L || corr <= 0.0,
+            lit(null).cast(DoubleType))
+            .otherwise(round(
+              (lit(12.0) * sumr / (lit(4.0) * nd * (nd + lit(1.0)))
+                - lit(3.0) * (nd + lit(1.0))) / corr, 6)
+              .cast(DoubleType)))
+        .select("event_type", "n", "n0", "n1", "n2", "n3",
+          "w20", "w21", "w22", "w23", "ts3", "h")
+        .orderBy("event_type")
     })
   )
 
@@ -4436,6 +4516,54 @@ object Relational {
             .cast(DoubleType)))
       .select("event_type", "n0", "s0", "q0", "n1", "s1", "q1",
         "tstat", "df")
+      .orderBy("event_type")
+  }
+
+  /** q147's estimator read path over an arbitrary per-user cent
+    * relation — the same shared-read-path contract as welchStats (the
+    * s37 streamed fold maintains userCents-shaped state and derives F
+    * through these identical expression trees). Four arms via
+    * user_id % 4; twelve exact int64 audit sums; F/df one IEEE tree. */
+  def anovaStats(uc: DataFrame): DataFrame = {
+    val obs = uc.select(col("event_type"),
+      expr("cents div 1000").as("v"),
+      pmod(col("user_id"), lit(4L)).as("arm"))
+    def pick(k: Int, c: Column) =
+      sum(when(col("arm") === k.toLong, c).otherwise(0L))
+    val agg = obs.groupBy("event_type")
+      .agg(pick(0, lit(1L)).as("n0"), pick(0, col("v")).as("s0"),
+        pick(0, col("v") * col("v")).as("q0"),
+        pick(1, lit(1L)).as("n1"), pick(1, col("v")).as("s1"),
+        pick(1, col("v") * col("v")).as("q1"),
+        pick(2, lit(1L)).as("n2"), pick(2, col("v")).as("s2"),
+        pick(2, col("v") * col("v")).as("q2"),
+        pick(3, lit(1L)).as("n3"), pick(3, col("v")).as("s3"),
+        pick(3, col("v") * col("v")).as("q3"))
+      .withColumn("n",
+        col("n0") + col("n1") + col("n2") + col("n3"))
+      .withColumn("s",
+        col("s0") + col("s1") + col("s2") + col("s3"))
+    def mean(sc: String, nc: String) =
+      col(sc).cast(DoubleType) / col(nc)
+    val gm = col("s").cast(DoubleType) / col("n")
+    def ssbTerm(k: Int) = {
+      val dk = mean(s"s$k", s"n$k") - gm
+      col(s"n$k") * dk * dk
+    }
+    val ssb = ssbTerm(0) + ssbTerm(1) + ssbTerm(2) + ssbTerm(3)
+    def sswTerm(k: Int) =
+      col(s"q$k").cast(DoubleType) -
+        col(s"s$k").cast(DoubleType) * col(s"s$k") / col(s"n$k")
+    val ssw = sswTerm(0) + sswTerm(1) + sswTerm(2) + sswTerm(3)
+    val bad = col("n0") < 2L || col("n1") < 2L || col("n2") < 2L ||
+      col("n3") < 2L
+    agg
+      .withColumn("fstat",
+        when(bad || ssw <= 0.0, lit(null).cast(DoubleType))
+          .otherwise(round((ssb / lit(3.0))
+            / (ssw / (col("n") - lit(4L))), 6).cast(DoubleType)))
+      .select("event_type", "n", "n0", "s0", "q0", "n1", "s1", "q1",
+        "n2", "s2", "q2", "n3", "s3", "q3", "fstat")
       .orderBy("event_type")
   }
 
@@ -6915,6 +7043,98 @@ object Relational {
         |FROM lineitem
         |WHERE l_orderkey % 10 = 4
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // q147: the identical F expression tree over the twelve exact sums
+    "q147_anova" ->
+      """WITH obs AS (
+        |  SELECT event_type, user_id % 4 AS arm,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           // 1000 AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY event_type, user_id),
+        |agg AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN arm=0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm=0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(SUM(CASE WHEN arm=0 THEN v*v ELSE 0 END) AS BIGINT) AS q0,
+        |    CAST(SUM(CASE WHEN arm=1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm=1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN arm=1 THEN v*v ELSE 0 END) AS BIGINT) AS q1,
+        |    CAST(SUM(CASE WHEN arm=2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN arm=2 THEN v ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(SUM(CASE WHEN arm=2 THEN v*v ELSE 0 END) AS BIGINT) AS q2,
+        |    CAST(SUM(CASE WHEN arm=3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(SUM(CASE WHEN arm=3 THEN v ELSE 0 END) AS BIGINT) AS s3,
+        |    CAST(SUM(CASE WHEN arm=3 THEN v*v ELSE 0 END) AS BIGINT) AS q3
+        |  FROM obs GROUP BY 1),
+        |tot AS (SELECT *, n0+n1+n2+n3 AS n, s0+s1+s2+s3 AS s FROM agg),
+        |fin AS (SELECT *,
+        |    CAST(s AS DOUBLE) / n AS gm,
+        |    n0*(CAST(s0 AS DOUBLE)/n0 - CAST(s AS DOUBLE)/n)
+        |      *(CAST(s0 AS DOUBLE)/n0 - CAST(s AS DOUBLE)/n)
+        |    + n1*(CAST(s1 AS DOUBLE)/n1 - CAST(s AS DOUBLE)/n)
+        |      *(CAST(s1 AS DOUBLE)/n1 - CAST(s AS DOUBLE)/n)
+        |    + n2*(CAST(s2 AS DOUBLE)/n2 - CAST(s AS DOUBLE)/n)
+        |      *(CAST(s2 AS DOUBLE)/n2 - CAST(s AS DOUBLE)/n)
+        |    + n3*(CAST(s3 AS DOUBLE)/n3 - CAST(s AS DOUBLE)/n)
+        |      *(CAST(s3 AS DOUBLE)/n3 - CAST(s AS DOUBLE)/n) AS ssb,
+        |    (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*s0/n0)
+        |    + (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1)
+        |    + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n2)
+        |    + (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE)*s3/n3) AS ssw
+        |  FROM tot)
+        |SELECT event_type, n, n0, s0, q0, n1, s1, q1,
+        |       n2, s2, q2, n3, s3, q3,
+        |       CASE WHEN n0 < 2 OR n1 < 2 OR n2 < 2 OR n3 < 2
+        |                 OR ssw <= 0.0 THEN NULL
+        |         ELSE CAST(ROUND((ssb / 3.0) / (ssw / (n - 4)), 6)
+        |           AS DOUBLE) END AS fstat
+        |FROM fin ORDER BY event_type""".stripMargin,
+
+    // q148: the identical H tree over the 2-scaled rank-sum histogram
+    "q148_kruskal" ->
+      """WITH obs AS (
+        |  SELECT event_type, user_id % 4 AS arm,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           // 1000 AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY event_type, user_id),
+        |hist AS (SELECT event_type, v, COUNT(*) AS ct,
+        |    SUM(CASE WHEN arm=0 THEN 1 ELSE 0 END) AS c0,
+        |    SUM(CASE WHEN arm=1 THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN arm=2 THEN 1 ELSE 0 END) AS c2,
+        |    SUM(CASE WHEN arm=3 THEN 1 ELSE 0 END) AS c3
+        |  FROM obs GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |    COALESCE(SUM(ct) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cl
+        |  FROM hist),
+        |agg AS (SELECT event_type,
+        |    CAST(SUM(ct) AS BIGINT) AS n,
+        |    CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2, CAST(SUM(c3) AS BIGINT) AS n3,
+        |    CAST(SUM(c0*(cl*2+ct+1)) AS BIGINT) AS w20,
+        |    CAST(SUM(c1*(cl*2+ct+1)) AS BIGINT) AS w21,
+        |    CAST(SUM(c2*(cl*2+ct+1)) AS BIGINT) AS w22,
+        |    CAST(SUM(c3*(cl*2+ct+1)) AS BIGINT) AS w23,
+        |    CAST(SUM(ct*ct*ct - ct) AS BIGINT) AS ts3
+        |  FROM rk GROUP BY 1)
+        |SELECT event_type, n, n0, n1, n2, n3, w20, w21, w22, w23, ts3,
+        |  CASE WHEN n0 < 1 OR n1 < 1 OR n2 < 1 OR n3 < 1
+        |      OR 1.0 - CAST(ts3 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)
+        |           - CAST(n AS DOUBLE)) <= 0.0 THEN NULL
+        |    ELSE CAST(ROUND(
+        |      (12.0 * (CAST(w20 AS DOUBLE)*w20/n0
+        |        + CAST(w21 AS DOUBLE)*w21/n1
+        |        + CAST(w22 AS DOUBLE)*w22/n2
+        |        + CAST(w23 AS DOUBLE)*w23/n3)
+        |        / (4.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |       - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |      / (1.0 - CAST(ts3 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)
+        |           - CAST(n AS DOUBLE))), 6) AS DOUBLE) END AS h
+        |FROM agg ORDER BY event_type""".stripMargin
   )
 }

@@ -753,4 +753,100 @@ class Round10OpsSpec extends AnyFunSuite {
     assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b,
       "output file is not gzip-framed")
   }
+
+  /** Shared per-(type, arm) observation build for the K-group tests:
+    * per-user binned sums v = (Σcents) div 1000, arm = user_id % 4. */
+  private def armObs(): Map[String, Seq[(Long, Long)]] = {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "user_id", "value").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100).toLong))
+    rows.groupBy(_._1).map { case (ty, rs) =>
+      ty -> rs.groupBy(_._2).toSeq.map { case (u, es) =>
+        ((((u % 4) + 4) % 4), es.map(_._3).sum / 1000L)
+      }
+    }
+  }
+
+  test("q147 one-way ANOVA F matches a brute-force replay") {
+    val want = armObs().toSeq.map { case (ty, vs) =>
+      val arms = (0 to 3).map(k => vs.filter(_._1 == k).map(_._2))
+      val n = arms.map(_.length.toLong)
+      val sm = arms.map(_.sum)
+      val q = arms.map(_.map(v => v * v).sum)
+      val nAll = n.sum; val sAll = sm.sum
+      val gm = sAll.toDouble / nAll
+      val ssb = (0 to 3).map { k =>
+        val dk = sm(k).toDouble / n(k) - gm; n(k) * dk * dk }.sum
+      val ssw = (0 to 3).map(k =>
+        q(k).toDouble - sm(k).toDouble * sm(k) / n(k)).sum
+      val ok = n.forall(_ >= 2L) && ssw > 0.0
+      val f = if (!ok) None
+        else Some(r6((ssb / 3.0) / (ssw / (nAll - 4L))))
+      (ty, nAll, n(0), sm(0), q(0), n(1), sm(1), q(1),
+        n(2), sm(2), q(2), n(3), sm(3), q(3), f)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q147_anova")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10),
+        r.getLong(11), r.getLong(12), r.getLong(13),
+        if (r.isNullAt(14)) None else Some(r.getDouble(14)))).toSeq
+    assert(want.nonEmpty && want.exists(_._15.isDefined),
+      "no computable F at sf0.001 — gate is vacuous")
+    // float trees may differ in the last ulp between the replay's scalar
+    // order and the engines' identical columnar tree; the AUDIT sums
+    // must be exact, F to the 1e-6 grid with one-ulp-of-round slack
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.copy(_15 = None) === w.copy(_15 = None), s"audit: $g != $w")
+      (g._15, w._15) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) <= 2e-6)
+        case (a, b) => assert(a == b)
+      }
+    }
+  }
+
+  test("q148 Kruskal-Wallis H matches a brute-force replay") {
+    val want = armObs().toSeq.map { case (ty, vs) =>
+      val sorted = vs.map(_._2).distinct.sorted
+      val ct = sorted.map(v => v -> vs.count(_._2 == v).toLong).toMap
+      var cl = 0L
+      val w2 = Array.fill(4)(0L); var ts3 = 0L
+      sorted.foreach { v =>
+        val c = ct(v)
+        val r2 = 2L * cl + c + 1L
+        (0 to 3).foreach { k =>
+          w2(k) += vs.count(o => o._1 == k && o._2 == v) * r2 }
+        ts3 += c * c * c - c
+        cl += c
+      }
+      val n = vs.length.toLong
+      val nk = (0 to 3).map(k => vs.count(_._1 == k).toLong)
+      val nd = n.toDouble
+      val corr = 1.0 - ts3.toDouble / (nd * nd * nd - nd)
+      val ok = nk.forall(_ >= 1L) && corr > 0.0
+      val h = if (!ok) None else {
+        val sumr = (0 to 3).map(k => w2(k).toDouble * w2(k) / nk(k)).sum
+        Some(r6((12.0 * sumr / (4.0 * nd * (nd + 1.0))
+          - 3.0 * (nd + 1.0)) / corr))
+      }
+      (ty, n, nk(0), nk(1), nk(2), nk(3),
+        w2(0), w2(1), w2(2), w2(3), ts3, h)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q148_kruskal")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10),
+        if (r.isNullAt(11)) None else Some(r.getDouble(11)))).toSeq
+    assert(want.nonEmpty && want.exists(_._12.isDefined),
+      "no computable H at sf0.001 — gate is vacuous")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.copy(_12 = None) === w.copy(_12 = None), s"audit: $g != $w")
+      (g._12, w._12) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) <= 2e-6)
+        case (a, b) => assert(a == b)
+      }
+    }
+  }
 }
