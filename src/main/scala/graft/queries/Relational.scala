@@ -4459,6 +4459,159 @@ object Relational {
         .select("event_type", "n", "n0", "n1", "n2", "n3",
           "w20", "w21", "w22", "w23", "ts3", "h")
         .orderBy("event_type")
+    }),
+
+    // Q150 LINK PREDICTION (COMMON NEIGHBORS / JACCARD) — the
+    // recommendation verb of the graph family (q68 ranks nodes, q104
+    // counts closed triangles, qd5 clusters; none answers "which edge
+    // is MISSING?" — the people-also-bought candidate generator): for
+    // every NON-adjacent pair of the co-purchase graph sharing ≥ 3
+    // neighbors, the common-neighbor count plus both degrees ride as
+    // exact int64 audit columns and the Jaccard score cn/(du+dv−cn)
+    // is one rounded IEEE division — ranking consumers sort on the
+    // exact cn, so no float knife edge decides membership. Shape:
+    // q104's two-hop self-join (adjacency ⋈ adjacency on the shared
+    // neighbor) partial-aggregated on the candidate pair, existing
+    // edges removed by ONE anti-join, degrees broadcast back. Scale:
+    // the two-hop blow-up is Σ deg(n)² — BasketCap bounds the basket
+    // fan-out upstream exactly as q104/q123/q131, the cn ≥ 2 floor
+    // bounds the emitted relation (at the family's shared w12 ≥ 2 edge
+    // definition the co-purchase graph is sparse — cn ≥ 2 is the band
+    // where candidates exist at every fixture scale), and every shuffle key is a node or
+    // pair id (unbounded keyspace, AQE skew guard applies).
+    "q150_linkpred" -> ((s, d) => {
+      val b = graft.operators.BasketCap.capParts(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(), "o", "p")
+      val e = b.as("a")
+        .join(b.as("bb"), col("a.o") === col("bb.o")
+          && col("a.p") < col("bb.p"))
+        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+        .agg(count(lit(1)).as("w12"))
+        .filter(col("w12") >= 2L)
+        .select("u", "v")
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val cand = sym.as("s1")
+        .join(sym.as("s2"), col("s1.v") === col("s2.u")
+          && col("s1.u") < col("s2.v"))
+        .groupBy(col("s1.u").as("x"), col("s2.v").as("z"))
+        .agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 2L)
+        .join(e, col("x") === col("u") && col("z") === col("v"),
+          "left_anti")
+      cand
+        .join(deg.select(col("node"), col("deg").as("du")),
+          col("x") === col("node")).drop("node")
+        .join(deg.select(col("node"), col("deg").as("dv")),
+          col("z") === col("node")).drop("node")
+        .select(col("x").as("u"), col("z").as("v"), col("cn"),
+          col("du"), col("dv"),
+          round(col("cn").cast(DoubleType)
+            / (col("du") + col("dv") - col("cn")), 6)
+            .cast(DoubleType).as("jac"))
+        .orderBy("u", "v")
+    }),
+
+    // Q151 LOCAL CLUSTERING COEFFICIENT — q104's per-node triangle
+    // count NORMALIZED (the raw count conflates density with degree;
+    // the coefficient 2·tri/(deg·(deg−1)) is the comparable "how
+    // clique-like is this node's neighborhood" readout community/
+    // fraud detection thresholds on): per node of the co-purchase
+    // graph, degree and triangle count ride as exact int64 audit
+    // columns (nodes in no triangle kept via left join + coalesce 0 —
+    // dropping them would bias the distribution the query exists to
+    // measure), the coefficient one rounded IEEE division, NULL below
+    // degree 2 where it is undefined. Reuses q104's capped edge build
+    // and triangle join verbatim; the only additions are the degree
+    // aggregate (one partial-aggregatable pass over the symmetrized
+    // edges) and the broadcast-joined normalization.
+    "q151_localcc" -> ((s, d) => {
+      val b = graft.operators.BasketCap.capParts(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(), "o", "p")
+      val e = b.as("a")
+        .join(b.as("bb"), col("a.o") === col("bb.o")
+          && col("a.p") < col("bb.p"))
+        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+        .agg(count(lit(1)).as("w12"))
+        .filter(col("w12") >= 2L)
+        .select("u", "v")
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"), col("e3.u") === col("e1.u")
+          && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("nu"), col("e1.v").as("nv"),
+          col("e2.v").as("nw"))
+      val perNode = tri.select(explode(array(col("nu"), col("nv"),
+          col("nw"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      deg.join(perNode, Seq("node"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("lcc",
+          when(col("deg") < 2L, lit(null).cast(DoubleType))
+            .otherwise(round(lit(2.0) * col("n_tri")
+              / (col("deg") * (col("deg") - lit(1L))), 6)
+              .cast(DoubleType)))
+        .select("node", "deg", "n_tri", "lcc")
+        .orderBy("node")
+    }),
+
+    // Q152 LAGGED CROSS-CORRELATION — the lead/lag member of the
+    // association family (q108 correlates type pairs at lag 0, q105
+    // correlates a type with ITSELF at lags 1–7; "does type A's
+    // Monday predict type B's Wednesday?" — the cross-series lead
+    // indicator a forecasting pipeline screens for — needs the
+    // ORDERED pair at a nonzero lag, which neither covers): for every
+    // ordered pair ta ≠ tb and lag 1–3 days, Pearson r between ta's
+    // day-d daily total and tb's day-(d+lag) total over the shared
+    // day span, with q108's exact int64 audit columns (n, num, dx,
+    // dy) and r one identical IEEE tree, NULL where either side is
+    // constant (dx/dy ≤ 0 — possible on short overlaps, so the guard
+    // is explicit here where q108's fixture made it unreachable).
+    // Scale: the corpus collapses to the daily relation in one
+    // partial-aggregatable pass; the lag explosion (×3) and the pair
+    // join run over O(types × days) rows — bounded by TIME, not
+    // corpus size (q105's argument), and the date-shifted equi-join
+    // key (day + lag) keeps it a hash join, never a range probe.
+    "q152_xcorr" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
+          .as("x"))
+      val a = daily.select(col("event_type").as("ta"),
+          col("day"), col("x").as("xa"))
+        .withColumn("lag", explode(sequence(lit(1), lit(3))))
+      val b = daily.select(col("event_type").as("tb"),
+        col("day").as("bday"), col("x").as("xb"))
+      val agg = a.join(b, col("tb") =!= col("ta")
+          && col("bday") === date_add(col("day"), col("lag")))
+        .groupBy("ta", "tb", "lag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+          sum(col("xa") * col("xa")).as("sxx"),
+          sum(col("xb") * col("xb")).as("syy"),
+          sum(col("xa") * col("xb")).as("sxy"))
+        .select(col("ta"), col("tb"), col("lag").cast(LongType)
+            .as("lag"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("dx"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("dy"))
+      agg.withColumn("r",
+          when(col("dx") <= 0L || col("dy") <= 0L,
+            lit(null).cast(DoubleType))
+            .otherwise(round(col("num").cast(DoubleType)
+              / (sqrt(col("dx").cast(DoubleType))
+                * sqrt(col("dy").cast(DoubleType))), 6)
+              .cast(DoubleType)))
+        .orderBy("ta", "tb", "lag")
     })
   )
 
@@ -7135,6 +7288,93 @@ object Relational {
         |      / (1.0 - CAST(ts3 AS DOUBLE)
         |        / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)
         |           - CAST(n AS DOUBLE))), 6) AS DOUBLE) END AS h
-        |FROM agg ORDER BY event_type""".stripMargin
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // q150: the identical capped edge build + two-hop CN aggregation;
+    // NOT EXISTS is the anti-join twin
+    "q150_linkpred" ->
+      """WITH b0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |b AS (SELECT o, p FROM b0
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) <= 64),
+        |e AS (SELECT a.p AS u, c.p AS v FROM b a
+        |      JOIN b c ON a.o = c.o AND a.p < c.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY 1),
+        |cand AS (SELECT s1.u AS x, s2.v AS z,
+        |                CAST(COUNT(*) AS BIGINT) AS cn
+        |         FROM sym s1 JOIN sym s2
+        |           ON s1.v = s2.u AND s1.u < s2.v
+        |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |ne AS (SELECT * FROM cand c WHERE NOT EXISTS (
+        |         SELECT 1 FROM e WHERE e.u = c.x AND e.v = c.z))
+        |SELECT ne.x AS u, ne.z AS v, ne.cn, d1.deg AS du, d2.deg AS dv,
+        |       CAST(ROUND(CAST(ne.cn AS DOUBLE)
+        |         / (d1.deg + d2.deg - ne.cn), 6) AS DOUBLE) AS jac
+        |FROM ne JOIN deg d1 ON ne.x = d1.node
+        |        JOIN deg d2 ON ne.z = d2.node
+        |ORDER BY u, v""".stripMargin,
+
+    // q151: q104's triangle chain + the degree normalization
+    "q151_localcc" ->
+      """WITH b0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |b AS (SELECT o, p FROM b0
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) <= 64),
+        |e AS (SELECT a.p AS u, c.p AS v FROM b a
+        |      JOIN b c ON a.o = c.o AND a.p < c.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |tri AS (SELECT e1.u, e1.v, e2.v AS w
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |         SELECT u AS node FROM tri
+        |         UNION ALL SELECT v FROM tri
+        |         UNION ALL SELECT w FROM tri) GROUP BY 1)
+        |SELECT d.node, d.deg, COALESCE(pn.n_tri, 0) AS n_tri,
+        |       CASE WHEN d.deg < 2 THEN NULL
+        |         ELSE CAST(ROUND(2.0 * COALESCE(pn.n_tri, 0)
+        |           / (d.deg * (d.deg - 1)), 6) AS DOUBLE) END AS lcc
+        |FROM deg d LEFT JOIN pn ON d.node = pn.node
+        |ORDER BY d.node""".stripMargin,
+
+    // q152: q108's daily relation + DATE + INTEGER day shift (DuckDB's
+    // date arithmetic twin of Spark date_add)
+    "q152_xcorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           // 1000 AS x
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |l AS (SELECT UNNEST([1, 2, 3]) AS lag),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |        CAST(l.lag AS BIGINT) AS lag,
+        |        CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(a.x) AS BIGINT) AS sx,
+        |        CAST(SUM(b.x) AS BIGINT) AS sy,
+        |        CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+        |        CAST(SUM(b.x * b.x) AS BIGINT) AS syy,
+        |        CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+        |      FROM daily a CROSS JOIN l JOIN daily b
+        |        ON b.event_type <> a.event_type
+        |        AND b.day = a.day + l.lag
+        |      GROUP BY 1, 2, 3)
+        |SELECT ta, tb, lag, n,
+        |       n * sxy - sx * sy AS num,
+        |       n * sxx - sx * sx AS dx,
+        |       n * syy - sy * sy AS dy,
+        |       CASE WHEN n * sxx - sx * sx <= 0
+        |              OR n * syy - sy * sy <= 0 THEN NULL
+        |         ELSE CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |           / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |             * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |           AS DOUBLE) END AS r
+        |FROM p ORDER BY ta, tb, lag""".stripMargin
   )
 }

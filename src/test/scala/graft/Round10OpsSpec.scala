@@ -754,6 +754,122 @@ class Round10OpsSpec extends AnyFunSuite {
       "output file is not gzip-framed")
   }
 
+  /** The family's shared capped co-purchase edge build, replayed with
+    * plain collections: distinct (order, part), keep each order's 64
+    * smallest parts, project within-order pairs, keep pairs seen in
+    * ≥ 2 orders. Returns u < v edges. */
+  private def copurchaseEdges(): Set[(Long, Long)] = {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = rows.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      val kept = ps.map(_._2).sorted.take(64)
+      for (i <- kept.indices; j <- (i + 1) until kept.length)
+        yield (kept(i), kept(j))
+    }
+    pairs.groupBy(identity).filter(_._2.size >= 2).keySet
+  }
+
+  test("q150 link-prediction candidates match a brute-force replay") {
+    val e = copurchaseEdges()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    e.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      x = nodes(i); z = nodes(j)
+      if !e.contains((x, z))
+      cn = (adj(x) intersect adj(z)).size.toLong
+      if cn >= 2L
+    } yield (x, z, cn, adj(x).size.toLong, adj(z).size.toLong,
+      r6(cn.toDouble / (adj(x).size + adj(z).size - cn))))
+      .sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q150_linkpred")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(want.nonEmpty, "no candidates at sf0.001 — gate is vacuous")
+    assert(got === want)
+  }
+
+  test("q151 local clustering coefficients match a brute-force replay") {
+    val e = copurchaseEdges()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    e.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    val want = adj.keys.toSeq.sorted.map { n =>
+      val nb = adj(n).toSeq
+      val tri = (for {
+        i <- nb.indices; j <- (i + 1) until nb.length
+        (a, b) = (math.min(nb(i), nb(j)), math.max(nb(i), nb(j)))
+        if e.contains((a, b))
+      } yield 1).size.toLong
+      val deg = nb.size.toLong
+      val lcc = if (deg < 2L) None
+        else Some(r6(2.0 * tri / (deg * (deg - 1L))))
+      (n, deg, tri, lcc)
+    }
+    val got = SparkEntry.queries("q151_localcc")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(want.exists(_._3 > 0L), "no triangles at sf0.001 — vacuous")
+    assert(got === want)
+  }
+
+  test("q152 lagged cross-correlation matches a brute-force replay") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "ts", "value").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map { r =>
+        val ts = r.get(1) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+          case t: java.time.LocalDateTime => t.toLocalDate
+          case t: java.time.Instant =>
+            t.atZone(java.time.ZoneOffset.UTC).toLocalDate
+        }
+        (r.getString(0), ts, math.floor(r.getDouble(2) * 100).toLong)
+      }
+    val daily = rows.groupBy(r => (r._1, r._2)).map { case ((ty, dy), g) =>
+      (ty, dy) -> g.map(_._3).sum / 1000L
+    }
+    val types = daily.keys.map(_._1).toSeq.distinct.sorted
+    val want = (for {
+      ta <- types; tb <- types if ta != tb; lag <- 1 to 3
+    } yield {
+      val pairs = daily.collect { case ((t, dy), xa) if t == ta =>
+        daily.get((tb, dy.plusDays(lag))).map(xb => (xa, xb)) }
+        .flatten.toSeq
+      val n = pairs.length.toLong
+      if (n == 0) None else {
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val num = n * sxy - sx * sy
+        val dx = n * sxx - sx * sx; val dy2 = n * syy - sy * sy
+        val r = if (dx <= 0L || dy2 <= 0L) None
+          else Some(r6(num.toDouble
+            / (math.sqrt(dx.toDouble) * math.sqrt(dy2.toDouble))))
+        Some((ta, tb, lag.toLong, n, num, dx, dy2, r))
+      }
+    }).flatten.sortBy(t => (t._1, t._2, t._3))
+    val got = SparkEntry.queries("q152_xcorr")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toSeq
+    assert(want.nonEmpty && want.exists(_._8.isDefined),
+      "no computable r at sf0.001 — gate is vacuous")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.copy(_8 = None) === w.copy(_8 = None), s"audit: $g != $w")
+      (g._8, w._8) match {
+        case (Some(x), Some(y)) => assert(math.abs(x - y) <= 2e-6)
+        case (x, y) => assert(x == y)
+      }
+    }
+  }
+
   /** Shared per-(type, arm) observation build for the K-group tests:
     * per-user binned sums v = (Σcents) div 1000, arm = user_id % 4. */
   private def armObs(): Map[String, Seq[(Long, Long)]] = {
