@@ -4612,6 +4612,56 @@ object Relational {
                 * sqrt(col("dy").cast(DoubleType))), 6)
               .cast(DoubleType)))
         .orderBy("ta", "tb", "lag")
+    }),
+
+    // Q149 BENJAMINI–HOCHBERG FDR SCREEN — the multiple-testing member
+    // the stats family conspicuously lacked: q71/q109/s21 each flag
+    // anomalies one test at a time, but a monitor running types × days
+    // tests DAILY drowns in false positives at a fixed per-test α —
+    // BH's step-up rule (the standard FDR control, Benjamini &
+    // Hochberg 1995) is what production anomaly screens actually
+    // apply. Tests: per (type, day), the one-sided empirical
+    // exceedance p-value of that day's total within its type's
+    // history — an EXACT RATIONAL p_num/p_den (days-with-total-≥ /
+    // days), computed from the per-type value histogram via one
+    // suffix-sum window (q142's move). The step-up: rank all m tests
+    // by p ascending (the double cast is one correctly-rounded
+    // division — identical both engines — with (type, day) breaking
+    // ties totally), pass rows where p ≤ α·rank/m decided in EXACT
+    // INTEGERS (20·p_num·m ≤ rank·p_den at α = 1/20 — no float
+    // boundary), k = max passing rank, reject = rank ≤ k (BH rejects
+    // EVERYTHING below the last passing rank, including interior rows
+    // that individually fail — the step-up's defining property, pinned
+    // on a PLANTED relation in Round10OpsSpec since the shipped corpus
+    // is null data: every day is drawn from its type's own
+    // distribution, so empirical p's are uniform and a correct FDR
+    // screen rejects NOTHING — the all-false reject column and k = 0
+    // are the verified contract, not vacuity (qe8's healthy-corpus
+    // convention; a screen that rejected anything here would be the
+    // broken one). Scale: corpus → daily relation in one
+    // partial-aggregatable pass; the histogram windows are per-type;
+    // the single global rank window runs over O(types × days) rows —
+    // bounded by TIME, not corpus size (q109's argument, declared).
+    "q149_bhfdr" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
+          .as("x"))
+      val hist = daily.groupBy("event_type", "x")
+        .agg(count(lit(1)).as("ct"))
+      val wGe = Window.partitionBy("event_type").orderBy(col("x").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wN = Window.partitionBy("event_type")
+      val pRel = hist
+        .withColumn("p_num", sum(col("ct")).over(wGe))
+        .withColumn("p_den", sum(col("ct")).over(wN))
+      val tests = daily.join(pRel, Seq("event_type", "x"))
+      bhStepUp(tests, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("x"),
+          col("p_num"), col("p_den"), col("m"), col("rnk"),
+          col("reject"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -4718,6 +4768,33 @@ object Relational {
       .select("event_type", "n", "n0", "s0", "q0", "n1", "s1", "q1",
         "n2", "s2", "q2", "n3", "s3", "q3", "fstat")
       .orderBy("event_type")
+  }
+
+  /** q149's Benjamini–Hochberg step-up as a reusable relation
+    * transform: input carries exact rational p-values as
+    * (p_num, p_den) int64 columns; the step-up ranks all m tests by
+    * the correctly-rounded double p (total order completed by
+    * `tiebreaks`), passes rows where p ≤ α·rank/m decided in EXACT
+    * integers (alphaDen·p_num·m ≤ alphaNum·rank·p_den), and rejects
+    * every rank ≤ the maximum passing rank. Returned columns: input +
+    * p, m, rnk, reject. The global rank window is declared bounded by
+    * the caller (tests, not corpus rows). */
+  def bhStepUp(tests: DataFrame, tiebreaks: Seq[String],
+               alphaNum: Long = 1L, alphaDen: Long = 20L): DataFrame = {
+    val withP = tests.withColumn("p",
+      col("p_num").cast(DoubleType) / col("p_den"))
+    val m = withP.agg(count(lit(1)).as("m"))
+    val wRank = Window.orderBy(
+      (col("p") +: tiebreaks.map(col)): _*)
+    val ranked = withP.crossJoin(broadcast(m))
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .withColumn("pass", lit(alphaDen) * col("p_num") * col("m")
+        <= lit(alphaNum) * col("rnk") * col("p_den"))
+    val k = ranked.agg(coalesce(max(when(col("pass"), col("rnk"))),
+      lit(0L)).as("k"))
+    ranked.crossJoin(broadcast(k))
+      .withColumn("reject", col("rnk") <= col("k"))
+      .drop("pass", "k")
   }
 
   /** Benford first-digit probabilities log10(1+1/d) as SHARED decimal
@@ -7375,6 +7452,38 @@ object Relational {
         |           / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
         |             * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
         |           AS DOUBLE) END AS r
-        |FROM p ORDER BY ta, tb, lag""".stripMargin
+        |FROM p ORDER BY ta, tb, lag""".stripMargin,
+
+    // q149: the identical suffix-sum p build + integer step-up
+    "q149_bhfdr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           // 1000 AS x
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |hist AS (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS ct
+        |         FROM daily GROUP BY 1, 2),
+        |pr AS (SELECT event_type, x,
+        |         CAST(SUM(ct) OVER (PARTITION BY event_type ORDER BY x
+        |           DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |           ROW) AS BIGINT) AS p_num,
+        |         CAST(SUM(ct) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS p_den
+        |       FROM hist),
+        |tests AS (SELECT d.event_type, d.day, d.x, pr.p_num, pr.p_den,
+        |            CAST(pr.p_num AS DOUBLE) / pr.p_den AS p
+        |          FROM daily d JOIN pr ON d.event_type = pr.event_type
+        |            AND d.x = pr.x),
+        |ranked AS (SELECT *,
+        |             (SELECT CAST(COUNT(*) AS BIGINT) FROM tests) AS m,
+        |             CAST(ROW_NUMBER() OVER (ORDER BY p, event_type,
+        |               day) AS BIGINT) AS rnk
+        |           FROM tests),
+        |kk AS (SELECT COALESCE(MAX(CASE WHEN 20 * p_num * m
+        |           <= rnk * p_den THEN rnk END), 0) AS k FROM ranked)
+        |SELECT event_type, day, x, p_num, p_den, m, rnk,
+        |       rnk <= (SELECT k FROM kk) AS reject
+        |FROM ranked ORDER BY event_type, day""".stripMargin
   )
 }

@@ -923,7 +923,23 @@ object StreamingQueries {
     // users deliberately SPLIT across batches. The batch form IS q144
     // and shares its oracle verbatim.
     "s36_welchstream" -> ((s, d) =>
-      graft.queries.Relational.queries("q144_welch")(s, d))
+      graft.queries.Relational.queries("q144_welch")(s, d)),
+
+    // S37 STREAMING K-ARM EXPERIMENT MONITOR (round 10) — q147's
+    // one-way ANOVA maintained as events arrive, with ZERO new ingest
+    // machinery: the s36 fold's per-(type, user) cent state is already
+    // the sufficient relation for EVERY test in the family (arm
+    // assignment and div-1000 binning are read-path decisions, so one
+    // state table serves the 2-arm Welch AND the 4-arm omnibus — the
+    // "one state, many statistics" shape a live experiment dashboard
+    // actually runs; adding a monitor costs a read, not a second
+    // stream). Streams.s37Result derives F through q147's IDENTICAL
+    // anovaStats expression trees from the latest generation.
+    // AnovaStreamSpec pins streamed == batch across the same
+    // user-splitting checkpointed restart as s36. The batch form IS
+    // q147 and shares its oracle verbatim.
+    "s37_anovastream" -> ((s, d) =>
+      graft.queries.Relational.queries("q147_anova")(s, d))
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1373,6 +1389,9 @@ object StreamingQueries {
     // batch bottom-k build is the contract
     ("s35_thetastream" -> graft.queries.Llm.oracle("t6_theta")) +
     ("s36_welchstream" -> graft.queries.Relational.oracle("q144_welch")) +
+    // s37: q147's oracle verbatim — the s36 cent fold read through the
+    // anovaStats trees ≡ the batch build is the contract
+    ("s37_anovastream" -> graft.queries.Relational.oracle("q147_anova")) +
     // s17: the composed pipeline's oracle reuses s12's two-batch
     // verdict replay verbatim as a CTE, keeps the accepted ('new')
     // docs — the published snapshot's exact membership — and
@@ -2286,14 +2305,26 @@ object Streams {
   /** The streamed per-user cents read back through q144's IDENTICAL
     * t/df expression trees (Relational.welchStats): latest
     * generation's state table → the per-type test rows. */
-  def s36Result(spark: SparkSession, sumsDir: String): DataFrame = {
+  def s36Result(spark: SparkSession, sumsDir: String): DataFrame =
+    graft.queries.Relational.welchStats(latestCents(spark, sumsDir))
+
+  /** S37's read path: the SAME cent state read through q147's F
+    * expression trees (Relational.anovaStats). One state table, many
+    * statistics — the monitor adds a K-arm omnibus readout at ZERO
+    * extra ingest cost because the s36 fold already maintains exactly
+    * the sufficient relation (per-(type, user) cents; both the arm
+    * assignment and the div-1000 binning are read-path decisions). */
+  def s37Result(spark: SparkSession, sumsDir: String): DataFrame =
+    graft.queries.Relational.anovaStats(latestCents(spark, sumsDir))
+
+  private def latestCents(spark: SparkSession,
+                          sumsDir: String): DataFrame = {
     val gens = Option(new java.io.File(sumsDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .map(_.getName).filter(_.startsWith("gen="))
       .map(_.stripPrefix("gen=").toLong)
     require(gens.nonEmpty, s"no state generations under $sumsDir")
-    graft.queries.Relational.welchStats(
-      spark.read.parquet(s"$sumsDir/gen=${gens.max}"))
+    spark.read.parquet(s"$sumsDir/gen=${gens.max}")
   }
 
   /** The streamed sketch read back through t5's IDENTICAL estimator:

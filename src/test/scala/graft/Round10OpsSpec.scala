@@ -870,6 +870,67 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q149 BH step-up matches a brute-force replay (incl. interior rows)") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "ts", "value").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map { r =>
+        val day = r.get(1) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+          case t: java.time.LocalDateTime => t.toLocalDate
+          case t: java.time.Instant =>
+            t.atZone(java.time.ZoneOffset.UTC).toLocalDate
+        }
+        (r.getString(0), day, math.floor(r.getDouble(2) * 100).toLong)
+      }
+    val daily = rows.groupBy(r => (r._1, r._2)).map { case ((ty, dy), g) =>
+      (ty, dy, g.map(_._3).sum / 1000L) }.toSeq
+    val byType = daily.groupBy(_._1)
+    val tests = daily.map { case (ty, dy, x) =>
+      val hs = byType(ty)
+      (ty, dy, x, hs.count(_._3 >= x).toLong, hs.size.toLong)
+    }
+    val m = tests.size.toLong
+    val ranked = tests.sortBy { case (ty, dy, _, num, den) =>
+      (num.toDouble / den, ty, dy.toString) }.zipWithIndex
+      .map { case (t, i) => (t, i + 1L) }
+    val k = ranked.filter { case ((_, _, _, num, den), rnk) =>
+      20L * num * m <= rnk * den }.map(_._2).maxOption.getOrElse(0L)
+    val want = ranked.map { case ((ty, dy, x, num, den), rnk) =>
+      (ty, dy.toString, x, num, den, m, rnk, rnk <= k)
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q149_bhfdr")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), String.valueOf(r.get(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getBoolean(7))).toSeq
+    // the shipped corpus is NULL data (every day drawn from its type's
+    // own distribution) — a correct FDR screen rejects nothing, and
+    // that all-false column is the verified contract (the step-up
+    // mechanics are exercised on the planted relation below)
+    assert(k == 0L && want.forall(!_._8),
+      "null-data corpus unexpectedly produced BH rejections")
+    assert(got === want)
+  }
+
+  test("bhStepUp rejects interior failing ranks on a planted relation") {
+    import spark.implicits._
+    // m = 5, alpha = 1/20; p = .012/.019/.028 all pass or fail so that
+    // rank 1 FAILS its own inequality (20*12*5=1200 > 1*1000) but rank
+    // 3 passes (20*28*5=2800 <= 3*1000) -> k=3 rejects ranks 1-3
+    // including the interior failures; .900/.950 stay accepted
+    val tests = Seq(("a", 12L), ("b", 19L), ("c", 28L),
+      ("d", 900L), ("e", 950L))
+      .toDF("tid", "p_num")
+      .withColumn("p_den", org.apache.spark.sql.functions.lit(1000L))
+    val got = graft.queries.Relational.bhStepUp(tests, Seq("tid"))
+      .select("tid", "rnk", "reject").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(("a", 1L, true), ("b", 2L, true),
+      ("c", 3L, true), ("d", 4L, false), ("e", 5L, false)))
+    // and the defining counterexample: rank 1 alone would NOT pass
+    assert(20L * 12L * 5L > 1L * 1000L)
+  }
+
   /** Shared per-(type, arm) observation build for the K-group tests:
     * per-user binned sums v = (Σcents) div 1000, arm = user_id % 4. */
   private def armObs(): Map[String, Seq[(Long, Long)]] = {
