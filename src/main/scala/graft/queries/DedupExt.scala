@@ -443,6 +443,43 @@ object DedupExt {
     // least/greatest so direction never depends on doc-id order, one
     // partial-aggregatable count + a broadcast total for shares.
     // Scale: adds only the two narrow source joins to qd1's plan.
+    // QX18 LEAKAGE-FREE GROUPED SPLIT — the train/test-contamination
+    // fix for qx2's doc-keyed split: hashing DOC ids sends members of
+    // one near-dup cluster to DIFFERENT splits, so the model sees the
+    // test set's paraphrases in training (the classic eval-leak; the
+    // published dedup papers' motivating bug). The split key must be
+    // the GROUP, not the doc: qd5's connected components over the
+    // embedding near-dup pairs assign each doc its cluster
+    // representative (singletons = self), qx2's LCG bucket runs on
+    // that representative, and every member inherits the group's
+    // split BY CONSTRUCTION. doc_split (what doc-keyed hashing would
+    // have assigned) and moved (where the two disagree — the exact
+    // assignments the group key FIXED) ride as hash-checked data, so
+    // the leakage delta is measured, not claimed. Scale: qd5's
+    // O(log n) large-star/small-star rounds + one partial-aggregatable
+    // group-size count + two row-local LCG buckets; the corpus
+    // shuffles once on grp.
+    "qx18_groupsplit" -> ((s, d) => {
+      val comps = graft.operators.DupGroups.components(
+        embDupPairs(s, d).select("a", "b"))
+      def lcg(c: Column) =
+        (lit(1103515245L) * (c % 2147483648L) + 12345L) %
+          2147483648L % 10L
+      def splitOf(b: Column) =
+        when(b <= 7L, "train").when(b === 8L, "val").otherwise("test")
+      val asg = t(s, d, "documents").select(col("doc_id"))
+        .join(comps, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("grp"), col("doc_id")).as("grp"))
+      val sz = asg.groupBy("grp").agg(count(lit(1)).as("n_grp"))
+      asg.join(sz, Seq("grp"))
+        .select(col("doc_id"), col("grp"), col("n_grp"),
+          splitOf(lcg(col("grp"))).as("split"),
+          splitOf(lcg(col("doc_id"))).as("doc_split"))
+        .withColumn("moved", col("split") =!= col("doc_split"))
+        .orderBy("doc_id")
+    }),
+
     "qd21_dupflow" -> ((s, d) => {
       val pairs = graft.operators.BitmaskJaccard
         .bandedPairsFused(toks(s, d), 8, 10, broadcastMasks = true)
@@ -3027,6 +3064,39 @@ object DedupExt {
         |)
         |SELECT node, MIN(lbl) AS grp FROM walk GROUP BY node
         |ORDER BY node""".stripMargin,
+
+    // qx18: qd5's component walk + qx2's LCG buckets on the group key
+    "qx18_groupsplit" ->
+      s"""WITH RECURSIVE $embDupCtes,
+        |e AS (SELECT a, b FROM cosd WHERE cosd >= 0.4),
+        |vtx AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |edges AS (SELECT a AS x, b AS y FROM e UNION SELECT b AS x, a AS y FROM e),
+        |walk AS (
+        |  SELECT node, node AS lbl FROM vtx
+        |  UNION
+        |  SELECT eg.y AS node, w.lbl AS lbl
+        |  FROM walk w JOIN edges eg ON eg.x = w.node AND w.lbl < eg.y
+        |),
+        |comps AS (SELECT node, MIN(lbl) AS grp FROM walk GROUP BY node),
+        |asg AS (SELECT d.doc_id, COALESCE(c.grp, d.doc_id) AS grp
+        |        FROM documents d LEFT JOIN comps c ON d.doc_id = c.node),
+        |sz AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_grp
+        |       FROM asg GROUP BY 1),
+        |bkt AS (SELECT a.doc_id, a.grp, sz.n_grp,
+        |          ((1103515245 * (a.grp % 2147483648) + 12345)
+        |            % 2147483648) % 10 AS gb,
+        |          ((1103515245 * (a.doc_id % 2147483648) + 12345)
+        |            % 2147483648) % 10 AS db
+        |        FROM asg a JOIN sz ON a.grp = sz.grp),
+        |lbl AS (SELECT doc_id, grp, n_grp,
+        |          CASE WHEN gb <= 7 THEN 'train' WHEN gb = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |          CASE WHEN db <= 7 THEN 'train' WHEN db = 8 THEN 'val'
+        |            ELSE 'test' END AS doc_split
+        |        FROM bkt)
+        |SELECT doc_id, grp, n_grp, split, doc_split,
+        |       split <> doc_split AS moved
+        |FROM lbl ORDER BY doc_id""".stripMargin,
 
     "qs1_ann" ->
       s"""WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),

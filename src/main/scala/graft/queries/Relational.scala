@@ -4662,6 +4662,53 @@ object Relational {
           col("p_num"), col("p_den"), col("m"), col("rnk"),
           col("reject"))
         .orderBy("event_type", "day")
+    }),
+
+    // Q153 TIME-DECAYED LEADERBOARD — the recency-weighted aggregate
+    // every ranking/feature pipeline runs (q79's EWMA smooths a SERIES
+    // in event order; a leaderboard wants one decayed SCORE per key
+    // where yesterday counts double tomorrow's weight — "who is hot
+    // NOW", trending feeds / fraud velocity / feature freshness):
+    // score = Σ v·2^(−age_days), half-life = 1 day against the
+    // corpus-max anchor day. EXACT BY CONSTRUCTION: weights are the
+    // int64 powers 2^(20 − min(age, 20)) (the 20-day floor makes older
+    // events count at weight 1, exercised by the fixture's ~30-day
+    // span), each term v_cents·w is exact int64, per-(type, user) sums
+    // accumulate in DECIMAL(38,0) (order-independent integer addition;
+    // int64 would need per-user event bounds at 100 TB), and the
+    // published score is ONE correctly-rounded decimal→double cast +
+    // one exact power-of-two division — so the leaderboard ORDER is
+    // decided on the exact decimal, never a float. Top-10 per type via
+    // (decsum DESC, user_id) row_number over the AGGREGATED user
+    // relation (corpus collapses first in one partial-aggregatable
+    // pass; at extreme user cardinality the per-type window takes
+    // q19's two-phase top-k shape — declared). Anchor = MAX(day), one
+    // tiny broadcast.
+    "q153_decay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull
+          && col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          to_date(col("ts")).as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      val anchor = ev.agg(max(col("day")).as("anchor"))
+      val scored = ev.crossJoin(broadcast(anchor))
+        .withColumn("age", datediff(col("anchor"), col("day")))
+        .withColumn("w", expr(
+          "shiftleft(cast(1 as bigint), cast(20 - least(age, 20) as int))"))
+        .groupBy("event_type", "user_id")
+        .agg(sum((col("cents") * col("w"))
+          .cast(DecimalType(38, 0))).as("decsum"))
+      val wTop = Window.partitionBy("event_type")
+        .orderBy(col("decsum").desc, col("user_id"))
+      scored
+        .withColumn("rn", row_number().over(wTop).cast(LongType))
+        .filter(col("rn") <= 10L)
+        .select(col("event_type"), col("rn"), col("user_id"),
+          col("decsum").cast(DecimalType(38, 0)).as("decsum"),
+          round(col("decsum").cast(DoubleType) / lit(1048576.0), 6)
+            .cast(DoubleType).as("score"))
+        .orderBy("event_type", "rn")
     })
   )
 
@@ -7484,6 +7531,29 @@ object Relational {
         |           <= rnk * p_den THEN rnk END), 0) AS k FROM ranked)
         |SELECT event_type, day, x, p_num, p_den, m, rnk,
         |       rnk <= (SELECT k FROM kk) AS reject
-        |FROM ranked ORDER BY event_type, day""".stripMargin
+        |FROM ranked ORDER BY event_type, day""".stripMargin,
+
+    // q153: identical anchor/age/weight arithmetic; HUGEINT sum cast
+    // to the same DECIMAL(38,0)
+    "q153_decay" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+        |         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |a AS (SELECT MAX(day) AS anchor FROM ev),
+        |sc AS (SELECT event_type, user_id,
+        |         CAST(SUM(cents * (CAST(1 AS BIGINT)
+        |           << (20 - LEAST(datediff('day', day, anchor), 20))))
+        |           AS DECIMAL(38,0)) AS decsum
+        |       FROM ev CROSS JOIN a GROUP BY 1, 2),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY
+        |         event_type ORDER BY decsum DESC, user_id) AS BIGINT)
+        |         AS rn
+        |       FROM sc)
+        |SELECT event_type, rn, user_id, decsum,
+        |       CAST(ROUND(CAST(decsum AS DOUBLE) / 1048576.0, 6)
+        |         AS DOUBLE) AS score
+        |FROM rk WHERE rn <= 10 ORDER BY event_type, rn""".stripMargin
   )
 }

@@ -931,6 +931,77 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(20L * 12L * 5L > 1L * 1000L)
   }
 
+  test("qx18 grouped split matches a replay over qd5's verified groups") {
+    // delta-only replay (the qd21 convention): components come from
+    // qd5 — itself brute-forced by DedupSpec — so this gate replays
+    // the NEW logic: representative assignment, LCG buckets, labels
+    val comps = SparkEntry.queries("qd5_dupgroups")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.OpCaches.releaseAll()
+    val docIds = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    def lcg(x: Long) =
+      ((1103515245L * (x % 2147483648L) + 12345L) % 2147483648L) % 10L
+    def label(b: Long) =
+      if (b <= 7L) "train" else if (b == 8L) "val" else "test"
+    val grp = docIds.map(id => id -> comps.getOrElse(id, id)).toMap
+    val size = grp.values.groupBy(identity).map { case (g, xs) =>
+      g -> xs.size.toLong }
+    val want = docIds.map { id =>
+      val g = grp(id)
+      val (sp, dsp) = (label(lcg(g)), label(lcg(id)))
+      (id, g, size(g), sp, dsp, sp != dsp)
+    }.toSeq
+    val got = SparkEntry.queries("qx18_groupsplit")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5))).toSeq
+    graft.operators.OpCaches.releaseAll()
+    assert(want.exists(_._3 > 1L), "no multi-doc group — gate is vacuous")
+    assert(want.exists(_._6), "no moved doc — leakage delta is vacuous")
+    assert(want.exists(t => t._3 > 1L && !t._6),
+      "every grouped doc moved — doc_split column is vacuous")
+    assert(got === want)
+  }
+
+  test("q153 decayed leaderboard matches a brute-force replay") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_type", "user_id", "ts", "value").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3))
+      .map { r =>
+        val day = r.get(2) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+          case t: java.time.LocalDateTime => t.toLocalDate
+          case t: java.time.Instant =>
+            t.atZone(java.time.ZoneOffset.UTC).toLocalDate
+        }
+        (r.getString(0), r.getLong(1), day,
+          math.floor(r.getDouble(3) * 100).toLong)
+      }
+    val anchor = rows.map(_._3).max
+    val sums = rows.groupBy(r => (r._1, r._2)).map { case ((ty, u), g) =>
+      val s = g.map { r =>
+        val age = java.time.temporal.ChronoUnit.DAYS
+          .between(r._3, anchor)
+        BigInt(r._4) * BigInt(1L << (20L - math.min(age, 20L)).toInt)
+      }.sum
+      (ty, u, s)
+    }.toSeq
+    assert(sums.exists { case (_, _, s) => s.toString.length > 9 },
+      "decayed sums all tiny — weight scaling is vacuous")
+    val want = sums.groupBy(_._1).toSeq.flatMap { case (ty, us) =>
+      us.sortBy { case (_, u, s) => (-BigDecimal(s), u) }.take(10)
+        .zipWithIndex.map { case ((_, u, s), i) =>
+          (ty, i + 1L, u, s.toString, r6(s.toDouble / 1048576.0)) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q153_decay")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toBigInteger.toString, r.getDouble(4))).toSeq
+    // ages past the 20-day floor must exist (the min() branch is real)
+    assert(rows.exists(r => java.time.temporal.ChronoUnit.DAYS
+      .between(r._3, anchor) > 20L), "no event older than the floor")
+    assert(got === want)
+  }
+
   /** Shared per-(type, arm) observation build for the K-group tests:
     * per-user binned sums v = (Σcents) div 1000, arm = user_id % 4. */
   private def armObs(): Map[String, Seq[(Long, Long)]] = {
