@@ -201,6 +201,32 @@ object GeoQueries {
         .orderBy("house_number_id", "rn")
     }),
 
+    // G11 PER-STREET MATCH QA — the aggregate readout the ETL's
+    // OPERATOR reads after a run (g02/g10 answer per-house questions;
+    // the data-quality review works street by street: "which streets
+    // absorbed how many houses, and how tight are the distances?" —
+    // a street with many far matches is where the source geometry is
+    // suspect): per matched street, house count and exact int64
+    // distance min/max/sum as audit columns, mean one rounded IEEE
+    // division. Pure reduction over the shared matchPoints relation —
+    // one partial-aggregatable groupBy on the street key after the
+    // same grid-join chain, nothing new shuffles at corpus width.
+    "g11_streetstats" -> ((s, d) => {
+      val dir = geoDir(d)
+      inferred(s, dir).filter(col("sid").isNotNull)
+        .groupBy(col("sid"))
+        .agg(count(lit(1)).as("n_houses"),
+          min(col("distance_m")).as("min_m"),
+          max(col("distance_m")).as("max_m"),
+          sum(col("distance_m")).as("sum_m"))
+        .select(
+          SpacetimeEtl.fullId("nyc-streets", col("sid")).as("street_id"),
+          col("n_houses"), col("min_m"), col("max_m"), col("sum_m"),
+          round(col("sum_m").cast(DoubleType) / col("n_houses"), 6)
+            .cast(DoubleType).as("mean_m"))
+        .orderBy("street_id")
+    }),
+
     // G06 property-graph TRAVERSAL over the ETL's relation edges — the
     // Space/Time data model is a graph (SURVEY §1.1b: objects + typed
     // edges), and the canonical consumer question is a 2-hop
@@ -430,6 +456,19 @@ object GeoQueries {
          |       CAST(rn AS BIGINT) AS rn
          |FROM kk WHERE rn <= 3
          |ORDER BY house_number_id, rn""".stripMargin,
+
+    // g11: bestCte's argmin relation, reduced per street
+    "g11_streetstats" ->
+      s"""${bestCte(dir)},
+         |g AS (SELECT sid, CAST(COUNT(*) AS BIGINT) AS n_houses,
+         |        MIN(distance_m) AS min_m, MAX(distance_m) AS max_m,
+         |        CAST(SUM(distance_m) AS BIGINT) AS sum_m
+         |      FROM best GROUP BY 1)
+         |SELECT 'nyc-streets/' || sid AS street_id, n_houses,
+         |       min_m, max_m, sum_m,
+         |       CAST(ROUND(CAST(sum_m AS DOUBLE) / n_houses, 6)
+         |         AS DOUBLE) AS mean_m
+         |FROM g ORDER BY street_id""".stripMargin,
 
     "g04_density" ->
       s"""SELECT CAST(floor(px / 0.0005) AS BIGINT) AS cx,

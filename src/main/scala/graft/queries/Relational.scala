@@ -4642,27 +4642,8 @@ object Relational {
     // partial-aggregatable pass; the histogram windows are per-type;
     // the single global rank window runs over O(types × days) rows —
     // bounded by TIME, not corpus size (q109's argument, declared).
-    "q149_bhfdr" -> ((s, d) => {
-      val daily = t(s, d, "events")
-        .filter(col("ts").isNotNull && col("value").isNotNull)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(expr("sum(cast(floor(value * 100) as bigint)) div 1000")
-          .as("x"))
-      val hist = daily.groupBy("event_type", "x")
-        .agg(count(lit(1)).as("ct"))
-      val wGe = Window.partitionBy("event_type").orderBy(col("x").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wN = Window.partitionBy("event_type")
-      val pRel = hist
-        .withColumn("p_num", sum(col("ct")).over(wGe))
-        .withColumn("p_den", sum(col("ct")).over(wN))
-      val tests = daily.join(pRel, Seq("event_type", "x"))
-      bhStepUp(tests, Seq("event_type", "day"))
-        .select(col("event_type"), col("day"), col("x"),
-          col("p_num"), col("p_den"), col("m"), col("rnk"),
-          col("reject"))
-        .orderBy("event_type", "day")
-    }),
+    "q149_bhfdr" -> ((s, d) =>
+      fdrScreen(dayCents(t(s, d, "events")))),
 
     // Q153 TIME-DECAYED LEADERBOARD — the recency-weighted aggregate
     // every ranking/feature pipeline runs (q79's EWMA smooths a SERIES
@@ -4815,6 +4796,38 @@ object Relational {
       .select("event_type", "n", "n0", "s0", "q0", "n1", "s1", "q1",
         "n2", "s2", "q2", "n3", "s3", "q3", "fstat")
       .orderBy("event_type")
+  }
+
+  /** q149's streaming-MERGEABLE state: per-(type, day) raw cent totals
+    * (plain sums — per-batch partials fold by addition; the div-1000
+    * binning is deferred to the read path, userCents' convention).
+    * Shared by the q149 batch build and the s38 streamed fold. */
+  def dayCents(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("sum(cast(floor(value * 100) as bigint))").as("cents"))
+
+  /** q149's estimator read path over an arbitrary per-day cent
+    * relation (the welchStats contract): empirical exceedance
+    * rationals from the per-type value histogram, then the BH
+    * step-up. Shared by the batch build and the s38 streamed fold. */
+  def fdrScreen(dc: DataFrame): DataFrame = {
+    val daily = dc.select(col("event_type"), col("day"),
+      expr("cents div 1000").as("x"))
+    val hist = daily.groupBy("event_type", "x")
+      .agg(count(lit(1)).as("ct"))
+    val wGe = Window.partitionBy("event_type").orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy("event_type")
+    val pRel = hist
+      .withColumn("p_num", sum(col("ct")).over(wGe))
+      .withColumn("p_den", sum(col("ct")).over(wN))
+    val tests = daily.join(pRel, Seq("event_type", "x"))
+    bhStepUp(tests, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("x"),
+        col("p_num"), col("p_den"), col("m"), col("rnk"),
+        col("reject"))
+      .orderBy("event_type", "day")
   }
 
   /** q149's Benjamini–Hochberg step-up as a reusable relation

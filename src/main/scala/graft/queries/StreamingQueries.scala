@@ -939,7 +939,28 @@ object StreamingQueries {
     // user-splitting checkpointed restart as s36. The batch form IS
     // q147 and shares its oracle verbatim.
     "s37_anovastream" -> ((s, d) =>
-      graft.queries.Relational.queries("q147_anova")(s, d))
+      graft.queries.Relational.queries("q147_anova")(s, d)),
+
+    // S38 STREAMING FDR ANOMALY SCREEN (round 10) — q149's
+    // Benjamini–Hochberg monitor maintained as events arrive
+    // (Streams.s38): the state is per-(type, DAY) raw cent totals —
+    // plain additive sums, exactly mergeable for any split of a day's
+    // events across micro-batches — and the binning, the per-type
+    // exceedance histogram, and the step-up are all READ-path
+    // derivations through q149's IDENTICAL fdrScreen trees (the same
+    // state-vs-statistic split as s36/s37: the nonlinear parts never
+    // become state). This is the alerting shape at scale: ingest
+    // touches one long per active (type, day) — state bounded by
+    // TIME — and the screen reads the compact state table on demand,
+    // re-ranking ALL m tests so every new day's evidence re-decides
+    // the whole reject set (FDR is a GLOBAL property — a per-day
+    // alert threshold could not give it). Generations keyed by
+    // batchId (idempotent crash replay). FdrStreamSpec pins streamed
+    // == batch across a checkpointed restart that splits days'
+    // events across batches. The batch form IS q149 and shares its
+    // oracle verbatim.
+    "s38_fdrstream" -> ((s, d) =>
+      graft.queries.Relational.queries("q149_bhfdr")(s, d))
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1392,6 +1413,9 @@ object StreamingQueries {
     // s37: q147's oracle verbatim — the s36 cent fold read through the
     // anovaStats trees ≡ the batch build is the contract
     ("s37_anovastream" -> graft.queries.Relational.oracle("q147_anova")) +
+    // s38: q149's oracle verbatim — streamed day-cent fold read
+    // through the fdrScreen trees ≡ the batch build is the contract
+    ("s38_fdrstream" -> graft.queries.Relational.oracle("q149_bhfdr")) +
     // s17: the composed pipeline's oracle reuses s12's two-batch
     // verdict replay verbatim as a CTE, keeps the accepted ('new')
     // docs — the published snapshot's exact membership — and
@@ -2300,6 +2324,59 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .start()
     q.awaitTermination()
+  }
+
+  /** S38 as streaming: the FDR screen's state maintenance. Identical
+    * fold shape to s36 with the key (type, DAY) instead of (type,
+    * user): per-(type, day) cent totals are plain additive sums, so
+    * any split of a day's events across micro-batches folds exactly;
+    * the div-1000 binning, the histogram, and the BH step-up are all
+    * READ-path derivations (nonlinear in the partials — the same
+    * argument that keeps s36's state at cents). Generations keyed by
+    * batchId (idempotent crash replay). State is one long per active
+    * (type, day) — bounded by TIME, not corpus size. */
+  def s38(spark: SparkSession, inDir: String, sumsDir: String,
+          checkpoint: String): Unit = {
+    val raw = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = graft.queries.Relational.dayCents(batch)
+        val prev = new java.io.File(s"$sumsDir/gen=$batchId")
+        val merged =
+          if (prev.exists) spark.read.parquet(prev.getPath)
+            .select(col("event_type"), col("day"), col("cents").as("a"))
+            .join(bs.select(col("event_type"), col("day"),
+              col("cents").as("b")),
+              Seq("event_type", "day"), "full_outer")
+            .select(col("event_type"), col("day"),
+              (coalesce(col("a"), lit(0L))
+                + coalesce(col("b"), lit(0L))).as("cents"))
+          else bs
+        merged.write.mode("overwrite").parquet(s"$sumsDir/gen=${batchId + 1}")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** S38's read path: the latest per-(type, day) cent generation
+    * through q149's IDENTICAL fdrScreen trees (histogram rationals +
+    * BH step-up). */
+  def s38Result(spark: SparkSession, sumsDir: String): DataFrame = {
+    val gens = Option(new java.io.File(sumsDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+    require(gens.nonEmpty, s"no state generations under $sumsDir")
+    graft.queries.Relational.fdrScreen(
+      spark.read.parquet(s"$sumsDir/gen=${gens.max}"))
   }
 
   /** The streamed per-user cents read back through q144's IDENTICAL

@@ -1002,6 +1002,23 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("g11 street stats cross-foot against g02's matched relation") {
+    val matched = SparkEntry.queries("g02_nearest")(spark, TestSpark.Sf)
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getString(1), r.getLong(2)))
+    val want = matched.groupBy(_._1).map { case (sid, hs) =>
+      val ds = hs.map(_._2)
+      (sid, hs.length.toLong, ds.min, ds.max, ds.sum,
+        r6(ds.sum.toDouble / hs.length))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("g11_streetstats")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(want.nonEmpty && want.exists(_._2 > 1L),
+      "no street with >1 house — aggregation is vacuous")
+    assert(got === want)
+  }
+
   /** Shared per-(type, arm) observation build for the K-group tests:
     * per-user binned sums v = (Σcents) div 1000, arm = user_id % 4. */
   private def armObs(): Map[String, Seq[(Long, Long)]] = {
