@@ -4465,8 +4465,8 @@ object Relational {
     // recommendation verb of the graph family (q68 ranks nodes, q104
     // counts closed triangles, qd5 clusters; none answers "which edge
     // is MISSING?" — the people-also-bought candidate generator): for
-    // every NON-adjacent pair of the co-purchase graph sharing ≥ 3
-    // neighbors, the common-neighbor count plus both degrees ride as
+    // every NON-adjacent pair of the co-purchase graph sharing a
+    // neighbor, the common-neighbor count plus both degrees ride as
     // exact int64 audit columns and the Jaccard score cn/(du+dv−cn)
     // is one rounded IEEE division — ranking consumers sort on the
     // exact cn, so no float knife edge decides membership. Shape:
@@ -4474,10 +4474,11 @@ object Relational {
     // neighbor) partial-aggregated on the candidate pair, existing
     // edges removed by ONE anti-join, degrees broadcast back. Scale:
     // the two-hop blow-up is Σ deg(n)² — BasketCap bounds the basket
-    // fan-out upstream exactly as q104/q123/q131, the cn ≥ 2 floor
-    // bounds the emitted relation (at the family's shared w12 ≥ 2 edge
-    // definition the co-purchase graph is sparse — cn ≥ 2 is the band
-    // where candidates exist at every fixture scale), and every shuffle key is a node or
+    // fan-out upstream exactly as q104/q123/q131, the emitted relation is
+    // the full two-hop candidate set (cn ≥ 1 — at the family's shared
+    // w12 ≥ 2 edge definition the graph is sparse enough that a higher
+    // floor empties at bench scale; a denser deployment would raise
+    // the floor to bound the output, the declared knob), and every shuffle key is a node or
     // pair id (unbounded keyspace, AQE skew guard applies).
     "q150_linkpred" -> ((s, d) => {
       val b = graft.operators.BasketCap.capParts(
@@ -4499,7 +4500,7 @@ object Relational {
           && col("s1.u") < col("s2.v"))
         .groupBy(col("s1.u").as("x"), col("s2.v").as("z"))
         .agg(count(lit(1)).as("cn"))
-        .filter(col("cn") >= 2L)
+        .filter(col("cn") >= 1L)
         .join(e, col("x") === col("u") && col("z") === col("v"),
           "left_anti")
       cand
@@ -7444,7 +7445,7 @@ object Relational {
         |                CAST(COUNT(*) AS BIGINT) AS cn
         |         FROM sym s1 JOIN sym s2
         |           ON s1.v = s2.u AND s1.u < s2.v
-        |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |         GROUP BY 1, 2 HAVING COUNT(*) >= 1),
         |ne AS (SELECT * FROM cand c WHERE NOT EXISTS (
         |         SELECT 1 FROM e WHERE e.u = c.x AND e.v = c.z))
         |SELECT ne.x AS u, ne.z AS v, ne.cn, d1.deg AS du, d2.deg AS dv,

@@ -782,7 +782,7 @@ class Round10OpsSpec extends AnyFunSuite {
       x = nodes(i); z = nodes(j)
       if !e.contains((x, z))
       cn = (adj(x) intersect adj(z)).size.toLong
-      if cn >= 2L
+      if cn >= 1L
     } yield (x, z, cn, adj(x).size.toLong, adj(z).size.toLong,
       r6(cn.toDouble / (adj(x).size + adj(z).size - cn))))
       .sortBy(t => (t._1, t._2))
