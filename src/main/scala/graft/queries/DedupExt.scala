@@ -443,6 +443,64 @@ object DedupExt {
     // least/greatest so direction never depends on doc-id order, one
     // partial-aggregatable count + a broadcast total for shares.
     // Scale: adds only the two narrow source joins to qd1's plan.
+    // QD25 WINNOWING FINGERPRINT SELECTION — the fingerprint-budget
+    // member of the dedup family (Schleimer/Wilkerson/Aiken 2003, the
+    // MOSS algorithm, public method): qt4 hashes the WHOLE doc (all or
+    // nothing), qd22 keys on EVERY 8-token window (n fingerprints per
+    // doc); winnowing keeps, per sliding window of W = 5 consecutive
+    // 4-gram hashes, the MINIMUM hash with the RIGHTMOST tie — the
+    // guarantee neither neighbor has: any shared run of ≥ W+K−1 tokens
+    // yields at least one shared SELECTED fingerprint, at an expected
+    // 2/(W+1) storage density. Selection is pure row-local array
+    // algebra: the per-doc gram-hash array built once (transform over
+    // sequence — one roll_hash31 per gram), each window start reads
+    // its slice, min + rightmost position via array_min /
+    // array_position(reverse(·)), duplicate selections collapsed by
+    // DISTINCT. Per doc the readout is n_grams / n_selected /
+    // n_shared (selected fingerprints seen in ≥ 2 docs — the
+    // plagiarism signal) as exact int64 + the achieved density as one
+    // rounded division, so the 2/(W+1) theory row is checked against
+    // measured data. Scale: one explode per window start (×(n−W+1)
+    // narrow rows), the only corpus exchange the fingerprint groupBy
+    // (unbounded keyspace); the doc's token array never shuffles.
+    "qd25_winnow" -> ((s, d) => {
+      graft.plans.RollHash31.register(s)
+      val hsRel = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"),
+          expr("transform(sequence(1, size(tk) - 3), " +
+            "p -> roll_hash31(array_join(slice(tk, p, 4), ' ')))")
+            .as("hs"))
+        .transform(graft.operators.OpCaches.track)
+      val sel = hsRel
+        .select(col("doc_id"), col("hs"),
+          explode(expr("sequence(1, size(hs) - 4)")).as("st"))
+        .select(col("doc_id"), expr("slice(hs, st, 5)").as("sl"),
+          col("st"))
+        .select(col("doc_id"), expr("array_min(sl)").as("h"),
+          (col("st") + lit(5L)
+            - expr("array_position(reverse(sl), array_min(sl))"))
+            .cast(LongType).as("p"))
+        .distinct()
+        .transform(graft.operators.OpCaches.track)
+      val perDocFp = sel.select("doc_id", "h").distinct()
+      val shared = perDocFp.groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2L).select("h")
+      val nSel = sel.groupBy("doc_id").agg(count(lit(1)).as("n_sel"))
+      val nShared = perDocFp.join(shared, Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      hsRel.select(col("doc_id"), size(col("hs")).cast(LongType)
+          .as("n_grams"))
+        .join(nSel, Seq("doc_id"))
+        .join(nShared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("n_sel"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          round(col("n_sel").cast(DoubleType) / col("n_grams"), 6)
+            .cast(DoubleType).as("density"))
+        .orderBy("doc_id")
+    }),
+
     // QX18 LEAKAGE-FREE GROUPED SPLIT — the train/test-contamination
     // fix for qx2's doc-keyed split: hashing DOC ids sends members of
     // one near-dup cluster to DIFFERENT splits, so the model sees the
@@ -3064,6 +3122,38 @@ object DedupExt {
         |)
         |SELECT node, MIN(lbl) AS grp FROM walk GROUP BY node
         |ORDER BY node""".stripMargin,
+
+    // qd25: the identical gram-hash list + window-slice selection; the
+    // rightmost tie via list_position over the reversed slice
+    "qd25_winnow" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+         |           FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 8),
+         |hsr AS (SELECT doc_id, list_transform(
+         |          generate_series(1, len(t) - 3),
+         |          p -> ${duckH("array_to_string(t[p:p+3], ' ')")}) AS hs
+         |        FROM tk),
+         |st0 AS (SELECT doc_id, hs,
+         |          unnest(generate_series(1, len(hs) - 4)) AS st
+         |        FROM hsr),
+         |sl0 AS (SELECT doc_id, st, hs[st:st+4] AS sl FROM st0),
+         |sel AS (SELECT DISTINCT doc_id, list_min(sl) AS h,
+         |          CAST(st + 5 - list_position(list_reverse(sl),
+         |            list_min(sl)) AS BIGINT) AS p
+         |        FROM sl0),
+         |pdf AS (SELECT DISTINCT doc_id, h FROM sel),
+         |sh AS (SELECT h FROM pdf GROUP BY h HAVING COUNT(*) >= 2),
+         |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sel
+         |       FROM sel GROUP BY 1),
+         |nsh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |        FROM pdf WHERE h IN (SELECT h FROM sh) GROUP BY 1)
+         |SELECT h2.doc_id, CAST(len(h2.hs) AS BIGINT) AS n_grams,
+         |       ns.n_sel, COALESCE(nsh.n_shared, 0) AS n_shared,
+         |       CAST(ROUND(CAST(ns.n_sel AS DOUBLE) / len(h2.hs), 6)
+         |         AS DOUBLE) AS density
+         |FROM hsr h2 JOIN ns USING (doc_id)
+         |LEFT JOIN nsh ON h2.doc_id = nsh.doc_id
+         |ORDER BY h2.doc_id""".stripMargin,
 
     // qx18: qd5's component walk + qx2's LCG buckets on the group key
     "qx18_groupsplit" ->

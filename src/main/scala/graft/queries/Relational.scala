@@ -4691,6 +4691,61 @@ object Relational {
           round(col("decsum").cast(DoubleType) / lit(1048576.0), 6)
             .cast(DoubleType).as("score"))
         .orderBy("event_type", "rn")
+    }),
+
+    // Q154 VACUUM / RETENTION GC — the storage-reclaim verb that
+    // completes the snapshot DML family (q59–q64/q72/q73/q86 create
+    // versions; nothing ever RECLAIMED the files copy-on-write strands:
+    // without vacuum a snap table's storage grows with every rewrite
+    // forever). SnapTable.vacuum(retainLast = 2) drops manifests older
+    // than the retention window and deletes exactly the data files
+    // referenced ONLY by dropped versions — live files (still named by
+    // a retained manifest) are untouchable even if a dropped manifest
+    // also named them, clone-foreign references are never this table's
+    // storage to reclaim, and unnamed orphans are left alone (they may
+    // be an in-flight commit). The query builds v1 (commit) → v2
+    // (keyed DELETE, rewrites the admitted files) → v3 (keyed UPDATE),
+    // vacuums, and emits the contract AS DATA: v2/v3 aggregates still
+    // exact (retention window intact — time travel inside it
+    // survives), vacuumed_some (the v1-only file copies were really
+    // reclaimed), v1_unreadable (time travel PAST the window correctly
+    // fails), versions = 3. Scale: vacuum is O(versions × files)
+    // metadata work + unlinks — it never reads data; at 100 TB the
+    // retention window is the knob that bounds both storage amplification
+    // and how far back a reader can bind.
+    "q154_vacuum" -> ((s, d) => {
+      val dir = "target/graft-snapvac/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      graft.operators.SnapTable.commit(s, dir,
+        li.repartitionByRange(8, col("l_orderkey")),
+        statCols = Seq("l_orderkey"))
+      // bands chosen inside every fixture's key range (sf0.001 tops out
+      // at orderkey 1499) so both DML versions land at every scale
+      graft.operators.SnapTable.delete(s, dir,
+        col("l_orderkey").between(100L, 299L) && col("l_linenumber") === 1,
+        pruneCol = "l_orderkey", lo = 100L, hi = 299L)
+      graft.operators.SnapTable.update(s, dir,
+        col("l_orderkey").between(500L, 699L) && col("l_linenumber") === 2,
+        Map("l_quantity" -> (col("l_quantity") + 5)),
+        pruneCol = "l_orderkey", lo = 500L, hi = 699L)
+      val versions = graft.operators.SnapTable.latestVersion(s, dir)
+      val nDel = graft.operators.SnapTable.vacuum(s, dir, retainLast = 2)
+      val v1Unreadable =
+        try { graft.operators.SnapTable.read(s, dir, 1).count(); false }
+        catch { case _: Throwable => true }
+      val v2 = graft.operators.SnapTable.read(s, dir, 2)
+        .agg(count(lit(1)).as("n_v2"),
+          r4(sumDec6(col("l_quantity"))).as("sum_v2"))
+      val v3 = graft.operators.SnapTable.read(s, dir, 3)
+        .agg(count(lit(1)).as("n_v3"),
+          r4(sumDec6(col("l_quantity"))).as("sum_v3"))
+      v2.crossJoin(v3)
+        .select(col("n_v2"), col("sum_v2"), col("n_v3"), col("sum_v3"),
+          lit(versions.toLong).as("versions"),
+          lit(nDel > 0).as("vacuumed_some"),
+          lit(v1Unreadable).as("v1_unreadable"))
     })
   )
 
@@ -7568,6 +7623,34 @@ object Relational {
         |SELECT event_type, rn, user_id, decsum,
         |       CAST(ROUND(CAST(decsum AS DOUBLE) / 1048576.0, 6)
         |         AS DOUBLE) AS score
-        |FROM rk WHERE rn <= 10 ORDER BY event_type, rn""".stripMargin
+        |FROM rk WHERE rn <= 10 ORDER BY event_type, rn""".stripMargin,
+
+    // q154: both retained versions modeled from the raw table (the
+    // q64/q72 write-path convention); the vacuum verdicts are the
+    // deterministic contract — the v2 delete rewrites >= 1 admitted
+    // file, so v1-only copies exist and reclaim, and the dropped v1
+    // manifest makes past-window time travel fail
+    "q154_vacuum" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem
+        |     WHERE NOT (l_orderkey BETWEEN 100 AND 299
+        |                AND l_linenumber = 1)) AS n_v2,
+        |  (SELECT CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4)
+        |       AS DOUBLE) FROM lineitem
+        |     WHERE NOT (l_orderkey BETWEEN 100 AND 299
+        |                AND l_linenumber = 1)) AS sum_v2,
+        |  (SELECT COUNT(*) FROM lineitem
+        |     WHERE NOT (l_orderkey BETWEEN 100 AND 299
+        |                AND l_linenumber = 1)) AS n_v3,
+        |  (SELECT CAST(ROUND(SUM(CAST(l_quantity
+        |       + CASE WHEN l_orderkey BETWEEN 500 AND 699
+        |              AND l_linenumber = 2 THEN 5 ELSE 0 END
+        |       AS DECIMAL(18,6))),4)
+        |       AS DOUBLE) FROM lineitem
+        |     WHERE NOT (l_orderkey BETWEEN 100 AND 299
+        |                AND l_linenumber = 1)) AS sum_v3,
+        |  CAST(3 AS BIGINT) AS versions,
+        |  TRUE AS vacuumed_some,
+        |  TRUE AS v1_unreadable""".stripMargin
   )
 }

