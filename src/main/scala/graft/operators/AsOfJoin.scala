@@ -64,6 +64,50 @@ object AsOfJoin {
         :+ col(out)): _*)
   }
 
+  /** BOTH as-of picks in one pass — the building block of the NEAREST
+    * direction (`merge_asof(direction='nearest')`): per probe, the
+    * latest reference at or before (`outB`, `<=` semantics — ties
+    * belong to the backward arm) AND the earliest reference strictly
+    * after (`outF`). Same tagged union, same partitioning, same sort
+    * as latestAtOrBefore; the forward pick is a `first(ignoreNulls)`
+    * over the MIRRORED frame (current row → unbounded following) of
+    * the identical window sort, so both directions cost ONE shuffle
+    * and ONE sort total — nearest is as cheap as backward. (With
+    * right rows sorting before left at equal ts, the forward frame
+    * excludes equal-ts references by construction — exactly the
+    * strict `>` the backward arm's `<=` complements.) */
+  def bothSides(left: DataFrame, right: DataFrame, key: String,
+                leftTs: String, rightTs: String,
+                outB: String, outF: String): DataFrame = {
+    val probeExtra = left.columns.filterNot(c => c == key || c == leftTs).toSeq
+    require(!left.columns.contains(outB) && !left.columns.contains(outF)
+      && outB != outF, s"as-of output columns '$outB'/'$outF' collide")
+    val taken = (left.columns ++ right.columns ++ Seq(outB, outF)).toSet
+    val intern = Iterator.iterate("_")(_ + "_")
+      .find(p => !taken.exists(_.startsWith(p + "ts"))
+        && !taken.exists(_.startsWith(p + "isRight"))
+        && !taken.exists(_.startsWith(p + "val"))).get
+    val (tsC, flagC, valC) = (intern + "ts", intern + "isRight", intern + "val")
+    val valT = right.schema(rightTs).dataType
+    val rightSide = right.select(
+      (Seq(col(key), col(rightTs).as(tsC), lit(1).as(flagC),
+        col(rightTs).as(valC)) ++
+        probeExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val leftSide = left.select(
+      (Seq(col(key), col(leftTs).as(tsC), lit(0).as(flagC),
+        lit(null).cast(valT).as(valC)) ++
+        probeExtra.map(col)): _*)
+    val ord = Window.partitionBy(key).orderBy(col(tsC), col(flagC).desc)
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    rightSide.unionByName(leftSide)
+      .withColumn(outB, last(col(valC), ignoreNulls = true).over(wB))
+      .withColumn(outF, first(col(valC), ignoreNulls = true).over(wF))
+      .where(col(flagC) === 0)
+      .select((Seq(col(key), col(tsC).as(leftTs)) ++ probeExtra.map(col)
+        ++ Seq(col(outB), col(outF))): _*)
+  }
+
   /** As-of join with a STALENESS TOLERANCE (the `merge_asof(...,
     * tolerance=...)` member of the family): the latest right row at or
     * before the probe that is also no older than `toleranceUs`

@@ -4693,6 +4693,45 @@ object Relational {
         .orderBy("event_type", "rn")
     }),
 
+    // Q155 NEAREST-DIRECTION AS-OF JOIN — the last missing member of
+    // the as-of family (q10/q37 = backward, q146 = backward + fresh;
+    // `merge_asof(direction='nearest')` answers "which reference is
+    // CLOSEST in time, either side?" — the attribution question
+    // "which purchase does this click belong to?" where a conversion
+    // seconds LATER must beat one hours earlier): per click, the
+    // same-user purchase minimizing |Δt|, ties to the EARLIER side
+    // (declared rule, exact micros comparison — no float anywhere).
+    // AsOfJoin.bothSides computes the backward and forward picks from
+    // ONE tagged union with ONE sort (two frames of the same window),
+    // so nearest costs exactly what backward costs — one shuffle; the
+    // CASE combine and the signed gap are row-local. direction
+    // ('b'/'f'/NULL) and gap_us ride as hash-checked data, so both
+    // arms are pinned non-vacuous by the spec.
+    "q155_asofnear" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id").as("k"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), col("ts").as("pts"))
+      def us(c: Column) = unix_micros(c.cast("timestamp"))
+      val both = graft.operators.AsOfJoin.bothSides(
+        clicks, buys, "k", "ts", "pts", "b", "f")
+      val pickB = col("b").isNotNull && (col("f").isNull
+        || us(col("ts")) - us(col("b")) <= us(col("f")) - us(col("ts")))
+      both
+        .withColumn("near_ts",
+          when(pickB, col("b")).otherwise(col("f")))
+        .withColumn("direction",
+          when(col("near_ts").isNull, lit(null).cast(StringType))
+            .when(pickB, lit("b")).otherwise(lit("f")))
+        .withColumn("gap_us",
+          when(col("near_ts").isNotNull,
+            abs(us(col("near_ts")) - us(col("ts")))))
+        .select("event_id", "near_ts", "direction", "gap_us")
+        .orderBy("event_id")
+    }),
+
     // Q154 VACUUM / RETENTION GC — the storage-reclaim verb that
     // completes the snapshot DML family (q59–q64/q72/q73/q86 create
     // versions; nothing ever RECLAIMED the files copy-on-write strands:
@@ -7624,6 +7663,36 @@ object Relational {
         |       CAST(ROUND(CAST(decsum AS DOUBLE) / 1048576.0, 6)
         |         AS DOUBLE) AS score
         |FROM rk WHERE rn <= 10 ORDER BY event_type, rn""".stripMargin,
+
+    // q155: both correlated picks + the identical CASE combine; all
+    // comparisons in exact epoch micros
+    "q155_asofnear" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click' AND user_id IS NOT NULL
+        |             AND ts IS NOT NULL),
+        |p AS (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |        AND ts IS NOT NULL),
+        |m AS (SELECT c.event_id, c.ts,
+        |        (SELECT MAX(p.ts) FROM p WHERE p.user_id = c.user_id
+        |           AND p.ts <= c.ts) AS b,
+        |        (SELECT MIN(p.ts) FROM p WHERE p.user_id = c.user_id
+        |           AND p.ts > c.ts) AS f
+        |      FROM c),
+        |x AS (SELECT event_id, ts, b, f,
+        |        (b IS NOT NULL AND (f IS NULL
+        |          OR epoch_us(ts) - epoch_us(b)
+        |             <= epoch_us(f) - epoch_us(ts))) AS pickb
+        |      FROM m)
+        |SELECT event_id,
+        |       CASE WHEN pickb THEN b ELSE f END AS near_ts,
+        |       CASE WHEN (CASE WHEN pickb THEN b ELSE f END) IS NULL
+        |              THEN NULL
+        |            WHEN pickb THEN 'b' ELSE 'f' END AS direction,
+        |       CASE WHEN (CASE WHEN pickb THEN b ELSE f END) IS NOT NULL
+        |         THEN ABS(epoch_us(CASE WHEN pickb THEN b ELSE f END)
+        |              - epoch_us(ts)) END AS gap_us
+        |FROM x ORDER BY event_id""".stripMargin,
 
     // q154: both retained versions modeled from the raw table (the
     // q64/q72 write-path convention); the vacuum verdicts are the

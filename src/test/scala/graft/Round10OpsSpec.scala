@@ -1053,6 +1053,40 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("q155 nearest as-of picks match a brute-force replay") {
+    def toUs(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000) % 1000000L
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+      case t: java.time.Instant =>
+        t.getEpochSecond * 1000000L + t.getNano / 1000
+    }
+    val ev = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select("event_id", "event_type", "user_id", "ts").collect()
+      .filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), toUs(r.get(3))))
+    val buys = ev.filter(_._2 == "purchase").groupBy(_._3)
+      .map { case (u, g) => u -> g.map(_._4).sorted.toVector }
+    val want = ev.filter(_._2 == "click").toSeq.map { case (id, _, u, t) =>
+      val ps = buys.getOrElse(u, Vector.empty[Long])
+      val b = ps.filter(_ <= t).lastOption
+      val f = ps.find(_ > t)
+      val pickB = b.isDefined && (f.isEmpty || t - b.get <= f.get - t)
+      val near = if (pickB) b else f
+      (id, near, near.map(n => if (pickB) "b" else "f"),
+        near.map(n => math.abs(n - t)))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q155_asofnear")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(toUs(r.get(1))),
+        if (r.isNullAt(2)) None else Some(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(want.exists(_._3.contains("b")) && want.exists(_._3.contains("f")),
+      "one of the nearest arms is vacuous at sf0.001")
+    assert(got === want)
+  }
+
   /** Shared per-(type, arm) observation build for the K-group tests:
     * per-user binned sums v = (Σcents) div 1000, arm = user_id % 4. */
   private def armObs(): Map[String, Seq[(Long, Long)]] = {
