@@ -807,6 +807,69 @@ object TextExt {
         .orderBy("doc_id", "idx")
     }),
 
+    // QM13 DUAL-ENDIAN TIFF DECODE (round 10) — the BYTE-ORDER
+    // dimension of the real-codec family: BMP/WAV/PNG are all
+    // little-endian formats, so qm9–qm12 never prove the executor
+    // decode path survives a big-endian container. Baseline TIFF is
+    // the classic dual-order format ("II"/"MM", magic 42), and its
+    // SHORT-inline-value rule (first two bytes of the 4-byte field,
+    // in FILE order) is the trap a naive u32 read fails by ×65536 on
+    // MM files. Per sampled doc: formula pixels → real TIFF encode in
+    // the doc-parity byte order (HALF the corpus each way — a decoder
+    // handling only II cannot pass), → the independent IFD-walking
+    // decoder (multimodal/Tiff.decodeRgb: order re-derived per read,
+    // IFD offset as stored, per-type value reads, untrusted sizes
+    // rejected before allocation) → INT64 features from DECODED
+    // pixels. The oracle replays the pixel formula, so an endianness
+    // or IFD-layout bug lands in the position-sensitive wsum;
+    // big_endian rides as data pinning the half/half split. Scale:
+    // qm9's — row-local encode+decode+reduce in ONE mapPartitions
+    // stage, payloads never shuffle. TiffSpec pins hand-built golden
+    // bytes in BOTH orders, decode equality across orders, and
+    // untrusted-header rejection.
+    "qm13_tiffdecode" -> ((s, d) => {
+      import s.implicits._
+      val feats = t(s, d, "documents").filter(col("doc_id") % 6 === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 9 + (id % 6).toInt
+            val h = 7 + (id % 4).toInt
+            val rgb = new Array[Byte](3 * w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = 3 * (y * w + x)
+                rgb(p) = ((2L * id + 11L * x + 3L * y) % 256).toByte
+                rgb(p + 1) = ((5L * x + y.toLong * y + id) % 256).toByte
+                rgb(p + 2) = ((x + 9L * y + 4L * id) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val big = id % 2 == 0
+            val bytes = graft.multimodal.Tiff.encodeRgb(w, h, rgb, big)
+            val img = graft.multimodal.Tiff.decodeRgb(bytes)
+            var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+            var i = 0
+            val n = img.width * img.height
+            while (i < n) {
+              val r = img.rgb(3 * i) & 0xff
+              val g = img.rgb(3 * i + 1) & 0xff
+              val b = img.rgb(3 * i + 2) & 0xff
+              sr += r; sg += g; sb += b
+              ws += (r * 65536L + g * 256L + b) * (i % 89 + 1)
+              i += 1
+            }
+            graft.multimodal.TiffFeat(id, img.width.toLong,
+              img.height.toLong, if (img.bigEndian) 1L else 0L,
+              bytes.length.toLong, sr, sg, sb, ws)
+          }
+        }
+      feats.toDF().orderBy("doc_id")
+    }),
+
     // QM9 REAL BMP DECODE (round 10 — the r9 verdict's item 3): the
     // declared codec-stub boundary replaced by one HONEST format. Per
     // sampled doc the executor builds formula pixels, ENCODES them as a
@@ -4127,6 +4190,33 @@ object TextExt {
     // encoder's size arithmetic (w ≤ 22, h ≤ 12 ⇒ the constant-bound
     // series + filter replaces DuckDB's unsupported correlated
     // generate_series)
+    // qm13: pixel-formula replay; n_bytes is the fixed baseline-TIFF
+    // layout 128 + 3wh, big_endian the doc parity (w ≤ 14, h ≤ 10)
+    "qm13_tiffdecode" ->
+      """WITH ids AS (SELECT doc_id, 9 + doc_id % 6 AS w,
+        |                    7 + doc_id % 4 AS h
+        |             FROM documents WHERE doc_id % 6 = 1),
+        |px AS (SELECT doc_id, w, h, CAST(y * w + x AS BIGINT) AS i,
+        |         (2 * doc_id + 11 * x + 3 * y) % 256 AS r,
+        |         (5 * x + y * y + doc_id) % 256 AS g,
+        |         (x + 9 * y + 4 * doc_id) % 256 AS b
+        |       FROM ids, generate_series(0, 13) gx(x),
+        |            generate_series(0, 9) gy(y)
+        |       WHERE x < w AND y < h),
+        |f AS (SELECT doc_id, w, h,
+        |        CAST(SUM(r) AS BIGINT) AS sum_r,
+        |        CAST(SUM(g) AS BIGINT) AS sum_g,
+        |        CAST(SUM(b) AS BIGINT) AS sum_b,
+        |        CAST(SUM((r * 65536 + g * 256 + b) * (i % 89 + 1))
+        |          AS BIGINT) AS wsum
+        |      FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |         AS BIGINT) AS big_endian,
+        |       CAST(128 + 3 * w * h AS BIGINT) AS n_bytes,
+        |       sum_r, sum_g, sum_b, wsum
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "qm9_bmpdecode" ->
       """WITH ids AS (SELECT doc_id, 16 + doc_id % 7 AS w,
         |                    8 + doc_id % 5 AS h
