@@ -4492,6 +4492,7 @@ object Relational {
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")
+        .transform(graft.operators.OpCaches.track)
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val deg = sym.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("deg"))
@@ -4541,6 +4542,7 @@ object Relational {
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")
+        .transform(graft.operators.OpCaches.track)
       val deg = e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
