@@ -960,7 +960,40 @@ object StreamingQueries {
     // events across batches. The batch form IS q149 and shares its
     // oracle verbatim.
     "s38_fdrstream" -> ((s, d) =>
-      graft.queries.Relational.queries("q149_bhfdr")(s, d))
+      graft.queries.Relational.queries("q149_bhfdr")(s, d)),
+
+    // S39 STREAM-STREAM LEFT-SEMI INTERVAL JOIN (round 10) — the last
+    // empty cell of the join-type matrix (s05 inner, s13 left-outer,
+    // s34 full-outer, s14 no-key): "which views CONVERTED within 24
+    // HOURS" as a pure membership question — the consumer wants the
+    // qualifying views exactly once, never the per-purchase fan-out
+    // (the inner join duplicates a view per matching purchase; a
+    // downstream distinct would re-shuffle what the join type gives
+    // for free). Spark's stream-stream left-semi keeps the same
+    // user-sharded watermarked state as s05 but emits each left row
+    // AT MOST ONCE on its first match, deduplicating in the join
+    // state itself (the 24 h attribution window is where the fixture
+    // genuinely fans out — at 10 min no view ever sees two purchases,
+    // so the dedup semantics would be vacuous). Batch form (this
+    // entry) is the oracle gate —
+    // DuckDB's EXISTS; Streams.s39 runs it watermarked, and the
+    // one-file AvailableNow replay equals the batch form exactly
+    // (matched rows emit within the micro-batch both sides share —
+    // s05's argument, spec-pinned).
+    "s39_semijoin" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      v.join(p, col("p_user") === col("user_id")
+          && col("p_ts") >= col("v_ts")
+          && col("p_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"),
+          "left_semi")
+        .select(col("v_id"), col("user_id"), col("v_ts"))
+        .orderBy("v_id")
+    })
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1416,6 +1449,17 @@ object StreamingQueries {
     // s38: q149's oracle verbatim — streamed day-cent fold read
     // through the fdrScreen trees ≡ the batch build is the contract
     ("s38_fdrstream" -> graft.queries.Relational.oracle("q149_bhfdr")) +
+    // s39: the semi join IS an EXISTS — each qualifying view once
+    ("s39_semijoin" ->
+      """SELECT v.event_id AS v_id, v.user_id, v.ts AS v_ts
+        |FROM events v
+        |WHERE v.event_type = 'view' AND EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase'
+        |    AND p.user_id = v.user_id
+        |    AND p.ts >= v.ts
+        |    AND p.ts <= v.ts + INTERVAL 24 HOUR)
+        |ORDER BY v_id""".stripMargin) +
     // s17: the composed pipeline's oracle reuses s12's two-batch
     // verdict replay verbatim as a CTE, keeps the accepted ('new')
     // docs — the published snapshot's exact membership — and
@@ -2069,6 +2113,27 @@ object Streams {
       .select(col("v_id"), col("v_ts"), col("p_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
     runToTable(spark, joined, "s13_stream", "append")
+  }
+
+  /** S39 as streaming: the LEFT-SEMI watermarked interval join — same
+    * user-sharded state as s05, but each view emits AT MOST ONCE on
+    * its first qualifying purchase; the join state deduplicates, so
+    * no downstream distinct exchange exists. One-file AvailableNow
+    * replay ⇒ both sides share the micro-batch ⇒ equality with the
+    * batch semi join (s05's argument). */
+  def s39(spark: SparkSession, dir: String): DataFrame = {
+    val v = readEvents(spark, dir).filter(col("event_type") === "view")
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+    val p = readEvents(spark, dir).filter(col("event_type") === "purchase")
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val joined = v.join(p,
+        expr("p_user = v_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 24 HOURS"),
+        "left_semi")
+      .select(col("v_id"), col("v_user").as("user_id"), col("v_ts"))
+    runToTable(spark, joined, "s39_stream", "append")
   }
 
   /** S14 as streaming: the NO-equi-key interval join, state-sharded by

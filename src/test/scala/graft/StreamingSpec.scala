@@ -206,6 +206,31 @@ class StreamingSpec extends AnyFunSuite {
       "fixture exercises only one branch of the outer join")
   }
 
+  test("s39 left-semi interval join: streamed == batch, each view at most once") {
+    import org.apache.spark.sql.functions._
+    val batch = StreamingQueries.queries("s39_semijoin")(spark, TestSpark.Sf)
+    val stream = Streams.s39(spark, TestSpark.Sf)
+    assert(rows(stream, "v_id", "user_id")
+      === rows(batch, "v_id", "user_id"))
+    val n = batch.count()
+    assert(n > 0, "semi join matched nothing — fixture too sparse")
+    // the join-type contract: qualifying views emit EXACTLY once even
+    // when several purchases fall in their window (the inner join's
+    // fan-out must not appear)
+    assert(stream.groupBy("v_id").count().filter(col("count") > 1).count() == 0)
+    val e = Tables(spark, TestSpark.Sf, "events")
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val fanout = v.join(p, col("p_user") === col("user_id")
+      && col("p_ts") >= col("v_ts")
+      && col("p_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS")).count()
+    assert(fanout > n,
+      "no multi-purchase view in the fixture — the dedup claim is vacuous")
+  }
+
   test("s34 full-outer interval join: matched == batch; null rows exactly each side's watermark-closed region") {
     import org.apache.spark.sql.functions._
     val batch = StreamingQueries.queries("s34_fullouter")(spark, TestSpark.Sf)
