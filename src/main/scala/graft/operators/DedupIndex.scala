@@ -29,9 +29,79 @@ import org.apache.spark.sql.functions._
   * different corpora coexist in one session's catalog.
   */
 object DedupIndex {
-  /** Bucket count: sized so one bucket ≈ one task's working set at the
-    * target scale (the knob a deployment tunes; 8 covers the test SFs). */
+  /** Fallback bucket count when neither the session conf nor an index's
+    * on-disk metadata says otherwise (8 covers the test SFs). */
   val Buckets = 8
+
+  /** The deployment knob: session conf `graft.index.buckets` sizes new
+    * indexes so one bucket ≈ one task's working set at the target
+    * scale. Explicit `buckets` arguments override the conf; attaching
+    * to an EXISTING index always uses (and enforces) the bucket count
+    * recorded in its on-disk metadata — bucketing is physical layout,
+    * not a per-session preference. */
+  val BucketsConf = "graft.index.buckets"
+
+  /** Sentinel default for `buckets` params: resolve via conf/metadata. */
+  val FromConf: Int = -1
+
+  private def confBuckets(spark: SparkSession): Int =
+    spark.conf.getOption(BucketsConf).map(_.toInt).getOrElse(Buckets)
+
+  private def resolve(spark: SparkSession, buckets: Int): Int =
+    if (buckets == FromConf) confBuckets(spark) else buckets
+
+  // ---- on-disk identity -------------------------------------------------
+  // One tiny `_graft_index_meta.json` per index dir records the bucket
+  // count (and index kind) the files were written with. Attach paths
+  // read it: a caller-supplied count that disagrees fails LOUDLY
+  // instead of silently declaring a wrong CLUSTERED BY — Spark would
+  // otherwise trust the DDL, route the probe join shuffle-free on the
+  // wrong hash partitioning, and return wrong (not slow) answers.
+
+  private def metaPath(dir: String) = new org.apache.hadoop.fs.Path(
+    dir, "_graft_index_meta.json")
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMeta(spark: SparkSession, dir: String, kind: String,
+                        buckets: Int): Unit = {
+    val p = metaPath(dir)
+    val out = fs(spark, p).create(p, true)
+    try out.write(
+      s"""{"kind":"$kind","buckets":$buckets,"version":1}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The bucket count recorded at write time (None for indexes written
+    * before metadata existed). */
+  def recordedBuckets(spark: SparkSession, dir: String): Option[Int] = {
+    val p = metaPath(dir)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+      """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    }
+  }
+
+  /** Attach-time resolution: the on-disk record WINS; an explicit
+    * caller count that contradicts it throws. No record (legacy index)
+    * → explicit arg, else conf/default. */
+  private def attachBuckets(spark: SparkSession, dir: String,
+                            buckets: Int): Int =
+    recordedBuckets(spark, dir) match {
+      case Some(rec) =>
+        require(buckets == FromConf || buckets == rec,
+          s"index at $dir was written with $rec buckets; " +
+            s"attach requested $buckets — bucket count is part of the " +
+            "on-disk identity (re-write or compact to change it)")
+        rec
+      case None => resolve(spark, buckets)
+    }
 
   /** The two relations of a loaded index. */
   final case class Handles(bands: DataFrame, fp: DataFrame)
@@ -47,21 +117,23 @@ object DedupIndex {
     * One signature pass over the corpus — the cost an ingest pipeline
     * pays once, not per batch. */
   def write(corpus: DataFrame, dir: String,
-            buckets: Int = Buckets): Handles = {
+            buckets: Int = FromConf): Handles = {
     val spark = corpus.sparkSession
+    val b = resolve(spark, buckets)
     graft.plans.RollHash31.register(spark)
     val bands = graft.queries.DedupExt.bandSignatures(corpus)
     val fps = corpus.select(expr("roll_hash31(text)").as("fp")).distinct()
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(dir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${fpTable(dir)}")
     bands.write.mode("overwrite")
-      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .bucketBy(b, "band", "key").sortBy("band", "key")
       .option("path", s"$dir/bands").format("parquet")
       .saveAsTable(bandsTable(dir))
     fps.write.mode("overwrite")
-      .bucketBy(buckets, "fp").sortBy("fp")
+      .bucketBy(b, "fp").sortBy("fp")
       .option("path", s"$dir/fp").format("parquet")
       .saveAsTable(fpTable(dir))
+    writeMeta(spark, dir, "dedup", b)
     Handles(spark.table(bandsTable(dir)), spark.table(fpTable(dir)))
   }
 
@@ -71,9 +143,11 @@ object DedupIndex {
     * bucketed files + this DDL reconstruct the exact same bucketed
     * table — bucket ids are recovered from the file names). The schema
     * is declared, not inferred: a bucketed table's layout is part of
-    * the index CONTRACT. `buckets` must match the written layout. */
+    * the index CONTRACT. The bucket count comes from the on-disk
+    * metadata; an explicit `buckets` that disagrees throws. */
   def load(spark: SparkSession, dir: String,
-           buckets: Int = Buckets): Handles = {
+           buckets: Int = FromConf): Handles = {
+    val b = attachBuckets(spark, dir, buckets)
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS ${bandsTable(dir)} (
          |  doc_id BIGINT, hs ARRAY<BIGINT>, nt BIGINT,
@@ -81,13 +155,13 @@ object DedupIndex {
          |  band INT, key STRING)
          |USING PARQUET
          |CLUSTERED BY (band, key) SORTED BY (band, key)
-         |INTO $buckets BUCKETS
+         |INTO $b BUCKETS
          |LOCATION '$dir/bands'""".stripMargin)
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS ${fpTable(dir)} (fp BIGINT)
          |USING PARQUET
          |CLUSTERED BY (fp) SORTED BY (fp)
-         |INTO $buckets BUCKETS
+         |INTO $b BUCKETS
          |LOCATION '$dir/fp'""".stripMargin)
     // load means "the index AS ON DISK, now": upserts may have appended
     // fragments through a DIFFERENT session (a foreachBatch micro-batch
@@ -123,40 +197,43 @@ object DedupIndex {
     * batch; every later batch broadcasts its probes against the
     * bucketed scans and the corpus vectors never shuffle. */
   def writeAnn(emb: DataFrame, dir: String,
-               buckets: Int = Buckets): AnnHandles = {
+               buckets: Int = FromConf): AnnHandles = {
     val spark = emb.sparkSession
+    val b = resolve(spark, buckets)
     val bands = graft.queries.DedupExt.annBandRelation(emb)
     val vecs = graft.queries.DedupExt.quantizedRelation(emb)
     spark.sql(s"DROP TABLE IF EXISTS ${annBandsTable(dir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${annVecTable(dir)}")
     bands.write.mode("overwrite")
-      .bucketBy(buckets, "k", "key").sortBy("k", "key")
+      .bucketBy(b, "k", "key").sortBy("k", "key")
       .option("path", s"$dir/vbands").format("parquet")
       .saveAsTable(annBandsTable(dir))
     vecs.write.mode("overwrite")
-      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .bucketBy(b, "vec_id").sortBy("vec_id")
       .option("path", s"$dir/vec").format("parquet")
       .saveAsTable(annVecTable(dir))
+    writeMeta(spark, dir, "ann", b)
     AnnHandles(spark.table(annBandsTable(dir)), spark.table(annVecTable(dir)))
   }
 
   /** Re-attach a previously-written ANN index in a fresh session (same
     * declared-schema DDL contract as `load`). */
   def loadAnn(spark: SparkSession, dir: String,
-              buckets: Int = Buckets): AnnHandles = {
+              buckets: Int = FromConf): AnnHandles = {
+    val b = attachBuckets(spark, dir, buckets)
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS ${annBandsTable(dir)} (
          |  vec_id BIGINT, n2 BIGINT, k INT, key BIGINT)
          |USING PARQUET
          |CLUSTERED BY (k, key) SORTED BY (k, key)
-         |INTO $buckets BUCKETS
+         |INTO $b BUCKETS
          |LOCATION '$dir/vbands'""".stripMargin)
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS ${annVecTable(dir)} (
          |  vec_id BIGINT, ei ARRAY<BIGINT>)
          |USING PARQUET
          |CLUSTERED BY (vec_id) SORTED BY (vec_id)
-         |INTO $buckets BUCKETS
+         |INTO $b BUCKETS
          |LOCATION '$dir/vec'""".stripMargin)
     AnnHandles(spark.table(annBandsTable(dir)), spark.table(annVecTable(dir)))
   }
@@ -178,14 +255,15 @@ object DedupIndex {
     * periodic `compactAnn` folds the accumulated fragments. The index
     * must be attached in this session (`writeAnn`/`loadAnn`). */
   def upsertAnn(emb: DataFrame, dir: String,
-                buckets: Int = Buckets): Unit = {
+                buckets: Int = FromConf): Unit = {
+    val b = attachBuckets(emb.sparkSession, dir, buckets)
     graft.queries.DedupExt.annBandRelation(emb)
       .write.mode("append")
-      .bucketBy(buckets, "k", "key").sortBy("k", "key").format("parquet")
+      .bucketBy(b, "k", "key").sortBy("k", "key").format("parquet")
       .saveAsTable(annBandsTable(dir))
     graft.queries.DedupExt.quantizedRelation(emb)
       .write.mode("append")
-      .bucketBy(buckets, "vec_id").sortBy("vec_id").format("parquet")
+      .bucketBy(b, "vec_id").sortBy("vec_id").format("parquet")
       .saveAsTable(annVecTable(dir))
   }
 
@@ -194,20 +272,23 @@ object DedupIndex {
     * spec and one file per bucket; same atomic-swap-by-pointer
     * deployment pattern, probe plans unchanged. */
   def compactAnn(spark: SparkSession, srcDir: String, dstDir: String,
-                 buckets: Int = Buckets): AnnHandles = {
-    val src = loadAnn(spark, srcDir, buckets)
+                 buckets: Int = FromConf): AnnHandles = {
+    val src = loadAnn(spark, srcDir)
+    val b = if (buckets == FromConf)
+      attachBuckets(spark, srcDir, FromConf) else buckets
     spark.sql(s"DROP TABLE IF EXISTS ${annBandsTable(dstDir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${annVecTable(dstDir)}")
-    oneFilePerBucket(src.bands, Seq("k", "key"), buckets)
+    oneFilePerBucket(src.bands, Seq("k", "key"), b)
       .write.mode("overwrite")
-      .bucketBy(buckets, "k", "key").sortBy("k", "key")
+      .bucketBy(b, "k", "key").sortBy("k", "key")
       .option("path", s"$dstDir/vbands").format("parquet")
       .saveAsTable(annBandsTable(dstDir))
-    oneFilePerBucket(src.vec, Seq("vec_id"), buckets)
+    oneFilePerBucket(src.vec, Seq("vec_id"), b)
       .write.mode("overwrite")
-      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .bucketBy(b, "vec_id").sortBy("vec_id")
       .option("path", s"$dstDir/vec").format("parquet")
       .saveAsTable(annVecTable(dstDir))
+    writeMeta(spark, dstDir, "ann", b)
     AnnHandles(spark.table(annBandsTable(dstDir)),
       spark.table(annVecTable(dstDir)))
   }
@@ -225,20 +306,23 @@ object DedupIndex {
     * half-read. Probe plans and verdicts are unchanged (same bucketed
     * layout); `fp` re-asserts set semantics with a distinct. */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
-              buckets: Int = Buckets): Handles = {
-    val src = load(spark, srcDir, buckets)
+              buckets: Int = FromConf): Handles = {
+    val src = load(spark, srcDir)
+    val b = if (buckets == FromConf)
+      attachBuckets(spark, srcDir, FromConf) else buckets
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(dstDir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${fpTable(dstDir)}")
-    oneFilePerBucket(src.bands, Seq("band", "key"), buckets)
+    oneFilePerBucket(src.bands, Seq("band", "key"), b)
       .write.mode("overwrite")
-      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .bucketBy(b, "band", "key").sortBy("band", "key")
       .option("path", s"$dstDir/bands").format("parquet")
       .saveAsTable(bandsTable(dstDir))
-    oneFilePerBucket(src.fp.select("fp").distinct(), Seq("fp"), buckets)
+    oneFilePerBucket(src.fp.select("fp").distinct(), Seq("fp"), b)
       .write.mode("overwrite")
-      .bucketBy(buckets, "fp").sortBy("fp")
+      .bucketBy(b, "fp").sortBy("fp")
       .option("path", s"$dstDir/fp").format("parquet")
       .saveAsTable(fpTable(dstDir))
+    writeMeta(spark, dstDir, "dedup", b)
     Handles(spark.table(bandsTable(dstDir)), spark.table(fpTable(dstDir)))
   }
 

@@ -4660,9 +4660,19 @@ object Relational {
     // span), each term v_cents·w is exact int64, per-(type, user) sums
     // accumulate in DECIMAL(38,0) (order-independent integer addition;
     // int64 would need per-user event bounds at 100 TB), and the
-    // published score is ONE correctly-rounded decimal→double cast +
-    // one exact power-of-two division — so the leaderboard ORDER is
-    // decided on the exact decimal, never a float. Top-10 per type via
+    // published score is DECIMAL(38,6) from PURE INTEGER arithmetic —
+    // score = decsum/2^20 rounded half-up at 6 dp, computed as
+    // floor((decsum·15625 + 8192)/16384)·10^-6 (10^6/2^20 = 15625/16384
+    // exactly; the +8192 offset is half the divisor, so the floor IS
+    // round-half-up; value ≥ 0 is filtered in-contract, making
+    // truncating and flooring division coincide). No engine ROUND, no
+    // float division anywhere: DOUBLE rounding implementations vary
+    // across engine VERSIONS (the round-10 driver hash-red), while
+    // integer multiply/floor-divide are version-stable in both Spark
+    // decimals and DuckDB HUGEINT. An in-plan assert_true pins
+    // decsum < 10^30 so the ×15625 widening can never silently
+    // overflow the 38-digit cap. Leaderboard ORDER is still decided on
+    // the exact decimal, never the rounded score. Top-10 per type via
     // (decsum DESC, user_id) row_number over the AGGREGATED user
     // relation (corpus collapses first in one partial-aggregatable
     // pass; at extreme user cardinality the per-type window takes
@@ -4671,7 +4681,7 @@ object Relational {
     "q153_decay" -> ((s, d) => {
       val ev = t(s, d, "events")
         .filter(col("ts").isNotNull && col("value").isNotNull
-          && col("user_id").isNotNull)
+          && col("user_id").isNotNull && col("value") >= 0)
         .select(col("event_type"), col("user_id"),
           to_date(col("ts")).as("day"),
           expr("cast(floor(value * 100) as bigint)").as("cents"))
@@ -4685,13 +4695,24 @@ object Relational {
           .cast(DecimalType(38, 0))).as("decsum"))
       val wTop = Window.partitionBy("event_type")
         .orderBy(col("decsum").desc, col("user_id"))
+      // num = decsum·15625 + 8192 (exact under the asserted bound);
+      // stripping pmod makes the quotient integral, so Spark's scale-6
+      // decimal division is EXACT (no rounding ever fires) and the
+      // ·10^-6 rescale just places the point.
+      val num = col("decsum") * lit(15625L) + lit(8192L)
+      val score = ((num - pmod(num, lit(16384L)))
+        / lit(16384000000L)).cast(DecimalType(38, 6))
       scored
         .withColumn("rn", row_number().over(wTop).cast(LongType))
         .filter(col("rn") <= 10L)
+        // assert_true is NULL when the bound holds (throws otherwise),
+        // so the where-clause keeps it in the executed plan for free
+        .where(assert_true(col("decsum") < lit(new java.math.BigDecimal(
+          "1000000000000000000000000000000")), // 10^30
+          lit("q153 decsum exceeds the exact-arithmetic bound")).isNull)
         .select(col("event_type"), col("rn"), col("user_id"),
           col("decsum").cast(DecimalType(38, 0)).as("decsum"),
-          round(col("decsum").cast(DoubleType) / lit(1048576.0), 6)
-            .cast(DoubleType).as("score"))
+          score.as("score"))
         .orderBy("event_type", "rn")
     }),
 
@@ -7644,13 +7665,17 @@ object Relational {
         |FROM ranked ORDER BY event_type, day""".stripMargin,
 
     // q153: identical anchor/age/weight arithmetic; HUGEINT sum cast
-    // to the same DECIMAL(38,0)
+    // to the same DECIMAL(38,0); score replayed in the same pure
+    // integer form — HUGEINT ×15625 +8192 //16384 (// truncates, but
+    // the value >= 0 contract makes truncation == floor), then an
+    // exact ×10^-6 decimal rescale to DECIMAL(38,6). No ROUND(DOUBLE)
+    // anywhere (its implementation varies across DuckDB versions).
     "q153_decay" ->
       """WITH ev AS (
         |  SELECT event_type, user_id, CAST(ts AS DATE) AS day,
         |         CAST(FLOOR(value * 100) AS BIGINT) AS cents
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-        |    AND user_id IS NOT NULL),
+        |    AND user_id IS NOT NULL AND value >= 0),
         |a AS (SELECT MAX(day) AS anchor FROM ev),
         |sc AS (SELECT event_type, user_id,
         |         CAST(SUM(cents * (CAST(1 AS BIGINT)
@@ -7662,8 +7687,10 @@ object Relational {
         |         AS rn
         |       FROM sc)
         |SELECT event_type, rn, user_id, decsum,
-        |       CAST(ROUND(CAST(decsum AS DOUBLE) / 1048576.0, 6)
-        |         AS DOUBLE) AS score
+        |       CAST(CAST((CAST(decsum AS HUGEINT) * 15625 + 8192)
+        |           // 16384 AS DECIMAL(32,6))
+        |         * CAST(0.000001 AS DECIMAL(6,6)) AS DECIMAL(38,6))
+        |         AS score
         |FROM rk WHERE rn <= 10 ORDER BY event_type, rn""".stripMargin,
 
     // q155: both correlated picks + the identical CASE combine; all

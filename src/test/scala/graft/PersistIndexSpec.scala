@@ -175,4 +175,57 @@ class PersistIndexSpec extends AnyFunSuite {
       DedupIndex.detachAnn(spark, dir)
     }
   }
+
+  test("bucket count is on-disk identity: conf sizes writes, mismatched attach throws") {
+    graft.plans.RollHash31.register(spark)
+    // absolute path: relative locations resolve against the warehouse
+    // on the write side but the process CWD on the metadata side
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bknob").toString
+    val dir = s"$tmp/buckets-knob"
+    val docs = Tables(spark, TestSpark.Sf, "documents").limit(40)
+
+    // the deployment knob: a session conf sizes NEW indexes
+    spark.conf.set(DedupIndex.BucketsConf, "4")
+    try DedupIndex.write(docs, dir)
+    finally spark.conf.unset(DedupIndex.BucketsConf)
+    assert(DedupIndex.recordedBuckets(spark, dir) === Some(4),
+      "write did not record the conf-sized bucket count")
+
+    DedupIndex.detach(spark, dir)
+    spark.catalog.clearCache()
+
+    // attach with no explicit count resolves from the METADATA, not the
+    // (now absent) conf — the DDL must declare the written layout
+    val idx = DedupIndex.load(spark, dir)
+    try {
+      val files = org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(s"$dir/bands"), Array("parquet"), true)
+      val suffixes = files.iterator()
+      var maxBucket = -1
+      while (suffixes.hasNext) {
+        val n = suffixes.next().getName
+        // bucketed file names carry _0000N bucket ids
+        "_(\\d{5})\\.".r.findFirstMatchIn(n)
+          .foreach(m => maxBucket = math.max(maxBucket, m.group(1).toInt))
+      }
+      assert(maxBucket >= 0 && maxBucket < 4,
+        s"expected 4-bucket layout on disk, saw bucket id $maxBucket")
+      assert(idx.bands.count() > 0)
+
+      // a contradicting explicit count must fail LOUDLY — a silently
+      // wrong CLUSTERED BY would give wrong (not slow) probe joins
+      val e = intercept[IllegalArgumentException] {
+        DedupIndex.load(spark, dir, buckets = 8)
+      }
+      assert(e.getMessage.contains("4 buckets") ||
+        e.getMessage.contains("written with 4"),
+        s"mismatch error does not name the recorded count: ${e.getMessage}")
+
+      // same contract on the upsert path (ANN variant shares the code)
+      val e2 = intercept[IllegalArgumentException] {
+        DedupIndex.load(spark, dir, buckets = 16)
+      }
+      assert(e2.getMessage.contains("identity"))
+    } finally DedupIndex.detach(spark, dir)
+  }
 }

@@ -991,11 +991,16 @@ class Round10OpsSpec extends AnyFunSuite {
     val want = sums.groupBy(_._1).toSeq.flatMap { case (ty, us) =>
       us.sortBy { case (_, u, s) => (-BigDecimal(s), u) }.take(10)
         .zipWithIndex.map { case ((_, u, s), i) =>
-          (ty, i + 1L, u, s.toString, r6(s.toDouble / 1048576.0)) }
+          // the published contract: floor((s·15625+8192)/16384)·10⁻⁶
+          // == s/2²⁰ rounded half-up at 6 dp, pure integer arithmetic
+          val micros = (s * 15625 + 8192) / 16384
+          (ty, i + 1L, u, s.toString,
+            BigDecimal(micros, 6).bigDecimal.toPlainString) }
     }.sortBy(t => (t._1, t._2))
     val got = SparkEntry.queries("q153_decay")(spark, TestSpark.Sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3).toBigInteger.toString, r.getDouble(4))).toSeq
+        r.getDecimal(3).toBigInteger.toString,
+        r.getDecimal(4).toPlainString)).toSeq
     // ages past the 20-day floor must exist (the min() branch is real)
     assert(rows.exists(r => java.time.temporal.ChronoUnit.DAYS
       .between(r._3, anchor) > 20L), "no event older than the floor")
