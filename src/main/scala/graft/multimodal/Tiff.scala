@@ -166,7 +166,13 @@ object Tiff {
       require(rd16(o.toInt) == 8 && rd16(o.toInt + 2) == 8
         && rd16(o.toInt + 4) == 8, "BitsPerSample != 8,8,8")
     } else require(bpsVal == 8, s"BitsPerSample $bpsVal unsupported")
-    require(w > 0 && h > 0 && w * h <= MaxPixels,
+    // bound each dimension BEFORE multiplying: w and h are unsigned
+    // 32-bit reads, so a crafted header can put w*h in [2^63, 2^64)
+    // where the Long product wraps negative (or wraps twice back to a
+    // small positive 3*w*h matching an attacker-chosen stripLen) and a
+    // product-only guard passes — per-dim caps make the products exact
+    require(w > 0 && h > 0 && w <= MaxPixels && h <= MaxPixels
+        && w * h <= MaxPixels,
       s"implausible dims ${w}x$h")
     require(stripLen == 3 * w * h, s"strip length $stripLen != ${3 * w * h}")
     require(stripOff >= 0 && stripOff + stripLen <= bytes.length,

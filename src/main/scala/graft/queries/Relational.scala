@@ -4793,10 +4793,24 @@ object Relational {
         Map("l_quantity" -> (col("l_quantity") + 5)),
         pruneCol = "l_orderkey", lo = 500L, hi = 699L)
       val versions = graft.operators.SnapTable.latestVersion(s, dir)
+      // fail HERE with a descriptive message if the fixture/layout ever
+      // drifts (e.g. a repartition change making the v2 delete rewrite
+      // nothing) — not later as an oracle hash mismatch with no local
+      // hint, and never by letting a vacuum-nothing run satisfy the
+      // oracle's hardcoded vacuumed_some = TRUE
+      require(versions == 3,
+        s"q154 expects commit+delete+update = 3 versions, got $versions")
       val nDel = graft.operators.SnapTable.vacuum(s, dir, retainLast = 2)
+      require(nDel > 0,
+        "q154 vacuum reclaimed nothing — the v2 delete rewrote no file " +
+          "(fixture key range or layout drifted?)")
+      // only the EXPECTED failure counts as unreadable: vacuum drops
+      // v1's manifest, so time travel past the window dies on the
+      // missing-manifest open; any other error (a read-path bug, JVM
+      // fatal) must propagate, not masquerade as retention behavior
       val v1Unreadable =
         try { graft.operators.SnapTable.read(s, dir, 1).count(); false }
-        catch { case _: Throwable => true }
+        catch { case _: java.io.FileNotFoundException => true }
       val v2 = graft.operators.SnapTable.read(s, dir, 2)
         .agg(count(lit(1)).as("n_v2"),
           r4(sumDec6(col("l_quantity"))).as("sum_v2"))

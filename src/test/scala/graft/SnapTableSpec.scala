@@ -345,4 +345,56 @@ class SnapTableSpec extends AnyFunSuite {
     assert(keys(SnapTable.read(spark, dir, 3)).forall(_ % 3 == 2))
     assert(keys(SnapTable.read(spark, dir, 2)).forall(_ % 3 != 2))
   }
+
+  test("manifest build is executor-side: no collect between the source pins") {
+    // the round-10 scale finding: collecting one row per data file (each
+    // with a bloom hex cell of m/4 chars) is a driver-memory cliff at
+    // 100 TB file counts. The fix assembles every manifest line in a
+    // Spark job and writes the body with one task; this pin fails if a
+    // .collect( (or driver-side row materialization via take/toLocalIterator)
+    // creeps back into the marked region of SnapTable.scala.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "src/main/scala/graft/operators/SnapTable.scala")), "UTF-8")
+    val b = src.indexOf("MANIFEST-EXEC-SIDE-BEGIN")
+    val e = src.indexOf("MANIFEST-EXEC-SIDE-END")
+    assert(b >= 0 && e > b, "manifest-path markers missing from SnapTable")
+    val region = src.substring(b, e)
+    for (bad <- Seq(".collect(", ".take(", "toLocalIterator", ".head(",
+                    ".first("))
+      assert(!region.contains(bad),
+        s"driver-side materialization '$bad' reappeared on the manifest path")
+    // and the region really is the line-build path, not an empty span
+    assert(region.contains("newFileLines"))
+
+    // behavioural half of the pin: a stats+bloom commit's manifest is
+    // byte-equal in layout to the documented format even though no
+    // driver loop formats it — header first, then one line per file
+    // with zone cells and a B-prefixed 16-hex-per-word bloom cell
+    val d = s"$dir-exec-side"
+    SnapTable.destroy(spark, d)
+    val rows = Tables(spark, TestSpark.Sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .limit(500).repartition(3)
+    SnapTable.commit(spark, d, rows,
+      statCols = Seq("l_orderkey"), bloomCol = "l_partkey", bloomBits = 128)
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$d/_manifests/v1.txt")), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    assert(lines(0) == "#stats:l_orderkey")
+    assert(lines(1) == "#bloom:l_partkey:128")
+    val fileLines = lines.drop(2)
+    assert(fileLines.nonEmpty)
+    fileLines.foreach { l =>
+      val parts = l.split("\t", -1)
+      assert(parts.length == 3, s"bad manifest line: $l")
+      assert(parts(0).startsWith("data/c00001-") &&
+        parts(0).endsWith(".parquet"))
+      assert(parts(1).matches("-?\\d+,-?\\d+"), s"bad zone cell in: $l")
+      assert(parts(2).matches("B[0-9a-f]{32}"), s"bad bloom cell in: $l")
+    }
+    // the lines are sorted by file name (deterministic manifests)
+    assert(fileLines.toSeq == fileLines.toSeq.sorted)
+    SnapTable.destroy(spark, d)
+  }
 }

@@ -82,4 +82,22 @@ class TiffSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Tiff.decodeRgb(goldenMM.take(100)))
   }
+
+  test("u32-max dims cannot wrap the pixel-count guard") {
+    // w = h = 0xFFFFFFFF: the true product 2^64-2^33+1 wraps NEGATIVE in
+    // a Long, so the old `w * h <= MaxPixels` product-only guard PASSED
+    // a 4-billion-pixel header; the per-dimension caps must reject it
+    // at the dims check itself, not via downstream strip arithmetic
+    // (which can be wrapped back into agreement by a crafted stripLen).
+    val wrap = goldenMM.clone
+    // width tag (offset 10): type -> LONG(4), value -> 0xFFFFFFFF
+    wrap(13) = 0x04; wrap(18) = 0xFF.toByte; wrap(19) = 0xFF.toByte
+    wrap(20) = 0xFF.toByte; wrap(21) = 0xFF.toByte
+    // height tag (offset 22): same
+    wrap(25) = 0x04; wrap(30) = 0xFF.toByte; wrap(31) = 0xFF.toByte
+    wrap(32) = 0xFF.toByte; wrap(33) = 0xFF.toByte
+    val e = intercept[IllegalArgumentException](Tiff.decodeRgb(wrap))
+    assert(e.getMessage.contains("implausible dims"),
+      s"overflow header must die at the dims guard, got: ${e.getMessage}")
+  }
 }
