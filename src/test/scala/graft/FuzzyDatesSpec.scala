@@ -70,4 +70,34 @@ class FuzzyDatesSpec extends AnyFunSuite {
       assert(mn.isDefined && mx.isDefined && mn.get <= mx.get, s"for '$s'")
     }
   }
+
+  test("Date.parse residual forms: slash and month-name day precision") {
+    // addresses.js:67-74 pipes fuzzy-dates output into new Date(s);
+    // Space/Time dumps carry slash and English month-name dates, so
+    // both parse to the same single-day period as their ISO spelling
+    val iso = FuzzyDates.period("1861-03-04")
+    for (v <- Seq("1861/03/04", "1861/3/4", "March 4, 1861", "Mar 4 1861",
+                  "mar. 4, 1861", "4 March 1861", "4 Mar 1861"))
+      assert(FuzzyDates.period(v) === iso, s"form: $v")
+    assert(FuzzyDates.minMs("1861/03/04") === FuzzyDates.minMs("1861-03-04"))
+    assert(FuzzyDates.maxMs("March 4, 1861") === FuzzyDates.maxMs("1861-03-04"))
+    // invalid calendar days reject identically across spellings
+    assert(FuzzyDates.period("1861/02/30").isEmpty)
+    assert(FuzzyDates.period("February 30, 1861").isEmpty)
+  }
+
+  test("declared rejections: ambiguous or period-shaped non-ISO forms") {
+    // the CONTRACT half of the r10 residual decision: these forms are
+    // rejected BY DESIGN, not by accident — ambiguity maps to None (N4)
+    for (v <- Seq(
+      "03/04/1861",   // US two-field slash order: day-first locales disagree
+      "3/4/1861",
+      "March 1861",   // month-name PERIOD: only ISO YM carries period semantics
+      "Marz 4, 1861", // not an English month or unique prefix
+      "Ma 4, 1861",   // 2-letter prefix: ambiguous (may/march)
+      "1861/03",      // slash period form: never Date-parseable
+      "4 March"))     // missing year
+      assert(FuzzyDates.period(v).isEmpty && FuzzyDates.minMs(v).isEmpty,
+        s"must reject: $v")
+  }
 }
