@@ -123,6 +123,70 @@ object SnapTable {
     if (f.exists(latestPath(dir))) readSmall(f, latestPath(dir)).trim.toInt else 0
   }
 
+  /** Header-only manifest read: streams lines until the first non-`#`
+    * line (headers lead by construction — writeCommit emits header ++
+    * carried ++ new), so config checks never pull O(files) lines. */
+  private def readHeader(f: FileSystem, dir: String, v: Int)
+      : (Seq[String], Option[(String, Int)]) = {
+    val br = new java.io.BufferedReader(
+      new java.io.InputStreamReader(f.open(manifestPath(dir, v)), "UTF-8"))
+    try {
+      var statCols: Seq[String] = Nil
+      var bloom: Option[(String, Int)] = None
+      var line = br.readLine()
+      while (line != null && line.startsWith("#")) {
+        if (line.startsWith("#stats:"))
+          statCols = line.stripPrefix("#stats:").split(",").toSeq
+        if (line.startsWith("#bloom:")) {
+          val Array(c, m) = line.stripPrefix("#bloom:").split(":")
+          bloom = Some((c, m.toInt))
+        }
+        line = br.readLine()
+      }
+      (statCols, bloom)
+    } finally br.close()
+  }
+
+  /** METADATA TABLE — the manifest as a relation (the Iceberg `.files`
+    * / Delta detail surface): one row per data file of `version`, with
+    * the file's zone cells (`min_<col>`/`max_<col>`, NULL for the
+    * unprunable "-" cells) and whether it carries a bloom bitmap.
+    * Parsed EXECUTOR-side from the manifest text — only the (tiny)
+    * header is read on the driver, so the relation scales to any file
+    * count; the planning paths that genuinely need driver-side entries
+    * (readWhere/delete candidate analysis) are unchanged. Lets users
+    * run layout audits ("how many files can contain key K?", "which
+    * files have no stats?") as ordinary queries. */
+  def filesMeta(spark: SparkSession, dir: String, version: Int = 0)
+      : DataFrame = {
+    val f = fs(spark, dir)
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    val (statCols, bloom) = readHeader(f, dir, v)
+    val lines = spark.read.text(manifestPath(dir, v).toString)
+      .where(!col("value").startsWith("#") && col("value") =!= "")
+      .select(split(col("value"), "\t").as("_p"))
+    val base = lines.select(
+      element_at(col("_p"), 1).as("file"),
+      split(element_at(col("_p"), 2), ",").as("_z"),
+      element_at(col("_p"), 3).as("_b"))
+    val withStats = statCols.zipWithIndex.foldLeft(base) {
+      case (df, (c, k)) =>
+        def cell(i: Int) = element_at(col("_z"), i)
+        df.withColumn(s"min_$c",
+            when(cell(2 * k + 1).isNull || cell(2 * k + 1) === "-",
+              lit(null)).otherwise(cell(2 * k + 1)).cast("long"))
+          .withColumn(s"max_$c",
+            when(cell(2 * k + 2).isNull || cell(2 * k + 2) === "-",
+              lit(null)).otherwise(cell(2 * k + 2)).cast("long"))
+    }
+    withStats
+      .withColumn("has_bloom",
+        lit(bloom.nonEmpty) && col("_b").isNotNull
+          && col("_b").startsWith("B"))
+      .drop("_z", "_b")
+  }
+
   private def manifestLines(f: FileSystem, dir: String, v: Int): Seq[String] =
     readSmall(f, manifestPath(dir, v)).split("\n").toSeq.filter(_.nonEmpty)
 

@@ -4822,6 +4822,58 @@ object Relational {
           lit(versions.toLong).as("versions"),
           lit(nDel > 0).as("vacuumed_some"),
           lit(v1Unreadable).as("v1_unreadable"))
+    }),
+
+    // Q156 METADATA TABLE — the lakehouse family's missing USER surface
+    // (q59-q74 exercise the commit/travel/prune/DML verbs; Iceberg and
+    // Delta ALSO expose the manifest itself as a queryable relation —
+    // `.files` / DESCRIBE DETAIL — because layout audits "how many
+    // files, which have stats, what ranges" are ordinary queries in
+    // production). SnapTable.filesMeta parses the manifest text
+    // EXECUTOR-side (only the header touches the driver — the same
+    // scale argument as the round-11 manifest build), one row per data
+    // file with zone cells and the bloom flag. The fixture commits two
+    // versions with hash-partitioned layouts whose file counts are
+    // deterministic (8 and 8+4 non-empty hash partitions at every SF —
+    // in-plan assert_true makes a layout drift fail loudly at the
+    // source, the q154 lesson); published per version: file count,
+    // stat/bloom coverage, and the table-level [min,max] recovered
+    // PURELY from the metadata relation — the oracle recomputes the
+    // range from the raw rows, so the manifest's zone cells are
+    // hash-checked against ground truth. Scale: the metadata relation
+    // is O(files) rows read by a text scan; no data file opens.
+    "q156_snapmeta" -> ((s, d) => {
+      val dir = "target/graft-snapmeta/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey")
+      graft.operators.SnapTable.commit(s, dir,
+        li.filter(col("l_orderkey") % 2 === 0)
+          .repartition(8, col("l_orderkey")),
+        statCols = Seq("l_orderkey"), bloomCol = "l_partkey")
+      graft.operators.SnapTable.commit(s, dir,
+        li.filter(col("l_orderkey") % 2 === 1)
+          .repartition(4, col("l_orderkey")),
+        append = true,
+        statCols = Seq("l_orderkey"), bloomCol = "l_partkey")
+      def agg(v: Int): DataFrame =
+        graft.operators.SnapTable.filesMeta(s, dir, v)
+          .agg(count(lit(1)).as("n_files"),
+            count(col("min_l_orderkey")).as("n_stat_files"),
+            sum(when(col("has_bloom"), 1L).otherwise(0L)).as("n_bloom_files"),
+            min(col("min_l_orderkey")).as("tbl_min"),
+            max(col("max_l_orderkey")).as("tbl_max"))
+          .select(lit(v.toLong).as("version"), col("n_files"),
+            col("n_stat_files"), col("n_bloom_files"),
+            col("tbl_min"), col("tbl_max"))
+      agg(1).union(agg(2))
+        .where(assert_true(
+          col("version") =!= 1L || col("n_files") === 8L,
+          lit("q156 v1 layout drifted from 8 files")).isNull)
+        .where(assert_true(
+          col("version") =!= 2L || col("n_files") === 12L,
+          lit("q156 v2 layout drifted from 12 files")).isNull)
+        .orderBy("version")
     })
   )
 
@@ -7763,6 +7815,25 @@ object Relational {
         |                AND l_linenumber = 1)) AS sum_v3,
         |  CAST(3 AS BIGINT) AS versions,
         |  TRUE AS vacuumed_some,
-        |  TRUE AS v1_unreadable""".stripMargin
+        |  TRUE AS v1_unreadable""".stripMargin,
+
+    // q156: file counts are layout facts guarded by in-plan
+    // assert_trues on the Spark side (the q154 convention); the
+    // table-level [min,max] recomputes from the raw rows, so the zone
+    // cells the metadata relation publishes are checked against
+    // ground truth, not against themselves
+    "q156_snapmeta" ->
+      """WITH ev AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+        |            FROM lineitem WHERE l_orderkey % 2 = 0),
+        |al AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+        |       FROM lineitem)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(8 AS BIGINT) AS n_files,
+        |       CAST(8 AS BIGINT) AS n_stat_files,
+        |       CAST(8 AS BIGINT) AS n_bloom_files,
+        |       mn AS tbl_min, mx AS tbl_max FROM ev
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(12 AS BIGINT), CAST(12 AS BIGINT),
+        |       CAST(12 AS BIGINT), mn, mx FROM al
+        |ORDER BY version""".stripMargin
   )
 }

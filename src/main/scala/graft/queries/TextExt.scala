@@ -2704,6 +2704,70 @@ object TextExt {
         .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
           col("phrase"), col("n_words"), col("score"))
         .orderBy("doc_id", "rank")
+    }),
+
+    // QT29 URL CANONICALIZATION — the web-corpus identity verb every
+    // crawl pipeline runs BEFORE URL-level dedup (Common-Crawl-style
+    // corpora dedup on canonical URL first, content second): two
+    // spellings of one resource must map to one key or the URL dedup
+    // under-merges. Rules applied, each a row-local string expression
+    // (one scan, zero pre-agg shuffles):
+    //   1. drop the fragment (#…) — client-side only;
+    //   2. lowercase scheme and host (case-insensitive per RFC 3986),
+    //      NEVER path/query (case-significant);
+    //   3. strip a leading `www.` and the scheme's default port
+    //      (:443 https / :80 http);
+    //   4. collapse duplicate path slashes, empty path → "/";
+    //   5. drop tracking params (utm_*, ref=…), sort the survivors
+    //      byte-wise so param order stops mattering.
+    // The URL fixture is a pure FUNCTION of the documents rows (the
+    // qm4 convention): mixed-case scheme/host, www, default port,
+    // shuffled tracking params and a fragment — every rule exercised
+    // on every row. Published: per-domain URL counts vs canonical
+    // counts (the dedup headroom a crawl sees) + the lexicographically
+    // first canonical URL as hash-checked witness data. Scale: row-
+    // local canonicalization then one tiny groupBy(domain); at 100 TB
+    // the canon key feeds q27-style exact dedup unchanged.
+    "qt29_urlnorm" -> ((s, d) => {
+      val urls = t(s, d, "documents").select(
+        col("doc_id"),
+        concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".Example.COM:443/docs//"), col("doc_id") % 4,
+          lit("/?utm_campaign=c"), col("doc_id") % 3,
+          lit("&ref=feed&id="), col("doc_id") % 2,
+          lit("&b=2&a=1#sec"), col("doc_id") % 5).as("url"))
+      val nf = regexp_replace(col("url"), "#.*$", "")
+      val parsed = urls.select(
+        lower(regexp_extract(nf, "^([A-Za-z]+)://", 1)).as("scheme"),
+        lower(regexp_extract(nf, "^[A-Za-z]+://([^/?]+)", 1)).as("hp"),
+        regexp_extract(nf, "^[A-Za-z]+://[^/?]*(.*)$", 1).as("rest"))
+      val host0 = regexp_replace(col("hp"), "^www\\.", "")
+      val host = when(col("scheme") === "https",
+          regexp_replace(host0, ":443$", ""))
+        .when(col("scheme") === "http", regexp_replace(host0, ":80$", ""))
+        .otherwise(host0)
+      val path0 = regexp_replace(
+        regexp_extract(col("rest"), "^([^?]*)", 1), "/{2,}", "/")
+      val path = when(path0 === "", lit("/")).otherwise(path0)
+      val qs = regexp_extract(col("rest"), "\\?(.*)$", 1)
+      val params = array_join(array_sort(expr(
+        "filter(split(qs, '&'), p -> p != '' AND substr(p, 1, 4) != 'utm_'" +
+          " AND substr(p, 1, 4) != 'ref=')")), "&")
+      parsed
+        .withColumn("host", host).withColumn("qs", qs)
+        .select(col("scheme"), col("host"), path.as("path"),
+          params.as("params"))
+        .select(col("host").as("domain"),
+          concat(col("scheme"), lit("://"), col("host"), col("path"),
+            when(col("params") === "", lit(""))
+              .otherwise(concat(lit("?"), col("params")))).as("canon"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canon")).as("n_canon"),
+          min(col("canon")).as("first_canon"))
+        .withColumn("n_dups", col("n_urls") - col("n_canon"))
+        .select("domain", "n_urls", "n_canon", "n_dups", "first_canon")
+        .orderBy("domain")
     })
   )
 
@@ -4490,6 +4554,54 @@ object TextExt {
         |FROM phr
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |  ORDER BY score DESC, phrase) <= 3
-        |ORDER BY doc_id, rank""".stripMargin
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    // qt29: the identical fixture construction + rule chain; list_sort
+    // and Spark array_sort agree byte-wise on ASCII param strings
+    "qt29_urlnorm" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs//'
+        |      || CAST(doc_id % 4 AS VARCHAR) || '/?utm_campaign=c'
+        |      || CAST(doc_id % 3 AS VARCHAR) || '&ref=feed&id='
+        |      || CAST(doc_id % 2 AS VARCHAR) || '&b=2&a=1#sec'
+        |      || CAST(doc_id % 5 AS VARCHAR) AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS s
+        |       FROM u),
+        |p AS (SELECT doc_id,
+        |        lower(regexp_extract(s, '^([A-Za-z]+)://', 1)) AS scheme,
+        |        lower(regexp_extract(s, '^[A-Za-z]+://([^/?]+)', 1)) AS hp,
+        |        regexp_extract(s, '^[A-Za-z]+://[^/?]*(.*)$', 1) AS rest
+        |      FROM nf),
+        |h AS (SELECT doc_id, scheme, rest,
+        |        CASE WHEN scheme = 'https' THEN
+        |               regexp_replace(regexp_replace(hp, '^www\.', '', 'g'),
+        |                              ':443$', '', 'g')
+        |             WHEN scheme = 'http' THEN
+        |               regexp_replace(regexp_replace(hp, '^www\.', '', 'g'),
+        |                              ':80$', '', 'g')
+        |             ELSE regexp_replace(hp, '^www\.', '', 'g') END AS host
+        |      FROM p),
+        |c AS (SELECT doc_id, host AS domain,
+        |        scheme || '://' || host ||
+        |        (CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+        |                                  '/{2,}', '/', 'g') = '' THEN '/'
+        |              ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+        |                                  '/{2,}', '/', 'g') END) ||
+        |        (CASE WHEN array_to_string(list_sort(list_filter(
+        |                 string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |                 q -> q <> '' AND substr(q, 1, 4) <> 'utm_'
+        |                   AND substr(q, 1, 4) <> 'ref=')), '&') = '' THEN ''
+        |              ELSE '?' || array_to_string(list_sort(list_filter(
+        |                 string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |                 q -> q <> '' AND substr(q, 1, 4) <> 'utm_'
+        |                   AND substr(q, 1, 4) <> 'ref=')), '&') END) AS canon
+        |      FROM h)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canon,
+        |       CAST(COUNT(*) - COUNT(DISTINCT canon) AS BIGINT) AS n_dups,
+        |       MIN(canon) AS first_canon
+        |FROM c GROUP BY domain ORDER BY domain""".stripMargin
   )
 }
