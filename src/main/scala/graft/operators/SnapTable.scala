@@ -246,50 +246,78 @@ object SnapTable {
                            commitId: String, newNames: Seq[String],
                            statCols: Seq[String],
                            bloom: Option[(String, Int)]): DataFrame = {
-    val names = spark.createDataset(newNames)(
-      org.apache.spark.sql.Encoders.STRING).toDF("_name")
     def fileName = element_at(split(input_file_name(), "/"), -1)
     lazy val data = spark.read.parquet(genDir)
-    val withZone: DataFrame =
-      if (statCols.isEmpty)
+    // all-null stat values print as the unprunable "-,-" cell
+    def zoneCell(sc: Seq[String]) = concat_ws(",", sc.flatMap(c => Seq(
+      coalesce(col(s"_min_$c").cast("string"), lit("-")),
+      coalesce(col(s"_max_$c").cast("string"), lit("-")))): _*)
+    // word map -> one hex string per file, zeros for unset words — the
+    // same f"%016x" layout the old driver loop built; an EMPTY map
+    // (file with zero non-null bloom values) yields NULL: that file's
+    // line omits the bloom cell, exactly the old per-file semantics
+    def bloomHex(m: Int) = when(expr("cardinality(_wm)") > 0, expr(
+      s"""array_join(transform(sequence(0, ${m / 64 - 1}),
+         |  i -> lower(lpad(hex(coalesce(element_at(_wm, i), 0L)),
+         |               16, '0'))), '')""".stripMargin))
+      .otherwise(lit(null).cast("string"))
+    // The listed names LEFT-join the per-file cell aggregates: a
+    // zero-row part file (an empty-DataFrame commit writes exactly one)
+    // has no agg row and gets its cell-less line from the names side —
+    // dropping the join loses that file from the manifest
+    // (SnapTableSpec's empty-append case caught exactly this). The
+    // names relation is a tiny broadcast; the measured per-commit costs
+    // were the extra scans and the FileFormatWriter committer, both
+    // gone.
+    val names = spark.createDataset(newNames)(
+      org.apache.spark.sql.Encoders.STRING).toDF("_name")
+    val withCells: DataFrame = (statCols, bloom) match {
+      case (Nil, None) =>
         names.withColumn("_zone", lit(null).cast("string"))
-      else {
-        val aggs = statCols.flatMap(c =>
+          .withColumn("_bloom", lit(null).cast("string"))
+      case (sc, None) =>
+        val aggs = sc.flatMap(c =>
           Seq(min(col(c).cast("long")).as(s"_min_$c"),
             max(col(c).cast("long")).as(s"_max_$c")))
-        // all-null stat values print as the unprunable "-,-" cell
-        val cell = concat_ws(",", statCols.flatMap(c => Seq(
-          coalesce(col(s"_min_$c").cast("string"), lit("-")),
-          coalesce(col(s"_max_$c").cast("string"), lit("-")))): _*)
         val z = data.groupBy(fileName.as("_name"))
           .agg(aggs.head, aggs.tail: _*)
-          .select(col("_name"), cell.as("_zone"))
-        names.join(z, Seq("_name"), "left")
-      }
-    val withBoth: DataFrame = bloom match {
-      case None => withZone.withColumn("_bloom", lit(null).cast("string"))
-      case Some((bc, m)) =>
+          .select(col("_name"), zoneCell(sc).as("_zone"))
+        names.join(broadcast(z), Seq("_name"), "left")
+          .withColumn("_bloom", lit(null).cast("string"))
+      case (sc, Some((bc, m))) =>
         require(m % 64 == 0 && m > 0,
           s"bloom bits must be a multiple of 64, got $m")
+        // ONE scan for zone cells AND bloom bitmaps (the r11 perf
+        // finding: each extra scan+exchange is a fixed per-commit
+        // cost): bloom bit positions explode 2x per row — min/max are
+        // duplication-immune — and a null bloom value keeps its row
+        // through explode_outer so zone stats never lose it
         val v = col(bc).cast("long")
-        val words = data.where(col(bc).isNotNull)
-          .select(fileName.as("_name"),
-            explode(array(
-              pmod(xxhash64(v), lit(m.toLong)),
-              pmod(xxhash64(v, lit(BloomSeed)), lit(m.toLong)))).as("p"))
-          .groupBy(col("_name"), (col("p") / 64).cast("int").as("w"))
-          .agg(bit_or(expr(
-            "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")).as("bits"))
-        // word map -> one hex string per file, zeros for unset words —
-        // the same f"%016x" layout the driver loop used to build
-        val hexed = words.groupBy("_name")
-          .agg(map_from_entries(
-            collect_list(struct(col("w"), col("bits")))).as("_wm"))
-          .select(col("_name"), expr(
-            s"""array_join(transform(sequence(0, ${m / 64 - 1}),
-               |  i -> lower(lpad(hex(coalesce(element_at(_wm, i), 0L)),
-               |               16, '0'))), '')""".stripMargin).as("_bloom"))
-        withZone.join(hexed, Seq("_name"), "left")
+        val pos = explode_outer(when(col(bc).isNotNull,
+          array(pmod(xxhash64(v), lit(m.toLong)),
+            pmod(xxhash64(v, lit(BloomSeed)), lit(m.toLong)))))
+        val l1aggs =
+          bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"))
+            .as("bits") +:
+          sc.flatMap(c => Seq(min(col(s"_v_$c")).as(s"_min_$c"),
+            max(col(s"_v_$c")).as(s"_max_$c")))
+        val l1 = data.select(fileName.as("_name") +:
+            sc.map(c => col(c).cast("long").as(s"_v_$c")) :+ pos.as("p"): _*)
+          .groupBy(col("_name"),
+            when(col("p").isNotNull, (col("p") / 64).cast("int")).as("w"))
+          .agg(l1aggs.head, l1aggs.tail: _*)
+        val l2aggs =
+          map_from_entries(collect_list(
+            when(col("w").isNotNull, struct(col("w"), col("bits")))))
+            .as("_wm") +:
+          sc.flatMap(c => Seq(min(col(s"_min_$c")).as(s"_min_$c"),
+            max(col(s"_max_$c")).as(s"_max_$c")))
+        val cells = l1.groupBy("_name").agg(l2aggs.head, l2aggs.tail: _*)
+          .select(col("_name"),
+            (if (sc.isEmpty) lit(null).cast("string") else zoneCell(sc))
+              .as("_zone"),
+            bloomHex(m).as("_bloom"))
+        names.join(broadcast(cells), Seq("_name"), "left")
     }
     val rel = concat(lit(s"data/$commitId/"), col("_name"))
     val line = when(col("_zone").isNull && col("_bloom").isNull, rel)
@@ -298,7 +326,7 @@ object SnapTable {
         concat(rel, lit("\t\t"), concat(lit("B"), col("_bloom"))))
       .otherwise(concat_ws("\t", rel, col("_zone"),
         concat(lit("B"), col("_bloom"))))
-    withBoth.select(concat(lit("2"), col("_name")).as("k"), line.as("line"))
+    withCells.select(concat(lit("2"), col("_name")).as("k"), line.as("line"))
   }
   // MANIFEST-EXEC-SIDE-END
 
@@ -339,14 +367,34 @@ object SnapTable {
     val manifest = manifestPath(dir, v)
     if (f.exists(manifest)) throw new CommitConflictException(v)
     val tmpDir = s"$dir/_manifests/.tmp-$commitId"
-    body.repartition(1).sortWithinPartitions("k").select("line")
-      .write.option("compression", "none").text(tmpDir)
-    val part = f.listStatus(new Path(tmpDir)).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).head
+    // ONE task streams the ordered lines straight to a temp file on the
+    // table's filesystem — no FileFormatWriter commit protocol (its
+    // _temporary staging + task/job commit costs ~0.2 s per tiny
+    // manifest, a fixed per-commit tax the A/B showed; create(tmp,
+    // overwrite=true) keeps task retries idempotent). The executor
+    // resolves the FS from its own Hadoop defaults — same-cluster
+    // configs, the standard executor-side FS pattern.
+    val tmpFile = s"$dir/_manifests/.tmp-$commitId"
     f.mkdirs(manifest.getParent)
-    val claimed = f.rename(part, manifest)
-    f.delete(new Path(tmpDir), true)
-    if (!claimed) throw new CommitConflictException(v)
+    // coalesce, not repartition: it folds the upstream agg's reducers
+    // into the single writer task with NO extra exchange (the reduce
+    // side of an O(files) metadata agg is fine single-threaded)
+    body.coalesce(1).sortWithinPartitions("k").select("line")
+      .as(org.apache.spark.sql.Encoders.STRING)
+      .foreachPartition { (it: Iterator[String]) =>
+        val p = new org.apache.hadoop.fs.Path(tmpFile)
+        val efs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = efs.create(p, true)
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, "UTF-8"))
+        try it.foreach { l => w.write(l); w.write('\n') }
+        finally w.close()
+      }
+    val claimed = f.rename(new Path(tmpFile), manifest)
+    if (!claimed) {
+      f.delete(new Path(tmpFile), false)
+      throw new CommitConflictException(v)
+    }
     writeAtomic(f, latestPath(dir), v.toString)
     (v, newNames.size)
   }
