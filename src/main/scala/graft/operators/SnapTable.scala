@@ -117,6 +117,55 @@ object SnapTable {
     }
   }
 
+  // ---- external-scanner planning surface (the graft-snap DSv2
+  // connector) -----------------------------------------------------------
+
+  /** Planning view of one manifest entry: absolute file path, recorded
+    * [min,max] per stat column (absent = unprunable), bloom hex. */
+  private[graft] final case class PlanEntry(path: String,
+      ranges: Map[String, (Long, Long)], bloomHex: Option[String])
+  private[graft] final case class TablePlan(version: Int,
+      statCols: Seq[String], bloom: Option[(String, Int)],
+      files: Seq[PlanEntry])
+
+  /** The manifest as a PLANNING structure — what a scanner needs to
+    * prune files before opening any (same driver-side planning class as
+    * readWhere; the USER-facing relation is [[filesMeta]]). */
+  private[graft] def plan(spark: SparkSession, dir: String,
+                          version: Int = 0): TablePlan = {
+    val f = fs(spark, dir)
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    val info = parseManifest(f, dir, v)
+    TablePlan(v, info.statCols, info.bloom, info.files.map { e =>
+      PlanEntry(resolvePath(dir, e.rel),
+        info.statCols.zip(e.ranges)
+          .collect { case (c, Some(r)) => c -> r }.toMap,
+        e.bloomHex)
+    })
+  }
+
+  /** The two bloom bit positions for a probe value — computed through
+    * the SAME Spark expressions that built the bitmaps (constant-folded
+    * local relation, no job), so scanner pruning can never diverge from
+    * the writer's hashing. */
+  private[graft] def bloomPositions(spark: SparkSession, value: Long,
+                                    m: Int): (Long, Long) = {
+    val r = spark.range(1).select(
+      pmod(xxhash64(lit(value)), lit(m.toLong)).as("p1"),
+      pmod(xxhash64(lit(value), lit(BloomSeed)), lit(m.toLong)).as("p2"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Bit test against a manifest hex bitmap. */
+  private[graft] def bloomHexHas(hex: String, p: Long): Boolean = {
+    val w = (p / 64).toInt
+    val word = java.lang.Long.parseUnsignedLong(
+      hex.substring(w * 16, w * 16 + 16), 16)
+    (word & (1L << (p % 64))) != 0L
+  }
+
   /** Latest committed version, 0 if the table has none. */
   def latestVersion(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)

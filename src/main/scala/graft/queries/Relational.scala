@@ -4874,6 +4874,56 @@ object Relational {
           col("version") =!= 2L || col("n_files") === 12L,
           lit("q156 v2 layout drifted from 12 files")).isNull)
         .orderBy("version")
+    }),
+
+    // Q157 DSV2 SNAPSHOT SCAN — the lakehouse tables as a first-class
+    // `spark.read.format("graft-snap")` source (round 11; the g07
+    // convention of gating a connector's READ PATH through the oracle):
+    // the same manifest format q59-q74 exercise through the library
+    // API, now behind Spark's own source protocol — time travel as a
+    // reader option, zone-map/bloom FILE pruning through the standard
+    // filter-pushdown hooks (claim-and-recheck: every pushed filter
+    // stays residual, so pruning can never change answers), column
+    // pruning to the parquet projection, and a from-scratch
+    // parquet-Group row decoder (no Spark-internal vectorized classes).
+    // Publishing aggregates over long/int32/double/string columns
+    // hash-checks that decoder cell-for-cell against DuckDB reading the
+    // raw rows; the range predicate's file pruning and the
+    // absent-key bloom probe are required in-query (contiguous
+    // repartitionByRange layout makes "a ≤span/8 range prunes" a
+    // geometric certainty, not a sampling accident). Scale: planning
+    // ships only surviving file paths; pruned files are never opened.
+    "q157_snapscan" -> ((s, d) => {
+      val dir = "target/graft-snapscan/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_quantity", "l_partkey", "l_returnflag")
+      graft.operators.SnapTable.commit(s, dir,
+        li.repartitionByRange(8, col("l_orderkey")),
+        statCols = Seq("l_orderkey"), bloomCol = "l_partkey")
+      val ranged = s.read.format("graft-snap").load(dir)
+        .filter(col("l_orderkey").between(100L, 240L))
+      // pruning facts from the executed scan itself, required loudly
+      // here rather than trusted as hardcoded oracle constants
+      ranged.collect()
+      val scan = ranged.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan.asInstanceOf[graft.sources.SnapScan]
+      }.getOrElse(sys.error("q157: no BatchScanExec in the connector plan"))
+      require(scan.total == 8,
+        s"q157 layout drifted from 8 files (${scan.total})")
+      require(scan.survivors.size < scan.total,
+        s"q157 range filter pruned nothing (${scan.survivors.size}/8)")
+      val missRows = s.read.format("graft-snap").load(dir)
+        .filter(col("l_partkey") === -424242L).count()
+      ranged.agg(
+          count(lit(1)).as("n_range"),
+          r4(sumDec6(col("l_quantity"))).as("sum_range"),
+          sum(col("l_linenumber").cast(LongType)).as("sum_ln"),
+          min(col("l_returnflag")).as("min_rf"))
+        .select(col("n_range"), col("sum_range"), col("sum_ln"),
+          col("min_rf"), lit(8L).as("files_total"),
+          lit(true).as("range_pruned"), lit(missRows).as("miss_rows"))
     })
   )
 
@@ -7834,6 +7884,26 @@ object Relational {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), CAST(12 AS BIGINT), CAST(12 AS BIGINT),
         |       CAST(12 AS BIGINT), mn, mx FROM al
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+
+    // q157: row facts recomputed from the raw table (the connector's
+    // Group-API decode is what's under test); the pruning facts are
+    // in-query requires on the Spark side, published as the booleans/
+    // counts they guarantee; the bloom miss COUNT recomputes naturally
+    "q157_snapscan" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_orderkey BETWEEN 100 AND 240) AS n_range,
+        |  (SELECT CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4)
+        |       AS DOUBLE) FROM lineitem
+        |     WHERE l_orderkey BETWEEN 100 AND 240) AS sum_range,
+        |  (SELECT CAST(SUM(l_linenumber) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey BETWEEN 100 AND 240) AS sum_ln,
+        |  (SELECT MIN(l_returnflag) FROM lineitem
+        |     WHERE l_orderkey BETWEEN 100 AND 240) AS min_rf,
+        |  CAST(8 AS BIGINT) AS files_total,
+        |  TRUE AS range_pruned,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     WHERE l_partkey = -424242) AS miss_rows""".stripMargin
   )
 }

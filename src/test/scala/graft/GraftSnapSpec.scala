@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.SnapTable
+import graft.sources.SnapScan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft-snap DSv2 connector: SnapTable snapshots as a first-class
+  * `spark.read.format(...)` source — time travel as a reader option,
+  * manifest-stat file pruning through Spark's own filter pushdown
+  * protocol, column pruning to the parquet projection, and plain-SQL
+  * composition. Every pruned read is checked for RESULT equality
+  * against the unpruned relation (pruning must never change answers —
+  * the readWhere contract, now behind the standard source API). */
+class GraftSnapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dir = "target/graft-snap-dsv2"
+
+  private def fixture(): Unit = {
+    SnapTable.destroy(spark, dir)
+    val li = Tables(spark, TestSpark.Sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey")
+    SnapTable.commit(spark, dir,
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(8, col("l_orderkey")),
+      statCols = Seq("l_orderkey"), bloomCol = "l_partkey")
+    SnapTable.commit(spark, dir,
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("l_orderkey")),
+      append = true, statCols = Seq("l_orderkey"), bloomCol = "l_partkey")
+  }
+
+  private def snapScan(df: org.apache.spark.sql.DataFrame): SnapScan = {
+    df.collect() // finalize AQE on THIS queryExecution
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[SnapScan]
+    }.getOrElse(fail("no BatchScanExec in plan:\n" +
+      df.queryExecution.executedPlan))
+  }
+
+  test("round-trip and time travel match the library read verbatim") {
+    fixture()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val viaSource = spark.read.format("graft-snap").load(dir)
+    assert(canon(viaSource) === canon(SnapTable.read(spark, dir)))
+    val v1 = spark.read.format("graft-snap").option("version", 1).load(dir)
+    assert(canon(v1) === canon(SnapTable.read(spark, dir, 1)))
+    assert(v1.count() < viaSource.count())
+    // inferred schema came from the commit's own footer
+    assert(viaSource.schema.fieldNames.toSeq ===
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_partkey"))
+  }
+
+  test("zone-map pushdown prunes files at planning; results exact") {
+    fixture()
+    val all = spark.read.format("graft-snap").load(dir)
+    val keys = all.select("l_orderkey").collect().map(_.getLong(0))
+    val lo = keys.min; val hi = keys.min + (keys.max - keys.min) / 8
+    val pruned = spark.read.format("graft-snap").load(dir)
+      .filter(col("l_orderkey").between(lo, hi))
+    val scan = snapScan(pruned)
+    assert(scan.total == 12, s"expected 12 data files, saw ${scan.total}")
+    assert(scan.survivors.size < scan.total,
+      s"range filter pruned nothing (${scan.survivors.size}/${scan.total})")
+    assert(scan.description().contains("PrunedTo:"),
+      "pruning is not visible in the scan description")
+    // exactness: same rows as the unpruned read filtered post-hoc
+    val want = all.filter(col("l_orderkey").between(lo, hi)).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val got = pruned.collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("bloom pushdown prunes point lookups; absent key scans zero files") {
+    fixture()
+    val all = spark.read.format("graft-snap").load(dir)
+    val someKey = all.select("l_partkey").limit(1).collect().head.getLong(0)
+    val hit = spark.read.format("graft-snap").load(dir)
+      .filter(col("l_partkey") === someKey)
+    val hitScan = snapScan(hit)
+    assert(hitScan.survivors.size < hitScan.total,
+      s"bloom pruned nothing (${hitScan.survivors.size}/${hitScan.total})")
+    assert(hit.count() === all.filter(col("l_partkey") === someKey).count())
+    // provably-absent value: zero partitions planned, empty result
+    val miss = spark.read.format("graft-snap").load(dir)
+      .filter(col("l_partkey") === -424242L)
+    assert(miss.count() === 0L)
+    assert(snapScan(miss).survivors.isEmpty,
+      "absent key should prune every file via the bitmaps")
+  }
+
+  test("column pruning reaches the parquet projection") {
+    fixture()
+    val narrow = spark.read.format("graft-snap").load(dir)
+      .select("l_quantity")
+    val scan = snapScan(narrow)
+    assert(scan.readSchema().fieldNames.toSeq === Seq("l_quantity"),
+      s"projection not pruned: ${scan.readSchema()}")
+    val direct = SnapTable.read(spark, dir).select("l_quantity")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(narrow.collect().map(_.getDouble(0)).sorted.toSeq === direct)
+  }
+
+  test("plain SQL surface: CREATE TABLE USING graft-snap") {
+    fixture()
+    spark.sql("DROP TABLE IF EXISTS snap_sql_t")
+    // DDL OPTIONS paths resolve against the warehouse — pass absolute
+    val abs = new java.io.File(dir).getAbsolutePath
+    spark.sql(
+      s"""CREATE TABLE snap_sql_t USING `graft-snap`
+         |OPTIONS (path '$abs', version '1')""".stripMargin)
+    try {
+      val n = spark.sql("SELECT COUNT(*) FROM snap_sql_t").head().getLong(0)
+      assert(n === SnapTable.read(spark, dir, 1).count())
+      val s = spark.sql(
+        "SELECT SUM(l_quantity) FROM snap_sql_t WHERE l_orderkey < 100")
+        .head().getDouble(0)
+      val want = SnapTable.read(spark, dir, 1)
+        .filter(col("l_orderkey") < 100)
+        .agg(sum("l_quantity")).head().getDouble(0)
+      assert(s === want)
+    } finally spark.sql("DROP TABLE IF EXISTS snap_sql_t")
+  }
+}
