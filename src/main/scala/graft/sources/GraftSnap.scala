@@ -90,13 +90,70 @@ class GraftSnap extends TableProvider with DataSourceRegister {
 }
 
 final class SnapScanTable(declared: StructType, props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-snap(${props.getOrElse("path", "?")})"
   override def schema(): StructType = declared
+  // BATCH_WRITE routes DataFrameWriter.save onto the V2 write plans;
+  // V1_BATCH_WRITE makes those plans pick the V1-fallback exec that
+  // understands the V1Write below — both are required
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapScanBuilder(declared, options.asScala.toMap ++ props)
+
+  /** WRITE = a SnapTable COMMIT through the V1 write bridge: the
+    * incoming relation lands as a new snapshot version — append mode
+    * carries the previous file list forward, overwrite makes the
+    * relation the whole new table state (history stays readable; this
+    * is the commit protocol, not a directory truncate). Stat/bloom
+    * declarations come from reader options (`statCols`, comma-split;
+    * `bloomCol`/`bloomBits`) or, on append, default to the extended
+    * manifest's own header so an un-optioned append cannot silently
+    * drop the table's pruning metadata. The V1 bridge hands over the
+    * whole DataFrame, which is exactly the commit verb's input — the
+    * per-task DSv2 writer protocol would only re-implement the parquet
+    * writer the commit already drives. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val opts = info.options.asScala.toMap ++ props
+    val dir = opts.getOrElse("path",
+      throw new IllegalArgumentException("graft-snap: no path"))
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+              val spark = data.sparkSession
+              val append = !(overwrite || overwriteFlag)
+              val fromHeader =
+                if (append && SnapTable.latestVersion(spark, dir) > 0)
+                  Some(SnapTable.plan(spark, dir))
+                else None
+              val statCols = opts.get("statcols")
+                .map(_.split(",").toSeq.filter(_.nonEmpty))
+                .orElse(fromHeader.map(_.statCols)).getOrElse(Nil)
+              val bloom = opts.get("bloomcol").map(c =>
+                  (c, opts.get("bloombits").map(_.toInt).getOrElse(65536)))
+                .orElse(fromHeader.flatMap(_.bloom))
+              SnapTable.commit(spark, dir, data, append = append,
+                statCols = statCols,
+                bloomCol = bloom.map(_._1).orNull,
+                bloomBits = bloom.map(_._2).getOrElse(65536))
+              ()
+            }
+        }
+    }
+  }
 }
 
 final class SnapScanBuilder(full: StructType, opts: Map[String, String])
@@ -151,7 +208,7 @@ final case class SnapFilePartition(path: String) extends InputPartition
 
 final class SnapScan(full: StructType, required: StructType,
                      prunable: Array[Filter], opts: Map[String, String])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   private val dir = opts.getOrElse("path",
     throw new IllegalArgumentException("graft-snap: no path"))
   private val version = opts.get("version").map(_.toInt).getOrElse(0)
@@ -215,6 +272,29 @@ final class SnapScan(full: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     survivors.map(SnapFilePartition.apply).toArray
+
+  /** POST-PRUNING size statistics (metadata only): the surviving
+    * files' byte lengths. Without this a DSv2 relation defaults to
+    * "unknown = huge" and joins over it degrade to sort-merge; with it
+    * a pruned snapshot side broadcasts exactly like a small parquet
+    * dim — and because the estimate is post-pruning, a point lookup
+    * on the bloom column broadcasts even over a huge table. */
+  override def estimateStatistics(): Statistics = {
+    val bytes =
+      try {
+        val conf = new Configuration()
+        survivors.map { p =>
+          val hp = new Path(p)
+          hp.getFileSystem(conf).getFileStatus(hp).getLen
+        }.sum
+      } catch { case _: java.io.IOException => Long.MaxValue }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapReaderFactory(required)

@@ -125,4 +125,57 @@ class GraftSnapSpec extends AnyFunSuite {
       assert(s === want)
     } finally spark.sql("DROP TABLE IF EXISTS snap_sql_t")
   }
+
+  test("write path: save() commits versions; append inherits pruning metadata") {
+    SnapTable.destroy(spark, dir)
+    val li = Tables(spark, TestSpark.Sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey")
+    // v1 through the source API with declared stats+bloom
+    li.filter(col("l_orderkey") % 2 === 0)
+      .write.format("graft-snap")
+      .option("statCols", "l_orderkey").option("bloomCol", "l_partkey")
+      .mode("append").save(dir)
+    assert(SnapTable.latestVersion(spark, dir) == 1)
+    // v2 append WITHOUT options: the stat/bloom config must come from
+    // the extended manifest's header, not silently vanish
+    li.filter(col("l_orderkey") % 2 === 1)
+      .write.format("graft-snap").mode("append").save(dir)
+    assert(SnapTable.latestVersion(spark, dir) == 2)
+    val meta = SnapTable.filesMeta(spark, dir, 2)
+    assert(meta.count() > 0)
+    assert(meta.filter(col("min_l_orderkey").isNull).count() == 0,
+      "append dropped the zone-map declaration")
+    assert(meta.filter(!col("has_bloom")).count() == 0,
+      "append dropped the bloom declaration")
+    val viaSource = spark.read.format("graft-snap").load(dir)
+    assert(viaSource.count() == li.count())
+    // overwrite = a replace COMMIT: new version, old still readable
+    li.limit(10).write.format("graft-snap")
+      .option("statCols", "l_orderkey")
+      .mode("overwrite").save(dir)
+    assert(SnapTable.latestVersion(spark, dir) == 3)
+    assert(spark.read.format("graft-snap").load(dir).count() == 10)
+    assert(spark.read.format("graft-snap").option("version", 2).load(dir)
+      .count() == li.count(), "history must survive an overwrite commit")
+  }
+
+  test("post-pruning statistics let a point lookup broadcast") {
+    fixture()
+    // a bloom point-lookup relation reports only the surviving files'
+    // bytes — joined against a big side it must plan as a broadcast
+    // hash join with the SNAPSHOT side as the build side
+    val all = spark.read.format("graft-snap").load(dir)
+    val someKey = all.select("l_partkey").limit(1).collect().head.getLong(0)
+    val probe = spark.read.format("graft-snap").load(dir)
+      .filter(col("l_partkey") === someKey)
+      .select(col("l_partkey"), col("l_quantity"))
+    val big = Tables(spark, TestSpark.Sf, "lineitem")
+      .select(col("l_partkey").as("k"), col("l_extendedprice"))
+    val j = big.join(probe, col("k") === col("l_partkey"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pruned snapshot side did not broadcast:\n$plan")
+  }
 }
