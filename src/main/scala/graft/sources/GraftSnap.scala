@@ -99,7 +99,8 @@ final class SnapScanTable(declared: StructType, props: Map[String, String])
   // understands the V1Write below — both are required
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapScanBuilder(declared, options.asScala.toMap ++ props)
 
@@ -294,6 +295,77 @@ final class SnapScan(full: StructType, required: StructType,
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.empty()
     }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapReaderFactory(required)
+
+  /** STREAMING READ — snapshot versions as micro-batches (the
+    * Delta-table-as-stream-source shape): the offset IS the committed
+    * version number, a batch is every data file ADDED by the versions
+    * in (start, end], and the commit protocol's manifest immutability
+    * makes replay exact (carried lines are verbatim, so set-difference
+    * of file lists recovers each version's additions precisely). The
+    * declared contract is APPEND-ONLY streaming: a version that DROPS
+    * a previously-seen file (DML rewrite, compaction) throws by
+    * default — silently re-reading rewritten files would double-count;
+    * `option("skipChangeVersions", true)` instead skips such versions
+    * whole, the Delta `skipChangeCommits` semantics. (Recovery note,
+    * true of every MicroBatchStream source: an AvailableNow run that
+    * recovers a previously-FAILED batch drains only that batch; data
+    * committed after the failure arrives on the next trigger.) */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapMicroBatchStream(dir, required,
+      opts.get("skipchangeversions").exists(_.toBoolean))
+}
+
+final case class SnapVersionOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+final class SnapMicroBatchStream(dir: String, required: StructType,
+                                 skipChange: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private def spark = SparkSession.active
+  override def initialOffset(): Offset = SnapVersionOffset(0)
+  override def latestOffset(): Offset =
+    SnapVersionOffset(SnapTable.latestVersion(spark, dir))
+  override def deserializeOffset(json: String): Offset =
+    SnapVersionOffset("""\d+""".r.findFirstIn(json).getOrElse(
+      throw new IllegalArgumentException(s"bad graft-snap offset: $json"))
+      .toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val a = start.asInstanceOf[SnapVersionOffset].version
+    val b = end.asInstanceOf[SnapVersionOffset].version
+    if (b <= a) return Array.empty
+    def files(v: Int): Set[String] =
+      if (v == 0) Set.empty[String]
+      else SnapTable.plan(spark, dir, v).files.map(_.path).toSet
+    val out = Array.newBuilder[InputPartition]
+    var prev = files(a)
+    ((a + 1) to b).foreach { v =>
+      val cur = files(v)
+      val dropped = prev -- cur
+      if (dropped.nonEmpty) {
+        if (!skipChange) throw new IllegalStateException(
+          s"graft-snap stream: version $v of $dir rewrites " +
+            s"${dropped.size} previously-streamed file(s) — the stream " +
+            "contract is append-only; set skipChangeVersions=true to " +
+            "skip rewrite versions (the Delta skipChangeCommits " +
+            "semantics)")
+        // change version skipped whole: its additions are rewrites of
+        // already-streamed rows, not new data
+      } else out ++= (cur -- prev).toSeq.sorted.map(SnapFilePartition.apply)
+      prev = cur
+    }
+    out.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

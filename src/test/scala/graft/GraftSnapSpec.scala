@@ -178,4 +178,60 @@ class GraftSnapSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"pruned snapshot side did not broadcast:\n$plan")
   }
+
+  test("streaming read: committed versions arrive as append-only micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    SnapTable.destroy(spark, dir)
+    val li = Tables(spark, TestSpark.Sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .sorted.toSeq
+    SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0))
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-snapstream").toString
+    val sinkDir = s"$work/sink"; val ckpt = s"$work/ckpt"
+    def runOnce(skipChange: Boolean = false): Unit = {
+      val src = spark.readStream.format("graft-snap")
+        .option("skipChangeVersions", skipChange.toString).load(dir)
+      val q = src.writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sink() = rows(spark.read.parquet(sinkDir))
+    // first run: the whole current snapshot is the first batch
+    runOnce()
+    assert(sink() === rows(li.filter(col("l_orderkey") % 3 === 0)))
+    // append a version; a restarted stream appends ONLY the delta
+    SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 1),
+      append = true)
+    runOnce()
+    assert(sink() === rows(li.filter(col("l_orderkey") % 3 <= 1)),
+      "restart must deliver exactly the appended version")
+    // a DML rewrite breaks the append-only contract: the stream fails
+    // loudly by default and commits nothing...
+    val del = SnapTable.delete(spark, dir, col("l_linenumber") === 1)
+    assert(del.rowsDeleted > 0 && del.filesRewritten > 0)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    assert(e.getCause.getMessage.contains("append-only"),
+      s"wrong failure: ${e.getCause}")
+    assert(sink() === rows(li.filter(col("l_orderkey") % 3 <= 1)),
+      "the refused rewrite version must not leak rows into the sink")
+    // ...and with skipChangeVersions=true the rewrite version is
+    // skipped whole while a later plain append still flows. Engine
+    // reality (any MicroBatchStream source behaves this way): the
+    // availableNow run that RECOVERS the failed batch drains only that
+    // recovered batch — the appended version arrives on the next run.
+    SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 2),
+      append = true)
+    runOnce(skipChange = true)
+    assert(sink() === rows(li.filter(col("l_orderkey") % 3 <= 1)),
+      "the recovered rewrite batch must skip and emit nothing")
+    runOnce(skipChange = true)
+    assert(sink() === rows(li),
+      "skipChangeVersions must skip the rewrite and deliver the append")
+  }
 }
