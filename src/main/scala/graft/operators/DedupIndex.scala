@@ -273,9 +273,11 @@ object DedupIndex {
     * deployment pattern, probe plans unchanged. */
   def compactAnn(spark: SparkSession, srcDir: String, dstDir: String,
                  buckets: Int = FromConf): AnnHandles = {
-    val src = loadAnn(spark, srcDir)
-    val b = if (buckets == FromConf)
-      attachBuckets(spark, srcDir, FromConf) else buckets
+    // same legacy-source rule as compact()
+    val srcB = recordedBuckets(spark, srcDir)
+      .getOrElse(resolve(spark, buckets))
+    val src = loadAnn(spark, srcDir, srcB)
+    val b = if (buckets == FromConf) srcB else buckets
     spark.sql(s"DROP TABLE IF EXISTS ${annBandsTable(dstDir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${annVecTable(dstDir)}")
     oneFilePerBucket(src.bands, Seq("k", "key"), b)
@@ -307,9 +309,15 @@ object DedupIndex {
     * layout); `fp` re-asserts set semantics with a distinct. */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
               buckets: Int = FromConf): Handles = {
-    val src = load(spark, srcDir)
-    val b = if (buckets == FromConf)
-      attachBuckets(spark, srcDir, FromConf) else buckets
+    // source attach: the on-disk record wins when present; a LEGACY
+    // (pre-metadata) source falls back to the caller's explicit count
+    // — attaching it with the conf default would declare a wrong
+    // CLUSTERED BY and poison every later probe join in the session.
+    // The explicit count remains the DESTINATION's (re-bucketing verb).
+    val srcB = recordedBuckets(spark, srcDir)
+      .getOrElse(resolve(spark, buckets))
+    val src = load(spark, srcDir, srcB)
+    val b = if (buckets == FromConf) srcB else buckets
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(dstDir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${fpTable(dstDir)}")
     oneFilePerBucket(src.bands, Seq("band", "key"), b)

@@ -196,6 +196,18 @@ object SnapTable {
     } finally br.close()
   }
 
+  /** Header-only config of a committed version: (statCols, bloom) —
+    * the O(1) read external writers use to inherit a table's pruning
+    * declarations without touching its file list. */
+  private[graft] def headerConfig(spark: SparkSession, dir: String,
+                                  version: Int = 0)
+      : (Seq[String], Option[(String, Int)]) = {
+    val f = fs(spark, dir)
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    readHeader(f, dir, v)
+  }
+
   /** METADATA TABLE — the manifest as a relation (the Iceberg `.files`
     * / Delta detail surface): one row per data file of `version`, with
     * the file's zone cells (`min_<col>`/`max_<col>`, NULL for the
@@ -415,15 +427,17 @@ object SnapTable {
       .union(newFileLines(spark, genDir, commitId, newNames, statCols, bloom))
     val manifest = manifestPath(dir, v)
     if (f.exists(manifest)) throw new CommitConflictException(v)
-    val tmpDir = s"$dir/_manifests/.tmp-$commitId"
     // ONE task streams the ordered lines straight to a temp file on the
     // table's filesystem — no FileFormatWriter commit protocol (its
     // _temporary staging + task/job commit costs ~0.2 s per tiny
     // manifest, a fixed per-commit tax the A/B showed; create(tmp,
-    // overwrite=true) keeps task retries idempotent). The executor
-    // resolves the FS from its own Hadoop defaults — same-cluster
-    // configs, the standard executor-side FS pattern.
+    // overwrite=true) keeps task retries idempotent). The SESSION's
+    // Hadoop configuration rides a broadcast to the writer task —
+    // executor defaults would drop spark.hadoop.* settings (cloud FS
+    // credentials, scheme mappings) and write the temp file to the
+    // wrong filesystem.
     val tmpFile = s"$dir/_manifests/.tmp-$commitId"
+    val hconf = org.apache.spark.sql.GraftBridge.hadoopConfBroadcast(spark)
     f.mkdirs(manifest.getParent)
     // coalesce, not repartition: it folds the upstream agg's reducers
     // into the single writer task with NO extra exchange (the reduce
@@ -432,7 +446,8 @@ object SnapTable {
       .as(org.apache.spark.sql.Encoders.STRING)
       .foreachPartition { (it: Iterator[String]) =>
         val p = new org.apache.hadoop.fs.Path(tmpFile)
-        val efs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val efs = p.getFileSystem(
+          org.apache.spark.sql.GraftBridge.hadoopConf(hconf))
         val out = efs.create(p, true)
         val w = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(out, "UTF-8"))
@@ -475,15 +490,17 @@ object SnapTable {
     val bloom = Option(bloomCol).map(c => (c, bloomBits))
     val carried =
       if (append && prev > 0) {
-        // config compatibility needs only the HEADER; the carried file
-        // lines stream executor-side through a text scan of the prior
-        // manifest — an append never materializes the table's file list
-        // in driver memory
-        val info = parseManifest(f, dir, prev)
-        require(info.statCols == statCols,
-          s"append stat columns must match the extended manifest (${info.statCols})")
-        require(info.bloom == bloom,
-          s"append bloom config must match the extended manifest (${info.bloom})")
+        // config compatibility needs only the HEADER (readHeader stops
+        // at the first file line); the carried file lines stream
+        // executor-side through a text scan of the prior manifest — an
+        // append never materializes the table's file list in driver
+        // memory (parseManifest here would pull every line, each with
+        // a 16 KiB bloom hex cell at the default bitmap size)
+        val (prevStats, prevBloom) = readHeader(f, dir, prev)
+        require(prevStats == statCols,
+          s"append stat columns must match the extended manifest ($prevStats)")
+        require(prevBloom == bloom,
+          s"append bloom config must match the extended manifest ($prevBloom)")
         spark.read.text(manifestPath(dir, prev).toString)
           .where(!col("value").startsWith("#") && col("value") =!= "")
           .select(concat(lit("1"),

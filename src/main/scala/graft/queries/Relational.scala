@@ -4707,8 +4707,14 @@ object Relational {
         .filter(col("rn") <= 10L)
         // assert_true is NULL when the bound holds (throws otherwise),
         // so the where-clause keeps it in the executed plan for free
+        // 10^25: the narrower of the two engines' envelopes — the
+        // ORACLE's intermediate CAST((decsum·15625+8192)//16384 AS
+        // DECIMAL(32,6)) holds integers < 10^26, so the bound must sit
+        // below ~1.05e26 or Spark would succeed where the replay
+        // cannot (still astronomically generous: Σcents·2^20 < 10^25
+        // means < $9.5e16 weighted per user)
         .where(assert_true(col("decsum") < lit(new java.math.BigDecimal(
-          "1000000000000000000000000000000")), // 10^30
+          "10000000000000000000000000")), // 10^25
           lit("q153 decsum exceeds the exact-arithmetic bound")).isNull)
         .select(col("event_type"), col("rn"), col("user_id"),
           col("decsum").cast(DecimalType(38, 0)).as("decsum"),

@@ -136,16 +136,19 @@ final class SnapScanTable(declared: StructType, props: Map[String, String])
             (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
               val spark = data.sparkSession
               val append = !(overwrite || overwriteFlag)
+              // header-only read: plan() would pull the whole file
+              // list (the O(files) driver cliff) just for two header
+              // fields
               val fromHeader =
                 if (append && SnapTable.latestVersion(spark, dir) > 0)
-                  Some(SnapTable.plan(spark, dir))
+                  Some(SnapTable.headerConfig(spark, dir))
                 else None
               val statCols = opts.get("statcols")
                 .map(_.split(",").toSeq.filter(_.nonEmpty))
-                .orElse(fromHeader.map(_.statCols)).getOrElse(Nil)
+                .orElse(fromHeader.map(_._1)).getOrElse(Nil)
               val bloom = opts.get("bloomcol").map(c =>
                   (c, opts.get("bloombits").map(_.toInt).getOrElse(65536)))
-                .orElse(fromHeader.flatMap(_.bloom))
+                .orElse(fromHeader.flatMap(_._2))
               SnapTable.commit(spark, dir, data, append = append,
                 statCols = statCols,
                 bloomCol = bloom.map(_._1).orNull,
@@ -283,12 +286,21 @@ final class SnapScan(full: StructType, required: StructType,
   override def estimateStatistics(): Statistics = {
     val bytes =
       try {
-        val conf = new Configuration()
-        survivors.map { p =>
-          val hp = new Path(p)
-          hp.getFileSystem(conf).getFileStatus(hp).getLen
+        // session Hadoop conf (planning runs on the driver), one
+        // listStatus per commit directory instead of a blocking
+        // getFileStatus RPC per file, and ANY failure degrades to the
+        // unknown-size fallback (cloud-FS auth errors are runtime
+        // exceptions, not IOExceptions — a stats probe must never
+        // crash planning)
+        val conf = SparkSession.active.sparkContext.hadoopConfiguration
+        val want = survivors.toSet
+        survivors.map(p => new Path(p).getParent).distinct.flatMap { d =>
+          d.getFileSystem(conf).listStatus(d)
+            .filter(st => want.contains(st.getPath.toUri.getPath)
+              || want.contains(st.getPath.toString))
+            .map(_.getLen)
         }.sum
-      } catch { case _: java.io.IOException => Long.MaxValue }
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -298,7 +310,9 @@ final class SnapScan(full: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapReaderFactory(required)
+    new SnapReaderFactory(required,
+      org.apache.spark.sql.GraftBridge.hadoopConfBroadcast(
+        SparkSession.active))
 
   /** STREAMING READ — snapshot versions as micro-batches (the
     * Delta-table-as-stream-source shape): the offset IS the committed
@@ -369,21 +383,29 @@ final class SnapMicroBatchStream(dir: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapReaderFactory(required)
+    new SnapReaderFactory(required,
+      org.apache.spark.sql.GraftBridge.hadoopConfBroadcast(
+        SparkSession.active))
 }
 
-final class SnapReaderFactory(required: StructType)
+/** Readers open files with the SESSION's Hadoop configuration (riding a
+  * broadcast): executor defaults would drop spark.hadoop.* settings —
+  * cloud-FS credentials, scheme mappings — and fail or misroute opens. */
+final class SnapReaderFactory(required: StructType,
+    hconf: org.apache.spark.broadcast.Broadcast[_])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new SnapFileReader(p.asInstanceOf[SnapFilePartition].path, required)
+    new SnapFileReader(p.asInstanceOf[SnapFilePartition].path, required,
+      org.apache.spark.sql.GraftBridge.hadoopConf(hconf))
 }
 
 /** Parquet → InternalRow through the public Group API, decoding only
   * the projected columns. */
-final class SnapFileReader(path: String, required: StructType)
+final class SnapFileReader(path: String, required: StructType,
+                           conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(path), new Configuration()))
+    HadoopInputFile.fromPath(new Path(path), conf))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val projected: MessageType = {
     val fields = required.fields.map { f =>

@@ -10,4 +10,19 @@ import org.apache.spark.sql.classic.{DataFrame => CDataFrame, Dataset => CDatase
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** The session's Hadoop configuration as a broadcast, for
+    * executor-side FileSystem access (cloud-FS credentials and scheme
+    * mappings live in spark.hadoop.*, NOT in executor defaults).
+    * `SerializableConfiguration` is private[spark], so the broadcast is
+    * surfaced untyped and unwrapped here. */
+  def hadoopConfBroadcast(spark: SparkSession)
+      : org.apache.spark.broadcast.Broadcast[_] =
+    org.apache.spark.util.SerializableConfiguration.broadcast(
+      spark.sparkContext)
+
+  def hadoopConf(b: org.apache.spark.broadcast.Broadcast[_])
+      : org.apache.hadoop.conf.Configuration =
+    b.value.asInstanceOf[org.apache.spark.util.SerializableConfiguration]
+      .value
 }
