@@ -57,9 +57,11 @@ import graft.operators.SnapTable
   * BINARY (UTF8 → string, else binary). INT96 timestamps are REJECTED
   * with a pointer at `spark.sql.parquet.outputTimestampType=
   * TIMESTAMP_MICROS` — a declared codec boundary, not a silent wrong
-  * answer. One InputPartition per surviving data file (copy-on-write
-  * commits size files at task granularity; row-group splitting is the
-  * documented next step if a deployment writes multi-group files).
+  * answer. Surviving files larger than `splitBytes` (128 MiB default)
+  * tile into byte-range partitions; parquet's midpoint rule assigns
+  * each row group to exactly one range, so multi-gigabyte files read
+  * in parallel with no coordination — the same split protocol as
+  * Spark's own parquet source.
   *
   * Scale: planning reads O(files) manifest lines on the driver — the
   * same planning class as Spark's own file index — and ships only the
@@ -208,7 +210,13 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
   override def build(): Scan = new SnapScan(full, required, prunable, opts)
 }
 
-final case class SnapFilePartition(path: String) extends InputPartition
+/** One byte range of one data file. Row groups are assigned to the
+  * range containing their MIDPOINT (parquet-hadoop's withRange rule),
+  * so ranges that tile a file read every group exactly once with no
+  * coordination — the same split protocol Spark's own parquet source
+  * and the graft-ndjson line splits use. */
+final case class SnapFilePartition(path: String, start: Long, length: Long)
+    extends InputPartition
 
 final class SnapScan(full: StructType, required: StructType,
                      prunable: Array[Filter], opts: Map[String, String])
@@ -219,6 +227,9 @@ final class SnapScan(full: StructType, required: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  private val splitBytes =
+    opts.get("splitbytes").map(_.toLong).getOrElse(128L * 1024 * 1024)
 
   // planning happens once per scan; both planInputPartitions and the
   // explain description reuse it
@@ -274,8 +285,34 @@ final class SnapScan(full: StructType, required: StructType,
       s"PushedFilters: [${prunable.mkString(", ")}] " +
       s"PrunedTo: ${survivors.size}/$total files"
 
+  // one batched listStatus per commit directory recovers the surviving
+  // files' lengths for range splitting AND the size statistics below;
+  // matching goes through FileSystem-QUALIFIED paths on both sides —
+  // survivors can be relative or scheme-less while listStatus always
+  // returns qualified URIs, and a raw string compare silently misses
+  // (leaving every length unknown and every file unsplit)
+  private lazy val survivorLens: Seq[(String, Long)] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val qualified = survivors.map { p =>
+      val hp = new Path(p)
+      p -> hp.getFileSystem(conf).makeQualified(hp).toString
+    }.toMap
+    val lens = qualified.values.map(q => new Path(q).getParent)
+      .toSeq.distinct
+      .flatMap { d =>
+        d.getFileSystem(conf).listStatus(d)
+          .map(st => st.getPath.toString -> st.getLen)
+      }.toMap
+    survivors.map(p => p -> lens.getOrElse(qualified(p), Long.MaxValue))
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    survivors.map(SnapFilePartition.apply).toArray
+    survivorLens.flatMap { case (p, len) =>
+      if (len == Long.MaxValue || len <= splitBytes)
+        Seq(SnapFilePartition(p, 0L, Long.MaxValue))
+      else (0L until len by splitBytes).map(start =>
+        SnapFilePartition(p, start, math.min(splitBytes, len - start)))
+    }.toArray
 
   /** POST-PRUNING size statistics (metadata only): the surviving
     * files' byte lengths. Without this a DSv2 relation defaults to
@@ -284,22 +321,15 @@ final class SnapScan(full: StructType, required: StructType,
     * dim — and because the estimate is post-pruning, a point lookup
     * on the bloom column broadcasts even over a huge table. */
   override def estimateStatistics(): Statistics = {
+    // survivorLens batches one listStatus per commit directory; ANY
+    // failure degrades to the unknown-size fallback (cloud-FS auth
+    // errors are runtime exceptions, not IOExceptions — a stats probe
+    // must never crash planning)
     val bytes =
       try {
-        // session Hadoop conf (planning runs on the driver), one
-        // listStatus per commit directory instead of a blocking
-        // getFileStatus RPC per file, and ANY failure degrades to the
-        // unknown-size fallback (cloud-FS auth errors are runtime
-        // exceptions, not IOExceptions — a stats probe must never
-        // crash planning)
-        val conf = SparkSession.active.sparkContext.hadoopConfiguration
-        val want = survivors.toSet
-        survivors.map(p => new Path(p).getParent).distinct.flatMap { d =>
-          d.getFileSystem(conf).listStatus(d)
-            .filter(st => want.contains(st.getPath.toUri.getPath)
-              || want.contains(st.getPath.toString))
-            .map(_.getLen)
-        }.sum
+        val ls = survivorLens
+        if (ls.exists(_._2 == Long.MaxValue)) Long.MaxValue
+        else ls.map(_._2).sum
       } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -376,7 +406,8 @@ final class SnapMicroBatchStream(dir: String, required: StructType,
             "semantics)")
         // change version skipped whole: its additions are rewrites of
         // already-streamed rows, not new data
-      } else out ++= (cur -- prev).toSeq.sorted.map(SnapFilePartition.apply)
+      } else out ++= (cur -- prev).toSeq.sorted
+        .map(SnapFilePartition(_, 0L, Long.MaxValue))
       prev = cur
     }
     out.result()
@@ -394,18 +425,26 @@ final class SnapMicroBatchStream(dir: String, required: StructType,
 final class SnapReaderFactory(required: StructType,
     hconf: org.apache.spark.broadcast.Broadcast[_])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new SnapFileReader(p.asInstanceOf[SnapFilePartition].path, required,
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[SnapFilePartition]
+    new SnapFileReader(fp.path, fp.start, fp.length, required,
       org.apache.spark.sql.GraftBridge.hadoopConf(hconf))
+  }
 }
 
 /** Parquet → InternalRow through the public Group API, decoding only
   * the projected columns. */
-final class SnapFileReader(path: String, required: StructType,
-                           conf: Configuration)
+final class SnapFileReader(path: String, start: Long, length: Long,
+                           required: StructType, conf: Configuration)
     extends PartitionReader[InternalRow] {
+  // withRange keeps exactly the row groups whose midpoint falls in
+  // [start, start+length) — tiling ranges read each group once
   private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(path), conf))
+    HadoopInputFile.fromPath(new Path(path), conf),
+    org.apache.parquet.HadoopReadOptions.builder(conf)
+      .withRange(start,
+        if (length == Long.MaxValue) Long.MaxValue else start + length)
+      .build())
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val projected: MessageType = {
     val fields = required.fields.map { f =>

@@ -234,4 +234,32 @@ class GraftSnapSpec extends AnyFunSuite {
     assert(sink() === rows(li),
       "skipChangeVersions must skip the rewrite and deliver the append")
   }
+
+  test("byte-range splits: a small splitBytes tiles files, results exact") {
+    fixture()
+    val whole = spark.read.format("graft-snap").load(dir)
+    val split = spark.read.format("graft-snap")
+      .option("splitBytes", 2048).load(dir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(split) === canon(whole),
+      "range-split read diverged from the whole-file read")
+    // the tiling really happened: more partitions than data files
+    val parts = snapScan(split).planInputPartitions()
+    assert(parts.length > 12,
+      s"expected >12 range partitions over 12 files, got ${parts.length}")
+    // and each file's ranges tile it exactly once (midpoint rule makes
+    // row-group coverage exact; this pins the PLANNING side)
+    val byFile = parts.map(_.asInstanceOf[graft.sources.SnapFilePartition])
+      .groupBy(_.path)
+    byFile.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.start)
+      assert(sorted.head.start == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.start + a.length == b.start,
+          "ranges overlap or leave a gap")
+        case _ => ()
+      }
+    }
+  }
 }
