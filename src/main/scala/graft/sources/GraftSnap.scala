@@ -228,8 +228,16 @@ final class SnapScan(full: StructType, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  private val splitBytes =
-    opts.get("splitbytes").map(_.toLong).getOrElse(128L * 1024 * 1024)
+  private val splitBytes = opts.get("splitbytes").map { v =>
+    val n = try v.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-snap: splitBytes must be a byte count, got '$v'")
+    }
+    // a non-positive step would make the range-tiling loop EMPTY for
+    // every file above the threshold — silent row loss, not an error
+    require(n > 0, s"graft-snap: splitBytes must be positive, got $n")
+    n
+  }.getOrElse(128L * 1024 * 1024)
 
   // planning happens once per scan; both planInputPartitions and the
   // explain description reuse it
@@ -290,21 +298,31 @@ final class SnapScan(full: StructType, required: StructType,
   // matching goes through FileSystem-QUALIFIED paths on both sides —
   // survivors can be relative or scheme-less while listStatus always
   // returns qualified URIs, and a raw string compare silently misses
-  // (leaving every length unknown and every file unsplit)
-  private lazy val survivorLens: Seq[(String, Long)] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val qualified = survivors.map { p =>
-      val hp = new Path(p)
-      p -> hp.getFileSystem(conf).makeQualified(hp).toString
-    }.toMap
-    val lens = qualified.values.map(q => new Path(q).getParent)
-      .toSeq.distinct
-      .flatMap { d =>
-        d.getFileSystem(conf).listStatus(d)
-          .map(st => st.getPath.toString -> st.getLen)
+  // (leaving every length unknown and every file unsplit). The WHOLE
+  // listing is best-effort: lengths only improve splitting and stats,
+  // and readers open files directly without listing — so a denied or
+  // failing listStatus (list-bucket-denied object stores, transient
+  // errors) degrades to unsplit files and unknown size instead of
+  // crashing planning (the lazy val must not throw: a failed lazy init
+  // is NOT cached and planInputPartitions would re-raise it).
+  private lazy val survivorLens: Seq[(String, Long)] =
+    try {
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val qualified = survivors.map { p =>
+        val hp = new Path(p)
+        p -> hp.getFileSystem(conf).makeQualified(hp).toString
       }.toMap
-    survivors.map(p => p -> lens.getOrElse(qualified(p), Long.MaxValue))
-  }
+      val lens = qualified.values.map(q => new Path(q).getParent)
+        .toSeq.distinct
+        .flatMap { d =>
+          d.getFileSystem(conf).listStatus(d)
+            .map(st => st.getPath.toString -> st.getLen)
+        }.toMap
+      survivors.map(p => p -> lens.getOrElse(qualified(p), Long.MaxValue))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        survivors.map(_ -> Long.MaxValue)
+    }
 
   override def planInputPartitions(): Array[InputPartition] =
     survivorLens.flatMap { case (p, len) =>
@@ -321,16 +339,13 @@ final class SnapScan(full: StructType, required: StructType,
     * dim — and because the estimate is post-pruning, a point lookup
     * on the bloom column broadcasts even over a huge table. */
   override def estimateStatistics(): Statistics = {
-    // survivorLens batches one listStatus per commit directory; ANY
-    // failure degrades to the unknown-size fallback (cloud-FS auth
-    // errors are runtime exceptions, not IOExceptions — a stats probe
-    // must never crash planning)
-    val bytes =
-      try {
-        val ls = survivorLens
-        if (ls.exists(_._2 == Long.MaxValue)) Long.MaxValue
-        else ls.map(_._2).sum
-      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    // survivorLens is best-effort (see its note); any unknown length
+    // makes the whole estimate unknown rather than an undercount
+    val bytes = {
+      val ls = survivorLens
+      if (ls.exists(_._2 == Long.MaxValue)) Long.MaxValue
+      else ls.map(_._2).sum
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)

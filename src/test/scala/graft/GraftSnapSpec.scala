@@ -262,4 +262,20 @@ class GraftSnapSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("splitBytes is validated: non-positive and non-numeric rejected") {
+    fixture()
+    val neg = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snap").option("splitBytes", -1)
+        .load(dir).collect()
+    }
+    assert(neg.getMessage.contains("positive"),
+      s"negative splitBytes must be rejected loudly: ${neg.getMessage}")
+    val txt = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snap").option("splitBytes", "128m")
+        .load(dir).collect()
+    }
+    assert(txt.getMessage.contains("byte count"),
+      s"non-numeric splitBytes must name the option: ${txt.getMessage}")
+  }
 }
