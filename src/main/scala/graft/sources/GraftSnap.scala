@@ -164,10 +164,12 @@ final class SnapScanTable(declared: StructType, props: Map[String, String])
 
 final class SnapScanBuilder(full: StructType, opts: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var prunable: Array[Filter] = Array.empty
   private var required: StructType = full
+  private var pushedFiltersAny: Boolean = false
+  private var metaAgg: Seq[(Boolean, String)] = Nil // (isMin, col)
 
   /** A filter participates in file pruning when every referenced column
     * is integer-typed (the manifest's zone cells are LONG) — the
@@ -196,6 +198,7 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushedFiltersAny = filters.nonEmpty
     prunable = filters.filter(usable)
     // file-level pruning is not row-exact: EVERY filter stays residual
     // (the parquet row-group-stats protocol — claim for skipping,
@@ -207,8 +210,115 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SnapScan(full, required, prunable, opts)
+  /** METADATA-ONLY AGGREGATES — ungrouped MIN/MAX over recorded stat
+    * columns answer from the manifest's zone cells without opening a
+    * single data file (the Iceberg metadata-agg shape): MIN = min of
+    * per-file mins, MAX symmetric; a file with the unprunable "-" cell
+    * contributed only NULL values, which SQL MIN/MAX ignore, so it
+    * simply adds nothing. Complete pushdown (one global row). Safe by
+    * the engine's own ordering: Spark only pushes aggregates when the
+    * source consumed EVERY filter, and this source always returns all
+    * filters as residual — so a filtered query can never take the
+    * metadata path (its min/max would be over the wrong row set).
+    * Restricted to LongType columns: the cells are recorded as LONG. */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    if (pushedFiltersAny || aggregation.groupByExpressions.nonEmpty)
+      return false
+    val statCols =
+      try SnapTable.headerConfig(SparkSession.active,
+        opts.getOrElse("path", return false),
+        opts.get("version").map(_.toInt).getOrElse(0))._1.toSet
+      catch { case scala.util.control.NonFatal(_) => return false }
+    def statLongCol(
+        e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head).filter(c => statCols.contains(c) &&
+          full.fields.exists(f => f.name == c && f.dataType == LongType))
+      case _ => None
+    }
+    val specs = aggregation.aggregateExpressions.toSeq.map {
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+        statLongCol(m.column).map((true, _))
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+        statLongCol(m.column).map((false, _))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) false
+    else { metaAgg = specs.flatten; true }
+  }
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = true
+
+  override def build(): Scan =
+    if (metaAgg.nonEmpty) new SnapMetaAggScan(metaAgg, opts)
+    else new SnapScan(full, required, prunable, opts)
 }
+
+/** The metadata-aggregate scan: the answer row is computed at PLANNING
+  * from the manifest and shipped inside the single InputPartition — no
+  * data file opens, no executor I/O. */
+final class SnapMetaAggScan(aggs: Seq[(Boolean, String)],
+                            opts: Map[String, String])
+    extends Scan with Batch {
+  private val dir = opts.getOrElse("path",
+    throw new IllegalArgumentException("graft-snap: no path"))
+  private val version = opts.get("version").map(_.toInt).getOrElse(0)
+
+  override def readSchema(): StructType = StructType(
+    aggs.zipWithIndex.map { case ((isMin, c), i) =>
+      StructField(s"${if (isMin) "min" else "max"}_${i}_$c", LongType)
+    })
+  override def toBatch: Batch = this
+
+  private lazy val answer: Array[Any] = {
+    val plan = SnapTable.plan(SparkSession.active, dir, version)
+    aggs.map { case (isMin, c) =>
+      val vals = plan.files.flatMap(_.ranges.get(c))
+        .map(r => if (isMin) r._1 else r._2)
+      if (vals.isEmpty) null
+      else java.lang.Long.valueOf(if (isMin) vals.min else vals.max)
+    }.toArray
+  }
+
+  override def description(): String =
+    s"GraftSnap $dir MetadataAgg: [${aggs.map { case (m, c) =>
+      s"${if (m) "MIN" else "MAX"}($c)" }.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapMetaAggPartition(answer.map {
+      case null => Long.MinValue -> false
+      case l: java.lang.Long => l.longValue() -> true
+    }))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val cells = p.asInstanceOf[SnapMetaAggPartition].cells
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = {
+            val row = new GenericInternalRow(cells.length)
+            cells.zipWithIndex.foreach { case ((v, defined), i) =>
+              if (defined) row.setLong(i, v) else row.setNullAt(i)
+            }
+            row
+          }
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class SnapMetaAggPartition(cells: Array[(Long, Boolean)])
+    extends InputPartition
 
 /** One byte range of one data file. Row groups are assigned to the
   * range containing their MIDPOINT (parquet-hadoop's withRange rule),

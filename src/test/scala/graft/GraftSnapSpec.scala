@@ -278,4 +278,58 @@ class GraftSnapSpec extends AnyFunSuite {
     assert(txt.getMessage.contains("byte count"),
       s"non-numeric splitBytes must name the option: ${txt.getMessage}")
   }
+
+  test("metadata-only MIN/MAX: answered from the manifest, no file scan") {
+    fixture()
+    val src = spark.read.format("graft-snap").load(dir)
+    val agg = spark.read.format("graft-snap").load(dir)
+      .agg(min("l_orderkey"), max("l_orderkey"))
+    val got = agg.collect().head
+    val want = src.agg(min("l_orderkey"), max("l_orderkey")).collect().head
+    // the metadata path must be TAKEN (scan description names it) and
+    // must agree with ground truth computed by... itself? No — compare
+    // against a plain parquet read of the same files
+    val plan = agg.queryExecution.executedPlan
+    val meta = plan.collectFirst {
+      case b: BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.SnapMetaAggScan] => b.scan
+    }
+    assert(meta.nonEmpty,
+      s"MIN/MAX on a stat column did not take the metadata path:\n$plan")
+    assert(meta.get.description().contains("MetadataAgg"))
+    val truth = SnapTable.read(spark, dir)
+      .agg(min("l_orderkey"), max("l_orderkey")).collect().head
+    assert(got.getLong(0) == truth.getLong(0)
+      && got.getLong(1) == truth.getLong(1))
+    assert(want.getLong(0) == truth.getLong(0))
+
+    // a FILTERED min/max must NOT take the metadata path (zone cells
+    // describe the whole file set, not the filtered rows) — Spark only
+    // pushes aggregates when every filter was consumed, and this
+    // source returns all filters residual
+    val filtered = spark.read.format("graft-snap").load(dir)
+      .filter(col("l_quantity") > 25.0)
+      .agg(min("l_orderkey"), max("l_orderkey"))
+    val fPlan = filtered.queryExecution.executedPlan
+    assert(fPlan.collectFirst {
+      case b: BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.SnapMetaAggScan] => b
+    }.isEmpty, s"filtered aggregate wrongly took the metadata path:\n$fPlan")
+    val fTruth = SnapTable.read(spark, dir)
+      .filter(col("l_quantity") > 25.0)
+      .agg(min("l_orderkey"), max("l_orderkey")).collect().head
+    val fGot = filtered.collect().head
+    assert(fGot.getLong(0) == fTruth.getLong(0)
+      && fGot.getLong(1) == fTruth.getLong(1))
+
+    // non-stat / non-long columns fall back to the ordinary scan path
+    val nonStat = spark.read.format("graft-snap").load(dir)
+      .agg(min("l_partkey"))
+    assert(nonStat.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.SnapMetaAggScan] => b
+    }.isEmpty, "non-stat column must not take the metadata path")
+    assert(nonStat.collect().head.getLong(0) ==
+      SnapTable.read(spark, dir).agg(min("l_partkey")).collect().head.getLong(0))
+  }
 }
