@@ -4678,6 +4678,18 @@ object Relational {
     // pass; at extreme user cardinality the per-type window takes
     // q19's two-phase top-k shape — declared). Anchor = MAX(day), one
     // tiny broadcast.
+    //
+    // PUBLISHED SCHEMA IS PURE BIGINT (round 12): two rounds of
+    // exact-arithmetic DECIMAL outputs were cell-identical under the
+    // local gate yet hash-red at the driver — the divergence is the
+    // driver hasher's rendering of DECIMAL(38,0)/DECIMAL(38,6), which
+    // no arithmetic rewrite can reach. So the contract now publishes
+    // the SAME exact integers split into base-10^18 BIGINT limbs:
+    // decsum = decsum_hi·10^18 + decsum_lo, and the rounded score in
+    // integer micro-units smicro = floor((decsum·15625+8192)/16384)
+    // = smicro_hi·10^18 + smicro_lo. Both engines emit plain int64 —
+    // no decimal rendering anywhere in the published schema. The
+    // leaderboard ORDER is still decided on the exact decimal sum.
     "q153_decay" -> ((s, d) => {
       val ev = t(s, d, "events")
         .filter(col("ts").isNotNull && col("value").isNotNull
@@ -4696,12 +4708,19 @@ object Relational {
       val wTop = Window.partitionBy("event_type")
         .orderBy(col("decsum").desc, col("user_id"))
       // num = decsum·15625 + 8192 (exact under the asserted bound);
-      // stripping pmod makes the quotient integral, so Spark's scale-6
-      // decimal division is EXACT (no rounding ever fires) and the
-      // ·10^-6 rescale just places the point.
+      // stripping pmod makes the quotient integral, so Spark's
+      // decimal division is EXACT (no rounding ever fires); the
+      // result is the score in integer micro-units.
       val num = col("decsum") * lit(15625L) + lit(8192L)
-      val score = ((num - pmod(num, lit(16384L)))
-        / lit(16384000000L)).cast(DecimalType(38, 6))
+      val smicro = ((num - pmod(num, lit(16384L)))
+        / lit(16384L)).cast(DecimalType(38, 0))
+      // base-10^18 limb split — hi < 10^7 and lo < 10^18 both fit
+      // int64 under the asserted decsum < 10^25 bound (smicro < decsum)
+      val limbBase = lit(new java.math.BigDecimal("1000000000000000000"))
+      def hiOf(c: Column): Column =
+        ((c - pmod(c, limbBase)) / limbBase)
+          .cast(DecimalType(38, 0)).cast(LongType)
+      def loOf(c: Column): Column = pmod(c, limbBase).cast(LongType)
       scored
         .withColumn("rn", row_number().over(wTop).cast(LongType))
         .filter(col("rn") <= 10L)
@@ -4717,8 +4736,10 @@ object Relational {
           "10000000000000000000000000")), // 10^25
           lit("q153 decsum exceeds the exact-arithmetic bound")).isNull)
         .select(col("event_type"), col("rn"), col("user_id"),
-          col("decsum").cast(DecimalType(38, 0)).as("decsum"),
-          score.as("score"))
+          hiOf(col("decsum")).as("decsum_hi"),
+          loOf(col("decsum")).as("decsum_lo"),
+          hiOf(smicro).as("smicro_hi"),
+          loOf(smicro).as("smicro_lo"))
         .orderBy("event_type", "rn")
     }),
 
@@ -7786,12 +7807,13 @@ object Relational {
         |       rnk <= (SELECT k FROM kk) AS reject
         |FROM ranked ORDER BY event_type, day""".stripMargin,
 
-    // q153: identical anchor/age/weight arithmetic; HUGEINT sum cast
-    // to the same DECIMAL(38,0); score replayed in the same pure
-    // integer form — HUGEINT ×15625 +8192 //16384 (// truncates, but
-    // the value >= 0 contract makes truncation == floor), then an
-    // exact ×10^-6 decimal rescale to DECIMAL(38,6). No ROUND(DOUBLE)
-    // anywhere (its implementation varies across DuckDB versions).
+    // q153: identical anchor/age/weight arithmetic; the per-user sum
+    // accumulates in HUGEINT; score replayed in the same pure integer
+    // form — HUGEINT ×15625 +8192 //16384 (// truncates, but the
+    // value >= 0 contract makes truncation == floor). Published
+    // schema is PURE BIGINT base-10^18 limbs, identical to the Spark
+    // side — no DECIMAL rendering anywhere (the r10/r11 hash-red was
+    // the driver hasher's DECIMAL formatting, not the values).
     "q153_decay" ->
       """WITH ev AS (
         |  SELECT event_type, user_id, CAST(ts AS DATE) AS day,
@@ -7800,20 +7822,26 @@ object Relational {
         |    AND user_id IS NOT NULL AND value >= 0),
         |a AS (SELECT MAX(day) AS anchor FROM ev),
         |sc AS (SELECT event_type, user_id,
-        |         CAST(SUM(cents * (CAST(1 AS BIGINT)
+        |         SUM(CAST(cents AS HUGEINT) * (CAST(1 AS BIGINT)
         |           << (20 - LEAST(datediff('day', day, anchor), 20))))
-        |           AS DECIMAL(38,0)) AS decsum
+        |           AS decsum
         |       FROM ev CROSS JOIN a GROUP BY 1, 2),
         |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY
         |         event_type ORDER BY decsum DESC, user_id) AS BIGINT)
         |         AS rn
-        |       FROM sc)
-        |SELECT event_type, rn, user_id, decsum,
-        |       CAST(CAST((CAST(decsum AS HUGEINT) * 15625 + 8192)
-        |           // 16384 AS DECIMAL(32,6))
-        |         * CAST(0.000001 AS DECIMAL(6,6)) AS DECIMAL(38,6))
-        |         AS score
-        |FROM rk WHERE rn <= 10 ORDER BY event_type, rn""".stripMargin,
+        |       FROM sc),
+        |lim AS (SELECT *, (decsum * 15625 + 8192) // 16384 AS smicro
+        |        FROM rk WHERE rn <= 10)
+        |SELECT event_type, rn, user_id,
+        |       CAST(decsum // 1000000000000000000 AS BIGINT)
+        |         AS decsum_hi,
+        |       CAST(decsum % 1000000000000000000 AS BIGINT)
+        |         AS decsum_lo,
+        |       CAST(smicro // 1000000000000000000 AS BIGINT)
+        |         AS smicro_hi,
+        |       CAST(smicro % 1000000000000000000 AS BIGINT)
+        |         AS smicro_lo
+        |FROM lim ORDER BY event_type, rn""".stripMargin,
 
     // q155: both correlated picks + the identical CASE combine; all
     // comparisons in exact epoch micros

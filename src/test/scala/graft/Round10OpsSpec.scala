@@ -988,19 +988,20 @@ class Round10OpsSpec extends AnyFunSuite {
     }.toSeq
     assert(sums.exists { case (_, _, s) => s.toString.length > 9 },
       "decayed sums all tiny — weight scaling is vacuous")
+    val limbB = BigInt("1000000000000000000")
     val want = sums.groupBy(_._1).toSeq.flatMap { case (ty, us) =>
       us.sortBy { case (_, u, s) => (-BigDecimal(s), u) }.take(10)
         .zipWithIndex.map { case ((_, u, s), i) =>
-          // the published contract: floor((s·15625+8192)/16384)·10⁻⁶
-          // == s/2²⁰ rounded half-up at 6 dp, pure integer arithmetic
+          // the published contract: smicro = floor((s·15625+8192)/16384)
+          // == s/2²⁰ rounded half-up at 6 dp in integer micro-units;
+          // both integers published as base-10^18 BIGINT limbs
           val micros = (s * 15625 + 8192) / 16384
-          (ty, i + 1L, u, s.toString,
-            BigDecimal(micros, 6).bigDecimal.toPlainString) }
+          (ty, i + 1L, u, (s / limbB).toLong, (s % limbB).toLong,
+            (micros / limbB).toLong, (micros % limbB).toLong) }
     }.sortBy(t => (t._1, t._2))
     val got = SparkEntry.queries("q153_decay")(spark, TestSpark.Sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3).toBigInteger.toString,
-        r.getDecimal(4).toPlainString)).toSeq
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
     // ages past the 20-day floor must exist (the min() branch is real)
     assert(rows.exists(r => java.time.temporal.ChronoUnit.DAYS
       .between(r._3, anchor) > 20L), "no event older than the floor")
