@@ -141,7 +141,7 @@ object EtlFramework {
       .select("_line")
       .write.mode(SaveMode.Overwrite).option("compression", "none")
       .text(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark)
     val p = new org.apache.hadoop.fs.Path(tmp)
     val f = p.getFileSystem(conf)
     val part = f.listStatus(p).map(_.getPath)

@@ -62,7 +62,7 @@ object DedupIndex {
     dir, "_graft_index_meta.json")
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    p.getFileSystem(org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
 
   private def writeMeta(spark: SparkSession, dir: String, kind: String,
                         buckets: Int): Unit = {

@@ -76,7 +76,7 @@ object Scale {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = loc.getFileSystem(org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)

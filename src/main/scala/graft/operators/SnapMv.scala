@@ -45,7 +45,7 @@ object SnapMv {
                           mins: Seq[Column] = Nil, maxs: Seq[Column] = Nil)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new Path(dir).getFileSystem(org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
 
   private def pointer(dir: String) = new Path(s"$dir/_latest")
 

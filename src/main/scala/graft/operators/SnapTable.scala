@@ -76,7 +76,7 @@ object SnapTable {
   private val BloomSeed = 7L
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new Path(dir).getFileSystem(org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
 
   /** Manifest entries are table-relative, EXCEPT cloned-in references,
     * which are absolute paths into the source table (shallowClone). */

@@ -1957,7 +1957,7 @@ object Streams {
       StructField("n_chars", LongType)))
 
     def markerPath = new org.apache.hadoop.fs.Path(s"$tableDir/_indexed")
-    def hfs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hfs = markerPath.getFileSystem(org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
     def lastIndexed: Long =
       if (!hfs.exists(markerPath)) -1L
       else {

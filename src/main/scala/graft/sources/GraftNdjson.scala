@@ -190,6 +190,15 @@ final class NdjsonScan(full: StructType, required: StructType,
   private val splitBytes =
     opts.get("splitbytes").map(_.toLong).getOrElse(16L * 1024 * 1024)
 
+  // Captured at build() time on the driver: the SESSION's Hadoop conf
+  // (spark.hadoop.* cloud-FS credentials/scheme mappings), broadcast
+  // once per scan so every executor-side open sees it — a bare
+  // `new Configuration()` on an executor drops those settings and can
+  // misroute I/O to a different fs.defaultFS.
+  private val hconfB = org.apache.spark.sql.GraftBridge.hadoopConfBroadcast(
+    org.apache.spark.sql.SparkSession.active)
+  private def hconf = org.apache.spark.sql.GraftBridge.hadoopConf(hconfB)
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -202,7 +211,7 @@ final class NdjsonScan(full: StructType, required: StructType,
     val bytes =
       try {
         val p = new Path(path)
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(hconf)
         if (fs.getFileStatus(p).isDirectory)
           fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
         else fs.getFileStatus(p).getLen
@@ -221,7 +230,7 @@ final class NdjsonScan(full: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hconf)
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(s => s.isFile &&
@@ -244,12 +253,12 @@ final class NdjsonScan(full: StructType, required: StructType,
     opts.getOrElse("columnnameofcorruptrecord", "_corrupt_record")
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NdjsonReaderFactory(full, required, pushedFilters, pushedAggs,
+    new NdjsonReaderFactory(hconfB, full, required, pushedFilters, pushedAggs,
       permissive, corruptCol)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new NdjsonMicroBatchStream(path, full, required, pushedFilters, splitBytes,
-      opts.get("maxfilespertrigger").map(_.toInt).getOrElse(0))
+    new NdjsonMicroBatchStream(hconfB, path, full, required, pushedFilters,
+      splitBytes, opts.get("maxfilespertrigger").map(_.toInt).getOrElse(0))
 }
 
 /** Streaming offset: how many files (in lexicographic name order) have
@@ -268,14 +277,16 @@ final case class NdjsonOffset(n: Int) extends Offset {
   * included, since the ScanBuilder is shared. Exactly-once rides the
   * offset log: a crash-replayed batch re-plans the identical file
   * slice. */
-final class NdjsonMicroBatchStream(path: String, full: StructType,
+final class NdjsonMicroBatchStream(hconfB: org.apache.spark.broadcast.Broadcast[_],
+                                   path: String, full: StructType,
                                    required: StructType, filters: Array[Filter],
                                    splitBytes: Long,
                                    maxFilesPerTrigger: Int = 0)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private def fs = new Path(path).getFileSystem(new Configuration())
+  private def fs = new Path(path).getFileSystem(
+    org.apache.spark.sql.GraftBridge.hadoopConf(hconfB))
 
   private def listFiles(): Seq[Path] = {
     val p = new Path(path)
@@ -336,7 +347,7 @@ final class NdjsonMicroBatchStream(path: String, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NdjsonReaderFactory(full, required, filters)
+    new NdjsonReaderFactory(hconfB, full, required, filters)
 
   override def deserializeOffset(json: String): Offset =
     NdjsonOffset(json.filter(_.isDigit).toInt)
@@ -348,24 +359,30 @@ final class NdjsonMicroBatchStream(path: String, full: StructType,
 final case class NdjsonPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
-final class NdjsonReaderFactory(full: StructType, required: StructType,
+final class NdjsonReaderFactory(hconfB: org.apache.spark.broadcast.Broadcast[_],
+                                full: StructType, required: StructType,
                                 filters: Array[Filter],
                                 aggs: Seq[NdjsonAgg] = Nil,
                                 permissive: Boolean = false,
                                 corruptCol: String = "_corrupt_record")
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // executor-side: unwrap the broadcast SESSION conf here, once per
+    // reader — never `new Configuration()` (drops spark.hadoop.*)
+    val conf = org.apache.spark.sql.GraftBridge.hadoopConf(hconfB)
     if (aggs.isEmpty)
-      new NdjsonReader(full, required, filters,
+      new NdjsonReader(conf, full, required, filters,
         partition.asInstanceOf[NdjsonPartition], permissive, corruptCol)
     else
-      new NdjsonAggReader(full, filters, aggs,
+      new NdjsonAggReader(conf, full, filters, aggs,
         partition.asInstanceOf[NdjsonPartition])
+  }
 }
 
 /** Shared split machinery: line-aligned byte ownership, typed field
   * extraction, and exact pushed-filter evaluation. */
-sealed abstract class NdjsonReaderBase(full: StructType,
+sealed abstract class NdjsonReaderBase(conf: Configuration,
+                                       full: StructType,
                                        part: NdjsonPartition)
     extends PartitionReader[InternalRow] {
 
@@ -373,7 +390,7 @@ sealed abstract class NdjsonReaderBase(full: StructType,
   protected val end: Long = part.start + part.length
   protected val in = {
     val p = new Path(part.file)
-    val stream = p.getFileSystem(new Configuration()).open(p)
+    val stream = p.getFileSystem(conf).open(p)
     stream.seek(part.start)
     stream
   }
@@ -432,11 +449,12 @@ sealed abstract class NdjsonReaderBase(full: StructType,
   override def close(): Unit = in.close()
 }
 
-final class NdjsonReader(full: StructType, required: StructType,
+final class NdjsonReader(conf: Configuration,
+                         full: StructType, required: StructType,
                          filters: Array[Filter], part: NdjsonPartition,
                          permissive: Boolean = false,
                          corruptCol: String = "_corrupt_record")
-    extends NdjsonReaderBase(full, part) {
+    extends NdjsonReaderBase(conf, full, part) {
 
   override def next(): Boolean = {
     // line-start ownership: reader 0 emits lines starting in [0, end];
@@ -490,9 +508,10 @@ final class NdjsonReader(full: StructType, required: StructType,
   * COUNT(*) never JSON-parses — counting newlines IS the job; with
   * filters or MIN/MAX the parse runs but no per-line row ever builds.
   * Spark merges the partials (SUM/MIN/MAX) — rows shipped = splits. */
-final class NdjsonAggReader(full: StructType, filters: Array[Filter],
+final class NdjsonAggReader(conf: Configuration,
+                            full: StructType, filters: Array[Filter],
                             aggs: Seq[NdjsonAgg], part: NdjsonPartition)
-    extends NdjsonReaderBase(full, part) {
+    extends NdjsonReaderBase(conf, full, part) {
 
   private var done = false
 

@@ -50,14 +50,23 @@ object NdjsonWriteSupport {
       extends Write with BatchWrite {
     override def toBatch: BatchWrite = this
 
+    // captured driver-side at build(): the SESSION's Hadoop conf rides
+    // a broadcast so writer TASKS create files with spark.hadoop.*
+    // (credentials, fs.defaultFS) — a bare `new Configuration()` on an
+    // executor can silently route the temp file to a different fs
+    private val hconfB =
+      org.apache.spark.sql.GraftBridge.hadoopConfBroadcast(
+        org.apache.spark.sql.SparkSession.active)
+    private def hconf = org.apache.spark.sql.GraftBridge.hadoopConf(hconfB)
+
     private def tempDir = s"$path/_temporary/$jobId"
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new NdjsonWriterFactory(tempDir, schema, jsonCols)
+      new NdjsonWriterFactory(hconfB, tempDir, schema, jsonCols)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val target = new Path(path)
-      val fs = target.getFileSystem(new Configuration())
+      val fs = target.getFileSystem(hconf)
       fs.mkdirs(target)
       if (truncate)
         fs.listStatus(target).filter(s => s.isFile &&
@@ -75,25 +84,29 @@ object NdjsonWriteSupport {
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
-      val fs = new Path(path).getFileSystem(new Configuration())
+      val fs = new Path(path).getFileSystem(hconf)
       fs.delete(new Path(tempDir), true)
     }
   }
 
-  final class NdjsonWriterFactory(tempDir: String, schema: StructType,
+  final class NdjsonWriterFactory(hconfB: org.apache.spark.broadcast.Broadcast[_],
+                                  tempDir: String, schema: StructType,
                                   jsonCols: Set[String])
       extends DataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-      new NdjsonWriter(tempDir, schema, jsonCols, partitionId, taskId)
+      new NdjsonWriter(
+        org.apache.spark.sql.GraftBridge.hadoopConf(hconfB),
+        tempDir, schema, jsonCols, partitionId, taskId)
   }
 
-  final class NdjsonWriter(tempDir: String, schema: StructType,
+  final class NdjsonWriter(conf: Configuration,
+                           tempDir: String, schema: StructType,
                            jsonCols: Set[String], partitionId: Int, taskId: Long)
       extends DataWriter[InternalRow] {
     private val file = f"$tempDir/part-$partitionId%05d-$taskId.ndjson"
     private val out = {
       val p = new Path(file)
-      p.getFileSystem(new Configuration()).create(p, true)
+      p.getFileSystem(conf).create(p, true)
     }
 
     private def esc(s: String): String = s.flatMap {

@@ -417,7 +417,7 @@ final class SnapScan(full: StructType, required: StructType,
   // is NOT cached and planInputPartitions would re-raise it).
   private lazy val survivorLens: Seq[(String, Long)] =
     try {
-      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val conf = org.apache.spark.sql.GraftBridge.sessionHadoopConf(SparkSession.active)
       val qualified = survivors.map { p =>
         val hp = new Path(p)
         p -> hp.getFileSystem(conf).makeQualified(hp).toString

@@ -270,4 +270,43 @@ class NdjsonSourceSpec extends AnyFunSuite {
     assert(many.size == one.size)
     assert(many == one)
   }
+
+  test("every file open rides the broadcast SESSION Hadoop conf") {
+    // the round-11 finding: executor-side `new Configuration()` drops
+    // spark.hadoop.* (cloud-FS credentials, scheme mappings) — invisible
+    // on local FS, wrong on any real cluster. Source pin (the
+    // SnapTableSpec region-pin pattern): no bare Configuration
+    // construction anywhere in the connector; every FileSystem access
+    // goes through GraftBridge's broadcast/session conf.
+    for (f <- Seq("src/main/scala/graft/sources/GraftNdjson.scala",
+                  "src/main/scala/graft/sources/GraftNdjsonWrite.scala")) {
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f)), "UTF-8")
+      val code = src.linesIterator // strip comment lines before matching
+        .filterNot(l => l.trim.startsWith("//") || l.trim.startsWith("*"))
+        .mkString("\n")
+      assert(!code.contains("new Configuration()"),
+        s"bare `new Configuration()` reappeared in $f")
+      assert(code.contains("GraftBridge.hadoopConf"),
+        s"$f no longer routes file opens through the broadcast conf")
+    }
+
+    // behavioural half: a RUNTIME session override (spark.conf.set of
+    // an fs.* key — the per-session cloud-credential mechanism; session
+    // confs fold into newHadoopConf verbatim, unlike startup-only
+    // spark.hadoop.* prefix stripping) must be visible through the
+    // broadcast the connector ships; sc.hadoopConfiguration never sees it
+    spark.conf.set("fs.graft.test.probe", "rode-the-broadcast")
+    try {
+      assert(spark.sparkContext.hadoopConfiguration
+        .get("fs.graft.test.probe") == null,
+        "probe leaked into the context conf — the test is vacuous")
+      val b = org.apache.spark.sql.GraftBridge.hadoopConfBroadcast(spark)
+      assert(org.apache.spark.sql.GraftBridge.hadoopConf(b)
+        .get("fs.graft.test.probe") == "rode-the-broadcast",
+        "hadoopConfBroadcast dropped a session-level fs.* override")
+      assert(org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark)
+        .get("fs.graft.test.probe") == "rode-the-broadcast")
+    } finally spark.conf.unset("fs.graft.test.probe")
+  }
 }
