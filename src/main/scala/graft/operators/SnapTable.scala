@@ -58,10 +58,22 @@ import org.apache.spark.sql.functions._
   * can contain the key), not a table rewrite — the GDPR/right-to-be-
   * forgotten shape.
   *
-  * Manifest line format:  relPath[\tmin,max[,min,max...][\tB<hexwords>]]
-  * with a `#stats:` header naming the stat columns and a `#bloom:` header
-  * naming the bloom column and bitmap size. Files with all-null stat
-  * values record `-,-` and are never pruned.
+  * Manifest line format (tab-separated, later fields optional so every
+  * historical manifest stays parseable):
+  *
+  *   relPath \t zoneCells \t bloomCell \t nRows \t nonNullCells
+  *
+  * zoneCells = `min,max[,min,max...]` per `#stats:` column ("" when no
+  * stats; all-null values record the unprunable `-,-` cell); bloomCell =
+  * `B<hexwords>` or ""; nRows (round 12) = the file's exact row count;
+  * nonNullCells = comma-separated NON-null counts per stat column.
+  * Row/non-null counts make COUNT(*) and COUNT(statCol) metadata-only
+  * answers (the graft-snap connector's aggregate pushdown) and feed
+  * row-count statistics into join sizing. Headers: `#stats:` names the
+  * stat columns, `#bloom:` the bloom column and bitmap size, `#schema:`
+  * pins the commit's column names/types (appends with a drifted schema
+  * are rejected loudly instead of silently corrupting readers that
+  * infer the schema from one file), `#meta:` free-form commit metadata.
   */
 object SnapTable {
 
@@ -121,9 +133,12 @@ object SnapTable {
   // connector) -----------------------------------------------------------
 
   /** Planning view of one manifest entry: absolute file path, recorded
-    * [min,max] per stat column (absent = unprunable), bloom hex. */
+    * [min,max] per stat column (absent = unprunable), bloom hex, exact
+    * row count and per-stat-col non-null counts (absent on legacy
+    * manifests — consumers must degrade, never guess). */
   private[graft] final case class PlanEntry(path: String,
-      ranges: Map[String, (Long, Long)], bloomHex: Option[String])
+      ranges: Map[String, (Long, Long)], bloomHex: Option[String],
+      nRows: Option[Long] = None, nonNull: Map[String, Long] = Map.empty)
   private[graft] final case class TablePlan(version: Int,
       statCols: Seq[String], bloom: Option[(String, Int)],
       files: Seq[PlanEntry])
@@ -141,7 +156,9 @@ object SnapTable {
       PlanEntry(resolvePath(dir, e.rel),
         info.statCols.zip(e.ranges)
           .collect { case (c, Some(r)) => c -> r }.toMap,
-        e.bloomHex)
+        e.bloomHex, e.nRows,
+        info.statCols.zip(e.nonNull)
+          .collect { case (c, Some(n)) => c -> n }.toMap)
     })
   }
 
@@ -172,16 +189,20 @@ object SnapTable {
     if (f.exists(latestPath(dir))) readSmall(f, latestPath(dir)).trim.toInt else 0
   }
 
+  private final case class HeaderInfo(statCols: Seq[String],
+                                      bloom: Option[(String, Int)],
+                                      schema: Option[String])
+
   /** Header-only manifest read: streams lines until the first non-`#`
     * line (headers lead by construction — writeCommit emits header ++
     * carried ++ new), so config checks never pull O(files) lines. */
-  private def readHeader(f: FileSystem, dir: String, v: Int)
-      : (Seq[String], Option[(String, Int)]) = {
+  private def readHeader(f: FileSystem, dir: String, v: Int): HeaderInfo = {
     val br = new java.io.BufferedReader(
       new java.io.InputStreamReader(f.open(manifestPath(dir, v)), "UTF-8"))
     try {
       var statCols: Seq[String] = Nil
       var bloom: Option[(String, Int)] = None
+      var schema: Option[String] = None
       var line = br.readLine()
       while (line != null && line.startsWith("#")) {
         if (line.startsWith("#stats:"))
@@ -190,11 +211,22 @@ object SnapTable {
           val Array(c, m) = line.stripPrefix("#bloom:").split(":")
           bloom = Some((c, m.toInt))
         }
+        if (line.startsWith("#schema:"))
+          schema = Some(line.stripPrefix("#schema:"))
         line = br.readLine()
       }
-      (statCols, bloom)
+      HeaderInfo(statCols, bloom, schema)
     } finally br.close()
   }
+
+  /** Canonical schema fingerprint recorded in the `#schema:` header:
+    * name:type per column, order-sensitive, nullability-insensitive
+    * (relaxing/tightening nullability never corrupts readers; a changed
+    * name, type, or column order does). */
+  private def schemaFingerprint(schema: org.apache.spark.sql.types.StructType)
+      : String =
+    schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
+      .mkString(";")
 
   /** Header-only config of a committed version: (statCols, bloom) —
     * the O(1) read external writers use to inherit a table's pruning
@@ -205,7 +237,8 @@ object SnapTable {
     val f = fs(spark, dir)
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"no committed version at $dir")
-    readHeader(f, dir, v)
+    val h = readHeader(f, dir, v)
+    (h.statCols, h.bloom)
   }
 
   /** METADATA TABLE — the manifest as a relation (the Iceberg `.files`
@@ -223,29 +256,36 @@ object SnapTable {
     val f = fs(spark, dir)
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"no committed version at $dir")
-    val (statCols, bloom) = readHeader(f, dir, v)
+    val h = readHeader(f, dir, v)
+    // EVERY field access is try_-guarded: manifest lines are variable
+    // arity (stats-only, no-stats, cell-less zero-row, pre-round-12
+    // lines without counts), and under ANSI mode a bare element_at /
+    // cast would crash the metadata table for any shape but the
+    // newest — a "-" or "" zone cell and a missing field must both
+    // read as NULL, never as an error
+    def field(i: Int) = s"try_element_at(_p, $i)"
+    def longCell(s: String) =
+      expr(s"try_cast(nullif(nullif($s, '-'), '') as long)")
     val lines = spark.read.text(manifestPath(dir, v).toString)
       .where(!col("value").startsWith("#") && col("value") =!= "")
       .select(split(col("value"), "\t").as("_p"))
     val base = lines.select(
-      element_at(col("_p"), 1).as("file"),
-      split(element_at(col("_p"), 2), ",").as("_z"),
-      element_at(col("_p"), 3).as("_b"))
-    val withStats = statCols.zipWithIndex.foldLeft(base) {
+      element_at(col("_p"), 1).as("file"), // index 1 always exists
+      split(expr(field(2)), ",").as("_z"),
+      expr(field(3)).as("_b"),
+      longCell(field(4)).as("n_rows"),
+      split(expr(field(5)), ",").as("_nn"))
+    val withStats = h.statCols.zipWithIndex.foldLeft(base) {
       case (df, (c, k)) =>
-        def cell(i: Int) = element_at(col("_z"), i)
-        df.withColumn(s"min_$c",
-            when(cell(2 * k + 1).isNull || cell(2 * k + 1) === "-",
-              lit(null)).otherwise(cell(2 * k + 1)).cast("long"))
-          .withColumn(s"max_$c",
-            when(cell(2 * k + 2).isNull || cell(2 * k + 2) === "-",
-              lit(null)).otherwise(cell(2 * k + 2)).cast("long"))
+        df.withColumn(s"min_$c", longCell(s"try_element_at(_z, ${2 * k + 1})"))
+          .withColumn(s"max_$c", longCell(s"try_element_at(_z, ${2 * k + 2})"))
+          .withColumn(s"nonnull_$c", longCell(s"try_element_at(_nn, ${k + 1})"))
     }
     withStats
       .withColumn("has_bloom",
-        lit(bloom.nonEmpty) && col("_b").isNotNull
+        lit(h.bloom.nonEmpty) && col("_b").isNotNull
           && col("_b").startsWith("B"))
-      .drop("_z", "_b")
+      .drop("_z", "_b", "_nn")
   }
 
   private def manifestLines(f: FileSystem, dir: String, v: Int): Seq[String] =
@@ -256,10 +296,13 @@ object SnapTable {
   private final case class FileEntry(rel: String,
                                      ranges: Seq[Option[(Long, Long)]],
                                      bloomHex: Option[String],
+                                     nRows: Option[Long],
+                                     nonNull: Seq[Option[Long]],
                                      raw: String)
 
   private final case class ManifestInfo(statCols: Seq[String],
                                         bloom: Option[(String, Int)],
+                                        schema: Option[String],
                                         files: Seq[FileEntry])
 
   private def parseManifest(f: FileSystem, dir: String, v: Int): ManifestInfo = {
@@ -270,6 +313,8 @@ object SnapTable {
       val Array(c, m) = h.stripPrefix("#bloom:").split(":")
       (c, m.toInt)
     }
+    val schema = lines.find(_.startsWith("#schema:"))
+      .map(_.stripPrefix("#schema:"))
     val files = lines.filterNot(_.startsWith("#")).map { line =>
       val parts = line.split("\t", -1)
       val rel = parts(0)
@@ -285,9 +330,19 @@ object SnapTable {
         if (parts.length > 2 && parts(2).startsWith("B"))
           Some(parts(2).stripPrefix("B"))
         else None
-      FileEntry(rel, cells, bh, line)
+      // round-12 fields; absent on carried pre-round-12 lines
+      val n =
+        if (parts.length > 3 && parts(3).nonEmpty) Some(parts(3).toLong)
+        else None
+      val nn =
+        if (parts.length > 4 && parts(4).nonEmpty) {
+          val cs = parts(4).split(",")
+          statCols.indices.map(k =>
+            if (k < cs.length && cs(k).nonEmpty) Some(cs(k).toLong) else None)
+        } else statCols.map(_ => None)
+      FileEntry(rel, cells, bh, n, nn, line)
     }
-    ManifestInfo(statCols, bloom, files)
+    ManifestInfo(statCols, bloom, schema, files)
   }
 
   // MANIFEST-EXEC-SIDE-BEGIN (SnapTableSpec pins this region collect-free)
@@ -313,6 +368,12 @@ object SnapTable {
     def zoneCell(sc: Seq[String]) = concat_ws(",", sc.flatMap(c => Seq(
       coalesce(col(s"_min_$c").cast("string"), lit("-")),
       coalesce(col(s"_max_$c").cast("string"), lit("-")))): _*)
+    // round 12: exact per-file row count (manifest field 4) and NON-null
+    // count per stat column (field 5) ride the SAME fused aggregation —
+    // they make COUNT(*)/COUNT(statCol) metadata-only answers and feed
+    // numRows statistics, at zero extra scans for stats/bloom commits
+    def nnCell(sc: Seq[String]) = concat_ws(",", sc.map(c =>
+      coalesce(col(s"_nn_$c"), lit(0L)).cast("string")): _*)
     // word map -> one hex string per file, zeros for unset words — the
     // same f"%016x" layout the old driver loop built; an EMPTY map
     // (file with zero non-null bloom values) yields NULL: that file's
@@ -334,15 +395,24 @@ object SnapTable {
       org.apache.spark.sql.Encoders.STRING).toDF("_name")
     val withCells: DataFrame = (statCols, bloom) match {
       case (Nil, None) =>
-        names.withColumn("_zone", lit(null).cast("string"))
+        // a stats-free commit still records row counts: a zero-column
+        // count scan (no data columns decode — parquet answers from
+        // row-group metadata) per just-written commit directory
+        val z = data.groupBy(fileName.as("_name"))
+          .agg(count(lit(1)).as("_n"))
+        names.join(broadcast(z), Seq("_name"), "left")
+          .withColumn("_zone", lit(null).cast("string"))
           .withColumn("_bloom", lit(null).cast("string"))
+          .withColumn("_nncell", lit(null).cast("string"))
       case (sc, None) =>
-        val aggs = sc.flatMap(c =>
+        val aggs = count(lit(1)).as("_n") +: sc.flatMap(c =>
           Seq(min(col(c).cast("long")).as(s"_min_$c"),
-            max(col(c).cast("long")).as(s"_max_$c")))
+            max(col(c).cast("long")).as(s"_max_$c"),
+            count(col(c)).as(s"_nn_$c")))
         val z = data.groupBy(fileName.as("_name"))
           .agg(aggs.head, aggs.tail: _*)
-          .select(col("_name"), zoneCell(sc).as("_zone"))
+          .select(col("_name"), col("_n"), zoneCell(sc).as("_zone"),
+            nnCell(sc).as("_nncell"))
         names.join(broadcast(z), Seq("_name"), "left")
           .withColumn("_bloom", lit(null).cast("string"))
       case (sc, Some((bc, m))) =>
@@ -357,12 +427,22 @@ object SnapTable {
         val pos = explode_outer(when(col(bc).isNotNull,
           array(pmod(xxhash64(v), lit(m.toLong)),
             pmod(xxhash64(v, lit(BloomSeed)), lit(m.toLong)))))
+        // COUNTS under the 2x bloom-position explosion: each source row
+        // carries weight 1 when it explodes into two position rows and
+        // weight 2 when a null bloom value keeps it as one row — every
+        // source row contributes exactly 2 to any weighted sum, so
+        // n = sum(_w2) >> 1 and nonnull_c = sum(_w2 | _v_c set) >> 1,
+        // exact integers (min/max stay duplication-immune as before)
+        val w2 = when(col(bc).isNotNull, lit(1L)).otherwise(lit(2L))
         val l1aggs =
           bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"))
             .as("bits") +:
+          (sum(col("_w2")).as("_n2") +:
           sc.flatMap(c => Seq(min(col(s"_v_$c")).as(s"_min_$c"),
-            max(col(s"_v_$c")).as(s"_max_$c")))
-        val l1 = data.select(fileName.as("_name") +:
+            max(col(s"_v_$c")).as(s"_max_$c"),
+            sum(when(col(s"_v_$c").isNotNull, col("_w2"))
+              .otherwise(lit(0L))).as(s"_nn2_$c"))))
+        val l1 = data.select(fileName.as("_name") +: w2.as("_w2") +:
             sc.map(c => col(c).cast("long").as(s"_v_$c")) :+ pos.as("p"): _*)
           .groupBy(col("_name"),
             when(col("p").isNotNull, (col("p") / 64).cast("int")).as("w"))
@@ -371,22 +451,35 @@ object SnapTable {
           map_from_entries(collect_list(
             when(col("w").isNotNull, struct(col("w"), col("bits")))))
             .as("_wm") +:
+          (sum(col("_n2")).as("_n2s") +:
           sc.flatMap(c => Seq(min(col(s"_min_$c")).as(s"_min_$c"),
-            max(col(s"_max_$c")).as(s"_max_$c")))
+            max(col(s"_max_$c")).as(s"_max_$c"),
+            sum(col(s"_nn2_$c")).as(s"_nn2s_$c"))))
         val cells = l1.groupBy("_name").agg(l2aggs.head, l2aggs.tail: _*)
           .select(col("_name"),
             (if (sc.isEmpty) lit(null).cast("string") else zoneCell(sc))
               .as("_zone"),
-            bloomHex(m).as("_bloom"))
+            bloomHex(m).as("_bloom"),
+            shiftright(col("_n2s"), 1).as("_n"),
+            (if (sc.isEmpty) lit(null).cast("string")
+             else concat_ws(",", sc.map(c =>
+               shiftright(col(s"_nn2s_$c"), 1).cast("string")): _*))
+              .as("_nncell"))
         names.join(broadcast(cells), Seq("_name"), "left")
     }
     val rel = concat(lit(s"data/$commitId/"), col("_name"))
-    val line = when(col("_zone").isNull && col("_bloom").isNull, rel)
-      .when(col("_bloom").isNull, concat_ws("\t", rel, col("_zone")))
-      .when(col("_zone").isNull,
-        concat(rel, lit("\t\t"), concat(lit("B"), col("_bloom"))))
-      .otherwise(concat_ws("\t", rel, col("_zone"),
-        concat(lit("B"), col("_bloom"))))
+    // a NEW line always carries all five fields: empty-string zone/bloom
+    // cells parse as absent (variable-arity compat), the count cells are
+    // real data — a zero-row part file (missed by the left join) records
+    // n=0 and 0 non-nulls, which is its true content
+    val zeroNn = statCols.map(_ => "0").mkString(",")
+    val fields = Seq(rel,
+      coalesce(col("_zone"), lit("")),
+      coalesce(concat(lit("B"), col("_bloom")), lit("")),
+      coalesce(col("_n"), lit(0L)).cast("string")) ++
+      (if (statCols.isEmpty) Nil
+       else Seq(coalesce(col("_nncell"), lit(zeroNn))))
+    val line = concat_ws("\t", fields: _*)
     withCells.select(concat(lit("2"), col("_name")).as("k"), line.as("line"))
   }
   // MANIFEST-EXEC-SIDE-END
@@ -416,6 +509,7 @@ object SnapTable {
     val header =
       (if (statCols.nonEmpty) Seq(s"#stats:${statCols.mkString(",")}") else Nil) ++
         bloom.map { case (c, m) => s"#bloom:$c:$m" }.toSeq ++
+        Seq(s"#schema:${schemaFingerprint(df.schema)}") ++
         meta.toSeq.sortBy(_._1).map { case (k, vl) => s"#meta:$k=$vl" }
     val headerDf = spark.createDataset(
       header.zipWithIndex.map { case (l, i) => (f"0$i%09d", l) })(
@@ -454,13 +548,53 @@ object SnapTable {
         try it.foreach { l => w.write(l); w.write('\n') }
         finally w.close()
       }
-    val claimed = f.rename(new Path(tmpFile), manifest)
-    if (!claimed) {
+    // CLAIM-then-rename (round 12): rename alone is NOT a CAS — posix
+    // rename(2) (hence RawLocalFileSystem) and S3-style stores silently
+    // REPLACE an existing destination, so two racing committers could
+    // both "win" and the first commit would be silently lost. The slot
+    // is claimed first with an atomic exclusive create (O_EXCL /
+    // HDFS create-no-overwrite); only the claim winner renames, so the
+    // manifest still appears atomically complete to readers. A claim
+    // whose committer crashed before the rename (a microsecond window —
+    // both are adjacent driver-side metadata ops) blocks the slot;
+    // releaseStaleClaim is the documented operator recovery.
+    if (!claimVersionSlot(f, dir, v)) {
       f.delete(new Path(tmpFile), false)
       throw new CommitConflictException(v)
     }
+    if (!f.rename(new Path(tmpFile), manifest)) {
+      f.delete(new Path(tmpFile), false)
+      f.delete(claimPath(dir, v), false)
+      throw new java.io.IOException(s"rename $tmpFile -> $manifest failed")
+    }
     writeAtomic(f, latestPath(dir), v.toString)
     (v, newNames.size)
+  }
+
+  private def claimPath(dir: String, v: Int) =
+    new Path(s"$dir/_manifests/v$v.claim")
+
+  /** Atomic exclusive create of the version slot's claim file — the
+    * commit CAS. The claim persists after a successful commit (deleting
+    * it would reopen the silent-replace race for a committer whose
+    * exists(manifest) pre-check passed before this commit landed);
+    * vacuum reclaims claims of dropped versions. */
+  private def claimVersionSlot(f: FileSystem, dir: String, v: Int): Boolean = {
+    f.mkdirs(new Path(s"$dir/_manifests"))
+    try { f.create(claimPath(dir, v), false).close(); true }
+    catch { case _: java.io.IOException => false }
+  }
+
+  /** Operator recovery for a committer that crashed between claiming a
+    * version slot and renaming its manifest in: deletes the claim so the
+    * slot can be retried. REFUSES when the manifest exists (the slot is
+    * legitimately decided). Only call after confirming no commit is
+    * in flight. */
+  def releaseStaleClaim(spark: SparkSession, dir: String, version: Int): Boolean = {
+    val f = fs(spark, dir)
+    require(!f.exists(manifestPath(dir, version)),
+      s"version $version is committed — its claim is not stale")
+    f.delete(claimPath(dir, version), false)
   }
 
   /** Carried-lines relation from a driver-side line list (the
@@ -496,11 +630,22 @@ object SnapTable {
         // append never materializes the table's file list in driver
         // memory (parseManifest here would pull every line, each with
         // a 16 KiB bloom hex cell at the default bitmap size)
-        val (prevStats, prevBloom) = readHeader(f, dir, prev)
-        require(prevStats == statCols,
-          s"append stat columns must match the extended manifest ($prevStats)")
-        require(prevBloom == bloom,
-          s"append bloom config must match the extended manifest ($prevBloom)")
+        val h = readHeader(f, dir, prev)
+        require(h.statCols == statCols,
+          s"append stat columns must match the extended manifest (${h.statCols})")
+        require(h.bloom == bloom,
+          s"append bloom config must match the extended manifest (${h.bloom})")
+        // SCHEMA PIN (round 12): the table's read schema is inferred
+        // from one file, so an append with drifted columns/types would
+        // silently corrupt every later read — reject it loudly instead.
+        // Legacy manifests without a #schema header skip the check.
+        h.schema.foreach { prevSchema =>
+          val cur = schemaFingerprint(df.schema)
+          require(cur == prevSchema,
+            s"append schema does not match the committed table schema\n" +
+              s"  committed: $prevSchema\n  append:    $cur\n" +
+              "evolve the table with an explicit overwrite commit instead")
+        }
         spark.read.text(manifestPath(dir, prev).toString)
           .where(!col("value").startsWith("#") && col("value") =!= "")
           .select(concat(lit("1"),
@@ -621,10 +766,14 @@ object SnapTable {
       (if (info.statCols.nonEmpty) Seq(s"#stats:${info.statCols.mkString(",")}")
        else Nil) ++
         info.bloom.map { case (c, m) => s"#bloom:$c:$m" }.toSeq ++
+        info.schema.map(s => s"#schema:$s").toSeq ++
         Seq(s"#meta:clonedFrom=$srcDir@v$v")
     val df = fs(spark, dstDir)
     val manifest = manifestPath(dstDir, 1)
     if (df.exists(manifest)) throw new CommitConflictException(1)
+    // same claim CAS as writeCommit: two racing cloners must not both
+    // win by silent rename-replace
+    if (!claimVersionSlot(df, dstDir, 1)) throw new CommitConflictException(1)
     try writeAtomic(df, manifest, (header ++ lines).mkString("\n"),
       overwrite = false)
     catch { case _: java.io.IOException => throw new CommitConflictException(1) }
@@ -669,7 +818,8 @@ object SnapTable {
       }
     }
     (1 until keep.min).foreach { kv =>
-      f.delete(manifestPath(dir, kv), false); ()
+      f.delete(manifestPath(dir, kv), false)
+      f.delete(claimPath(dir, kv), false); ()
     }
     deleted
   }

@@ -4864,35 +4864,44 @@ object Relational {
     // deterministic (8 and 8+4 non-empty hash partitions at every SF —
     // in-plan assert_true makes a layout drift fail loudly at the
     // source, the q154 lesson); published per version: file count,
-    // stat/bloom coverage, and the table-level [min,max] recovered
-    // PURELY from the metadata relation — the oracle recomputes the
-    // range from the raw rows, so the manifest's zone cells are
-    // hash-checked against ground truth. Scale: the metadata relation
-    // is O(files) rows read by a text scan; no data file opens.
+    // stat/bloom coverage, the table-level [min,max], and (round 12)
+    // the table's TOTAL row count and a null-bearing stat column's
+    // non-null count — all recovered PURELY from the metadata relation,
+    // while the oracle recomputes every one from the raw rows, so the
+    // manifest's zone AND count cells are hash-checked against ground
+    // truth. Scale: the metadata relation is O(files) rows read by a
+    // text scan; no data file opens.
     "q156_snapmeta" -> ((s, d) => {
       val dir = "target/graft-snapmeta/" + d.replaceAll("[^A-Za-z0-9]", "_")
       graft.operators.SnapTable.destroy(s, dir)
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey")
+        // a null-bearing stat column pins the NON-null count cells as
+        // genuinely different from the row counts
+        .withColumn("l_ln", when(col("l_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("l_linenumber").cast("long")))
       graft.operators.SnapTable.commit(s, dir,
         li.filter(col("l_orderkey") % 2 === 0)
           .repartition(8, col("l_orderkey")),
-        statCols = Seq("l_orderkey"), bloomCol = "l_partkey")
+        statCols = Seq("l_orderkey", "l_ln"), bloomCol = "l_partkey")
       graft.operators.SnapTable.commit(s, dir,
         li.filter(col("l_orderkey") % 2 === 1)
           .repartition(4, col("l_orderkey")),
         append = true,
-        statCols = Seq("l_orderkey"), bloomCol = "l_partkey")
+        statCols = Seq("l_orderkey", "l_ln"), bloomCol = "l_partkey")
       def agg(v: Int): DataFrame =
         graft.operators.SnapTable.filesMeta(s, dir, v)
           .agg(count(lit(1)).as("n_files"),
             count(col("min_l_orderkey")).as("n_stat_files"),
             sum(when(col("has_bloom"), 1L).otherwise(0L)).as("n_bloom_files"),
             min(col("min_l_orderkey")).as("tbl_min"),
-            max(col("max_l_orderkey")).as("tbl_max"))
+            max(col("max_l_orderkey")).as("tbl_max"),
+            sum(col("n_rows")).as("tbl_rows"),
+            sum(col("nonnull_l_ln")).as("tbl_nonnull"))
           .select(lit(v.toLong).as("version"), col("n_files"),
             col("n_stat_files"), col("n_bloom_files"),
-            col("tbl_min"), col("tbl_max"))
+            col("tbl_min"), col("tbl_max"),
+            col("tbl_rows"), col("tbl_nonnull"))
       agg(1).union(agg(2))
         .where(assert_true(
           col("version") =!= 1L || col("n_files") === 8L,
@@ -7907,17 +7916,24 @@ object Relational {
     // cells the metadata relation publishes are checked against
     // ground truth, not against themselves
     "q156_snapmeta" ->
-      """WITH ev AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+      """WITH ev AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx,
+        |              COUNT(*) AS n,
+        |              COUNT(CASE WHEN l_orderkey % 7 <> 0 THEN 1 END) AS nn
         |            FROM lineitem WHERE l_orderkey % 2 = 0),
-        |al AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+        |al AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx,
+        |         COUNT(*) AS n,
+        |         COUNT(CASE WHEN l_orderkey % 7 <> 0 THEN 1 END) AS nn
         |       FROM lineitem)
         |SELECT CAST(1 AS BIGINT) AS version, CAST(8 AS BIGINT) AS n_files,
         |       CAST(8 AS BIGINT) AS n_stat_files,
         |       CAST(8 AS BIGINT) AS n_bloom_files,
-        |       mn AS tbl_min, mx AS tbl_max FROM ev
+        |       mn AS tbl_min, mx AS tbl_max,
+        |       CAST(n AS BIGINT) AS tbl_rows, CAST(nn AS BIGINT) AS tbl_nonnull
+        |FROM ev
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), CAST(12 AS BIGINT), CAST(12 AS BIGINT),
-        |       CAST(12 AS BIGINT), mn, mx FROM al
+        |       CAST(12 AS BIGINT), mn, mx, CAST(n AS BIGINT),
+        |       CAST(nn AS BIGINT) FROM al
         |ORDER BY version""".stripMargin,
 
     // q157: row facts recomputed from the raw table (the connector's

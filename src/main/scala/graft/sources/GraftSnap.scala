@@ -162,6 +162,13 @@ final class SnapScanTable(declared: StructType, props: Map[String, String])
   }
 }
 
+/** A metadata-answerable pushed aggregate over a snapshot. */
+sealed trait SnapAgg extends Serializable
+case object SnapCountStar extends SnapAgg
+final case class SnapCountCol(c: String) extends SnapAgg
+final case class SnapAggMin(c: String) extends SnapAgg
+final case class SnapAggMax(c: String) extends SnapAgg
+
 final class SnapScanBuilder(full: StructType, opts: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
@@ -169,7 +176,7 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
   private var prunable: Array[Filter] = Array.empty
   private var required: StructType = full
   private var pushedFiltersAny: Boolean = false
-  private var metaAgg: Seq[(Boolean, String)] = Nil // (isMin, col)
+  private var metaAgg: Seq[SnapAgg] = Nil
 
   /** A filter participates in file pruning when every referenced column
     * is integer-typed (the manifest's zone cells are LONG) — the
@@ -210,27 +217,32 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** METADATA-ONLY AGGREGATES — ungrouped MIN/MAX over recorded stat
-    * columns answer from the manifest's zone cells without opening a
-    * single data file (the Iceberg metadata-agg shape): MIN = min of
-    * per-file mins, MAX symmetric; a file with the unprunable "-" cell
-    * contributed only NULL values, which SQL MIN/MAX ignore, so it
-    * simply adds nothing. Complete pushdown (one global row). Safe by
-    * the engine's own ordering: Spark only pushes aggregates when the
-    * source consumed EVERY filter, and this source always returns all
-    * filters as residual — so a filtered query can never take the
-    * metadata path (its min/max would be over the wrong row set).
-    * Restricted to LongType columns: the cells are recorded as LONG. */
+  /** METADATA-ONLY AGGREGATES — ungrouped MIN/MAX/COUNT answer from the
+    * manifest without opening a single data file (the Iceberg
+    * metadata-agg shape): MIN = min of per-file mins over recorded zone
+    * cells (a file's unprunable "-" cell contributed only NULL values,
+    * which SQL MIN/MAX ignore, so it adds nothing), MAX symmetric;
+    * COUNT(*) = sum of the per-file row counts and COUNT(statCol) = sum
+    * of the per-file non-null counts (round-12 manifest fields) —
+    * claimed ONLY when every file of the snapshot records the needed
+    * count, so a table carrying pre-count legacy lines falls back to a
+    * real scan rather than undercounting. Complete pushdown (one global
+    * row). Safe by the engine's own ordering: Spark only pushes
+    * aggregates when the source consumed EVERY filter, and this source
+    * always returns all filters as residual — so a filtered query can
+    * never take the metadata path. MIN/MAX restricted to LongType
+    * columns: the cells are recorded as LONG. */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
     if (pushedFiltersAny || aggregation.groupByExpressions.nonEmpty)
       return false
-    val statCols =
-      try SnapTable.headerConfig(SparkSession.active,
+    val plan =
+      try SnapTable.plan(SparkSession.active,
         opts.getOrElse("path", return false),
-        opts.get("version").map(_.toInt).getOrElse(0))._1.toSet
+        opts.get("version").map(_.toInt).getOrElse(0))
       catch { case scala.util.control.NonFatal(_) => return false }
+    val statCols = plan.statCols.toSet
     def statLongCol(
         e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -240,11 +252,25 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
           full.fields.exists(f => f.name == c && f.dataType == LongType))
       case _ => None
     }
+    val allRowCounts = plan.files.forall(_.nRows.isDefined)
+    def allNonNull(c: String) = plan.files.forall(_.nonNull.contains(c))
     val specs = aggregation.aggregateExpressions.toSeq.map {
       case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
-        statLongCol(m.column).map((true, _))
+        statLongCol(m.column).map(SnapAggMin)
       case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
-        statLongCol(m.column).map((false, _))
+        statLongCol(m.column).map(SnapAggMax)
+      case _: org.apache.spark.sql.connector.expressions.aggregate.CountStar
+          if allRowCounts =>
+        Some(SnapCountStar)
+      case cnt: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !cnt.isDistinct =>
+        (cnt.column match {
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference
+              if nr.fieldNames.length == 1 =>
+            Some(nr.fieldNames.head)
+              .filter(c => statCols.contains(c) && allNonNull(c))
+          case _ => None
+        }).map(SnapCountCol)
       case _ => None
     }
     if (specs.exists(_.isEmpty)) false
@@ -263,7 +289,7 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
 /** The metadata-aggregate scan: the answer row is computed at PLANNING
   * from the manifest and shipped inside the single InputPartition — no
   * data file opens, no executor I/O. */
-final class SnapMetaAggScan(aggs: Seq[(Boolean, String)],
+final class SnapMetaAggScan(aggs: Seq[SnapAgg],
                             opts: Map[String, String])
     extends Scan with Batch {
   private val dir = opts.getOrElse("path",
@@ -271,24 +297,43 @@ final class SnapMetaAggScan(aggs: Seq[(Boolean, String)],
   private val version = opts.get("version").map(_.toInt).getOrElse(0)
 
   override def readSchema(): StructType = StructType(
-    aggs.zipWithIndex.map { case ((isMin, c), i) =>
-      StructField(s"${if (isMin) "min" else "max"}_${i}_$c", LongType)
+    aggs.zipWithIndex.map {
+      case (SnapAggMin(c), i) => StructField(s"min_${i}_$c", LongType)
+      case (SnapAggMax(c), i) => StructField(s"max_${i}_$c", LongType)
+      case (SnapCountStar, i) =>
+        StructField(s"count_$i", LongType, nullable = false)
+      case (SnapCountCol(c), i) =>
+        StructField(s"count_${i}_$c", LongType, nullable = false)
     })
   override def toBatch: Batch = this
 
   private lazy val answer: Array[Any] = {
     val plan = SnapTable.plan(SparkSession.active, dir, version)
-    aggs.map { case (isMin, c) =>
+    def minMax(c: String, isMin: Boolean): Any = {
       val vals = plan.files.flatMap(_.ranges.get(c))
         .map(r => if (isMin) r._1 else r._2)
       if (vals.isEmpty) null
       else java.lang.Long.valueOf(if (isMin) vals.min else vals.max)
+    }
+    aggs.map {
+      case SnapAggMin(c) => minMax(c, isMin = true)
+      case SnapAggMax(c) => minMax(c, isMin = false)
+      // the builder claimed these pushes only when EVERY file records
+      // the count, so .get cannot miss on the planned snapshot
+      case SnapCountStar =>
+        java.lang.Long.valueOf(plan.files.map(_.nRows.get).sum)
+      case SnapCountCol(c) =>
+        java.lang.Long.valueOf(plan.files.map(_.nonNull(c)).sum)
     }.toArray
   }
 
   override def description(): String =
-    s"GraftSnap $dir MetadataAgg: [${aggs.map { case (m, c) =>
-      s"${if (m) "MIN" else "MAX"}($c)" }.mkString(", ")}]"
+    s"GraftSnap $dir MetadataAgg: [${aggs.map {
+      case SnapAggMin(c) => s"MIN($c)"
+      case SnapAggMax(c) => s"MAX($c)"
+      case SnapCountStar => "COUNT(*)"
+      case SnapCountCol(c) => s"COUNT($c)"
+    }.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     Array(SnapMetaAggPartition(answer.map {
@@ -349,9 +394,9 @@ final class SnapScan(full: StructType, required: StructType,
     n
   }.getOrElse(128L * 1024 * 1024)
 
-  // planning happens once per scan; both planInputPartitions and the
-  // explain description reuse it
-  lazy val (survivors, total): (Seq[String], Int) = {
+  // planning happens once per scan; planInputPartitions, the explain
+  // description, and the statistics all reuse it
+  lazy val (survivorEntries, total): (Seq[SnapTable.PlanEntry], Int) = {
     val spark = SparkSession.active
     val plan = SnapTable.plan(spark, dir, version)
     val bloomPos = scala.collection.mutable.Map.empty[Long, (Long, Long)]
@@ -394,8 +439,10 @@ final class SnapScan(full: StructType, required: StructType,
       case _          => true
     }
     val keep = plan.files.filter(e => prunable.forall(f => canMatch(e, f)))
-    (keep.map(_.path), plan.files.size)
+    (keep, plan.files.size)
   }
+
+  lazy val survivors: Seq[String] = survivorEntries.map(_.path)
 
   override def description(): String =
     s"GraftSnap $dir v${if (version > 0) version.toString else "latest"} " +
@@ -456,11 +503,19 @@ final class SnapScan(full: StructType, required: StructType,
       if (ls.exists(_._2 == Long.MaxValue)) Long.MaxValue
       else ls.map(_._2).sum
     }
+    // EXACT post-pruning row count from the manifest's per-file counts
+    // (round 12) — known only when every surviving file records one
+    // (legacy carried lines degrade to unknown, never an undercount);
+    // numRows feeds Catalyst's join sizing far more precisely than the
+    // byte estimate alone
+    val rows =
+      if (survivorEntries.nonEmpty && survivorEntries.forall(_.nRows.isDefined))
+        java.util.OptionalLong.of(survivorEntries.map(_.nRows.get).sum)
+      else java.util.OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rows
     }
   }
 

@@ -332,4 +332,80 @@ class GraftSnapSpec extends AnyFunSuite {
     assert(nonStat.collect().head.getLong(0) ==
       SnapTable.read(spark, dir).agg(min("l_partkey")).collect().head.getLong(0))
   }
+
+  test("metadata-only COUNT: answered with ZERO file opens") {
+    // round-12: the manifest records per-file row counts and per-stat-
+    // col non-null counts, so COUNT(*) and COUNT(statCol) answer
+    // without opening a data file. The proof is physical: the data
+    // directory is DELETED before the aggregate runs.
+    val d = "target/graft-snap-count"
+    SnapTable.destroy(spark, d)
+    val base = Tables(spark, TestSpark.Sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity").limit(400)
+      .withColumn("l_linenumber", // nulls make COUNT(col) != COUNT(*)
+        when(col("l_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("l_linenumber").cast("long")))
+    SnapTable.commit(spark, d, base.repartition(3),
+      statCols = Seq("l_orderkey", "l_linenumber"))
+    val truthAll = base.count()
+    val truthNn = base.filter(col("l_linenumber").isNotNull).count()
+    assert(truthNn < truthAll, "no nulls injected — COUNT(col) vacuous")
+    val schema = spark.read.format("graft-snap").load(d).schema
+    // burn the data files: only the manifest can answer now (the
+    // declared schema keeps even inferSchema from opening a footer)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(d, "data"))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "data")))
+    val agg = spark.read.format("graft-snap").schema(schema).load(d)
+      .selectExpr("count(*) AS n_all", "count(l_linenumber) AS n_nn",
+        "min(l_orderkey) AS mn")
+    val got = agg.collect().head
+    val meta = agg.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.SnapMetaAggScan] => b.scan
+    }
+    assert(meta.nonEmpty, "COUNT did not take the metadata path:\n" +
+      agg.queryExecution.executedPlan)
+    assert(meta.get.description().contains("COUNT(*)"))
+    assert(got.getLong(0) == truthAll && got.getLong(1) == truthNn)
+
+    // legacy manifests WITHOUT count fields must fall back to a real
+    // scan (correct, not undercounted) — strip the count cells
+    SnapTable.destroy(spark, d)
+    SnapTable.commit(spark, d, base.repartition(2),
+      statCols = Seq("l_orderkey"))
+    val mf = java.nio.file.Paths.get(d, "_manifests", "v1.txt")
+    val legacy = java.nio.file.Files.readString(mf).split("\n").map { l =>
+      if (l.startsWith("#")) l else l.split("\t", -1).take(3).mkString("\t")
+    }.mkString("\n")
+    java.nio.file.Files.writeString(mf, legacy)
+    java.nio.file.Files.deleteIfExists(mf.getParent.resolve(".v1.txt.crc"))
+    val legacyAgg = spark.read.format("graft-snap").load(d)
+      .selectExpr("count(*) AS n_all")
+    assert(legacyAgg.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.SnapMetaAggScan] => b
+    }.isEmpty, "COUNT over a legacy manifest must not claim the push")
+    assert(legacyAgg.collect().head.getLong(0) == truthAll)
+    SnapTable.destroy(spark, d)
+  }
+
+  test("post-pruning statistics report the EXACT row count") {
+    fixture()
+    val scan = snapScan(spark.read.format("graft-snap").load(dir)
+      .filter(col("l_orderkey") <= 100))
+    val stats = scan.estimateStatistics()
+    assert(stats.numRows().isPresent, "manifest row counts must feed numRows")
+    val truth = SnapTable.read(spark, dir)
+      .filter(col("l_orderkey") <= 100).count()
+    // numRows is POST-pruning but PRE-residual: it counts every row of
+    // the surviving files, which is >= the exact filtered count and
+    // < the whole table when pruning bit
+    assert(stats.numRows().getAsLong >= truth)
+    assert(scan.survivors.size < scan.total)
+    val unprunedRows = SnapTable.read(spark, dir).count()
+    assert(stats.numRows().getAsLong < unprunedRows)
+  }
 }

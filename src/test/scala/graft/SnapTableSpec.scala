@@ -383,18 +383,136 @@ class SnapTableSpec extends AnyFunSuite {
       .split("\n").filter(_.nonEmpty)
     assert(lines(0) == "#stats:l_orderkey")
     assert(lines(1) == "#bloom:l_partkey:128")
-    val fileLines = lines.drop(2)
+    assert(lines(2) ==
+      "#schema:l_orderkey:bigint;l_partkey:bigint;l_quantity:double")
+    val fileLines = lines.drop(3)
     assert(fileLines.nonEmpty)
     fileLines.foreach { l =>
       val parts = l.split("\t", -1)
-      assert(parts.length == 3, s"bad manifest line: $l")
+      assert(parts.length == 5, s"bad manifest line: $l")
       assert(parts(0).startsWith("data/c00001-") &&
         parts(0).endsWith(".parquet"))
       assert(parts(1).matches("-?\\d+,-?\\d+"), s"bad zone cell in: $l")
       assert(parts(2).matches("B[0-9a-f]{32}"), s"bad bloom cell in: $l")
+      assert(parts(3).matches("\\d+") && parts(3).toLong > 0,
+        s"bad row-count cell in: $l")
+      assert(parts(4).matches("\\d+"), s"bad non-null cell in: $l")
     }
+    // the count cells cross-foot against the data itself
+    assert(fileLines.map(_.split("\t", -1)(3).toLong).sum == 500L)
     // the lines are sorted by file name (deterministic manifests)
     assert(fileLines.toSeq == fileLines.toSeq.sorted)
+    SnapTable.destroy(spark, d)
+  }
+
+  test("filesMeta survives every manifest shape (ANSI-mode guards)") {
+    // the round-11 advisor finding: under ANSI mode a bare element_at /
+    // cast crashes the metadata table for any line with fewer fields
+    // than the newest format — stats-only, no-stats, zero-row part,
+    // and pre-count legacy lines must all read as rows, absent cells
+    // as NULL
+    val d = s"$dir-meta-shapes"
+    val rows = li.select("l_orderkey", "l_quantity").limit(100)
+
+    // shape 1: no stats, no bloom
+    SnapTable.destroy(spark, d)
+    SnapTable.commit(spark, d, rows.repartition(2))
+    val m1 = SnapTable.filesMeta(spark, d).collect()
+    assert(m1.length == 2)
+    assert(m1.map(r => r.getAs[Long]("n_rows")).sum == 100L)
+
+    // shape 2: stats only
+    SnapTable.destroy(spark, d)
+    SnapTable.commit(spark, d, rows.repartition(2),
+      statCols = Seq("l_orderkey"))
+    val m2 = SnapTable.filesMeta(spark, d)
+    assert(m2.collect().forall(r => !r.isNullAt(r.fieldIndex("min_l_orderkey"))))
+    assert(m2.collect().map(_.getAs[Long]("nonnull_l_orderkey")).sum == 100L)
+
+    // shape 3: an EMPTY commit writes exactly one zero-row part file —
+    // its line has empty zone/bloom cells and true zero counts
+    SnapTable.destroy(spark, d)
+    SnapTable.commit(spark, d, rows.limit(0), statCols = Seq("l_orderkey"))
+    val m3 = SnapTable.filesMeta(spark, d).collect()
+    assert(m3.length == 1)
+    assert(m3.head.getAs[Long]("n_rows") == 0L)
+    assert(m3.head.isNullAt(m3.head.fieldIndex("min_l_orderkey")))
+    assert(m3.head.getAs[Long]("nonnull_l_orderkey") == 0L)
+
+    // shape 4: a PRE-ROUND-12 legacy manifest (no count fields) still
+    // reads; n_rows/nonnull come back NULL, never an error
+    SnapTable.destroy(spark, d)
+    SnapTable.commit(spark, d, rows.repartition(2),
+      statCols = Seq("l_orderkey"))
+    val mf = Paths.get(d, "_manifests", "v1.txt")
+    val legacy = Files.readString(mf).split("\n").map { l =>
+      if (l.startsWith("#")) l
+      else l.split("\t", -1).take(3).mkString("\t") // strip count fields
+    }.mkString("\n")
+    Files.writeString(mf, legacy)
+    // the edit invalidates LocalFileSystem's checksum sidecar
+    Files.deleteIfExists(mf.getParent.resolve(".v1.txt.crc"))
+    val m4 = SnapTable.filesMeta(spark, d).collect()
+    assert(m4.length == 2)
+    assert(m4.forall(_.isNullAt(m4.head.fieldIndex("n_rows"))))
+    assert(m4.forall(r => !r.isNullAt(r.fieldIndex("min_l_orderkey"))))
+    SnapTable.destroy(spark, d)
+  }
+
+  test("commit claim is an exclusive-create CAS, not a bare rename") {
+    // rename(2) silently REPLACES an existing destination on posix /
+    // S3-style stores, so a rename-only claim lets two racing
+    // committers both win (round-11 advisor finding). The slot is now
+    // claimed by atomic exclusive create: a pre-existing claim makes
+    // the loser throw BEFORE any manifest appears in the slot.
+    val d = s"$dir-claim"
+    SnapTable.destroy(spark, d)
+    SnapTable.commit(spark, d, li.filter(col("l_orderkey") % 3 === 0))
+    val claim = Paths.get(d, "_manifests", "v2.claim")
+    Files.createDirectories(claim.getParent)
+    Files.writeString(claim, "")
+    intercept[SnapTable.CommitConflictException] {
+      SnapTable.commit(spark, d,
+        li.filter(col("l_orderkey") % 3 === 1), append = true)
+    }
+    assert(!Files.exists(Paths.get(d, "_manifests", "v2.txt")),
+      "the losing committer must not expose a manifest in the slot")
+    assert(SnapTable.latestVersion(spark, d) == 1)
+    // a stale claim (crashed committer) is released explicitly, then
+    // the retry wins the slot
+    assert(SnapTable.releaseStaleClaim(spark, d, 2))
+    val v2 = SnapTable.commit(spark, d,
+      li.filter(col("l_orderkey") % 3 === 1), append = true)
+    assert(v2 == 2)
+    // a decided slot's claim is NOT stale — release refuses
+    intercept[IllegalArgumentException] {
+      SnapTable.releaseStaleClaim(spark, d, 2)
+    }
+    // the winner's own claim file persists as the slot's CAS token
+    assert(Files.exists(claim))
+    SnapTable.destroy(spark, d)
+  }
+
+  test("append with a drifted schema is rejected loudly") {
+    val d = s"$dir-schema-pin"
+    SnapTable.destroy(spark, d)
+    val base = li.select("l_orderkey", "l_quantity").limit(50)
+    SnapTable.commit(spark, d, base)
+    // same names, different type: silent reader corruption if accepted
+    val drifted = base.withColumn("l_quantity",
+      col("l_quantity").cast("string"))
+    val ex = intercept[IllegalArgumentException] {
+      SnapTable.commit(spark, d, drifted, append = true)
+    }
+    assert(ex.getMessage.contains("schema"), ex.getMessage)
+    assert(SnapTable.latestVersion(spark, d) == 1,
+      "the rejected append must not commit")
+    // nullability changes are NOT drift (fingerprint is name:type only)
+    val nullable = base.withColumn("l_quantity",
+      when(lit(true), col("l_quantity")))
+    assert(SnapTable.commit(spark, d, nullable, append = true) == 2)
+    // schema EVOLUTION is the explicit overwrite verb, never an append
+    assert(SnapTable.commit(spark, d, drifted) == 3)
     SnapTable.destroy(spark, d)
   }
 }
