@@ -90,7 +90,12 @@ object DedupIndex {
 
   /** Attach-time resolution: the on-disk record WINS; an explicit
     * caller count that contradicts it throws. No record (legacy index)
-    * → explicit arg, else conf/default. */
+    * → explicit arg, else the COMPILED legacy constant — never the
+    * session conf: a pre-metadata index was physically written with
+    * `Buckets`, and letting `graft.index.buckets` leak into the attach
+    * would declare a wrong CLUSTERED BY and return silently wrong
+    * shuffle-free probe joins (the exact hazard the metadata exists to
+    * prevent). */
   private def attachBuckets(spark: SparkSession, dir: String,
                             buckets: Int): Int =
     recordedBuckets(spark, dir) match {
@@ -100,7 +105,7 @@ object DedupIndex {
             s"attach requested $buckets — bucket count is part of the " +
             "on-disk identity (re-write or compact to change it)")
         rec
-      case None => resolve(spark, buckets)
+      case None => if (buckets == FromConf) Buckets else buckets
     }
 
   /** The two relations of a loaded index. */

@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   * partials fold — O(delta + summary) work per sync, never a base-table
   * pass. Append-only commits only (an overwrite/delete version changes
   * existing membership; `sync` detects removed files and refuses —
-  * retractable aggregates are declared out of scope, same as refresh).
+  * retractable aggregates are declared out of scope, same as refresh —
+  * unless the caller opts into `fullRefreshOnRewrite`, which rebuilds
+  * the summary from that version's full snapshot and resumes
+  * incrementally; `syncCdc` below is the retraction-capable variant).
   *
   * At 100 TB this is the Delta/Iceberg "incremental view maintenance
   * off the table log" shape: the dashboard reads a KB-scale summary
@@ -92,9 +95,17 @@ object SnapMv {
     * summary, one generation per version. Idempotent: driven entirely
     * by durable state (table manifests + the MV pointer), so replays,
     * retries, and crash re-runs converge to the same summary. Returns
-    * the resulting state. */
+    * the resulting state.
+    *
+    * A version that REMOVED files (DML rewrite, compaction, overwrite)
+    * refuses by default — retractable aggregates are out of scope for
+    * the incremental fold. `fullRefreshOnRewrite = true` is the opt-in
+    * recovery: such a version rebuilds the summary from the version's
+    * FULL snapshot (one base-table pass — the declared cost) and
+    * incremental folding resumes from there, so a compaction/GC commit
+    * can never strand the MV permanently. */
   def sync(spark: SparkSession, tableDir: String, mvDir: String,
-           spec: MvSpec): State = {
+           spec: MvSpec, fullRefreshOnRewrite: Boolean = false): State = {
     val f = fs(spark, mvDir)
     var st = state(spark, mvDir)
     require(!f.exists(cdcMarker(mvDir)),
@@ -108,9 +119,21 @@ object SnapMv {
         else SnapTable.files(spark, tableDir, v - 1).toSet
       val cur = SnapTable.files(spark, tableDir, v)
       val removed = prev -- cur.toSet
+      if (removed.nonEmpty && fullRefreshOnRewrite) {
+        // rewrite version: fold from scratch over the full snapshot —
+        // identical to a never-synced MV's first fold of this version,
+        // and crash-safe the same way (generation write + pointer swap
+        // over the immutable manifest)
+        val gen = st.generation + 1
+        partialAgg(SnapTable.read(spark, tableDir, v), spec)
+          .write.mode("overwrite").parquet(s"$mvDir/gen-$gen")
+        st = State(gen, v)
+        swapPointer(f, mvDir, st)
+      } else {
       require(removed.isEmpty,
         s"version $v removed ${removed.size} file(s) — SnapMv folds " +
-          "append-only commits (retractions are out of scope)")
+          "append-only commits (retractions are out of scope; pass " +
+          "fullRefreshOnRewrite = true to rebuild over such a version)")
       val delta = cur.filterNot(prev)
       val deltaAgg =
         if (delta.isEmpty) None
@@ -143,6 +166,7 @@ object SnapMv {
       next.write.mode("overwrite").parquet(s"$mvDir/gen-$gen")
       st = State(gen, v)
       swapPointer(f, mvDir, st)
+      }
     }
     st
   }

@@ -131,6 +131,45 @@ class CdcMvSpec extends AnyFunSuite {
     assert(summary(mdir).map(_._1) == Seq("keep"))
   }
 
+  test("fullRefreshOnRewrite: refusal by default, opt-in rebuild == from-scratch, incremental resumes") {
+    // the round-11 verdict item: a compaction/GC/DML version must not
+    // strand an append-only MV permanently — the opt-in rebuilds over
+    // that version's full snapshot and incremental folding resumes
+    val (t, m) = freshDirs("fullrefresh")
+    def appendSummary(): Seq[(String, Long, Option[BigDecimal])] =
+      SnapMv.read(spark, m).orderBy("event_type").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.getDecimal(2)).map(BigDecimal(_))))
+    def truth(): Seq[(String, Long, Option[BigDecimal])] =
+      SnapTable.read(spark, t).groupBy("event_type")
+        .agg(count(lit(1)), sum(col("value").cast("decimal(18,6)")))
+        .orderBy("event_type").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.getDecimal(2)).map(BigDecimal(_))))
+    SnapTable.commit(spark, t, ev.filter(col("event_id") % 2 === 0),
+      append = true)
+    SnapTable.commit(spark, t, ev.filter(col("event_id") % 2 === 1),
+      append = true)
+    SnapMv.sync(spark, t, m, spec) // incremental through the appends
+    assert(appendSummary() === truth())
+    // a copy-on-write delete rewrites files: default sync refuses and
+    // names the recovery knob
+    SnapTable.delete(spark, t, col("event_id") % 5 === 0)
+    val e = intercept[IllegalArgumentException] {
+      SnapMv.sync(spark, t, m, spec)
+    }
+    assert(e.getMessage.contains("fullRefreshOnRewrite"), e.getMessage)
+    // opt-in: rebuild over v3's full snapshot == a from-scratch summary
+    val st = SnapMv.sync(spark, t, m, spec, fullRefreshOnRewrite = true)
+    assert(st.syncedVersion == 3)
+    assert(appendSummary() === truth())
+    // incremental folding RESUMES after the rebuild (no base pass)
+    SnapTable.commit(spark, t, ev.filter(col("event_id") % 11 === 3),
+      append = true)
+    assert(SnapMv.sync(spark, t, m, spec).syncedVersion == 4)
+    assert(appendSummary() === truth())
+  }
+
   test("cross-guards: sync refuses a CDC MV, syncCdc refuses an append MV, and the contracts hold") {
     import spark.implicits._
     val tdir = s"target/graft-cdcmvspec-tbl/guards"

@@ -228,4 +228,38 @@ class PersistIndexSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("identity"))
     } finally DedupIndex.detach(spark, dir)
   }
+
+  test("legacy index (no metadata) attaches at the compiled constant, never the conf") {
+    // the round-11 advisor finding: a pre-metadata index was physically
+    // written with DedupIndex.Buckets; resolving a metadata-less attach
+    // from graft.index.buckets would declare a wrong CLUSTERED BY and
+    // return silently wrong shuffle-free probe joins
+    graft.plans.RollHash31.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    val dir = s"$tmp/legacy-idx"
+    val docs = Tables(spark, TestSpark.Sf, "documents").limit(40)
+    DedupIndex.write(docs, dir) // default = Buckets (8)
+    DedupIndex.detach(spark, dir)
+    spark.catalog.clearCache()
+    // simulate a legacy index: remove the metadata record
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_graft_index_meta.json"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._graft_index_meta.json.crc"))
+    assert(DedupIndex.recordedBuckets(spark, dir).isEmpty)
+    // a live session conf must NOT leak into the attach
+    spark.conf.set(DedupIndex.BucketsConf, "16")
+    try {
+      val idx = DedupIndex.load(spark, dir)
+      assert(idx.bands.count() > 0)
+      val ddl = spark.sql(
+        s"SHOW CREATE TABLE ${DedupIndex.bandsTable(dir)}")
+        .collect().head.getString(0)
+      assert(ddl.contains(s"INTO ${DedupIndex.Buckets} BUCKETS"),
+        s"legacy attach declared a conf-derived bucket count:\n$ddl")
+    } finally {
+      spark.conf.unset(DedupIndex.BucketsConf)
+      DedupIndex.detach(spark, dir)
+    }
+  }
 }
