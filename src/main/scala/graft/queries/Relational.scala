@@ -4960,6 +4960,51 @@ object Relational {
         .select(col("n_range"), col("sum_range"), col("sum_ln"),
           col("min_rf"), lit(8L).as("files_total"),
           lit(true).as("range_pruned"), lit(missRows).as("miss_rows"))
+    }),
+
+    // Q158 METADATA-ONLY AGGREGATES through the connector (round 12;
+    // q157 gates the scan path, this gates the AGGREGATE PUSHDOWN
+    // path): ungrouped MIN/MAX answer from the manifest's zone cells
+    // and — new this round — COUNT(*)/COUNT(statCol) from the per-file
+    // row and non-null counts, with ZERO data files opened (the
+    // Iceberg metadata-agg shape; Spark only pushes aggregates when
+    // the source consumed every filter, and graft-snap returns all
+    // filters residual, so a filtered query can never take this path).
+    // The fixture injects nulls into one stat column so COUNT(col) is
+    // genuinely distinct from COUNT(*); an in-query require pins that
+    // the executed plan REALLY took the metadata scan (a silent
+    // fallback to the data path would compute the same numbers the
+    // slow way — the assertion is the feature's existence proof); the
+    // oracle recomputes every value from the raw rows, so the
+    // manifest's count cells are checked against ground truth. Scale:
+    // the answer is O(files) manifest lines at PLANNING time — at
+    // 100 TB this is "SELECT COUNT(*) FROM corpus" in milliseconds.
+    "q158_snapagg" -> ((s, d) => {
+      val dir = "target/graft-snapagg/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          when(col("l_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("l_linenumber").cast(LongType)).as("l_ln"),
+          col("l_quantity"))
+      graft.operators.SnapTable.commit(s, dir,
+        li.repartitionByRange(6, col("l_orderkey")),
+        statCols = Seq("l_orderkey", "l_ln"))
+      val agg = s.read.format("graft-snap").load(dir)
+        .agg(min(col("l_orderkey")).as("mn"),
+          max(col("l_orderkey")).as("mx"),
+          count(lit(1)).as("n_all"),
+          count(col("l_ln")).as("n_nn"))
+      agg.collect()
+      val tookMetaPath = agg.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.SnapMetaAggScan] => b
+      }.nonEmpty
+      require(tookMetaPath,
+        "q158: the aggregate did not take the metadata-only path")
+      agg.select(col("mn"), col("mx"), col("n_all"), col("n_nn"),
+        lit(tookMetaPath).as("metadata_only"))
     })
   )
 
@@ -7954,6 +7999,18 @@ object Relational {
         |  CAST(8 AS BIGINT) AS files_total,
         |  TRUE AS range_pruned,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-        |     WHERE l_partkey = -424242) AS miss_rows""".stripMargin
+        |     WHERE l_partkey = -424242) AS miss_rows""".stripMargin,
+
+    // q158: every value recomputed from the raw rows (the manifest's
+    // count cells are what's under test); metadata_only is the Spark
+    // side's in-query plan assertion, published as the boolean it
+    // guarantees
+    "q158_snapagg" ->
+      """SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx,
+        |       COUNT(*) AS n_all,
+        |       COUNT(CASE WHEN l_orderkey % 7 <> 0
+        |                  THEN l_linenumber END) AS n_nn,
+        |       TRUE AS metadata_only
+        |FROM lineitem""".stripMargin
   )
 }

@@ -205,6 +205,36 @@ object TextExt {
         .orderBy("source", "pack_id")
     }),
 
+    // qt30 SHARDED sequence packing (round 12) — qt7's 100 TB scale
+    // path as a DECLARED variant: qt7's strictly-ordered per-source
+    // packing is inherently one window task per source (a bounded-
+    // parallelism tail when a corpus has few giant sources — the r11
+    // verdict's finding). This variant scopes the pack window to
+    // (source, shard) with deterministic shard = doc_id div 128, so
+    // parallelism scales with corpus size instead of source count; the
+    // declared trade is ≤1 under-full pack per (source, shard) boundary
+    // (pack boundaries are arbitrary in greedy packing — no training
+    // semantics cross them). Measured at sf0.1 (SURVEY §6 round-12
+    // record): wall-clock parity at bench scale (the 20-source fixture
+    // already parallelizes), 140 → 788 packs — the boundary-waste cost
+    // is visible, which is why BOTH forms ship and qt7's single-task
+    // bound stays the default contract for many-source corpora.
+    "qt30_packshard" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("shard", expr("doc_id div 128"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", expr("(cum - n_tok) div 2048"))
+        .groupBy("source", "shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source", "shard", "pack_id")
+    }),
+
     // qt8 bigram language model: P(w2|w1) from corpus bigram/unigram
     // counts — the n-gram LM scoring table of a quality-filtering
     // pipeline. Pure integer counts; the probability is rounded only at
@@ -3051,6 +3081,24 @@ object TextExt {
         |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY source, pack_id
         |ORDER BY source, pack_id""".stripMargin,
+
+    // qt30: identical replay with the window scoped to (source, shard)
+    "qt30_packshard" ->
+      """WITH x AS (
+        |  SELECT source, doc_id, doc_id // 128 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, shard, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM x
+        |)
+        |SELECT source, CAST(shard AS BIGINT) AS shard,
+        |       CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY source, shard, pack_id
+        |ORDER BY source, shard, pack_id""".stripMargin,
 
     "qm5_phashdup" ->
       s"""WITH p AS (
