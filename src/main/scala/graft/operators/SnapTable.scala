@@ -228,6 +228,35 @@ object SnapTable {
     schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
       .mkString(";")
 
+  /** (name, catalogString-type) pairs of a recorded fingerprint. The
+    * split is on the FIRST ':' per field — catalogString types
+    * (struct<a:int>) contain colons of their own. */
+  private def fingerprintFields(s: String): Seq[(String, String)] =
+    s.split(";").toSeq.filter(_.nonEmpty).map { fld =>
+      val i = fld.indexOf(':')
+      (fld.take(i), fld.drop(i + 1))
+    }
+
+  /** The recorded schema as a StructType (all-nullable: the fingerprint
+    * is deliberately nullability-insensitive). */
+  private def schemaOf(s: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(fingerprintFields(s).map {
+      case (n, t) => org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DataType.fromDDL(t))
+    })
+
+  /** The committed version's recorded schema, if the manifest carries
+    * one (round 12+) — the authoritative READ schema under add-column
+    * evolution: files older than an added column null-fill it. */
+  private[graft] def headerSchemaOf(spark: SparkSession, dir: String,
+                                    version: Int = 0)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, dir)
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    readHeader(f, dir, v).schema.map(schemaOf)
+  }
+
   /** Header-only config of a committed version: (statCols, bloom) —
     * the O(1) read external writers use to inherit a table's pruning
     * declarations without touching its file list. */
@@ -618,7 +647,8 @@ object SnapTable {
   def commit(spark: SparkSession, dir: String, df: DataFrame,
              append: Boolean = false, statCols: Seq[String] = Nil,
              meta: Map[String, String] = Map.empty,
-             bloomCol: String = null, bloomBits: Int = 65536): Int = {
+             bloomCol: String = null, bloomBits: Int = 65536,
+             evolveSchema: Boolean = false): Int = {
     val f = fs(spark, dir)
     val prev = latestVersion(spark, dir)
     val bloom = Option(bloomCol).map(c => (c, bloomBits))
@@ -635,16 +665,28 @@ object SnapTable {
           s"append stat columns must match the extended manifest (${h.statCols})")
         require(h.bloom == bloom,
           s"append bloom config must match the extended manifest (${h.bloom})")
-        // SCHEMA PIN (round 12): the table's read schema is inferred
-        // from one file, so an append with drifted columns/types would
-        // silently corrupt every later read — reject it loudly instead.
-        // Legacy manifests without a #schema header skip the check.
+        // SCHEMA PIN (round 12): an append with drifted columns/types
+        // would silently corrupt every later read — reject it loudly.
+        // `evolveSchema = true` is the declared ADD-COLUMN evolution:
+        // every previously-committed (name, type) must survive intact,
+        // new columns may join, the manifest's recorded schema becomes
+        // the append's, and readers null-fill added columns on files
+        // older than the column. Legacy manifests without a #schema
+        // header skip the check.
         h.schema.foreach { prevSchema =>
           val cur = schemaFingerprint(df.schema)
-          require(cur == prevSchema,
-            s"append schema does not match the committed table schema\n" +
-              s"  committed: $prevSchema\n  append:    $cur\n" +
-              "evolve the table with an explicit overwrite commit instead")
+          if (cur != prevSchema) {
+            require(evolveSchema,
+              s"append schema does not match the committed table schema\n" +
+                s"  committed: $prevSchema\n  append:    $cur\n" +
+                "pass evolveSchema = true to ADD columns (null-filled on " +
+                "old files), or rewrite with an explicit overwrite commit")
+            val curFields = fingerprintFields(cur).toSet
+            val lost = fingerprintFields(prevSchema).filterNot(curFields)
+            require(lost.isEmpty,
+              "schema evolution may only ADD columns — committed columns " +
+                s"missing or retyped in the append: ${lost.mkString(", ")}")
+          }
         }
         spark.read.text(manifestPath(dir, prev).toString)
           .where(!col("value").startsWith("#") && col("value") =!= "")
@@ -683,7 +725,12 @@ object SnapTable {
       })
     }
     if (cand.isEmpty) return DeleteResult(v, 0L, 0, info.files.size)
-    val candDf = spark.read.parquet(cand.map(e => resolvePath(dir, e.rel)): _*)
+    // candidates read under the recorded schema: an evolved table's
+    // older files null-fill added columns, so the rewrite preserves
+    // the full latest schema instead of dropping it
+    val candDf = info.schema.map(sc => spark.read.schema(schemaOf(sc)))
+      .getOrElse(spark.read)
+      .parquet(cand.map(e => resolvePath(dir, e.rel)): _*)
     val deleted = candDf.filter(cond).count()
     if (deleted == 0L) return DeleteResult(v, 0L, 0, info.files.size)
     val (nv, _) = writeCommit(spark, dir, candDf.filter(!cond),
@@ -718,7 +765,12 @@ object SnapTable {
       })
     }
     if (cand.isEmpty) return DeleteResult(v, 0L, 0, info.files.size)
-    val candDf = spark.read.parquet(cand.map(e => resolvePath(dir, e.rel)): _*)
+    // candidates read under the recorded schema: an evolved table's
+    // older files null-fill added columns, so the rewrite preserves
+    // the full latest schema instead of dropping it
+    val candDf = info.schema.map(sc => spark.read.schema(schemaOf(sc)))
+      .getOrElse(spark.read)
+      .parquet(cand.map(e => resolvePath(dir, e.rel)): _*)
     val updated = candDf.filter(cond).count()
     if (updated == 0L) return DeleteResult(v, 0L, 0, info.files.size)
     require(set.keySet.subsetOf(candDf.columns.toSet),
@@ -895,7 +947,14 @@ object SnapTable {
         }
       }
     require(keep.nonEmpty, "empty scan set: no file can match")
-    val df0 = spark.read.parquet(keep.map(e => resolvePath(dir, e.rel)): _*)
+    // the manifest's recorded schema (when present) is the READ schema:
+    // under add-column evolution, files committed before a column was
+    // added lack it physically — the declared schema makes the parquet
+    // reader null-fill them instead of failing or silently dropping the
+    // column depending on which file's footer got sampled
+    val reader = info.schema.map(sc => spark.read.schema(schemaOf(sc)))
+      .getOrElse(spark.read)
+    val df0 = reader.parquet(keep.map(e => resolvePath(dir, e.rel)): _*)
     val df =
       if (statCol == null) df0
       else df0.filter(col(statCol) >= lo && col(statCol) <= hi)
@@ -941,13 +1000,16 @@ object SnapTable {
     }
     if (keep.isEmpty) {
       // provably-absent value: empty relation with the table's schema
-      val schema = spark.read.parquet(resolvePath(dir, info.files.head.rel)).schema
+      val schema = info.schema.map(schemaOf).getOrElse(
+        spark.read.parquet(resolvePath(dir, info.files.head.rel)).schema)
       return ScanPlan(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema),
         0, info.files.size)
     }
-    val df = spark.read.parquet(keep.map(e => resolvePath(dir, e.rel)): _*)
+    val reader = info.schema.map(sc => spark.read.schema(schemaOf(sc)))
+      .getOrElse(spark.read)
+    val df = reader.parquet(keep.map(e => resolvePath(dir, e.rel)): _*)
       .filter(col(bc).cast("long") === value)
     ScanPlan(df, keep.size, info.files.size)
   }

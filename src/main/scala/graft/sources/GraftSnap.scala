@@ -77,13 +77,20 @@ class GraftSnap extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    val plan = SnapTable.plan(spark, pathOf(options),
-      Option(options.get("version")).map(_.toInt).getOrElse(0))
-    require(plan.files.nonEmpty,
-      s"graft-snap: version ${plan.version} has no data files; declare " +
-        "a schema with .schema(...) to read it as an empty relation")
-    // one footer read — the snapshot's files share the commit schema
-    spark.read.parquet(plan.files.head.path).schema
+    val dir = pathOf(options)
+    val version = Option(options.get("version")).map(_.toInt).getOrElse(0)
+    // the manifest's recorded schema is authoritative (round 12): under
+    // add-column evolution the files do NOT share one physical schema,
+    // and sampling a pre-evolution footer would silently drop the added
+    // columns; it is also zero file opens
+    SnapTable.headerSchemaOf(spark, dir, version).getOrElse {
+      val plan = SnapTable.plan(spark, dir, version)
+      require(plan.files.nonEmpty,
+        s"graft-snap: version ${plan.version} has no data files; declare " +
+          "a schema with .schema(...) to read it as an empty relation")
+      // legacy manifest: one footer read — those files share one schema
+      spark.read.parquet(plan.files.head.path).schema
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -626,18 +633,27 @@ final class SnapFileReader(path: String, start: Long, length: Long,
         if (length == Long.MaxValue) Long.MaxValue else start + length)
       .build())
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  // required index -> field index in the PROJECTED group, or -1 for a
+  // column this file predates (add-column evolution): the projection
+  // holds only physically-present fields and the reader null-fills the
+  // rest — exactly what Spark's own parquet reader does under a
+  // declared schema
+  private val groupIdx = new Array[Int](required.length)
   private val projected: MessageType = {
-    val fields = required.fields.map { f =>
-      require(fileSchema.containsField(f.name),
-        s"graft-snap: column ${f.name} missing in $path")
-      val t = fileSchema.getType(fileSchema.getFieldIndex(f.name))
-      require(t.isPrimitive, s"graft-snap: nested column ${f.name} unsupported")
-      val prim = t.asPrimitiveType()
-      require(prim.getPrimitiveTypeName !=
-        PrimitiveType.PrimitiveTypeName.INT96,
-        "graft-snap: INT96 timestamps unsupported — write with " +
-          "spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS")
-      t
+    var next = 0
+    val fields = required.fields.zipWithIndex.flatMap { case (f, i) =>
+      if (!fileSchema.containsField(f.name)) { groupIdx(i) = -1; Nil }
+      else {
+        val t = fileSchema.getType(fileSchema.getFieldIndex(f.name))
+        require(t.isPrimitive, s"graft-snap: nested column ${f.name} unsupported")
+        val prim = t.asPrimitiveType()
+        require(prim.getPrimitiveTypeName !=
+          PrimitiveType.PrimitiveTypeName.INT96,
+          "graft-snap: INT96 timestamps unsupported — write with " +
+            "spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS")
+        groupIdx(i) = next; next += 1
+        Seq(t)
+      }
     }
     new MessageType(fileSchema.getName, fields: _*)
   }
@@ -651,11 +667,15 @@ final class SnapFileReader(path: String, start: Long, length: Long,
     while (leftInGroup == 0L) {
       val pages = reader.readNextRowGroup()
       if (pages == null) return false
-      recordReader = colIO.getRecordReader(
-        pages, new GroupRecordConverter(projected))
+      // a projection can be EMPTY when every required column postdates
+      // this file (evolution): rows still exist — count them from the
+      // row-group metadata and emit all-null rows with no record reader
+      recordReader =
+        if (projected.getFieldCount == 0) null
+        else colIO.getRecordReader(pages, new GroupRecordConverter(projected))
       leftInGroup = pages.getRowCount
     }
-    group = recordReader.read()
+    group = if (recordReader == null) null else recordReader.read()
     leftInGroup -= 1
     true
   }
@@ -664,17 +684,18 @@ final class SnapFileReader(path: String, start: Long, length: Long,
     val row = new GenericInternalRow(required.length)
     var i = 0
     while (i < required.length) {
-      if (group.getFieldRepetitionCount(i) == 0) row.setNullAt(i)
+      val g = groupIdx(i)
+      if (g < 0 || group.getFieldRepetitionCount(g) == 0) row.setNullAt(i)
       else required.fields(i).dataType match {
         case LongType | TimestampType | TimestampNTZType =>
-          row.setLong(i, group.getLong(i, 0))
-        case IntegerType | DateType => row.setInt(i, group.getInteger(i, 0))
-        case DoubleType  => row.setDouble(i, group.getDouble(i, 0))
-        case FloatType   => row.setFloat(i, group.getFloat(i, 0))
-        case BooleanType => row.setBoolean(i, group.getBoolean(i, 0))
+          row.setLong(i, group.getLong(g, 0))
+        case IntegerType | DateType => row.setInt(i, group.getInteger(g, 0))
+        case DoubleType  => row.setDouble(i, group.getDouble(g, 0))
+        case FloatType   => row.setFloat(i, group.getFloat(g, 0))
+        case BooleanType => row.setBoolean(i, group.getBoolean(g, 0))
         case StringType  =>
-          row.update(i, UTF8String.fromBytes(group.getBinary(i, 0).getBytes))
-        case BinaryType  => row.update(i, group.getBinary(i, 0).getBytes)
+          row.update(i, UTF8String.fromBytes(group.getBinary(g, 0).getBytes))
+        case BinaryType  => row.update(i, group.getBinary(g, 0).getBytes)
         case dt => throw new UnsupportedOperationException(
           s"graft-snap: unsupported read type $dt for ${required.fields(i).name}")
       }

@@ -515,4 +515,49 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.commit(spark, d, drifted) == 3)
     SnapTable.destroy(spark, d)
   }
+
+  test("add-column evolution: opt-in append, null-filled reads, guard rails") {
+    val d = s"$dir-evolve"
+    SnapTable.destroy(spark, d)
+    val base = li.select("l_orderkey", "l_quantity").limit(50)
+    SnapTable.commit(spark, d, base, statCols = Seq("l_orderkey"))
+    val evolved = li.select("l_orderkey", "l_quantity").limit(20)
+      .withColumn("l_tag", concat(lit("t"), col("l_orderkey")))
+    // evolution never happens by accident
+    intercept[IllegalArgumentException] {
+      SnapTable.commit(spark, d, evolved, append = true,
+        statCols = Seq("l_orderkey"))
+    }
+    // opted in: the append lands, the recorded schema becomes the new one
+    assert(SnapTable.commit(spark, d, evolved, append = true,
+      statCols = Seq("l_orderkey"), evolveSchema = true) == 2)
+    // library read: files older than the column null-fill it
+    val r = SnapTable.read(spark, d)
+    assert(r.schema.fieldNames.contains("l_tag"))
+    assert(r.filter(col("l_tag").isNull).count() == 50)
+    assert(r.filter(col("l_tag").isNotNull).count() == 20)
+    // time travel keeps each version's OWN schema
+    assert(!SnapTable.read(spark, d, 1).schema.fieldNames.contains("l_tag"))
+    // evolution may only ADD: dropping or retyping a committed column
+    // refuses even when opted in
+    val lost = intercept[IllegalArgumentException] {
+      SnapTable.commit(spark, d, li.select("l_orderkey").limit(5),
+        append = true, statCols = Seq("l_orderkey"), evolveSchema = true)
+    }
+    assert(lost.getMessage.contains("ADD"), lost.getMessage)
+    // the connector agrees: inferred schema comes from the manifest
+    // (not a sampled footer), old files null-fill, and a projection of
+    // ONLY the added column over pre-evolution files still counts rows
+    val src = spark.read.format("graft-snap").load(d)
+    assert(src.schema.fieldNames.contains("l_tag"))
+    assert(src.filter(col("l_tag").isNull).count() == 50)
+    assert(src.select("l_tag").count() == 70)
+    assert(src.select("l_tag").where(col("l_tag").isNotNull).count() == 20)
+    // copy-on-write over the evolved table preserves the full schema
+    val del = SnapTable.delete(spark, d, col("l_tag").isNotNull)
+    assert(del.rowsDeleted == 20)
+    val after = SnapTable.read(spark, d)
+    assert(after.schema.fieldNames.contains("l_tag") && after.count() == 50)
+    SnapTable.destroy(spark, d)
+  }
 }
