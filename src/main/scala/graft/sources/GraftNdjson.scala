@@ -149,6 +149,9 @@ final class NdjsonScanBuilder(full: StructType, opts: Map[String, String])
     * rows shipped = partitions, not lines. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (aggregation.groupByExpressions.nonEmpty) return false
+    // empty aggregate list (outer agg pruned a nested one to nothing):
+    // claiming it breaks the scan's column-count contract — decline
+    if (aggregation.aggregateExpressions.isEmpty) return false
     // permissive mode quarantines malformed lines as rows — the agg
     // fast path has no quarantine story, so it must not claim the push
     if (opts.get("mode").exists(_.equalsIgnoreCase("permissive"))) return false

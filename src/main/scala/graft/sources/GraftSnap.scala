@@ -244,6 +244,12 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
         .Aggregation): Boolean = {
     if (pushedFiltersAny || aggregation.groupByExpressions.nonEmpty)
       return false
+    // an EMPTY aggregate list arises when an outer aggregate prunes a
+    // nested one to nothing (e.g. count() over this source's own
+    // pushed-agg result): claiming it would make build() return the
+    // ordinary scan while Spark expects a zero-column agg row —
+    // "data source returns unexpected number of columns"
+    if (aggregation.aggregateExpressions.isEmpty) return false
     val plan =
       try SnapTable.plan(SparkSession.active,
         opts.getOrElse("path", return false),

@@ -351,6 +351,13 @@ class GraftSnapSpec extends AnyFunSuite {
     val truthNn = base.filter(col("l_linenumber").isNotNull).count()
     assert(truthNn < truthAll, "no nulls injected — COUNT(col) vacuous")
     val schema = spark.read.format("graft-snap").load(d).schema
+    // an OUTER count() over a pushed-agg result prunes the inner
+    // aggregate list to EMPTY — the builder must decline that push and
+    // fall back to a real scan (round-12 regression: "unexpected
+    // number of columns"); must run while the data files still exist
+    assert(spark.read.format("graft-snap").load(d)
+      .selectExpr("count(*) AS n_all", "min(l_orderkey) AS mn")
+      .count() == 1L)
     // burn the data files: only the manifest can answer now (the
     // declared schema keeps even inferSchema from opening a footer)
     import scala.jdk.CollectionConverters._

@@ -219,6 +219,11 @@ class NdjsonSourceSpec extends AnyFunSuite {
     assert(batchScan(av).pushedAggs.isEmpty)
     assert(av.collect().head.getDouble(0) ==
       viaBuiltin(scalarSchema).agg(avg(length(col("id")))).collect().head.getDouble(0))
+    // an OUTER aggregate over a pushed-agg result prunes the inner
+    // aggregate list to EMPTY — the builder must decline that push or
+    // the scan's column count breaks ("data source returns unexpected
+    // number of columns", round-12 regression via q158's smoke count)
+    assert(agg.count() == 1L)
   }
 
   test("reported statistics let Catalyst broadcast the small NDJSON side") {
