@@ -138,10 +138,21 @@ object SnapTable {
     * manifests — consumers must degrade, never guess). */
   private[graft] final case class PlanEntry(path: String,
       ranges: Map[String, (Long, Long)], bloomHex: Option[String],
-      nRows: Option[Long] = None, nonNull: Map[String, Long] = Map.empty)
+      nRows: Option[Long] = None, nonNull: Map[String, Long] = Map.empty,
+      sRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
   private[graft] final case class TablePlan(version: Int,
       statCols: Seq[String], bloom: Option[(String, Int)],
-      files: Seq[PlanEntry])
+      files: Seq[PlanEntry], sStatCols: Seq[String] = Nil)
+
+  private[graft] def hexBytes(h: String): Array[Byte] = {
+    val out = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
 
   /** The manifest as a PLANNING structure — what a scanner needs to
     * prune files before opening any (same driver-side planning class as
@@ -158,8 +169,11 @@ object SnapTable {
           .collect { case (c, Some(r)) => c -> r }.toMap,
         e.bloomHex, e.nRows,
         info.statCols.zip(e.nonNull)
-          .collect { case (c, Some(n)) => c -> n }.toMap)
-    })
+          .collect { case (c, Some(n)) => c -> n }.toMap,
+        info.sStatCols.zip(e.sRanges)
+          .collect { case (c, Some((lo, hi))) =>
+            c -> (hexBytes(lo), hexBytes(hi)) }.toMap)
+    }, info.sStatCols)
   }
 
   /** The two bloom bit positions for a probe value — computed through
@@ -191,7 +205,8 @@ object SnapTable {
 
   private final case class HeaderInfo(statCols: Seq[String],
                                       bloom: Option[(String, Int)],
-                                      schema: Option[String])
+                                      schema: Option[String],
+                                      sStatCols: Seq[String])
 
   /** Header-only manifest read: streams lines until the first non-`#`
     * line (headers lead by construction — writeCommit emits header ++
@@ -203,6 +218,7 @@ object SnapTable {
       var statCols: Seq[String] = Nil
       var bloom: Option[(String, Int)] = None
       var schema: Option[String] = None
+      var sStatCols: Seq[String] = Nil
       var line = br.readLine()
       while (line != null && line.startsWith("#")) {
         if (line.startsWith("#stats:"))
@@ -213,9 +229,11 @@ object SnapTable {
         }
         if (line.startsWith("#schema:"))
           schema = Some(line.stripPrefix("#schema:"))
+        if (line.startsWith("#sstats:"))
+          sStatCols = line.stripPrefix("#sstats:").split(",").toSeq
         line = br.readLine()
       }
-      HeaderInfo(statCols, bloom, schema)
+      HeaderInfo(statCols, bloom, schema, sStatCols)
     } finally br.close()
   }
 
@@ -270,6 +288,15 @@ object SnapTable {
     (h.statCols, h.bloom)
   }
 
+  /** Header-only `#sstats:` column list of a committed version. */
+  private[graft] def headerStrStats(spark: SparkSession, dir: String,
+                                    version: Int = 0): Seq[String] = {
+    val f = fs(spark, dir)
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    readHeader(f, dir, v).sStatCols
+  }
+
   /** METADATA TABLE — the manifest as a relation (the Iceberg `.files`
     * / Delta detail surface): one row per data file of `version`, with
     * the file's zone cells (`min_<col>`/`max_<col>`, NULL for the
@@ -303,18 +330,28 @@ object SnapTable {
       split(expr(field(2)), ",").as("_z"),
       expr(field(3)).as("_b"),
       longCell(field(4)).as("n_rows"),
-      split(expr(field(5)), ",").as("_nn"))
+      split(expr(field(5)), ",").as("_nn"),
+      split(expr(field(6)), ",").as("_sz"))
     val withStats = h.statCols.zipWithIndex.foldLeft(base) {
       case (df, (c, k)) =>
         df.withColumn(s"min_$c", longCell(s"try_element_at(_z, ${2 * k + 1})"))
           .withColumn(s"max_$c", longCell(s"try_element_at(_z, ${2 * k + 2})"))
           .withColumn(s"nonnull_$c", longCell(s"try_element_at(_nn, ${k + 1})"))
     }
-    withStats
+    // string zone BOUNDS (not values): smax may be the truncated
+    // successor of the file's true maximum (the Iceberg rule)
+    def strCell(cell: String) = expr(
+      s"try_cast(decode(unhex(nullif($cell, '-')), 'UTF-8') as string)")
+    val withSStats = h.sStatCols.zipWithIndex.foldLeft(withStats) {
+      case (df, (c, k)) =>
+        df.withColumn(s"smin_$c", strCell(s"try_element_at(_sz, ${2 * k + 1})"))
+          .withColumn(s"smax_$c", strCell(s"try_element_at(_sz, ${2 * k + 2})"))
+    }
+    withSStats
       .withColumn("has_bloom",
         lit(h.bloom.nonEmpty) && col("_b").isNotNull
           && col("_b").startsWith("B"))
-      .drop("_z", "_b", "_nn")
+      .drop("_z", "_b", "_nn", "_sz")
   }
 
   private def manifestLines(f: FileSystem, dir: String, v: Int): Seq[String] =
@@ -327,11 +364,13 @@ object SnapTable {
                                      bloomHex: Option[String],
                                      nRows: Option[Long],
                                      nonNull: Seq[Option[Long]],
+                                     sRanges: Seq[Option[(String, String)]],
                                      raw: String)
 
   private final case class ManifestInfo(statCols: Seq[String],
                                         bloom: Option[(String, Int)],
                                         schema: Option[String],
+                                        sStatCols: Seq[String],
                                         files: Seq[FileEntry])
 
   private def parseManifest(f: FileSystem, dir: String, v: Int): ManifestInfo = {
@@ -344,6 +383,8 @@ object SnapTable {
     }
     val schema = lines.find(_.startsWith("#schema:"))
       .map(_.stripPrefix("#schema:"))
+    val sStatCols = lines.find(_.startsWith("#sstats:"))
+      .map(_.stripPrefix("#sstats:").split(",").toSeq).getOrElse(Nil)
     val files = lines.filterNot(_.startsWith("#")).map { line =>
       val parts = line.split("\t", -1)
       val rel = parts(0)
@@ -369,9 +410,22 @@ object SnapTable {
           statCols.indices.map(k =>
             if (k < cs.length && cs(k).nonEmpty) Some(cs(k).toLong) else None)
         } else statCols.map(_ => None)
-      FileEntry(rel, cells, bh, n, nn, line)
+      // field 6 (round 12): STRING zone cells — hex-of-UTF-8 truncated
+      // bounds per #sstats column ("-" = unknown/all-null, never prune)
+      val sr =
+        if (parts.length > 5 && parts(5).nonEmpty) {
+          val cs = parts(5).split(",")
+          sStatCols.indices.map { k =>
+            if (2 * k + 1 >= cs.length) None
+            else {
+              val lo = cs(2 * k); val hi = cs(2 * k + 1)
+              if (lo == "-" || hi == "-") None else Some((lo, hi))
+            }
+          }
+        } else sStatCols.map(_ => None)
+      FileEntry(rel, cells, bh, n, nn, sr, line)
     }
-    ManifestInfo(statCols, bloom, schema, files)
+    ManifestInfo(statCols, bloom, schema, sStatCols, files)
   }
 
   // MANIFEST-EXEC-SIDE-BEGIN (SnapTableSpec pins this region collect-free)
@@ -390,7 +444,8 @@ object SnapTable {
   private def newFileLines(spark: SparkSession, genDir: String,
                            commitId: String, newNames: Seq[String],
                            statCols: Seq[String],
-                           bloom: Option[(String, Int)]): DataFrame = {
+                           bloom: Option[(String, Int)],
+                           strStatCols: Seq[String] = Nil): DataFrame = {
     def fileName = element_at(split(input_file_name(), "/"), -1)
     lazy val data = spark.read.parquet(genDir)
     // all-null stat values print as the unprunable "-,-" cell
@@ -403,6 +458,27 @@ object SnapTable {
     // numRows statistics, at zero extra scans for stats/bloom commits
     def nnCell(sc: Seq[String]) = concat_ws(",", sc.map(c =>
       coalesce(col(s"_nn_$c"), lit(0L)).cast("string")): _*)
+    // STRING zone cells (round 12, manifest field 6): hex-of-UTF-8
+    // TRUNCATED bounds, the Iceberg rule — the lower bound is min's
+    // 16-char prefix (a prefix is always <= the full string under
+    // binary collation), the upper bound is max itself when short,
+    // else max's 15-char prefix with the 16th char incremented (>
+    // max on the first differing position). chr() is mod-256, so the
+    // increment is only taken for ASCII 1..125 sixteenth chars; any
+    // other shape records the unprunable "-" instead of a wrong bound.
+    def sLoCell(c: String) = when(col(s"_smin_$c").isNull, lit("-"))
+      .otherwise(hex(encode(substring(col(s"_smin_$c"), 1, 16), "UTF-8")))
+    def sHiCell(c: String) = when(col(s"_smax_$c").isNull, lit("-"))
+      .when(length(col(s"_smax_$c")) <= 16,
+        hex(encode(col(s"_smax_$c"), "UTF-8")))
+      .when(expr(s"ascii(substring(_smax_$c, 16, 1)) BETWEEN 1 AND 125"),
+        hex(encode(concat(substring(col(s"_smax_$c"), 1, 15),
+          expr(s"chr(ascii(substring(_smax_$c, 16, 1)) + 1)")), "UTF-8")))
+      .otherwise(lit("-"))
+    def sZoneCell(ss: Seq[String]) = concat_ws(",",
+      ss.flatMap(c => Seq(sLoCell(c), sHiCell(c))): _*)
+    def sAggs(ss: Seq[String]): Seq[Column] = ss.flatMap(c =>
+      Seq(min(col(c)).as(s"_smin_$c"), max(col(c)).as(s"_smax_$c")))
     // word map -> one hex string per file, zeros for unset words — the
     // same f"%016x" layout the old driver loop built; an EMPTY map
     // (file with zero non-null bloom values) yields NULL: that file's
@@ -422,8 +498,8 @@ object SnapTable {
     // gone.
     val names = spark.createDataset(newNames)(
       org.apache.spark.sql.Encoders.STRING).toDF("_name")
-    val withCells: DataFrame = (statCols, bloom) match {
-      case (Nil, None) =>
+    val withCells: DataFrame = (statCols, strStatCols, bloom) match {
+      case (Nil, Nil, None) =>
         // a stats-free commit still records row counts — read each
         // file's count from its parquet FOOTER inside the names
         // relation itself: no data scan, and (measured, round 12) no
@@ -447,18 +523,24 @@ object SnapTable {
           .withColumn("_zone", lit(null).cast("string"))
           .withColumn("_bloom", lit(null).cast("string"))
           .withColumn("_nncell", lit(null).cast("string"))
-      case (sc, None) =>
-        val aggs = count(lit(1)).as("_n") +: sc.flatMap(c =>
+          .withColumn("_szone", lit(null).cast("string"))
+      case (sc, ss, None) =>
+        val aggs = count(lit(1)).as("_n") +: (sc.flatMap(c =>
           Seq(min(col(c).cast("long")).as(s"_min_$c"),
             max(col(c).cast("long")).as(s"_max_$c"),
-            count(col(c)).as(s"_nn_$c")))
+            count(col(c)).as(s"_nn_$c"))) ++ sAggs(ss))
         val z = data.groupBy(fileName.as("_name"))
           .agg(aggs.head, aggs.tail: _*)
-          .select(col("_name"), col("_n"), zoneCell(sc).as("_zone"),
-            nnCell(sc).as("_nncell"))
+          .select(col("_name"), col("_n"),
+            (if (sc.isEmpty) lit(null).cast("string") else zoneCell(sc))
+              .as("_zone"),
+            (if (sc.isEmpty) lit(null).cast("string") else nnCell(sc))
+              .as("_nncell"),
+            (if (ss.isEmpty) lit(null).cast("string") else sZoneCell(ss))
+              .as("_szone"))
         names.join(broadcast(z), Seq("_name"), "left")
           .withColumn("_bloom", lit(null).cast("string"))
-      case (sc, Some((bc, m))) =>
+      case (sc, ss, Some((bc, m))) =>
         require(m % 64 == 0 && m > 0,
           s"bloom bits must be a multiple of 64, got $m")
         // ONE scan for zone cells AND bloom bitmaps (the r11 perf
@@ -481,12 +563,16 @@ object SnapTable {
           bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"))
             .as("bits") +:
           (sum(col("_w2")).as("_n2") +:
-          sc.flatMap(c => Seq(min(col(s"_v_$c")).as(s"_min_$c"),
+          (sc.flatMap(c => Seq(min(col(s"_v_$c")).as(s"_min_$c"),
             max(col(s"_v_$c")).as(s"_max_$c"),
             sum(when(col(s"_v_$c").isNotNull, col("_w2"))
-              .otherwise(lit(0L))).as(s"_nn2_$c"))))
+              .otherwise(lit(0L))).as(s"_nn2_$c"))) ++
+          // string bounds are duplication-immune min/max, same as long
+          ss.flatMap(c => Seq(min(col(s"_sv_$c")).as(s"_smin_$c"),
+            max(col(s"_sv_$c")).as(s"_smax_$c")))))
         val l1 = data.select(fileName.as("_name") +: w2.as("_w2") +:
-            sc.map(c => col(c).cast("long").as(s"_v_$c")) :+ pos.as("p"): _*)
+            (sc.map(c => col(c).cast("long").as(s"_v_$c")) ++
+             ss.map(c => col(c).as(s"_sv_$c"))) :+ pos.as("p"): _*)
           .groupBy(col("_name"),
             when(col("p").isNotNull, (col("p") / 64).cast("int")).as("w"))
           .agg(l1aggs.head, l1aggs.tail: _*)
@@ -495,9 +581,11 @@ object SnapTable {
             when(col("w").isNotNull, struct(col("w"), col("bits")))))
             .as("_wm") +:
           (sum(col("_n2")).as("_n2s") +:
-          sc.flatMap(c => Seq(min(col(s"_min_$c")).as(s"_min_$c"),
+          (sc.flatMap(c => Seq(min(col(s"_min_$c")).as(s"_min_$c"),
             max(col(s"_max_$c")).as(s"_max_$c"),
-            sum(col(s"_nn2_$c")).as(s"_nn2s_$c"))))
+            sum(col(s"_nn2_$c")).as(s"_nn2s_$c"))) ++
+          ss.flatMap(c => Seq(min(col(s"_smin_$c")).as(s"_smin_$c"),
+            max(col(s"_smax_$c")).as(s"_smax_$c")))))
         val cells = l1.groupBy("_name").agg(l2aggs.head, l2aggs.tail: _*)
           .select(col("_name"),
             (if (sc.isEmpty) lit(null).cast("string") else zoneCell(sc))
@@ -507,7 +595,9 @@ object SnapTable {
             (if (sc.isEmpty) lit(null).cast("string")
              else concat_ws(",", sc.map(c =>
                shiftright(col(s"_nn2s_$c"), 1).cast("string")): _*))
-              .as("_nncell"))
+              .as("_nncell"),
+            (if (ss.isEmpty) lit(null).cast("string") else sZoneCell(ss))
+              .as("_szone"))
         names.join(broadcast(cells), Seq("_name"), "left")
     }
     val rel = concat(lit(s"data/$commitId/"), col("_name"))
@@ -516,12 +606,16 @@ object SnapTable {
     // real data — a zero-row part file (missed by the left join) records
     // n=0 and 0 non-nulls, which is its true content
     val zeroNn = statCols.map(_ => "0").mkString(",")
+    val dashSz = strStatCols.map(_ => "-,-").mkString(",")
     val fields = Seq(rel,
       coalesce(col("_zone"), lit("")),
       coalesce(concat(lit("B"), col("_bloom")), lit("")),
       coalesce(col("_n"), lit(0L)).cast("string")) ++
-      (if (statCols.isEmpty) Nil
-       else Seq(coalesce(col("_nncell"), lit(zeroNn))))
+      (if (statCols.isEmpty && strStatCols.isEmpty) Nil
+       else Seq(if (statCols.isEmpty) lit("")
+                else coalesce(col("_nncell"), lit(zeroNn)))) ++
+      (if (strStatCols.isEmpty) Nil
+       else Seq(coalesce(col("_szone"), lit(dashSz))))
     val line = concat_ws("\t", fields: _*)
     withCells.select(concat(lit("2"), col("_name")).as("k"), line.as("line"))
   }
@@ -538,7 +632,8 @@ object SnapTable {
   private def writeCommit(spark: SparkSession, dir: String, df: DataFrame,
                           carried: DataFrame, statCols: Seq[String],
                           bloom: Option[(String, Int)],
-                          meta: Map[String, String]): (Int, Int) = {
+                          meta: Map[String, String],
+                          strStatCols: Seq[String] = Nil): (Int, Int) = {
     val f = fs(spark, dir)
     val prev = latestVersion(spark, dir)
     val v = prev + 1
@@ -553,6 +648,8 @@ object SnapTable {
       (if (statCols.nonEmpty) Seq(s"#stats:${statCols.mkString(",")}") else Nil) ++
         bloom.map { case (c, m) => s"#bloom:$c:$m" }.toSeq ++
         Seq(s"#schema:${schemaFingerprint(df.schema)}") ++
+        (if (strStatCols.nonEmpty)
+           Seq(s"#sstats:${strStatCols.mkString(",")}") else Nil) ++
         meta.toSeq.sortBy(_._1).map { case (k, vl) => s"#meta:$k=$vl" }
     val headerDf = spark.createDataset(
       header.zipWithIndex.map { case (l, i) => (f"0$i%09d", l) })(
@@ -561,7 +658,8 @@ object SnapTable {
         org.apache.spark.sql.Encoders.STRING)).toDF("k", "line")
     val body = headerDf
       .union(carried)
-      .union(newFileLines(spark, genDir, commitId, newNames, statCols, bloom))
+      .union(newFileLines(spark, genDir, commitId, newNames, statCols,
+        bloom, strStatCols))
     val manifest = manifestPath(dir, v)
     if (f.exists(manifest)) throw new CommitConflictException(v)
     // ONE task streams the ordered lines straight to a temp file on the
@@ -662,7 +760,8 @@ object SnapTable {
              append: Boolean = false, statCols: Seq[String] = Nil,
              meta: Map[String, String] = Map.empty,
              bloomCol: String = null, bloomBits: Int = 65536,
-             evolveSchema: Boolean = false): Int = {
+             evolveSchema: Boolean = false,
+             strStatCols: Seq[String] = Nil): Int = {
     val f = fs(spark, dir)
     val prev = latestVersion(spark, dir)
     val bloom = Option(bloomCol).map(c => (c, bloomBits))
@@ -679,6 +778,9 @@ object SnapTable {
           s"append stat columns must match the extended manifest (${h.statCols})")
         require(h.bloom == bloom,
           s"append bloom config must match the extended manifest (${h.bloom})")
+        require(h.sStatCols == strStatCols,
+          "append string-stat columns must match the extended manifest " +
+            s"(${h.sStatCols})")
         // SCHEMA PIN (round 12): an append with drifted columns/types
         // would silently corrupt every later read — reject it loudly.
         // `evolveSchema = true` is the declared ADD-COLUMN evolution:
@@ -708,7 +810,8 @@ object SnapTable {
             lpad(monotonically_increasing_id().cast("string"), 12, "0"))
             .as("k"), col("value").as("line"))
       } else carriedDf(spark, Nil)
-    writeCommit(spark, dir, df, carried, statCols, bloom, meta)._1
+    writeCommit(spark, dir, df, carried, statCols, bloom, meta,
+      strStatCols)._1
   }
 
   /** ROW-LEVEL DELETE as file-granular copy-on-write: drop every row of
@@ -749,7 +852,7 @@ object SnapTable {
     if (deleted == 0L) return DeleteResult(v, 0L, 0, info.files.size)
     val (nv, _) = writeCommit(spark, dir, candDf.filter(!cond),
       carriedDf(spark, untouched.map(_.raw)), info.statCols, info.bloom,
-      Map("deleteFrom" -> v.toString))
+      Map("deleteFrom" -> v.toString), info.sStatCols)
     DeleteResult(nv, deleted, cand.size, info.files.size)
   }
 
@@ -800,7 +903,7 @@ object SnapTable {
     }: _*)
     val (nv, _) = writeCommit(spark, dir, applied,
       carriedDf(spark, untouched.map(_.raw)), info.statCols, info.bloom,
-      Map("updateFrom" -> v.toString))
+      Map("updateFrom" -> v.toString), info.sStatCols)
     DeleteResult(nv, updated, cand.size, info.files.size)
   }
 
@@ -833,6 +936,8 @@ object SnapTable {
        else Nil) ++
         info.bloom.map { case (c, m) => s"#bloom:$c:$m" }.toSeq ++
         info.schema.map(s => s"#schema:$s").toSeq ++
+        (if (info.sStatCols.nonEmpty)
+           Seq(s"#sstats:${info.sStatCols.mkString(",")}") else Nil) ++
         Seq(s"#meta:clonedFrom=$srcDir@v$v")
     val df = fs(spark, dstDir)
     val manifest = manifestPath(dstDir, 1)
@@ -930,7 +1035,7 @@ object SnapTable {
     }
     writeCommit(spark, dir, laidOut, carriedDf(spark, Nil),
       info.statCols, info.bloom,
-      Map("compactedFrom" -> v.toString))._1
+      Map("compactedFrom" -> v.toString), info.sStatCols)._1
   }
 
   /** Read a snapshot (default: latest). The scan is exactly the

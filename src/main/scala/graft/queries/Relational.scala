@@ -5005,6 +5005,57 @@ object Relational {
         "q158: the aggregate did not take the metadata-only path")
       agg.select(col("mn"), col("mx"), col("n_all"), col("n_nn"),
         lit(tookMetaPath).as("metadata_only"))
+    }),
+
+    // Q159 STRING ZONE MAPS (round 12) — file pruning for the
+    // predicates a text corpus actually filters by (source, domain,
+    // URL prefix): `#sstats:` manifest cells record hex-of-UTF-8
+    // TRUNCATED string bounds per file (lower = min's 16-char prefix —
+    // a prefix is always <= the string under binary collation; upper =
+    // max itself when short, else its 15-char prefix with the 16th
+    // char incremented — the Iceberg truncate-and-increment rule), and
+    // the graft-snap connector prunes =, range, IN, and startsWith
+    // predicates against them at PLANNING time with unsigned-UTF-8-
+    // byte comparisons (UTF8String's own ordering — Java
+    // String.compareTo would diverge on supplementary characters).
+    // A range layout on source makes equality pruning geometrically
+    // certain at gate scale; the in-query require pins that files were
+    // REALLY skipped (vacuously true only for a degenerate one-file
+    // layout), and every published aggregate recomputes in the oracle
+    // from raw rows, so the pruned scans are hash-checked for
+    // exactness. At 100 TB: "WHERE url LIKE 'https://en.wiki%'" opens
+    // the files that can match, not the corpus.
+    "q159_strzone" -> ((s, d) => {
+      val dir = "target/graft-strzone/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      graft.operators.SnapTable.commit(s, dir,
+        docs.repartitionByRange(8, col("source"), col("doc_id")),
+        strStatCols = Seq("source"))
+      def scanOf(df: DataFrame): graft.sources.SnapScan = {
+        df.queryExecution.executedPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.scan.asInstanceOf[graft.sources.SnapScan]
+        }.getOrElse(sys.error("q159: no BatchScanExec in the plan"))
+      }
+      val eq = s.read.format("graft-snap").load(dir)
+        .filter(col("source") === "src3")
+      eq.collect()
+      val se = scanOf(eq)
+      require(se.survivors.size < se.total || se.total == 1,
+        s"q159 string equality pruned nothing (${se.survivors.size}/${se.total})")
+      val pre = s.read.format("graft-snap").load(dir)
+        .filter(col("source").startsWith("src1"))
+      pre.collect()
+      val sp = scanOf(pre)
+      require(sp.survivors.size < sp.total || sp.total == 1,
+        s"q159 prefix pruned nothing (${sp.survivors.size}/${sp.total})")
+      eq.agg(count(lit(1)).as("n_eq"), sum(col("n_tok")).as("tok_eq"))
+        .crossJoin(pre.agg(count(lit(1)).as("n_pref"),
+          sum(col("n_tok")).as("tok_pref")))
+        .select(col("n_eq"), col("tok_eq"), col("n_pref"), col("tok_pref"),
+          lit(true).as("pruned"))
     })
   )
 
@@ -8011,6 +8062,19 @@ object Relational {
         |       COUNT(CASE WHEN l_orderkey % 7 <> 0
         |                  THEN l_linenumber END) AS n_nn,
         |       TRUE AS metadata_only
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    // q159: the pruned scans' aggregates recomputed from raw rows;
+    // `pruned` is the Spark side's in-query plan assertion
+    "q159_strzone" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM documents WHERE source = 'src3') AS n_eq,
+        |  (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |     FROM documents WHERE source = 'src3') AS tok_eq,
+        |  (SELECT COUNT(*) FROM documents
+        |     WHERE source LIKE 'src1%') AS n_pref,
+        |  (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |     FROM documents WHERE source LIKE 'src1%') AS tok_pref,
+        |  TRUE AS pruned""".stripMargin
   )
 }

@@ -158,10 +158,19 @@ final class SnapScanTable(declared: StructType, props: Map[String, String])
               val bloom = opts.get("bloomcol").map(c =>
                   (c, opts.get("bloombits").map(_.toInt).getOrElse(65536)))
                 .orElse(fromHeader.flatMap(_._2))
+              // string-stat declaration: explicit option, else (append)
+              // inherited from the extended manifest's own header
+              val strStats = opts.get("strstatcols")
+                .map(_.split(",").toSeq.filter(_.nonEmpty))
+                .getOrElse(
+                  if (append && SnapTable.latestVersion(spark, dir) > 0)
+                    SnapTable.headerStrStats(spark, dir)
+                  else Nil)
               SnapTable.commit(spark, dir, data, append = append,
                 statCols = statCols,
                 bloomCol = bloom.map(_._1).orNull,
-                bloomBits = bloom.map(_._2).getOrElse(65536))
+                bloomBits = bloom.map(_._2).getOrElse(65536),
+                strStatCols = strStats)
               ()
             }
         }
@@ -186,7 +195,8 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
   private var metaAgg: Seq[SnapAgg] = Nil
 
   /** A filter participates in file pruning when every referenced column
-    * is integer-typed (the manifest's zone cells are LONG) — the
+    * is integer-typed (the manifest's zone cells are LONG) or
+    * string-typed (round-12 `#sstats:` truncated string bounds) — the
     * evaluator itself decides per file what it can conclude. */
   private def integerCol(name: String): Boolean =
     full.fields.exists(f => f.name == name && (f.dataType match {
@@ -194,13 +204,29 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
       case _ => false
     }))
 
+  private def stringCol(name: String): Boolean =
+    full.fields.exists(f => f.name == name && f.dataType == StringType)
+
+  private def str(v: Any): Boolean = v.isInstanceOf[String]
+
   private def usable(f: Filter): Boolean = f match {
-    case EqualTo(a, v)            => integerCol(a) && integral(v)
-    case GreaterThan(a, v)        => integerCol(a) && integral(v)
-    case GreaterThanOrEqual(a, v) => integerCol(a) && integral(v)
-    case LessThan(a, v)           => integerCol(a) && integral(v)
-    case LessThanOrEqual(a, v)    => integerCol(a) && integral(v)
-    case In(a, vs)                => integerCol(a) && vs.forall(integral)
+    case EqualTo(a, v) =>
+      (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
+    case GreaterThan(a, v) =>
+      (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
+    case GreaterThanOrEqual(a, v) =>
+      (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
+    case LessThan(a, v) =>
+      (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
+    case LessThanOrEqual(a, v) =>
+      (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
+    case In(a, vs) =>
+      (integerCol(a) && vs.forall(integral)) ||
+        (stringCol(a) && vs.forall(str))
+    case StringStartsWith(a, _)   => stringCol(a)
+    // NULL-membership prunes off the round-12 per-file counts (any
+    // column type — the evaluator needs only the counts, not values)
+    case IsNull(_) | IsNotNull(_) => true
     case And(l, r)                => usable(l) && usable(r)
     case Or(l, r)                 => usable(l) && usable(r)
     case _                        => false
@@ -420,8 +446,40 @@ final class SnapScan(full: StructType, required: StructType,
       case l: Long => l; case i: Int => i.toLong
       case s: Short => s.toLong; case b: Byte => b.toLong
     }
+    // STRING bounds compare as unsigned UTF-8 bytes — exactly
+    // UTF8String's binary ordering, which is what the truncated
+    // manifest cells were derived under (Java String.compareTo orders
+    // UTF-16 units and DIVERGES for supplementary characters)
+    def sBytes(v: Any): Array[Byte] =
+      v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def cmpB(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    // smallest byte string strictly greater than every string with
+    // prefix p: increment the last non-0xFF byte and truncate; all-0xFF
+    // has no successor (None = no upper constraint)
+    def succB(p: Array[Byte]): Option[Array[Byte]] = {
+      var i = p.length - 1
+      while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+      if (i < 0) None
+      else {
+        val out = java.util.Arrays.copyOf(p, i + 1)
+        out(i) = (out(i) + 1).toByte
+        Some(out)
+      }
+    }
     // tri-state "this file CAN contain a matching row": unknown → true
     def canMatch(e: SnapTable.PlanEntry, f: Filter): Boolean = f match {
+      case EqualTo(a, v: String) =>
+        e.sRanges.get(a).forall { case (lo, hi) =>
+          val b = sBytes(v); cmpB(lo, b) <= 0 && cmpB(b, hi) <= 0
+        }
       case EqualTo(a, v) =>
         val value = long(v)
         val zoneOk = e.ranges.get(a) match {
@@ -438,20 +496,56 @@ final class SnapScan(full: StructType, required: StructType,
           case _ => true
         }
         zoneOk && bloomOk
+      case GreaterThan(a, v: String) =>
+        e.sRanges.get(a).forall { case (_, hi) => cmpB(hi, sBytes(v)) > 0 }
       case GreaterThan(a, v) =>
         e.ranges.get(a).forall { case (_, mx) => mx > long(v) }
+      case GreaterThanOrEqual(a, v: String) =>
+        e.sRanges.get(a).forall { case (_, hi) => cmpB(hi, sBytes(v)) >= 0 }
       case GreaterThanOrEqual(a, v) =>
         e.ranges.get(a).forall { case (_, mx) => mx >= long(v) }
+      case LessThan(a, v: String) =>
+        e.sRanges.get(a).forall { case (lo, _) => cmpB(lo, sBytes(v)) < 0 }
       case LessThan(a, v) =>
         e.ranges.get(a).forall { case (mn, _) => mn < long(v) }
+      case LessThanOrEqual(a, v: String) =>
+        e.sRanges.get(a).forall { case (lo, _) => cmpB(lo, sBytes(v)) <= 0 }
       case LessThanOrEqual(a, v) =>
         e.ranges.get(a).forall { case (mn, _) => mn <= long(v) }
+      // a string with prefix p lies in [p, succ(p)): the file can hold
+      // one iff its [lo, hi] intersects that range (conservative under
+      // the cells' own truncation — lo <= trueMin, hi >= trueMax)
+      case StringStartsWith(a, pfx) =>
+        e.sRanges.get(a).forall { case (lo, hi) =>
+          val p = sBytes(pfx)
+          cmpB(hi, p) >= 0 && succB(p).forall(sp => cmpB(lo, sp) < 0)
+        }
       case In(a, vs)  => vs.exists(v => canMatch(e, EqualTo(a, v)))
+      // NULL-membership from the per-file counts (round 12): a file
+      // whose non-null count for a STAT column equals its row count
+      // holds no NULLs there; one whose non-null count is 0 holds
+      // nothing BUT NULLs. Absent counts (legacy lines, non-stat
+      // columns) → unknown → never prune.
+      case IsNull(a) =>
+        (e.nRows, e.nonNull.get(a)) match {
+          case (Some(n), Some(nn)) => nn < n
+          case _                   => true
+        }
+      case IsNotNull(a) =>
+        e.nonNull.get(a) match {
+          case Some(nn) => nn > 0
+          // a zero-row file can't match ANY predicate; recorded row
+          // count 0 prunes even without a per-column non-null count
+          case None     => !e.nRows.contains(0L)
+        }
       case And(l, r)  => canMatch(e, l) && canMatch(e, r)
       case Or(l, r)   => canMatch(e, l) || canMatch(e, r)
       case _          => true
     }
-    val keep = plan.files.filter(e => prunable.forall(f => canMatch(e, f)))
+    // a file whose recorded row count is 0 can contribute nothing to
+    // ANY scan — dropped unconditionally (results can never change)
+    val keep = plan.files.filter(e =>
+      !e.nRows.contains(0L) && prunable.forall(f => canMatch(e, f)))
     (keep, plan.files.size)
   }
 

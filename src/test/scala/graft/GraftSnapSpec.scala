@@ -399,6 +399,95 @@ class GraftSnapSpec extends AnyFunSuite {
     SnapTable.destroy(spark, d)
   }
 
+  test("null-membership pruning off the per-file counts; results exact") {
+    // round-12: a file whose non-null count equals its row count holds
+    // no NULLs (IS NULL prunes it); one whose non-null count is 0
+    // holds nothing but NULLs (IS NOT NULL prunes it). The layout
+    // separates null-bearing rows into their own file so both
+    // directions genuinely prune.
+    val d = "target/graft-snap-nulls"
+    SnapTable.destroy(spark, d)
+    val rows = Tables(spark, TestSpark.Sf, "lineitem")
+      .select("l_orderkey", "l_quantity").limit(300)
+      .withColumn("l_ln", when(col("l_orderkey") % 3 === 0,
+        lit(null).cast("long")).otherwise(col("l_orderkey")))
+    SnapTable.commit(spark, d, rows.repartition(3, col("l_ln").isNull),
+      statCols = Seq("l_ln"))
+    val nNull = rows.filter(col("l_ln").isNull).count()
+    val nVal = rows.filter(col("l_ln").isNotNull).count()
+    assert(nNull > 0 && nVal > 0, "both null classes must be populated")
+
+    val isNullDf = spark.read.format("graft-snap").load(d)
+      .filter(col("l_ln").isNull)
+    val s1 = snapScan(isNullDf)
+    assert(s1.survivors.size < s1.total,
+      s"IS NULL pruned nothing (${s1.survivors.size}/${s1.total})")
+    assert(isNullDf.count() == nNull)
+
+    val notNullDf = spark.read.format("graft-snap").load(d)
+      .filter(col("l_ln").isNotNull)
+    val s2 = snapScan(notNullDf)
+    assert(s2.survivors.size < s2.total,
+      s"IS NOT NULL pruned nothing (${s2.survivors.size}/${s2.total})")
+    assert(notNullDf.count() == nVal)
+    SnapTable.destroy(spark, d)
+  }
+
+  test("string zone maps: equality/range/prefix pruning, truncated bounds exact") {
+    // round-12 `#sstats:` cells — hex-of-UTF-8 truncated bounds (lower =
+    // min's 16-char prefix; upper = max or its incremented 15+1-char
+    // prefix, the Iceberg rule). The url column's values exceed 16
+    // chars, so the truncation path is genuinely exercised; every
+    // pruned read must equal the unpruned read filtered post-hoc.
+    val d = "target/graft-snap-strzone"
+    SnapTable.destroy(spark, d)
+    val docs = Tables(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(col("source"), lit("/prefix-path-that-is-long/"),
+          col("doc_id")).as("url"))
+    SnapTable.commit(spark, d,
+      docs.repartitionByRange(4, col("source"), col("doc_id")),
+      strStatCols = Seq("source", "url"))
+
+    def pruned(f: org.apache.spark.sql.Column) = {
+      val df = spark.read.format("graft-snap").load(d).filter(f)
+      (df, snapScan(df))
+    }
+    // equality
+    val (eq, s1) = pruned(col("source") === "src3")
+    assert(s1.survivors.size < s1.total,
+      s"string equality pruned nothing (${s1.survivors.size}/${s1.total})")
+    assert(eq.count() == docs.filter(col("source") === "src3").count())
+    // range
+    val (rng, s2) = pruned(col("source") < "src1")
+    assert(s2.survivors.size < s2.total, "string range pruned nothing")
+    assert(rng.count() == docs.filter(col("source") < "src1").count())
+    // prefix over the TRUNCATED url bounds
+    val (pre, s3) = pruned(col("url").startsWith("src0/"))
+    assert(s3.survivors.size < s3.total, "prefix pruned nothing")
+    assert(pre.count() ==
+      docs.filter(col("url").startsWith("src0/")).count())
+    // absent prefix: conservative, still exact (zero rows)
+    val (miss, _) = pruned(col("source").startsWith("zzz"))
+    assert(miss.count() == 0L)
+    // filesMeta decodes the bounds; lower <= upper per file
+    val fm = SnapTable.filesMeta(spark, d).collect()
+    assert(fm.forall(r => !r.isNullAt(r.fieldIndex("smin_source"))))
+    assert(fm.forall { r =>
+      r.getString(r.fieldIndex("smin_url")) <=
+        r.getString(r.fieldIndex("smax_url"))
+    })
+    // the DML path preserves the declaration (delete rewrites files)
+    val del = SnapTable.delete(spark, d, col("doc_id") % 17 === 0)
+    assert(del.rowsDeleted > 0)
+    val (eq2, s4) = pruned(col("source") === "src3")
+    assert(s4.survivors.size < s4.total,
+      "string pruning lost after a copy-on-write delete")
+    assert(eq2.count() == docs.filter(col("source") === "src3")
+      .filter(col("doc_id") % 17 =!= 0).count())
+    SnapTable.destroy(spark, d)
+  }
+
   test("post-pruning statistics report the EXACT row count") {
     fixture()
     val scan = snapScan(spark.read.format("graft-snap").load(dir)
