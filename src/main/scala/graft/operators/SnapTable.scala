@@ -203,10 +203,19 @@ object SnapTable {
     if (f.exists(latestPath(dir))) readSmall(f, latestPath(dir)).trim.toInt else 0
   }
 
-  private final case class HeaderInfo(statCols: Seq[String],
-                                      bloom: Option[(String, Int)],
-                                      schema: Option[String],
-                                      sStatCols: Seq[String])
+  /** Header fields of one manifest. `counts = true` (the round-13
+    * `#counts:full` line) asserts EVERY file line of this manifest
+    * records its row count and per-stat-col non-null counts — the
+    * header-only availability check that lets the connector claim
+    * metadata-only COUNT pushdown without parsing O(files) lines
+    * (each potentially carrying a 16 KiB bloom hex cell). */
+  private[graft] final case class HeaderInfo(statCols: Seq[String],
+                                             bloom: Option[(String, Int)],
+                                             schema: Option[String],
+                                             sStatCols: Seq[String],
+                                             counts: Boolean,
+                                             metaKv: Map[String, String] =
+                                               Map.empty)
 
   /** Header-only manifest read: streams lines until the first non-`#`
     * line (headers lead by construction — writeCommit emits header ++
@@ -219,6 +228,8 @@ object SnapTable {
       var bloom: Option[(String, Int)] = None
       var schema: Option[String] = None
       var sStatCols: Seq[String] = Nil
+      var counts = false
+      var metaKv = Map.empty[String, String]
       var line = br.readLine()
       while (line != null && line.startsWith("#")) {
         if (line.startsWith("#stats:"))
@@ -231,20 +242,50 @@ object SnapTable {
           schema = Some(line.stripPrefix("#schema:"))
         if (line.startsWith("#sstats:"))
           sStatCols = line.stripPrefix("#sstats:").split(",").toSeq
+        if (line == "#counts:full") counts = true
+        if (line.startsWith("#meta:"))
+          line.stripPrefix("#meta:").split("=", 2) match {
+            case Array(k, vl) => metaKv += (k -> vl)
+            case _            => ()
+          }
         line = br.readLine()
       }
-      HeaderInfo(statCols, bloom, schema, sStatCols)
+      HeaderInfo(statCols, bloom, schema, sStatCols, counts, metaKv)
     } finally br.close()
+  }
+
+  /** The full header of a committed version — the connector's O(1)
+    * planning surface (stat columns, bloom config, string-stat columns,
+    * schema pin, count availability) with zero file-line parsing. */
+  private[graft] def header(spark: SparkSession, dir: String,
+                            version: Int = 0): HeaderInfo = {
+    val f = fs(spark, dir)
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    readHeader(f, dir, v)
   }
 
   /** Canonical schema fingerprint recorded in the `#schema:` header:
     * name:type per column, order-sensitive, nullability-insensitive
     * (relaxing/tightening nullability never corrupts readers; a changed
-    * name, type, or column order does). */
+    * name, type, or column order does). Column names containing the
+    * fingerprint's own separators are REJECTED at commit time (round-13
+    * advice): ':' or ';' anywhere in a field (including nested struct
+    * field names, which catalogString prints unquoted) would write a
+    * `#schema:` header that misparses on every later read/append —
+    * loud now beats corrupt forever. */
   private def schemaFingerprint(schema: org.apache.spark.sql.types.StructType)
       : String =
-    schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
-      .mkString(";")
+    schema.fields.map { f =>
+      require(!f.name.contains(':') && !f.name.contains(';'),
+        s"column name '${f.name}' contains ':' or ';' — the #schema " +
+          "fingerprint separators; rename the column to commit it")
+      val typ = f.dataType.catalogString
+      require(!typ.contains(';'),
+        s"column '${f.name}' type $typ contains ';' (a nested field " +
+          "name?) — the #schema fingerprint separator; rename it")
+      s"${f.name}:$typ"
+    }.mkString(";")
 
   /** (name, catalogString-type) pairs of a recorded fingerprint. The
     * split is on the FIRST ':' per field — catalogString types
@@ -366,6 +407,12 @@ object SnapTable {
                                      nonNull: Seq[Option[Long]],
                                      sRanges: Seq[Option[(String, String)]],
                                      raw: String)
+
+  /** Do these (already-parsed) lines all record row + non-null counts?
+    * Drives `#counts:full` propagation through DML rewrites and clones
+    * — exact, since the caller holds the parsed entries anyway. */
+  private def linesCounted(files: Seq[FileEntry]): Boolean =
+    files.forall(e => e.nRows.isDefined && e.nonNull.forall(_.isDefined))
 
   private final case class ManifestInfo(statCols: Seq[String],
                                         bloom: Option[(String, Int)],
@@ -559,19 +606,24 @@ object SnapTable {
         // n = sum(_w2) >> 1 and nonnull_c = sum(_w2 | _v_c set) >> 1,
         // exact integers (min/max stay duplication-immune as before)
         val w2 = when(col(bc).isNotNull, lit(1L)).otherwise(lit(2L))
+        // non-null counts come from the RAW column's null flag, not the
+        // long-cast value (round-13 advice: a stat value whose cast
+        // nulls out must still count as non-null, exactly as the
+        // no-bloom branch's count(col(c)) does)
         val l1aggs =
           bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"))
             .as("bits") +:
           (sum(col("_w2")).as("_n2") +:
           (sc.flatMap(c => Seq(min(col(s"_v_$c")).as(s"_min_$c"),
             max(col(s"_v_$c")).as(s"_max_$c"),
-            sum(when(col(s"_v_$c").isNotNull, col("_w2"))
+            sum(when(col(s"_p_$c"), col("_w2"))
               .otherwise(lit(0L))).as(s"_nn2_$c"))) ++
           // string bounds are duplication-immune min/max, same as long
           ss.flatMap(c => Seq(min(col(s"_sv_$c")).as(s"_smin_$c"),
             max(col(s"_sv_$c")).as(s"_smax_$c")))))
         val l1 = data.select(fileName.as("_name") +: w2.as("_w2") +:
-            (sc.map(c => col(c).cast("long").as(s"_v_$c")) ++
+            (sc.flatMap(c => Seq(col(c).cast("long").as(s"_v_$c"),
+              col(c).isNotNull.as(s"_p_$c"))) ++
              ss.map(c => col(c).as(s"_sv_$c"))) :+ pos.as("p"): _*)
           .groupBy(col("_name"),
             when(col("p").isNotNull, (col("p") / 64).cast("int")).as("w"))
@@ -621,47 +673,106 @@ object SnapTable {
   }
   // MANIFEST-EXEC-SIDE-END
 
+  /** Test seam for the commit-retry spec: invoked once, between the
+    * first latestVersion read and the first claim attempt — the window
+    * a racing committer exploits. No-op in production. */
+  private[graft] var commitRaceTestHook: () => Unit = () => ()
+
   /** Write `df` as a new commit whose manifest = header + `carried`
     * (verbatim lines of surviving prior files, as a (k, line) relation)
     * + the new files' lines. The whole manifest body is assembled and
-    * written by ONE Spark task (repartition(1) + in-partition sort on
-    * k), so no per-file metadata ever lands in driver memory; the
-    * driver then claims the version slot by renaming the single part
-    * file — the same rename-CAS as before (rename onto an existing
-    * path fails, so exactly one of two racing committers wins). */
+    * written by ONE Spark task (coalesce(1) + in-partition sort on k),
+    * so no per-file metadata ever lands in driver memory; the driver
+    * then claims the version slot (exclusive-create CAS) and renames
+    * the single part file in.
+    *
+    * APPEND AUTO-RETRY (round 13): an APPEND loser's data files are
+    * already on disk and DISJOINT from the winner's — losing the
+    * version-slot race costs only metadata work. When `reCarry` is
+    * given (append commits pass the carried-lines builder, which
+    * re-validates config/schema pins against the new latest version),
+    * a conflict retries up to [[MaxCommitAttempts]] times: re-read the
+    * latest version, rebuild carried lines, and re-assemble the
+    * manifest — the NEW files' fully-formatted lines are HARVESTED
+    * from the losing attempt's temp manifest (an executor-side text
+    * scan filtered on this commit's data prefix), so a retry never
+    * re-scans data files for stats. Non-append commits (overwrite /
+    * DML rewrites / compaction) never retry: their content derives
+    * from a snapshot the winner just superseded, and a silent retry
+    * would resurrect it — the caller must re-read and re-derive. */
+  private val MaxCommitAttempts = 5
+
+  /** `basedOnPrev` pins the version the caller's `carried`/`df` were
+    * derived from: the first claim targets exactly basedOnPrev + 1, so
+    * a commit NEVER lands stale carried lines onto a newer slot — a
+    * conflict either retries through `reCarry` (which re-derives the
+    * carried lines from the new latest) or surfaces to the caller. */
   private def writeCommit(spark: SparkSession, dir: String, df: DataFrame,
                           carried: DataFrame, statCols: Seq[String],
                           bloom: Option[(String, Int)],
                           meta: Map[String, String],
-                          strStatCols: Seq[String] = Nil): (Int, Int) = {
+                          strStatCols: Seq[String] = Nil,
+                          countsComplete: Boolean = true,
+                          basedOnPrev: Int,
+                          reCarry: Option[Int => (DataFrame, Boolean)] = None)
+      : (Int, Int) = {
     val f = fs(spark, dir)
-    val prev = latestVersion(spark, dir)
-    val v = prev + 1
-    val commitId = f"c$v%05d-" + java.util.UUID.randomUUID().toString.take(8)
+    // the commit id names the data directory, not the version: under
+    // retry the finally-claimed version may exceed the id's number
+    // (cosmetic — manifest lines carry the full relative path)
+    val commitId =
+      f"c${basedOnPrev + 1}%05d-" +
+        java.util.UUID.randomUUID().toString.take(8)
     val genDir = s"$dir/data/$commitId"
     df.write.parquet(genDir)
     val newNames = f.listStatus(new Path(genDir)).toSeq
       .map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted
-    val header =
-      (if (statCols.nonEmpty) Seq(s"#stats:${statCols.mkString(",")}") else Nil) ++
-        bloom.map { case (c, m) => s"#bloom:$c:$m" }.toSeq ++
-        Seq(s"#schema:${schemaFingerprint(df.schema)}") ++
-        (if (strStatCols.nonEmpty)
-           Seq(s"#sstats:${strStatCols.mkString(",")}") else Nil) ++
-        meta.toSeq.sortBy(_._1).map { case (k, vl) => s"#meta:$k=$vl" }
-    val headerDf = spark.createDataset(
-      header.zipWithIndex.map { case (l, i) => (f"0$i%09d", l) })(
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.STRING)).toDF("k", "line")
-    val body = headerDf
-      .union(carried)
-      .union(newFileLines(spark, genDir, commitId, newNames, statCols,
-        bloom, strStatCols))
-    val manifest = manifestPath(dir, v)
-    if (f.exists(manifest)) throw new CommitConflictException(v)
+    commitNamed(spark, dir, commitId, newNames,
+      schemaFingerprint(df.schema), carried, statCols, bloom, meta,
+      strStatCols, countsComplete, basedOnPrev, reCarry)
+  }
+
+  /** The commit protocol over ALREADY-WRITTEN data files under
+    * `dir/data/<commitId>` — writeCommit after its parquet write, and
+    * the streaming sink's per-epoch commit (whose files were written
+    * by the sink's own per-task writers). */
+  private def commitNamed(spark: SparkSession, dir: String,
+                          commitId: String, newNames: Seq[String],
+                          schemaFp: String,
+                          carried: DataFrame, statCols: Seq[String],
+                          bloom: Option[(String, Int)],
+                          meta: Map[String, String],
+                          strStatCols: Seq[String],
+                          countsComplete: Boolean,
+                          basedOnPrev: Int,
+                          reCarry: Option[Int => (DataFrame, Boolean)])
+      : (Int, Int) = {
+    val f = fs(spark, dir)
+    val genDir = s"$dir/data/$commitId"
+    def headerDf(counts: Boolean) = {
+      val header =
+        (if (statCols.nonEmpty) Seq(s"#stats:${statCols.mkString(",")}") else Nil) ++
+          bloom.map { case (c, m) => s"#bloom:$c:$m" }.toSeq ++
+          Seq(s"#schema:$schemaFp") ++
+          (if (strStatCols.nonEmpty)
+             Seq(s"#sstats:${strStatCols.mkString(",")}") else Nil) ++
+          // `#counts:full` only when EVERY line (new AND carried)
+          // records counts: new lines always do (round 12+), so the
+          // caller passes the carried side's availability — the
+          // connector's header-only COUNT-pushdown claim must never
+          // overstate the lines
+          (if (counts) Seq("#counts:full") else Nil) ++
+          meta.toSeq.sortBy(_._1).map { case (k, vl) => s"#meta:$k=$vl" }
+      spark.createDataset(
+        header.zipWithIndex.map { case (l, i) => (f"0$i%09d", l) })(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING)).toDF("k", "line")
+    }
+    val hconf = org.apache.spark.sql.GraftBridge.hadoopConfBroadcast(spark)
+    f.mkdirs(new Path(s"$dir/_manifests"))
     // ONE task streams the ordered lines straight to a temp file on the
     // table's filesystem — no FileFormatWriter commit protocol (its
     // _temporary staging + task/job commit costs ~0.2 s per tiny
@@ -670,46 +781,95 @@ object SnapTable {
     // Hadoop configuration rides a broadcast to the writer task —
     // executor defaults would drop spark.hadoop.* settings (cloud FS
     // credentials, scheme mappings) and write the temp file to the
-    // wrong filesystem.
-    val tmpFile = s"$dir/_manifests/.tmp-$commitId"
-    val hconf = org.apache.spark.sql.GraftBridge.hadoopConfBroadcast(spark)
-    f.mkdirs(manifest.getParent)
-    // coalesce, not repartition: it folds the upstream agg's reducers
-    // into the single writer task with NO extra exchange (the reduce
-    // side of an O(files) metadata agg is fine single-threaded)
-    body.coalesce(1).sortWithinPartitions("k").select("line")
-      .as(org.apache.spark.sql.Encoders.STRING)
-      .foreachPartition { (it: Iterator[String]) =>
-        val p = new org.apache.hadoop.fs.Path(tmpFile)
-        val efs = p.getFileSystem(
-          org.apache.spark.sql.GraftBridge.hadoopConf(hconf))
-        val out = efs.create(p, true)
-        val w = new java.io.BufferedWriter(
-          new java.io.OutputStreamWriter(out, "UTF-8"))
-        try it.foreach { l => w.write(l); w.write('\n') }
-        finally w.close()
+    // wrong filesystem. coalesce, not repartition: it folds the
+    // upstream agg's reducers into the single writer task with NO
+    // extra exchange (the reduce side of an O(files) metadata agg is
+    // fine single-threaded).
+    def writeBody(body: DataFrame, tmpFile: String): Unit =
+      body.coalesce(1).sortWithinPartitions("k").select("line")
+        .as(org.apache.spark.sql.Encoders.STRING)
+        .foreachPartition { (it: Iterator[String]) =>
+          val p = new org.apache.hadoop.fs.Path(tmpFile)
+          val efs = p.getFileSystem(
+            org.apache.spark.sql.GraftBridge.hadoopConf(hconf))
+          val out = efs.create(p, true)
+          val w = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(out, "UTF-8"))
+          try it.foreach { l => w.write(l); w.write('\n') }
+          finally w.close()
+        }
+    def dropTmps(): Unit =
+      try f.globStatus(new Path(s"$dir/_manifests/.tmp-$commitId-*"))
+        .foreach(st => f.delete(st.getPath, false))
+      catch { case scala.util.control.NonFatal(_) => () }
+
+    var prevCur = basedOnPrev
+    var carriedCur = carried
+    var countsCur = countsComplete
+    var newLinesCur: DataFrame =
+      newFileLines(spark, genDir, commitId, newNames, statCols, bloom,
+        strStatCols)
+    var attempt = 0
+    val raceHook = commitRaceTestHook
+    commitRaceTestHook = () => ()
+    raceHook()
+    while (true) {
+      val v = prevCur + 1
+      val manifest = manifestPath(dir, v)
+      val tmpFile = s"$dir/_manifests/.tmp-$commitId-$attempt"
+      val claimed =
+        if (f.exists(manifest)) false
+        else {
+          writeBody(headerDf(countsCur).union(carriedCur).union(newLinesCur),
+            tmpFile)
+          claimVersionSlot(f, dir, v)
+        }
+      if (claimed) {
+        if (!f.rename(new Path(tmpFile), manifest)) {
+          dropTmps()
+          f.delete(claimPath(dir, v), false)
+          throw new java.io.IOException(s"rename $tmpFile -> $manifest failed")
+        }
+        writeAtomic(f, latestPath(dir), v.toString)
+        dropTmps()
+        return (v, newNames.size)
       }
-    // CLAIM-then-rename (round 12): rename alone is NOT a CAS — posix
-    // rename(2) (hence RawLocalFileSystem) and S3-style stores silently
-    // REPLACE an existing destination, so two racing committers could
-    // both "win" and the first commit would be silently lost. The slot
-    // is claimed first with an atomic exclusive create (O_EXCL /
-    // HDFS create-no-overwrite); only the claim winner renames, so the
-    // manifest still appears atomically complete to readers. A claim
-    // whose committer crashed before the rename (a microsecond window —
-    // both are adjacent driver-side metadata ops) blocks the slot;
-    // releaseStaleClaim is the documented operator recovery.
-    if (!claimVersionSlot(f, dir, v)) {
-      f.delete(new Path(tmpFile), false)
-      throw new CommitConflictException(v)
+      // CLAIM-then-rename (round 12): rename alone is NOT a CAS — posix
+      // rename(2) and S3-style stores silently REPLACE an existing
+      // destination, so two racing committers could both "win" and the
+      // first commit would be silently lost. The slot is claimed first
+      // with an atomic exclusive create; only the claim winner renames.
+      // A claim whose committer crashed before the rename (a
+      // microsecond window — both are adjacent driver-side metadata
+      // ops) blocks the slot; releaseStaleClaim is the documented
+      // operator recovery — the retry below re-bases only when the
+      // conflicting version (or a later one) actually COMMITTED.
+      attempt += 1
+      val newPrev = latestVersion(spark, dir)
+      if (reCarry.isEmpty || attempt >= MaxCommitAttempts ||
+          newPrev <= prevCur) {
+        dropTmps()
+        throw new CommitConflictException(v)
+      }
+      // harvest THIS commit's fully-formatted lines from the losing
+      // temp manifest (they are invariant across attempts); carried
+      // lines and the counts flag rebuild against the new latest —
+      // reCarry re-validates the config/schema pins against the
+      // winner's header and throws loudly on drift
+      val (c2, counts2) = reCarry.get(newPrev)
+      carriedCur = c2
+      countsCur = counts2
+      prevCur = newPrev
+      if (f.exists(new Path(tmpFile)))
+        newLinesCur = spark.read.text(tmpFile)
+          .where(col("value").startsWith(s"data/$commitId/"))
+          .select(
+            concat(lit("2"), element_at(
+              split(element_at(split(col("value"), "\t"), 1), "/"), -1))
+              .as("k"),
+            col("value").as("line"))
     }
-    if (!f.rename(new Path(tmpFile), manifest)) {
-      f.delete(new Path(tmpFile), false)
-      f.delete(claimPath(dir, v), false)
-      throw new java.io.IOException(s"rename $tmpFile -> $manifest failed")
-    }
-    writeAtomic(f, latestPath(dir), v.toString)
-    (v, newNames.size)
+    throw new IllegalStateException("unreachable")
   }
 
   private def claimPath(dir: String, v: Int) =
@@ -719,11 +879,34 @@ object SnapTable {
     * commit CAS. The claim persists after a successful commit (deleting
     * it would reopen the silent-replace race for a committer whose
     * exists(manifest) pre-check passed before this commit landed);
-    * vacuum reclaims claims of dropped versions. */
+    * vacuum reclaims claims of dropped versions.
+    *
+    * Atomicity is PER STORE (round-13 honesty fix): on HDFS-like
+    * stores `create(overwrite = false)` is a namenode-atomic
+    * exclusive create; on the local filesystems Hadoop's local create
+    * is exists-then-create (no O_EXCL), so the claim routes through
+    * Java NIO `Files.createFile` — a true O_EXCL create(2). On object
+    * stores without a conditional-PUT connector the claim narrows the
+    * race to the create round-trip but cannot close it — single-writer
+    * or an external lock service is the documented requirement there,
+    * the same caveat Delta publishes for S3 without a LogStore. */
   private def claimVersionSlot(f: FileSystem, dir: String, v: Int): Boolean = {
     f.mkdirs(new Path(s"$dir/_manifests"))
-    try { f.create(claimPath(dir, v), false).close(); true }
-    catch { case _: java.io.IOException => false }
+    val p = claimPath(dir, v)
+    f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem
+         | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // qualify against the fs so relative table dirs resolve the
+        // same way Hadoop's own create would
+        val local = java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath)
+        try { java.nio.file.Files.createFile(local); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      case _ =>
+        try { f.create(p, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
   }
 
   /** Operator recovery for a committer that crashed between claiming a
@@ -765,15 +948,22 @@ object SnapTable {
     val f = fs(spark, dir)
     val prev = latestVersion(spark, dir)
     val bloom = Option(bloomCol).map(c => (c, bloomBits))
-    val carried =
-      if (append && prev > 0) {
+    // the carried-lines builder is a FUNCTION of the version being
+    // extended (round 13): a lost commit race re-invokes it against the
+    // winner's version, so every retry re-validates the pins below and
+    // re-streams the new latest file list. Returns (lines, counts):
+    // an append's carried lines keep count-completeness only if the
+    // extended manifest declared it; a fresh/replace commit's lines are
+    // all new and always counted.
+    def carriedFor(prevV: Int): (DataFrame, Boolean) =
+      if (append && prevV > 0) {
         // config compatibility needs only the HEADER (readHeader stops
         // at the first file line); the carried file lines stream
         // executor-side through a text scan of the prior manifest — an
         // append never materializes the table's file list in driver
         // memory (parseManifest here would pull every line, each with
         // a 16 KiB bloom hex cell at the default bitmap size)
-        val h = readHeader(f, dir, prev)
+        val h = readHeader(f, dir, prevV)
         require(h.statCols == statCols,
           s"append stat columns must match the extended manifest (${h.statCols})")
         require(h.bloom == bloom,
@@ -804,14 +994,85 @@ object SnapTable {
                 s"missing or retyped in the append: ${lost.mkString(", ")}")
           }
         }
-        spark.read.text(manifestPath(dir, prev).toString)
+        (spark.read.text(manifestPath(dir, prevV).toString)
           .where(!col("value").startsWith("#") && col("value") =!= "")
           .select(concat(lit("1"),
             lpad(monotonically_increasing_id().cast("string"), 12, "0"))
-            .as("k"), col("value").as("line"))
-      } else carriedDf(spark, Nil)
+            .as("k"), col("value").as("line")), h.counts)
+      } else (carriedDf(spark, Nil), true)
+    val (carried, carriedCounts) = carriedFor(prev)
     writeCommit(spark, dir, df, carried, statCols, bloom, meta,
-      strStatCols)._1
+      strStatCols, countsComplete = carriedCounts, basedOnPrev = prev,
+      // only APPENDS auto-retry: their data files are disjoint from any
+      // winner's and the carried lines re-derive from the new latest;
+      // an overwrite's content embeds a decision about table state the
+      // winner just changed — that conflict surfaces to the caller
+      reCarry = if (append) Some(carriedFor) else None)._1
+  }
+
+  /** STREAMING-SINK COMMIT (round 13): append data files ALREADY
+    * WRITTEN by the sink's per-task writers under `dir/data/<commitId>`
+    * as the next version. Pruning config (stat/bloom/string-stat
+    * declarations) inherits from the extended manifest's header so a
+    * streamed table keeps its metadata; the schema pin applies
+    * unchanged; lost commit races auto-retry like any append (the
+    * files are disjoint by construction). */
+  private[graft] def commitExisting(spark: SparkSession, dir: String,
+      commitId: String, names: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      meta: Map[String, String]): Int = {
+    val f = fs(spark, dir)
+    val prev = latestVersion(spark, dir)
+    val (statCols, bloom, strStats) =
+      if (prev > 0) {
+        val h = readHeader(f, dir, prev)
+        (h.statCols, h.bloom, h.sStatCols)
+      } else (Seq.empty[String], None, Seq.empty[String])
+    def carriedFor(prevV: Int): (DataFrame, Boolean) =
+      if (prevV > 0) {
+        val h = readHeader(f, dir, prevV)
+        require(h.statCols == statCols && h.bloom == bloom &&
+            h.sStatCols == strStats,
+          "a concurrent commit changed the table's pruning config under " +
+            "the streaming sink — restart the query to adopt it")
+        h.schema.foreach { prevSchema =>
+          val cur = schemaFingerprint(schema)
+          require(cur == prevSchema,
+            s"stream schema does not match the committed table schema\n" +
+              s"  committed: $prevSchema\n  stream:    $cur")
+        }
+        (spark.read.text(manifestPath(dir, prevV).toString)
+          .where(!col("value").startsWith("#") && col("value") =!= "")
+          .select(concat(lit("1"),
+            lpad(monotonically_increasing_id().cast("string"), 12, "0"))
+            .as("k"), col("value").as("line")), h.counts)
+      } else (carriedDf(spark, Nil), true)
+    val (carried, counts) = carriedFor(prev)
+    commitNamed(spark, dir, commitId, names, schemaFingerprint(schema),
+      carried, statCols, bloom, meta, strStats, counts, prev,
+      Some(carriedFor))._1
+  }
+
+  /** Most recent epoch `queryId` committed to this table, -1 if none —
+    * the streaming sink's exactly-once guard (the epoch marker rides
+    * the SAME atomic manifest commit as the data, so there is no
+    * commit-then-checkpoint crash window; the Delta txn idiom).
+    * Header-only reads walked from the latest version down — in steady
+    * state the query's previous batch is at/near the top, so the walk
+    * is O(1) header reads. */
+  private[graft] def lastStreamEpoch(spark: SparkSession, dir: String,
+                                     queryId: String): Long = {
+    val f = fs(spark, dir)
+    var v = latestVersion(spark, dir)
+    while (v > 0) {
+      if (f.exists(manifestPath(dir, v))) {
+        val m = readHeader(f, dir, v).metaKv
+        if (m.get("streamQuery").contains(queryId))
+          return m.get("streamEpoch").map(_.toLong).getOrElse(-1L)
+      }
+      v -= 1
+    }
+    -1L
   }
 
   /** ROW-LEVEL DELETE as file-granular copy-on-write: drop every row of
@@ -852,7 +1113,8 @@ object SnapTable {
     if (deleted == 0L) return DeleteResult(v, 0L, 0, info.files.size)
     val (nv, _) = writeCommit(spark, dir, candDf.filter(!cond),
       carriedDf(spark, untouched.map(_.raw)), info.statCols, info.bloom,
-      Map("deleteFrom" -> v.toString), info.sStatCols)
+      Map("deleteFrom" -> v.toString), info.sStatCols,
+      countsComplete = linesCounted(untouched), basedOnPrev = v)
     DeleteResult(nv, deleted, cand.size, info.files.size)
   }
 
@@ -903,7 +1165,8 @@ object SnapTable {
     }: _*)
     val (nv, _) = writeCommit(spark, dir, applied,
       carriedDf(spark, untouched.map(_.raw)), info.statCols, info.bloom,
-      Map("updateFrom" -> v.toString), info.sStatCols)
+      Map("updateFrom" -> v.toString), info.sStatCols,
+      countsComplete = linesCounted(untouched), basedOnPrev = v)
     DeleteResult(nv, updated, cand.size, info.files.size)
   }
 
@@ -938,6 +1201,7 @@ object SnapTable {
         info.schema.map(s => s"#schema:$s").toSeq ++
         (if (info.sStatCols.nonEmpty)
            Seq(s"#sstats:${info.sStatCols.mkString(",")}") else Nil) ++
+        (if (linesCounted(info.files)) Seq("#counts:full") else Nil) ++
         Seq(s"#meta:clonedFrom=$srcDir@v$v")
     val df = fs(spark, dstDir)
     val manifest = manifestPath(dstDir, 1)
@@ -1035,7 +1299,8 @@ object SnapTable {
     }
     writeCommit(spark, dir, laidOut, carriedDf(spark, Nil),
       info.statCols, info.bloom,
-      Map("compactedFrom" -> v.toString), info.sStatCols)._1
+      Map("compactedFrom" -> v.toString), info.sStatCols,
+      basedOnPrev = v)._1
   }
 
   /** Read a snapshot (default: latest). The scan is exactly the

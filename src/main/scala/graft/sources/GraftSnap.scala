@@ -6,6 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.ColumnReader
+import org.apache.parquet.column.impl.ColumnReadStoreImpl
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.ParquetFileReader
@@ -100,16 +102,49 @@ class GraftSnap extends TableProvider with DataSourceRegister {
 
 final class SnapScanTable(declared: StructType, props: Map[String, String])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-snap(${props.getOrElse("path", "?")})"
   override def schema(): StructType = declared
+
+  /** SQL row-level DELETE (round 13): `DELETE FROM snap.db.t WHERE ...`
+    * executes as the library's file-granular copy-on-write delete —
+    * files whose zone range cannot hold a matching row carry verbatim,
+    * candidates rewrite to survivor rows, the new version commits
+    * atomically, history stays readable. The GDPR verb, now reachable
+    * from plain SQL. `canDeleteWhere` accepts exactly the predicates
+    * that translate losslessly to the library's Column condition —
+    * anything else makes Spark fail the statement loudly rather than
+    * delete the wrong rows. The zone-map hint derives from the
+    * predicate's own conjuncts on stat columns (the condition implies
+    * each of its conjuncts, so the implied-range contract holds). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => SnapScanTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val dir = props.getOrElse("path",
+      throw new IllegalArgumentException("graft-snap: no path"))
+    require(!props.contains("version"),
+      "graft-snap: cannot DELETE through a time-travel (version-pinned) " +
+        "relation — historical snapshots are immutable")
+    val cond = filters.toSeq.flatMap(SnapScanTable.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val hint = SnapScanTable.deleteHint(spark, dir, filters.toSeq)
+    SnapTable.delete(spark, dir, cond,
+      pruneCol = hint.map(_._1).orNull,
+      lo = hint.map(_._2).getOrElse(Long.MinValue),
+      hi = hint.map(_._3).getOrElse(Long.MaxValue))
+    ()
+  }
   // BATCH_WRITE routes DataFrameWriter.save onto the V2 write plans;
   // V1_BATCH_WRITE makes those plans pick the V1-fallback exec that
   // understands the V1Write below — both are required
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapScanBuilder(declared, options.asScala.toMap ++ props)
 
@@ -140,6 +175,17 @@ final class SnapScanTable(declared: StructType, props: Map[String, String])
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
+          /** STREAMING path (round 13): writeStream.format("graft-snap")
+            * — per-epoch atomic snapshot commits with the exactly-once
+            * epoch marker riding the manifest itself (GraftSnapSink).
+            * Append output mode only: a truncating (complete-mode)
+            * streaming write would rewrite table state every trigger. */
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            require(!overwrite,
+              "graft-snap sink: only Append output mode is supported")
+            new SnapStreamingWrite(dir, info.schema(), info.queryId())
+          }
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
@@ -178,12 +224,144 @@ final class SnapScanTable(declared: StructType, props: Map[String, String])
   }
 }
 
+object SnapScanTable {
+  /** Lossless V1 Filter → Column translation for the SQL DELETE path:
+    * None marks a predicate the condition language cannot express —
+    * the statement must then FAIL, never delete a superset/subset. */
+  private[sources] def filterToColumn(f: Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+      case StringEndsWith(a, p)     => Some(col(a).endsWith(p))
+      case StringContains(a, p)     => Some(col(a).contains(p))
+      case And(l, r) =>
+        for { lc <- filterToColumn(l); rc <- filterToColumn(r) }
+          yield lc && rc
+      case Or(l, r) =>
+        for { lc <- filterToColumn(l); rc <- filterToColumn(r) }
+          yield lc || rc
+      case Not(c)        => filterToColumn(c).map(!_)
+      case AlwaysTrue()  => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _             => None
+    }
+  }
+
+  /** Zone-map hint for the COW delete: intersect the predicate's
+    * top-level conjuncts per stat column, take the first column any
+    * conjunct bounds. Sound because a condition implies each of its
+    * conjuncts — the delete's implied-range contract. */
+  private[sources] def deleteHint(spark: SparkSession, dir: String,
+                                  filters: Seq[Filter])
+      : Option[(String, Long, Long)] = {
+    val statCols =
+      try SnapTable.header(spark, dir).statCols
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (statCols.isEmpty) return None
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    val flat = filters.flatMap(conjuncts)
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long  => Some(l)
+      case i: Int   => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte  => Some(b.toLong)
+      case _        => None
+    }
+    statCols.iterator.map { c =>
+      var lo = Long.MinValue; var hi = Long.MaxValue; var any = false
+      flat.foreach {
+        case EqualTo(a, v) if a == c => longOf(v).foreach { x =>
+          lo = math.max(lo, x); hi = math.min(hi, x); any = true }
+        case GreaterThan(a, v) if a == c => longOf(v).foreach { x =>
+          if (x < Long.MaxValue) { lo = math.max(lo, x + 1); any = true } }
+        case GreaterThanOrEqual(a, v) if a == c => longOf(v).foreach { x =>
+          lo = math.max(lo, x); any = true }
+        case LessThan(a, v) if a == c => longOf(v).foreach { x =>
+          if (x > Long.MinValue) { hi = math.min(hi, x - 1); any = true } }
+        case LessThanOrEqual(a, v) if a == c => longOf(v).foreach { x =>
+          hi = math.min(hi, x); any = true }
+        case In(a, vs) if a == c =>
+          val ls = vs.flatMap(longOf)
+          if (ls.length == vs.length && ls.nonEmpty) {
+            lo = math.max(lo, ls.min); hi = math.min(hi, ls.max); any = true
+          }
+        case _ => ()
+      }
+      (c, lo, hi, any)
+    }.collectFirst { case (c, lo, hi, true) => (c, lo, hi) }
+  }
+}
+
 /** A metadata-answerable pushed aggregate over a snapshot. */
 sealed trait SnapAgg extends Serializable
 case object SnapCountStar extends SnapAgg
 final case class SnapCountCol(c: String) extends SnapAgg
 final case class SnapAggMin(c: String) extends SnapAgg
 final case class SnapAggMax(c: String) extends SnapAgg
+
+object SnapScanBuilder {
+  /** A filter participates in file pruning when every referenced column
+    * is integer-typed (the manifest's zone cells are LONG) or
+    * string-typed (round-12 `#sstats:` truncated string bounds) — the
+    * evaluator itself decides per file what it can conclude. Shared by
+    * planning-time pushdown and round-13 runtime filtering (the pruning
+    * evaluator's value coercions only understand these shapes). */
+  private[sources] def usableFilter(full: StructType, f: Filter): Boolean = {
+    def integerCol(name: String): Boolean =
+      full.fields.exists(fd => fd.name == name && (fd.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }))
+    def stringCol(name: String): Boolean =
+      full.fields.exists(fd => fd.name == name && fd.dataType == StringType)
+    def str(v: Any): Boolean = v.isInstanceOf[String]
+    def integral(v: Any): Boolean = v match {
+      case _: Long | _: Int | _: Short | _: Byte => true
+      case _ => false
+    }
+    def usable(f: Filter): Boolean = f match {
+      case EqualTo(a, v) =>
+        (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
+      case GreaterThan(a, v) =>
+        (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
+      case GreaterThanOrEqual(a, v) =>
+        (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
+      case LessThan(a, v) =>
+        (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
+      case LessThanOrEqual(a, v) =>
+        (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
+      case In(a, vs) =>
+        (integerCol(a) && vs.forall(integral)) ||
+          (stringCol(a) && vs.forall(str))
+      case StringStartsWith(a, _)   => stringCol(a)
+      // NULL-membership prunes off the round-12 per-file counts (any
+      // column type — the evaluator needs only the counts, not values)
+      case IsNull(_) | IsNotNull(_) => true
+      case And(l, r)                => usable(l) && usable(r)
+      case Or(l, r)                 => usable(l) && usable(r)
+      // negations prune through De Morgan + complement rewrites over
+      // the SAME shape set (round 13): NOT k=v prunes a file whose zone
+      // is [v,v], NOT k>v prunes like k<=v, NOT startsWith prunes a
+      // file whose whole range shares the prefix
+      case Not(inner)               => usable(inner)
+      case _                        => false
+    }
+    usable(f)
+  }
+}
 
 final class SnapScanBuilder(full: StructType, opts: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
@@ -194,48 +372,8 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
   private var pushedFiltersAny: Boolean = false
   private var metaAgg: Seq[SnapAgg] = Nil
 
-  /** A filter participates in file pruning when every referenced column
-    * is integer-typed (the manifest's zone cells are LONG) or
-    * string-typed (round-12 `#sstats:` truncated string bounds) — the
-    * evaluator itself decides per file what it can conclude. */
-  private def integerCol(name: String): Boolean =
-    full.fields.exists(f => f.name == name && (f.dataType match {
-      case LongType | IntegerType | ShortType | ByteType => true
-      case _ => false
-    }))
-
-  private def stringCol(name: String): Boolean =
-    full.fields.exists(f => f.name == name && f.dataType == StringType)
-
-  private def str(v: Any): Boolean = v.isInstanceOf[String]
-
-  private def usable(f: Filter): Boolean = f match {
-    case EqualTo(a, v) =>
-      (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
-    case GreaterThan(a, v) =>
-      (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
-    case GreaterThanOrEqual(a, v) =>
-      (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
-    case LessThan(a, v) =>
-      (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
-    case LessThanOrEqual(a, v) =>
-      (integerCol(a) && integral(v)) || (stringCol(a) && str(v))
-    case In(a, vs) =>
-      (integerCol(a) && vs.forall(integral)) ||
-        (stringCol(a) && vs.forall(str))
-    case StringStartsWith(a, _)   => stringCol(a)
-    // NULL-membership prunes off the round-12 per-file counts (any
-    // column type — the evaluator needs only the counts, not values)
-    case IsNull(_) | IsNotNull(_) => true
-    case And(l, r)                => usable(l) && usable(r)
-    case Or(l, r)                 => usable(l) && usable(r)
-    case _                        => false
-  }
-
-  private def integral(v: Any): Boolean = v match {
-    case _: Long | _: Int | _: Short | _: Byte => true
-    case _ => false
-  }
+  private def usable(f: Filter): Boolean =
+    SnapScanBuilder.usableFilter(full, f)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushedFiltersAny = filters.nonEmpty
@@ -257,14 +395,19 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
     * which SQL MIN/MAX ignore, so it adds nothing), MAX symmetric;
     * COUNT(*) = sum of the per-file row counts and COUNT(statCol) = sum
     * of the per-file non-null counts (round-12 manifest fields) —
-    * claimed ONLY when every file of the snapshot records the needed
-    * count, so a table carrying pre-count legacy lines falls back to a
-    * real scan rather than undercounting. Complete pushdown (one global
-    * row). Safe by the engine's own ordering: Spark only pushes
-    * aggregates when the source consumed EVERY filter, and this source
-    * always returns all filters as residual — so a filtered query can
-    * never take the metadata path. MIN/MAX restricted to LongType
-    * columns: the cells are recorded as LONG. */
+    * claimed ONLY when the manifest's `#counts:full` header (round 13)
+    * asserts every line records them, so a table carrying pre-count
+    * legacy lines falls back to a real scan rather than undercounting.
+    * The availability check is HEADER-ONLY: deciding the claim must not
+    * parse O(files) manifest lines (each potentially a 16 KiB bloom hex
+    * cell) on the driver for every ungrouped aggregate — the one full
+    * parse happens inside the scan that actually answers, once.
+    * Complete pushdown (one global row). Safe by the engine's own
+    * ordering: Spark only pushes aggregates when the source consumed
+    * EVERY filter, and this source always returns all filters as
+    * residual — so a filtered query can never take the metadata path.
+    * MIN/MAX restricted to LongType columns: the cells are recorded as
+    * LONG. */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
@@ -276,12 +419,12 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
     // ordinary scan while Spark expects a zero-column agg row —
     // "data source returns unexpected number of columns"
     if (aggregation.aggregateExpressions.isEmpty) return false
-    val plan =
-      try SnapTable.plan(SparkSession.active,
+    val h =
+      try SnapTable.header(SparkSession.active,
         opts.getOrElse("path", return false),
         opts.get("version").map(_.toInt).getOrElse(0))
       catch { case scala.util.control.NonFatal(_) => return false }
-    val statCols = plan.statCols.toSet
+    val statCols = h.statCols.toSet
     def statLongCol(
         e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -291,23 +434,20 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
           full.fields.exists(f => f.name == c && f.dataType == LongType))
       case _ => None
     }
-    val allRowCounts = plan.files.forall(_.nRows.isDefined)
-    def allNonNull(c: String) = plan.files.forall(_.nonNull.contains(c))
     val specs = aggregation.aggregateExpressions.toSeq.map {
       case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
         statLongCol(m.column).map(SnapAggMin)
       case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
         statLongCol(m.column).map(SnapAggMax)
       case _: org.apache.spark.sql.connector.expressions.aggregate.CountStar
-          if allRowCounts =>
+          if h.counts =>
         Some(SnapCountStar)
       case cnt: org.apache.spark.sql.connector.expressions.aggregate.Count
-          if !cnt.isDistinct =>
+          if !cnt.isDistinct && h.counts =>
         (cnt.column match {
           case nr: org.apache.spark.sql.connector.expressions.NamedReference
               if nr.fieldNames.length == 1 =>
-            Some(nr.fieldNames.head)
-              .filter(c => statCols.contains(c) && allNonNull(c))
+            Some(nr.fieldNames.head).filter(statCols.contains)
           case _ => None
         }).map(SnapCountCol)
       case _ => None
@@ -354,11 +494,18 @@ final class SnapMetaAggScan(aggs: Seq[SnapAgg],
       if (vals.isEmpty) null
       else java.lang.Long.valueOf(if (isMin) vals.min else vals.max)
     }
+    // the builder claimed count pushes off the `#counts:full` header —
+    // a manifest carrying the header over count-less lines is corrupt
+    // metadata and must fail LOUDLY, not undercount
+    val countCols = aggs.collect { case SnapCountCol(c) => c }
+    if (countCols.nonEmpty || aggs.contains(SnapCountStar))
+      require(plan.files.forall(e => e.nRows.isDefined &&
+          countCols.forall(e.nonNull.contains)),
+        s"graft-snap: $dir v${plan.version} declares #counts:full but " +
+          "carries count-less file lines — corrupt manifest metadata")
     aggs.map {
       case SnapAggMin(c) => minMax(c, isMin = true)
       case SnapAggMax(c) => minMax(c, isMin = false)
-      // the builder claimed these pushes only when EVERY file records
-      // the count, so .get cannot miss on the planned snapshot
       case SnapCountStar =>
         java.lang.Long.valueOf(plan.files.map(_.nRows.get).sum)
       case SnapCountCol(c) =>
@@ -414,7 +561,8 @@ final case class SnapFilePartition(path: String, start: Long, length: Long)
 
 final class SnapScan(full: StructType, required: StructType,
                      prunable: Array[Filter], opts: Map[String, String])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
   private val dir = opts.getOrElse("path",
     throw new IllegalArgumentException("graft-snap: no path"))
   private val version = opts.get("version").map(_.toInt).getOrElse(0)
@@ -433,11 +581,69 @@ final class SnapScan(full: StructType, required: StructType,
     n
   }.getOrElse(128L * 1024 * 1024)
 
-  // planning happens once per scan; planInputPartitions, the explain
-  // description, and the statistics all reuse it
-  lazy val (survivorEntries, total): (Seq[SnapTable.PlanEntry], Int) = {
+  // RUNTIME FILE PRUNING (round 13, the Iceberg
+  // SupportsRuntimeV2Filtering shape): a selective broadcast join
+  // probing this snapshot hands its join-key values to the scan at
+  // EXECUTION time (Spark's dynamic pruning subquery), and the scan
+  // re-prunes its file set through the same zone/bloom/string-bound
+  // evaluator before any reader opens — at 100 TB a dim-filtered fact
+  // join opens the files that can hold the probed keys, not the
+  // snapshot. Filters only ever narrow survivors, and every runtime
+  // predicate also re-applies row-level in the join itself, so results
+  // cannot change.
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val h =
+      try SnapTable.header(SparkSession.active, dir, version)
+      catch { case scala.util.control.NonFatal(_) => return Array.empty }
+    // restricted to the scan's OUTPUT columns: Spark resolves these
+    // references against the pruned read schema, and a stat column the
+    // projection dropped would crash resolution (caught by the
+    // point-lookup-broadcast spec, which projects the stat column away)
+    (h.statCols ++ h.sStatCols ++ h.bloom.map(_._1).toSeq).distinct
+      .filter(c => required.fieldNames.contains(c))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter
+        .Predicate]): Unit = {
+    val v1 = predicates.toSeq.flatMap(p =>
+        org.apache.spark.sql.GraftBridge.predicateToV1(p))
+      .filter(SnapScanBuilder.usableFilter(full, _))
+    if (v1.nonEmpty) runtimeFilters = runtimeFilters ++ v1
+  }
+
+  // the manifest parse happens once per scan; every (re-)pruning pass,
+  // the explain description, and the statistics reuse it
+  private lazy val tablePlan: SnapTable.TablePlan =
+    SnapTable.plan(SparkSession.active, dir, version)
+
+  def total: Int = tablePlan.files.size
+
+  // pruning memo keyed by the runtime-filter array REFERENCE (the
+  // array is replaced wholesale on each filter() call, never mutated)
+  @volatile private var prunedCache
+      : (Array[Filter], Seq[SnapTable.PlanEntry]) = null
+
+  def survivorEntries: Seq[SnapTable.PlanEntry] = {
+    val rf = runtimeFilters
+    val c = prunedCache
+    if (c != null && (c._1 eq rf)) c._2
+    else {
+      val s = pruneEntries(prunable.toSeq ++ rf.toSeq)
+      prunedCache = (rf, s)
+      s
+    }
+  }
+
+  private def pruneEntries(filters: Seq[Filter])
+      : Seq[SnapTable.PlanEntry] = {
     val spark = SparkSession.active
-    val plan = SnapTable.plan(spark, dir, version)
+    val plan = tablePlan
     val bloomPos = scala.collection.mutable.Map.empty[Long, (Long, Long)]
     def positions(v: Long, m: Int): (Long, Long) =
       bloomPos.getOrElseUpdate(v, SnapTable.bloomPositions(spark, v, m))
@@ -540,21 +746,68 @@ final class SnapScan(full: StructType, required: StructType,
         }
       case And(l, r)  => canMatch(e, l) && canMatch(e, r)
       case Or(l, r)   => canMatch(e, l) || canMatch(e, r)
+      case Not(inner) => canMatchNeg(e, inner)
+      case _          => true
+    }
+    // tri-state "this file CAN contain a row where `f` is FALSE" (a row
+    // where f is NULL does not match NOT f under SQL semantics, and the
+    // zone cells describe only non-null values — so the complement
+    // rewrites below are exact): unknown → true, never prune
+    def canMatchNeg(e: SnapTable.PlanEntry, f: Filter): Boolean = f match {
+      // NOT k=v: prunable only when the zone PROVES every non-null
+      // value equals v. For strings the bounds are truncated (Iceberg
+      // rule) — lo==hi only proves min==max when the cell is shorter
+      // than the 16-byte truncation width (an untruncated bound IS the
+      // value)
+      case EqualTo(a, v: String) =>
+        !e.sRanges.get(a).exists { case (lo, hi) =>
+          val b = sBytes(v)
+          b.length < 16 && java.util.Arrays.equals(lo, b) &&
+            java.util.Arrays.equals(hi, b)
+        }
+      case EqualTo(a, v) =>
+        !e.ranges.get(a).contains((long(v), long(v)))
+      // complements of the range shapes are ranges themselves; the
+      // zone checks already quantify over non-null values only
+      case GreaterThan(a, v)        => canMatch(e, LessThanOrEqual(a, v))
+      case GreaterThanOrEqual(a, v) => canMatch(e, LessThan(a, v))
+      case LessThan(a, v)           => canMatch(e, GreaterThanOrEqual(a, v))
+      case LessThanOrEqual(a, v)    => canMatch(e, GreaterThan(a, v))
+      case IsNull(a)                => canMatch(e, IsNotNull(a))
+      case IsNotNull(a)             => canMatch(e, IsNull(a))
+      // NOT IN prunes when the zone proves all values equal some
+      // member — exactly when some member's NOT= pruned
+      case In(a, vs) => vs.forall(v => canMatchNeg(e, EqualTo(a, v)))
+      // NOT startsWith(p): if BOTH recorded bounds start with p, every
+      // string in [lo, hi] must too (binary order: a string below the
+      // prefix sorts before lo, above it sorts after hi) — even under
+      // truncation, [trueMin, trueMax] ⊆ [lo, hi]
+      case StringStartsWith(a, pfx) =>
+        !e.sRanges.get(a).exists { case (lo, hi) =>
+          val p = sBytes(pfx)
+          lo.length >= p.length && hi.length >= p.length &&
+            java.util.Arrays.equals(java.util.Arrays.copyOf(lo, p.length), p) &&
+            java.util.Arrays.equals(java.util.Arrays.copyOf(hi, p.length), p)
+        }
+      case And(l, r)  => canMatchNeg(e, l) || canMatchNeg(e, r) // De Morgan
+      case Or(l, r)   => canMatchNeg(e, l) && canMatchNeg(e, r)
+      case Not(inner) => canMatch(e, inner)
       case _          => true
     }
     // a file whose recorded row count is 0 can contribute nothing to
     // ANY scan — dropped unconditionally (results can never change)
-    val keep = plan.files.filter(e =>
-      !e.nRows.contains(0L) && prunable.forall(f => canMatch(e, f)))
-    (keep, plan.files.size)
+    plan.files.filter(e =>
+      !e.nRows.contains(0L) && filters.forall(f => canMatch(e, f)))
   }
 
-  lazy val survivors: Seq[String] = survivorEntries.map(_.path)
+  def survivors: Seq[String] = survivorEntries.map(_.path)
 
   override def description(): String =
     s"GraftSnap $dir v${if (version > 0) version.toString else "latest"} " +
       s"ReadSchema: ${required.fieldNames.mkString(",")} " +
       s"PushedFilters: [${prunable.mkString(", ")}] " +
+      (if (runtimeFilters.nonEmpty)
+         s"RuntimeFilters: [${runtimeFilters.mkString(", ")}] " else "") +
       s"PrunedTo: ${survivors.size}/$total files"
 
   // one batched listStatus per commit directory recovers the surviving
@@ -567,26 +820,39 @@ final class SnapScan(full: StructType, required: StructType,
   // and readers open files directly without listing — so a denied or
   // failing listStatus (list-bucket-denied object stores, transient
   // errors) degrades to unsplit files and unknown size instead of
-  // crashing planning (the lazy val must not throw: a failed lazy init
-  // is NOT cached and planInputPartitions would re-raise it).
-  private lazy val survivorLens: Seq[(String, Long)] =
-    try {
-      val conf = org.apache.spark.sql.GraftBridge.sessionHadoopConf(SparkSession.active)
-      val qualified = survivors.map { p =>
-        val hp = new Path(p)
-        p -> hp.getFileSystem(conf).makeQualified(hp).toString
-      }.toMap
-      val lens = qualified.values.map(q => new Path(q).getParent)
-        .toSeq.distinct
-        .flatMap { d =>
-          d.getFileSystem(conf).listStatus(d)
-            .map(st => st.getPath.toString -> st.getLen)
+  // crashing planning (the memo must not cache a throw:
+  // planInputPartitions would re-raise it). Memoized per survivor set
+  // — runtime filtering re-plans partitions after shrinking survivors,
+  // and stale lengths for a different file set must not leak in.
+  @volatile private var lensCache
+      : (Seq[SnapTable.PlanEntry], Seq[(String, Long)]) = null
+
+  private def survivorLens: Seq[(String, Long)] = {
+    val se = survivorEntries
+    val c = lensCache
+    if (c != null && (c._1 eq se)) return c._2
+    val paths = se.map(_.path)
+    val computed =
+      try {
+        val conf = org.apache.spark.sql.GraftBridge.sessionHadoopConf(SparkSession.active)
+        val qualified = paths.map { p =>
+          val hp = new Path(p)
+          p -> hp.getFileSystem(conf).makeQualified(hp).toString
         }.toMap
-      survivors.map(p => p -> lens.getOrElse(qualified(p), Long.MaxValue))
-    } catch {
-      case scala.util.control.NonFatal(_) =>
-        survivors.map(_ -> Long.MaxValue)
-    }
+        val lens = qualified.values.map(q => new Path(q).getParent)
+          .toSeq.distinct
+          .flatMap { d =>
+            d.getFileSystem(conf).listStatus(d)
+              .map(st => st.getPath.toString -> st.getLen)
+          }.toMap
+        paths.map(p => p -> lens.getOrElse(qualified(p), Long.MaxValue))
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          paths.map(_ -> Long.MaxValue)
+      }
+    lensCache = (se, computed)
+    computed
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     survivorLens.flatMap { case (p, len) =>
@@ -708,7 +974,17 @@ final class SnapMicroBatchStream(dir: String, required: StructType,
 
 /** Readers open files with the SESSION's Hadoop configuration (riding a
   * broadcast): executor defaults would drop spark.hadoop.* settings —
-  * cloud-FS credentials, scheme mappings — and fail or misroute opens. */
+  * cloud-FS credentials, scheme mappings — and fail or misroute opens.
+  *
+  * Reads are COLUMNAR by default (round 13): the per-row Group decoder
+  * materialized one heap object per row plus one boxed value per field —
+  * at 100 TB, scan CPU dominates and that allocation tax is the
+  * difference between a decode-bound and an IO-bound scan. The columnar
+  * reader decodes each projected column in a tight per-column loop into
+  * Spark `OnHeapColumnVector`s and hands whole `ColumnarBatch`es to the
+  * engine, which keeps downstream operators in whole-stage codegen's
+  * columnar-to-row fast path — the same shape as Spark's own vectorized
+  * parquet reader, built on the public parquet-column API. */
 final class SnapReaderFactory(required: StructType,
     hconf: org.apache.spark.broadcast.Broadcast[_])
     extends PartitionReaderFactory {
@@ -717,29 +993,25 @@ final class SnapReaderFactory(required: StructType,
     new SnapFileReader(fp.path, fp.start, fp.length, required,
       org.apache.spark.sql.GraftBridge.hadoopConf(hconf))
   }
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val fp = p.asInstanceOf[SnapFilePartition]
+    new SnapColumnarFileReader(fp.path, fp.start, fp.length, required,
+      org.apache.spark.sql.GraftBridge.hadoopConf(hconf))
+  }
 }
 
-/** Parquet → InternalRow through the public Group API, decoding only
-  * the projected columns. */
-final class SnapFileReader(path: String, start: Long, length: Long,
-                           required: StructType, conf: Configuration)
-    extends PartitionReader[InternalRow] {
-  // withRange keeps exactly the row groups whose midpoint falls in
-  // [start, start+length) — tiling ranges read each group once
-  private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(path), conf),
-    org.apache.parquet.HadoopReadOptions.builder(conf)
-      .withRange(start,
-        if (length == Long.MaxValue) Long.MaxValue else start + length)
-      .build())
-  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
-  // required index -> field index in the PROJECTED group, or -1 for a
-  // column this file predates (add-column evolution): the projection
-  // holds only physically-present fields and the reader null-fills the
-  // rest — exactly what Spark's own parquet reader does under a
-  // declared schema
-  private val groupIdx = new Array[Int](required.length)
-  private val projected: MessageType = {
+/** Shared projection logic of both readers: the projected MessageType
+  * keeps exactly the required columns physically present in the file
+  * (in required-field order) and maps each required field to its index
+  * in the projection, -1 for a column the file predates (add-column
+  * evolution — the reader null-fills it, exactly what Spark's own
+  * parquet reader does under a declared schema). */
+private[sources] object SnapParquet {
+  def project(fileSchema: MessageType, required: StructType)
+      : (MessageType, Array[Int]) = {
+    val groupIdx = new Array[Int](required.length)
     var next = 0
     val fields = required.fields.zipWithIndex.flatMap { case (f, i) =>
       if (!fileSchema.containsField(f.name)) { groupIdx(i) = -1; Nil }
@@ -755,8 +1027,147 @@ final class SnapFileReader(path: String, start: Long, length: Long,
         Seq(t)
       }
     }
-    new MessageType(fileSchema.getName, fields: _*)
+    (new MessageType(fileSchema.getName, fields: _*), groupIdx)
   }
+}
+
+/** Columnar parquet decode through the public parquet-column API:
+  * per row group, a `ColumnReadStoreImpl` hands one `ColumnReader` per
+  * projected column, and each batch fills the column's vector in a
+  * tight monomorphic loop (definition level < max → null, else the
+  * typed getter) — no per-row record assembly, no Group allocation.
+  * Flat schemas only (the engine's own writer output), so repetition
+  * levels are always 0 and a row group's value count equals its row
+  * count, which makes the batch boundary exact. */
+final class SnapColumnarFileReader(path: String, start: Long, length: Long,
+    required: StructType, conf: Configuration, batchSize: Int = 4096)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val reader = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new Path(path), conf),
+    org.apache.parquet.HadoopReadOptions.builder(conf)
+      .withRange(start,
+        if (length == Long.MaxValue) Long.MaxValue else start + length)
+      .build())
+  private val fileMeta = reader.getFooter.getFileMetaData
+  private val (projected, groupIdx) =
+    SnapParquet.project(fileMeta.getSchema, required)
+  // ColumnReadStoreImpl needs a root converter only to probe dictionary
+  // support; the example GroupRecordConverter's primitive converters
+  // serve (no records are ever materialized through it)
+  private val converterRoot = new GroupRecordConverter(projected).getRootConverter
+  private val descriptors = projected.getColumns
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(batchSize, required)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+  private val colReaders = new Array[ColumnReader](required.length)
+  private var leftInGroup = 0L
+
+  override def next(): Boolean = {
+    while (leftInGroup == 0L) {
+      val pages = reader.readNextRowGroup()
+      if (pages == null) return false
+      // a projection can be EMPTY when every required column postdates
+      // this file (evolution): rows still exist — their count comes
+      // from the row-group metadata and the batch is all-null vectors
+      if (projected.getFieldCount > 0) {
+        val store = new ColumnReadStoreImpl(pages, converterRoot,
+          projected, fileMeta.getCreatedBy)
+        var i = 0
+        while (i < required.length) {
+          colReaders(i) =
+            if (groupIdx(i) < 0) null
+            else store.getColumnReader(descriptors.get(groupIdx(i)))
+          i += 1
+        }
+      }
+      leftInGroup = pages.getRowCount
+    }
+    val n = math.min(batchSize.toLong, leftInGroup).toInt
+    var i = 0
+    while (i < required.length) {
+      val v = vectors(i)
+      v.reset()
+      val r = colReaders(i)
+      if (r == null) v.putNulls(0, n)
+      else fill(r, v, n, required.fields(i).dataType,
+        descriptors.get(groupIdx(i)).getMaxDefinitionLevel)
+      i += 1
+    }
+    leftInGroup -= n
+    batch.setNumRows(n)
+    true
+  }
+
+  private def fill(r: ColumnReader, v: WritableColumnVector, n: Int,
+                   dt: DataType, maxDef: Int): Unit = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      var i = 0
+      while (i < n) {
+        if (r.getCurrentDefinitionLevel < maxDef) v.putNull(i)
+        else v.putLong(i, r.getLong)
+        r.consume(); i += 1
+      }
+    case IntegerType | DateType =>
+      var i = 0
+      while (i < n) {
+        if (r.getCurrentDefinitionLevel < maxDef) v.putNull(i)
+        else v.putInt(i, r.getInteger)
+        r.consume(); i += 1
+      }
+    case DoubleType =>
+      var i = 0
+      while (i < n) {
+        if (r.getCurrentDefinitionLevel < maxDef) v.putNull(i)
+        else v.putDouble(i, r.getDouble)
+        r.consume(); i += 1
+      }
+    case FloatType =>
+      var i = 0
+      while (i < n) {
+        if (r.getCurrentDefinitionLevel < maxDef) v.putNull(i)
+        else v.putFloat(i, r.getFloat)
+        r.consume(); i += 1
+      }
+    case BooleanType =>
+      var i = 0
+      while (i < n) {
+        if (r.getCurrentDefinitionLevel < maxDef) v.putNull(i)
+        else v.putBoolean(i, r.getBoolean)
+        r.consume(); i += 1
+      }
+    case StringType | BinaryType =>
+      var i = 0
+      while (i < n) {
+        if (r.getCurrentDefinitionLevel < maxDef) v.putNull(i)
+        else { v.putByteArray(i, r.getBinary.getBytes); () }
+        r.consume(); i += 1
+      }
+    case other => throw new UnsupportedOperationException(
+      s"graft-snap: unsupported read type $other")
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); reader.close() }
+}
+
+/** Parquet → InternalRow through the public Group API, decoding only
+  * the projected columns. */
+final class SnapFileReader(path: String, start: Long, length: Long,
+                           required: StructType, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  // withRange keeps exactly the row groups whose midpoint falls in
+  // [start, start+length) — tiling ranges read each group once
+  private val reader = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new Path(path), conf),
+    org.apache.parquet.HadoopReadOptions.builder(conf)
+      .withRange(start,
+        if (length == Long.MaxValue) Long.MaxValue else start + length)
+      .build())
+  private val (projected, groupIdx) =
+    SnapParquet.project(reader.getFooter.getFileMetaData.getSchema, required)
   private val colIO = new ColumnIOFactory().getColumnIO(projected)
 
   private var group: Group = _

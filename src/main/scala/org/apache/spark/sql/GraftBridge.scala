@@ -18,12 +18,42 @@ object GraftBridge {
     * so runtime per-session overrides (`spark.conf.set` of
     * spark.hadoop.* credentials) reach executors too.
     * `SerializableConfiguration` is private[spark], so the broadcast is
-    * surfaced untyped and unwrapped here. */
+    * surfaced untyped and unwrapped here.
+    *
+    * CACHED per session (round 13): every Scan instantiation calling
+    * this used to mint a fresh broadcast, and a long-lived session
+    * planning many scans accumulated them without bound. The cache key
+    * is a fingerprint of the runtime conf entries that feed
+    * `newHadoopConf()` (spark.hadoop.* and fs.*), so a credential
+    * rotated mid-session still reaches executors via a new broadcast;
+    * superseded broadcasts are simply dropped — Spark's ContextCleaner
+    * reclaims them once unreferenced. */
   def hadoopConfBroadcast(spark: SparkSession)
-      : org.apache.spark.broadcast.Broadcast[_] =
-    spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        sessionHadoopConf(spark)))
+      : org.apache.spark.broadcast.Broadcast[_] = confCacheLock.synchronized {
+    val fp = hadoopConfFingerprint(spark)
+    Option(confCache.get(spark)) match {
+      case Some((`fp`, b)) => b
+      case _ =>
+        val b = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            sessionHadoopConf(spark)))
+        confCache.put(spark, (fp, b))
+        b
+    }
+  }
+
+  private val confCacheLock = new Object
+  // weak keys: a discarded session must not be pinned by its cache row
+  private val confCache =
+    new java.util.WeakHashMap[SparkSession,
+      (Long, org.apache.spark.broadcast.Broadcast[_])]
+
+  private def hadoopConfFingerprint(spark: SparkSession): Long = {
+    val relevant = spark.conf.getAll.iterator.filter { case (k, _) =>
+      k.startsWith("spark.hadoop.") || k.startsWith("fs.")
+    }.toSeq.sorted
+    scala.util.hashing.MurmurHash3.seqHash(relevant).toLong
+  }
 
   def hadoopConf(b: org.apache.spark.broadcast.Broadcast[_])
       : org.apache.hadoop.conf.Configuration =
@@ -35,4 +65,11 @@ object GraftBridge {
   def sessionHadoopConf(spark: SparkSession)
       : org.apache.hadoop.conf.Configuration =
     spark.asInstanceOf[CSparkSession].sessionState.newHadoopConf()
+
+  /** V2 Predicate → V1 source Filter (runtime-filter predicates arrive
+    * as V2 `Predicate`s) — `PredicateUtils` is private[sql]. */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
 }

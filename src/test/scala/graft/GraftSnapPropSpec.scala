@@ -64,7 +64,7 @@ class GraftSnapPropSpec extends AnyFunSuite {
 
     var anyPruned = false
     val prnd = new scala.util.Random(7L)
-    def randPred(): Column = prnd.nextInt(6) match {
+    def randPred(): Column = prnd.nextInt(9) match {
       case 0 => col("k") === prnd.nextInt(5200).toLong
       case 1 => col("k") >= prnd.nextInt(5200).toLong
       case 2 =>
@@ -78,6 +78,16 @@ class GraftSnapPropSpec extends AnyFunSuite {
         val base = col("k") <= prnd.nextInt(5000).toLong
         val pt = col("bk") === prnd.nextInt(400).toLong
         if (prnd.nextBoolean()) base && pt else base || pt
+      // round-13 negations — the complement-rewrite pruning paths must
+      // hold exactness under the same sweep (nulls in bk make SQL's
+      // "NULL doesn't match NOT f" semantics load-bearing)
+      case 6 => !(col("k") === prnd.nextInt(5200).toLong)
+      case 7 => !(col("k") >= prnd.nextInt(5200).toLong)
+      case 8 =>
+        if (prnd.nextBoolean()) !col("bk").isin(
+          (0 until 1 + prnd.nextInt(3)).map(_ => prnd.nextInt(400).toLong): _*)
+        else !(col("k") <= prnd.nextInt(5000).toLong &&
+          col("bk") === prnd.nextInt(400).toLong)
     }
     (1 to 40).foreach { i =>
       val p = randPred()
@@ -133,7 +143,7 @@ class GraftSnapPropSpec extends AnyFunSuite {
     val prnd = new scala.util.Random(13L)
     def randVal(): String =
       pool(prnd.nextInt(pool.size)) + "/" + prnd.nextInt(500)
-    def randPred(): Column = prnd.nextInt(6) match {
+    def randPred(): Column = prnd.nextInt(9) match {
       case 0 => col("sk") === randVal()
       case 1 => col("sk") >= randVal()
       case 2 =>
@@ -148,6 +158,13 @@ class GraftSnapPropSpec extends AnyFunSuite {
         val base = col("sk") < randVal()
         val r = col("k") >= prnd.nextInt(1000).toLong
         if (prnd.nextBoolean()) base && r else base || r
+      // round-13 string negations: NOT eq (truncation-aware), NOT
+      // prefix (shared-bound proof), NOT range
+      case 6 => !(col("sk") === randVal())
+      case 7 =>
+        val p = pool(prnd.nextInt(pool.size))
+        !col("sk").startsWith(p.take(1 + prnd.nextInt(p.length)))
+      case 8 => !(col("sk") >= randVal())
     }
     (1 to 40).foreach { i =>
       val p = randPred()

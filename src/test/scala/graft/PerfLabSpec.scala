@@ -237,4 +237,31 @@ class PerfLabSpec extends AnyFunSuite {
     time("q76 codegen morton2")(boxAgg(_.withColumn("z", expr("morton2(x, y)"))))
     time("q76 HOF again")(boxAgg(_.withColumn("z", graft.operators.Scale.zorder2("x", "y"))))
   }
+
+  test("graft-snap scan: columnar connector vs spark.read.parquet") {
+    // Round-13 A/B for the verdict's "within ~1.2x of spark.read.parquet
+    // on the same surviving files" goal: same files, same aggregate, the
+    // connector's columnar decode vs Spark's own vectorized reader.
+    assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
+    import org.apache.spark.sql.functions._
+    import graft.operators.SnapTable
+    val dir = "target/perflab-snap-scan"
+    SnapTable.destroy(spark, dir)
+    val li = Tables(spark, sf, "lineitem")
+    SnapTable.commit(spark, dir, li.repartition(16))
+    val files = SnapTable.files(spark, dir)
+      .map(SnapTable.resolvePath(dir, _))
+    def agg(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.agg(sum("l_quantity"), sum("l_extendedprice"),
+        count("l_returnflag"), min("l_shipdate"), max("l_linestatus"))
+        .collect(); ()
+    }
+    def viaConnector(): Unit =
+      agg(spark.read.format("graft-snap").load(dir))
+    def viaParquet(): Unit = agg(spark.read.parquet(files: _*))
+    time("connector (columnar)", 5)(viaConnector())
+    time("spark.read.parquet", 5)(viaParquet())
+    time("connector again", 5)(viaConnector())
+    SnapTable.destroy(spark, dir)
+  }
 }

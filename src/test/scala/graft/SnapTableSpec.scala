@@ -385,7 +385,9 @@ class SnapTableSpec extends AnyFunSuite {
     assert(lines(1) == "#bloom:l_partkey:128")
     assert(lines(2) ==
       "#schema:l_orderkey:bigint;l_partkey:bigint;l_quantity:double")
-    val fileLines = lines.drop(3)
+    assert(lines(3) == "#counts:full",
+      "a fresh commit's lines all carry counts — the header must say so")
+    val fileLines = lines.drop(4)
     assert(fileLines.nonEmpty)
     fileLines.foreach { l =>
       val parts = l.split("\t", -1)
@@ -490,6 +492,77 @@ class SnapTableSpec extends AnyFunSuite {
     }
     // the winner's own claim file persists as the slot's CAS token
     assert(Files.exists(claim))
+    SnapTable.destroy(spark, d)
+  }
+
+  test("append auto-retry: a lost race lands on the next slot, no data rewrite") {
+    // round 13: an APPEND loser's data files are disjoint from the
+    // winner's, so losing the version-slot race costs metadata only —
+    // the retry re-claims the next slot, re-validates the pins, and
+    // rebuilds the manifest from the already-written lines. The race is
+    // injected deterministically via the test seam: a competing append
+    // commits BETWEEN this commit's data write and its claim.
+    import scala.jdk.CollectionConverters._
+    val d = s"$dir-retry"
+    SnapTable.destroy(spark, d)
+    val base = Tables(spark, TestSpark.Sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    SnapTable.commit(spark, d, base.filter(col("l_orderkey") % 5 === 0),
+      statCols = Seq("l_orderkey"), bloomCol = "l_partkey")
+    def dataFiles(): Set[String] =
+      java.nio.file.Files.walk(Paths.get(d, "data")).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSet
+    var hookRan = false
+    SnapTable.commitRaceTestHook = () => {
+      hookRan = true
+      SnapTable.commit(spark, d, base.filter(col("l_orderkey") % 5 === 2),
+        append = true, statCols = Seq("l_orderkey"), bloomCol = "l_partkey")
+      ()
+    }
+    val beforeRetry = dataFiles()
+    val vA = SnapTable.commit(spark, d,
+      base.filter(col("l_orderkey") % 5 === 1),
+      append = true, statCols = Seq("l_orderkey"), bloomCol = "l_partkey")
+    assert(hookRan, "the race hook never fired")
+    assert(vA == 3, s"the losing append must land on the NEXT slot, got $vA")
+    assert(SnapTable.latestVersion(spark, d) == 3)
+    // no data-file rewrite: every pre-existing file survives byte-
+    // identical in place, and the retry added only its own commit's
+    assert(beforeRetry.subsetOf(dataFiles()))
+    // the winner's lines carry verbatim into the retried manifest
+    assert(SnapTable.files(spark, d, 2).toSet
+      .subsetOf(SnapTable.files(spark, d, 3).toSet))
+    // content exact
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(SnapTable.read(spark, d)) ===
+      canon(base.filter(col("l_orderkey") % 5 <= 2)))
+    // the harvested lines kept their stats/bloom/count cells: pruning
+    // metadata and the counts header survive the retry
+    val fm = SnapTable.filesMeta(spark, d, 3)
+    assert(fm.filter(col("min_l_orderkey").isNull).count() == 0,
+      "retry dropped zone cells")
+    assert(fm.filter(!col("has_bloom")).count() == 0,
+      "retry dropped bloom cells")
+    assert(SnapTable.header(spark, d, 3).counts,
+      "retry dropped the #counts:full header")
+    // no stray temp manifests left behind
+    assert(java.nio.file.Files.list(Paths.get(d, "_manifests"))
+      .iterator().asScala.forall(p => !p.getFileName.toString.startsWith(".tmp-")),
+      "retry leaked temp manifests")
+    // a conflicting REPLACE must still throw: an overwrite embeds a
+    // decision about table state the winner just changed
+    SnapTable.commitRaceTestHook = () => {
+      SnapTable.commit(spark, d, base.filter(col("l_orderkey") % 5 === 3),
+        append = true, statCols = Seq("l_orderkey"), bloomCol = "l_partkey")
+      ()
+    }
+    intercept[SnapTable.CommitConflictException] {
+      SnapTable.commit(spark, d, base.limit(7),
+        statCols = Seq("l_orderkey"), bloomCol = "l_partkey")
+    }
+    assert(SnapTable.latestVersion(spark, d) == 4,
+      "the racing append must have won the contested slot")
     SnapTable.destroy(spark, d)
   }
 
