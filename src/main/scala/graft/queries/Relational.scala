@@ -5056,6 +5056,118 @@ object Relational {
           sum(col("n_tok")).as("tok_pref")))
         .select(col("n_eq"), col("tok_eq"), col("n_pref"), col("tok_pref"),
           lit(true).as("pruned"))
+    }),
+
+    // Q160 SQL ROW-LEVEL DELETE through the snap CATALOG (round 13):
+    // `DELETE FROM snap.db.t WHERE ...` — the GDPR verb reachable from
+    // plain SQL. The catalog (sources/SnapCatalog) maps identifiers to
+    // snapshot directories; CREATE TABLE commits an empty version 1
+    // with the schema pin and stat declarations, INSERT INTO is an
+    // append commit, and DELETE executes the library's file-granular
+    // copy-on-write (SupportsDelete → SnapTable.delete with the
+    // predicate's own conjuncts as the zone hint). In-query requires
+    // pin the physics: untouched files carried VERBATIM into the new
+    // version (files_rewritten < files_total) and the pre-delete
+    // version still reads complete (history). Every published value
+    // recomputes in the oracle from the raw rows with the same
+    // predicate applied — the SQL delete is hash-checked exact.
+    // Scale: a keyed delete is O(files that can contain the key) at
+    // 100 TB, not a table rewrite; the statement fails loudly on
+    // predicates the verb cannot express losslessly.
+    "q160_sqldelete" -> ((s, d) => {
+      val wh = "target/graft-snapcat/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, s"$wh/db/li")
+      s.conf.set("spark.sql.catalog.graftsnap",
+        "graft.sources.SnapCatalog")
+      s.conf.set("spark.sql.catalog.graftsnap.warehouse", wh)
+      s.sql("""CREATE TABLE graftsnap.db.li
+               (l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE)
+               USING `graft-snap` TBLPROPERTIES ('statCols' = 'l_orderkey')""")
+      t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+        .createOrReplaceTempView("q160_src")
+      s.sql("""INSERT INTO graftsnap.db.li
+               SELECT /*+ REPARTITION_BY_RANGE(6, l_orderkey) */
+                 l_orderkey, l_partkey, l_quantity FROM q160_src""")
+      val dir = s"$wh/db/li"
+      val preFiles = graft.operators.SnapTable.files(s, dir, 2).toSet
+      s.sql("DELETE FROM graftsnap.db.li " +
+        "WHERE l_orderkey BETWEEN 100 AND 300")
+      val postFiles = graft.operators.SnapTable
+        .files(s, dir, 3).toSet
+      require(preFiles.intersect(postFiles).nonEmpty,
+        "q160: DELETE rewrote every file — the zone hint pruned nothing")
+      require(preFiles.diff(postFiles).nonEmpty,
+        "q160: DELETE rewrote no file — no candidate was touched")
+      val preCount = graft.operators.SnapTable.read(s, dir, 2).count()
+      s.table("graftsnap.db.li").agg(
+          count(lit(1)).as("n_rows"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+          sum(col("l_orderkey")).as("sum_key"),
+          min(col("l_orderkey")).as("mn"),
+          max(col("l_orderkey")).as("mx"))
+        .select(col("n_rows"), col("sum_qty"), col("sum_key"),
+          col("mn"), col("mx"),
+          lit(preCount).as("pre_delete_rows"),
+          lit(true).as("cow_carried"))
+    }),
+
+    // Q161 RUNTIME FILE PRUNING (round 13, SupportsRuntimeV2Filtering —
+    // the Iceberg shape): planning-time pruning (q157) needs literal
+    // predicates, but a fact-dim join's selective keys only exist at
+    // EXECUTION — Spark's dynamic-pruning subquery hands the broadcast
+    // dim's join-key values to the scan, which re-prunes its file set
+    // through the same zone/bloom/string evaluator before any reader
+    // opens. The fixture range-lays the fact on the key and the dim's
+    // selective filter keeps 2 keys, so the probe must open a strict
+    // subset of the 8 files — pinned by an in-query require on the
+    // EXECUTED scan (runtime filters exist only post-execution; AQE
+    // query stages are unwrapped to reach it). Every published value
+    // recomputes in the oracle from raw rows, so the runtime-pruned
+    // scan is hash-checked exact. At 100 TB: a dim-filtered join opens
+    // the files that can hold the probed keys, not the corpus.
+    "q161_runtimeprune" -> ((s, d) => {
+      val dir = "target/graft-runtimeprune/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      graft.operators.SnapTable.commit(s, dir,
+        li.repartitionByRange(8, col("l_orderkey")),
+        statCols = Seq("l_orderkey"))
+      val keys = li.select("l_orderkey").distinct()
+        .orderBy("l_orderkey").limit(2).collect().map(_.getLong(0)).toSeq
+      // the dim carries a SELECTIVE filter — the trigger Spark's
+      // dynamic-pruning rule requires before planting the subquery
+      val dim = li.select(col("l_orderkey").as("k")).distinct()
+        .withColumn("tag", when(col("k").isin(keys: _*), lit("pick"))
+          .otherwise(lit("other")))
+        .filter(col("tag") === "pick")
+      val j = s.read.format("graft-snap").load(dir)
+        .join(broadcast(dim), col("l_orderkey") === col("k"))
+      j.collect()
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => allNodes(q.plan)
+          case other => Seq(other)
+        }.flatten
+      val scan = allNodes(j.queryExecution.executedPlan).collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec if b.scan.isInstanceOf[graft.sources.SnapScan] =>
+          b.scan.asInstanceOf[graft.sources.SnapScan]
+      }.getOrElse(sys.error("q161: no graft-snap BatchScanExec in plan"))
+      require(scan.total == 8,
+        s"q161 layout drifted from 8 files (${scan.total})")
+      require(scan.survivors.size < scan.total,
+        s"q161 runtime filter pruned nothing " +
+          s"(${scan.survivors.size}/${scan.total})")
+      j.agg(count(lit(1)).as("n_rows"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+          sum(col("l_linenumber").cast(LongType)).as("sum_ln"))
+        .select(col("n_rows"), col("sum_qty"), col("sum_ln"),
+          lit(8L).as("files_total"), lit(true).as("runtime_pruned"))
     })
   )
 
@@ -8075,6 +8187,38 @@ object Relational {
         |     WHERE source LIKE 'src1%') AS n_pref,
         |  (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
         |     FROM documents WHERE source LIKE 'src1%') AS tok_pref,
-        |  TRUE AS pruned""".stripMargin
+        |  TRUE AS pruned""".stripMargin,
+
+    // q160: the SQL DELETE's surviving rows recomputed from the raw
+    // table with the same predicate — the catalog + COW delete are
+    // hash-checked exact; cow_carried is the Spark side's in-query
+    // file-carry assertion, published as the boolean it guarantees
+    "q160_sqldelete" ->
+      """SELECT
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4)
+        |       AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+        |  MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+        |    AS pre_delete_rows,
+        |  TRUE AS cow_carried
+        |FROM lineitem
+        |WHERE NOT (l_orderkey BETWEEN 100 AND 300)""".stripMargin,
+
+    // q161: the runtime-pruned join recomputed from raw rows with the
+    // same 2-key dim; runtime_pruned is the Spark side's in-query
+    // executed-plan assertion, published as the boolean it guarantees
+    "q161_runtimeprune" ->
+      """WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+        |           ORDER BY 1 LIMIT 2)
+        |SELECT
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4)
+        |       AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln,
+        |  CAST(8 AS BIGINT) AS files_total,
+        |  TRUE AS runtime_pruned
+        |FROM lineitem JOIN k ON l_orderkey = k.k""".stripMargin
   )
 }
