@@ -993,6 +993,48 @@ object StreamingQueries {
           "left_semi")
         .select(col("v_id"), col("user_id"), col("v_ts"))
         .orderBy("v_id")
+    }),
+
+    // S40 NATIVE V2 STREAMING SINK (round 13) — s16's contract with NO
+    // foreachBatch: `df.writeStream.format("graft-snap")` is a native
+    // StreamingWrite whose per-task writers land immutable parquet
+    // files and whose per-epoch driver commit appends exactly the
+    // files the tasks reported, with the exactly-once marker
+    // (streamQuery/streamEpoch) riding the SAME atomic manifest rename
+    // as the data — no commit-then-checkpoint crash window (the Delta
+    // txn idiom; SnapSinkSpec pins the checkpointed-restart and
+    // replayed-epoch cases). THIS RUNS THE REAL STREAM: events stage
+    // to parquet, an AvailableNow query drains them through the sink,
+    // and the committed table is read back through the connector —
+    // every published value recomputes in the oracle from raw rows, so
+    // the sink's end state is hash-checked exact; epoch0 pins that the
+    // whole drain landed as epoch 0's single commit.
+    "s40_snapsinkv2" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = "target/graft-snapsinkv2/" + tag
+      val inDir = "target/graft-snapsinkv2-in/" + tag
+      val cp = "target/graft-snapsinkv2-cp/" + tag
+      graft.operators.SnapTable.destroy(s, dir)
+      graft.operators.SnapTable.destroy(s, inDir)
+      graft.operators.SnapTable.destroy(s, cp)
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      e.coalesce(2).write.parquet(inDir)
+      val q = s.readStream.schema(e.schema).parquet(inDir)
+        .writeStream.format("graft-snap")
+        .option("path", dir).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val meta = graft.operators.SnapTable.meta(s, dir)
+      require(meta.get("streamEpoch").contains("0"),
+        s"s40: native sink epoch marker missing or wrong: $meta")
+      s.read.format("graft-snap").load(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Conv.r4(Conv.sumDec6(col("value"))).as("sum_v"))
+        .withColumn("epoch0", lit(true))
+        .orderBy("event_type")
     })
   )
 
@@ -1048,6 +1090,14 @@ object StreamingQueries {
       val qd7 = DedupExt.oracle("qd7_incremental")
       s"""SELECT doc_id FROM ($qd7) WHERE verdict <> 'new' ORDER BY doc_id"""
     },
+
+    // s40: the native V2 sink's end state from the raw table; epoch0
+    // is the Spark side's in-query manifest-marker assertion
+    "s40_snapsinkv2" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_v,
+        |  TRUE AS epoch0
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // s16: the sink's end state from the raw table; versions=2 pins
     // the two-commit protocol as data
