@@ -177,16 +177,26 @@ object SnapTable {
   }
 
   /** The two bloom bit positions for a probe value — computed through
-    * the SAME Spark expressions that built the bitmaps (constant-folded
-    * local relation, no job), so scanner pruning can never diverge from
-    * the writer's hashing. */
+    * the SAME Catalyst expression the writer's bitmaps were built with
+    * (`XxHash64`, evaluated directly), so scanner pruning can never
+    * diverge from the writer's hashing. Direct eval (round 13): the
+    * old shape planned a one-row local relation PER DISTINCT VALUE —
+    * harmless for a user's small IN list, a real planning tax once
+    * runtime filters hand the scan thousands of join keys. 42 is
+    * the `xxhash64` function's documented default seed. */
   private[graft] def bloomPositions(spark: SparkSession, value: Long,
                                     m: Int): (Long, Long) = {
-    val r = spark.range(1).select(
-      pmod(xxhash64(lit(value)), lit(m.toLong)).as("p1"),
-      pmod(xxhash64(lit(value), lit(BloomSeed)), lit(m.toLong)).as("p2"))
-      .head()
-    (r.getLong(0), r.getLong(1))
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // the writer's second hash is xxhash64(value, BloomSeed) — the
+    // seed constant hashed as a SECOND COLUMN under the function's
+    // default seed 42, exactly as the bitmap-building expression wrote
+    // it (not XxHash64 seeded with BloomSeed)
+    def pos(cols: Seq[Long]): Long = {
+      val h = XxHash64(cols.map(Literal(_)), 42L).eval(null)
+        .asInstanceOf[Long]
+      ((h % m) + m) % m // pmod
+    }
+    (pos(Seq(value)), pos(Seq(value, BloomSeed)))
   }
 
   /** Bit test against a manifest hex bitmap. */
@@ -1359,12 +1369,9 @@ object SnapTable {
     val info = parseManifest(f, dir, v)
     val (bc, m) = info.bloom.getOrElse(
       throw new IllegalArgumentException(s"no bloom column declared at $dir"))
-    // probe bit positions computed through the SAME Spark expressions
-    // that built the bitmaps (constant-folded local relation, no job)
-    val probe = spark.range(1).select(
-      pmod(xxhash64(lit(value)), lit(m.toLong)).as("p1"),
-      pmod(xxhash64(lit(value), lit(BloomSeed)), lit(m.toLong)).as("p2")).head()
-    val (p1, p2) = (probe.getLong(0), probe.getLong(1))
+    // probe bit positions computed through the SAME Catalyst expression
+    // that built the bitmaps (bloomPositions — direct XxHash64 eval)
+    val (p1, p2) = bloomPositions(spark, value, m)
     def bitSet(hex: String, p: Long): Boolean = {
       val w = (p / 64).toInt
       val word = java.lang.Long.parseUnsignedLong(
