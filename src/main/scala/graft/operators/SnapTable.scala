@@ -503,6 +503,10 @@ object SnapTable {
                            statCols: Seq[String],
                            bloom: Option[(String, Int)],
                            strStatCols: Seq[String] = Nil): DataFrame = {
+    // a commit may add ZERO files (a row-level DELETE that emptied all
+    // matched groups): genDir may not even exist — no lines, no reads
+    if (newNames.isEmpty)
+      return carriedDf(spark, Nil).select(col("k"), col("line"))
     def fileName = element_at(split(input_file_name(), "/"), -1)
     lazy val data = spark.read.parquet(genDir)
     // all-null stat values print as the unprunable "-,-" cell
@@ -1061,6 +1065,51 @@ object SnapTable {
     commitNamed(spark, dir, commitId, names, schemaFingerprint(schema),
       carried, statCols, bloom, meta, strStats, counts, prev,
       Some(carriedFor))._1
+  }
+
+  /** GROUP-REPLACE COMMIT (round 13, the SQL UPDATE/MERGE/complex-
+    * DELETE terminal): the next version = the previous version's file
+    * list MINUS `replacedPaths` (the copy-on-write groups the row-level
+    * scan read) PLUS the already-written files under
+    * `dir/data/<commitId>` (the groups' full replacement content).
+    * Carried lines survive VERBATIM through an executor-side broadcast
+    * anti-join — the driver never materializes the file list; config
+    * and the schema pin inherit from the extended header. No auto-
+    * retry: a racing commit may have touched the groups this rewrite
+    * read, so the conflict surfaces (the caller re-runs the statement
+    * against the new state — Iceberg's serializable COW semantics). */
+  private[graft] def commitReplace(spark: SparkSession, dir: String,
+      commitId: String, names: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      replacedPaths: Seq[String], meta: Map[String, String]): Int = {
+    val f = fs(spark, dir)
+    val prev = latestVersion(spark, dir)
+    require(prev > 0, s"no committed version at $dir")
+    val h = readHeader(f, dir, prev)
+    h.schema.foreach { ps =>
+      val cur = schemaFingerprint(schema)
+      require(cur == ps,
+        s"row-level write schema does not match the committed table\n" +
+          s"  committed: $ps\n  write:     $cur")
+    }
+    // replaced paths arrive ABSOLUTE (the scan's resolved view) —
+    // recover the manifest's relative form; foreign (cloned-in) lines
+    // are already absolute in both
+    val replRel = replacedPaths.map(p =>
+      if (p.startsWith(s"$dir/")) p.stripPrefix(s"$dir/") else p)
+    val replDf = spark.createDataset(replRel)(
+      org.apache.spark.sql.Encoders.STRING).toDF("_r")
+    val carried = spark.read.text(manifestPath(dir, prev).toString)
+      .where(!col("value").startsWith("#") && col("value") =!= "")
+      .withColumn("_path", element_at(split(col("value"), "\t"), 1))
+      .join(broadcast(replDf), col("_path") === col("_r"), "left_anti")
+      .select(concat(lit("1"),
+        lpad(monotonically_increasing_id().cast("string"), 12, "0"))
+        .as("k"), col("value").as("line"))
+    commitNamed(spark, dir, commitId, names, schemaFingerprint(schema),
+      carried, h.statCols, h.bloom, meta, h.sStatCols,
+      // a subset of counted lines stays counted; new lines always are
+      countsComplete = h.counts, basedOnPrev = prev, reCarry = None)._1
   }
 
   /** Most recent epoch `queryId` committed to this table, -1 if none —

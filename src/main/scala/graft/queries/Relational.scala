@@ -5168,6 +5168,77 @@ object Relational {
           sum(col("l_linenumber").cast(LongType)).as("sum_ln"))
         .select(col("n_rows"), col("sum_qty"), col("sum_ln"),
           lit(8L).as("files_total"), lit(true).as("runtime_pruned"))
+    }),
+
+    // Q162 SQL UPDATE + MERGE INTO — group-based row-level operations
+    // (round 13, SupportsRowLevelOperations, the Iceberg copy-on-write
+    // shape): the analyzer rewrites each statement over the
+    // operation's own scan (which exposes the `_file` metadata column
+    // and runtime filtering), the group-filter rule narrows the
+    // rewrite to files holding MATCHED rows at execution, and
+    // ReplaceData commits the matched files' full replacement content
+    // as one atomic version (SnapTable.commitReplace — untouched files
+    // carry verbatim through an executor-side anti-join, history stays
+    // readable). The statement sequence: UPDATE bumps a key range's
+    // quantity, MERGE zeroes every 97th key and inserts three rows
+    // beyond the max key; in-plan requires pin the rowLevelOp commit
+    // metadata, that the UPDATE carried files (group filtering
+    // narrowed the rewrite), and MERGE-match non-vacuity. The oracle
+    // replays the sequential semantics as one CASE over raw rows plus
+    // the inserted keys — the whole end state is hash-checked. At
+    // 100 TB a keyed UPDATE/MERGE rewrites O(files holding matched
+    // keys), not the table.
+    "q162_sqlmerge" -> ((s, d) => {
+      val wh = "target/graft-snapcat/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = s"$wh/db/m"
+      graft.operators.SnapTable.destroy(s, dir)
+      s.conf.set("spark.sql.catalog.graftsnap",
+        "graft.sources.SnapCatalog")
+      s.conf.set("spark.sql.catalog.graftsnap.warehouse", wh)
+      s.sql("""CREATE TABLE graftsnap.db.m
+               (l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE)
+               USING `graft-snap` TBLPROPERTIES ('statCols' = 'l_orderkey')""")
+      t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+        .createOrReplaceTempView("q162_li")
+      s.sql("""INSERT INTO graftsnap.db.m
+               SELECT /*+ REPARTITION_BY_RANGE(6, l_orderkey) */
+                 l_orderkey, l_partkey, l_quantity FROM q162_li""")
+      s.sql("UPDATE graftsnap.db.m SET l_quantity = l_quantity + 100 " +
+        "WHERE l_orderkey BETWEEN 50 AND 150")
+      require(graft.operators.SnapTable.meta(s, dir)("rowLevelOp")
+        == "UPDATE", "q162: UPDATE did not take the row-level path")
+      require(graft.operators.SnapTable.files(s, dir, 2).toSet
+          .intersect(graft.operators.SnapTable.files(s, dir, 3).toSet)
+          .nonEmpty,
+        "q162: UPDATE rewrote every file — group filtering pruned nothing")
+      s.sql("""CREATE OR REPLACE TEMP VIEW q162_src AS
+               SELECT DISTINCT l_orderkey FROM q162_li
+               WHERE l_orderkey % 97 = 0
+               UNION ALL
+               SELECT MAX(l_orderkey) + i FROM q162_li
+               CROSS JOIN (SELECT * FROM VALUES (1),(2),(3) AS t(i))
+               GROUP BY i""")
+      require(s.sql(
+        "SELECT COUNT(*) FROM q162_src WHERE l_orderkey % 97 = 0")
+        .head().getLong(0) > 0, "q162: no matched MERGE keys — vacuous")
+      s.sql("""MERGE INTO graftsnap.db.m m USING q162_src src
+               ON m.l_orderkey = src.l_orderkey
+               WHEN MATCHED THEN UPDATE SET l_quantity = 0
+               WHEN NOT MATCHED THEN INSERT
+                 (l_orderkey, l_partkey, l_quantity)
+                 VALUES (src.l_orderkey, -1, 1.0)""")
+      require(graft.operators.SnapTable.meta(s, dir)("rowLevelOp")
+        == "MERGE", "q162: MERGE did not take the row-level path")
+      s.table("graftsnap.db.m").agg(
+          count(lit(1)).as("n_rows"),
+          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
+          sum(when(col("l_quantity") === 0.0, lit(1L)).otherwise(lit(0L)))
+            .as("n_zero"),
+          sum(when(col("l_partkey") === -1L, lit(1L)).otherwise(lit(0L)))
+            .as("n_ins"),
+          max(col("l_orderkey")).as("mx"))
+        .select(col("n_rows"), col("sum_qty"), col("n_zero"),
+          col("n_ins"), col("mx"), lit(true).as("cow_rowlevel"))
     })
   )
 
@@ -8219,6 +8290,30 @@ object Relational {
         |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln,
         |  CAST(8 AS BIGINT) AS files_total,
         |  TRUE AS runtime_pruned
-        |FROM lineitem JOIN k ON l_orderkey = k.k""".stripMargin
+        |FROM lineitem JOIN k ON l_orderkey = k.k""".stripMargin,
+
+    // q162: the sequential UPDATE-then-MERGE semantics replayed as one
+    // CASE over raw rows (MERGE's zero overrides the earlier +100 for
+    // keys in both sets) plus the three inserted beyond-max keys;
+    // cow_rowlevel is the Spark side's in-query commit-metadata
+    // assertion, published as the boolean it guarantees
+    "q162_sqlmerge" ->
+      """WITH upd AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 0.0
+        |              WHEN l_orderkey BETWEEN 50 AND 150
+        |                THEN l_quantity + 100
+        |              ELSE l_quantity END AS q,
+        |         l_orderkey
+        |  FROM lineitem),
+        |mx AS (SELECT MAX(l_orderkey) AS m FROM lineitem)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) + 3 AS BIGINT) FROM upd) AS n_rows,
+        |  (SELECT CAST(ROUND(SUM(CAST(q AS DECIMAL(18,6))) + 3.0, 4)
+        |       AS DOUBLE) FROM upd) AS sum_qty,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM upd WHERE q = 0)
+        |    AS n_zero,
+        |  CAST(3 AS BIGINT) AS n_ins,
+        |  (SELECT m + 3 FROM mx) AS mx,
+        |  TRUE AS cow_rowlevel""".stripMargin
   )
 }

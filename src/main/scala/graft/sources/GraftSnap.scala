@@ -103,9 +103,33 @@ class GraftSnap extends TableProvider with DataSourceRegister {
 final class SnapScanTable(declared: StructType, props: Map[String, String])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft-snap(${props.getOrElse("path", "?")})"
   override def schema(): StructType = declared
+
+  /** `_file` — the source data file per row (the Iceberg/Delta
+    * metadata column), and the GROUP handle Spark's row-level
+    * operations match copy-on-write rewrites on. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = SnapScan.FileColumn
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "source data file of the row"
+    })
+
+  /** SQL UPDATE / MERGE / untranslatable DELETE — group-based
+    * copy-on-write (GraftSnapRowLevel). Translatable DELETEs never
+    * reach this path: Spark's metadata-delete optimization routes them
+    * to [[deleteWhere]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new SnapRowLevelOperation(info.command(), declared, props)
 
   /** SQL row-level DELETE (round 13): `DELETE FROM snap.db.t WHERE ...`
     * executes as the library's file-granular copy-on-write delete —
@@ -312,6 +336,18 @@ final case class SnapCountCol(c: String) extends SnapAgg
 final case class SnapAggMin(c: String) extends SnapAgg
 final case class SnapAggMax(c: String) extends SnapAgg
 
+object SnapScan {
+  /** The `_file` metadata column's name — also the row-level
+    * operations' group handle. */
+  val FileColumn = "_file"
+
+  /** Internal option marking a scan as a row-level operation's read:
+    * disables aggregate pushdown (the rewrite needs rows, not
+    * metadata answers) and reports `_file` as a runtime-filterable
+    * attribute so group filtering can narrow the rewrite. */
+  val RowLevelOpt = "__rowlevel"
+}
+
 object SnapScanBuilder {
   /** A filter participates in file pruning when every referenced column
     * is integer-typed (the manifest's zone cells are LONG) or
@@ -363,7 +399,9 @@ object SnapScanBuilder {
   }
 }
 
-final class SnapScanBuilder(full: StructType, opts: Map[String, String])
+// not final: a row-level operation subclasses it to capture the built
+// scan (whose post-runtime-filter survivors are the replaced groups)
+class SnapScanBuilder(full: StructType, opts: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -413,6 +451,8 @@ final class SnapScanBuilder(full: StructType, opts: Map[String, String])
         .Aggregation): Boolean = {
     if (pushedFiltersAny || aggregation.groupByExpressions.nonEmpty)
       return false
+    // a row-level operation's scan feeds a rewrite: it needs rows
+    if (opts.contains(SnapScan.RowLevelOpt)) return false
     // an EMPTY aggregate list arises when an outer aggregate prunes a
     // nested one to nothing (e.g. count() over this source's own
     // pushed-agg result): claiming it would make build() return the
@@ -601,9 +641,14 @@ final class SnapScan(full: StructType, required: StructType,
     // restricted to the scan's OUTPUT columns: Spark resolves these
     // references against the pruned read schema, and a stat column the
     // projection dropped would crash resolution (caught by the
-    // point-lookup-broadcast spec, which projects the stat column away)
-    (h.statCols ++ h.sStatCols ++ h.bloom.map(_._1).toSeq).distinct
-      .filter(c => required.fieldNames.contains(c))
+    // point-lookup-broadcast spec, which projects the stat column away).
+    // A row-level scan adds `_file` — the group handle Spark's rewrite
+    // filtering narrows the copy-on-write to matched files with.
+    ((h.statCols ++ h.sStatCols ++ h.bloom.map(_._1).toSeq).distinct
+      .filter(c => required.fieldNames.contains(c)) ++
+      (if (opts.contains(SnapScan.RowLevelOpt) &&
+           required.fieldNames.contains(SnapScan.FileColumn))
+         Seq(SnapScan.FileColumn) else Nil))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
   }
@@ -613,7 +658,9 @@ final class SnapScan(full: StructType, required: StructType,
         .Predicate]): Unit = {
     val v1 = predicates.toSeq.flatMap(p =>
         org.apache.spark.sql.GraftBridge.predicateToV1(p))
-      .filter(SnapScanBuilder.usableFilter(full, _))
+      .filter(f => f.references.nonEmpty &&
+        (f.references.forall(_ == SnapScan.FileColumn) ||
+          SnapScanBuilder.usableFilter(full, f)))
     if (v1.nonEmpty) runtimeFilters = runtimeFilters ++ v1
   }
 
@@ -681,7 +728,12 @@ final class SnapScan(full: StructType, required: StructType,
       }
     }
     // tri-state "this file CAN contain a matching row": unknown → true
+    val FileCol = SnapScan.FileColumn
     def canMatch(e: SnapTable.PlanEntry, f: Filter): Boolean = f match {
+      // `_file` is exact membership, not a zone: the runtime group
+      // filter hands back the very paths this scan emitted
+      case EqualTo(`FileCol`, v: String) => e.path == v
+      case In(`FileCol`, vs) => vs.exists(v => e.path == v)
       case EqualTo(a, v: String) =>
         e.sRanges.get(a).forall { case (lo, hi) =>
           val b = sBytes(v); cmpB(lo, b) <= 0 && cmpB(b, hi) <= 0
@@ -1063,6 +1115,12 @@ final class SnapColumnarFileReader(path: String, start: Long, length: Long,
     OnHeapColumnVector.allocateColumns(batchSize, required)
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
   private val colReaders = new Array[ColumnReader](required.length)
+  // `_file` metadata column: constant per partition — the file path
+  private val pathBytes =
+    path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val isFileCol = required.fields.zipWithIndex.map { case (f, i) =>
+    groupIdx(i) < 0 && f.name == SnapScan.FileColumn
+  }
   private var leftInGroup = 0L
 
   override def next(): Boolean = {
@@ -1091,8 +1149,12 @@ final class SnapColumnarFileReader(path: String, start: Long, length: Long,
       val v = vectors(i)
       v.reset()
       val r = colReaders(i)
-      if (r == null) v.putNulls(0, n)
-      else fill(r, v, n, required.fields(i).dataType,
+      if (r == null) {
+        if (isFileCol(i)) {
+          var j = 0
+          while (j < n) { v.putByteArray(j, pathBytes); j += 1 }
+        } else v.putNulls(0, n)
+      } else fill(r, v, n, required.fields(i).dataType,
         descriptors.get(groupIdx(i)).getMaxDefinitionLevel)
       i += 1
     }
@@ -1191,12 +1253,20 @@ final class SnapFileReader(path: String, start: Long, length: Long,
     true
   }
 
+  // `_file` metadata column: constant per partition — the file path
+  private val pathUtf8 = UTF8String.fromString(path)
+  private val isFileCol = required.fields.zipWithIndex.map { case (f, i) =>
+    groupIdx(i) < 0 && f.name == SnapScan.FileColumn
+  }
+
   override def get(): InternalRow = {
     val row = new GenericInternalRow(required.length)
     var i = 0
     while (i < required.length) {
       val g = groupIdx(i)
-      if (g < 0 || group.getFieldRepetitionCount(g) == 0) row.setNullAt(i)
+      if (g < 0 && isFileCol(i)) row.update(i, pathUtf8)
+      else if (g < 0 || group.getFieldRepetitionCount(g) == 0)
+        row.setNullAt(i)
       else required.fields(i).dataType match {
         case LongType | TimestampType | TimestampNTZType =>
           row.setLong(i, group.getLong(g, 0))

@@ -63,16 +63,31 @@ class SnapCatalog extends TableCatalog {
     try SnapTable.latestVersion(spark, pathOf(ident)) > 0
     catch { case scala.util.control.NonFatal(_) => false }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table = loadAt(ident, 0)
+
+  /** SQL time travel — `SELECT ... FROM snap.db.t VERSION AS OF 2`
+    * (Spark routes the version through this overload). Timestamp-based
+    * travel is unsupported: the manifest records version numbers, not
+    * wall-clock commit times — versions are the reproducible handle. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident,
+      try version.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"snap catalog: VERSION AS OF takes a version number, got '$version'")
+      })
+
+  private def loadAt(ident: Identifier, version: Int): Table = {
     val dir = pathOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val schema = SnapTable.headerSchemaOf(spark, dir).getOrElse {
+    val schema = SnapTable.headerSchemaOf(spark, dir, version).getOrElse {
       // legacy manifest without a #schema header: one footer read
-      val files = SnapTable.files(spark, dir)
+      val files = SnapTable.files(spark, dir, version)
       require(files.nonEmpty, s"snap table $dir has no data files")
       spark.read.parquet(SnapTable.resolvePath(dir, files.head)).schema
     }
-    new SnapScanTable(schema, Map("path" -> dir))
+    new SnapScanTable(schema, Map("path" -> dir) ++
+      (if (version > 0) Map("version" -> version.toString) else Map.empty))
   }
 
   /** CREATE TABLE = an empty version-1 commit carrying the declared
