@@ -238,6 +238,78 @@ class PerfLabSpec extends AnyFunSuite {
     time("q76 HOF again")(boxAgg(_.withColumn("z", graft.operators.Scale.zorder2("x", "y"))))
   }
 
+  test("iterative family at 10x scale: per-round floors amortize") {
+    // The r10-r12 waiver ledger says the iterative family's >2x-oracle
+    // ratios are per-round job floors x iteration counts that amortize
+    // at scale; no sf1 fixture has landed, so this derives one: 10
+    // key-offset copies of the sf0.1 tables (disjoint keys = 10
+    // disconnected copies of every graph; deterministic, driver data
+    // only). Single-file outputs so tools/time_oracle.py can replay
+    // the DuckDB oracle on the same scaled relations.
+    assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = sf
+    val out = "target/sf1x"
+    val done = Paths.get(s"$out/_done")
+    if (!Files.exists(done)) {
+      Files.createDirectories(Paths.get(out))
+      def scaled(name: String, keyOffsets: Map[String, Long]): Unit = {
+        val base = spark.read.parquet(s"$src/$name.parquet")
+        val copies = (0 until 10).map { i =>
+          keyOffsets.foldLeft(base) { case (df, (c, off)) =>
+            df.withColumn(c, col(c) + lit(i * off))
+          }
+        }.reduce(_ unionByName _)
+        val tmp = s"$out/_tmp_$name"
+        copies.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).iterator()
+        var moved = false
+        while (part.hasNext && !moved) {
+          val p = part.next()
+          if (p.toString.endsWith(".parquet")) {
+            Files.move(p, Paths.get(s"$out/$name.parquet"),
+              StandardCopyOption.REPLACE_EXISTING)
+            moved = true
+          }
+        }
+        graft.operators.SnapTable.destroy(spark, tmp)
+      }
+      val OFF = 100000000L
+      scaled("lineitem", Map("l_orderkey" -> OFF, "l_partkey" -> OFF,
+        "l_suppkey" -> OFF))
+      scaled("documents", Map("doc_id" -> OFF))
+      scaled("events", Map("event_id" -> OFF, "user_id" -> OFF))
+      scaled("customer", Map("c_custkey" -> OFF))
+      Seq("region", "nation", "supplier", "part", "orders", "embeddings")
+        .foreach { t =>
+          Files.copy(Paths.get(s"$src/$t.parquet"),
+            Paths.get(s"$out/$t.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      Files.writeString(done, "ok")
+    }
+    val family = Seq("q68_pagerank", "q127_lpa", "q123_kcore",
+      "q133_bfshop", "q137_ppr", "q131_assort", "q50_recursive",
+      "qt25_bpe", "qc8_tokenbudget", "qx15_bootstrap")
+    family.foreach { q =>
+      def run(dir: String): Double = {
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(q)(spark, dir).collect(); () }
+        catch {
+          case e: Throwable =>
+            info(s"  $q at $dir FAILED: ${String.valueOf(e.getMessage).take(100)}")
+        }
+        graft.operators.OpCaches.releaseAll()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a1 = run(src); val b1 = run(out)
+      val a2 = run(src); val b2 = run(out)
+      info(f"$q%-18s sf0.1 ${math.min(a1, a2)}%6.2f s   10x ${math.min(b1, b2)}%6.2f s   growth ${math.min(b1, b2) / math.min(a1, a2)}%5.2f x")
+    }
+  }
+
   test("graft-snap scan: columnar connector vs spark.read.parquet") {
     // Round-13 A/B for the verdict's "within ~1.2x of spark.read.parquet
     // on the same surviving files" goal: same files, same aggregate, the
