@@ -714,7 +714,8 @@ object SnapTable {
     * DML rewrites / compaction) never retry: their content derives
     * from a snapshot the winner just superseded, and a silent retry
     * would resurrect it — the caller must re-read and re-derive. */
-  private val MaxCommitAttempts = 5
+  // generous: N contenders can cost a thread up to N-1 lost rounds
+  private val MaxCommitAttempts = 16
 
   /** `basedOnPrev` pins the version the caller's `carried`/`df` were
     * derived from: the first claim targets exactly basedOnPrev + 1, so
@@ -813,7 +814,7 @@ object SnapTable {
           finally w.close()
         }
     def dropTmps(): Unit =
-      try f.globStatus(new Path(s"$dir/_manifests/.tmp-$commitId-*"))
+      try f.globStatus(new Path(s"$dir/_manifests/tmp-$commitId-*"))
         .foreach(st => f.delete(st.getPath, false))
       catch { case scala.util.control.NonFatal(_) => () }
 
@@ -830,7 +831,14 @@ object SnapTable {
     while (true) {
       val v = prevCur + 1
       val manifest = manifestPath(dir, v)
-      val tmpFile = s"$dir/_manifests/.tmp-$commitId-$attempt"
+      // NOT dot-prefixed: the retry path harvests this commit's lines
+      // back out of the losing temp file through spark.read.text, and
+      // Spark's file index silently filters dot/underscore-prefixed
+      // paths EVEN WHEN NAMED EXPLICITLY — a hidden temp name made the
+      // harvest read zero rows and lose the commit's own lines (caught
+      // by the thread-contention spec). Readers never list _manifests,
+      // so visibility costs nothing.
+      val tmpFile = s"$dir/_manifests/tmp-$commitId-$attempt"
       val claimed =
         if (f.exists(manifest)) false
         else {
@@ -859,7 +867,25 @@ object SnapTable {
       // operator recovery — the retry below re-bases only when the
       // conflicting version (or a later one) actually COMMITTED.
       attempt += 1
-      val newPrev = latestVersion(spark, dir)
+      // Re-base on the winner's COMMITTED version. Two subtleties under
+      // real contention (caught by the threaded spec): (a) the winner's
+      // `_latest` pointer swap lags its manifest rename, so the pointer
+      // alone can under-read — walk forward over existing manifests;
+      // (b) a loser can observe the winner's CLAIM before the winner's
+      // rename lands — wait briefly (bounded) for the manifest to
+      // appear before concluding the claim is a crashed committer's.
+      def committedPrev(): Int = {
+        var p = math.max(latestVersion(spark, dir), prevCur)
+        while (f.exists(manifestPath(dir, p + 1))) p += 1
+        p
+      }
+      var newPrev = committedPrev()
+      var waits = 0
+      while (newPrev <= prevCur && waits < 50) {
+        Thread.sleep(100)
+        newPrev = committedPrev()
+        waits += 1
+      }
       if (reCarry.isEmpty || attempt >= MaxCommitAttempts ||
           newPrev <= prevCur) {
         dropTmps()
@@ -1360,6 +1386,63 @@ object SnapTable {
       info.statCols, info.bloom,
       Map("compactedFrom" -> v.toString), info.sStatCols,
       basedOnPrev = v)._1
+  }
+
+  /** OPTIMIZE ZORDER (round 13): rewrite the current snapshot
+    * clustered on the bit-interleave of two columns' QUANTILE RANKS —
+    * multi-dimensional clustering, so a box predicate on BOTH columns
+    * prunes files (1-d range layout serves only its leading column;
+    * the Iceberg/Delta ZORDER story). Ranks, not raw values: each
+    * column buckets against its own 255 approx-quantile cuts (one
+    * parallel aggregate per rewrite, broadcast to the bucketing
+    * expression — no global sort, no skew sensitivity to domain
+    * scale), giving 8 bits per dimension; the interleaved 16-bit key
+    * range-partitions the rewrite. Stat/bloom/string declarations
+    * carry from the current manifest, so the recorded zone maps
+    * reflect the new tight boxes. History stays readable; the 1-d
+    * [[compact]] remains the single-column path. */
+  def compactZorder(spark: SparkSession, dir: String,
+                    targetFiles: Int, zCols: Seq[String]): Int = {
+    require(zCols.size == 2,
+      s"compactZorder interleaves exactly 2 columns, got $zCols")
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"no committed version at $dir")
+    val info = parseManifest(f, dir, v)
+    val cur = read(spark, dir)
+    zCols.foreach { c =>
+      val dt = cur.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"compactZorder clusters NUMERIC columns; $c is $dt")
+    }
+    val cutsRow = cur.select(zCols.map(c =>
+      expr(s"approx_percentile(`$c`, array(${
+        (1 until 256).map(i => i / 256.0).mkString(",")
+      }), 10000)").as(s"_cuts_$c")): _*).head()
+    def rank(c: String, cuts: Seq[Any]): Column = {
+      // bucket = #cuts <= value (0..255); NULLs sort first (rank 0)
+      val arr = array(cuts.map(x => lit(x)): _*)
+      when(col(c).isNull, lit(0)).otherwise(
+        size(filter(arr, x => x <= col(c))))
+    }
+    val ranks = zCols.zipWithIndex.map { case (c, i) =>
+      rank(c, cutsRow.getSeq[Any](i))
+    }
+    // interleave 8+8 bits: column 0 takes the odd (higher) positions
+    val zkey = (0 until 8).map { i =>
+      (shiftleft(ranks(0).cast("long").bitwiseAND(lit(1L << i)),
+        i + 1)).bitwiseOR(
+        shiftleft(ranks(1).cast("long").bitwiseAND(lit(1L << i)), i))
+    }.reduce(_ bitwiseOR _)
+    val laidOut = cur.withColumn("_zkey", zkey)
+      .repartitionByRange(targetFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+    writeCommit(spark, dir, laidOut, carriedDf(spark, Nil),
+      info.statCols, info.bloom,
+      Map("zorderedFrom" -> v.toString,
+        "zorderCols" -> zCols.mkString(",")),
+      info.sStatCols, basedOnPrev = v)._1
   }
 
   /** Read a snapshot (default: latest). The scan is exactly the

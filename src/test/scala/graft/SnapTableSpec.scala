@@ -138,19 +138,73 @@ class SnapTableSpec extends AnyFunSuite {
     assert(keys(SnapTable.read(spark, dir, 2)) == before)
   }
 
-  test("racing committers: exactly one claims the version slot") {
+  test("compactZorder: box predicates on BOTH columns prune; results exact") {
+    // 1-d range layout serves only its leading column; z-ordering
+    // interleaves two columns' quantile ranks so each file covers a
+    // bounded BOX — a selective predicate on either column (or both)
+    // skips files. The fixture's two keys are independent, so the
+    // z-layout genuinely trades per-column tightness for 2-d coverage.
+    SnapTable.destroy(spark, dir)
+    val rows = Tables(spark, TestSpark.Sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    SnapTable.commit(spark, dir, rows.repartition(8),
+      statCols = Seq("l_orderkey", "l_partkey"))
+    // hash layout: nothing prunes on either column
+    val pre = SnapTable.readWhere(spark, dir,
+      statCol = "l_orderkey", lo = 0L, hi = 50L)
+    assert(pre.filesScanned == pre.filesTotal,
+      "hash layout should not prune — fixture vacuous otherwise")
+    val v = SnapTable.compactZorder(spark, dir, targetFiles = 16,
+      Seq("l_orderkey", "l_partkey"))
+    assert(v == 2)
+    assert(SnapTable.meta(spark, dir)("zorderCols") == "l_orderkey,l_partkey")
+    val (okLo, okHi) = (0L, 100L)
+    val byKey = SnapTable.readWhere(spark, dir,
+      statCol = "l_orderkey", lo = okLo, hi = okHi)
+    assert(byKey.filesScanned < byKey.filesTotal,
+      s"z-layout did not prune on column 1 " +
+        s"(${byKey.filesScanned}/${byKey.filesTotal})")
+    val byPart = SnapTable.readWhere(spark, dir,
+      statCol = "l_partkey", lo = 0L, hi = 20L)
+    assert(byPart.filesScanned < byPart.filesTotal,
+      s"z-layout did not prune on column 2 " +
+        s"(${byPart.filesScanned}/${byPart.filesTotal})")
+    // 2-d box through the CONNECTOR composes both columns' cells
+    val box = spark.read.format("graft-snap").load(dir)
+      .filter(col("l_orderkey").between(okLo, okHi) &&
+        col("l_partkey").between(0L, 20L))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(box) === canon(rows.filter(
+      col("l_orderkey").between(okLo, okHi) &&
+        col("l_partkey").between(0L, 20L))))
+    // full content preserved
+    assert(canon(SnapTable.read(spark, dir)) === canon(rows))
+    SnapTable.destroy(spark, dir)
+  }
+
+  test("racing committers: the loser re-bases on the winner's committed state") {
     SnapTable.destroy(spark, dir)
     SnapTable.commit(spark, dir, li.filter(col("l_orderkey") % 3 === 0))
-    // simulate a concurrent commit that already claimed v2
+    // simulate a concurrent commit that already landed v2 — here an
+    // EMPTY manifest (the winner replaced the table with nothing)
     val m2 = Paths.get(dir, "_manifests", "v2.txt")
     Files.createDirectories(m2.getParent)
     Files.writeString(m2, "")
-    intercept[SnapTable.CommitConflictException] {
-      SnapTable.commit(spark, dir,
-        li.filter(col("l_orderkey") % 3 === 1), append = true)
-    }
-    // the loser's data files are orphans: invisible, and v1 is intact
+    // round 13: an APPEND no longer throws — it re-bases on the
+    // winner's committed state and lands the next slot, carrying the
+    // WINNER's file list (here: empty), never its own stale view
+    val v = SnapTable.commit(spark, dir,
+      li.filter(col("l_orderkey") % 3 === 1), append = true)
+    assert(v == 3, s"the losing append must land the next slot, got $v")
+    assert(keys(SnapTable.read(spark, dir, 3)).forall(_ % 3 == 1),
+      "the retry must base on the winner's (empty) state, not the stale v1")
+    // v1 intact; a REPLACE in the same race still surfaces the conflict
     assert(keys(SnapTable.read(spark, dir, 1)).forall(_ % 3 == 0))
+    Files.writeString(Paths.get(dir, "_manifests", "v4.txt"), "")
+    intercept[SnapTable.CommitConflictException] {
+      SnapTable.commit(spark, dir, li.limit(3))
+    }
   }
 
   test("vacuum reclaims unreferenced files; retention bounds time travel") {
@@ -548,7 +602,7 @@ class SnapTableSpec extends AnyFunSuite {
       "retry dropped the #counts:full header")
     // no stray temp manifests left behind
     assert(java.nio.file.Files.list(Paths.get(d, "_manifests"))
-      .iterator().asScala.forall(p => !p.getFileName.toString.startsWith(".tmp-")),
+      .iterator().asScala.forall(p => !p.getFileName.toString.startsWith("tmp-")),
       "retry leaked temp manifests")
     // a conflicting REPLACE must still throw: an overwrite embeds a
     // decision about table state the winner just changed
@@ -563,6 +617,50 @@ class SnapTableSpec extends AnyFunSuite {
     }
     assert(SnapTable.latestVersion(spark, d) == 4,
       "the racing append must have won the contested slot")
+    SnapTable.destroy(spark, d)
+  }
+
+  test("append auto-retry under real thread contention: every append lands") {
+    // the seam test pins the deterministic lost-race path; this one
+    // exercises REAL interleavings — four threads race eight appends
+    // through the claim CAS, losers retry, and the invariants are
+    // global: all appends land as distinct versions, the final
+    // snapshot is the exact multiset union, and no temp manifests leak
+    val d = s"$dir-retry-mt"
+    SnapTable.destroy(spark, d)
+    val base = Tables(spark, TestSpark.Sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    SnapTable.commit(spark, d, base.filter(col("l_orderkey") % 9 === 0))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 8).map { r =>
+      Future {
+        SnapTable.commit(spark, d, base.filter(col("l_orderkey") % 9 === r),
+          append = true)
+      }
+    }
+    val versions = Await.result(Future.sequence(fs), 10.minutes)
+    assert(versions.sorted == (2 to 9), s"versions collided: $versions")
+    assert(SnapTable.latestVersion(spark, d) == 9)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val got = canon(SnapTable.read(spark, d))
+    val want = canon(base)
+    if (got != want) {
+      val g = got.groupBy(identity).view.mapValues(_.size).toMap
+      val w = want.groupBy(identity).view.mapValues(_.size).toMap
+      val lost = w.collect { case (k, n) if g.getOrElse(k, 0) < n => k }
+      val extra = g.collect { case (k, n) if w.getOrElse(k, 0) < n => k }
+      fail(s"contended appends diverged: got ${got.size} want ${want.size}" +
+        s" lost=${lost.take(3)} (${lost.size}) extra=${extra.take(3)}" +
+        s" (${extra.size}) versions=$versions")
+    }
+    import scala.jdk.CollectionConverters._
+    assert(java.nio.file.Files.list(Paths.get(d, "_manifests"))
+      .iterator().asScala
+      .forall(p => !p.getFileName.toString.startsWith("tmp-")),
+      "contended retries leaked temp manifests")
     SnapTable.destroy(spark, d)
   }
 
