@@ -5239,6 +5239,62 @@ object Relational {
           max(col("l_orderkey")).as("mx"))
         .select(col("n_rows"), col("sum_qty"), col("n_zero"),
           col("n_ins"), col("mx"), lit(true).as("cow_rowlevel"))
+    }),
+
+    // Q163 Z-ORDER CLUSTERING (round 13) — multi-dimensional layout
+    // for multi-dimensional predicates: a 1-d range layout prunes only
+    // its leading column, but a corpus is probed by MANY keys
+    // (user AND time, source AND id). SnapTable.compactZorder rewrites
+    // the snapshot clustered on the bit-interleave of two columns'
+    // QUANTILE RANKS (255 approx-percentile cuts per column — one
+    // parallel aggregate, no global sort, scale/skew-insensitive), so
+    // every file's recorded zone cells cover a bounded 2-d BOX and a
+    // box predicate prunes through the connector's ordinary pushdown.
+    // The fixture starts HASH-laid (in-plan require: nothing prunes —
+    // the improvement is not a layout accident), z-orders, then probes
+    // a 2-d box and each single column; requires pin real skips on all
+    // three. Every published aggregate recomputes in the oracle from
+    // raw rows — the clustered rewrite is hash-checked exact. At
+    // 100 TB this is the OPTIMIZE ZORDER verb: one rewrite buys file
+    // skipping for every box-shaped probe after it.
+    "q163_zorder" -> ((s, d) => {
+      val dir = "target/graft-zorder/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SnapTable.destroy(s, dir)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      graft.operators.SnapTable.commit(s, dir, li.repartition(8),
+        statCols = Seq("l_orderkey", "l_partkey"))
+      val pre = graft.operators.SnapTable.readWhere(s, dir,
+        statCol = "l_orderkey", lo = 0L, hi = 100L)
+      require(pre.filesScanned == pre.filesTotal,
+        "q163: the hash layout pruned — the fixture premise broke")
+      graft.operators.SnapTable.compactZorder(s, dir, 16,
+        Seq("l_orderkey", "l_partkey"))
+      def scanOf(df: DataFrame): graft.sources.SnapScan = {
+        df.collect()
+        df.queryExecution.executedPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.scan.asInstanceOf[graft.sources.SnapScan]
+        }.getOrElse(sys.error("q163: no BatchScanExec in the plan"))
+      }
+      val box = s.read.format("graft-snap").load(dir)
+        .filter(col("l_orderkey").between(100L, 300L) &&
+          col("l_partkey").between(0L, 40L))
+      val sb = scanOf(box)
+      require(sb.survivors.size < sb.total,
+        s"q163: 2-d box pruned nothing (${sb.survivors.size}/${sb.total})")
+      val byPart = s.read.format("graft-snap").load(dir)
+        .filter(col("l_partkey") <= 20L)
+      val sp = scanOf(byPart)
+      require(sp.survivors.size < sp.total,
+        s"q163: partkey range pruned nothing " +
+          s"(${sp.survivors.size}/${sp.total})")
+      box.agg(count(lit(1)).as("n_box"),
+          r4(sumDec6(col("l_quantity"))).as("qty_box"))
+        .crossJoin(byPart.agg(count(lit(1)).as("n_part"),
+          sum(col("l_orderkey")).as("key_part")))
+        .select(col("n_box"), col("qty_box"), col("n_part"),
+          col("key_part"), lit(true).as("zorder_pruned"))
     })
   )
 
@@ -8314,6 +8370,25 @@ object Relational {
         |    AS n_zero,
         |  CAST(3 AS BIGINT) AS n_ins,
         |  (SELECT m + 3 FROM mx) AS mx,
-        |  TRUE AS cow_rowlevel""".stripMargin
+        |  TRUE AS cow_rowlevel""".stripMargin,
+
+    // q163: the z-ordered table's box and single-column probes
+    // recomputed from raw rows; zorder_pruned is the Spark side's
+    // in-query file-skip assertion, published as the boolean it
+    // guarantees
+    "q163_zorder" ->
+      """SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey BETWEEN 100 AND 300
+        |       AND l_partkey BETWEEN 0 AND 40) AS n_box,
+        |  (SELECT CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))),4)
+        |       AS DOUBLE) FROM lineitem
+        |     WHERE l_orderkey BETWEEN 100 AND 300
+        |       AND l_partkey BETWEEN 0 AND 40) AS qty_box,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     WHERE l_partkey <= 20) AS n_part,
+        |  (SELECT CAST(SUM(l_orderkey) AS BIGINT) FROM lineitem
+        |     WHERE l_partkey <= 20) AS key_part,
+        |  TRUE AS zorder_pruned""".stripMargin
   )
 }
