@@ -310,6 +310,15 @@ class PerfLabSpec extends AnyFunSuite {
     }
   }
 
+  test("q163 zorder: rewrite cost at sf0.1") {
+    assume(sys.env.get("GRAFT_PERFLAB").contains("1"))
+    time("q163 zorder", 3) {
+      SparkEntry.queries("q163_zorder")(spark, sf).collect()
+      graft.operators.OpCaches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("graft-snap scan: columnar connector vs spark.read.parquet") {
     // Round-13 A/B for the verdict's "within ~1.2x of spark.read.parquet
     // on the same surviving files" goal: same files, same aggregate, the
