@@ -112,6 +112,12 @@ object SnapTable {
     extends RuntimeException(s"version $v was committed concurrently; " +
       "re-read the table and retry")
 
+  /** The streaming epoch this commit carries already landed (a zombie
+    * driver of the same query won the race) — the sink treats this as
+    * an idempotent replay, not a failure. */
+  private[graft] final class EpochCommittedException(epoch: Long)
+    extends RuntimeException(s"stream epoch $epoch already committed")
+
   private def writeAtomic(f: FileSystem, p: Path, content: String,
                           overwrite: Boolean = true): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
@@ -1060,7 +1066,8 @@ object SnapTable {
   private[graft] def commitExisting(spark: SparkSession, dir: String,
       commitId: String, names: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
-      meta: Map[String, String]): Int = {
+      meta: Map[String, String],
+      revalidate: Int => Unit = _ => ()): Int = {
     val f = fs(spark, dir)
     val prev = latestVersion(spark, dir)
     val (statCols, bloom, strStats) =
@@ -1068,7 +1075,11 @@ object SnapTable {
         val h = readHeader(f, dir, prev)
         (h.statCols, h.bloom, h.sStatCols)
       } else (Seq.empty[String], None, Seq.empty[String])
-    def carriedFor(prevV: Int): (DataFrame, Boolean) =
+    def carriedFor(prevV: Int): (DataFrame, Boolean) = {
+      // caller-supplied re-validation against the version this attempt
+      // re-bases on — the streaming sink re-checks its epoch marker
+      // HERE so a lost-race retry aborts when the epoch already landed
+      revalidate(prevV)
       if (prevV > 0) {
         val h = readHeader(f, dir, prevV)
         require(h.statCols == statCols && h.bloom == bloom &&
@@ -1087,6 +1098,7 @@ object SnapTable {
             lpad(monotonically_increasing_id().cast("string"), 12, "0"))
             .as("k"), col("value").as("line")), h.counts)
       } else (carriedDf(spark, Nil), true)
+    }
     val (carried, counts) = carriedFor(prev)
     commitNamed(spark, dir, commitId, names, schemaFingerprint(schema),
       carried, statCols, bloom, meta, strStats, counts, prev,
@@ -1103,13 +1115,23 @@ object SnapTable {
     * and the schema pin inherit from the extended header. No auto-
     * retry: a racing commit may have touched the groups this rewrite
     * read, so the conflict surfaces (the caller re-runs the statement
-    * against the new state — Iceberg's serializable COW semantics). */
+    * against the new state — Iceberg's serializable COW semantics).
+    *
+    * `basedOn` pins the snapshot VERSION the row-level scan planned
+    * against (round-14 advisory fix): the claim CAS targets exactly
+    * basedOn + 1, so ANY commit landing between the scan and this
+    * commit — compaction, z-order, another UPDATE/DELETE — surfaces as
+    * a CommitConflictException instead of being silently absorbed
+    * (which could duplicate replacement rows whose source files the
+    * intervening commit rewrote). 0 falls back to latest-at-commit
+    * (pre-fix behaviour, kept for callers without a resolved scan). */
   private[graft] def commitReplace(spark: SparkSession, dir: String,
       commitId: String, names: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
-      replacedPaths: Seq[String], meta: Map[String, String]): Int = {
+      replacedPaths: Seq[String], meta: Map[String, String],
+      basedOn: Int = 0): Int = {
     val f = fs(spark, dir)
-    val prev = latestVersion(spark, dir)
+    val prev = if (basedOn > 0) basedOn else latestVersion(spark, dir)
     require(prev > 0, s"no committed version at $dir")
     val h = readHeader(f, dir, prev)
     h.schema.foreach { ps =>
@@ -1146,9 +1168,18 @@ object SnapTable {
     * state the query's previous batch is at/near the top, so the walk
     * is O(1) header reads. */
   private[graft] def lastStreamEpoch(spark: SparkSession, dir: String,
-                                     queryId: String): Long = {
+                                     queryId: String): Long =
+    lastStreamEpochFrom(spark, dir, latestVersion(spark, dir), queryId)
+
+  /** Epoch walk starting at an EXPLICIT version — the sink's commit
+    * retry re-checks the marker against the version it is about to
+    * re-base on (round-14 advisory fix: the check-then-act gap let a
+    * zombie driver of the same query double-commit a batch). */
+  private[graft] def lastStreamEpochFrom(spark: SparkSession, dir: String,
+                                         from: Int,
+                                         queryId: String): Long = {
     val f = fs(spark, dir)
-    var v = latestVersion(spark, dir)
+    var v = from
     while (v > 0) {
       if (f.exists(manifestPath(dir, v))) {
         val m = readHeader(f, dir, v).metaKv
@@ -1196,7 +1227,13 @@ object SnapTable {
       .parquet(cand.map(e => resolvePath(dir, e.rel)): _*)
     val deleted = candDf.filter(cond).count()
     if (deleted == 0L) return DeleteResult(v, 0L, 0, info.files.size)
-    val (nv, _) = writeCommit(spark, dir, candDf.filter(!cond),
+    // SQL DELETE semantics under three-valued logic (round-14 advisory
+    // fix): a row whose predicate evaluates to NULL must SURVIVE —
+    // `!cond` alone maps NULL to NULL and the filter silently dropped
+    // it (without counting it in `deleted`). Survivors are the rows
+    // where cond is not TRUE.
+    val (nv, _) = writeCommit(spark, dir,
+      candDf.filter(!coalesce(cond, lit(false))),
       carriedDf(spark, untouched.map(_.raw)), info.statCols, info.bloom,
       Map("deleteFrom" -> v.toString), info.sStatCols,
       countsComplete = linesCounted(untouched), basedOnPrev = v)
@@ -1393,10 +1430,10 @@ object SnapTable {
     * multi-dimensional clustering, so a box predicate on BOTH columns
     * prunes files (1-d range layout serves only its leading column;
     * the Iceberg/Delta ZORDER story). Ranks, not raw values: each
-    * column buckets against its own 255 approx-quantile cuts (one
+    * column buckets against its own 63 approx-quantile cuts (one
     * parallel aggregate per rewrite, broadcast to the bucketing
     * expression — no global sort, no skew sensitivity to domain
-    * scale), giving 8 bits per dimension; the interleaved 16-bit key
+    * scale), giving 6 bits per dimension; the interleaved 12-bit key
     * range-partitions the rewrite. Stat/bloom/string declarations
     * carry from the current manifest, so the recorded zone maps
     * reflect the new tight boxes. History stays readable; the 1-d

@@ -854,6 +854,11 @@ final class SnapScan(full: StructType, required: StructType,
 
   def survivors: Seq[String] = survivorEntries.map(_.path)
 
+  /** The snapshot version this scan RESOLVED (latest at plan time when
+    * unpinned) — the row-level COW commit bases its CAS on this so an
+    * intervening commit conflicts instead of being silently absorbed. */
+  def plannedVersion: Int = tablePlan.version
+
   override def description(): String =
     s"GraftSnap $dir v${if (version > 0) version.toString else "latest"} " +
       s"ReadSchema: ${required.fieldNames.mkString(",")} " +

@@ -78,7 +78,10 @@ final class SnapRowLevelOperation(cmd: RowLevelOperation.Command,
           require(scan != null,
             "graft-snap row-level write committed without its scan — " +
               "the replaced group set is unknown")
-          scan.survivors
+          // (survivors, plannedVersion): the commit CAS bases on the
+          // version the scan actually read, so a commit landing between
+          // scan and write conflicts loudly (round-14 advisory fix)
+          (scan.survivors, scan.plannedVersion)
         })
     }
 }
@@ -88,7 +91,7 @@ final class SnapRowLevelOperation(cmd: RowLevelOperation.Command,
   * commit swaps replaced-for-new in one snapshot version. */
 final class SnapCowWrite(dir: String, schema: StructType,
                          commandName: String,
-                         replaced: () => Seq[String])
+                         replaced: () => (Seq[String], Int))
     extends Write with BatchWrite {
   private val commitId =
     "cow-" + java.util.UUID.randomUUID().toString.take(12)
@@ -106,13 +109,14 @@ final class SnapCowWrite(dir: String, schema: StructType,
     val spark = SparkSession.active
     val names = messages.toSeq
       .collect { case SnapStreamFileMessage(Some(n)) => n }.sorted
-    val repl = replaced()
+    val (repl, scanVersion) = replaced()
     // nothing matched and nothing written: the statement was a no-op —
     // no version churn
     if (names.isEmpty && repl.isEmpty) return
     SnapTable.commitReplace(spark, dir, commitId, names, schema, repl,
       Map("rowLevelOp" -> commandName,
-        "filesReplaced" -> repl.size.toString))
+        "filesReplaced" -> repl.size.toString),
+      basedOn = scanVersion)
     ()
   }
 

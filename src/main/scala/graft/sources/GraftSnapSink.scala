@@ -103,9 +103,19 @@ final class SnapStreamingWrite(dir: String, schema: StructType,
     // an empty epoch commits nothing: no version churn, and its replay
     // is vacuously exactly-once
     if (names.isEmpty) return
-    SnapTable.commitExisting(spark, dir, commitIdOf(epochId), names,
+    // the epoch marker is re-verified INSIDE the commit's re-validation
+    // (round-14 advisory fix): the check above is check-then-act, and a
+    // lost-race append retry re-bases on a winner that may BE this very
+    // epoch committed by a zombie driver of the same query — the
+    // re-check inside carriedFor makes such a retry abort idempotently
+    try SnapTable.commitExisting(spark, dir, commitIdOf(epochId), names,
       schema, Map("streamQuery" -> queryId,
-        "streamEpoch" -> epochId.toString))
+        "streamEpoch" -> epochId.toString),
+      revalidate = prevV =>
+        if (SnapTable.lastStreamEpochFrom(spark, dir, prevV, queryId)
+            >= epochId)
+          throw new SnapTable.EpochCommittedException(epochId))
+    catch { case _: SnapTable.EpochCommittedException => return }
     ()
   }
 

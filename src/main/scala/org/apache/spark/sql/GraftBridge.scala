@@ -46,14 +46,17 @@ object GraftBridge {
   // weak keys: a discarded session must not be pinned by its cache row
   private val confCache =
     new java.util.WeakHashMap[SparkSession,
-      (Long, org.apache.spark.broadcast.Broadcast[_])]
+      (Seq[(String, String)], org.apache.spark.broadcast.Broadcast[_])]
 
-  private def hadoopConfFingerprint(spark: SparkSession): Long = {
-    val relevant = spark.conf.getAll.iterator.filter { case (k, _) =>
+  // the relevant entries THEMSELVES are the cache key (round-14 advisory
+  // fix: a 32-bit hash collision after a credential rotation would have
+  // silently reused the stale broadcast; the filtered seq is small, so
+  // structural comparison is cheap and collision-free)
+  private def hadoopConfFingerprint(spark: SparkSession)
+      : Seq[(String, String)] =
+    spark.conf.getAll.iterator.filter { case (k, _) =>
       k.startsWith("spark.hadoop.") || k.startsWith("fs.")
     }.toSeq.sorted
-    scala.util.hashing.MurmurHash3.seqHash(relevant).toLong
-  }
 
   def hadoopConf(b: org.apache.spark.broadcast.Broadcast[_])
       : org.apache.hadoop.conf.Configuration =

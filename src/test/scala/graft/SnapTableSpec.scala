@@ -224,6 +224,24 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.vacuum(spark, dir, retainLast = 2) == 0)
   }
 
+  test("delete keeps rows whose predicate evaluates to NULL (3VL, round-14 fix)") {
+    import spark.implicits._
+    SnapTable.destroy(spark, dir)
+    val rows = Seq[(Long, java.lang.Long)](
+      (1L, 7L), (2L, 7L), (3L, 9L), (4L, null), (5L, null))
+      .toDF("id", "k")
+    SnapTable.commit(spark, dir, rows)
+    // DELETE WHERE k = 7: under SQL three-valued logic the k IS NULL
+    // rows must SURVIVE (their predicate is NULL, not TRUE) — the
+    // pre-fix !cond filter silently dropped them without counting them
+    val res = SnapTable.delete(spark, dir, col("k") === 7L)
+    assert(res.rowsDeleted == 2L, s"only the k = 7 rows count as deleted")
+    val left = SnapTable.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(3L, 4L, 5L),
+      s"rows with NULL predicate must survive a DELETE, got $left")
+  }
+
   test("delete is file-granular copy-on-write: untouched files byte-identical") {
     SnapTable.destroy(spark, dir)
     SnapTable.commit(spark, dir,
