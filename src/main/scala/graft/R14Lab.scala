@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-14 optimization lab (measurement only, not part of the driver
+  * contract): times declared queries under the Bench session config and
+  * dumps `explain("formatted")` plans for the before/after evidence the
+  * optimization round must commit (plans/r14/<q>_{before,after}.txt).
+  *
+  * Usage:
+  *   runMain graft.R14Lab time <reps> q68_pagerank q137_ppr ...
+  *   runMain graft.R14Lab plan <suffix> q68_pagerank ...   // writes plans/r14/<q>_<suffix>.txt
+  *
+  * Same methodology as Bench: queryExecution.toRdd.count() is the timed
+  * action (keeps the final sort), OpCaches.releaseAll() + clearCache()
+  * between runs so every rep is the query's own cold cost.
+  */
+object R14Lab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.names.foreach { n =>
+      try Tables(spark, sfDir, n).count() catch { case _: Throwable => () }
+    }
+    val mode = args.headOption.getOrElse("time")
+    mode match {
+      case "time" =>
+        val reps = args(1).toInt
+        val names = args.drop(2)
+        names.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          val ts = (1 to reps).map { _ =>
+            graft.operators.OpCaches.releaseAll()
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(s"r14lab: $name")
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[r14lab] $name%-24s ${ts.map(t => f"$t%6.2f").mkString(" ")} s  min=${ts.min}%6.2f")
+        }
+      case "plan" =>
+        val suffix = args(1)
+        val names = args.drop(2)
+        val dir = java.nio.file.Paths.get("plans", "r14")
+        java.nio.file.Files.createDirectories(dir)
+        names.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          graft.operators.OpCaches.releaseAll()
+          spark.catalog.clearCache()
+          val df = fn(spark, sfDir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(dir.resolve(s"${name}_$suffix.txt"),
+            txt.getBytes("UTF-8"))
+          println(s"[r14lab] wrote plans/r14/${name}_$suffix.txt")
+        }
+      case "q68prof" =>
+        // stage decomposition of q68_pagerank at the given SF dir:
+        // build-only vs +1/+3 iterations, so the expensive stage is a
+        // measurement, not a guess (guide §1)
+        import org.apache.spark.sql.functions._
+        def run(iters: Int): Double = {
+          graft.operators.OpCaches.releaseAll()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val e0 = Tables(spark, sfDir, "lineitem")
+            .select(col("l_orderkey").as("src"),
+              (col("l_partkey") + 10000000L).as("dst"))
+            .distinct().transform(graft.operators.OpCaches.track)
+          val edges = e0.unionByName(e0.select(col("dst").as("src"),
+            col("src").as("dst")))
+          val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          val edgesD = edges.join(deg, "src")
+            .select(col("src"), col("dst"), col("deg"))
+            .repartition(col("src")).sortWithinPartitions("src")
+            .transform(graft.operators.OpCaches.track)
+          var r = edgesD.groupBy(col("src").as("node"))
+            .agg(first(lit(1)).as("_one"))
+            .select(col("node"), lit(1000000L).as("rank"))
+          for (_ <- 1 to iters) {
+            r = edgesD.join(r, col("src") === col("node"))
+              .select(col("dst"), expr("rank div deg").as("c"))
+              .groupBy(col("dst"))
+              .agg(sum(col("c")).as("sc"))
+              .select(col("dst").as("node"),
+                (lit(150000L) + expr("(85 * sc) div 100")).as("rank"))
+          }
+          r.orderBy(col("rank").desc, col("node")).limit(20)
+            .queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        for (it <- Seq(0, 1, 3, 3)) println(f"[r14lab] q68 iters=$it ${run(it)}%6.2f s")
+      case "q68phase" =>
+        import org.apache.spark.sql.functions._
+        for (rep <- 1 to 3) {
+          graft.operators.OpCaches.releaseAll()
+          spark.catalog.clearCache()
+          var t0 = System.nanoTime()
+          def lap(): Double = {
+            val d = (System.nanoTime() - t0) / 1e9; t0 = System.nanoTime(); d
+          }
+          val e0 = Tables(spark, sfDir, "lineitem")
+            .select(col("l_orderkey").as("src"),
+              (col("l_partkey") + 10000000L).as("dst"))
+            .distinct().transform(graft.operators.OpCaches.track)
+          e0.queryExecution.toRdd.count()
+          val tDistinct = lap()
+          val edges = e0.unionByName(e0.select(col("dst").as("src"),
+            col("src").as("dst")))
+          val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          val edgesD = edges.join(deg, "src")
+            .select(col("src"), col("dst"), col("deg"))
+            .repartition(col("src")).sortWithinPartitions("src")
+            .transform(graft.operators.OpCaches.track)
+          edgesD.queryExecution.toRdd.count()
+          val tEdges = lap()
+          var r = edgesD.groupBy(col("src").as("node"))
+            .agg(first(lit(1)).as("_one"))
+            .select(col("node"), lit(1000000L).as("rank"))
+          r.queryExecution.toRdd.count()
+          val tR0 = lap()
+          val its = (1 to 3).map { _ =>
+            r = edgesD.join(r, col("src") === col("node"))
+              .select(col("dst"), expr("rank div deg").as("c"))
+              .groupBy(col("dst"))
+              .agg(sum(col("c")).as("sc"))
+              .select(col("dst").as("node"),
+                (lit(150000L) + expr("(85 * sc) div 100")).as("rank"))
+              .localCheckpoint(true)
+            lap()
+          }
+          val fin = r.orderBy(col("rank").desc, col("node")).limit(20)
+          fin.queryExecution.toRdd.count()
+          val tFin = lap()
+          println(f"[r14lab] q68phase rep$rep distinct=$tDistinct%5.2f edges=$tEdges%5.2f r0=$tR0%5.2f iters=${its.map(t => f"$t%5.2f").mkString(",")} fin=$tFin%5.2f")
+        }
+      case other =>
+        System.err.println(s"unknown mode $other"); sys.exit(2)
+    }
+    spark.stop()
+  }
+}

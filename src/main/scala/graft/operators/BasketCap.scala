@@ -43,4 +43,34 @@ object BasketCap {
   def oracleQualify(basketCol: String, partCol: String,
                     cap: Int = DefaultCap): String =
     s"QUALIFY ROW_NUMBER() OVER (PARTITION BY $basketCol ORDER BY $partCol) <= $cap"
+
+  /** FUSED capped pair generation (round 14, guide §2.3/§2.4): emits
+    * one (u, v) row with u < v per basket and unordered part pair,
+    * over each basket's `cap` smallest distinct parts — exactly the
+    * rows of `capParts(rel.distinct).as("a").join(.as("b"), a.basket
+    * === b.basket && a.part < b.part)`, in HALF the exchanges.
+    *
+    * Old shape: distinct (exchange 1) → window rank (exchange 2 +
+    * per-basket sort) → self-join → pair rows. New shape: ONE
+    * partial-aggregatable groupBy(basket) building the sorted capped
+    * part array via [[graft.plans.BottomK]] (O(cap) buffer per basket
+    * — the same hot-basket memory guard the streaming window rank
+    * gave, which is why this is not a collect_set), then a row-local
+    * two-generator pair expansion. Equivalence: "cap smallest distinct
+    * parts, all pairs ordered ascending" is the same pure set function
+    * either way; every graph query's oracle SQL is unchanged and the
+    * gate re-proves hash equality. */
+  def cappedPairs(rel: DataFrame, basketCol: String, partCol: String,
+                  cap: Int = DefaultCap): DataFrame = {
+    graft.plans.BottomK.register(rel.sparkSession)
+    rel.groupBy(col(basketCol))
+      .agg(expr(s"bottom_k($partCol, $cap)").as("_ps"))
+      .select(col("_ps"), posexplode(col("_ps")).as(Seq("_i", "u")))
+      // elements after position _i (0-based): 1-based start _i + 2;
+      // slice clamps the length, and explode of an empty tail emits
+      // nothing — the last element generates no pairs, as it should
+      .select(col("u"),
+        explode(slice(col("_ps"), col("_i") + lit(2), size(col("_ps"))))
+          .as("v"))
+  }
 }

@@ -110,5 +110,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CmsSketch4x256.builder))
     ext.injectFunction((BottomK256.ident, BottomK256.info,
       BottomK256.builder))
+    ext.injectFunction((BottomK.ident, BottomK.info, BottomK.builder))
   }
 }

@@ -1471,10 +1471,16 @@ object Relational {
         .distinct().transform(graft.operators.OpCaches.track)
       val edges = e0.unionByName(e0.select(col("dst").as("src"),
         col("src").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val edgesD = edges.join(deg, "src")
-        .select(col("src"), col("dst"), col("deg"))
+      // round 14 (guide §2.4, measured at 10×: build was 2× the cost of
+      // all three iterations): deg rides the SAME src exchange + sort
+      // the iteration layout needs, as a window count — the old
+      // groupBy(src) + SMJ deg-join + re-repartition paid the edge
+      // relation through two extra exchanges and two sorts for a value
+      // the window computes in place. Same deg per row, hash-identical.
+      val edgesD = edges
         .repartition(col("src")).sortWithinPartitions("src")
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+        .select(col("src"), col("dst"), col("deg"))
         .transform(graft.operators.OpCaches.track)
       var r = edgesD.groupBy(col("src").as("node"))
         .agg(first(lit(1)).as("_one"))
@@ -2528,15 +2534,16 @@ object Relational {
       // basket size, so the projection side is capped to each basket's
       // 64 smallest frequent parts — never binds on ≤7-part TPC-H
       // baskets, bounds the hot-basket fan-out at scale. The oracle
-      // declares the identical bound (QUALIFY row_number).
-      val fb = graft.operators.BasketCap.capParts(
-        b.join(broadcast(freq.select("p")), Seq("p"), "left_semi"), "o", "p")
+      // declares the identical bound (QUALIFY row_number). Round 14
+      // (guide §2.4): the capped pair rows come from the fused
+      // cappedPairs build (one exchange + row-local expansion) instead
+      // of window-rank + self-join; same rows, oracle unchanged.
       val nBaskets = b.select("o").distinct()
         .agg(count(lit(1)).as("n_baskets"))
-      val pairs = fb.as("a")
-        .join(fb.as("bb"), col("a.o") === col("bb.o")
-          && col("a.p") < col("bb.p"))
-        .groupBy(col("a.p").as("pa"), col("bb.p").as("pb"))
+      val pairs = graft.operators.BasketCap.cappedPairs(
+          b.join(broadcast(freq.select("p")), Seq("p"), "left_semi"),
+          "o", "p")
+        .groupBy(col("u").as("pa"), col("v").as("pb"))
         .agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= minPair)
       pairs
@@ -2572,14 +2579,15 @@ object Relational {
       // basket-size guard (BasketCap, q102's convention): the order→part
       // pair projection is capped per basket so one hot basket can't go
       // quadratic; the oracle declares the identical bound.
-      val b = graft.operators.BasketCap.capParts(
-        t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct(), "o", "p")
-      val e = b.as("a")
-        .join(b.as("bb"), col("a.o") === col("bb.o")
-          && col("a.p") < col("bb.p"))
-        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+      // round 14 (guide §2.4): fused capped-pair build — cappedPairs
+      // computes the identical (u < v) pair rows in ONE exchange +
+      // row-local expansion where distinct + window + self-join paid
+      // three; oracle SQL unchanged, gate re-proves hash equality
+      val e = graft.operators.BasketCap.cappedPairs(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")
@@ -2619,14 +2627,15 @@ object Relational {
     // q104's capped-basket construction, symmetrized.
     "q123_kcore" -> ((s, d) => {
       val k = 3L
-      val b = graft.operators.BasketCap.capParts(
-        t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct(), "o", "p")
-      val e = b.as("a")
-        .join(b.as("bb"), col("a.o") === col("bb.o")
-          && col("a.p") < col("bb.p"))
-        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+      // round 14 (guide §2.4): fused capped-pair build — cappedPairs
+      // computes the identical (u < v) pair rows in ONE exchange +
+      // row-local expansion where distinct + window + self-join paid
+      // three; oracle SQL unchanged, gate re-proves hash equality
+      val e = graft.operators.BasketCap.cappedPairs(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")
@@ -2682,14 +2691,15 @@ object Relational {
     // reliable checkpoint). Scale: state is one (node, label) row per
     // node; shuffle keys are node ids — never all-pairs.
     "q127_lpa" -> ((s, d) => {
-      val b = graft.operators.BasketCap.capParts(
-        t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct(), "o", "p")
-      val e = b.as("a")
-        .join(b.as("bb"), col("a.o") === col("bb.o")
-          && col("a.p") < col("bb.p"))
-        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+      // round 14 (guide §2.4): fused capped-pair build — cappedPairs
+      // computes the identical (u < v) pair rows in ONE exchange +
+      // row-local expansion where distinct + window + self-join paid
+      // three; oracle SQL unchanged, gate re-proves hash equality
+      val e = graft.operators.BasketCap.cappedPairs(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")
@@ -2908,14 +2918,15 @@ object Relational {
     // family already handles. Scale: degree is one partial-agg pass,
     // the decoration is two node-keyed equi-joins — never all-pairs.
     "q131_assort" -> ((s, d) => {
-      val b = graft.operators.BasketCap.capParts(
-        t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct(), "o", "p")
-      val e = b.as("a")
-        .join(b.as("bb"), col("a.o") === col("bb.o")
-          && col("a.p") < col("bb.p"))
-        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+      // round 14 (guide §2.4): fused capped-pair build — cappedPairs
+      // computes the identical (u < v) pair rows in ONE exchange +
+      // row-local expansion where distinct + window + self-join paid
+      // three; oracle SQL unchanged, gate re-proves hash equality
+      val e = graft.operators.BasketCap.cappedPairs(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")
@@ -3014,14 +3025,15 @@ object Relational {
     // round, frontier shrinks monotonically past the expansion peak,
     // no driver-side graph state.
     "q133_bfshop" -> ((s, d) => {
-      val b = graft.operators.BasketCap.capParts(
-        t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct(), "o", "p")
-      val e = b.as("a")
-        .join(b.as("bb"), col("a.o") === col("bb.o")
-          && col("a.p") < col("bb.p"))
-        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+      // round 14 (guide §2.4): fused capped-pair build — cappedPairs
+      // computes the identical (u < v) pair rows in ONE exchange +
+      // row-local expansion where distinct + window + self-join paid
+      // three; oracle SQL unchanged, gate re-proves hash equality
+      val e = graft.operators.BasketCap.cappedPairs(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")
@@ -3203,22 +3215,26 @@ object Relational {
     // with no exchange on the edge side; one narrow rank shuffle + one
     // dst-keyed partial aggregate per round.
     "q137_ppr" -> ((s, d) => {
-      val b = graft.operators.BasketCap.capParts(
-        t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct(), "o", "p")
-      val e = b.as("a")
-        .join(b.as("bb"), col("a.o") === col("bb.o")
-          && col("a.p") < col("bb.p"))
-        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+      // round 14 (guide §2.4): fused capped-pair build — cappedPairs
+      // computes the identical (u < v) pair rows in ONE exchange +
+      // row-local expansion where distinct + window + self-join paid
+      // three; oracle SQL unchanged, gate re-proves hash equality
+      val e = graft.operators.BasketCap.cappedPairs(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
-      val edgesD = sym.join(deg, "u")
-        .select(col("u"), col("v"), col("deg"))
+      // round 14: deg as a window count on the iteration layout's own
+      // exchange + sort (the q68 rewrite) — drops the groupBy + deg
+      // join + re-repartition from the build
+      val edgesD = sym
         .repartition(col("u")).sortWithinPartitions("u")
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("u")))
+        .select(col("u"), col("v"), col("deg"))
         .transform(graft.operators.OpCaches.track)
       var r = edgesD.select(col("u").as("node")).distinct()
         .select(col("node"),
@@ -4481,14 +4497,15 @@ object Relational {
     // the floor to bound the output, the declared knob), and every shuffle key is a node or
     // pair id (unbounded keyspace, AQE skew guard applies).
     "q150_linkpred" -> ((s, d) => {
-      val b = graft.operators.BasketCap.capParts(
-        t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct(), "o", "p")
-      val e = b.as("a")
-        .join(b.as("bb"), col("a.o") === col("bb.o")
-          && col("a.p") < col("bb.p"))
-        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+      // round 14 (guide §2.4): fused capped-pair build — cappedPairs
+      // computes the identical (u < v) pair rows in ONE exchange +
+      // row-local expansion where distinct + window + self-join paid
+      // three; oracle SQL unchanged, gate re-proves hash equality
+      val e = graft.operators.BasketCap.cappedPairs(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")
@@ -4531,14 +4548,15 @@ object Relational {
     // aggregate (one partial-aggregatable pass over the symmetrized
     // edges) and the broadcast-joined normalization.
     "q151_localcc" -> ((s, d) => {
-      val b = graft.operators.BasketCap.capParts(
-        t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct(), "o", "p")
-      val e = b.as("a")
-        .join(b.as("bb"), col("a.o") === col("bb.o")
-          && col("a.p") < col("bb.p"))
-        .groupBy(col("a.p").as("u"), col("bb.p").as("v"))
+      // round 14 (guide §2.4): fused capped-pair build — cappedPairs
+      // computes the identical (u < v) pair rows in ONE exchange +
+      // row-local expansion where distinct + window + self-join paid
+      // three; oracle SQL unchanged, gate re-proves hash equality
+      val e = graft.operators.BasketCap.cappedPairs(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")

@@ -36,6 +36,42 @@ class BasketCapSpec extends AnyFunSuite {
     assert(pairs(1L) == 64L * 63L / 2L, "pair fan-out must be cap-bounded")
   }
 
+  test("cappedPairs ≡ capParts + self-join (round-14 fused build)") {
+    import spark.implicits._
+    // duplicates + a hot basket + singletons: cappedPairs must dedup
+    // (the old pipeline ran on a distinct relation), cap to the 64
+    // smallest, and emit exactly the u < v pairs of the old self-join
+    val hot = (1L to 200L).flatMap(p => Seq((1L, p * 3), (1L, p * 3)))
+    val rest = Seq((2L, 7L), (2L, 3L), (2L, 7L), (3L, 42L), (4L, 5L), (4L, 9L))
+    val rel = (hot ++ rest).toDF("o", "p")
+    val old = {
+      val c = BasketCap.capParts(rel.distinct(), "o", "p")
+      c.as("a").join(c.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+    }
+    val fused = BasketCap.cappedPairs(rel, "o", "p")
+    assert(fused.exceptAll(old).isEmpty && old.exceptAll(fused).isEmpty,
+      "fused pair rows must equal the window + self-join rows (with multiplicity)")
+    assert(fused.count() == 64L * 63L / 2L + 1L + 1L,
+      "hot basket cap-bounded, 2-part baskets emit one pair, singleton none")
+  }
+
+  test("bottom_k: k smallest distinct, sorted ascending, null-safe") {
+    import spark.implicits._
+    graft.plans.BottomK.register(spark)
+    val df = Seq((1L, java.lang.Long.valueOf(5L)),
+        (1L, java.lang.Long.valueOf(5L)), (1L, java.lang.Long.valueOf(-3L)),
+        (1L, null.asInstanceOf[java.lang.Long]),
+        (1L, java.lang.Long.valueOf(9L)), (1L, java.lang.Long.valueOf(1L)),
+        (2L, java.lang.Long.valueOf(8L)))
+      .toDF("g", "x")
+    val out = df.groupBy("g").agg(expr("bottom_k(x, 3)").as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(-3L, 1L, 5L), "dedup + k smallest + ascending")
+    assert(out(2L) == Seq(8L))
+  }
+
   test("the cap never binds on the fixture — q102/q104 results unchanged by the guard") {
     val b = Tables(spark, TestSpark.Sf, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))

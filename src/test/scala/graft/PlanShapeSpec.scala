@@ -409,11 +409,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"qe6 covariance lost the imperative-aggregate path:\n$pPca")
     assert(!pPca.contains("Join") && !pPca.contains("Generate"),
       s"qe6 covariance grew a join/explode:\n$pPca")
-    // q102/q104: the basket cap's per-basket window is present (the
-    // declared fan-out bound — losing it silently would reopen the
-    // quadratic)
-    assert(plan("q102_basket").contains("Window"), "q102 lost the basket cap")
-    assert(plan("q104_triangles").contains("Window"), "q104 lost the basket cap")
+    // q102/q104: the basket cap's bounded-buffer aggregate is present
+    // (the declared fan-out bound — losing it silently would reopen
+    // the quadratic). Round 14 moved the cap from a window rank to the
+    // fused bottom_k build (BasketCap.cappedPairs): same bound, one
+    // exchange — the pin follows the new guard operator.
+    assert(plan("q102_basket").contains("bottom_k"), "q102 lost the basket cap")
+    assert(plan("q104_triangles").contains("bottom_k"), "q104 lost the basket cap")
     // q125: two window passes, no cartesian
     val pIn = plan("q125_interp")
     assert(pIn.contains("Window") && !pIn.contains("Cartesian"), pIn)
