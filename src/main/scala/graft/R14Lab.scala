@@ -47,6 +47,52 @@ object R14Lab {
           }
           println(f"[r14lab] $name%-24s ${ts.map(t => f"$t%6.2f").mkString(" ")} s  min=${ts.min}%6.2f")
         }
+      case "prof" =>
+        // per-query decomposition (guide §1: measure before changing):
+        // driver-side phase durations from QueryExecutionTracker
+        // (parsing/analysis/optimization/planning), plus job/stage/task
+        // counts and summed task time from a listener — separates
+        // driver-bound (planning) from floor-bound (many tiny jobs) from
+        // compute-bound (task time) queries.
+        val reps = args(1).toInt
+        val names = args.drop(2)
+        @volatile var jobs = 0
+        @volatile var stages = 0
+        val taskNanos = new java.util.concurrent.atomic.AtomicLong
+        val tasks = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs += 1
+            override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+              stages += 1
+            override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              tasks.incrementAndGet()
+              if (t.taskMetrics != null)
+                taskNanos.addAndGet(t.taskMetrics.executorRunTime * 1000000L)
+            }
+          })
+        names.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          (1 to reps).foreach { rep =>
+            graft.operators.OpCaches.releaseAll()
+            spark.catalog.clearCache()
+            jobs = 0; stages = 0; taskNanos.set(0); tasks.set(0)
+            spark.sparkContext.setJobDescription(s"r14prof: $name")
+            val t0 = System.nanoTime()
+            val df = fn(spark, sfDir)
+            val qe = df.queryExecution
+            qe.toRdd.count()
+            val wall = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(300) // let listener-bus events drain
+            val phases = qe.tracker.phases.map { case (p, s) =>
+              f"$p=${(s.endTimeMs - s.startTimeMs) / 1e3}%.2f"
+            }.mkString(" ")
+            println(f"[r14prof] $name%-22s rep$rep wall=$wall%6.2f " +
+              f"taskSum=${taskNanos.get / 1e9}%6.2f jobs=$jobs%3d stages=$stages%3d " +
+              f"tasks=${tasks.get}%4d $phases")
+          }
+        }
       case "plan" =>
         val suffix = args(1)
         val names = args.drop(2)

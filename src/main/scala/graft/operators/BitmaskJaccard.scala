@@ -23,6 +23,7 @@ object BitmaskJaccard {
   /** (doc_id, tok) pairs → (doc_id, nt, m: Array[Long] bitmask). */
   def masks(toks: DataFrame): DataFrame = {
     val spark = toks.sparkSession
+    graft.plans.Bitmask64.register(spark)
     import spark.implicits._
     // deterministic dense numbering: range-sorted, contiguous ids; the
     // only job zipWithIndex runs is the lightweight per-partition count
@@ -35,16 +36,17 @@ object BitmaskJaccard {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nt"), collect_list(col("ti")).as("tis"))
       .crossJoin(broadcast(wmax))
-      .select(col("doc_id"), col("nt"), expr(
-        s"""transform(sequence(0L, wmax),
-           |  w -> aggregate(filter(tis, t -> t div 64 = w), 0L,
-           |                 (acc, t) -> acc | shiftleft(1L, cast(t % 64 as int))))
-           |""".stripMargin).as("m"))
+      // native one-pass mask build (plans/Bitmask64) — the HOF form
+      // (transform over words × aggregate-filter over tis) was
+      // O(words × nt) lambda evaluations per document
+      .select(col("doc_id"), col("nt"), expr("bitmask64(tis, wmax)").as("m"))
   }
 
-  /** Exact popcount intersection size of two mask arrays. */
-  val interExpr: String =
-    "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0L, (acc, c) -> acc + CAST(c AS BIGINT))"
+  /** Exact popcount intersection size of two mask arrays — the native
+    * fused kernel (plans/PopcountAnd): one codegen'd loop, no
+    * intermediate zip_with array per candidate pair. Callers must have
+    * `popcount_and` registered (every entry point below does). */
+  val interExpr: String = "popcount_and(ma, mb)"
 
   /** Dictionary-free token-set relation: (doc_id, nt, tks sorted
     * ARRAY<STRING>). O(doc length) per row with NO global dictionary and
@@ -61,7 +63,8 @@ object BitmaskJaccard {
     * popcount. Output: (a, b, inter, na, nb). EXACT recall, quadratic in
     * corpus size — correct for bounded inputs / test parity; the corpus
     * scale default is `bandedPairs`. */
-  def pairs(left: DataFrame, right: DataFrame, num: Int, den: Int): DataFrame =
+  def pairs(left: DataFrame, right: DataFrame, num: Int, den: Int): DataFrame = {
+    graft.plans.PopcountAnd.register(left.sparkSession)
     left.select(col("doc_id").as("a"), col("nt").as("na"), col("m").as("ma"))
       .crossJoin(broadcast(right.select(
         col("doc_id").as("b"), col("nt").as("nb"), col("m").as("mb"))))
@@ -75,6 +78,7 @@ object BitmaskJaccard {
       // run the intersection kernel twice per candidate row
       .filter(lit(den + num) * col("inter") >= lit(num) * (col("na") + col("nb")))
       .select("a", "b", "inter", "na", "nb")
+  }
 
   /** EXACT sub-quadratic near-dup pairs via prefix filtering (the
     * ppjoin-family candidate bound): order the vocabulary by ascending
@@ -106,6 +110,7 @@ object BitmaskJaccard {
   def prefixPairs(toks: DataFrame, masks: DataFrame, num: Int, den: Int,
                   broadcastMasks: Boolean = false,
                   broadcastPrefixes: Boolean = false): DataFrame = {
+    graft.plans.PopcountAnd.register(toks.sparkSession)
     // global total order: (document frequency ASC, token ASC). The df
     // join is 1:1 per (doc, tok) row — linear, no fan-out.
     val df = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
@@ -204,6 +209,8 @@ object BitmaskJaccard {
     val spark = toks.sparkSession
     import spark.implicits._
     graft.plans.FirstCommonSorted.register(spark)
+    graft.plans.PopcountAnd.register(spark)
+    graft.plans.Bitmask64.register(spark)
     // global prefix-order dictionary; cached — wmax and the per-doc
     // join both read it, and RDD jobs cannot reuse SQL exchanges
     val vocab = OpCaches.track(
@@ -277,6 +284,7 @@ object BitmaskJaccard {
   def bandedPairs(toks: DataFrame, masks: DataFrame, num: Int, den: Int,
                   nHashes: Int = 16, nBands: Int = 4,
                   broadcastMasks: Boolean = false): DataFrame = {
+    graft.plans.PopcountAnd.register(toks.sparkSession)
     val cand = bandedCandidates(toks, nHashes, nBands)
     def side(n: String, nt: String, m: String) = {
       val s = masks.select(col("doc_id").as(n), col("nt").as(nt), col("m").as(m))
@@ -308,6 +316,8 @@ object BitmaskJaccard {
     val spark = toks.sparkSession
     import spark.implicits._
     graft.plans.RollHash31.register(spark)
+    graft.plans.PopcountAnd.register(spark)
+    graft.plans.Bitmask64.register(spark)
     val P = 1000000007L
     val rows = nHashes / nBands
     require(rows * nBands == nHashes, "nBands must divide nHashes")

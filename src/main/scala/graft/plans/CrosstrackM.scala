@@ -111,5 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((BottomK256.ident, BottomK256.info,
       BottomK256.builder))
     ext.injectFunction((BottomK.ident, BottomK.info, BottomK.builder))
+    ext.injectFunction((PopcountAnd.ident, PopcountAnd.info, PopcountAnd.builder))
+    ext.injectFunction((Bitmask64.ident, Bitmask64.info, Bitmask64.builder))
   }
 }
