@@ -138,7 +138,7 @@ object DedupExt {
     * (array_distinct before the explode; zero shuffle, identical set
     * semantics to the oracle's DISTINCT). */
   private def toks(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    graft.operators.ScanFan.fan(t(s, d, "documents"), col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
 

@@ -38,7 +38,7 @@ object Llm {
     * token occurrence in the corpus first (at sf0.1 that one exchange
     * was ~3 s of q28). */
   private def tokens(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    graft.operators.ScanFan.fan(t(s, d, "documents"), col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
 

@@ -471,7 +471,8 @@ object Relational {
       def d6(c: org.apache.spark.sql.Column) = c.cast(D286)
       val y = col("l_extendedprice") * (lit(1) - col("l_discount"))
       val x = col("l_quantity")
-      val agg = t(s, d, "lineitem")
+      val agg = graft.operators.ScanFan
+        .fan(t(s, d, "lineitem"), col("l_orderkey"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n0"),
           sum(d6(x)).as("sx0"), sum(d6(y)).as("sy0"),
