@@ -1381,16 +1381,14 @@ object DedupExt {
     // the candidate semi-join, skipping a second verify replay.
     "qd9_bandrecall" -> ((s, d) => {
       val tk = toks(s, d)
-      // deliberately NOT cached, though the pair set feeds both the
-      // n_exact count and the semi-join branch: caching it was
-      // A/B-measured ~1–1.4 s SLOWER at sf0.1 (8.4/8.5/7.7 s cached vs
-      // 7.0/7.0 s uncached, back-to-back) — materializing the pair rows
-      // costs more than the second pipeline execution, whose count-only
-      // branch prunes hard (fifth measured fusion/cache negative;
-      // prefixPairsFused's INTERNAL vocab/per caches stay, they serve
-      // both executions)
-      val exact = graft.operators.BitmaskJaccard
-          .prefixPairsFused(tk, 8, 10).select("a", "b")
+      // CACHED (round-14 re-measure): the round-13 "fifth negative"
+      // (cache 8.4/8.5 s vs recompute 7.0/7.0 s) REVERSED once the
+      // native popcount/bitmask kernels made each execution cheaper —
+      // with the verify no longer dominating, the second pipeline
+      // execution costs more than materializing the narrow (a, b)
+      // rows (tight A/B: 3.75 s uncached vs 3.00 s cached rerun-min)
+      val exact = graft.operators.OpCaches.track(graft.operators
+        .BitmaskJaccard.prefixPairsFused(tk, 8, 10).select("a", "b"))
       // CANDIDATES suffice (exact ∩ banded = exact ∩ candidates, the
       // identity above), so the audit pays the signature aggregation
       // but never a second mask build or the banded verify joins
@@ -2538,13 +2536,14 @@ object DedupExt {
     "qd24_blockeval" -> ((s, d) => {
       graft.plans.RollHash31.register(s)
       val tk = toks(s, d)
-      // deliberately UNCACHED (qd9's fifth negative held in the A/B
-      // here too: caching the exact pair set + a tagged candidate
-      // union read 12.1/18.6 s back-to-back vs ~11 s for the
-      // recompute shapes); each consumer below re-executes the pruned
-      // exact pipeline instead of paying the materialization
-      val exact = graft.operators.BitmaskJaccard
-        .prefixPairsFused(tk, 8, 10).select("a", "b")
+      // CACHED (round-14 re-measure, same reversal as qd9): with the
+      // native verify kernels the exact pipeline's three executions
+      // (ne + two strat joins) cost more than materializing the
+      // narrow (a, b) pair rows — tight A/B 6.54 s uncached vs
+      // 5.41 s cached rerun-min (the round-13 A/B ran against the
+      // HOF kernels and measured the opposite)
+      val exact = graft.operators.OpCaches.track(graft.operators
+        .BitmaskJaccard.prefixPairsFused(tk, 8, 10).select("a", "b"))
       val mh = graft.operators.BitmaskJaccard.bandedCandidates(tk, 16, 4)
       val keyed = graft.operators.OpCaches.track(ophKeys(
         tk.select(col("doc_id"), expr("roll_hash31(tok)").as("h"))))
