@@ -82,7 +82,11 @@ object TrainingData {
     * otherwise shift. */
   private[graft] def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
     graft.plans.RollHash31.register(docs.sparkSession)
-    docs.select(col("doc_id"), split(col("text"), " ").as("_stk"))
+    // scale-adaptive fan (ScanFan gate): shingling + hashing is the
+    // heavy row-local work of the decontamination path and otherwise
+    // runs inside a single-row-group scan's one task at bench scale
+    ScanFan.fan(docs, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("_stk"))
       .select(col("doc_id"), explode(expr(
         s"array_distinct(IF(size(_stk) >= $n, transform(sequence(1, size(_stk) - ${n - 1}), k -> roll_hash31(array_join(slice(_stk, k, $n), ' '))), array()))"))
         .as("h"))

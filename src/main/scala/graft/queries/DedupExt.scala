@@ -78,7 +78,7 @@ object DedupExt {
     * shuffle. */
   private[graft] def bandSignatures(docs: DataFrame): DataFrame = {
     graft.plans.RollHash31.register(docs.sparkSession)
-    val th = docs
+    val th = graft.operators.ScanFan.fan(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", expr("roll_hash31(tok)"))
