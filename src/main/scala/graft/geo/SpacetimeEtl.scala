@@ -138,7 +138,13 @@ object SpacetimeEtl {
                          maxDistanceM: Long = MaxDistanceM,
                          slackMs: Long = SlackMs): DataFrame = {
     val margin = maxDistanceM * 1.1
-    val segCells = segs
+    // scale-adaptive fan (ScanFan gate): the cell explosion and the
+    // per-candidate trig otherwise run inside the single-split NDJSON
+    // scan tasks at fixture scale; identity at production input sizes.
+    // pts fan by hn_id so the downstream top-1/top-k per-point
+    // aggregates reuse this exchange outright.
+    val segsF = graft.operators.ScanFan.fan(segs, col("street_id"))
+    val segCells = segsF
       .withColumn("mlat", lit(margin / MPerDegLat))
       .withColumn("mlon",
         lit(margin) / (lit(MPerDegLat) * cos(radians((col("y1") + col("y2")) / 2))))
@@ -154,7 +160,7 @@ object SpacetimeEtl {
         col("seg_until"), col("seg_ord"), col("x1"), col("y1"), col("x2"),
         col("y2"), col("cell.cx"), col("cell.cy"))
 
-    val pts = pts0
+    val pts = graft.operators.ScanFan.fan(pts0, col("hn_id"))
       .withColumn("cx", floor(col("px") / Cs).cast(LongType))
       .withColumn("cy", floor(col("py") / Cs).cast(LongType))
 
