@@ -1253,7 +1253,16 @@ object Relational {
         .exceptAll(changes.filter(col("change") === "removed").drop("change"))
         .transform(graft.operators.OpCaches.track)
       val v2 = graft.operators.SnapTable.read(s, dir, 2)
-      val mismatch = rebuilt.exceptAll(v2).count() + v2.exceptAll(rebuilt).count()
+      // |A∖B| + |B∖A| under MULTISET semantics ≡ Σ_rows |cnt_A − cnt_B|:
+      // one signed-count aggregation over the union replaces the two
+      // exceptAll jobs (each shuffled+sorted both relations; round-14
+      // measure) — same exact integer, half the passes
+      val mismatch = rebuilt.withColumn("_s", lit(1L))
+        .unionByName(v2.withColumn("_s", lit(-1L)))
+        .groupBy("l_orderkey", "l_linenumber", "l_quantity")
+        .agg(sum(col("_s")).as("_d"))
+        .agg(coalesce(sum(abs(col("_d"))), lit(0L)))
+        .head().getLong(0)
       rebuilt.agg(count(lit(1)).as("n"),
           r4(sumDec6(col("l_quantity"))).as("sum_qty"),
           sum(col("l_orderkey")).as("sum_key"))
