@@ -63,7 +63,11 @@ object BasketCap {
   def cappedPairs(rel: DataFrame, basketCol: String, partCol: String,
                   cap: Int = DefaultCap): DataFrame = {
     graft.plans.BottomK.register(rel.sparkSession)
-    rel.groupBy(col(basketCol))
+    // scale-adaptive fan (ScanFan gate): the partial bottom_k
+    // aggregation otherwise runs inside the single-row-group scan's one
+    // task at bench scale; the repartition keys on the basket so the
+    // groupBy below reuses the exchange outright. Identity at scale.
+    ScanFan.fan(rel, col(basketCol)).groupBy(col(basketCol))
       .agg(expr(s"bottom_k($partCol, $cap)").as("_ps"))
       .select(col("_ps"), posexplode(col("_ps")).as(Seq("_i", "u")))
       // elements after position _i (0-based): 1-based start _i + 2;

@@ -1475,7 +1475,8 @@ object Relational {
       // with no exchange and no sort on the edge side: one narrow
       // r-side shuffle + one dst-keyed partial aggregate per round.
       // On a cluster the same layout is a persisted src-bucketed table.
-      val e0 = t(s, d, "lineitem")
+      val e0 = graft.operators.ScanFan
+        .fan(t(s, d, "lineitem"), col("l_orderkey"))
         .select(col("l_orderkey").as("src"),
           (col("l_partkey") + 10000000L).as("dst"))
         .distinct().transform(graft.operators.OpCaches.track)
