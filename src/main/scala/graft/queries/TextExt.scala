@@ -1596,7 +1596,8 @@ object TextExt {
     // cleaned_fp = 0 (the hash of the empty string; the oracle guards
     // the empty case explicitly because DuckDB's unicode('') is -1).
     "qt13_spanremove" -> ((s, d) =>
-      graft.operators.TrainingData.removeDupSpans(t(s, d, "documents"))
+      graft.operators.TrainingData.removeDupSpans(
+        graft.operators.ScanFan.fan(t(s, d, "documents"), col("doc_id")))
         .select(col("doc_id"), col("n_orig"), col("n_kept"),
           expr("roll_hash31(cleaned)").as("cleaned_fp"))
         .orderBy("doc_id")),
