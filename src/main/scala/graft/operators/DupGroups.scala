@@ -30,9 +30,13 @@ import org.apache.spark.sql.functions._
   * deterministic; each half-step is one partial-aggregatable groupBy +
   * one equi-join, both shuffling on the node key — no driver-side graph
   * state, no collect. `localCheckpoint` truncates the growing lineage
-  * each round so the plan stays O(1) deep; the convergence test (edge
-  * set unchanged) is two anti-joins driving a driver-side boolean,
-  * control flow only.
+  * each round so the plan stays O(1) deep, and the convergence test
+  * (edge set unchanged) is
+  * ONE signed-count aggregation over the two checkpointed sets —
+  * round-14 job-count work: the count + except convergence pair cost
+  * an extra scheduled action and an extra shuffle per round, pure
+  * per-job floor on every pipeline that resolves clusters
+  * (qc2/qc4/qc5/qd5/qd6/qd16/qx18).
   *
   * Output: (node, grp) for every node that appears in `pairs`, where
   * grp = min node id of the component.
@@ -45,12 +49,15 @@ object DupGroups {
     * exposed so tests can pin the O(log n) convergence bound. */
   def componentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     // canonical min-oriented edge list (hi, lo), deduped once up front.
-    // The checkpoint sits BEFORE the self-pair split so the (possibly
+    // Cached (lazily) BEFORE the self-pair split so the (possibly
     // expensive) `pairs` lineage — e.g. an LSH candidate join — is
-    // computed exactly once even though two branches read it.
-    val canon = pairs
-      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .localCheckpoint()
+    // computed exactly once even though two branches read it: the first
+    // round's checkpoint action populates the cache, the final
+    // selfSingletons branch reads it. A lazy OpCaches.track instead of
+    // an eager localCheckpoint saves one scheduled job per invocation
+    // (the blocks land during work that runs anyway).
+    val canon = OpCaches.track(pairs
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v")))
     var edges = canon
       .filter(col("u") =!= col("v"))
       .distinct()
@@ -65,6 +72,12 @@ object DupGroups {
         .union(edges.select(col("v").as("x"), col("u").as("y")))
       val mins = sym.groupBy("x")
         .agg(least(col("x"), min(col("y"))).as("m"))
+      // EAGER checkpoint, deliberately: a lazy persist was A/B-measured
+      // 1.5–2.6× WORSE here (qx18 2.0 → 4.6 s, qd6 2.5 → 3.5 s) — AQE
+      // submits the two small-star consumers' stages concurrently, and
+      // both compute the uncached large-star subtree before either has
+      // populated the cache (the populate race doubles the round's
+      // heaviest work). The scheduled job is cheaper than the race.
       val large = sym.join(mins, Seq("x"))
         .filter(col("y") > col("x") && col("y") =!= col("m"))
         .select(col("y").as("u"), col("m").as("v"))
@@ -81,11 +94,16 @@ object DupGroups {
         .distinct()
         .localCheckpoint()
       rounds += 1
-      // set equality in one anti-join: both sides are distinct, so equal
-      // cardinality (cheap counts on the checkpointed data) plus
-      // next ⊆ edges ⟺ the sets are identical — the second except of
-      // the naive both-ways check is redundant
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      // set equality in ONE job: both sides are distinct sets, so they
+      // are identical iff no (u, v) appears on exactly one side — the
+      // signed tagged-union count (q74's single-pass multiset mismatch,
+      // degenerated to sets) over the two checkpointed relations
+      // replaces the count-pair + except(anti-join) convergence probe
+      converged = next.select(col("u"), col("v"), lit(1L).as("w"))
+        .union(edges.select(col("u"), col("v"), lit(-1L).as("w")))
+        .groupBy("u", "v").agg(sum(col("w")).as("s"))
+        .filter(col("s") =!= 0L)
+        .isEmpty
       edges = next
     }
     // fixpoint = stars (child, root=min); roots label themselves
