@@ -1049,8 +1049,12 @@ object DedupExt {
       val isIdx = !isA && !isB
       val bands = graft.operators.OpCaches.track(annBandRelation(emb))
       val vecs = graft.operators.OpCaches.track(quantizedRelation(emb))
-      val vA = annIngestVerdicts(bands.filter(isA), vecs.filter(isA),
-        bands.filter(isIdx), vecs.filter(isIdx))
+      // vA cached (s12's rationale): batch A's verdict pipeline
+      // otherwise executes three times — the final union plus both
+      // grown-index references inside vB
+      val vA = graft.operators.OpCaches.track(
+        annIngestVerdicts(bands.filter(isA), vecs.filter(isA),
+          bands.filter(isIdx), vecs.filter(isIdx)))
       val accA = vA.filter(col("verdict") === "new").select("vec_id")
       val vB = annIngestVerdicts(bands.filter(isB), vecs.filter(isB),
         bands.filter(isIdx)

@@ -205,9 +205,15 @@ object StreamingQueries {
       val per = graft.operators.OpCaches.track(DedupExt.bandSignatures(docs))
       val fps = graft.operators.OpCaches.track(
         docs.select(col("doc_id"), expr("roll_hash31(text)").as("fp")))
-      val vA = DedupExt.incrementalVerdicts(
-        fps.filter(isA), fps.filter(isIdx).select("fp").distinct(),
-        per.filter(isA), per.filter(isIdx))
+      // vA cached: its verdict pipeline (band join + verify + exact
+      // semi-join) otherwise executes THREE times — once in the final
+      // union and twice inside vB, whose grown index references accA
+      // on both the fingerprint and the band side. The cached relation
+      // is one narrow verdict row per batch-A doc.
+      val vA = graft.operators.OpCaches.track(
+        DedupExt.incrementalVerdicts(
+          fps.filter(isA), fps.filter(isIdx).select("fp").distinct(),
+          per.filter(isA), per.filter(isIdx)))
       val accA = vA.filter(col("verdict") === "new").select("doc_id")
       val vB = DedupExt.incrementalVerdicts(
         fps.filter(isB),
@@ -490,9 +496,14 @@ object StreamingQueries {
       val per = graft.operators.OpCaches.track(DedupExt.bandSignatures(docs))
       val fps = graft.operators.OpCaches.track(
         docs.select(col("doc_id"), expr("roll_hash31(text)").as("fp")))
-      val vA = DedupExt.incrementalVerdicts(
-        fps.filter(isA), fps.filter(isIdx).select("fp").distinct(),
-        per.filter(isA), per.filter(isIdx))
+      // vA cached (s12's rationale): batch A's verdict pipeline
+      // otherwise executes three times — commit A's semi-join plus both
+      // grown-index references inside vB; the commit-A action populates
+      // the cache
+      val vA = graft.operators.OpCaches.track(
+        DedupExt.incrementalVerdicts(
+          fps.filter(isA), fps.filter(isIdx).select("fp").distinct(),
+          per.filter(isA), per.filter(isIdx)))
       val accA = vA.filter(col("verdict") === "new").select("doc_id")
       graft.operators.SnapTable.commit(s, dir,
         docs.join(accA, Seq("doc_id"), "left_semi")
