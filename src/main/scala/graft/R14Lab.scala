@@ -93,6 +93,66 @@ object R14Lab {
               f"tasks=${tasks.get}%4d $phases")
           }
         }
+      case "stages" =>
+        // per-STAGE task-time ranking for one query (guide §1/§7.1 —
+        // the Spark-UI stage view, reduced to what a headless session
+        // can print): stage id, summed executor task time, task count,
+        // and the first line of the stage's name/callsite
+        val name = args(1)
+        val rows = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Int)]
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val info = s.stageInfo
+              val t = Option(info.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+              rows.put(info.stageId,
+                (info.name.linesIterator.next(), t, info.numTasks))
+            }
+          })
+        val fn = SparkEntry.queries(name)
+        graft.operators.OpCaches.releaseAll()
+        spark.catalog.clearCache()
+        spark.sparkContext.setJobDescription(s"r14stages: $name")
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        import scala.jdk.CollectionConverters._
+        val sorted = rows.asScala.toSeq.sortBy(-_._2._2)
+        println(f"[r14stages] $name wall=$wall%.2f nStages=${sorted.size}")
+        sorted.take(25).foreach { case (id, (nm, t, nt)) =>
+          println(f"[r14stages]   stage=$id%4d taskSum=${t / 1e3}%8.2f s tasks=$nt%4d  $nm")
+        }
+      case "qd24phase" =>
+        // component timings for qd24: the exact prefix-pair set, the
+        // minhash banding candidates, the OPH candidates — each as its
+        // own cold action (caches dropped between), so the expensive
+        // component is a measurement, not a guess
+        import org.apache.spark.sql.functions._
+        graft.plans.RollHash31.register(spark)
+        def toksRel = {
+          val t = Tables(spark, sfDir, "documents")
+          graft.operators.ScanFan.fan(t, col("doc_id"))
+            .select(col("doc_id"),
+              explode(array_distinct(split(col("text"), " "))).as("tok"))
+        }
+        for (rep <- 1 to 2) {
+          def cold[T](label: String)(body: => Long): Unit = {
+            graft.operators.OpCaches.releaseAll()
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            val n = body
+            println(f"[r14lab] qd24phase rep$rep $label%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+          }
+          cold("exact") {
+            graft.operators.BitmaskJaccard.prefixPairsFused(toksRel, 8, 10)
+              .select("a", "b").queryExecution.toRdd.count()
+          }
+          cold("mhcand") {
+            graft.operators.BitmaskJaccard.bandedCandidates(toksRel, 16, 4)
+              .queryExecution.toRdd.count()
+          }
+        }
       case "plan" =>
         val suffix = args(1)
         val names = args.drop(2)

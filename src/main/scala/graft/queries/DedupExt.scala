@@ -1397,7 +1397,11 @@ object DedupExt {
       // identity above), so the audit pays the signature aggregation
       // but never a second mask build or the banded verify joins
       val cand = graft.operators.BitmaskJaccard.bandedCandidates(tk, 16, 4)
-      val hit = exact.join(cand, Seq("a", "b"), "left_semi")
+      // SHUFFLE_HASH: both sides are millions of (a, b) pairs — the
+      // default sort-merge pays two multi-million-row sorts just to
+      // count the overlap; a per-partition hash build skips both
+      val hit = exact.join(cand.hint("SHUFFLE_HASH"), Seq("a", "b"),
+        "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .select(col("n_exact"), col("n_hit"),
@@ -2556,9 +2560,12 @@ object DedupExt {
       // one pass per strategy: candidate count and exact-hit count in
       // the SAME aggregation via a membership marker — each banding
       // pipeline and each exact-join execution happens exactly once
+      // SHUFFLE_HASH on the exact (build) side: candidate and exact
+      // pair relations are both millions of rows — sort-merge would
+      // sort both per strategy just to test membership
       def strat(name: String, cand: DataFrame): DataFrame =
-        cand.join(exact.withColumn("ex", lit(1L)), Seq("a", "b"),
-            "left_outer")
+        cand.join(exact.withColumn("ex", lit(1L)).hint("SHUFFLE_HASH"),
+            Seq("a", "b"), "left_outer")
           .agg(count(lit(1)).as("n_cand"),
             sum(coalesce(col("ex"), lit(0L))).as("n_hit"))
           .select(lit(name).as("strategy"), col("n_cand"), col("n_hit"))
