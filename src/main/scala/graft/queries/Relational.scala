@@ -2650,7 +2650,15 @@ object Relational {
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")
+      // round 14 (guide §2.4): cache the symmetric edge list ALREADY
+      // hash-partitioned on v — the per-round v-semi-join then reads
+      // the cached layout with no edge-scale exchange, the u-semi-join
+      // pays the round's ONE edge shuffle, and the degree groupBy(u)
+      // reuses that exchange. The previous shape (unpartitioned cache,
+      // u-join → v-join → groupBy(u)) shuffled edge-scale data three
+      // times per round.
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("v"))
         .transform(graft.operators.OpCaches.track)
       // r10 measured fix (was: eager checkpoint + COUNT per round = 24
       // jobs): the per-round eager checkpoint stays — the frontier is
@@ -2666,8 +2674,8 @@ object Relational {
       for (round <- 1 to 12) {
         val prev = alive
         alive = sym
-          .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
           .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+          .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
           .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
           .localCheckpoint(true)
@@ -2714,7 +2722,11 @@ object Relational {
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")
+      // round 14 (guide §2.4): cache the symmetric edge list ALREADY
+      // hash-partitioned on v — each round's label join (on v) reads
+      // the cached layout with no edge-scale exchange (q123's rewrite)
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("v"))
         .transform(graft.operators.OpCaches.track)
       // r10 A/B note (judge asked to fuse the per-round checkpoints):
       // both fusion variants measured NEGATIVE at sf0.1 driver config —
@@ -3048,7 +3060,12 @@ object Relational {
         .agg(count(lit(1)).as("w12"))
         .filter(col("w12") >= 2L)
         .select("u", "v")
+      // round 14 (guide §2.4): cache the symmetric edge list ALREADY
+      // hash-partitioned on u — each round's frontier semi-join (on u)
+      // reads the cached layout with no edge-scale exchange (q123's
+      // rewrite)
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
         .transform(graft.operators.OpCaches.track)
       // r10 A/B note (judge asked to cut the per-round checkpoints):
       // the LAZY-visited variant — checkpoint only each frontier, leave
