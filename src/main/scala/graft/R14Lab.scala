@@ -19,12 +19,17 @@ object R14Lab {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    // A/B knob: AQE sort-merge → shuffled-hash rewrite threshold
+    // (spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold)
+    val spark = sys.env.get("SPARK_GRAFT_SHJ")
+      .fold(builder)(v => builder.config(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", v))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach { n =>
