@@ -161,7 +161,11 @@ object R14Lab {
       case "plan" =>
         val suffix = args(1)
         val names = args.drop(2)
-        val dir = java.nio.file.Paths.get("plans", "r14")
+        // round-15 reuse: plan dumps land in $GRAFT_PLANS_DIR (default
+        // the round-14 directory) so each optimization round commits its
+        // own before/after evidence set
+        val dir = java.nio.file.Paths.get(
+          sys.env.getOrElse("GRAFT_PLANS_DIR", "plans/r14"))
         java.nio.file.Files.createDirectories(dir)
         names.foreach { name =>
           val fn = SparkEntry.queries(name)
@@ -172,7 +176,7 @@ object R14Lab {
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.write(dir.resolve(s"${name}_$suffix.txt"),
             txt.getBytes("UTF-8"))
-          println(s"[r14lab] wrote plans/r14/${name}_$suffix.txt")
+          println(s"[r14lab] wrote ${dir.resolve(s"${name}_$suffix.txt")}")
         }
       case "q68prof" =>
         // stage decomposition of q68_pagerank at the given SF dir:

@@ -733,16 +733,33 @@ object DedupExt {
           .as("tok"))
       val pairs = graft.operators.BitmaskJaccard
         .bandedPairsCompact(sh, 1, 2)
-      val ts = s.range(5, 10).select((col("id") * 10L).as("t"))
-      val base = pairs.agg(count(lit(1)).as("n_base"))
-      pairs.crossJoin(broadcast(ts))
-        .filter((lit(100L) + col("t")) * col("inter")
-          >= col("t") * (col("na") + col("nb")))
-        .groupBy("t")
-        .agg(count(lit(1)).as("n_pairs"), sum(col("inter")).as("sum_inter"))
-        .crossJoin(broadcast(base))
-        .select(col("t"), col("n_pairs"), col("sum_inter"), col("n_base"),
-          round(col("n_pairs").cast(DoubleType) / col("n_base"), 6)
+      // round 15 (guide §2.4): the whole curve + the base count in ONE
+      // aggregation over ONE execution of the verify pipeline. The old
+      // form consumed `pairs` twice (a count for n_base, then the sweep)
+      // — the banded verify joins ran twice — and blew the pair relation
+      // up 5× through a cross join against the τ dimension just to
+      // route each pair to per-τ groups. Conditional aggregates compute
+      // the identical per-τ counts/sums map-side; the τ rows come back
+      // from a row-local explode of the single result row. A τ whose
+      // qualifying set is empty emits no row, exactly like the old
+      // groupBy (the explode row is dropped when n_pairs = 0; sum over
+      // an all-excluded column is NULL there, never read).
+      val aggCols = (5 to 9).flatMap { i =>
+        val tt = i * 10L
+        val q = ((lit(100L) + lit(tt)) * col("inter")
+          >= lit(tt) * (col("na") + col("nb")))
+        Seq(count(when(q, 1)).as(s"np_$i"),
+          sum(when(q, col("inter"))).as(s"si_$i"))
+      } :+ count(lit(1)).as("n_base")
+      pairs.agg(aggCols.head, aggCols.tail: _*)
+        .select(explode(array((5 to 9).map(i => struct(
+            lit(i * 10L).as("t"), col(s"np_$i").as("n_pairs"),
+            col(s"si_$i").as("sum_inter"))): _*)).as("r"),
+          col("n_base"))
+        .filter(col("r.n_pairs") > 0L)
+        .select(col("r.t").as("t"), col("r.n_pairs").as("n_pairs"),
+          col("r.sum_inter").as("sum_inter"), col("n_base"),
+          round(col("r.n_pairs").cast(DoubleType) / col("n_base"), 6)
             .cast(DoubleType).as("share"))
         .orderBy("t")
     }),
