@@ -65,7 +65,7 @@ object R14Lab {
         @volatile var stages = 0
         val taskNanos = new java.util.concurrent.atomic.AtomicLong
         val tasks = new java.util.concurrent.atomic.AtomicLong
-        spark.sparkContext.addSparkListener(
+        val profListener =
           new org.apache.spark.scheduler.SparkListener {
             override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
               jobs += 1
@@ -76,7 +76,8 @@ object R14Lab {
               if (t.taskMetrics != null)
                 taskNanos.addAndGet(t.taskMetrics.executorRunTime * 1000000L)
             }
-          })
+          }
+        spark.sparkContext.addSparkListener(profListener)
         names.foreach { name =>
           val fn = SparkEntry.queries(name)
           (1 to reps).foreach { rep =>
@@ -89,7 +90,10 @@ object R14Lab {
             val qe = df.queryExecution
             qe.toRdd.count()
             val wall = (System.nanoTime() - t0) / 1e9
-            Thread.sleep(300) // let listener-bus events drain
+            // real drain, not a fixed sleep: late stage-completed
+            // events would under-report the SLOWEST stages (r14
+            // advisory)
+            org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
             val phases = qe.tracker.phases.map { case (p, s) =>
               f"$p=${(s.endTimeMs - s.startTimeMs) / 1e3}%.2f"
             }.mkString(" ")
@@ -98,6 +102,7 @@ object R14Lab {
               f"tasks=${tasks.get}%4d $phases")
           }
         }
+        org.apache.spark.sql.GraftBridge.removeListener(spark, profListener)
       case "stages" =>
         // per-STAGE task-time ranking for one query (guide §1/§7.1 —
         // the Spark-UI stage view, reduced to what a headless session
@@ -105,7 +110,7 @@ object R14Lab {
         // and the first line of the stage's name/callsite
         val name = args(1)
         val rows = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Int)]
-        spark.sparkContext.addSparkListener(
+        val stageListener =
           new org.apache.spark.scheduler.SparkListener {
             override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
               val info = s.stageInfo
@@ -113,7 +118,8 @@ object R14Lab {
               rows.put(info.stageId,
                 (info.name.linesIterator.next(), t, info.numTasks))
             }
-          })
+          }
+        spark.sparkContext.addSparkListener(stageListener)
         val fn = SparkEntry.queries(name)
         graft.operators.OpCaches.releaseAll()
         spark.catalog.clearCache()
@@ -121,7 +127,10 @@ object R14Lab {
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()
         val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(500)
+        // real drain + deregister (r14 advisory): a fixed sleep could
+        // drop the slowest stages' late completion events
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+        org.apache.spark.sql.GraftBridge.removeListener(spark, stageListener)
         import scala.jdk.CollectionConverters._
         val sorted = rows.asScala.toSeq.sortBy(-_._2._2)
         println(f"[r14stages] $name wall=$wall%.2f nStages=${sorted.size}")

@@ -56,6 +56,14 @@ object DupGroups {
     // selfSingletons branch reads it. A lazy OpCaches.track instead of
     // an eager localCheckpoint saves one scheduled job per invocation
     // (the blocks land during work that runs anyway).
+    // DETERMINISM REQUIREMENT (round-15 advisory pin): unlike the old
+    // localCheckpoint, a cache can be EVICTED under memory pressure and
+    // silently recomputed from lineage — correctness of selfSingletons
+    // then relies on the recomputed `pairs` reproducing the identical
+    // row set. Every in-repo caller's pair lineage is deterministic
+    // (hash-banded candidate joins + exact verifies over parquet
+    // inputs; no rand(), no sampling). A caller with a nondeterministic
+    // pair source must localCheckpoint its pairs before calling in.
     val canon = OpCaches.track(pairs
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v")))
     var edges = canon

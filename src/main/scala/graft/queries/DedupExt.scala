@@ -1416,7 +1416,16 @@ object DedupExt {
       val cand = graft.operators.BitmaskJaccard.bandedCandidates(tk, 16, 4)
       // SHUFFLE_HASH: both sides are millions of (a, b) pairs — the
       // default sort-merge pays two multi-million-row sorts just to
-      // count the overlap; a per-partition hash build skips both
+      // count the overlap; a per-partition hash build skips both.
+      // AT-SCALE CAVEAT (round-15 advisory pin): left-semi only
+      // supports build-RIGHT, so the hint builds the LARGER candidate
+      // side, and ShuffledHashJoin's build table cannot spill — the
+      // assumption is that shuffle-partition count grows with the
+      // corpus (config contract, not enforced here), keeping each
+      // partition's slice of the narrow two-long pair rows bounded. A
+      // skewed band key concentrates candidates; if a deployment
+      // cannot size partitions to the corpus, drop this hint and take
+      // the sort-merge spill path.
       val hit = exact.join(cand.hint("SHUFFLE_HASH"), Seq("a", "b"),
         "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))

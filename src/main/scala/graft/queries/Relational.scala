@@ -616,6 +616,7 @@ object Relational {
             .cast(DecimalType(18, 6)), 4).cast(DoubleType).as("avg_v"))
       val cal = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      // global window is BOUNDED: one row per calendar day in range
       val w = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       cal.join(daily, Seq("day"), "left")
@@ -2158,6 +2159,8 @@ object Relational {
         .select(col("user_id"), expr("(mx - mn) div 86400000000").as("days"))
       val dist = life.groupBy("days").agg(count(lit(1)).as("c"))
       val nu = life.agg(count(lit(1)).as("n_users"))
+      // global window is BOUNDED: one row per distinct lifetime-days
+      // value after the aggregate, never a per-user relation
       val wRev = Window.orderBy(col("days").desc)
         .rowsBetween(Window.unboundedPreceding, 0)
       dist
@@ -2245,6 +2248,8 @@ object Relational {
           expr(s"($nowUs - last_t) div 86400000000").as("r"),
           col("f"), col("m"))
       def quartiles(dim: String): DataFrame = {
+        // global window is BOUNDED: it runs over the grouped
+        // distinct-value relation of one RFM dimension (integer domain)
         val w = Window.orderBy(col("v"))
         per.select(col(dim).as("v")).groupBy("v").agg(count(lit(1)).as("c"))
           .withColumn("cum", sum(col("c")).over(w))

@@ -1408,6 +1408,8 @@ object TextExt {
           (col("n") + expr("u * 1000 div n") + expr("r * 5000 div n"))
             .as("score"))
       val dist = per.groupBy("score").agg(count(lit(1)).as("c"))
+      // global window is BOUNDED: it runs over the aggregated
+      // distinct-score relation (integer score domain), never the corpus
       val wS = org.apache.spark.sql.expressions.Window.orderBy("score")
         .rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -2636,6 +2638,7 @@ object TextExt {
         .groupBy("rank").agg(count(lit(1)).as("n_new"))
       val tokPerRank = tr.groupBy("rank", "source")
         .agg(count(lit(1)).as("n_tok"))
+      // global window is BOUNDED: one row per source after the rollup
       val wCum = Window.orderBy("rank")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tokPerRank.join(newPerRank, Seq("rank"), "left")

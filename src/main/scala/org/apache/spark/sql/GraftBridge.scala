@@ -11,6 +11,19 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
 
+  /** Block until the async listener bus has delivered every queued
+    * event (the bus is `private[spark]`) — measurement tooling reads
+    * listener-accumulated metrics through this instead of a fixed
+    * sleep that can under-report the slowest stages. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 10000L): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
+  /** Deregister a listener added by measurement tooling. */
+  def removeListener(spark: SparkSession,
+                     l: org.apache.spark.scheduler.SparkListenerInterface): Unit =
+    spark.sparkContext.listenerBus.removeListener(l)
+
   /** The SESSION's Hadoop configuration as a broadcast, for
     * executor-side FileSystem access (cloud-FS credentials and scheme
     * mappings live in spark.hadoop.*, NOT in executor defaults).
