@@ -1589,8 +1589,28 @@ object SnapTable {
   def diff(spark: SparkSession, dir: String, vOld: Int, vNew: Int): DataFrame = {
     val a = read(spark, dir, vOld)
     val b = read(spark, dir, vNew)
-    b.exceptAll(a).withColumn("change", lit("added"))
-      .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
+    // round 15 (guide §2.4): ONE signed-count aggregation + row-local
+    // replication. The previous exceptAll PAIR planned as two
+    // tagged-union count aggregates, each shuffling BOTH versions (the
+    // q74 single-pass lesson applied to the operator itself). Per
+    // distinct row, d = cnt_new − cnt_old: d > 0 emits the row d times
+    // as 'added', d < 0 emits it −d times as 'removed' — exactly
+    // b.exceptAll(a) ⊎ a.exceptAll(b) under multiset semantics
+    // (max(x−y,0) on one side is nonzero only when the other side's is
+    // zero, and |d| is that nonzero count; NULL group keys compare
+    // equal in both formulations). SnapDiffEquivSpec pins row-level
+    // multiset equality against the exceptAll form.
+    val cols = b.columns.toSeq
+    b.select(cols.map(col) :+ lit(1L).as("_w"): _*)
+      .unionByName(a.select(cols.map(col) :+ lit(-1L).as("_w"): _*))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_w")).as("_d"))
+      .filter(col("_d") =!= 0L)
+      .select(cols.map(col) :+
+        when(col("_d") > 0L, lit("added")).otherwise(lit("removed"))
+          .as("change") :+
+        explode(expr("sequence(1L, abs(_d))")).as("_i"): _*)
+      .select((cols :+ "change").map(col): _*)
   }
 
   /** DESCRIBE HISTORY: one row per surviving committed version —

@@ -1249,26 +1249,39 @@ object Relational {
           .unionByName(li.filter(col("l_orderkey") % 3 === 2)))
       val changes = graft.operators.SnapTable.diff(s, dir, 1, 2)
         .transform(graft.operators.OpCaches.track)
-      val rebuilt = graft.operators.SnapTable.read(s, dir, 1)
-        .unionByName(changes.filter(col("change") === "added").drop("change"))
-        .exceptAll(changes.filter(col("change") === "removed").drop("change"))
-        .transform(graft.operators.OpCaches.track)
       val v2 = graft.operators.SnapTable.read(s, dir, 2)
-      // |A∖B| + |B∖A| under MULTISET semantics ≡ Σ_rows |cnt_A − cnt_B|:
-      // one signed-count aggregation over the union replaces the two
-      // exceptAll jobs (each shuffled+sorted both relations; round-14
-      // measure) — same exact integer, half the passes
-      val mismatch = rebuilt.withColumn("_s", lit(1L))
-        .unionByName(v2.withColumn("_s", lit(-1L)))
-        .groupBy("l_orderkey", "l_linenumber", "l_quantity")
-        .agg(sum(col("_s")).as("_d"))
-        .agg(coalesce(sum(abs(col("_d"))), lit(0L)))
-        .head().getLong(0)
-      rebuilt.agg(count(lit(1)).as("n"),
-          r4(sumDec6(col("l_quantity"))).as("sum_qty"),
-          sum(col("l_orderkey")).as("sum_key"))
-        .select(col("n"), col("sum_qty"), col("sum_key"),
-          lit(mismatch).as("n_mismatch"))
+      // round 15 (guide §2.4, extending the round-14 single-pass
+      // mismatch): the APPLY and the audit both live in COUNT SPACE, so
+      // one signed-count aggregation over the tagged 4-way union
+      // (v1 ⊎ added at +1, removed at −1, v2 on a second counter)
+      // computes the rebuilt multiset's per-row count
+      // c_reb = max(c_v1 + c_added − c_removed, 0) — exactly the
+      // (v1 ⊎ added).exceptAll(removed) replication count — and every
+      // output column derives from it: n = Σ c_reb, the aggregates as
+      // count-weighted sums over the (constant-per-group) key columns,
+      // and n_mismatch = Σ |c_reb − c_v2| (the round-14 identity). The
+      // old form materialized the rebuilt rows through an exceptAll
+      // shuffle+sort, cached them, and ran the mismatch as a separate
+      // driver action; this is ONE aggregation pass and ONE job, and
+      // the audit still exercises the real changefeed output (a diff
+      // that missed or double-counted a row still lands in n_mismatch).
+      val keys = Seq("l_orderkey", "l_linenumber", "l_quantity")
+      def tag(df: org.apache.spark.sql.DataFrame, w1: Long, w2: Long) =
+        df.select(keys.map(col) :+ lit(w1).as("_w1") :+ lit(w2).as("_w2"): _*)
+      tag(graft.operators.SnapTable.read(s, dir, 1), 1L, 0L)
+        .unionByName(tag(
+          changes.filter(col("change") === "added").drop("change"), 1L, 0L))
+        .unionByName(tag(
+          changes.filter(col("change") === "removed").drop("change"), -1L, 0L))
+        .unionByName(tag(v2, 0L, 1L))
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("_w1")).as("_d"), sum(col("_w2")).as("_c2"))
+        .select(col("l_quantity"), col("l_orderkey"),
+          greatest(col("_d"), lit(0L)).as("_cr"), col("_c2"))
+        .agg(coalesce(sum(col("_cr")), lit(0L)).as("n"),
+          r4(sum(dec6(col("l_quantity")) * col("_cr"))).as("sum_qty"),
+          coalesce(sum(col("l_orderkey") * col("_cr")), lit(0L)).as("sum_key"),
+          coalesce(sum(abs(col("_cr") - col("_c2"))), lit(0L)).as("n_mismatch"))
     }),
 
     // Q64 ROW-LEVEL DELETE — copy-on-write at FILE granularity
