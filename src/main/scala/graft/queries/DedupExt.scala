@@ -465,6 +465,7 @@ object DedupExt {
     // (unbounded keyspace); the doc's token array never shuffles.
     "qd25_winnow" -> ((s, d) => {
       graft.plans.RollHash31.register(s)
+      graft.plans.WinnowMinPos.register(s)
       val hsRel = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .filter(size(col("tk")) >= 8)
@@ -473,16 +474,19 @@ object DedupExt {
             "p -> roll_hash31(array_join(slice(tk, p, 4), ' ')))")
             .as("hs"))
         .transform(graft.operators.OpCaches.track)
+      // round 15 (guide §4 + §2.4): native one-pass winnowing selection
+      // (plans/WinnowMinPos — monotonic-deque sliding min, rightmost
+      // tie) replaces the per-window-start explode + interpreted
+      // slice/array_min/reverse/array_position chain (three array
+      // allocations per window) AND the distinct EXCHANGE: selections
+      // dedup row-locally because a window never re-selects an earlier
+      // position than its predecessor's pick (proof + randomized
+      // equality pin in WinnowMinPosSpec). Same (h, p) pair set per
+      // doc, so every downstream relation is unchanged.
       val sel = hsRel
-        .select(col("doc_id"), col("hs"),
-          explode(expr("sequence(1, size(hs) - 4)")).as("st"))
-        .select(col("doc_id"), expr("slice(hs, st, 5)").as("sl"),
-          col("st"))
-        .select(col("doc_id"), expr("array_min(sl)").as("h"),
-          (col("st") + lit(5L)
-            - expr("array_position(reverse(sl), array_min(sl))"))
-            .cast(LongType).as("p"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(expr("winnow_minpos(hs, 5)")).as("s"))
+        .select(col("doc_id"), col("s.h").as("h"), col("s.p").as("p"))
         .transform(graft.operators.OpCaches.track)
       val perDocFp = sel.select("doc_id", "h").distinct()
       val shared = perDocFp.groupBy("h").agg(count(lit(1)).as("nd"))
