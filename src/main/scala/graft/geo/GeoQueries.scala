@@ -236,7 +236,10 @@ object GeoQueries {
     // recomposition): both edge sets derive from the shared matched
     // relation — deliberately NOT cached: A/B at bench scale measured
     // the OpCaches form ~0.5-0.9 s SLOWER (6.7/6.9 s vs 5.9/6.4 s,
-    // back-to-back) — the matched relation is narrow but its
+    // back-to-back; RE-MEASURED round 15 after the ScanFan/kernel
+    // changes: still 2.78 vs 2.54 rerun-min — the negative stands,
+    // unlike the qd9 cache whose balance flipped) — the matched
+    // relation is narrow but its
     // materialization is a separate job + an InMemoryTableScan that
     // breaks codegen fusion, while the recomputed lineage shares the
     // parquet scan and stays fused (same shape as the qd9 cache

@@ -2708,18 +2708,25 @@ object TextExt {
     // structure exists.
     "qt28_rake" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      graft.plans.PhraseTokens.register(s)
       val stopList = stopwords.map("'" + _ + "'").mkString(", ")
-      val tok = t(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .withColumn("is_stop",
-          expr(s"CAST(array_contains(array($stopList), w) AS INT)"))
-      val wPos = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // round 15 (guide §4 + §2.4): the phrase id (running stopword
+      // count) is a pure function of the token ARRAY, so the native
+      // row-local phrase_tokens kernel replaces the doc-keyed window
+      // that shuffled and SORTED every token row of the corpus just to
+      // compute it (plans/PhraseTokens; row-set equality vs the window
+      // form pinned in PhraseTokensSpec). Same (doc_id, pid, pos, w)
+      // relation, one exchange fewer, no per-doc sort.
+      // ScanFan: with the window exchange gone, the kernel explode
+      // would otherwise run inside the single-row-group scan's one task
+      // at bench scale (identity at 100 TB — the r14 gate)
       val occ = graft.operators.OpCaches.track(
-        tok.withColumn("pid", sum(col("is_stop")).over(wPos))
-          .filter(col("is_stop") === 0 && col("w") =!= "")
-          .select("doc_id", "pid", "pos", "w"))
+        graft.operators.ScanFan.fan(t(s, d, "documents"), col("doc_id"))
+          .select(col("doc_id"), explode(
+            expr(s"phrase_tokens(split(text, ' '), array($stopList))"))
+            .as("s"))
+          .select(col("doc_id"), col("s.pid").as("pid"),
+            col("s.pos").as("pos"), col("s.w").as("w")))
       val plen = occ.groupBy("doc_id", "pid")
         .agg(count(lit(1)).as("plen"))
       val deg = occ.join(plen, Seq("doc_id", "pid"))
